@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {name: sec}, "sf": ...}.
+
+The headline set covers every operator family (scan/filter, joins,
+resample, weighted agg, window/top-k, sessionize, dedup, ANN, text,
+multimodal) but excludes the all-pairs-pathological dedup variants on
+this synthetic corpus (tiny shared vocabulary → posting-list joins are
+quadratic by construction; they run in the sf0.01 correctness gate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from curw_mike_data_handler_spark import catalog, get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "s4_filtered_scan",
+    "p6_membership_semi_join",
+    "j1_spine_gapfill",
+    "a1_resample_right_closed",
+    "a2_row_mean_impute",
+    "j3_w2_nearest_stations",
+    "w2_topk_per_group",
+    "rf_weighted_catchment",
+    "events_sessionize",
+    "tide_pipeline_shape",
+    "dedup_exact",
+    "embedding_neardup",
+    "ann_topk_bruteforce",
+    "ann_topk_bucketed",
+    "text_token_stats",
+    "text_quality",
+    "text_langid",
+    "doc_fingerprint_stats",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/session so q1 doesn't pay session startup
+    catalog.QUERIES["a5_distinct"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = catalog.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1050 @@
+"""Query catalog: every implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline extensions) as a (Spark callable, DuckDB oracle
+SQL) pair over the driver's test tables.
+
+Engine-parity rules used throughout (so order-insensitive value hashes
+match bit-for-bit):
+
+* money/measure aggregation goes through DECIMAL casts (exact in both
+  engines, immune to FP summation order), cast to double at the edge;
+* time buckets use integer micro-epoch ceil-division (right-closed,
+  right-labeled — the reference's pandas resample semantics) and are
+  emitted as formatted strings;
+* every ranking orders by a rounded measure + id tie-break (total
+  order, ULP-proof);
+* dedup hashes are md5-derived 60-bit ints — identical in any engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from curw_mike_data_handler_spark.functions.cleaning import negatives_to_null, sentinel_to_null
+from curw_mike_data_handler_spark.functions.geo import great_circle_km
+from curw_mike_data_handler_spark.functions.ids import doc_fingerprint
+from curw_mike_data_handler_spark.functions.text import (
+    predict_lang,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    tokens,
+)
+from curw_mike_data_handler_spark.functions.timegrid import bucket_end_right_closed
+from curw_mike_data_handler_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from curw_mike_data_handler_spark.operators.multimodal import attach_payload, extract_features
+from curw_mike_data_handler_spark.operators.resample import resample_sum_right_closed
+from curw_mike_data_handler_spark.operators.similarity import (
+    ann_topk_bruteforce,
+    ann_topk_bucketed,
+    embedding_neardup_pairs,
+)
+from curw_mike_data_handler_spark.operators.weighted import weighted_group_sum
+from curw_mike_data_handler_spark.sources.tables import load_table
+
+STEP_US = 900_000_000  # 15 minutes in microseconds
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _prep(spark: SparkSession) -> None:
+    """Parity-critical runtime conf, applied inside every query so the
+    driver's own session works regardless of how it was built."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prep(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def _fmt(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+# ---------------------------------------------------------------------------
+# Reference-operator queries (SURVEY §2) on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS sum_base,
+           CAST(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))
+                    * (1 + l_tax::DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+           CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Flagship: weighted group aggregation + pushdown filter (SURVEY
+    A4/P3 analog; the catchment-sum pattern on lineitem).  DECIMAL
+    aggregation: exact, order-independent, broadcast-free single
+    shuffle with map-side combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = 1 - _dec("l_discount")
+    charge = _dec("l_extendedprice") * disc * (1 + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base"),
+            F.sum(_dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_top_revenue_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(sum(l.l_extendedprice::DECIMAL(18,2) * (1 - l.l_discount::DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY sum(l.l_extendedprice::DECIMAL(18,2) * (1 - l.l_discount::DECIMAL(18,2))) DESC,
+             o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark, sf_dir):
+    """3-way join (broadcast dims) + top-k: customer ⋈ orders ⋈
+    lineitem, revenue rank.  DECIMAL revenue makes the top-10 cut
+    deterministic across engines; o_orderkey breaks ties."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("__rev"))
+        .orderBy(F.desc("__rev"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.col("__rev").cast("double").alias("revenue"),
+            _fmt("o_orderdate").alias("orderdate"),
+        )
+    )
+
+
+@query(
+    "s4_filtered_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def s4_filtered_scan(spark, sf_dir):
+    """Predicate + projection pushdown to the parquet scan (SURVEY S4:
+    the run-registry staleness scan).  .explain shows PushedFilters and
+    a 3-column ReadSchema."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "p4_negatives_to_null",
+    """
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE m IS NULL) AS n_null,
+           CAST(sum(m) AS DOUBLE) AS sum_clean
+    FROM (
+        SELECT event_type,
+               CASE WHEN value::DECIMAL(18,2) - 250 < 0 THEN NULL
+                    ELSE value::DECIMAL(18,2) - 250 END AS m
+        FROM events
+    ) GROUP BY event_type
+    """,
+)
+def p4_negatives_to_null(spark, sf_dir):
+    """Sentinel cleaning P4: negatives → NULL (the derived measure
+    value−250 manufactures negatives on this dataset)."""
+    ev = _t(spark, sf_dir, "events")
+    m = negatives_to_null((_dec("value") - 250).cast("double"))
+    return (
+        ev.select("event_type", m.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("m").isNull(), 1)).alias("n_null"),
+            F.sum(F.col("m").cast("decimal(18,2)")).cast("double").alias("sum_clean"),
+        )
+    )
+
+
+@query(
+    "p5_sentinel_to_null",
+    """
+    SELECT event_type,
+           count(*) FILTER (WHERE m IS NULL) AS n_missing,
+           CAST(sum(m) AS DOUBLE) AS sum_present
+    FROM (
+        SELECT event_type,
+               CASE WHEN (CASE WHEN value < 1.0 THEN -99999.0 ELSE value END) = -99999.0
+                    THEN NULL
+                    ELSE (CASE WHEN value < 1.0 THEN -99999.0 ELSE value END)::DECIMAL(18,2)
+               END AS m
+        FROM events
+    ) GROUP BY event_type
+    """,
+)
+def p5_sentinel_to_null(spark, sf_dir):
+    """Sentinel cleaning P5: exact −99999.0 → NULL (tide missing
+    marker; the sub-1.0 rewrite manufactures sentinels here)."""
+    ev = _t(spark, sf_dir, "events")
+    with_sentinel = F.when(F.col("value") < 1.0, F.lit(-99999.0)).otherwise(F.col("value"))
+    m = sentinel_to_null(with_sentinel)
+    return (
+        ev.select("event_type", m.cast("decimal(18,2)").alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("m").isNull(), 1)).alias("n_missing"),
+            F.sum("m").cast("double").alias("sum_present"),
+        )
+    )
+
+
+@query(
+    "p6_membership_semi_join",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 45)
+    GROUP BY l_returnflag
+    """,
+)
+def p6_membership_semi_join(spark, sf_dir):
+    """Dimension-membership filter as a broadcast LEFT SEMI join
+    (SURVEY P6: station-in-dimension check)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 45).select("p_partkey")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "j5_anti_join_report",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def j5_anti_join_report(spark, sf_dir):
+    """Anti-join skip report (SURVEY J5/P6: unknown stations reported
+    at wl_x:104): customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "j1_spine_gapfill",
+    f"""
+    WITH RECURSIVE bounds AS (
+        SELECT make_timestamp(((epoch_us(min(ts)) + {STEP_US - 1}) // {STEP_US}) * {STEP_US}) AS t0,
+               make_timestamp(((epoch_us(max(ts)) + {STEP_US - 1}) // {STEP_US}) * {STEP_US}) AS t1
+        FROM events WHERE event_type = 'click'
+    ),
+    s(t) AS (
+        SELECT t0 FROM bounds
+        UNION ALL
+        SELECT t + INTERVAL 15 MINUTE FROM s WHERE t < (SELECT t1 FROM bounds)
+    ),
+    agg AS (
+        SELECT make_timestamp(((epoch_us(ts) + {STEP_US - 1}) // {STEP_US}) * {STEP_US}) AS t,
+               count(*) AS c
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    )
+    SELECT strftime(s.t, '%Y-%m-%d %H:%M:%S') AS bucket,
+           coalesce(agg.c, 0) AS n_events
+    FROM s LEFT JOIN agg USING (t)
+    """,
+)
+def j1_spine_gapfill(spark, sf_dir):
+    """Spine left join J1: regular 15-min grid (sequence+explode)
+    LEFT JOIN bucketed observations; empty buckets surface as 0.
+    The Spark-first replacement for the reference's per-station
+    sequential merge loop (rf_linux:155-162)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    bucketed = ev.select(bucket_end_right_closed("ts", 15).alias("t")).groupBy("t").agg(
+        F.count("*").alias("c")
+    )
+    bounds = ev.agg(
+        bucket_end_right_closed(F.min("ts"), 15).alias("t0"),
+        bucket_end_right_closed(F.max("ts"), 15).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 15 MINUTES"))).alias("t")
+    )
+    return spine.join(bucketed, "t", "left").select(
+        _fmt("t").alias("bucket"),
+        F.coalesce(F.col("c"), F.lit(0)).alias("n_events"),
+    )
+
+
+@query(
+    "a1_resample_right_closed",
+    f"""
+    SELECT event_type,
+           strftime(make_timestamp(((epoch_us(ts) + {STEP_US - 1}) // {STEP_US}) * {STEP_US}),
+                    '%Y-%m-%d %H:%M:%S') AS time,
+           CAST(coalesce(sum(value::DECIMAL(18,2)), 0) AS DOUBLE) AS value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def a1_resample_right_closed(spark, sf_dir):
+    """A1: right-closed/right-labeled 15-min tumbling resample with the
+    pandas-0.25 all-NULL→0.0 sum semantics, via the resample operator
+    (window − 1 µs shift, label = window.end)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").alias("time"), _dec("value").alias("value")
+    )
+    res = resample_sum_right_closed(
+        ev, "time", ["value"], 15, group_cols=["event_type"], all_null_is_zero=False
+    )
+    return res.select(
+        "event_type",
+        _fmt("time").alias("time"),
+        F.coalesce(F.col("value"), F.lit(0)).cast("double").alias("value"),
+    )
+
+
+@query(
+    "a2_row_mean_impute",
+    f"""
+    WITH hourly AS (
+        SELECT event_type,
+               make_timestamp(((epoch_us(ts) + 3599999999) // 3600000000) * 3600000000) AS t,
+               sum(CASE WHEN value::DECIMAL(18,2) - 250 < 0 THEN NULL
+                        ELSE value::DECIMAL(18,2) - 250 END) AS s
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(t, '%Y-%m-%d %H:%M:%S') AS time,
+           round(CAST(coalesce(s, avg(CAST(s AS DOUBLE)) OVER (PARTITION BY t)) AS DOUBLE), 4) AS value
+    FROM hourly
+    """,
+)
+def a2_row_mean_impute(spark, sf_dir):
+    """A2: horizontal (per-timestamp) mean imputation in long form —
+    NULL series values take the mean over the other series at that
+    tick, computed on the PRE-fill pattern (rf_linux:104-108).  One
+    window on the time key, no pivot."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    m = F.when(_dec("value") - 250 < 0, F.lit(None)).otherwise(_dec("value") - 250)
+    hourly = (
+        ev.select("event_type", bucket_end_right_closed("ts", 60).alias("t"), m.alias("m"))
+        .groupBy("event_type", "t")
+        .agg(F.sum("m").alias("s"))
+    )
+    w = Window.partitionBy("t")
+    return hourly.select(
+        "event_type",
+        _fmt("t").alias("time"),
+        F.round(
+            F.coalesce(F.col("s"), F.avg(F.col("s").cast("double")).over(w)).cast("double"), 4
+        ).alias("value"),
+    )
+
+
+@query("a5_distinct", "SELECT DISTINCT c_mktsegment FROM customer")
+def a5_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@query(
+    "a6_max_watermark",
+    """
+    SELECT o_orderstatus, strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS obs_end
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a6_max_watermark(spark, sf_dir):
+    """A6: latest-timestamp watermark (get_obs_end, dis:176)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(_fmt(F.max("o_orderdate")).alias("obs_end"))
+    )
+
+
+@query(
+    "j3_w2_nearest_stations",
+    """
+    WITH stations AS (
+        SELECT s_suppkey AS sid,
+               6.8 + (s_suppkey % 37) * 0.01 AS lat,
+               79.8 + (s_suppkey % 53) * 0.015 AS lon
+        FROM supplier
+    ),
+    pairs AS (
+        SELECT t.sid AS origin, c.sid AS neighbor,
+               round(6371.0 * acos(least(
+                   cos(radians(t.lat)) * cos(radians(c.lat)) * cos(radians(c.lon) - radians(t.lon))
+                   + sin(radians(t.lat)) * sin(radians(c.lat)), 1.0)), 4) AS distance_km
+        FROM stations t, stations c
+        WHERE t.sid <> c.sid
+    ),
+    ranked AS (
+        SELECT origin, neighbor, distance_km,
+               row_number() OVER (PARTITION BY origin ORDER BY distance_km, neighbor) AS rank
+        FROM pairs WHERE distance_km <= 100.0
+    )
+    SELECT origin, neighbor, distance_km, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def j3_w2_nearest_stations(spark, sf_dir):
+    """J3+W2: broadcast cross join, great-circle distance (spherical law
+    of cosines, all_raw:180-185), top-3 within 100 km per origin.
+    Ranking on the 4-dp-rounded distance + id tie-break keeps the order
+    total and ULP-proof across engines."""
+    from pyspark.sql import Window
+
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sid"),
+        (F.lit(6.8) + (F.col("s_suppkey") % 37) * 0.01).alias("lat"),
+        (F.lit(79.8) + (F.col("s_suppkey") % 53) * 0.015).alias("lon"),
+    )
+    t = s.select(F.col("sid").alias("origin"), F.col("lat").alias("t_lat"), F.col("lon").alias("t_lon"))
+    c = s.select(F.col("sid").alias("neighbor"), F.col("lat").alias("c_lat"), F.col("lon").alias("c_lon"))
+    pairs = (
+        t.crossJoin(F.broadcast(c))
+        .filter(F.col("origin") != F.col("neighbor"))
+        .withColumn(
+            "distance_km",
+            F.round(great_circle_km(F.col("t_lat"), F.col("t_lon"), F.col("c_lat"), F.col("c_lon")), 4),
+        )
+        .filter(F.col("distance_km") <= 100.0)
+    )
+    w = Window.partitionBy("origin").orderBy("distance_km", "neighbor")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("origin", "neighbor", "distance_km", "rank")
+    )
+
+
+@query(
+    "w2_topk_per_group",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+               ) AS rn
+        FROM lineitem
+    ) WHERE rn <= 3
+    """,
+)
+def w2_topk_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@query(
+    "w3_last_row_patch",
+    """
+    WITH m AS (
+        SELECT event_type, ts,
+               CASE WHEN value::DECIMAL(18,2) - 250 < 0 THEN NULL
+                    ELSE value::DECIMAL(18,2) - 250 END AS v,
+               max(ts) OVER (PARTITION BY event_type) AS mt
+        FROM events
+    )
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_time,
+           CAST(coalesce(CASE WHEN v < 0 THEN 0 ELSE v END, 0) AS DOUBLE) AS last_value
+    FROM m WHERE ts = mt
+    """,
+)
+def w3_last_row_patch(spark, sf_dir):
+    """W3: terminal boundary-condition patch — the value ON the
+    series' max-time row, 0 when NULL/negative (tide:110-111,
+    dis:105-106).  Explicit max-ts-row selection (not arg_max, whose
+    NULL-skipping differs across engines)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    m = F.when(_dec("value") - 250 < 0, F.lit(None)).otherwise(_dec("value") - 250)
+    w = Window.partitionBy("event_type")
+    rows = ev.select(
+        "event_type", "ts", m.alias("v"), F.max("ts").over(w).alias("mt")
+    ).filter(F.col("ts") == F.col("mt"))
+    patched = F.coalesce(F.when(F.col("v") < 0, F.lit(0)).otherwise(F.col("v")), F.lit(0))
+    return rows.select(
+        "event_type",
+        _fmt("ts").alias("last_time"),
+        patched.cast("double").alias("last_value"),
+    )
+
+
+@query(
+    "o1_top10_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def o1_top10_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "tide_pipeline_shape",
+    f"""
+    WITH RECURSIVE bounds AS (
+        SELECT make_timestamp(((epoch_us(min(ts)) + {STEP_US - 1}) // {STEP_US}) * {STEP_US}) AS t0,
+               make_timestamp(((epoch_us(max(ts)) + {STEP_US - 1}) // {STEP_US}) * {STEP_US}) AS t1
+        FROM events WHERE event_type = 'error'
+    ),
+    s(t) AS (
+        SELECT t0 FROM bounds
+        UNION ALL
+        SELECT t + INTERVAL 15 MINUTE FROM s WHERE t < (SELECT t1 FROM bounds)
+    ),
+    agg AS (
+        SELECT make_timestamp(((epoch_us(ts) + {STEP_US - 1}) // {STEP_US}) * {STEP_US}) AS t,
+               sum(value::DECIMAL(18,2)) - 400 AS v
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    joined AS (
+        SELECT s.t, CASE WHEN agg.v < 0 THEN NULL ELSE agg.v END AS v
+        FROM s LEFT JOIN agg USING (t)
+    ),
+    patched AS (
+        SELECT t, CASE WHEN t = (SELECT max(t) FROM joined) AND v IS NULL THEN 0 ELSE v END AS v
+        FROM joined
+    )
+    SELECT strftime(t, '%Y-%m-%d %H:%M:%S') AS time, CAST(v AS DOUBLE) AS value
+    FROM patched WHERE v IS NOT NULL
+    """,
+)
+def tide_pipeline_shape(spark, sf_dir):
+    """The tide pipeline's full operator chain (SURVEY §7 Phase 1) on
+    the events table: spine → left join → sentinel clean → last-row
+    patch → dropna → ordered output."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    agg = (
+        ev.select(bucket_end_right_closed("ts", 15).alias("t"), _dec("value").alias("value"))
+        .groupBy("t")
+        .agg((F.sum("value") - 400).alias("v"))
+    )
+    bounds = ev.agg(
+        bucket_end_right_closed(F.min("ts"), 15).alias("t0"),
+        bucket_end_right_closed(F.max("ts"), 15).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 15 MINUTES"))).alias("t")
+    )
+    joined = spine.join(agg, "t", "left").withColumn(
+        "v", F.when(F.col("v") < 0, F.lit(None)).otherwise(F.col("v"))
+    )
+    w = Window.partitionBy()
+    patched = joined.withColumn(
+        "v",
+        F.when(
+            (F.col("t") == F.max("t").over(w)) & F.col("v").isNull(), F.lit(0)
+        ).otherwise(F.col("v")),
+    )
+    return (
+        patched.filter(F.col("v").isNotNull())
+        .select(_fmt("t").alias("time"), F.col("v").cast("double").alias("value"))
+    )
+
+
+@query(
+    "rf_weighted_catchment",
+    """
+    SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m-%d %H:%M:%S') AS time,
+           p.p_brand AS name,
+           CAST(coalesce(sum(l.l_quantity::DECIMAL(18,2) * p.p_retailprice::DECIMAL(18,2)), 0)
+                AS DOUBLE) AS value
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+)
+def rf_weighted_catchment(spark, sf_dir):
+    """A4 — the reference's core computation: time×station matrix ×
+    station×catchment weights (rf_linux:180-202), as ONE broadcast join
+    + ONE grouped sum.  Stations→partkeys, catchments→brands,
+    coefficients→retail price."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", F.col("l_shipdate")).alias("time"),
+        F.col("l_partkey").alias("series"),
+        _dec("l_quantity").alias("value"),
+    )
+    weights = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("curw_obs_id"),
+        F.col("p_brand").alias("name"),
+        _dec("p_retailprice").alias("coefficient"),
+    )
+    out = weighted_group_sum(li, weights)
+    return out.select(_fmt("time").alias("time"), "name", F.col("value").cast("double").alias("value"))
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH marked AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM marked GROUP BY user_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Cron-as-stream analog (SURVEY §2.9): 30-minute-gap
+    sessionization via lag window — the batch equivalent of a
+    session-window stateful operator."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.unix_micros(F.col("ts")) - prev) > 1_800_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@query(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM}) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_q(spark, sf_dir):
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id AS doc, t.token
+        FROM documents, unnest({_TOKENS}) AS t(token)
+        WHERE len(t.token) > 0
+    ),
+    sizes AS (SELECT doc, count(*) AS n FROM dt GROUP BY doc),
+    inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+        FROM dt a JOIN dt b ON a.token = b.token AND a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs via the inverted-index
+    self-join plan (shuffle bounded by posting lists, not |docs|²)."""
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id AS doc, t.token
+        FROM documents, unnest({_TOKENS}) AS t(token)
+        WHERE len(t.token) > 0
+    ),
+    sigs AS (
+        SELECT doc, seed,
+               min(('0x' || substr(md5(seed::VARCHAR || ':' || token), 1, 15))::BIGINT) AS minhash
+        FROM dt, unnest([0,1,2,3,4,5,6,7]) AS s(seed)
+        GROUP BY doc, seed
+    ),
+    bands AS (
+        SELECT doc, seed // 2 AS band,
+               md5(string_agg(minhash::VARCHAR, ',' ORDER BY minhash)) AS band_key
+        FROM sigs GROUP BY doc, seed // 2
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS n FROM dt GROUP BY doc),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cands c
+        JOIN dt ta ON ta.doc = c.doc_a
+        JOIN dt tb ON tb.doc = c.doc_b AND tb.token = ta.token
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc = i.doc_a
+    JOIN sizes sb ON sb.doc = i.doc_b
+    WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+    """,
+)
+def dedup_minhash_lsh_q(spark, sf_dir):
+    """MinHash(8 perms) → 4 LSH bands → candidate join → exact-Jaccard
+    verification.  Hashes are md5-derived 60-bit ints: the oracle
+    reproduces the identical signatures."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=8, band_size=2, threshold=0.5
+    )
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id AS doc, t.token
+        FROM documents, unnest({_TOKENS}) AS t(token)
+        WHERE len(t.token) > 0
+    ),
+    hashed AS (
+        SELECT doc, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM dt
+    ),
+    votes AS (
+        SELECT doc, j.j,
+               sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM hashed, unnest(range(32)) AS j(j)
+        GROUP BY doc, j.j
+    ),
+    sigs AS (
+        SELECT doc, sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc
+    ),
+    banded AS (
+        SELECT doc, simhash, simhash & 65535 AS lo, simhash >> 16 AS hi FROM sigs
+    ),
+    cands AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, a.simhash AS sig_a, b.simhash AS sig_b
+        FROM banded a JOIN banded b ON a.lo = b.lo AND a.doc < b.doc
+        UNION
+        SELECT a.doc, b.doc, a.simhash, b.simhash
+        FROM banded a JOIN banded b ON a.hi = b.hi AND a.doc < b.doc
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+    FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+)
+def dedup_simhash_q(spark, sf_dir):
+    """32-bit SimHash near-dup pairs, banded on signature halves,
+    Hamming-verified with bit_count."""
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query(
+    "embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    """,
+)
+def embedding_neardup_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by the cluster label
+    (the IVF-style partition key that makes all-pairs tractable)."""
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, bucket_col="label"
+    )
+
+
+@query(
+    "ann_topk_bruteforce",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        FROM q JOIN e c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_topk_bruteforce_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_topk_bruteforce(queries, emb, k=5)
+
+
+@query(
+    "ann_topk_bucketed",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, label, v FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        FROM q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_topk_bucketed_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_topk_bucketed(queries, emb, k=5)
+
+
+@query(
+    "text_token_stats",
+    f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len({_TOKENS})) AS total_tokens,
+           round(avg(CAST(len({_TOKENS}) AS DOUBLE)), 6) AS avg_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text")).cast("bigint")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.round(F.avg(n_tok.cast("double")), 6).alias("avg_tokens"),
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH m AS (
+        SELECT doc_id,
+               len({_TOKENS}) AS n_tok,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                         / length(text)
+                    ELSE 0.0 END AS punct_r,
+               CASE WHEN len({_TOKENS}) > 0
+                    THEN len(list_filter({_TOKENS},
+                         t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t)))
+                         / len({_TOKENS})
+                    ELSE 0.0 END AS sw_r
+        FROM documents
+    )
+    SELECT doc_id, n_tok,
+           round(punct_r, 6) AS punct_ratio,
+           round(sw_r, 6) AS stopword_ratio,
+           round(greatest(
+               least(n_tok / 100.0, 1.0) * 0.5
+               + least(sw_r * 5, 1.0) * 0.3
+               + (1 - least(punct_r * 4, 1.0)) * 0.2, 0.0), 6) AS quality
+    FROM m
+    """,
+)
+def text_quality_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "text_langid",
+    f"""
+    WITH scores AS (
+        SELECT lang,
+               len(list_filter({_TOKENS}, t -> list_contains(
+                   ['the','a','and','of','to','in','is','that','it','for'], t))) AS s_en,
+               len(list_filter({_TOKENS}, t -> list_contains(
+                   ['der','die','das','und','ist','nicht','ein','mit','auf','zu'], t))) AS s_de,
+               len(list_filter({_TOKENS}, t -> list_contains(
+                   ['le','la','les','et','est','un','une','pour','dans','que'], t))) AS s_fr,
+               len(list_filter({_TOKENS}, t -> list_contains(
+                   ['el','la','los','y','es','un','una','por','para','como'], t))) AS s_es
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                WHEN s_es > 0 THEN 'es'
+                ELSE 'und' END AS predicted,
+           count(*) AS n_docs
+    FROM scores GROUP BY 1, 2
+    """,
+)
+def text_langid_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", predict_lang("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "doc_fingerprint_stats",
+    f"""
+    SELECT source,
+           count(DISTINCT md5({_NORM})) AS n_unique,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def doc_fingerprint_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", doc_fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(F.countDistinct("fp").alias("n_unique"), F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS payload_md5,
+           lower(hex(encode(substr(text, 1, 4)))) AS head_hex
+    FROM documents
+    """,
+)
+def multimodal_features_q(spark, sf_dir):
+    """Binary-column plumbing exercised for real: payload → Arrow-batched
+    mapInPandas feature extraction.  The oracle recomputes the same
+    byte-level features in SQL."""
+    media = attach_payload(_t(spark, sf_dir, "documents"))
+    return extract_features(media)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLE)

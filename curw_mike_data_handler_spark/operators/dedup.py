@@ -1,0 +1,225 @@
+"""Deduplication operators for corpus-scale pipelines.
+
+Exact, n-gram Jaccard, MinHash+LSH and SimHash — all built from
+portable primitives (md5-derived 60-bit integer hashes) so results are
+engine-reproducible (the DuckDB oracle computes the identical values).
+
+Scale design:
+* exact: one hash-groupBy shuffle on the fingerprint.
+* jaccard pairs: explode to (doc, token) posting list, self-join on
+  token (the classic inverted-index plan) — shuffle is bounded by
+  posting-list sizes, not |docs|²; hot tokens should be stop-worded
+  out at 100 TB (parameter ``min_token_len``).
+* minhash-lsh: signatures via one groupBy over (doc, seed); candidate
+  generation joins band buckets (shuffle on band hash — only docs
+  sharing a band collide); verification re-computes true Jaccard on
+  candidates only.
+* simhash: 32-bit signature via bit-position explode + groupBy, then
+  banded matching on signature halves + Hamming verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from curw_mike_data_handler_spark.functions.ids import doc_fingerprint
+from curw_mike_data_handler_spark.functions.text import tokens
+
+
+def portable_hash60(col, salt=None):
+    """60-bit positive integer from md5 — identical in any engine with
+    md5(): ('0x' || first 15 hex chars)::bigint."""
+    c = F.col(col) if isinstance(col, str) else col
+    if salt is not None:
+        c = F.concat(salt.cast("string") if hasattr(salt, "cast") else F.lit(str(salt)),
+                     F.lit(":"), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized-text fingerprint: keep the minimum id
+    per group; report group size.  One shuffle."""
+    fp = docs.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _distinct_doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
+        docs.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """All pairs (a<b) with token-set Jaccard ≥ threshold via the
+    inverted-index self-join plan."""
+    dt = _distinct_doc_tokens(docs, id_col, text_col)
+    sizes = dt.groupBy("doc").agg(F.count("*").alias("n_tokens"))
+    a = dt.select(F.col("doc").alias("doc_a"), "token")
+    b = dt.select(F.col("doc").alias("doc_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_tokens").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_tokens").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(doc, seed, minhash) — min over the doc's distinct tokens of the
+    salted portable hash.  One explode + one groupBy."""
+    dt = _distinct_doc_tokens(docs, id_col, text_col)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    salted = dt.select("doc", "token", seeds)
+    hashed = salted.withColumn(
+        "h",
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col("token"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    return hashed.groupBy("doc", "seed").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash→banded LSH candidates→exact-Jaccard verification.
+
+    Bands: ``num_hashes/band_size`` buckets keyed by the md5 of the
+    band's concatenated minhashes; docs sharing any band bucket become
+    candidates; candidates are verified with true Jaccard (no false
+    positives in the output; recall is the standard LSH S-curve)."""
+    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes)
+    banded = sigs.withColumn("band", F.floor(F.col("seed") / band_size))
+    band_keys = (
+        banded.groupBy("doc", "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
+    )
+    left = band_keys.select(F.col("doc").alias("doc_a"), "band", "band_key")
+    right = band_keys.select(F.col("doc").alias("doc_b"), "band", "band_key")
+    candidates = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    docs_a = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("text_a"))
+    docs_b = docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("text_b"))
+    cand_texts = candidates.join(docs_a, "doc_a").join(docs_b, "doc_b")
+    verified = cand_texts.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.size(F.array_intersect(F.array_distinct(tokens("text_a")),
+                                     F.array_distinct(tokens("text_b"))))
+            / F.size(F.array_union(F.array_distinct(tokens("text_a")),
+                                   F.array_distinct(tokens("text_b")))),
+            6,
+        ).alias("jaccard"),
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash over distinct tokens: bit j of the signature is 1
+    iff Σ_tokens (±1 per token-hash bit j) > 0."""
+    dt = _distinct_doc_tokens(docs, id_col, text_col)
+    hashed = dt.withColumn("h", portable_hash60("token"))
+    expanded = hashed.select(
+        "doc",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    ).withColumn(
+        # SQL-expr form: pyspark's shiftright/shiftleft wrappers only
+        # take literal shift amounts, the SQL functions take columns.
+        "vote",
+        F.expr("CASE WHEN (shiftright(h, CAST(j AS INT)) & CAST(1 AS BIGINT)) = 1 "
+               "THEN 1 ELSE -1 END"),
+    )
+    return (
+        expanded.groupBy("doc", "j")
+        .agg(F.sum("vote").alias("s"))
+        .withColumn("bit", (F.col("s") > 0).cast("bigint"))
+        .groupBy("doc")
+        .agg(F.sum(F.expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+             .alias("simhash"))
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k, banded on
+    signature halves (a pair within distance k must agree exactly on at
+    least one half when k < bits/2 … pigeonhole with 2 bands covers
+    k ≤ 1 exactly; for larger k this is a recall-bounded candidate
+    filter, verified precisely with bit_count)."""
+    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col, bits=bits)
+    half = bits // 2
+    banded = sigs.select(
+        "doc",
+        "simhash",
+        (F.col("simhash").bitwiseAND(F.lit((1 << half) - 1))).alias("lo"),
+        F.shiftright(F.col("simhash"), half).alias("hi"),
+    )
+    cands = None
+    for band in ("lo", "hi"):
+        l = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"), band)
+        r = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"), band)
+        c = l.join(r, band).filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b", "sig_a", "sig_b"
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

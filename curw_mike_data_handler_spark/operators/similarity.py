@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine`` — pure higher-order-function column math (zip_with +
+  aggregate), double-precision, sequential fold → bit-reproducible.
+* ``ann_topk_bruteforce`` — exact top-k: query set ⨯ corpus
+  (broadcast the small query side), cosine, per-query row_number.
+  The 100 TB baseline: one pass over the corpus per query batch,
+  no index, no Python.
+* ``ann_topk_bucketed`` — IVF-flavored scale path: restrict the
+  search to rows sharing a coarse partition key (here a precomputed
+  cluster/label column; in production: a KMeans/IVF assignment).
+  Same plan shape, corpus scan pruned by the bucket join.
+* ``embedding_neardup_pairs`` — near-duplicate pairs within buckets
+  (cosine ≥ threshold), the embedding-space analog of MinHash dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def ann_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (query_id, neighbor_id, cos_sim, rank); exact, exclude self.
+
+    Rank orders on the 6-dp-rounded similarity with id tie-break so the
+    result is total-ordered and engine-reproducible."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ann_topk_bucketed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """IVF-style: only score candidates in the query's bucket — the
+    cross join becomes an equi join on the bucket key, so the shuffle
+    and the scored-pair count shrink by ~|buckets|×."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(bucket_col).alias("bucket"),
+        as_double_array(vec_col).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(bucket_col).alias("bucket"),
+        as_double_array(vec_col).alias("cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = "label",
+) -> DataFrame:
+    """Pairs (a<b) with cosine ≥ threshold; bucketed when a coarse
+    cluster key exists (at corpus scale an unbucketed all-pairs join is
+    intractable — the bucket key IS the blocking strategy)."""
+    c1 = corpus.select(
+        F.col(id_col).alias("id_a"),
+        *( [F.col(bucket_col).alias("bucket")] if bucket_col else [] ),
+        as_double_array(vec_col).alias("va"),
+    )
+    c2 = corpus.select(
+        F.col(id_col).alias("id_b"),
+        *( [F.col(bucket_col).alias("bucket")] if bucket_col else [] ),
+        as_double_array(vec_col).alias("vb"),
+    )
+    pairs = c1.join(c2, "bucket") if bucket_col else c1.crossJoin(c2)
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

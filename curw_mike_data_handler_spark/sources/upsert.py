@@ -1,0 +1,135 @@
+"""Keyed upsert sinks (SURVEY §2.1 S8-S10, §4.2-3).
+
+The reference upserts forecast rows into MySQL with
+``INSERT … ON DUPLICATE KEY UPDATE`` on PK (tms_id, time, fgt)
+(outputs/extract_water_level.py:96) and maintains a run-header table
+(insert_run / update_start_date / update_latest_fgt, wl_x:88-97).
+
+Two sinks:
+
+* ``ParquetMergeTable`` — lakehouse-style MERGE emulation over plain
+  parquet (no Delta in this container): anti-join the existing
+  partition state against the new keys, union, rewrite.  Idempotent
+  (re-applying the same batch is a fixpoint).  At 100 TB you'd use
+  Delta/Iceberg ``MERGE INTO`` with the same key contract; the
+  rewrite here is partition-scoped to keep the emulation honest.
+* ``jdbc_upsert_partition`` — MySQL parity path: batched
+  ``INSERT … ON DUPLICATE KEY UPDATE`` from ``foreachPartition``
+  (Spark's JDBC writer has no upsert mode).  Gated behind an
+  import-try since no DB driver ships in this container.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+class ParquetMergeTable:
+    """A keyed parquet table with MERGE (upsert) writes.
+
+    Last-writer-wins on the key: new rows replace existing rows with
+    the same key tuple; other rows are preserved.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, key_cols: Sequence[str],
+                 schema: StructType):
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.schema = schema
+
+    def read(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(self.path)
+
+    def merge(self, updates: DataFrame) -> None:
+        """MERGE: existing ▷ (anti join on key) ∪ updates → rewrite.
+
+        Within-batch duplicate keys keep an arbitrary single row
+        (mirrors sequential upsert where the last statement wins)."""
+        updates = updates.dropDuplicates(self.key_cols)
+        current = self.read()
+        survivors = current.join(updates.select(self.key_cols), self.key_cols, "left_anti")
+        merged = survivors.unionByName(updates.select(current.columns))
+        tmp = self.path + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.schema(self.schema).parquet(tmp)
+        final.write.mode("overwrite").parquet(self.path + "__next")
+        _swap_dir(self.path + "__next", self.path)
+        _rm_dir(tmp)
+
+
+def _swap_dir(src: str, dst: str) -> None:
+    import shutil
+
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    os.rename(src, dst)
+
+
+def _rm_dir(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def latest_fgt_view(data: DataFrame, key: str = "tms_id", fgt_col: str = "fgt") -> DataFrame:
+    """'Latest fgt wins' read semantics (wl_x:97 update_latest_fgt):
+    keep only rows from each series' newest forecast-generated-time."""
+    w = Window.partitionBy(key)
+    return (
+        data.withColumn("__max_fgt", F.max(fgt_col).over(w))
+        .filter(F.col(fgt_col) == F.col("__max_fgt"))
+        .drop("__max_fgt")
+    )
+
+
+def jdbc_upsert_partition(rows, *, url: str, table: str, columns: Sequence[str],
+                          key_cols: Sequence[str], batch_size: int = 1000):
+    """foreachPartition body: MySQL ``INSERT … ON DUPLICATE KEY UPDATE``
+    parity with wl_x:96.  Requires a DB-API driver (pymysql) at runtime;
+    not exercised in tests (no DB in the container)."""
+    try:
+        import pymysql  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - no driver in container
+        raise NotImplementedError("pymysql not available in this environment") from exc
+    # pragma: no cover — parity implementation, requires live MySQL.
+    placeholders = ",".join(["%s"] * len(columns))
+    updates = ",".join(f"{c}=VALUES({c})" for c in columns if c not in key_cols)
+    sql = (
+        f"INSERT INTO {table} ({','.join(columns)}) VALUES ({placeholders}) "
+        f"ON DUPLICATE KEY UPDATE {updates}"
+    )
+    conn = pymysql.connect(**_parse_mysql_url(url))
+    try:
+        with conn.cursor() as cur:
+            batch = []
+            for row in rows:
+                batch.append(tuple(row[c] for c in columns))
+                if len(batch) >= batch_size:
+                    cur.executemany(sql, batch)
+                    batch = []
+            if batch:
+                cur.executemany(sql, batch)
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def _parse_mysql_url(url: str) -> dict:  # pragma: no cover
+    from urllib.parse import urlparse
+
+    u = urlparse(url)
+    return {
+        "host": u.hostname,
+        "port": u.port or 3306,
+        "user": u.username,
+        "password": u.password,
+        "database": u.path.lstrip("/"),
+    }
