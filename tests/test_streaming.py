@@ -1,0 +1,63 @@
+"""Structured Streaming ingestion tests (SURVEY §2.9): availableNow
+exactly-once file processing with checkpointed progress + foreachBatch
+upsert — the cron-as-stream replacement for the reference's 40-minute
+mtime polling.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from curw_mike_data_handler_spark.sources.upsert import ParquetMergeTable
+from curw_mike_data_handler_spark.streaming.file_watch import (
+    run_available_now,
+    stream_csv_dir,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("tms_id", StringType()),
+        StructField("time", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _write(path, rows):
+    path.write_text("".join(f"{i},{t},{v}\n" for i, t, v in rows))
+
+
+def test_available_now_exactly_once(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    table = ParquetMergeTable(spark, str(tmp_path / "tbl"), ["tms_id", "time"], SCHEMA)
+
+    _write(inbox / "a.csv", [("s1", "2020-05-22 00:00:00", 1.0),
+                             ("s1", "2020-05-22 00:15:00", 2.0)])
+
+    def sink(batch_df, batch_id):
+        table.merge(batch_df)
+
+    stream = stream_csv_dir(spark, str(inbox), SCHEMA, header=False)
+    run_available_now(stream, ckpt, sink)
+    assert table.read().count() == 2
+
+    # second tick with no new files: nothing reprocessed
+    run_available_now(stream_csv_dir(spark, str(inbox), SCHEMA, header=False), ckpt, sink)
+    assert table.read().count() == 2
+
+    # new file with one overlapping key → upsert, not duplicate
+    _write(inbox / "b.csv", [("s1", "2020-05-22 00:15:00", 20.0),
+                             ("s1", "2020-05-22 00:30:00", 3.0)])
+    run_available_now(stream_csv_dir(spark, str(inbox), SCHEMA, header=False), ckpt, sink)
+    got = {(r["tms_id"], str(r["time"])): r["value"] for r in table.read().collect()}
+    assert len(got) == 3
+    assert got[("s1", "2020-05-22 00:15:00")] == 20.0  # last writer wins
