@@ -53,10 +53,14 @@ HEADLINE = [
 def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM/session so q1 doesn't pay session startup
+    # warm the JVM/session and the Python UDF workers so the first
+    # timed query doesn't pay one-time process spawn costs
     catalog.QUERIES["a5_distinct"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    spark.range(64).repartition(16).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0

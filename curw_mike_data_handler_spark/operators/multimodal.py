@@ -64,12 +64,20 @@ def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def extract_features(media: DataFrame, batch_size: int = 1024) -> DataFrame:
+def extract_features(media: DataFrame, parallelism: int | None = None) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     mapInPandas (not a row UDF): each Arrow batch arrives as a
-    pandas DataFrame; output schema is fixed.  At 100 TB the same
-    function runs unchanged — parallelism comes from input splits."""
+    pandas DataFrame; output schema is fixed.  At 100 TB parallelism
+    comes from input splits; a small single-file input is repartitioned
+    so every core gets a Python worker instead of one worker taking the
+    whole table."""
+    sc = media.sparkSession.sparkContext
+    # cap at 16: beyond that, per-worker Python spawn cost outweighs
+    # the extra parallelism for typical per-file row counts
+    n = parallelism or min(sc.defaultParallelism, 16)
+    if media.rdd.getNumPartitions() < n:
+        media = media.repartition(n)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
