@@ -705,6 +705,111 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+@query(
+    "s6_custom_interval",
+    """
+    SELECT event_type,
+           strftime(make_timestamp(((epoch_us(ts) + 1799999999) // 1800000000) * 1800000000),
+                    '%Y-%m-%d %H:%M:%S') AS time,
+           CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS value,
+           count(*) AS n_obs
+    FROM events GROUP BY 1, 2
+    """,
+)
+def s6_custom_interval(spark, sf_dir):
+    """S6: custom-interval observation aggregation — the reference's
+    extract_obs_rain_custom_min_intervals (rf_obs:151-152) with a
+    parameterized step (30 min here); same right-closed semantics."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").alias("time"), _dec("value").alias("value")
+    )
+    res = (
+        ev.groupBy(
+            "event_type",
+            F.window(
+                F.col("time") - F.expr("INTERVAL 0.000001 SECONDS"), "30 minutes"
+            ).alias("__w"),
+        )
+        .agg(F.sum("value").alias("value"), F.count("*").alias("n_obs"))
+    )
+    return res.select(
+        "event_type",
+        _fmt(F.col("__w.end")).alias("time"),
+        F.col("value").cast("double").alias("value"),
+        "n_obs",
+    )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """EXISTS-decorrelation analog (TPC-H Q4 shape): semi join of
+    orders against late-shipping lineitems."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "q5_regional_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(l.l_extendedprice::DECIMAL(18,2) * (1 - l.l_discount::DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_regional_revenue(spark, sf_dir):
+    """Deep multi-join (TPC-H Q5 shape): fact ⋈ 5 dims, every dim side
+    broadcast; one shuffle for the final group."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (s["s_suppkey"] == li["l_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline extensions (documents / embeddings)
 # ---------------------------------------------------------------------------

@@ -35,13 +35,17 @@ def run_available_now(
     stream: DataFrame,
     checkpoint_dir: str,
     batch_fn: Callable[[DataFrame, int], None],
+    *,
+    output_mode: str = "append",
 ) -> None:
     """Process everything new, exactly once, then stop — the
     cron-compatible trigger.  ``batch_fn`` is the sink (e.g. a
     ParquetMergeTable.merge for upsert semantics, mirroring the
-    reference's idempotent re-extraction)."""
+    reference's idempotent re-extraction).  Stateful operators
+    (applyInPandasWithState in update mode) need ``output_mode="update"``."""
     q = (
-        stream.writeStream.foreachBatch(batch_fn)
+        stream.writeStream.outputMode(output_mode)
+        .foreachBatch(batch_fn)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
