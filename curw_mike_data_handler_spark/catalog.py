@@ -89,6 +89,16 @@ def _fmt(col):
     return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
 
 
+def _par(spark, df):
+    """Spread a small single-file table across the cluster before
+    per-row-heavy compute (trig cross joins, HOF cosine folds, token
+    arrays).  A dim read from one parquet file is ONE partition — any
+    downstream narrow compute would run on one core.  At real scale the
+    fact-side scan is already split; this matters for small/medium
+    inputs feeding expensive expressions."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Reference-operator queries (SURVEY §2) on the TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -473,7 +483,9 @@ def j3_w2_nearest_stations(spark, sf_dir):
         (F.lit(6.8) + (F.col("s_suppkey") % 37) * 0.01).alias("lat"),
         (F.lit(79.8) + (F.col("s_suppkey") % 53) * 0.015).alias("lon"),
     )
-    t = s.select(F.col("sid").alias("origin"), F.col("lat").alias("t_lat"), F.col("lon").alias("t_lon"))
+    t = _par(spark, s).select(
+        F.col("sid").alias("origin"), F.col("lat").alias("t_lat"), F.col("lon").alias("t_lon")
+    )
     c = s.select(F.col("sid").alias("neighbor"), F.col("lat").alias("c_lat"), F.col("lon").alias("c_lon"))
     pairs = (
         t.crossJoin(F.broadcast(c))
@@ -990,7 +1002,9 @@ def embedding_neardup_q(spark, sf_dir):
 def ann_topk_bruteforce_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return ann_topk_bruteforce(queries, emb, k=5)
+    return ann_topk_bruteforce(
+        queries, emb, k=5, corpus_partitions=spark.sparkContext.defaultParallelism
+    )
 
 
 @query(
@@ -1016,7 +1030,9 @@ def ann_topk_bruteforce_q(spark, sf_dir):
 def ann_topk_bucketed_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return ann_topk_bucketed(queries, emb, k=5)
+    return ann_topk_bucketed(
+        queries, emb, k=5, corpus_partitions=spark.sparkContext.defaultParallelism
+    )
 
 
 @query(
@@ -1067,7 +1083,7 @@ def text_token_stats(spark, sf_dir):
     """,
 )
 def text_quality_q(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.size(tokens("text")).cast("bigint").alias("n_tok"),
@@ -1103,7 +1119,7 @@ def text_quality_q(spark, sf_dir):
     """,
 )
 def text_langid_q(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return (
         docs.select("lang", predict_lang("text").alias("predicted"))
         .groupBy("lang", "predicted")

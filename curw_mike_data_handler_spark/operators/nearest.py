@@ -29,16 +29,25 @@ def nearest_k_stations(
     candidate_id: str = "station_id",
     lat_col: str = "latitude",
     lon_col: str = "longitude",
+    probe_partitions: int | None = None,
 ) -> DataFrame:
     """→ (origin, neighbor, distance_km, rank) with rank ∈ [1, k].
 
     Ties broken by neighbor id so ranking is total and deterministic
-    (the reference's dict-ordering tie behavior is unspecified)."""
+    (the reference's dict-ordering tie behavior is unspecified).
+
+    ``probe_partitions``: the probe (target) side drives the broadcast
+    nested-loop join's parallelism — a dimension read from one small
+    parquet file is ONE partition, serializing the whole O(T×C) trig
+    evaluation on one core.  Pass the cluster parallelism (or leave
+    ``None`` when targets is already a large well-partitioned table)."""
     t = targets.select(
         F.col(target_id).alias("origin"),
         F.col(lat_col).alias("t_lat"),
         F.col(lon_col).alias("t_lon"),
     )
+    if probe_partitions:
+        t = t.repartition(probe_partitions)
     c = candidates.select(
         F.col(candidate_id).alias("neighbor"),
         F.col(lat_col).alias("c_lat"),

@@ -53,17 +53,26 @@ def ann_topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_partitions: int | None = None,
 ) -> DataFrame:
     """→ (query_id, neighbor_id, cos_sim, rank); exact, exclude self.
 
     Rank orders on the 6-dp-rounded similarity with id tie-break so the
-    result is total-ordered and engine-reproducible."""
+    result is total-ordered and engine-reproducible.
+
+    ``corpus_partitions``: the corpus side carries the per-pair cosine
+    work after the broadcast join; a corpus read from one small file is
+    one partition = one core.  Set to the cluster parallelism for small
+    corpora; leave ``None`` for a large corpus already split by the
+    scan."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
     ).withColumn("cn", norm(F.col("cv")))
+    if corpus_partitions:
+        c = c.repartition(corpus_partitions)
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -89,6 +98,7 @@ def ann_topk_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str = "label",
+    corpus_partitions: int | None = None,
 ) -> DataFrame:
     """IVF-style: only score candidates in the query's bucket — the
     cross join becomes an equi join on the bucket key, so the shuffle
@@ -103,6 +113,8 @@ def ann_topk_bucketed(
         F.col(bucket_col).alias("bucket"),
         as_double_array(vec_col).alias("cv"),
     ).withColumn("cn", norm(F.col("cv")))
+    if corpus_partitions:
+        c = c.repartition(corpus_partitions)
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
@@ -127,10 +139,16 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str | None = "label",
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """Pairs (a<b) with cosine ≥ threshold; bucketed when a coarse
     cluster key exists (at corpus scale an unbucketed all-pairs join is
-    intractable — the bucket key IS the blocking strategy)."""
+    intractable — the bucket key IS the blocking strategy).
+
+    ``salt_buckets`` > 1 splits each cluster's self-join across that
+    many join keys (left side hashed to one salt, right side replicated
+    to all) — the standard skew treatment when |clusters| ≪ cores or
+    one cluster dominates.  Output pairs are identical."""
     c1 = corpus.select(
         F.col(id_col).alias("id_a"),
         *( [F.col(bucket_col).alias("bucket")] if bucket_col else [] ),
@@ -141,7 +159,16 @@ def embedding_neardup_pairs(
         *( [F.col(bucket_col).alias("bucket")] if bucket_col else [] ),
         as_double_array(vec_col).alias("vb"),
     ).withColumn("nb", norm(F.col("vb")))
-    pairs = c1.join(c2, "bucket") if bucket_col else c1.crossJoin(c2)
+    if bucket_col and salt_buckets > 1:
+        c1 = c1.withColumn("__salt", F.pmod(F.hash("id_a"), F.lit(salt_buckets)))
+        c2 = c2.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+        )
+        pairs = c1.join(c2, ["bucket", "__salt"]).drop("__salt")
+    elif bucket_col:
+        pairs = c1.join(c2, "bucket")
+    else:
+        pairs = c1.crossJoin(c2)
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
