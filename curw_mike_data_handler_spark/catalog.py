@@ -822,6 +822,152 @@ def q5_regional_revenue(spark, sf_dir):
     )
 
 
+@query(
+    "s5_active_stations",
+    """
+    SELECT c_custkey AS station_id, c_name AS name
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM events
+        WHERE user_id = c_custkey
+          AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-06 00:00:00'
+    )
+    """,
+)
+def s5_active_stations(spark, sf_dir):
+    """S5: getActiveRfStationsAtGivenTime (all_raw:142-147) — the
+    stored procedure re-expressed as the semi join it is: stations with
+    at least one observation inside the window.  Time + key predicates
+    push to the events scan; the dim side stays broadcast-small."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-06 00:00:00").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    return c.join(ev, c["c_custkey"] == ev["user_id"], "left_semi").select(
+        F.col("c_custkey").alias("station_id"), F.col("c_name").alias("name")
+    )
+
+
+@query(
+    "j4_dim_broadcast_lookup",
+    """
+    SELECT c.c_name AS station, count(*) AS n_events,
+           CAST(sum(e.value::DECIMAL(18,2)) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_name
+    """,
+)
+def j4_dim_broadcast_lookup(spark, sf_dir):
+    """J4: the reference's dict-lookup joins (station rename maps,
+    all_raw:290-294, rf_obs:135-138) as a broadcast hash join — fact
+    side streams, dim side ships once per executor, zero shuffle before
+    the final group."""
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        ev.join(F.broadcast(c), ev["user_id"] == c["c_custkey"])
+        .groupBy(F.col("c_name").alias("station"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "p7_null_drop",
+    """
+    WITH m AS (
+        SELECT event_type,
+               CASE WHEN (value::DECIMAL(18,2) - 250) < 0 THEN NULL
+                    ELSE value::DECIMAL(18,2) - 250 END AS v
+        FROM events
+    )
+    SELECT event_type, count(*) AS n_kept, CAST(sum(v) AS DOUBLE) AS sum_v
+    FROM m WHERE v IS NOT NULL GROUP BY event_type
+    """,
+)
+def p7_null_drop(spark, sf_dir):
+    """P7: na.drop after sentinel cleaning (tide:113 — the effective
+    dropna; dis:108's unassigned dropna is a documented reference bug
+    we do NOT reproduce)."""
+    ev = _t(spark, sf_dir, "events")
+    v = negatives_to_null((_dec("value") - 250).cast("double"))
+    return (
+        ev.select("event_type", v.alias("v"))
+        .na.drop(subset=["v"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("sum_v"),
+        )
+    )
+
+
+@query(
+    "p8_grid_validation",
+    """
+    SELECT event_type, count(*) AS n_rows,
+           count(*) FILTER (WHERE minute(ts) % 15 = 0 AND second(ts) = 0) AS n_quarter,
+           count(*) FILTER (WHERE minute(ts) % 5 = 0) AS n_min5
+    FROM events GROUP BY event_type
+    """,
+)
+def p8_grid_validation(spark, sf_dir):
+    """P8: time-grid validation predicates (rf_linux:71-85 — seconds
+    must be :00, minutes on the quarter-hour; rf_obs:254-256 — step a
+    multiple of 5 min) as data-side assertions counted per group."""
+    ev = _t(spark, sf_dir, "events")
+    quarter = (F.minute("ts") % 15 == 0) & (F.second("ts") == 0)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(quarter, 1)).alias("n_quarter"),
+        F.count(F.when(F.minute("ts") % 5 == 0, 1)).alias("n_min5"),
+    )
+
+
+@query(
+    "f_scalar_suite",
+    """
+    SELECT s_suppkey,
+           string_split(s_name, '#')[2] AS sup_no,
+           concat_ws('_', trim(s_name), CAST(s_nationkey AS VARCHAR)) AS tag,
+           regexp_extract(s_name, '([0-9]+)', 1) AS digits,
+           CAST(round(s_acctbal::DECIMAL(18,2), 1) AS DOUBLE) AS bal_r,
+           strftime(make_timestamp((1704067200 + s_suppkey * 300) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS t_plus,
+           round(6371.0 * acos(least(
+               cos(radians(6.8 + (s_suppkey % 37) * 0.01)) * cos(radians(6.9))
+               * cos(radians(79.9) - radians(79.8 + (s_suppkey % 53) * 0.015))
+               + sin(radians(6.8 + (s_suppkey % 37) * 0.01)) * sin(radians(6.9)),
+               1.0)), 4) AS dist_km
+    FROM supplier
+    """,
+)
+def f_scalar_suite(spark, sf_dir):
+    """§2.8 scalar-function families in one projection: string split /
+    concat_ws / trim / regexp_extract (grid-id and version parsing,
+    rf_linux:126-127, wl_x:204), date arithmetic + formatting
+    (rf_linux:265, wl_x:48-50), decimal rounding (all_raw:288,
+    wl_x:249), and the spherical-law-of-cosines distance
+    (all_raw:180-185) — all JVM-side column expressions inside one
+    whole-stage-codegen span."""
+    s = _t(spark, sf_dir, "supplier")
+    lat = 6.8 + (F.col("s_suppkey") % 37) * 0.01
+    lon = 79.8 + (F.col("s_suppkey") % 53) * 0.015
+    return s.select(
+        "s_suppkey",
+        F.split("s_name", "#").getItem(1).alias("sup_no"),
+        F.concat_ws("_", F.trim(F.col("s_name")), F.col("s_nationkey").cast("string")).alias("tag"),
+        F.regexp_extract("s_name", r"([0-9]+)", 1).alias("digits"),
+        F.round(_dec("s_acctbal"), 1).cast("double").alias("bal_r"),
+        _fmt(F.timestamp_seconds(F.lit(1704067200) + F.col("s_suppkey") * 300)).alias("t_plus"),
+        F.round(great_circle_km(lat, lon, F.lit(6.9), F.lit(79.9)), 4).alias("dist_km"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline extensions (documents / embeddings)
 # ---------------------------------------------------------------------------
