@@ -28,8 +28,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
+    "q4_order_priority",
+    "q5_regional_revenue",
     "s4_filtered_scan",
+    "s5_active_stations",
+    "s6_custom_interval",
     "p6_membership_semi_join",
+    "j4_dim_broadcast_lookup",
+    "f_scalar_suite",
     "j1_spine_gapfill",
     "a1_resample_right_closed",
     "a2_row_mean_impute",
