@@ -61,3 +61,53 @@ def test_available_now_exactly_once(spark, tmp_path):
     got = {(r["tms_id"], str(r["time"])): r["value"] for r in table.read().collect()}
     assert len(got) == 3
     assert got[("s1", "2020-05-22 00:15:00")] == 20.0  # last writer wins
+
+
+def test_watermarked_window_stream_late_data(spark, tmp_path):
+    """Streaming A1: right-closed buckets finalize exactly once when the
+    watermark passes; later-than-watermark rows are dropped."""
+    from curw_mike_data_handler_spark.streaming.windowed import (
+        windowed_sum_right_closed_stream,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = []
+
+    def sink(batch_df, batch_id):
+        out.extend(
+            (r["tms_id"], str(r["time"]), r["value"]) for r in batch_df.collect()
+        )
+
+    def tick():
+        stream = windowed_sum_right_closed_stream(
+            stream_csv_dir(spark, str(inbox), SCHEMA, header=False),
+            step_minutes=15,
+            watermark="20 minutes",
+            time_col="time",
+            value_col="value",
+            key_cols=("tms_id",),
+        )
+        run_available_now(stream, ckpt, sink)
+
+    # boundary row 00:15:00 belongs to the bucket it ENDS (right-closed)
+    _write(inbox / "a.csv", [("s1", "2020-05-22 00:05:00", 5.0),
+                             ("s1", "2020-05-22 00:15:00", 1.0),
+                             ("s1", "2020-05-22 00:20:00", 2.0),
+                             ("s1", "2020-05-22 00:50:00", 3.0)])
+    tick()
+
+    # 00:10 arrives after the watermark (00:30) passed its bucket → dropped;
+    # 01:40 advances the watermark to 01:20 → buckets 00:30 and 01:00 finalize
+    _write(inbox / "b.csv", [("s1", "2020-05-22 00:10:00", 99.0),
+                             ("s1", "2020-05-22 01:40:00", 7.0)])
+    tick()
+
+    got = {(k, t): v for k, t, v in out}
+    assert len(out) == len(got), "each bucket must be emitted exactly once"
+    assert got[("s1", "2020-05-22 00:15:00")] == 6.0  # 5.0 + boundary 1.0
+    assert got[("s1", "2020-05-22 00:30:00")] == 2.0  # late 99.0 NOT included
+    assert got[("s1", "2020-05-22 01:00:00")] == 3.0
+    # 01:45 bucket not finalized yet (watermark 01:20 < 01:45)
+    assert ("s1", "2020-05-22 01:45:00") not in got
