@@ -534,6 +534,12 @@ def j3_w2_nearest_stations(spark, sf_dir):
     """,
 )
 def w2_topk_per_group(spark, sf_dir):
+    """Top-k per group via rank filter.  The rn<=3 predicate is
+    recognized by Catalyst, which plants Partial+Final WindowGroupLimit
+    around the exchange — each input partition keeps only its local
+    top-3 BEFORE the shuffle, so the low-cardinality group key never
+    serializes a full sort (the skew-proof shape a 100 TB fact table
+    needs, for free — verified in .explain)."""
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
