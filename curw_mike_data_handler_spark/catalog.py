@@ -34,6 +34,7 @@ from curw_mike_data_handler_spark.functions.text import (
 )
 from curw_mike_data_handler_spark.functions.timegrid import bucket_end_right_closed
 from curw_mike_data_handler_spark.operators.dedup import (
+    connected_components,
     dedup_exact,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -1144,6 +1145,45 @@ def embedding_neardup_q(spark, sf_dir):
     return embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.35, bucket_col="label"
     )
+
+
+@query(
+    "dedup_components",
+    """
+    WITH RECURSIVE e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.src, g.b FROM reach r JOIN edges g ON r.dst = g.a
+    ),
+    comp AS (SELECT src AS node, min(dst) AS component FROM reach GROUP BY src)
+    SELECT node, component,
+           count(*) OVER (PARTITION BY component) AS component_size
+    FROM comp
+    """,
+)
+def dedup_components_q(spark, sf_dir):
+    """Near-dup pairs → duplicate groups: iterative min-label
+    propagation (see operators.dedup.connected_components).  The oracle
+    computes the same fixpoint as a recursive transitive closure —
+    tractable for DuckDB at gate scale, while the Spark side stays
+    diameter-bounded for corpus scale."""
+    pairs = embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, bucket_col="label"
+    )
+    return connected_components(pairs, src_col="id_a", dst_col="id_b")
 
 
 @query(

@@ -223,3 +223,69 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-pair lists → duplicate GROUPS: iterative min-label
+    propagation to a fixpoint (the step that turns any of the pair
+    generators — exact, Jaccard, MinHash-LSH, SimHash, embedding — into
+    an actionable keep/drop partition of the corpus).
+
+    → (node, component, component_size) where component is the minimum
+    reachable node id.
+
+    Each round is one shuffle: label(v) ← min(label(v), min of
+    neighbors' labels); converges in graph-diameter rounds (near-dup
+    clusters are shallow — single digits even at corpus scale).  The
+    driver loop is the standard iterative-algorithm shape (GraphX /
+    MLlib do the same); per-round lineage is truncated with
+    localCheckpoint so plans don't grow with iterations.  For graphs
+    with billions of edges move to the large-star/small-star
+    formulation (Kiveris et al., "Connected Components in MapReduce"),
+    which contracts the same fixpoint in O(log²) rounds.
+    """
+    edges = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    sym = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
+    return labels.join(sizes, "label").select(
+        "node", F.col("label").alias("component"), "component_size"
+    )
