@@ -35,6 +35,7 @@ HEADLINE = [
     "s6_custom_interval",
     "p6_membership_semi_join",
     "j4_dim_broadcast_lookup",
+    "j6_asof_join",
     "f_scalar_suite",
     "j1_spine_gapfill",
     "a1_resample_right_closed",

@@ -845,6 +845,38 @@ def q5_regional_revenue(spark, sf_dir):
 
 
 @query(
+    "j6_asof_join",
+    """
+    WITH l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+        SELECT user_id, ts, max(value) AS value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS t,
+           r.value AS asof_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j6_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): each click gets the latest
+    preceding purchase value per user — the general form of the
+    reference's exact-grid spine alignment (J1), verified against
+    DuckDB's native ASOF JOIN."""
+    from curw_mike_data_handler_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(clicks, purchases, on="ts", by="user_id", value_cols=["value"])
+    return joined.select(
+        "event_id", "user_id", _fmt("ts").alias("t"), F.col("asof_value")
+    )
+
+
+@query(
     "s5_active_stations",
     """
     SELECT c_custkey AS station_id, c_name AS name

@@ -168,3 +168,42 @@ def test_all_stations_raw_neighbor_fill_order(spark):
     # resample semantics dominate (pandas-0.25 parity), so no fill needed
     assert vals[("100", t0)] == 0.0
     assert vals[("100", t2)] == 1.0
+
+
+def test_asof_join_semantics(spark):
+    """Equal timestamps match (<=); no preceding row → NULL; tolerance
+    nulls out stale matches; same-instant right dups reduce to max."""
+    from curw_mike_data_handler_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k1", "2020-01-01 00:10:00"),
+         ("k1", "2020-01-01 00:20:00"),
+         ("k1", "2020-01-01 02:00:00"),
+         ("k2", "2020-01-01 00:05:00")],
+        "key string, time string",
+    ).selectExpr("key", "cast(time as timestamp) time")
+    right = spark.createDataFrame(
+        [("k1", "2020-01-01 00:10:00", 1.0),   # equal instant → matches the 00:10 left row
+         ("k1", "2020-01-01 00:10:00", 3.0),   # same-instant dup → max wins
+         ("k1", "2020-01-01 00:15:00", 7.0)],
+        "key string, time string, value double",
+    ).selectExpr("key", "cast(time as timestamp) time", "value")
+
+    got = {
+        (r["key"], str(r["time"])): r["asof_value"]
+        for r in asof_join(left, right, on="time", by="key",
+                           value_cols=["value"]).collect()
+    }
+    assert got[("k1", "2020-01-01 00:10:00")] == 3.0
+    assert got[("k1", "2020-01-01 00:20:00")] == 7.0
+    assert got[("k1", "2020-01-01 02:00:00")] == 7.0
+    assert got[("k2", "2020-01-01 00:05:00")] is None
+
+    got_tol = {
+        (r["key"], str(r["time"])): r["asof_value"]
+        for r in asof_join(left, right, on="time", by="key",
+                           value_cols=["value"],
+                           tolerance_seconds=1800).collect()
+    }
+    assert got_tol[("k1", "2020-01-01 00:20:00")] == 7.0
+    assert got_tol[("k1", "2020-01-01 02:00:00")] is None  # stale beyond 30 min
