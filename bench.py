@@ -36,6 +36,7 @@ HEADLINE = [
     "p6_membership_semi_join",
     "j4_dim_broadcast_lookup",
     "j6_asof_join",
+    "j7_range_join",
     "f_scalar_suite",
     "j1_spine_gapfill",
     "a1_resample_right_closed",

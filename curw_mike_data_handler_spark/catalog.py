@@ -877,6 +877,63 @@ def j6_asof_join(spark, sf_dir):
 
 
 @query(
+    "j7_range_join",
+    """
+    WITH p AS (
+        SELECT event_id, user_id, ts,
+               ts + INTERVAL 1 HOUR AS te
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, count(c.ts) AS n_clicks
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id AND c.ts >= p.ts AND c.ts <= p.te
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def j7_range_join(spark, sf_dir):
+    """Range join (operators/rangejoin.py): clicks inside each
+    purchase's one-hour window per user — bucketed to a hash join
+    instead of the nested-loop plan a raw inequality join would get."""
+    from curw_mike_data_handler_spark.operators.rangejoin import (
+        range_join_points_in_intervals,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("t")
+    )
+    matched = range_join_points_in_intervals(
+        clicks,
+        purchases,
+        point_time="t",
+        start_col="start",
+        end_col="end",
+        by="user_id",
+        bucket_seconds=3600,
+    )
+    counts = matched.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_clicks")
+    )
+    # LEFT semantics: purchases with zero in-window clicks keep count 0
+    return (
+        purchases.select("event_id", "user_id")
+        .join(counts, ["event_id", "user_id"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        )
+    )
+
+
+@query(
     "s5_active_stations",
     """
     SELECT c_custkey AS station_id, c_name AS name

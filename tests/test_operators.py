@@ -207,3 +207,34 @@ def test_asof_join_semantics(spark):
     }
     assert got_tol[("k1", "2020-01-01 00:20:00")] == 7.0
     assert got_tol[("k1", "2020-01-01 02:00:00")] is None  # stale beyond 30 min
+
+
+def test_range_join_bucket_boundaries(spark):
+    """Intervals spanning multiple buckets still match points in every
+    covered bucket; boundary instants are inclusive on both ends; each
+    (point, interval) pair appears exactly once."""
+    from curw_mike_data_handler_spark.operators.rangejoin import (
+        range_join_points_in_intervals,
+    )
+
+    iv = spark.createDataFrame(
+        [("i1", "2020-01-01 00:30:00", "2020-01-01 03:30:00"),
+         ("i2", "2020-01-01 02:00:00", "2020-01-01 02:10:00")],
+        "iid string, start string, end string",
+    ).selectExpr("iid", "cast(start as timestamp) start", "cast(end as timestamp) end")
+    pts = spark.createDataFrame(
+        [("p_start", "2020-01-01 00:30:00"),   # == start, inclusive
+         ("p_mid",   "2020-01-01 02:05:00"),   # inside both intervals
+         ("p_end",   "2020-01-01 03:30:00"),   # == end, inclusive
+         ("p_out",   "2020-01-01 04:00:00")],  # outside all
+        "pid string, t string",
+    ).selectExpr("pid", "cast(t as timestamp) t")
+
+    rows = range_join_points_in_intervals(
+        pts, iv, point_time="t", start_col="start", end_col="end",
+        bucket_seconds=3600,
+    ).select("pid", "iid").collect()
+    got = sorted((r["pid"], r["iid"]) for r in rows)
+    assert got == [("p_end", "i1"), ("p_mid", "i1"), ("p_mid", "i2"),
+                   ("p_start", "i1")]
+    assert len(got) == len(set(got)), "no duplicate pairs"
