@@ -41,6 +41,8 @@ HEADLINE = [
     "j1_spine_gapfill",
     "a1_resample_right_closed",
     "a2_row_mean_impute",
+    "a7_rollup",
+    "w4_sliding_window",
     "j3_w2_nearest_stations",
     "w2_topk_per_group",
     "rf_weighted_catchment",

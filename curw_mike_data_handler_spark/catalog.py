@@ -845,6 +845,83 @@ def q5_regional_revenue(spark, sf_dir):
 
 
 @query(
+    "a7_rollup",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS flag,
+           coalesce(l_linestatus, '<all>') AS status,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a7_rollup(spark, sf_dir):
+    """Hierarchical totals in one pass: ROLLUP(flag, status) computes
+    the leaf groups, per-flag subtotals, and the grand total with a
+    single expand + one shuffle (vs three scans for three GROUP BYs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents("l_quantity")) / 100.0).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "w4_sliding_window",
+    """
+    WITH g AS (
+        SELECT make_timestamp(s.t * 1000000) AS w_start
+        FROM (
+            SELECT unnest(generate_series(
+                (SELECT (epoch(min(ts))::BIGINT // 900) * 900 - 900 FROM events),
+                (SELECT epoch(max(ts))::BIGINT FROM events),
+                900
+            )) AS t
+        ) s
+    )
+    SELECT event_type,
+           strftime(g.w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_v
+    FROM events e
+    JOIN g ON e.ts >= g.w_start AND e.ts < g.w_start + INTERVAL 30 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def w4_sliding_window(spark, sf_dir):
+    """Sliding (hopping) window: 30-minute windows every 15 minutes —
+    each row lands in exactly length/slide windows via Spark's window
+    expand (one shuffle), no self-join.  The oracle materializes the
+    window grid and joins."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.window("ts", "30 minutes", "15 minutes").alias("__w"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents("value")) / 100.0).alias("sum_v"),
+        )
+        .select(
+            "event_type",
+            _fmt(F.col("__w.start")).alias("w_start"),
+            "n",
+            "sum_v",
+        )
+    )
+
+
+@query(
     "j6_asof_join",
     """
     WITH l AS (
