@@ -38,6 +38,7 @@ HEADLINE = [
     "j6_asof_join",
     "j7_range_join",
     "f_scalar_suite",
+    "p9_unpivot_melt",
     "j1_spine_gapfill",
     "a1_resample_right_closed",
     "a2_row_mean_impute",
@@ -52,6 +53,7 @@ HEADLINE = [
     "embedding_neardup",
     "ann_topk_bruteforce",
     "ann_topk_bucketed",
+    "ann_topk_lsh",
     "text_token_stats",
     "text_quality",
     "text_langid",

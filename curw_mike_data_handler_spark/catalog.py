@@ -1117,6 +1117,42 @@ def p8_grid_validation(spark, sf_dir):
 
 
 @query(
+    "p9_unpivot_melt",
+    """
+    WITH w AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                    FILTER (WHERE l_linenumber = 1) AS DOUBLE) / 100.0 AS ln1,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                    FILTER (WHERE l_linenumber = 2) AS DOUBLE) / 100.0 AS ln2
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, series, value
+    FROM w UNPIVOT INCLUDE NULLS (value FOR series IN (ln1, ln2))
+    """,
+)
+def p9_unpivot_melt(spark, sf_dir):
+    """Wide → long round trip: pivot two line numbers into columns,
+    melt back with native unpivot (operators/spine.melt_long) — the
+    reference's wide-matrix ⇄ long-table edge (wl_x:78) as the
+    one-shuffle pivot + zero-shuffle unpivot pair."""
+    from curw_mike_data_handler_spark.operators.spine import melt_long
+
+    li = _t(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_orderkey")
+        .pivot("l_linenumber", [1, 2])
+        .agg((F.sum(_cents("l_quantity")) / 100.0))
+        .select(
+            "l_orderkey",
+            F.col("1").alias("ln1"),
+            F.col("2").alias("ln2"),
+        )
+    )
+    return melt_long(wide, "l_orderkey", ["ln1", "ln2"], series_col="series")
+
+
+@query(
     "f_scalar_suite",
     """
     SELECT s_suppkey,
@@ -1405,6 +1441,59 @@ def ann_topk_bucketed_q(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ann_topk_bucketed(
         queries, emb, k=5, corpus_partitions=spark.sparkContext.defaultParallelism
+    )
+
+
+def _lsh_bucket_sql(num_planes: int = 4, dim: int = 64) -> str:
+    from curw_mike_data_handler_spark.operators.similarity import _rademacher_signs
+
+    planes = _rademacher_signs(num_planes, dim)
+    bits = [
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(str(s) for s in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    ]
+    return " || ".join(bits)
+
+
+@query(
+    "ann_topk_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_lsh_bucket_sql(4, 64)} AS bucket FROM e),
+    q AS (SELECT vec_id, v, bucket FROM b WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_topk_lsh_q(spark, sf_dir):
+    """ANN via random-projection LSH: bucket = sign bits against 4
+    fixed Rademacher hyperplanes (md5-derived — the oracle re-derives
+    the identical planes), candidates share the full bucket key.  The
+    self-deriving analog of the label-bucketed IVF path."""
+    from curw_mike_data_handler_spark.operators.similarity import ann_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_topk_lsh(
+        queries,
+        emb,
+        k=5,
+        num_planes=4,
+        dim=64,
+        corpus_partitions=spark.sparkContext.defaultParallelism,
     )
 
 

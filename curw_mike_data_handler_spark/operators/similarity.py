@@ -178,3 +178,83 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def _rademacher_signs(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix from md5 — reproducible in
+    any engine (the oracle re-derives the identical planes)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}:{k}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1.0
+            for k in range(dim)
+        ]
+        for j in range(num_planes)
+    ]
+
+
+def random_projection_bucket(
+    vec: Column, *, num_planes: int = 8, dim: int = 64
+) -> Column:
+    """SimHash-for-vectors: the sign bit of the dot product with each
+    of ``num_planes`` fixed Rademacher hyperplanes, concatenated to a
+    bucket key.  Cosine-similar vectors collide with the standard
+    random-projection LSH probability (1 − θ/π per bit); the bucket
+    key is a plain string column, so the downstream join is an equi
+    join — the same blocking idea as the label buckets, but derived
+    from the vectors themselves (no prior clustering needed)."""
+    signs = _rademacher_signs(num_planes, dim)
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(s) for s in plane])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for plane in signs
+    ]
+    return F.concat(*bits)
+
+
+def ann_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+    corpus_partitions: int | None = None,
+) -> DataFrame:
+    """ANN via random-projection LSH buckets: candidates share all
+    ``num_planes`` sign bits.  Same plan shape as ann_topk_bucketed
+    with the bucket computed from the data — the scan stays one pass,
+    the join is hash, recall follows the LSH S-curve (raise recall by
+    lowering num_planes or unioning multiple independent bucket
+    tables)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    q = q.withColumn("bucket", random_projection_bucket(F.col("qv"), num_planes=num_planes, dim=dim))
+    q = q.withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    c = c.withColumn("bucket", random_projection_bucket(F.col("cv"), num_planes=num_planes, dim=dim))
+    c = c.withColumn("cn", norm(F.col("cv")))
+    if corpus_partitions:
+        c = c.repartition(corpus_partitions)
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(_cos_precomputed(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cn")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

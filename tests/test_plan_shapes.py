@@ -68,3 +68,16 @@ def test_resample_reads_only_needed_columns(spark):
     plan = _plan(spark, "a1_resample_right_closed")
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "props" not in read_schema, "unused wide column must be pruned from the scan"
+
+
+def test_asof_join_is_single_window_no_join_explosion(spark):
+    plan = _plan(spark, "j6_asof_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_range_join_runs_as_hash_join_not_nested_loop(spark):
+    plan = _plan(spark, "j7_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "bucketed range join must hash, not nested-loop"
+    )
