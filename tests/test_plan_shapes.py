@@ -81,3 +81,36 @@ def test_range_join_runs_as_hash_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, (
         "bucketed range join must hash, not nested-loop"
     )
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Facts bucketed by the join key on both sides join with ZERO
+    exchanges — the write-once shuffle replaces the per-query one."""
+    from curw_mike_data_handler_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    a = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "bk_a", bucket_cols="k", num_buckets=8, sort_cols="k")
+    write_bucketed(b, "bk_b", bucket_cols="k", num_buckets=8, sort_cols="k")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path: that's the case bucketing serves
+        # (two FACT-sized sides; a dim side would broadcast anyway)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_bucketed(spark, "bk_a").join(read_bucketed(spark, "bk_b"), "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "Exchange hashpartitioning" not in plan, (
+            f"bucketed join must not shuffle either side:\n{plan}"
+        )
+        assert "Bucketed: true" in plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
