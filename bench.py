@@ -55,6 +55,8 @@ HEADLINE = [
     "ann_topk_bucketed",
     "ann_topk_lsh",
     "text_token_stats",
+    "text_bpe_tokens",
+    "t_profile_stats",
     "text_quality",
     "text_langid",
     "doc_fingerprint_stats",

@@ -1518,6 +1518,73 @@ def text_token_stats(spark, sf_dir):
 
 
 @query(
+    "text_bpe_tokens",
+    r"""
+    SELECT source,
+           sum(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_ \t\n\r]'))) AS total_pieces,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def text_bpe_tokens_q(spark, sf_dir):
+    """BPE-flavored token proxy: word runs + standalone punctuation
+    marks (the 'whitespace + BPE-ish regex' counting pair; whitespace
+    counts are text_token_stats).  Explicit ASCII classes so the RE2
+    (oracle) and Java (Spark) regex engines agree."""
+    docs = _t(spark, sf_dir, "documents")
+    pieces = F.expr(
+        r"size(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_ \\t\\n\\r]', 0))"
+    ).cast("bigint")
+    return docs.groupBy("source").agg(
+        F.sum(pieces).alias("total_pieces"), F.count("*").alias("n_docs")
+    )
+
+
+@query(
+    "t_profile_stats",
+    """
+    WITH c AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS v100
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(min(v100) AS DOUBLE) / 100.0 AS min_v,
+           CAST(max(v100) AS DOUBLE) / 100.0 AS max_v,
+           round(CAST(sum(v100) AS DOUBLE) / 100.0 / count(*), 6) AS avg_v,
+           round(CAST(sum(v100 * v100) AS DOUBLE) / 10000.0 / count(*)
+                 - (CAST(sum(v100) AS DOUBLE) / 100.0 / count(*))
+                   * (CAST(sum(v100) AS DOUBLE) / 100.0 / count(*)), 6) AS var_v
+    FROM c GROUP BY event_type
+    """,
+)
+def t_profile_stats(spark, sf_dir):
+    """Column profiling (min/max/mean/population variance) from exact
+    integer moments: Σv and Σv² aggregate as longs (order-independent),
+    the double algebra at the edge is the identical expression in both
+    engines — deterministic statistics without decimal overhead."""
+    ev = _t(spark, sf_dir, "events")
+    v = _cents("value")
+    n = F.count("*")
+    sx = F.sum(v).cast("double")
+    sxx = F.sum(v * v).cast("double")
+    avg = sx / 100.0 / n
+    return ev.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        n.alias("n"),
+        (F.min("v").cast("double") / 100.0).alias("min_v"),
+        (F.max("v").cast("double") / 100.0).alias("max_v"),
+        F.round(F.sum("v").cast("double") / 100.0 / F.count("*"), 6).alias("avg_v"),
+        F.round(
+            F.sum(F.col("v") * F.col("v")).cast("double") / 10000.0 / F.count("*")
+            - (F.sum("v").cast("double") / 100.0 / F.count("*"))
+            * (F.sum("v").cast("double") / 100.0 / F.count("*")),
+            6,
+        ).alias("var_v"),
+    )
+
+
+@query(
     "text_quality",
     f"""
     WITH m AS (
