@@ -57,6 +57,9 @@ HEADLINE = [
     "text_token_stats",
     "text_bpe_tokens",
     "t_profile_stats",
+    "a8_histogram",
+    "a9_quantiles",
+    "f_json_extract",
     "text_quality",
     "text_langid",
     "doc_fingerprint_stats",

@@ -1117,6 +1117,78 @@ def p8_grid_validation(spark, sf_dir):
 
 
 @query(
+    "f_json_extract",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def f_json_extract(spark, sf_dir):
+    """Semi-structured extraction from the JSON props column —
+    data-plane JSON the training-data pipeline needs (the reference
+    uses JSON only for control-plane config, rf_linux:249).
+    get_json_object evaluates inside the scan projection; no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k.isNull(), 1)).alias("n_missing"),
+    )
+
+
+@query(
+    "a8_histogram",
+    """
+    SELECT event_type,
+           CAST(floor(CAST(round(value * 100) AS BIGINT) / 5000) AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a8_histogram(spark, sf_dir):
+    """Fixed-width histogram: bucket = floor(value/50) computed on the
+    exact integer representation, so bin edges are engine-independent.
+    One shuffle; bins compose with any group key."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(_cents("value") / 5000).cast("bigint")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "a9_quantiles",
+    """
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+    )
+    SELECT event_type,
+           round(quantile_cont(v, 0.5) / 100.0, 6) AS p50,
+           round(quantile_cont(v, 0.95) / 100.0, 6) AS p95
+    FROM c GROUP BY event_type
+    """,
+)
+def a9_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles on the integer representation —
+    Spark's percentile() and DuckDB's quantile_cont share the linear-
+    interpolation definition, and integer inputs keep the interpolation
+    arithmetic identical.  At corpus scale swap percentile() for
+    approx_percentile(v, p, accuracy): same plan shape, bounded
+    memory (exact percentile materializes each group's values)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", _cents("value").alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(v, 0.5)") / 100.0, 6).alias("p50"),
+            F.round(F.expr("percentile(v, 0.95)") / 100.0, 6).alias("p95"),
+        )
+    )
+
+
+@query(
     "p9_unpivot_melt",
     """
     WITH w AS (
