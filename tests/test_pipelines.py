@@ -171,3 +171,43 @@ def test_rainfall_staleness_filter_excludes_stale_series(spark):
     pd.testing.assert_series_equal(
         wide["C_00"], expect["C_00"], check_names=False, check_freq=False, rtol=1e-9, atol=1e-9
     )
+
+
+import os as _os
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _os.path.exists("/root/reference/resources/resmike11_WL.csv"),
+    reason="reference golden artifact not present",
+)
+def test_extract_melt_on_reference_golden_matrix(spark):
+    """End-to-end melt of the reference's REAL MIKE result file
+    (481 time rows × 48 stations): row count, 3-dp rounding, and a
+    spot value match the source matrix (SURVEY §5 golden artifacts)."""
+    from curw_mike_data_handler_spark.plans.extract import melt_result_matrix
+    from curw_mike_data_handler_spark.sources.csv_io import read_wide_matrix
+
+    path = "/root/reference/resources/resmike11_WL.csv"
+    import csv
+
+    with open(path) as f:
+        rows = list(csv.reader(f))
+    header, data = rows[0], rows[1:]
+    n_stations, n_times = len(header) - 1, len(data)
+
+    wide = read_wide_matrix(spark, path, time_col="Time Stamp")
+    long_df = melt_result_matrix(wide, time_col="Time Stamp")
+    assert long_df.count() == n_stations * n_times
+
+    got = {
+        (r["station"], str(r["time"])): r["value"]
+        for r in long_df.filter(
+            "time = timestamp'2020-05-22 00:00:00'"
+        ).collect()
+    }
+    # spot checks against the raw file's first data row
+    assert got[(header[1], "2020-05-22 00:00:00")] == round(float(data[0][1]), 3)
+    assert got[(header[-1], "2020-05-22 00:00:00")] == round(float(data[0][-1]), 3)
+    # 3-dp rounding applied everywhere (wl_x:249)
+    assert long_df.filter("value != round(value, 3)").count() == 0
