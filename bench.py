@@ -59,6 +59,9 @@ HEADLINE = [
     "t_profile_stats",
     "a8_histogram",
     "a9_quantiles",
+    "a10_count_distinct",
+    "s13_set_ops",
+    "f_fuzzy_match",
     "f_json_extract",
     "text_quality",
     "text_langid",

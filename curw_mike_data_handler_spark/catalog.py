@@ -1225,6 +1225,98 @@ def p9_unpivot_melt(spark, sf_dir):
 
 
 @query(
+    "a10_count_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a10_count_distinct(spark, sf_dir):
+    """Exact distinct-count per group (expand + two-phase agg).  At
+    corpus scale swap for approx_count_distinct(rsd) — one pass, no
+    expand, HLL-mergeable."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "s13_set_ops",
+    """
+    SELECT 'both' AS tag, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'only_building', c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def s13_set_ops(spark, sf_dir):
+    """Set algebra (INTERSECT / EXCEPT / UNION ALL) — absent from the
+    reference (SURVEY §2.7) but table stakes for an analytics engine;
+    Catalyst rewrites intersect/except to semi/anti joins."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = c.intersect(o).select(F.lit("both").alias("tag"), "c_custkey")
+    only = c.exceptAll(o.distinct()).distinct().select(
+        F.lit("only_building").alias("tag"), "c_custkey"
+    )
+    return both.unionAll(only)
+
+
+@query(
+    "f_fuzzy_match",
+    """
+    WITH m AS (SELECT DISTINCT c_mktsegment AS name FROM customer),
+    t AS (SELECT DISTINCT o_orderpriority AS cand FROM orders),
+    scored AS (
+        SELECT m.name, t.cand, levenshtein(m.name, t.cand) AS dist,
+               row_number() OVER (
+                   PARTITION BY m.name ORDER BY levenshtein(m.name, t.cand), t.cand
+               ) AS rank
+        FROM m CROSS JOIN t
+    )
+    SELECT name, cand, dist, rank FROM scored WHERE rank <= 2
+    """,
+)
+def f_fuzzy_match(spark, sf_dir):
+    """Fuzzy name reconciliation: nearest strings by edit distance —
+    the fuzzy generalization of the reference's exact station rename
+    maps (J4); same broadcast cross-join + rank shape as the spatial
+    nearest-neighbor operator, with levenshtein as the metric."""
+    from pyspark.sql import Window
+
+    m = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("name")
+    ).distinct()
+    t = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cand")
+    ).distinct()
+    scored = m.crossJoin(F.broadcast(t)).withColumn(
+        "dist", F.levenshtein("name", "cand")
+    )
+    w = Window.partitionBy("name").orderBy("dist", "cand")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("name", "cand", "dist", "rank")
+    )
+
+
+@query(
     "f_scalar_suite",
     """
     SELECT s_suppkey,
