@@ -44,6 +44,8 @@ HEADLINE = [
     "a2_row_mean_impute",
     "a7_rollup",
     "w4_sliding_window",
+    "w5_lag_delta",
+    "w6_running_sum",
     "j3_w2_nearest_stations",
     "w2_topk_per_group",
     "rf_weighted_catchment",

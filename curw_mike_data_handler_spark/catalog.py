@@ -845,6 +845,78 @@ def q5_regional_revenue(spark, sf_dir):
 
 
 @query(
+    "w5_lag_delta",
+    """
+    WITH o AS (
+        SELECT user_id, event_id,
+               CAST(round(value * 100) AS BIGINT) AS v100,
+               lag(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev100
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT user_id, event_id,
+           CAST(v100 - prev100 AS DOUBLE) / 100.0 AS delta
+    FROM o WHERE prev100 IS NOT NULL
+    """,
+)
+def w5_lag_delta(spark, sf_dir):
+    """lag(): per-user deltas between consecutive observations —
+    ordered by (ts, event_id) so the frame is a total order and the
+    result is engine-deterministic; differences on the exact integer
+    representation."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = _cents("value")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            v.alias("v100"),
+            F.lag(v).over(w).alias("prev100"),
+        )
+        .filter(F.col("prev100").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            ((F.col("v100") - F.col("prev100")).cast("double") / 100.0).alias("delta"),
+        )
+    )
+
+
+@query(
+    "w6_running_sum",
+    """
+    SELECT user_id, event_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS running_total
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def w6_running_sum(spark, sf_dir):
+    """Cumulative sum per user — exact integer accumulation inside the
+    frame, so the running total is identical in any engine and safe
+    against FP drift over long histories."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum(_cents("value")).over(w).cast("double") / 100.0).alias("running_total"),
+    )
+
+
+@query(
     "a7_rollup",
     """
     SELECT coalesce(l_returnflag, '<all>') AS flag,
