@@ -1428,6 +1428,33 @@ def f_scalar_suite(spark, sf_dir):
     )
 
 
+@query("ivf_kmeans_assign")  # rows-only: iterative algorithm, not SQL-expressible
+def ivf_kmeans_assign_q(spark, sf_dir):
+    """IVF coarse quantizer: deterministic Lloyd's k-means over the
+    embeddings (operators/similarity.kmeans_assign) — produces the
+    bucket column the blocked ANN/near-dup operators join on.  No SQL
+    oracle (fixpoint iteration); the driver records the rows-only
+    check, and tests/test_operators.py proves determinism + cluster
+    recovery."""
+    from curw_mike_data_handler_spark.operators.similarity import kmeans_assign
+
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
+    return kmeans_assign(emb, k=8, iterations=3)
+
+
+@query("approx_distinct_hll")  # rows-only: HLL sketch, engine-specific estimates
+def approx_distinct_hll_q(spark, sf_dir):
+    """Sketch-based distinct counting: approx_count_distinct (HLL++,
+    rsd=0.02) — the one-pass mergeable form a10_count_distinct swaps
+    to at corpus scale.  Estimates are engine-specific by nature, so
+    no value oracle; a10 is the exact twin that IS oracle-checked."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline extensions (documents / embeddings)
 # ---------------------------------------------------------------------------

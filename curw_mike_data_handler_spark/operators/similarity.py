@@ -258,3 +258,67 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means → (id, cluster): the IVF coarse
+    quantizer that produces the bucket column ann_topk_bucketed /
+    embedding_neardup_pairs block on, computed without MLlib so
+    initialization and iteration order are fully specified:
+
+    * init: the k lowest-id vectors are the seed centroids;
+    * assignment: nearest centroid by squared L2, centroid-id
+      tie-break;
+    * update: coordinate-wise mean of members (fixed ``iterations``
+      rounds — at corpus scale each round is ONE scan + ONE small
+      groupBy; centroids ship to executors as a broadcast literal).
+
+    The per-round collect is k×dim doubles (the centroids), not data —
+    the standard iterative-algorithm driver loop."""
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    ).cache()
+    centroids = [
+        (i, r["v"])
+        for i, r in enumerate(vecs.orderBy("id").limit(k).collect())
+    ]
+
+    def dist2(vec: Column, center: list[float]) -> Column:
+        c = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = None
+    for _ in range(iterations):
+        d = vecs
+        for cid, center in centroids:
+            d = d.withColumn(f"__d{cid}", dist2(F.col("v"), center))
+        dist_arr = F.array(*[F.col(f"__d{cid}") for cid, _ in centroids])
+        assigned = d.select(
+            "id",
+            "v",
+            F.array_position(dist_arr, F.array_min(dist_arr)).cast("int").alias("__c"),
+        ).withColumn("cluster", F.col("__c") - 1)
+        new_rows = (
+            assigned.select(
+                "cluster", F.posexplode("v").alias("dim", "x")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms"))
+            .select("cluster", F.transform("ms", lambda s: s["m"]).alias("center"))
+            .collect()
+        )
+        centroids = sorted((r["cluster"], r["center"]) for r in new_rows)
+    return assigned.select("id", "cluster")

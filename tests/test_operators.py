@@ -238,3 +238,25 @@ def test_range_join_bucket_boundaries(spark):
     assert got == [("p_end", "i1"), ("p_mid", "i1"), ("p_mid", "i2"),
                    ("p_start", "i1")]
     assert len(got) == len(set(got)), "no duplicate pairs"
+
+
+def test_kmeans_assign_deterministic_and_separating(spark):
+    """Fixed init + fixed iterations → identical assignments across
+    runs; well-separated synthetic clusters are recovered exactly."""
+    from curw_mike_data_handler_spark.operators.similarity import kmeans_assign
+
+    rows = []
+    for i in range(30):
+        base = [100.0 * (i % 3)] * 4          # three tight clusters
+        rows.append((i, [b + (i % 5) * 0.1 for b in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    a1 = {r["id"]: r["cluster"] for r in kmeans_assign(df, k=3, iterations=4).collect()}
+    a2 = {r["id"]: r["cluster"] for r in kmeans_assign(df, k=3, iterations=4).collect()}
+    assert a1 == a2, "assignment must be run-to-run deterministic"
+
+    groups = {}
+    for vid, c in a1.items():
+        groups.setdefault(vid % 3, set()).add(c)
+    assert all(len(cs) == 1 for cs in groups.values()), "each true cluster maps to one label"
+    assert len({next(iter(cs)) for cs in groups.values()}) == 3
