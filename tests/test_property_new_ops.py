@@ -1,0 +1,190 @@
+"""Property tests: the composite operators (as-of join, range join,
+connected components, IVF chain) against brute-force Python references
+on randomized small instances.  Hypothesis drives the instance shapes;
+the Spark implementations must agree with the naive semantics on every
+draw — ties, empty groups, boundary instants included.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+BASE = datetime(2020, 5, 22)
+
+
+def _ts(minutes: int) -> datetime:
+    return BASE + timedelta(minutes=minutes)
+
+
+small_minutes = st.integers(min_value=0, max_value=120)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lefts=st.lists(
+        st.tuples(st.sampled_from(["k1", "k2"]), small_minutes),
+        min_size=1,
+        max_size=8,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            small_minutes,
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+)
+def test_asof_join_matches_naive(spark, lefts, rights):
+    from curw_mike_data_handler_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(k, _ts(m)) for k, m in lefts], "key string, time timestamp"
+    )
+    right = spark.createDataFrame(
+        [(k, _ts(m), float(v)) for k, m, v in rights],
+        "key string, time timestamp, value double",
+    )
+    got = {
+        (r["key"], r["time"]): r["asof_value"]
+        for r in asof_join(
+            left, right, on="time", by="key", value_cols=["value"]
+        ).collect()
+    }
+
+    # naive: max value among same-instant right rows, latest instant <= t
+    for k, m in set(lefts):
+        t = _ts(m)
+        cands = [(rm, rv) for rk, rm, rv in rights if rk == k and _ts(rm) <= t]
+        want = None
+        if cands:
+            best = max(rm for rm, _ in cands)
+            want = float(max(rv for rm, rv in cands if rm == best))
+        assert got[(k, t)] == want, (k, t, got[(k, t)], want)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(small_minutes, min_size=1, max_size=10),
+    intervals=st.lists(
+        st.tuples(small_minutes, st.integers(min_value=0, max_value=90)),
+        min_size=0,
+        max_size=6,
+    ),
+)
+def test_range_join_matches_naive(spark, points, intervals):
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.rangejoin import (
+        range_join_points_in_intervals,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, _ts(m)) for i, m in enumerate(points)], "pid long, t timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(j, _ts(s), _ts(s + d)) for j, (s, d) in enumerate(intervals)],
+        "iid long, start timestamp, end timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join_points_in_intervals(
+            pts, iv, point_time="t", start_col="start", end_col="end",
+            bucket_seconds=900,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, m in enumerate(points)
+        for j, (s, d) in enumerate(intervals)
+        if s <= m <= s + d
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_connected_components_matches_naive(spark, edges):
+    from curw_mike_data_handler_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+
+    # naive union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_groups = {}
+    for n in parent:
+        want_groups.setdefault(find(n), set()).add(n)
+    for root, members in want_groups.items():
+        label = min(members)
+        for n in members:
+            assert got[n] == label, (n, got[n], label)
+
+
+def test_ivf_chain_end_to_end(spark):
+    """kmeans_assign output feeds ann_topk_bucketed directly — the full
+    IVF path: quantize → block → rank; every query's neighbors share
+    its cluster."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.similarity import (
+        ann_topk_bucketed,
+        kmeans_assign,
+    )
+    from curw_mike_data_handler_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    assign = kmeans_assign(emb, k=4, iterations=2)
+    bucketed = emb.join(
+        assign.withColumnRenamed("id", "vec_id"), "vec_id"
+    ).withColumnRenamed("cluster", "ivf")
+    queries = bucketed.filter(F.col("vec_id") % 20 == 0)
+    top = ann_topk_bucketed(queries, bucketed, k=3, bucket_col="ivf")
+    rows = top.collect()
+    assert rows, "IVF chain must produce neighbors"
+    clusters = {r["vec_id"]: r["ivf"] for r in bucketed.collect()}
+    for r in rows:
+        assert clusters[r["query_id"]] == clusters[r["neighbor_id"]]
