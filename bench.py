@@ -30,6 +30,10 @@ HEADLINE = [
     "q3_top_revenue_orders",
     "q4_order_priority",
     "q5_regional_revenue",
+    "q6_revenue_delta",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive",
     "s4_filtered_scan",
     "s5_active_stations",
     "s6_custom_interval",
@@ -53,6 +57,9 @@ HEADLINE = [
     "tide_pipeline_shape",
     "dedup_exact",
     "embedding_neardup",
+    "decontam_ngram",
+    "sample_stratified_hash",
+    "quota_cap_per_source",
     "ann_topk_bruteforce",
     "ann_topk_bucketed",
     "ann_topk_lsh",

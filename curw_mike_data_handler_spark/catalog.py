@@ -1955,6 +1955,283 @@ def multimodal_features_q(spark, sf_dir):
     return extract_features(media)
 
 
+# ---------------------------------------------------------------------------
+# Classic OLAP widening: pushdown-only agg, conditional-share agg,
+# group-HAVING join, disjunctive-predicate join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_revenue_delta",
+    """
+    SELECT CAST(sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2)) AS DOUBLE)
+               AS revenue_delta,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark, sf_dir):
+    """TPC-H Q6 shape: scan + conjunctive pushdown predicates + scalar
+    aggregate.  No join, no wide shuffle — the whole query is one scan
+    stage with a map-side partial aggregate and a 1-row final merge;
+    all three predicates reach the parquet reader (`PushedFilters`).
+    The cheapest possible 100 TB plan: cost = bytes scanned after
+    row-group pruning."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(_cents("l_extendedprice") * _cents("l_discount")) / 1e4).alias(
+                "revenue_delta"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q14_promo_share",
+    """
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d %H:%M:%S') AS ship_month,
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))
+                         ELSE 0 END) AS DOUBLE) AS promo_revenue,
+           CAST(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))) AS DOUBLE)
+               AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: fact ⋈ small dim + conditional (CASE) share
+    aggregation by month.  `part` is broadcast — the fact side never
+    shuffles for the join; the only exchange is the 1-row-per-month
+    final aggregate.  Promo/total computed in the same pass (one scan,
+    two conditional sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("__m"))
+        .agg(
+            (F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))) / 1e4).alias(
+                "promo_revenue"
+            ),
+            (F.sum(rev) / 1e4).alias("total_revenue"),
+        )
+        .select(
+            _fmt("__m").alias("ship_month"), "promo_revenue", "total_revenue"
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+           CAST(sum(l.l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING sum(l.l_quantity::DECIMAL(18,2)) > 190
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: group-by-HAVING over the fact, then join order
+    headers.  Aggregates lineitem FIRST (exact integer units, map-side
+    combine shrinks ~4 rows/key to 1) and joins the ~2 % surviving
+    keys to orders — the join input is post-filter, not the raw fact.
+    At 100 TB both sides hash-partition on orderkey; with bucketed
+    tables (cm.sources.bucketed) the exchange disappears entirely."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > 190 * 100)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "o_orderkey",
+            _fmt("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            (F.col("__qty") / 100.0).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive",
+    """
+    SELECT CAST(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#9'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+    """,
+)
+def q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Catalyst cannot push a cross-table disjunction, so the implied
+    per-table prefilters are stated explicitly (classic Q19 rewrite):
+    part keeps only the two brand/size windows, lineitem keeps only
+    quantity ∈ [1,30] — each side shrinks BEFORE the broadcast join,
+    and the residual OR runs on the survivors.  Semantically identical
+    (each disjunct implies its side's prefilter)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#9") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(10, 30))
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    matched = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).filter(
+        (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+    )
+    return matched.agg(
+        (F.sum(rev) / 1e4).alias("revenue"), F.count("*").alias("n_rows")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline widening: decontamination, deterministic
+# stratified sampling, per-source quota capping
+# ---------------------------------------------------------------------------
+
+_GRAMS = (
+    "list_transform(generate_series(1, greatest(len(w) - 4, 0)), "
+    "i -> array_to_string(w[i:i+4], ' '))"
+)
+
+
+@query(
+    "decontam_ngram",
+    f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, g.gram
+        FROM (
+            SELECT doc_id, {_GRAMS} AS grams
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        ), unnest(grams) AS g(gram)
+    ),
+    test_grams AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0
+    )
+    SELECT g.doc_id, count(*) AS n_shared_grams
+    FROM grams g JOIN test_grams t ON g.gram = t.gram
+    WHERE g.doc_id % 20 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def decontam_ngram(spark, sf_dir):
+    """Train/test decontamination: flag training documents sharing any
+    word 5-gram with the held-out set (doc_id % 20 = 0 plays the test
+    split).  The test-side gram set is broadcast — the right model at
+    scale, where the eval corpus is MBs against a 100 TB train corpus,
+    so the train side is never shuffled; the only exchange is the
+    per-doc count aggregate.  Grams stay distinct per doc so the count
+    is |shared distinct grams| (matches the oracle's set join)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower(F.col("text")), " ")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 5,
+                F.expr(
+                    "transform(sequence(1, size(w) - 4), "
+                    "i -> concat_ws(' ', slice(w, i, 5)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    ).distinct()
+    test_grams = (
+        grams.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(test_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+@query(
+    "sample_stratified_hash",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(doc_id::VARCHAR), 1, 1) <
+          CASE WHEN lang = 'en' THEN '2' ELSE '8' END
+    """,
+)
+def sample_stratified_hash(spark, sf_dir):
+    """Deterministic stratified downsampling: keep 2/16 of the dominant
+    'en' stratum and 8/16 of every other language, selected by the
+    first md5 nibble of the doc id.  Pure narrow filter — no shuffle,
+    no RNG state, reproducible across runs/engines/retries (the
+    property that makes it safe for resumable 100 TB jobs), and the
+    predicate is a scan-level filter so sampling costs one pass."""
+    docs = _t(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    return docs.filter(
+        nibble < F.when(F.col("lang") == "en", F.lit("2")).otherwise(F.lit("8"))
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "quota_cap_per_source",
+    """
+    SELECT doc_id, source, rnk
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+        FROM documents
+    ) WHERE rnk <= 10
+    """,
+)
+def quota_cap_per_source(spark, sf_dir):
+    """Per-domain quota capping: at most 10 documents per source,
+    preferring longer ones (n_chars DESC, doc_id tie-break → total
+    order).  Single window with a rank filter: Catalyst inserts
+    WindowGroupLimit, so each map task keeps only its local top-10 per
+    source before the shuffle — the exchange carries ≤ 10·|sources|
+    rows regardless of corpus size."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

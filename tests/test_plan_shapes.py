@@ -114,3 +114,51 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_q6_is_scan_plus_scalar_agg_all_predicates_pushed(spark):
+    """Q6 shape: the whole query is one scan stage — every predicate
+    reaches the parquet reader and the only exchange is the 1-row
+    final-aggregate merge."""
+    plan = _plan(spark, "q6_revenue_delta")
+    pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan
+
+
+def test_q18_aggregates_fact_before_join(spark):
+    """The HAVING aggregate must run below the orders join — joining
+    the raw fact first would shuffle 4× the rows."""
+    plan = _plan(spark, "q18_large_orders")
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin"),
+                   plan.find("BroadcastHashJoin"))
+    agg_pos = plan.rfind("HashAggregate")
+    assert join_pos != -1 and agg_pos > join_pos, (
+        "lineitem aggregate must appear below (after, in explain text) the join"
+    )
+
+
+def test_q19_prefilters_both_sides_and_broadcasts_part(spark):
+    plan = _plan(spark, "q19_disjunctive")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    pushed = plan.split("PushedFilters: ")[1]
+    assert "l_quantity" in pushed.splitlines()[0] or "l_quantity" in plan.split(
+        "PushedFilters: "
+    )[2].splitlines()[0], "implied quantity range must reach the lineitem scan"
+
+
+def test_decontam_broadcasts_test_grams_no_fact_shuffle_for_join(spark):
+    plan = _plan(spark, "decontam_ngram")
+    assert "BroadcastHashJoin" in plan, "test-side gram set must broadcast"
+
+
+def test_quota_cap_gets_window_group_limit(spark):
+    plan = _plan(spark, "quota_cap_per_source")
+    assert "WindowGroupLimit" in plan
+
+
+def test_stratified_sample_is_pure_narrow_filter(spark):
+    plan = _plan(spark, "sample_stratified_hash")
+    assert "Exchange" not in plan, "deterministic sampling must not shuffle"
