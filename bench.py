@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_exact",
     "embedding_neardup",
     "decontam_ngram",
+    "text_repetition",
     "sample_stratified_hash",
     "quota_cap_per_source",
     "ann_topk_bruteforce",

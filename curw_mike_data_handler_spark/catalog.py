@@ -2153,23 +2153,28 @@ def decontam_ngram(spark, sf_dir):
     split).  The test-side gram set is broadcast — the right model at
     scale, where the eval corpus is MBs against a 100 TB train corpus,
     so the train side is never shuffled; the only exchange is the
-    per-doc count aggregate.  Grams stay distinct per doc so the count
-    is |shared distinct grams| (matches the oracle's set join)."""
+    per-doc count aggregate.  Per-doc gram dedup happens NARROW
+    (array_distinct before explode — no (doc,gram)-keyed shuffle of
+    the train corpus); only the small test side pays a global distinct
+    before broadcasting.  The count is |shared distinct grams|
+    (matches the oracle's set join)."""
     docs = _t(spark, sf_dir, "documents").withColumn(
         "w", F.split(F.lower(F.col("text")), " ")
     )
     grams = docs.select(
         "doc_id",
         F.explode(
-            F.when(
-                F.size("w") >= 5,
-                F.expr(
-                    "transform(sequence(1, size(w) - 4), "
-                    "i -> concat_ws(' ', slice(w, i, 5)))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+            F.array_distinct(
+                F.when(
+                    F.size("w") >= 5,
+                    F.expr(
+                        "transform(sequence(1, size(w) - 4), "
+                        "i -> concat_ws(' ', slice(w, i, 5)))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
         ).alias("gram"),
-    ).distinct()
+    )
     test_grams = (
         grams.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
     )
@@ -2178,6 +2183,63 @@ def decontam_ngram(spark, sf_dir):
         .join(F.broadcast(test_grams), "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+@query(
+    "text_repetition",
+    """
+    WITH tt AS (
+        SELECT doc_id, t.tok
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+             unnest(w) AS t(tok)
+    ),
+    freq AS (SELECT doc_id, tok, count(*) AS c FROM tt GROUP BY 1, 2),
+    sig AS (
+        SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_tok_n
+        FROM freq GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_distinct, top_tok_n,
+           round(n_distinct / n_tokens, 6) AS distinct_ratio,
+           round(top_tok_n / n_tokens, 6) AS top_tok_frac,
+           (n_distinct / n_tokens < 0.45 OR top_tok_n / n_tokens > 0.12) AS repetitive
+    FROM sig
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Repetition detection (Gopher-style quality signal): per-doc
+    token count, distinct-token count, and the modal token's share,
+    plus a repetitive flag.  Computed entirely with array HOFs on the
+    tokenized column — map-only (the oracle needs two grouped
+    aggregates; Spark doesn't, because the doc is the group and a doc
+    is one row).  At 100 TB this is the ideal shape: a quality-filter
+    pass that costs exactly one scan with no shuffle at all (the _par
+    round-robin spread exists only for the tiny single-file local
+    table; a real corpus scan is already split)."""
+    docs = _par(spark, _t(spark, sf_dir, "documents")).withColumn(
+        "w", F.split(F.lower(F.col("text")), " ")
+    )
+    n_tok = F.size("w").cast("long")
+    n_dis = F.size(F.array_distinct("w")).cast("long")
+    top_n = F.array_max(
+        F.expr("transform(array_distinct(w), t -> size(filter(w, x -> x = t)))")
+    ).cast("long")
+    sig = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        top_n.alias("top_tok_n"),
+    )
+    d_ratio = F.col("n_distinct") / F.col("n_tokens")
+    t_frac = F.col("top_tok_n") / F.col("n_tokens")
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_tok_n",
+        F.round(d_ratio, 6).alias("distinct_ratio"),
+        F.round(t_frac, 6).alias("top_tok_frac"),
+        ((d_ratio < 0.45) | (t_frac > 0.12)).alias("repetitive"),
     )
 
 

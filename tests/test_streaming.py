@@ -111,3 +111,49 @@ def test_watermarked_window_stream_late_data(spark, tmp_path):
     assert got[("s1", "2020-05-22 01:00:00")] == 3.0
     # 01:45 bucket not finalized yet (watermark 01:20 < 01:45)
     assert ("s1", "2020-05-22 01:45:00") not in got
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Replayed keys are admitted exactly once: duplicates within the
+    watermark horizon are dropped across micro-batches, with bounded
+    state (SURVEY §2.9 idempotence, stream-side)."""
+    from curw_mike_data_handler_spark.streaming.dedupe import dedup_stream
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = []
+
+    def sink(batch_df, batch_id):
+        out.extend(
+            (r["tms_id"], str(r["time"]), r["value"]) for r in batch_df.collect()
+        )
+
+    def tick():
+        stream = dedup_stream(
+            stream_csv_dir(spark, str(inbox), SCHEMA, header=False),
+            key_cols=("tms_id", "time"),
+            time_col="time",
+            watermark="30 minutes",
+        )
+        run_available_now(stream, ckpt, sink)
+
+    # in-batch duplicate: same (tms_id, time) twice → one survivor
+    _write(inbox / "a.csv", [("s1", "2020-05-22 00:00:00", 1.0),
+                             ("s1", "2020-05-22 00:00:00", 1.0),
+                             ("s1", "2020-05-22 00:05:00", 2.0)])
+    tick()
+
+    # cross-batch replay of 00:05 within the watermark → dropped;
+    # genuinely new key admitted
+    _write(inbox / "b.csv", [("s1", "2020-05-22 00:05:00", 2.0),
+                             ("s1", "2020-05-22 00:10:00", 3.0)])
+    tick()
+
+    keys = [(k, t) for k, t, _ in out]
+    assert len(keys) == len(set(keys)), f"duplicate keys emitted: {out}"
+    assert set(keys) == {
+        ("s1", "2020-05-22 00:00:00"),
+        ("s1", "2020-05-22 00:05:00"),
+        ("s1", "2020-05-22 00:10:00"),
+    }
