@@ -60,6 +60,14 @@ def _prep(spark: SparkSession) -> None:
     """Parity-critical runtime conf, applied inside every query so the
     driver's own session works regardless of how it was built."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # right-size shuffles for the session's actual cores: a vanilla
+    # session's 200-partition default costs ~6× task overhead on the
+    # small-SF gate (measured on the iterative components query) and
+    # AQE coalescing doesn't collapse the iterative stages
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def query(name: str, sql: str | None = None):
@@ -1606,9 +1614,15 @@ def dedup_simhash_q(spark, sf_dir):
 )
 def embedding_neardup_q(spark, sf_dir):
     """Embedding-cosine near-dup pairs, blocked by the cluster label
-    (the IVF-style partition key that makes all-pairs tractable)."""
+    (the IVF-style partition key that makes all-pairs tractable).
+    The corpus is spread (_par) so the probe side of the broadcast
+    join keeps full parallelism for the per-pair HOF cosine — joining
+    un-spread would run every comparison on the single scan
+    partition."""
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, bucket_col="label"
+        _par(spark, _t(spark, sf_dir, "embeddings")),
+        threshold=0.35,
+        bucket_col="label",
     )
 
 
@@ -1646,7 +1660,9 @@ def dedup_components_q(spark, sf_dir):
     tractable for DuckDB at gate scale, while the Spark side stays
     diameter-bounded for corpus scale."""
     pairs = embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, bucket_col="label"
+        _par(spark, _t(spark, sf_dir, "embeddings")),
+        threshold=0.35,
+        bucket_col="label",
     )
     return connected_components(pairs, src_col="id_a", dst_col="id_b")
 
@@ -2114,6 +2130,84 @@ def q19_disjunctive(spark, sf_dir):
     )
     return matched.agg(
         (F.sum(rev) / 1e4).alias("revenue"), F.count("*").alias("n_rows")
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    WITH g AS (
+        SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS tot, count(*) AS n
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey, count(*) AS n_cust,
+           CAST(sum(c.c_acctbal::DECIMAL(18,2)) AS DOUBLE) AS total_bal
+    FROM customer c, g
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * g.n > g.tot
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-subquery threshold (above-average
+    balance) + NOT EXISTS decorrelated to a left-anti join.  The
+    average comparison is done exactly in integer cents cross-
+    multiplied by the count (bal·n > Σbal) — no FP average whose
+    summation order could flip boundary rows between engines.  The
+    1-row aggregate broadcasts; the anti join is the only fact-sized
+    exchange, and its right side is pre-filtered to the recent-order
+    window (pushed to the scan) so at 100 TB the build side is a
+    fraction of orders.  "Idle" = no order since 2000-01-01: in this
+    synthetic data every customer has at least one lifetime order, so
+    the textbook unscoped NOT EXISTS would be vacuously empty."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    g = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(_cents("c_acctbal")).alias("tot"), F.count("*").alias("n"))
+    )
+    rich = c.crossJoin(F.broadcast(g)).filter(
+        _cents("c_acctbal") * F.col("n") > F.col("tot")
+    )
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust"),
+        (F.sum(_cents("c_acctbal")) / 100.0).alias("total_bal"),
+    )
+
+
+@query(
+    "a11_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+           count(*) AS n_rows,
+           CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a11_cube(spark, sf_dir):
+    """CUBE over both grouping dimensions (completes the hierarchical-
+    totals family next to a7's ROLLUP): all four grouping sets in one
+    pass — Spark expands the grouping sets map-side and still does a
+    single exchange; grouping() flags disambiguate real NULLs from
+    subtotal rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n_rows"),
+            (F.sum(_cents("l_quantity")) / 100.0).alias("sum_qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "n_rows", "sum_qty"
+        )
     )
 
 
