@@ -2180,6 +2180,61 @@ def q22_idle_rich_customers(spark, sf_dir):
 
 
 @query(
+    "q17_small_qty_revenue",
+    """
+    WITH pa AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS tot,
+               count(*) AS n
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(l.l_extendedprice::DECIMAL(18,2)) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           count(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * pa.n < pa.tot
+    """,
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) deciding row retention.  Decorrelated WITHOUT a
+    fact-self-join: the brand predicate reaches the part scan, the
+    qualifying partkeys broadcast into lineitem, and the per-part
+    average becomes ONE window over the surviving ~1/brand-count slice
+    — a single shuffle on l_partkey instead of the textbook
+    agg-then-join-back's two.  (Every lineitem row of a qualifying
+    part survives the semi filter, so the window average over the
+    slice equals the correlated average over the full table.)  The
+    qty < 0.2·avg comparison is cross-multiplied into integers
+    (100·qty·5·n < Σ100·qty) so no engine's FP average can flip a
+    boundary row."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p_f = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li_f = li.join(
+        F.broadcast(p_f), li["l_partkey"] == p_f["p_partkey"]
+    ).drop("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    small = (
+        li_f.withColumn("tot", F.sum(_cents("l_quantity")).over(w))
+        .withColumn("n", F.count("*").over(w))
+        .filter(_cents("l_quantity") * 5 * F.col("n") < F.col("tot"))
+    )
+    return small.agg(
+        (F.sum(_cents("l_extendedprice")) / 100.0 / 7.0).alias("avg_yearly"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
     "a11_cube",
     """
     SELECT l_returnflag, l_linestatus,

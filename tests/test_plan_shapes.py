@@ -162,3 +162,29 @@ def test_quota_cap_gets_window_group_limit(spark):
 def test_stratified_sample_is_pure_narrow_filter(spark):
     plan = _plan(spark, "sample_stratified_hash")
     assert "Exchange" not in plan, "deterministic sampling must not shuffle"
+
+
+def test_q22_anti_join_broadcasts_filtered_orders(spark):
+    plan = _plan(spark, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    pushed = [
+        seg.splitlines()[0] for seg in plan.split("PushedFilters: ")[1:]
+    ]
+    assert any("o_orderdate" in p for p in pushed), (
+        "recent-order window must reach the orders scan"
+    )
+
+
+def test_q17_is_single_fact_shuffle_window_decorrelation(spark):
+    plan = _plan(spark, "q17_small_qty_revenue")
+    assert "BroadcastHashJoin" in plan, "brand partkeys must broadcast"
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") >= 1, "per-part avg must be a window, not a self-join"
+    # exactly two exchanges: the l_partkey window shuffle + 1-row final agg
+    assert plan.count("Exchange") <= 3
+
+
+def test_a11_cube_expands_once_single_exchange(spark):
+    plan = _plan(spark, "a11_cube")
+    assert "Expand" in plan, "CUBE must be a grouping-sets Expand, not a union of aggs"
+    assert plan.count("Exchange") == 1
