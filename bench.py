@@ -34,6 +34,9 @@ HEADLINE = [
     "q14_promo_share",
     "q18_large_orders",
     "q19_disjunctive",
+    "q17_small_qty_revenue",
+    "q22_idle_rich_customers",
+    "a11_cube",
     "s4_filtered_scan",
     "s5_active_stations",
     "s6_custom_interval",
@@ -61,6 +64,7 @@ HEADLINE = [
     "text_repetition",
     "sample_stratified_hash",
     "quota_cap_per_source",
+    "pack_sequences",
     "ann_topk_bruteforce",
     "ann_topk_bucketed",
     "ann_topk_lsh",

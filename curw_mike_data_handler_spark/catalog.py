@@ -2443,6 +2443,65 @@ def quota_cap_per_source(spark, sf_dir):
     )
 
 
+_PACK_BUDGET = 256  # tokens per training sequence pack
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+        SELECT source, doc_id, len({_TOKENS}) AS tok
+        FROM documents
+    ), c AS (
+        SELECT source, doc_id, tok,
+               sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT source,
+           CAST(floor((cum - tok) / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           sum(tok) AS pack_tokens
+    FROM c
+    GROUP BY source, pack_id
+    """,
+)
+def pack_sequences_q(spark, sf_dir):
+    """Training-sequence packing: assign documents to fixed token-
+    budget packs (the pretraining-shard packing step) with a running
+    token sum per source stream — pack_id = floor(tokens-before /
+    budget), the deterministic streaming-fill rule.  ONE shuffle on
+    source for the window; the pack aggregate reuses the same
+    partitioning (no second exchange).  Deterministic (doc_id order),
+    so packing is reproducible and resume-safe across reruns; at
+    corpus scale the stream order key would be the ingest sequence.
+    Docs longer than the budget take pack slots alone (spill rule
+    floor-based, same in both engines: integer division of the
+    token prefix sum)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = F.size(tokens("text")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.select(
+        "source",
+        "doc_id",
+        tok.alias("tok"),
+    ).withColumn("cum", F.sum("tok").over(w))
+    return (
+        c.withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("tok")) / F.lit(_PACK_BUDGET)),
+        )
+        .groupBy("source", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("pack_tokens"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -188,3 +188,10 @@ def test_a11_cube_expands_once_single_exchange(spark):
     plan = _plan(spark, "a11_cube")
     assert "Expand" in plan, "CUBE must be a grouping-sets Expand, not a union of aggs"
     assert plan.count("Exchange") == 1
+
+
+def test_pack_sequences_single_exchange_reuses_window_partitioning(spark):
+    plan = _plan(spark, "pack_sequences")
+    assert plan.count("Exchange") == 1, (
+        "pack aggregate must reuse the window's source partitioning"
+    )
