@@ -65,6 +65,7 @@ HEADLINE = [
     "sample_stratified_hash",
     "quota_cap_per_source",
     "pack_sequences",
+    "tfidf_top_terms",
     "ann_topk_bruteforce",
     "ann_topk_bucketed",
     "ann_topk_lsh",

@@ -2502,6 +2502,67 @@ def pack_sequences_q(spark, sf_dir):
     )
 
 
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), nd AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), s AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf, df, nd WHERE tf.term = df.term
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rnk
+        FROM s
+    )
+    SELECT doc_id, term, tfidf, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF featurization: top-3 highest-tf·idf terms per document.
+    The raw text is scanned ONCE: term frequencies shuffle on
+    (doc_id, term), then document frequency is a count window over
+    the (already much smaller) tf table partitioned by term — no
+    vocabulary broadcast, so a heavy-tailed real-corpus vocabulary
+    that would never fit in driver memory still works; only the 1-row
+    corpus count broadcasts (its scan reads zero columns).  The
+    per-doc rank is WindowGroupLimit-partial (each task keeps 3 rows
+    per doc before the window shuffle).  Ranking orders by the
+    ROUNDED score + term tie-break — a total order both engines agree
+    on; round(·,6) also absorbs any last-ulp libm difference in ln
+    between the JVM and DuckDB."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -195,3 +195,11 @@ def test_pack_sequences_single_exchange_reuses_window_partitioning(spark):
     assert plan.count("Exchange") == 1, (
         "pack aggregate must reuse the window's source partitioning"
     )
+
+
+def test_tfidf_ranks_with_group_limit_no_vocab_broadcast_join(spark):
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    # df comes from a window over tf, not a vocabulary-sized join side
+    assert plan.count("Window") >= 2
