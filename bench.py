@@ -66,6 +66,7 @@ HEADLINE = [
     "quota_cap_per_source",
     "pack_sequences",
     "tfidf_top_terms",
+    "zscore_outliers",
     "ann_topk_bruteforce",
     "ann_topk_bucketed",
     "ann_topk_lsh",

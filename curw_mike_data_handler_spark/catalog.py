@@ -2563,6 +2563,71 @@ def tfidf_top_terms(spark, sf_dir):
     )
 
 
+@query(
+    "zscore_outliers",
+    """
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+    ), m AS (
+        SELECT event_type, v,
+               CAST(sum(v) OVER (PARTITION BY event_type) AS DOUBLE) AS s1,
+               CAST(sum(v * v) OVER (PARTITION BY event_type) AS DOUBLE) AS s2,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    ), z AS (
+        SELECT event_type,
+               CASE WHEN s2 / 10000.0 / n - (s1 / 100.0 / n) * (s1 / 100.0 / n) > 0
+                    THEN (CAST(v AS DOUBLE) / 100.0 - s1 / 100.0 / n)
+                         / sqrt(s2 / 10000.0 / n
+                                - (s1 / 100.0 / n) * (s1 / 100.0 / n))
+               END AS z
+        FROM m
+    )
+    SELECT event_type, count(*) AS n,
+           sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS n_outliers,
+           round(min(z), 6) AS min_z, round(max(z), 6) AS max_z
+    FROM z GROUP BY event_type
+    """,
+)
+def zscore_outliers(spark, sf_dir):
+    """Per-group z-score normalization + outlier census (the feature-
+    standardization step of a training pipeline).  Group moments come
+    from a window (Σv, Σv² as exact longs — same algebra as
+    t_profile_stats), the z expression is the byte-identical double
+    algebra in both engines (÷, ×, sqrt are all IEEE correctly rounded,
+    so |z| > 2 can't flip across engines), and the final census
+    aggregate reuses the window's event_type partitioning — ONE
+    exchange end-to-end.  Degenerate groups (var ≤ 0) yield NULL z and
+    drop out of the census rather than dividing by zero."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    m = ev.select("event_type", _cents("value").alias("v")).select(
+        "event_type",
+        "v",
+        F.sum("v").over(w).cast("double").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(w).cast("double").alias("s2"),
+        F.count("*").over(w).alias("n"),
+    )
+    mean = F.col("s1") / 100.0 / F.col("n")
+    var = F.col("s2") / 10000.0 / F.col("n") - mean * mean
+    z = F.when(
+        var > 0,
+        (F.col("v").cast("double") / 100.0 - mean) / F.sqrt(var),
+    )
+    return (
+        m.select("event_type", z.alias("z"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.abs("z") > 2, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.min("z"), 6).alias("min_z"),
+            F.round(F.max("z"), 6).alias("max_z"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

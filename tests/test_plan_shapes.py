@@ -203,3 +203,10 @@ def test_tfidf_ranks_with_group_limit_no_vocab_broadcast_join(spark):
     assert "SortMergeJoin" not in plan
     # df comes from a window over tf, not a vocabulary-sized join side
     assert plan.count("Window") >= 2
+
+
+def test_zscore_single_exchange_reuses_window_partitioning(spark):
+    plan = _plan(spark, "zscore_outliers")
+    assert plan.count("Exchange") == 1, (
+        "census aggregate must reuse the moment window's event_type partitioning"
+    )
