@@ -2628,6 +2628,238 @@ def zscore_outliers(spark, sf_dir):
     )
 
 
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(sum(l.l_extendedprice::DECIMAL(18,2) * (1 - l.l_discount::DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1999-12-31'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year.  The cross-table nation-pair disjunction is rewritten
+    Q19-style: each side gets its implied prefilter (supplier and
+    customer both restricted to the two nations BEFORE their joins),
+    and the residual condition collapses to supp_nation ≠ cust_nation.
+    Suppliers⋈nation broadcast into the fact; the date range pushes to
+    the lineitem scan; customer joins orders on the shuffle key it
+    already needs.  One agg exchange on the 2×2×years group space."""
+    pair = ("NATION_1", "NATION_2")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.filter(F.col("n_name").isin(*pair)).withColumnRenamed("n_name", "supp_nation")
+    n2 = n.filter(F.col("n_name").isin(*pair)).withColumnRenamed("n_name", "cust_nation")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == n1["n_nationkey"]
+    )
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == n2["n_nationkey"]
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1999-12-31").cast("timestamp")
+        )
+    )
+    o = _t(spark, sf_dir, "orders")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg((F.sum(rev) / 1e4).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    WITH flat AS (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev,
+               n2.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE 0 END) AS DOUBLE)
+               / CAST(sum(rev) AS DOUBLE) AS mkt_share,
+           CAST(sum(rev) AS DOUBLE) / 1e4 AS total_volume
+    FROM flat GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of regional market volume by
+    order year — the deepest join in the catalog (7 tables: fact +
+    2×nation + region + part + supplier + customer + orders).  Every
+    dimension chain folds into a broadcast BEFORE touching the fact:
+    part is filtered to one type, customer is semi-reduced to the ASIA
+    region via nation⋈region.  Share = exact-long conditional sum ÷
+    exact-long total in ONE pass (no numerator/denominator re-scan);
+    the single FP division is IEEE-identical across engines."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select("n_nationkey")
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n1), F.col("c_nationkey") == n1["n_nationkey"]
+    ).select("c_custkey")
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key")
+    ).select("s_suppkey", "supp_nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    flat = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev.alias("rev"),
+            "supp_nation",
+        )
+    )
+    return flat.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("rev")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("rev").cast("double")
+        ).alias("mkt_share"),
+        (F.sum("rev") / 1e4).alias("total_volume"),
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                    - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                        * CAST(round(l.l_quantity) AS BIGINT) * 100) AS DOUBLE) / 1e4
+               AS sum_profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit on a product line by supplier nation and
+    order year.  The reference schema has no partsupp/supplycost, so
+    cost = p_retailprice × quantity — which keeps Q9's defining
+    property: the profit expression spans THREE tables (lineitem price,
+    part cost, orders year).  The LIKE filter prunes part before its
+    broadcast; profit is computed per row in exact 1e-4 units (both
+    terms scaled to the same fixed point) so the grouped sum is
+    order-independent.  Only orders joins on a shuffle; one final agg
+    exchange."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    amount = _cents("l_extendedprice") * (100 - _cents("l_discount")) - _cents(
+        "p_retailprice"
+    ) * F.round("l_quantity").cast("long") * 100
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg((F.sum(amount) / 1e4).alias("sum_profit"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum(l.l_extendedprice::DECIMAL(18,2) * (1 - l.l_discount::DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           CAST(c.c_acctbal AS DOUBLE) AS acctbal, n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1999-10-01'
+      AND o.o_orderdate < TIMESTAMP '2000-01-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) DESC,
+             c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter.  The quarter predicate pushes to the orders scan and
+    the returnflag predicate to the lineitem scan before their join;
+    nation broadcasts.  The top-20 cut ranks on the exact integer
+    revenue with c_custkey as tie-break (total order — no ULP flip can
+    reorder the boundary), and Spark's TakeOrderedAndProject keeps the
+    limit partial: each partition ships only its own top 20."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).alias("__rev"))
+        .orderBy(F.desc("__rev"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("__rev") / 1e4).alias("revenue"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
