@@ -2860,6 +2860,126 @@ def q10_returned_items(spark, sf_dir):
     )
 
 
+@query(
+    "q12_late_shipments",
+    """
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate < TIMESTAMP '2000-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_late_shipments(spark, sf_dir):
+    """TPC-H Q12 shape: join the fact to order headers, keep only
+    late shipments (a CROSS-TABLE inequality — ship ≥ order date + 90
+    days — that can't push to either scan), then count lines by order
+    priority class in one conditional pass.  The single-table bound
+    (shipdate < 2000) DOES push down; the inequality runs as a post-
+    join residual on the equi-join.  Both sides hash on orderkey —
+    the partitioning a bucketed layout would make free — and the
+    3-group agg collapses map-side."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, … orders —
+    the one query whose semantics REQUIRE an outer join (zero-order
+    customers must survive as count 0).  The priority predicate lives
+    in the join condition, not the WHERE (a WHERE would silently turn
+    the join inner); in Spark that's expressed by prefiltering the
+    right side, which is equivalent for right-side predicates and
+    lets the filter push to the orders scan.  Double aggregation:
+    per-customer counts reuse the join's custkey hash; the tiny
+    distribution regroup is the only extra exchange."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate < TIMESTAMP '1999-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) / 1e4 AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) achieving maximum quarterly
+    revenue — a scalar subquery over a derived view, reused twice.
+    The revenue view is computed ONCE (cached logical subtree; Spark
+    reuses the exchange), its 1-row max broadcasts back onto itself,
+    and the equality keeps ties exactly — revenue is an exact long,
+    so "equal to the max" is a well-defined comparison in both
+    engines (the textbook FP formulation can drop a tied supplier to
+    a ulp).  Supplier joins by broadcast; no shuffle beyond the one
+    revenue agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("total_rev"))
+    )
+    top = rev.crossJoin(F.broadcast(rev.agg(F.max("total_rev").alias("__mx")))).filter(
+        F.col("total_rev") == F.col("__mx")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return top.join(F.broadcast(s), top["supplier_no"] == s["s_suppkey"]).select(
+        "s_suppkey", "s_name", (F.col("total_rev") / 1e4).alias("total_revenue")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
