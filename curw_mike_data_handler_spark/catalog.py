@@ -2980,6 +2980,277 @@ def q15_top_supplier(spark, sf_dir):
     )
 
 
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH li_f AS (
+        SELECT l.l_partkey, p.p_brand, s.s_name, n.n_name AS nation,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size = 15
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    ), m AS (
+        SELECT *, min(price) OVER (PARTITION BY l_partkey) AS part_min FROM li_f
+    )
+    SELECT DISTINCT l_partkey AS p_partkey, p_brand, s_name, nation,
+           CAST(price AS DOUBLE) / 100.0 AS best_price
+    FROM m WHERE price = part_min
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each part, the European supplier(s) quoting
+    the minimum price — a correlated MIN subquery.  Same decorrelation
+    as q17: the correlated scalar becomes ONE window over the already-
+    filtered slice (part size and supplier region prune via broadcasts
+    BEFORE the window shuffle on partkey), rows at the minimum survive,
+    and a distinct collapses repeat quotes.  Price is an exact long so
+    "equals the min" keeps ties identically in both engines.  ONE
+    exchange total: the distinct's keys ⊇ the window's partition key,
+    so it reuses the hash(l_partkey) clustering — the textbook
+    agg-then-join-back needs three."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15).select("p_partkey", "p_brand")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"]
+    ).select("n_nationkey", F.col("n_name").alias("nation"))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    li_f = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .select("l_partkey", "p_brand", "s_name", "nation", _cents("l_extendedprice").alias("price"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li_f.withColumn("part_min", F.min("price").over(w))
+        .filter(F.col("price") == F.col("part_min"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            "nation",
+            (F.col("price") / 100.0).alias("best_price"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH pr AS (
+        SELECT l.l_partkey,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS part_rev
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_5'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS p_partkey, CAST(part_rev AS DOUBLE) / 1e4 AS part_value
+    FROM pr WHERE part_rev * 1000 > (SELECT sum(part_rev) FROM pr)
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts carrying an outsized share (> 0.1 %) of
+    one nation's traded value — a grouped aggregate filtered against a
+    scalar aggregate of ITSELF.  The nation filter reduces lineitem
+    via a broadcast before the one per-part shuffle; the grand total
+    re-aggregates the per-part result (tiny) and broadcasts back as a
+    1-row build side.  The share test is integer cross-multiplied
+    (rev·1000 > Σrev) — no FP fraction whose rounding could admit or
+    drop a boundary part.  Exchange count: one fact-sized, one
+    part-count-sized."""
+    n5 = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n5), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    pr = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("part_rev"))
+    )
+    tot = pr.agg(F.sum("part_rev").alias("__tot"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_rev") * 1000 > F.col("__tot"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("part_rev") / 1e4).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, type, size) bucket, excluding a complaint list — NOT IN
+    over a subquery plus COUNT(DISTINCT) in one query.  The exclusion
+    list (negative-balance suppliers; s_suppkey is non-nullable so
+    NOT IN ≡ anti join) broadcasts as a LeftAnti build side; part's
+    three predicates prune it before ITS broadcast.  The distinct
+    count runs as Catalyst's two-phase expand (partial dedup of
+    (group, suppkey) map-side, then final count) — no pre-distinct
+    materialization of the pair set is needed."""
+    complaints = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(complaints), li["l_suppkey"] == complaints["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_heavy_shippers",
+    """
+    WITH li_f AS (
+        SELECT l.l_partkey, l.l_suppkey, CAST(round(l.l_quantity) AS BIGINT) AS qty
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
+        WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l.l_shipdate < TIMESTAMP '1999-01-01'
+    ), m AS (
+        SELECT l_partkey, l_suppkey, sum(qty) AS supp_qty,
+               sum(sum(qty)) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM li_f GROUP BY l_partkey, l_suppkey
+    ), heavy AS (
+        SELECT DISTINCT l_suppkey FROM m WHERE supp_qty * 2 > part_qty
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN heavy h ON s.s_suppkey = h.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_regionkey = 2
+    """,
+)
+def q20_heavy_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who moved a dominant share (> 50 %)
+    of some product-line part's yearly volume — a nested correlated
+    threshold (per-part total) deciding a semi join against supplier.
+    Decorrelated with the window-over-the-slice trick, but here the
+    window comes FIRST: the per-part total is a window sum over the
+    broadcast-pruned fact slice, and the per-(part, supplier) rollup
+    then reuses the window's hash(l_partkey) clustering (grouping keys
+    ⊇ partition keys ⇒ no second exchange).  The qualifying supplier
+    set is tiny → broadcast semi join into supplier⋈nation.  Exact
+    integer quantities make the 50 % cut tie-stable."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li_f = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey", "l_suppkey", F.round("l_quantity").cast("long").alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    m = (
+        li_f.withColumn("part_qty", F.sum("qty").over(w))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("supp_qty"), F.max("part_qty").alias("part_qty"))
+    )
+    heavy = m.filter(F.col("supp_qty") * 2 > F.col("part_qty")).select("l_suppkey").distinct()
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return s.join(F.broadcast(heavy), s["s_suppkey"] == heavy["l_suppkey"]).select(
+        "s_suppkey", "s_name", F.col("n_name").alias("nation")
+    )
+
+
+@query(
+    "q21_sole_late_shipper",
+    """
+    WITH m AS (
+        SELECT l_orderkey, l_suppkey,
+               max(l_shipdate) OVER (PARTITION BY l_orderkey, l_suppkey) AS supp_last,
+               max(l_shipdate) OVER (PARTITION BY l_orderkey) AS order_last
+        FROM lineitem
+    ), os AS (
+        SELECT DISTINCT l_orderkey, l_suppkey, supp_last, order_last FROM m
+    ), m2 AS (
+        SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+               sum(CASE WHEN supp_last = order_last THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY l_orderkey) AS n_at_max
+        FROM os
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM m2 JOIN supplier s ON s.s_suppkey = m2.l_suppkey
+    WHERE n_supp > 1 AND n_at_max = 1 AND supp_last = order_last
+    GROUP BY s.s_name
+    """,
+)
+def q21_sole_late_shipper(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier
+    orders — the double-correlated EXISTS / NOT EXISTS (another
+    supplier exists in the order; no other supplier shipped as late).
+    Both existentials decorrelate into window aggregates over ONE
+    hash(l_orderkey) exchange: per-(order, supplier) last ship date
+    (partition keys ⊇ ok reuse the clustering), per-order last date,
+    then — after a dedup to supplier grain that again reuses the
+    clustering — the supplier count and the count at the max.  "Sole
+    latest" = n_supp > 1 ∧ n_at_max = 1 ∧ own max = order max, all on
+    exact timestamps.  Per-supplier tallies then join supplier by
+    broadcast and regroup on the 100-row name space."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    m = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.max("l_shipdate").over(Window.partitionBy("l_orderkey", "l_suppkey")).alias("supp_last"),
+        F.max("l_shipdate").over(Window.partitionBy("l_orderkey")).alias("order_last"),
+    )
+    os_ = m.dropDuplicates(["l_orderkey", "l_suppkey"])
+    w_o = Window.partitionBy("l_orderkey")
+    m2 = os_.select(
+        "*",
+        F.count("*").over(w_o).alias("n_supp"),
+        F.sum(F.when(F.col("supp_last") == F.col("order_last"), 1).otherwise(0))
+        .over(w_o)
+        .alias("n_at_max"),
+    ).filter(
+        (F.col("n_supp") > 1)
+        & (F.col("n_at_max") == 1)
+        & (F.col("supp_last") == F.col("order_last"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        m2.join(F.broadcast(s), m2["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
