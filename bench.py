@@ -36,6 +36,18 @@ HEADLINE = [
     "q19_disjunctive",
     "q17_small_qty_revenue",
     "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_heavy_shippers",
+    "q21_sole_late_shipper",
     "a11_cube",
     "s4_filtered_scan",
     "s5_active_stations",
@@ -57,6 +69,9 @@ HEADLINE = [
     "w2_topk_per_group",
     "rf_weighted_catchment",
     "events_sessionize",
+    "events_interval_merge",
+    "w7_ratio_to_report",
+    "mad_anomalies",
     "tide_pipeline_shape",
     "dedup_exact",
     "embedding_neardup",

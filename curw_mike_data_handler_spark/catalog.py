@@ -3251,6 +3251,176 @@ def q21_sole_late_shipper(spark, sf_dir):
     )
 
 
+@query(
+    "events_interval_merge",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > 1800000000 THEN 1 ELSE 0 END AS brk
+        FROM events
+    ), g AS (
+        SELECT user_id, t,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM e
+    ), iv AS (
+        SELECT user_id, grp, min(t) AS t0, max(t) AS t1 FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id, count(*) AS n_intervals,
+           sum((t1 - t0) // 1000000) AS total_span_sec,
+           max((t1 - t0) // 1000000) AS longest_span_sec
+    FROM iv GROUP BY user_id
+    """,
+)
+def events_interval_merge(spark, sf_dir):
+    """Gaps-and-islands interval merge: coalesce each user's event
+    stream into activity intervals separated by > 30-minute silences,
+    then report per-user interval count and span statistics — the
+    classic sessionize extended to interval BOUNDARIES (sessionize
+    only counts).  Break flags come from lag, island ids from a
+    running sum over the same ordering, and then BOTH rollups (island
+    extent, user census) reuse the window's hash(user_id) clustering
+    because their grouping keys contain the partition key — the whole
+    operator is ONE exchange plus per-partition sorts.  Span math is
+    integer micros → integer div, no FP anywhere."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    brk = F.when(F.col("t") - F.lag("t").over(w) > 1_800_000_000, 1).otherwise(0)
+    grp = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    iv = (
+        ev.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    )
+    span = F.expr("(t1 - t0) div 1000000")
+    return iv.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(span).alias("total_span_sec"),
+        F.max(span).alias("longest_span_sec"),
+    )
+
+
+@query(
+    "w7_ratio_to_report",
+    """
+    WITH nat AS (
+        SELECT n.n_name AS nation, r.r_name AS region,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT nation, region, CAST(rev AS DOUBLE) / 1e4 AS revenue,
+           CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE)
+               AS region_share,
+           CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE) AS global_share
+    FROM nat
+    """,
+)
+def w7_ratio_to_report(spark, sf_dir):
+    """Ratio-to-report windows: each nation's revenue as a share of
+    its region and of the world.  Aggregate FIRST (fact collapses to
+    25 nation rows in the one real exchange), then run both share
+    windows over the tiny result — windowing the raw fact by its
+    5-value region key would serialize 1/5 of the data per task at
+    scale.  Shares are exact-long sums divided once in doubles, so
+    both engines emit bit-identical ratios.  The empty-frame global
+    window is a deliberate single-partition step on 25 rows, never on
+    the fact."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dim = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    nat = (
+        li.join(F.broadcast(dim), li["l_suppkey"] == dim["s_suppkey"])
+        .groupBy("nation", "region")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    w_r = Window.partitionBy("region")
+    w_g = Window.partitionBy()
+    return nat.select(
+        "nation",
+        "region",
+        (F.col("rev") / 1e4).alias("revenue"),
+        (F.col("rev").cast("double") / F.sum("rev").over(w_r).cast("double")).alias(
+            "region_share"
+        ),
+        (F.col("rev").cast("double") / F.sum("rev").over(w_g).cast("double")).alias(
+            "global_share"
+        ),
+    )
+
+
+@query(
+    "mad_anomalies",
+    """
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+    ), med AS (
+        SELECT event_type, quantile_cont(v, 0.5) AS med_c FROM c GROUP BY event_type
+    ), dev AS (
+        SELECT c.event_type, c.v, abs(c.v - med.med_c) AS d
+        FROM c JOIN med ON c.event_type = med.event_type
+    ), mad AS (
+        SELECT event_type, quantile_cont(d, 0.5) AS mad_c FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type, count(*) AS n,
+           round(CAST(max(med_c) AS DOUBLE) / 100.0, 6) AS median_value,
+           round(CAST(max(mad_c) AS DOUBLE) / 100.0, 6) AS mad_value,
+           sum(CASE WHEN d > 3 * mad_c THEN 1 ELSE 0 END) AS n_outliers
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    JOIN med ON dev.event_type = med.event_type
+    GROUP BY dev.event_type
+    """,
+)
+def mad_anomalies(spark, sf_dir):
+    """Robust anomaly detection by median absolute deviation — the
+    outlier census z-scores can't give when the distribution has heavy
+    tails (median/MAD have a 50 % breakdown point; mean/stddev, 0 %).
+    Medians are holistic, so this is inherently two-pass: per-group
+    median, deviations, per-group MAD, census.  Each aggregate output
+    is group-cardinality-sized (8 rows) and broadcasts back onto the
+    fact — the fact itself is scanned twice but never shuffled (the
+    small agg exchanges move ~nothing).  All medians run on exact
+    integer cents (interpolation at worst introduces an exact .5),
+    |v − med| is exact in doubles, and the 3×MAD threshold compare is
+    therefore engine-invariant.  At corpus scale swap percentile for
+    approx_percentile and fold both passes' thresholds into one scan."""
+    ev = _t(spark, sf_dir, "events").select("event_type", _cents("value").alias("v"))
+    med = ev.groupBy("event_type").agg(F.expr("percentile(v, 0.5)").alias("med_c"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "v", F.abs(F.col("v") - F.col("med_c")).alias("d"), "med_c"
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(d, 0.5)").alias("mad_c"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("med_c").cast("double") / 100.0, 6).alias("median_value"),
+            F.round(F.max("mad_c").cast("double") / 100.0, 6).alias("mad_value"),
+            F.sum(F.when(F.col("d") > 3 * F.col("mad_c"), 1).otherwise(0)).alias("n_outliers"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
