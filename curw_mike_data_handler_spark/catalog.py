@@ -724,7 +724,8 @@ def rf_weighted_catchment(spark, sf_dir):
                     THEN 1 ELSE 0 END AS new_session
         FROM events
     )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
     FROM marked GROUP BY user_id
     """,
 )
@@ -1200,7 +1201,7 @@ def p8_grid_validation(spark, sf_dir):
     "f_json_extract",
     """
     SELECT event_type,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_missing
     FROM events GROUP BY event_type
     """,
@@ -1781,7 +1782,7 @@ def ann_topk_lsh_q(spark, sf_dir):
     f"""
     SELECT source,
            count(*) AS n_docs,
-           sum(len({_TOKENS})) AS total_tokens,
+           CAST(sum(len({_TOKENS})) AS BIGINT) AS total_tokens,
            round(avg(CAST(len({_TOKENS}) AS DOUBLE)), 6) AS avg_tokens
     FROM documents GROUP BY source
     """,
@@ -1800,7 +1801,7 @@ def text_token_stats(spark, sf_dir):
     "text_bpe_tokens",
     r"""
     SELECT source,
-           sum(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_ \t\n\r]'))) AS total_pieces,
+           CAST(sum(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_ \t\n\r]'))) AS BIGINT) AS total_pieces,
            count(*) AS n_docs
     FROM documents GROUP BY source
     """,
@@ -2348,7 +2349,7 @@ def decontam_ngram(spark, sf_dir):
         SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_tok_n
         FROM freq GROUP BY 1
     )
-    SELECT doc_id, n_tokens, n_distinct, top_tok_n,
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_distinct, top_tok_n,
            round(n_distinct / n_tokens, 6) AS distinct_ratio,
            round(top_tok_n / n_tokens, 6) AS top_tok_frac,
            (n_distinct / n_tokens < 0.45 OR top_tok_n / n_tokens > 0.12) AS repetitive
@@ -2461,7 +2462,7 @@ _PACK_BUDGET = 256  # tokens per training sequence pack
     SELECT source,
            CAST(floor((cum - tok) / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
            count(*) AS n_docs,
-           sum(tok) AS pack_tokens
+           CAST(sum(tok) AS BIGINT) AS pack_tokens
     FROM c
     GROUP BY source, pack_id
     """,
@@ -2584,7 +2585,7 @@ def tfidf_top_terms(spark, sf_dir):
         FROM m
     )
     SELECT event_type, count(*) AS n,
-           sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            round(min(z), 6) AS min_z, round(max(z), 6) AS max_z
     FROM z GROUP BY event_type
     """,
@@ -2864,10 +2865,10 @@ def q10_returned_items(spark, sf_dir):
     "q12_late_shipments",
     """
     SELECT l.l_returnflag,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-               AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-               AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
       AND l.l_shipdate < TIMESTAMP '2000-01-01'
@@ -3269,7 +3270,7 @@ def q21_sole_late_shipper(spark, sf_dir):
         SELECT user_id, grp, min(t) AS t0, max(t) AS t1 FROM g GROUP BY user_id, grp
     )
     SELECT user_id, count(*) AS n_intervals,
-           sum((t1 - t0) // 1000000) AS total_span_sec,
+           CAST(sum((t1 - t0) // 1000000) AS BIGINT) AS total_span_sec,
            max((t1 - t0) // 1000000) AS longest_span_sec
     FROM iv GROUP BY user_id
     """,
@@ -3384,7 +3385,7 @@ def w7_ratio_to_report(spark, sf_dir):
     SELECT dev.event_type, count(*) AS n,
            round(CAST(max(med_c) AS DOUBLE) / 100.0, 6) AS median_value,
            round(CAST(max(mad_c) AS DOUBLE) / 100.0, 6) AS mad_value,
-           sum(CASE WHEN d > 3 * mad_c THEN 1 ELSE 0 END) AS n_outliers
+           CAST(sum(CASE WHEN d > 3 * mad_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev JOIN mad ON dev.event_type = mad.event_type
     JOIN med ON dev.event_type = med.event_type
     GROUP BY dev.event_type
