@@ -182,16 +182,18 @@ def q1_pricing_summary(spark, sf_dir):
     """,
 )
 def q3_top_revenue_orders(spark, sf_dir):
-    """3-way join (broadcast dims) + top-k: customer ⋈ orders ⋈
-    lineitem, revenue rank.  DECIMAL revenue makes the top-10 cut
-    deterministic across engines; o_orderkey breaks ties."""
+    """3-way join + top-k: customer ⋈ orders ⋈ lineitem, revenue rank.
+    DECIMAL revenue makes the top-10 cut deterministic across engines;
+    o_orderkey breaks ties.  Customer scales with SF, so it carries NO
+    broadcast hint — AQE broadcasts it at small scale and falls back to
+    a shuffle join when the build side would not fit."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     li = _t(spark, sf_dir, "lineitem")
     rev_units = _cents("l_extendedprice") * (100 - _cents("l_discount"))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum(rev_units).alias("__rev"))
         .orderBy(F.desc("__rev"), F.asc("o_orderkey"))
@@ -830,8 +832,11 @@ def q4_order_priority(spark, sf_dir):
     """,
 )
 def q5_regional_revenue(spark, sf_dir):
-    """Deep multi-join (TPC-H Q5 shape): fact ⋈ 5 dims, every dim side
-    broadcast; one shuffle for the final group."""
+    """Deep multi-join (TPC-H Q5 shape): fact ⋈ 5 dims.  Fixed-size
+    dims (supplier/nation/region) are hint-broadcast; customer GROWS
+    with SF so it carries no hint — AQE broadcasts it while it fits
+    and degrades to a shuffle join at scale instead of OOMing the
+    build side."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -841,7 +846,7 @@ def q5_regional_revenue(spark, sf_dir):
     rev_units = _cents("l_extendedprice") * (100 - _cents("l_discount"))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
             F.broadcast(s),
             (s["s_suppkey"] == li["l_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]),

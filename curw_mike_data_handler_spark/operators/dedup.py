@@ -61,10 +61,27 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.6,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All pairs (a<b) with token-set Jaccard ≥ threshold via the
-    inverted-index self-join plan."""
+    inverted-index self-join plan.
+
+    ``max_df`` is the skew guard for corpus scale: a token present in d
+    documents contributes d² rows to the self-join, so stop-word-grade
+    tokens dominate the shuffle.  When set, tokens with document
+    frequency > max_df are dropped BEFORE the join (one extra count
+    window on the posting list — no second pass over the corpus), and
+    per-doc sizes are computed on the capped token sets so the reported
+    Jaccard is exactly the Jaccard of those sets (self-consistent, no
+    systematic underestimate).  With no token over the cap the output
+    is identical to the uncapped plan (property-tested)."""
     dt = _distinct_doc_tokens(docs, id_col, text_col)
+    if max_df is not None:
+        df_counts = dt.groupBy("token").agg(F.count("*").alias("__df"))
+        dt = (
+            dt.join(df_counts.filter(F.col("__df") <= max_df), "token")
+            .select("doc", "token")
+        )
     sizes = dt.groupBy("doc").agg(F.count("*").alias("n_tokens"))
     a = dt.select(F.col("doc").alias("doc_a"), "token")
     b = dt.select(F.col("doc").alias("doc_b"), "token")

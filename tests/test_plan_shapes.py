@@ -64,6 +64,40 @@ def test_multi_join_broadcasts_every_dim(spark):
     assert "SortMergeJoin" not in plan, "no dim in q5 is big enough to shuffle the fact"
 
 
+def test_no_forced_broadcast_on_sf_scaling_relations(spark):
+    """customer/orders/lineitem grow with SF — a hard broadcast hint on
+    any of them OOMs the build side at cluster scale.  Hints are
+    reserved for fixed-size dims (nation/region) and the supplier-sized
+    station dims; AQE handles the scaling relations.  Checked at the
+    analyzed-plan level: no ResolvedHint may sit above a scan of a
+    scaling relation."""
+    import re
+
+    for name in ("q3_top_revenue_orders", "q5_regional_revenue", "q8_market_share"):
+        df = catalog.QUERIES[name](spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        # each ResolvedHint node governs the subtree printed under it at
+        # deeper indentation; the first Relation at deeper indent is the
+        # hinted scan
+        lines = analyzed.splitlines()
+        for i, line in enumerate(lines):
+            if "ResolvedHint" not in line:
+                continue
+            for nxt in lines[i + 1 :]:
+                if "Relation" not in nxt:
+                    continue
+                m = re.search(r"(customer|orders|lineitem)\.parquet", nxt)
+                assert m is None, (
+                    f"{name}: forced broadcast above scaling relation "
+                    f"{m.group(1) if m else ''}:\n{line}\n{nxt}"
+                )
+                break
+    # and the behavior at test scale is unchanged: AQE/stats still
+    # broadcast the small sides (no sort-merge join appears)
+    plan = _plan(spark, "q5_regional_revenue")
+    assert "SortMergeJoin" not in plan
+
+
 def test_resample_reads_only_needed_columns(spark):
     plan = _plan(spark, "a1_resample_right_closed")
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]

@@ -188,3 +188,53 @@ def test_ivf_chain_end_to_end(spark):
     clusters = {r["vec_id"]: r["ivf"] for r in bucketed.collect()}
     for r in rows:
         assert clusters[r["query_id"]] == clusters[r["neighbor_id"]]
+
+
+def test_jaccard_df_cap_noop_when_under_cap_and_correct_when_over(spark):
+    """The document-frequency skew guard: with every token's df under
+    the cap the capped plan returns EXACTLY the uncapped result; with a
+    stop-word-grade token over the cap, the result equals the naive
+    Jaccard computed on the capped token sets."""
+    from itertools import combinations
+
+    from curw_mike_data_handler_spark.operators.dedup import jaccard_pairs
+
+    corpus = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),
+        (3, "alpha zeta eta theta"),
+        (4, "alpha beta gamma delta"),
+        (5, "iota kappa lambda alpha"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+
+    def naive(max_df):
+        toks = {i: set(t.split()) for i, t in corpus}
+        if max_df is not None:
+            df = {}
+            for s in toks.values():
+                for tok in s:
+                    df[tok] = df.get(tok, 0) + 1
+            toks = {i: {t for t in s if df[t] <= max_df} for i, s in toks.items()}
+        out = set()
+        for a, b in combinations(sorted(toks), 2):
+            union = toks[a] | toks[b]
+            if not union:
+                continue
+            j = len(toks[a] & toks[b]) / len(union)
+            if round(j, 6) >= 0.5:
+                out.add((a, b, round(j, 6)))
+        return out
+
+    def run(max_df):
+        return {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in jaccard_pairs(docs, threshold=0.5, max_df=max_df).collect()
+        }
+
+    uncapped = run(None)
+    assert uncapped == naive(None)
+    # 'alpha' has df=5; cap=5 keeps everything -> identical output
+    assert run(5) == uncapped
+    # cap=4 drops 'alpha' everywhere -> matches naive on capped sets
+    assert run(4) == naive(4)
