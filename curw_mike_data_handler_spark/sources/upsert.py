@@ -90,23 +90,34 @@ def latest_fgt_view(data: DataFrame, key: str = "tms_id", fgt_col: str = "fgt") 
     )
 
 
-def jdbc_upsert_partition(rows, *, url: str, table: str, columns: Sequence[str],
-                          key_cols: Sequence[str], batch_size: int = 1000):
+def jdbc_upsert_partition(rows, *, table: str, columns: Sequence[str],
+                          key_cols: Sequence[str], url: str | None = None,
+                          batch_size: int = 1000, connection_factory=None):
     """foreachPartition body: MySQL ``INSERT … ON DUPLICATE KEY UPDATE``
-    parity with wl_x:96.  Requires a DB-API driver (pymysql) at runtime;
-    not exercised in tests (no DB in the container)."""
-    try:
-        import pymysql  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - no driver in container
-        raise NotImplementedError("pymysql not available in this environment") from exc
-    # pragma: no cover — parity implementation, requires live MySQL.
+    parity with wl_x:96.
+
+    ``connection_factory`` is any zero-arg callable returning a DB-API
+    connection — injected so the statement generation, batching and
+    idempotence contract are unit-testable without a live server; the
+    default builds a pymysql connection from ``url`` (requires the
+    driver at runtime)."""
+    if connection_factory is None:
+        try:
+            import pymysql  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - no driver in container
+            raise NotImplementedError("pymysql not available in this environment") from exc
+        conn_kwargs = _parse_mysql_url(url)  # pragma: no cover - live MySQL only
+
+        def connection_factory():  # pragma: no cover
+            return pymysql.connect(**conn_kwargs)
+
     placeholders = ",".join(["%s"] * len(columns))
     updates = ",".join(f"{c}=VALUES({c})" for c in columns if c not in key_cols)
     sql = (
         f"INSERT INTO {table} ({','.join(columns)}) VALUES ({placeholders}) "
         f"ON DUPLICATE KEY UPDATE {updates}"
     )
-    conn = pymysql.connect(**_parse_mysql_url(url))
+    conn = connection_factory()
     try:
         with conn.cursor() as cur:
             batch = []

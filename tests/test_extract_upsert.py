@@ -105,3 +105,85 @@ def test_merge_partial_overlap(spark, tmp_path):
     t.merge(spark.createDataFrame([(2, "B"), (3, "c")], schema))
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+class _FakeUpsertCursor:
+    """DB-API cursor applying MySQL INSERT … ON DUPLICATE KEY UPDATE
+    semantics onto a plain dict, recording every executemany batch."""
+
+    def __init__(self, store):
+        self.store = store
+
+    def executemany(self, sql, batch):
+        self.store["statements"].append((sql, [tuple(b) for b in batch]))
+        n_keys = self.store["n_keys"]
+        for row in batch:
+            self.store["table"][tuple(row[:n_keys])] = tuple(row)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class _FakeUpsertConnection:
+    def __init__(self, store):
+        self.store = store
+
+    def cursor(self):
+        return _FakeUpsertCursor(self.store)
+
+    def commit(self):
+        self.store["commits"] += 1
+
+    def close(self):
+        self.store["closed"] += 1
+
+
+def _fake_store(n_keys):
+    return {"table": {}, "statements": [], "commits": 0, "closed": 0, "n_keys": n_keys}
+
+
+def test_jdbc_upsert_sql_batching_and_idempotence():
+    """The S8 MySQL-parity branch (wl_x:96): generated statement shape,
+    batch splitting, and re-apply ⇒ fixpoint — via an injected fake
+    DB-API connection (no driver in the container)."""
+    from curw_mike_data_handler_spark.sources.upsert import jdbc_upsert_partition
+
+    cols = ["tms_id", "time", "fgt", "value"]
+    keys = ["tms_id", "time", "fgt"]
+    rows = [
+        {"tms_id": f"id{i % 7}", "time": f"t{i}", "fgt": "f1", "value": float(i)}
+        for i in range(2500)
+    ]
+    store = _fake_store(len(keys))
+    jdbc_upsert_partition(
+        iter(rows), table="data", columns=cols, key_cols=keys,
+        batch_size=1000, connection_factory=lambda: _FakeUpsertConnection(store),
+    )
+    sql = store["statements"][0][0]
+    assert sql == (
+        "INSERT INTO data (tms_id,time,fgt,value) VALUES (%s,%s,%s,%s) "
+        "ON DUPLICATE KEY UPDATE value=VALUES(value)"
+    )
+    assert all(s == sql for s, _ in store["statements"])
+    assert [len(b) for _, b in store["statements"]] == [1000, 1000, 500]
+    assert store["commits"] == 1 and store["closed"] == 1
+    assert len(store["table"]) == 2500  # all key tuples distinct
+
+    # duplicate-key rows UPDATE in statement order (last wins), no new rows
+    state1 = dict(store["table"])
+    jdbc_upsert_partition(
+        iter(rows), table="data", columns=cols, key_cols=keys,
+        batch_size=1000, connection_factory=lambda: _FakeUpsertConnection(store),
+    )
+    assert store["table"] == state1  # re-apply is a fixpoint
+    bumped = [dict(r, value=r["value"] + 1) for r in rows[:10]]
+    jdbc_upsert_partition(
+        iter(bumped), table="data", columns=cols, key_cols=keys,
+        connection_factory=lambda: _FakeUpsertConnection(store),
+    )
+    assert len(store["table"]) == 2500
+    for r in bumped:
+        assert store["table"][(r["tms_id"], r["time"], r["fgt"])][-1] == r["value"]
