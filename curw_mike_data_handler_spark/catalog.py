@@ -40,7 +40,12 @@ from curw_mike_data_handler_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from curw_mike_data_handler_spark.operators.multimodal import attach_payload, extract_features
+from curw_mike_data_handler_spark.operators.multimodal import (
+    attach_payload,
+    decode_media,
+    extract_features,
+    synthesize_media,
+)
 from curw_mike_data_handler_spark.operators.resample import resample_sum_right_closed
 from curw_mike_data_handler_spark.operators.similarity import (
     ann_topk_bruteforce,
@@ -1975,6 +1980,33 @@ def multimodal_features_q(spark, sf_dir):
     byte-level features in SQL."""
     media = attach_payload(_t(spark, sf_dir, "documents"))
     return extract_features(media)
+
+
+@query(
+    "multimodal_decode",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                ELSE 'audio/wav' END AS media_type,
+           CASE WHEN doc_id % 3 < 2 THEN 16 + doc_id % 240 END AS width,
+           CASE WHEN doc_id % 3 < 2 THEN 16 + doc_id % 135 END AS height,
+           CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 5) * 4000 END AS sample_rate,
+           CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2 END AS channels,
+           CASE doc_id % 3 WHEN 0 THEN 8 + 8 * (doc_id % 2) WHEN 1 THEN 8
+                ELSE 16 END AS bit_depth,
+           CASE doc_id % 3 WHEN 0 THEN 45 WHEN 1 THEN 41
+                ELSE 44 + (doc_id % 32) * (1 + doc_id % 2) * 2 END AS byte_len
+    FROM documents
+    """,
+)
+def multimodal_decode_q(spark, sf_dir):
+    """REAL media metadata decode: spec-conformant PNG/JPEG/WAV byte
+    streams are built per row (deterministic in doc_id), then the
+    binary headers are actually parsed — IHDR chunk walk, SOF marker
+    scan, RIFF fmt walk — inside Arrow-batched mapInPandas.  The
+    oracle recomputes the expected metadata as a closed form of
+    doc_id, so a parser that misreads any header field hash-fails."""
+    return decode_media(synthesize_media(_t(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------

@@ -5,11 +5,18 @@ Pattern for image/audio/video at corpus scale: the payload is a
 columns, and per-item decode/feature-extract runs as Arrow-batched
 ``mapInPandas`` — the ONLY sanctioned Python hot path in this engine.
 
-The actual media decode is STUBBED (no image/audio libs in this
-container): ``decode_image`` raises NotImplementedError; the shipped
-feature extractor computes deterministic byte-level features (length,
-md5, first-bytes) so the Spark-side plumbing — schema, batching,
-partitioning — is real and testable end-to-end.
+Decode comes in two layers:
+
+* **Header decode is REAL**: ``parse_media_header`` walks actual
+  PNG/JPEG/WAV binary structure (chunk walk, SOF marker scan, RIFF
+  chunk walk) in pure Python — no imaging/audio libs needed — and
+  ``decode_media`` runs it Arrow-batched over the binary column.
+  ``synthesize_media`` builds spec-conformant PNG/JPEG/WAV byte
+  streams deterministically from the row id, so the parse path is
+  exercised on real bytes and oracle-checkable (the expected metadata
+  is a closed form of the id).
+* **Pixel/sample decode stays STUBBED** (``decode_image`` raises — it
+  genuinely needs libjpeg/PIL, absent in this container).
 """
 
 from __future__ import annotations
@@ -46,11 +53,120 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("bit_depth", LongType()),
+        StructField("byte_len", LongType()),
+    ]
+)
+
+
 def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """STUB: real decode needs PIL/libjpeg, absent in this container."""
+    """STUB: full pixel decode needs PIL/libjpeg, absent in this
+    container (header metadata decode is real — parse_media_header)."""
     raise NotImplementedError(
         "image decode requires an imaging library not present in this environment"
     )
+
+
+# -- deterministic spec-conformant media builders (pure Python; run
+#    inside mapInPandas on executors) --------------------------------
+
+def make_png(width: int, height: int, bit_depth: int = 8) -> bytes:
+    """Minimal valid PNG byte stream: signature + IHDR + IEND.  CRCs are
+    zeroed (readers that verify CRCs would reject; the header layout is
+    exact per the PNG spec)."""
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+        + struct.pack(">I", 0) + b"IEND" + b"\x00\x00\x00\x00"
+    )
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG/JFIF: SOI + APP0 + SOF0 (baseline, 3 components) +
+    EOI.  Dimensions live in the SOF0 frame header, exactly where a
+    real decoder reads them."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8, height, width, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def make_wav(sample_rate: int, channels: int, bits: int = 16, n_samples: int = 0) -> bytes:
+    """Minimal RIFF/WAVE: fmt chunk (PCM) + zero-filled data chunk."""
+    import struct
+
+    block_align = channels * (bits // 8)
+    data = b"\x00" * (n_samples * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack(
+        "<I", len(data)
+    ) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_SOF_MARKERS = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_media_header(b: bytes) -> dict:
+    """REAL header decode, pure Python: PNG IHDR chunk walk, JPEG SOF
+    marker scan, RIFF/WAVE fmt chunk walk.  Unknown/truncated payloads
+    → media_type 'unknown' with NULL metadata (never raises: one bad
+    blob must not kill a 100 TB batch)."""
+    import struct
+
+    out = {"media_type": "unknown", "width": None, "height": None,
+           "sample_rate": None, "channels": None, "bit_depth": None}
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            out.update(media_type="image/png", width=w, height=h, bit_depth=b[24])
+        elif b[:2] == b"\xff\xd8":
+            i = 2
+            while i + 4 <= len(b) and b[i] == 0xFF:
+                marker = b[i + 1]
+                if marker in _SOF_MARKERS:
+                    precision = b[i + 4]
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    out.update(media_type="image/jpeg", width=w, height=h,
+                               bit_depth=precision)
+                    break
+                if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # standalone
+                    i += 2
+                    continue
+                (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+                i += 2 + seg_len
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            i = 12
+            while i + 8 <= len(b):
+                cid = b[i : i + 4]
+                (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+                if cid == b"fmt ":
+                    _, ch, sr, _, _, bits = struct.unpack("<HHIIHH", b[i + 8 : i + 24])
+                    out.update(media_type="audio/wav", sample_rate=sr,
+                               channels=ch, bit_depth=bits)
+                    break
+                i += 8 + size + (size & 1)
+    except (struct.error, IndexError):
+        pass
+    return out
 
 
 def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -94,6 +210,66 @@ def extract_features(media: DataFrame, parallelism: int | None = None) -> DataFr
             )
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def _synth_params(mid: int) -> tuple[str, dict]:
+    """Deterministic id → media parameters (the closed form the DuckDB
+    oracle recomputes in SQL — keep the two in lockstep)."""
+    kind = mid % 3
+    if kind == 0:
+        return "png", {"width": 16 + mid % 240, "height": 16 + mid % 135,
+                       "bit_depth": 8 + 8 * (mid % 2)}
+    if kind == 1:
+        return "jpeg", {"width": 16 + mid % 240, "height": 16 + mid % 135}
+    return "wav", {"sample_rate": 8000 + (mid % 5) * 4000,
+                   "channels": 1 + mid % 2, "n_samples": mid % 32}
+
+
+def synthesize_media(ids: DataFrame, id_col: str = "doc_id",
+                     parallelism: int | None = None) -> DataFrame:
+    """id column → (media_id, media_type, payload) with REAL binary
+    payloads (spec-conformant PNG/JPEG/WAV built per row).  Stands in
+    for the object-store fetch stage of a production pipeline; being
+    deterministic in the id keeps the downstream decode oracle-able."""
+    sc = ids.sparkSession.sparkContext
+    n = parallelism or min(sc.defaultParallelism, 16)
+    src = ids.select(F.col(id_col).cast("long").alias("media_id"))
+    if src.rdd.getNumPartitions() < n:
+        src = src.repartition(n)
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        builders = {"png": make_png, "jpeg": make_jpeg, "wav": make_wav}
+        mime = {"png": "image/png", "jpeg": "image/jpeg", "wav": "audio/wav"}
+        for pdf in batches:
+            kinds, payloads = [], []
+            for mid in pdf["media_id"]:
+                kind, params = _synth_params(int(mid))
+                kinds.append(mime[kind])
+                payloads.append(builders[kind](**params))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "media_type": kinds, "payload": payloads}
+            )
+
+    return src.mapInPandas(_build, schema=MEDIA_SCHEMA)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL header decode of the binary payload column →
+    typed metadata (MEDIA_META_SCHEMA).  The per-batch loop is plain
+    Python over bytes objects — at scale, parallelism comes from input
+    splits exactly as in extract_features."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_media_header(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out["byte_len"] = pdf["payload"].map(len).astype("int64")
+            for c in ("width", "height", "sample_rate", "channels", "bit_depth"):
+                out[c] = out[c].astype("Int64")
+            yield out[[f.name for f in MEDIA_META_SCHEMA.fields]]
+
+    return media.mapInPandas(_decode, schema=MEDIA_META_SCHEMA)
 
 
 def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:

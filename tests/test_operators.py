@@ -260,3 +260,50 @@ def test_kmeans_assign_deterministic_and_separating(spark):
         groups.setdefault(vid % 3, set()).add(c)
     assert all(len(cs) == 1 for cs in groups.values()), "each true cluster maps to one label"
     assert len({next(iter(cs)) for cs in groups.values()}) == 3
+
+
+def test_media_header_roundtrip_and_robustness(spark):
+    """Real header decode: builder → parser round-trip for every format,
+    plus malformed/truncated payloads mapping to 'unknown' rather than
+    raising (one bad blob must not kill a batch)."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_media,
+        make_jpeg,
+        make_png,
+        make_wav,
+        parse_media_header,
+    )
+
+    assert parse_media_header(make_png(123, 45, 16)) == {
+        "media_type": "image/png", "width": 123, "height": 45,
+        "sample_rate": None, "channels": None, "bit_depth": 16,
+    }
+    assert parse_media_header(make_jpeg(640, 480)) == {
+        "media_type": "image/jpeg", "width": 640, "height": 480,
+        "sample_rate": None, "channels": None, "bit_depth": 8,
+    }
+    assert parse_media_header(make_wav(44100, 2, 16, 5)) == {
+        "media_type": "audio/wav", "width": None, "height": None,
+        "sample_rate": 44100, "channels": 2, "bit_depth": 16,
+    }
+    for junk in (b"", b"garbage", b"\x89PNG\r\n\x1a\x00broken",
+                 b"\xff\xd8\xff", make_png(1, 1)[:10], b"RIFF\x00\x00\x00\x00AVI "):
+        meta = parse_media_header(junk)
+        assert meta["media_type"] == "unknown"
+        assert all(meta[k] is None for k in
+                   ("width", "height", "sample_rate", "channels", "bit_depth"))
+
+    # Spark path: mixed valid + junk payloads through mapInPandas
+    rows = [
+        (1, "image/png", make_png(32, 16)),
+        (2, "audio/wav", make_wav(8000, 1, 16, 3)),
+        (3, "application/octet-stream", b"not media"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    got = {r["media_id"]: r.asDict() for r in decode_media(media).collect()}
+    assert got[1]["width"] == 32 and got[1]["height"] == 16
+    assert got[2]["sample_rate"] == 8000 and got[2]["channels"] == 1
+    assert got[3]["media_type"] == "unknown" and got[3]["width"] is None
+    assert got[3]["byte_len"] == len(b"not media")
