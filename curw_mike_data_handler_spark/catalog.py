@@ -1447,30 +1447,93 @@ def f_scalar_suite(spark, sf_dir):
     )
 
 
-@query("ivf_kmeans_assign")  # rows-only: iterative algorithm, not SQL-expressible
+_KMEANS_ORACLE_ROUND = """
+a{r} AS (
+    SELECT e.vec_id, e.v, s.cluster,
+           row_number() OVER (
+               PARTITION BY e.vec_id ORDER BY list_distance(e.v, s.c), s.cluster
+           ) AS rn
+    FROM emb e CROSS JOIN {cents} s
+),
+m{r} AS (SELECT vec_id, v, cluster FROM a{r} WHERE rn = 1)"""
+
+_KMEANS_ORACLE_UPDATE = """
+c{r} AS (
+    SELECT cluster, list(m ORDER BY i) AS c FROM (
+        SELECT cluster, t.i, avg(v[t.i]) AS m
+        FROM m{r}, generate_series(1, 64) t(i)
+        GROUP BY cluster, t.i
+    ) GROUP BY cluster
+)"""
+
+
+@query(
+    "ivf_kmeans_assign",
+    """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+        FROM emb ORDER BY vec_id LIMIT 8
+    ),"""
+    + _KMEANS_ORACLE_ROUND.format(r=1, cents="seeds") + ","
+    + _KMEANS_ORACLE_UPDATE.format(r=1) + ","
+    + _KMEANS_ORACLE_ROUND.format(r=2, cents="c1") + ","
+    + _KMEANS_ORACLE_UPDATE.format(r=2) + ","
+    + _KMEANS_ORACLE_ROUND.format(r=3, cents="c2")
+    + """
+    SELECT vec_id AS id, cluster::INTEGER AS cluster FROM m3
+    """,
+)
 def ivf_kmeans_assign_q(spark, sf_dir):
     """IVF coarse quantizer: deterministic Lloyd's k-means over the
     embeddings (operators/similarity.kmeans_assign) — produces the
-    bucket column the blocked ANN/near-dup operators join on.  No SQL
-    oracle (fixpoint iteration); the driver records the rows-only
-    check, and tests/test_operators.py proves determinism + cluster
-    recovery."""
+    bucket column the blocked ANN/near-dup operators join on.  The
+    oracle is the SAME fixed-iteration Lloyd's unrolled as DuckDB SQL
+    (seed = 8 lowest ids; assign by L2 with cluster-id tie-break;
+    update = per-dim mean; 3 rounds, output from the 3rd assignment).
+    Assignments are integer and boundary margins are huge relative to
+    FP summation-order noise, so the hash compare is stable."""
     from curw_mike_data_handler_spark.operators.similarity import kmeans_assign
 
     emb = _par(spark, _t(spark, sf_dir, "embeddings"))
     return kmeans_assign(emb, k=8, iterations=3)
 
 
-@query("approx_distinct_hll")  # rows-only: HLL sketch, engine-specific estimates
+@query(
+    "approx_distinct_hll",
+    """
+    SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS exact_users,
+           abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) * 50
+               <= count(DISTINCT user_id) * 3 AS hll_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_hll_q(spark, sf_dir):
     """Sketch-based distinct counting: approx_count_distinct (HLL++,
     rsd=0.02) — the one-pass mergeable form a10_count_distinct swaps
-    to at corpus scale.  Estimates are engine-specific by nature, so
-    no value oracle; a10 is the exact twin that IS oracle-checked."""
+    to at corpus scale.  Raw estimates are engine-specific, so the
+    attested value is the ERROR-BOUND CONTRACT: hll_ok ⇔ the sketch
+    lands within 3·rsd (6%) of the exact count — deterministic per
+    engine and data, integer-arithmetic comparison, hash-stable.
+    Exact count and row count ride along as fully-checked columns."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count("*").alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users")) * 50
+                <= F.col("exact_users") * 3
+            ).alias("hll_ok"),
+        )
     )
 
 
