@@ -98,6 +98,9 @@ HEADLINE = [
     "text_langid",
     "doc_fingerprint_stats",
     "multimodal_features",
+    "multimodal_decode",
+    "approx_distinct_hll",
+    "ivf_kmeans_assign",
 ]
 
 

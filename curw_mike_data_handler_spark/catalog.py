@@ -26,9 +26,15 @@ from curw_mike_data_handler_spark.functions.cleaning import negatives_to_null, s
 from curw_mike_data_handler_spark.functions.geo import great_circle_km
 from curw_mike_data_handler_spark.functions.ids import doc_fingerprint
 from curw_mike_data_handler_spark.functions.text import (
+    PII_EMAIL as _PII_EMAIL,
+    PII_PHONE as _PII_PHONE,
+    PII_URL as _PII_URL,
+    inject_synthetic_pii,
+    pii_counts,
     predict_lang,
     punct_ratio,
     quality_score,
+    redact_pii,
     stopword_ratio,
     tokens,
 )
@@ -1500,6 +1506,78 @@ def ivf_kmeans_assign_q(spark, sf_dir):
 
 
 @query(
+    "approx_quantiles_contract",
+    """
+    WITH c AS (
+        SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(quantile_cont(v, 0.5) AS DOUBLE) / 100 AS exact_p50,
+           approx_quantile(v, 0.5)
+               BETWEEN quantile_cont(v, 0.49) AND quantile_cont(v, 0.51) AS ok_p50,
+           approx_quantile(v, 0.9)
+               BETWEEN quantile_cont(v, 0.89) AND quantile_cont(v, 0.91) AS ok_p90,
+           approx_quantile(v, 0.99)
+               BETWEEN quantile_cont(v, 0.98) AND quantile_cont(v, 1.0) AS ok_p99
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def approx_quantiles_contract_q(spark, sf_dir):
+    """Mergeable quantile sketches (GK in Spark, t-digest in DuckDB)
+    with engine-specific estimates — so, like approx_distinct_hll, the
+    attested value is the rank-error CONTRACT: each approx quantile
+    must land between the exact ±1%-rank quantiles (Spark accuracy
+    10000 ⇒ rank error 1e-4, two orders inside the bound).  The exact
+    median rides along as a fully-checked value on integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = _cents("l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(c, [0.5, 0.9, 0.99], 10000).alias("ap"),
+        F.percentile(c, F.array(*[F.lit(x) for x in
+                                  (0.49, 0.5, 0.51, 0.89, 0.91, 0.98, 1.0)])).alias("ex"),
+    )
+    ex = lambda i: F.col("ex")[i]  # noqa: E731
+    return g.select(
+        "l_returnflag",
+        (ex(1) / 100).alias("exact_p50"),
+        F.col("ap")[0].between(ex(0), ex(2)).alias("ok_p50"),
+        F.col("ap")[1].between(ex(3), ex(4)).alias("ok_p90"),
+        F.col("ap")[2].between(ex(5), ex(6)).alias("ok_p99"),
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH c AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> least(greatest(x, -1.0), 1.0)) AS v,
+               len(list_filter(embedding::DOUBLE[], x -> x < -1.0 OR x >= 1.0)) AS n_clipped
+        FROM embeddings
+    )
+    SELECT vec_id,
+           list_transform(v, x -> CAST(least(floor(x * 64), 63.0) AS INTEGER)) AS codes,
+           n_clipped,
+           round(list_distance(v,
+                 list_transform(v, x -> (least(floor(x * 64), 63.0) + 0.5) / 64)), 6)
+               AS recon_dist
+    FROM c
+    """,
+)
+def embedding_quantize_int8_q(spark, sf_dir):
+    """Scalar int8 quantization of the embedding column (operators/
+    similarity.quantize_embeddings): power-of-two scale + explicit
+    floor keep every step exact across engines; recon_dist is the
+    same sequential fold DuckDB's list_distance computes.  4-8× less
+    shuffle/storage for the ANN corpus at 100 TB."""
+    from curw_mike_data_handler_spark.operators.similarity import quantize_embeddings
+
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
+    return quantize_embeddings(emb, scale=64)
+
+
+@query(
     "approx_distinct_hll",
     """
     SELECT event_type, count(*) AS n_events,
@@ -1742,6 +1820,58 @@ def dedup_components_q(spark, sf_dir):
 
 
 @query(
+    "dedup_keep_list",
+    """
+    WITH RECURSIVE e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.src, g.b FROM reach r JOIN edges g ON r.dst = g.a
+    ),
+    comp AS (SELECT src AS node, min(dst) AS component FROM reach GROUP BY src)
+    SELECT em.vec_id AS id,
+           coalesce(c.component, em.vec_id) AS component,
+           em.vec_id = coalesce(c.component, em.vec_id) AS keep
+    FROM embeddings em LEFT JOIN comp c ON em.vec_id = c.node
+    """,
+)
+def dedup_keep_list_q(spark, sf_dir):
+    """The actionable end of the dedup family: near-dup pairs →
+    connected components → a keep/drop partition of the WHOLE corpus
+    (singletons keep themselves, each duplicate group keeps its
+    minimum id).  Downstream training jobs anti-join on keep=false —
+    one broadcast-sized component map against the full corpus scan."""
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
+    pairs = embedding_neardup_pairs(emb, threshold=0.35, bucket_col="label")
+    comp = connected_components(pairs, src_col="id_a", dst_col="id_b").select(
+        F.col("node"), F.col("component")
+    )
+    return (
+        emb.select(F.col("vec_id"))
+        .join(comp, emb["vec_id"] == comp["node"], "left")
+        .select(
+            F.col("vec_id").alias("id"),
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+            (
+                F.col("vec_id") == F.coalesce(F.col("component"), F.col("vec_id"))
+            ).alias("keep"),
+        )
+    )
+
+
+@query(
     "ann_topk_bruteforce",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1972,6 +2102,53 @@ def text_quality_q(spark, sf_dir):
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
         quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "text_pii_redaction",
+    f"""
+    WITH inj AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                   WHEN 0 THEN text || ' Contact user' || doc_id::VARCHAR
+                               || '@mail' || (doc_id % 7)::VARCHAR || '.example.com now.'
+                   WHEN 1 THEN text || ' See https://docs' || (doc_id % 97)::VARCHAR
+                               || '.example.org/p/' || doc_id::VARCHAR || ' for details.'
+                   WHEN 2 THEN text || ' Call +94-' || (10 + doc_id % 90)::VARCHAR
+                               || '-' || (100 + doc_id % 900)::VARCHAR
+                               || '-' || (1000 + doc_id % 9000)::VARCHAR || '.'
+                   ELSE text END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(lower(t), '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(lower(t), '{_PII_URL}')) AS n_urls,
+           len(regexp_extract_all(lower(t), '{_PII_PHONE}')) AS n_phones,
+           length(regexp_replace(regexp_replace(regexp_replace(lower(t),
+                  '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                  '{_PII_URL}', '<URL>', 'g'),
+                  '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_len
+    FROM inj
+    """,
+)
+def text_pii_redaction_q(spark, sf_dir):
+    """PII scrub pipeline: deterministic synthetic PII injection (the
+    raw corpus has no PII-shaped spans — injection keeps the query
+    non-vacuous), regex span counting per type, and typed-placeholder
+    redaction.  Pure column regex (Java∩RE2 ASCII dialect shared with
+    the oracle), map-only — no shuffle at any scale."""
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
+    injected = docs.select(
+        "doc_id", inject_synthetic_pii("text", "doc_id").alias("t")
+    )
+    counts = pii_counts("t")
+    return injected.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_urls"].alias("n_urls"),
+        counts["n_phones"].alias("n_phones"),
+        F.length(redact_pii("t")).cast("bigint").alias("redacted_len"),
     )
 
 

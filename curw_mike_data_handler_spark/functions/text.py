@@ -81,6 +81,64 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+# PII patterns shared verbatim with the DuckDB oracle: plain ASCII
+# classes only (Java regex ∩ RE2 — no lookarounds, no \d shorthands
+# whose Unicode semantics differ).
+PII_EMAIL = "[a-z0-9._]+@[a-z0-9-]+[.][a-z0-9.]*[a-z]"
+PII_URL = "https?://[a-z0-9./_-]+"
+PII_PHONE = "[+][0-9][0-9-]*[0-9]"
+
+
+def inject_synthetic_pii(text: Column | str, doc_id: Column | str) -> Column:
+    """Deterministically append synthetic PII to 3 of every 4 docs
+    (keyed by id): an email, a URL, or a phone number.  The synthetic
+    corpus contains no PII-shaped spans, so redaction queries would be
+    vacuous without injection; being a closed form of the id keeps the
+    downstream extraction oracle-able."""
+    c = F.col(text) if isinstance(text, str) else text
+    i = (F.col(doc_id) if isinstance(doc_id, str) else doc_id).cast("long")
+    email = F.concat(
+        F.lit(" Contact user"), i.cast("string"), F.lit("@mail"),
+        (i % 7).cast("string"), F.lit(".example.com now."),
+    )
+    url = F.concat(
+        F.lit(" See https://docs"), (i % 97).cast("string"),
+        F.lit(".example.org/p/"), i.cast("string"), F.lit(" for details."),
+    )
+    phone = F.concat(
+        F.lit(" Call +94-"), (10 + i % 90).cast("string"), F.lit("-"),
+        (100 + i % 900).cast("string"), F.lit("-"),
+        (1000 + i % 9000).cast("string"), F.lit("."),
+    )
+    return (
+        F.when(i % 4 == 0, F.concat(c, email))
+        .when(i % 4 == 1, F.concat(c, url))
+        .when(i % 4 == 2, F.concat(c, phone))
+        .otherwise(c)
+    )
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-doc PII span counts (email/url/phone), pure column regex."""
+    c = F.col(text) if isinstance(text, str) else text
+    lc = F.lower(c)
+    return {
+        "n_emails": F.size(F.regexp_extract_all(lc, F.lit(PII_EMAIL), 0)).cast("bigint"),
+        "n_urls": F.size(F.regexp_extract_all(lc, F.lit(PII_URL), 0)).cast("bigint"),
+        "n_phones": F.size(F.regexp_extract_all(lc, F.lit(PII_PHONE), 0)).cast("bigint"),
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII span with a typed placeholder.  Order matters
+    and is part of the contract: emails first (an email contains no
+    URL), then URLs, then phones."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(F.lower(c), PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_URL, "<URL>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
 def langid_scores(text: Column | str) -> list[tuple[str, Column]]:
     toks = tokens(text)
     out = []

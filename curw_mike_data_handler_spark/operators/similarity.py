@@ -46,6 +46,50 @@ def _cos_precomputed(av: Column, an: Column, bv: Column, bn: Column) -> Column:
     return dot(av, bv) / (an * bn)
 
 
+def quantize_embeddings(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 64,
+) -> DataFrame:
+    """Scalar int8-style quantization of an embedding column →
+    (id, codes array<int>, n_clipped, recon_dist).
+
+    The 100 TB lever: at scale=64 each dim fits a signed byte, so the
+    shuffled/stored footprint of an ANN corpus drops ~4-8× vs float32
+    while brute-force/IVF ranking continues to work on reconstructed
+    values.  All math is exact-by-construction for cross-engine
+    parity: the scale is a power of two (x*64 and code/64 are exact FP
+    ops), codes use explicit floor (DuckDB CAST rounds, Spark
+    truncates — floor agrees), and the reconstruction distance is a
+    sequential fold rounded to 6 dp.  Map-only, no shuffle."""
+    c = F.col(vec_col)
+    clamped = F.transform(c, lambda x: F.least(F.greatest(x.cast("double"), F.lit(-1.0)), F.lit(1.0)))
+    codes = F.transform(
+        clamped,
+        lambda x: F.least(F.floor(x * scale), F.lit(scale - 1)).cast("int"),
+    )
+    recon = lambda code: (code.cast("double") + 0.5) / scale  # noqa: E731
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(clamped, codes, lambda x, q: (x - recon(q)) * (x - recon(q))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    v = F.col(vec_col)
+    n_clipped = F.size(
+        F.filter(v, lambda x: (x.cast("double") < -1.0) | (x.cast("double") >= 1.0))
+    ).cast("bigint")
+    return corpus.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        n_clipped.alias("n_clipped"),
+        F.round(dist, 6).alias("recon_dist"),
+    )
+
+
 def ann_topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -281,7 +325,14 @@ def kmeans_assign(
       groupBy; centroids ship to executors as a broadcast literal).
 
     The per-round collect is k×dim doubles (the centroids), not data —
-    the standard iterative-algorithm driver loop."""
+    the standard iterative-algorithm driver loop.
+
+    Plan-width ceiling: distances are built as k literal-centroid
+    columns, so the plan grows O(k·dim) per round — fine for a COARSE
+    quantizer (k in the hundreds).  For fine quantizers (k ≫ 1000),
+    switch the assignment step to a broadcast centroid table +
+    posexplode/argmin aggregation so centroids travel as data, not
+    plan literals."""
     vecs = corpus.select(
         F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
     ).cache()
