@@ -101,6 +101,10 @@ HEADLINE = [
     "multimodal_decode",
     "approx_distinct_hll",
     "ivf_kmeans_assign",
+    "text_pii_redaction",
+    "embedding_quantize_int8",
+    "dedup_keep_list",
+    "approx_quantiles_contract",
 ]
 
 
@@ -117,6 +121,7 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = catalog.QUERIES[name]
@@ -125,6 +130,14 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+    # second pass: warm timings (plan/codegen caches hot, data in page
+    # cache) — separates one-time planning cost from per-round compute
+    # regressions when comparing BENCH_r{N} files
+    for name in HEADLINE:
+        fn = catalog.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -134,6 +147,10 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 3),
+                "note": "cold pass first (value/queries), then warm pass"
+                        " (queries_warm); run without concurrent load",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
