@@ -244,3 +244,19 @@ def test_zscore_single_exchange_reuses_window_partitioning(spark):
     assert plan.count("Exchange") == 1, (
         "census aggregate must reuse the moment window's event_type partitioning"
     )
+
+
+def test_pii_redaction_is_map_only_no_shuffle(spark):
+    plan = _plan(spark, "text_pii_redaction")
+    assert "Exchange hashpartitioning" not in plan, (
+        "regex extract/redact must stay a narrow map stage"
+    )
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "lang" not in read_schema, "unused columns must be pruned from the scan"
+
+
+def test_quantize_is_map_only_no_shuffle(spark):
+    plan = _plan(spark, "embedding_quantize_int8")
+    assert "Exchange hashpartitioning" not in plan, (
+        "scalar quantization must stay a narrow map stage"
+    )
