@@ -105,6 +105,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "dedup_keep_list",
     "approx_quantiles_contract",
+    "text_chunking",
 ]
 
 

@@ -2153,6 +2153,35 @@ def text_pii_redaction_q(spark, sf_dir):
 
 
 @query(
+    "text_chunking",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS} AS w, len({_TOKENS}) AS n FROM documents
+    ),
+    c AS (
+        SELECT doc_id, w, n,
+               unnest(generate_series(0, (n - 1) // 48)) AS i
+        FROM t WHERE n > 0
+    )
+    SELECT doc_id, i AS chunk_no,
+           i * 48 + 1 AS tok_start,
+           least(64, n - i * 48) AS chunk_len,
+           array_to_string(w[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+    FROM c
+    """,
+)
+def text_chunking_q(spark, sf_dir):
+    """Overlapping token-window chunking (64-token chunks, 16-token
+    overlap → stride 48): the pre-tokenization step feeding
+    pack_sequences.  One narrow map stage — tokenize, sequence,
+    slice, explode — no UDF, no shuffle."""
+    from curw_mike_data_handler_spark.operators.chunking import chunk_documents
+
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@query(
     "text_langid",
     f"""
     WITH scores AS (

@@ -260,3 +260,10 @@ def test_quantize_is_map_only_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan, (
         "scalar quantization must stay a narrow map stage"
     )
+
+
+def test_chunking_is_map_only_no_shuffle(spark):
+    plan = _plan(spark, "text_chunking")
+    assert "Exchange hashpartitioning" not in plan, (
+        "tokenize+sequence+slice+explode must stay a narrow map stage"
+    )

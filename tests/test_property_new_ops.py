@@ -238,3 +238,49 @@ def test_jaccard_df_cap_noop_when_under_cap_and_correct_when_over(spark):
     assert run(5) == uncapped
     # cap=4 drops 'alpha' everywhere -> matches naive on capped sets
     assert run(4) == naive(4)
+
+
+def test_chunk_documents_edges_and_coverage(spark):
+    """Chunking contract: empty doc → no chunks; short doc → one
+    full-coverage chunk; boundary cases produce the closed-form chunk
+    count; consecutive chunks overlap by exactly `overlap` tokens and
+    every token appears in at least one chunk."""
+    from curw_mike_data_handler_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "one two three"),
+            (2, " ".join(f"t{i}" for i in range(48))),   # == stride
+            (3, " ".join(f"t{i}" for i in range(49))),   # stride + 1
+            (4, " ".join(f"t{i}" for i in range(200))),  # several chunks
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 not in by_doc
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "one two three"
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_len"] == 48
+    assert len(by_doc[3]) == 2  # floor(48/48)+1
+    assert len(by_doc[4]) == 5  # floor(199/48)+1
+    for doc_id, n_tok in ((3, 49), (4, 200)):
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_no"])
+        covered = set()
+        prev_tokens = None
+        for r in chunks:
+            toks = r["chunk_text"].split()
+            assert len(toks) == r["chunk_len"]
+            span = range(r["tok_start"], r["tok_start"] + r["chunk_len"])
+            if prev_tokens is not None and len(prev_tokens) == 64:
+                assert prev_tokens[-16:] == toks[:16], "overlap mismatch"
+            covered.update(span)
+            prev_tokens = toks
+        assert covered == set(range(1, n_tok + 1)), f"doc {doc_id} not fully covered"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=32, overlap=32)
