@@ -282,25 +282,25 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # carry the per-node improvement flag through the round so
+        # convergence costs one tiny aggregate over the checkpointed
+        # frame instead of a second old-vs-new join
+        stepped = (
             labels.join(nbr, labels["node"] == nbr["a"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
+                    "__improved"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = stepped.agg(F.max("__improved")).collect()[0][0]
+        labels = stepped.drop("__improved")
+        if not changed:
             break
     sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
     return labels.join(sizes, "label").select(
