@@ -157,3 +157,30 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         ("s1", "2020-05-22 00:05:00"),
         ("s1", "2020-05-22 00:10:00"),
     }
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    """Stream-static join: the streaming fact enriches against a static
+    dimension (the reference's dict-lookup J4 in streaming form).  The
+    static side re-resolves per micro-batch; unknown stations drop via
+    the inner join exactly like the batch membership filter P6."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = []
+
+    dim = spark.createDataFrame(
+        [("s1", "Hanwella"), ("s2", "Glencourse")], "tms_id string, station string"
+    )
+
+    _write(inbox / "a.csv", [("s1", "2020-05-22 00:00:00", 1.0),
+                             ("s2", "2020-05-22 00:00:00", 2.0),
+                             ("sX", "2020-05-22 00:00:00", 9.0)])
+
+    def sink(batch_df, batch_id):
+        out.extend(batch_df.collect())
+
+    stream = stream_csv_dir(spark, str(inbox), SCHEMA, header=False).join(dim, "tms_id")
+    run_available_now(stream, ckpt, sink)
+    got = {(r["station"], r["value"]) for r in out}
+    assert got == {("Hanwella", 1.0), ("Glencourse", 2.0)}  # sX dropped
