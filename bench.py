@@ -106,6 +106,7 @@ HEADLINE = [
     "dedup_keep_list",
     "approx_quantiles_contract",
     "text_chunking",
+    "s14_latest_version_read",
 ]
 
 

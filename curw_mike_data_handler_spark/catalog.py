@@ -484,6 +484,45 @@ def a6_max_watermark(spark, sf_dir):
 
 
 @query(
+    "s14_latest_version_read",
+    """
+    WITH d AS (
+        SELECT user_id, date_trunc('day', ts) AS fgt,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    m AS (SELECT user_id, max(fgt) AS mx FROM d GROUP BY user_id)
+    SELECT d.user_id AS series,
+           strftime(max(d.fgt), '%Y-%m-%d %H:%M:%S') AS latest_fgt,
+           count(*) AS n_rows,
+           CAST(sum(d.v) AS BIGINT) AS total_v100
+    FROM d JOIN m ON d.user_id = m.user_id AND d.fgt = m.mx
+    GROUP BY d.user_id
+    """,
+)
+def s14_latest_version_read(spark, sf_dir):
+    """The reference's 'latest fgt wins' read semantics (S10/§1.1:
+    update_latest_fgt, wl_x:97) exercised through the PRODUCTION
+    helper latest_fgt_view: each series keeps only rows of its newest
+    forecast-generated-time (here: event day).  One exchange total —
+    the summary groupBy reuses the max-fgt window's hash(series)
+    partitioning."""
+    from curw_mike_data_handler_spark.sources.upsert import latest_fgt_view
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.date_trunc("day", F.col("ts")).alias("fgt"),
+        _cents("value").alias("v"),
+    )
+    latest = latest_fgt_view(ev, key="user_id", fgt_col="fgt")
+    return latest.groupBy(F.col("user_id").alias("series")).agg(
+        _fmt(F.max("fgt")).alias("latest_fgt"),
+        F.count("*").alias("n_rows"),
+        F.sum("v").alias("total_v100"),
+    )
+
+
+@query(
     "j3_w2_nearest_stations",
     """
     WITH stations AS (

@@ -267,3 +267,10 @@ def test_chunking_is_map_only_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan, (
         "tokenize+sequence+slice+explode must stay a narrow map stage"
     )
+
+
+def test_latest_version_read_single_exchange(spark):
+    """The summary aggregate must reuse the latest-fgt window's
+    hash(series) partitioning — one exchange total."""
+    plan = _plan(spark, "s14_latest_version_read")
+    assert plan.count("Exchange") == 1
