@@ -107,6 +107,7 @@ HEADLINE = [
     "approx_quantiles_contract",
     "text_chunking",
     "s14_latest_version_read",
+    "source_mix_weights",
 ]
 
 

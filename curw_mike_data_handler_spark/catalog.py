@@ -36,6 +36,7 @@ from curw_mike_data_handler_spark.functions.text import (
     quality_score,
     redact_pii,
     stopword_ratio,
+    token_count,
     tokens,
 )
 from curw_mike_data_handler_spark.functions.timegrid import bucket_end_right_closed
@@ -2218,6 +2219,49 @@ def text_chunking_q(spark, sf_dir):
 
     docs = _par(spark, _t(spark, sf_dir, "documents"))
     return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@query(
+    "source_mix_weights",
+    f"""
+    WITH tf AS (
+        SELECT source, len({_TOKENS}) AS t FROM documents
+    ),
+    a AS (
+        SELECT source, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tok
+        FROM tf GROUP BY source
+    )
+    SELECT source, n_docs, n_tok,
+           round(CAST(sum(n_tok) OVER () AS DOUBLE)
+                 / CAST(count(*) OVER () * n_tok AS DOUBLE), 6) AS mix_weight
+    FROM a
+    """,
+)
+def source_mix_weights_q(spark, sf_dir):
+    """Training-mix reweighting: per-source token inventory and the
+    sampling weight that equalizes token share across sources
+    (weight = uniform-target-share / actual-share, computed as ONE
+    double division of exact longs).  The fact scan aggregates down to
+    |sources| rows before the unpartitioned total window — the window
+    moves 20 rows, never the corpus."""
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    agg = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tok"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tok",
+        F.round(
+            F.sum("n_tok").over(w).cast("double")
+            / (F.count("*").over(w) * F.col("n_tok")).cast("double"),
+            6,
+        ).alias("mix_weight"),
+    )
 
 
 @query(
