@@ -284,3 +284,30 @@ def test_chunk_documents_edges_and_coverage(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=32, overlap=32)
+
+
+@settings(max_examples=200, deadline=None)
+@given(payload=st.binary(max_size=200))
+def test_media_parser_never_raises_on_arbitrary_bytes(payload):
+    """decode robustness contract: one corrupt blob must not kill a
+    100 TB batch — any byte string parses to a schema-conformant dict."""
+    from curw_mike_data_handler_spark.operators.multimodal import parse_media_header
+
+    meta = parse_media_header(payload)
+    assert set(meta) == {"media_type", "width", "height",
+                         "sample_rate", "channels", "bit_depth"}
+    assert meta["media_type"] in {"unknown", "image/png", "image/jpeg", "audio/wav"}
+    for k in ("width", "height", "sample_rate", "channels", "bit_depth"):
+        assert meta[k] is None or isinstance(meta[k], int)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    prefix=st.sampled_from([b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF"]),
+    junk=st.binary(max_size=64),
+)
+def test_media_parser_never_raises_on_truncated_headers(prefix, junk):
+    from curw_mike_data_handler_spark.operators.multimodal import parse_media_header
+
+    meta = parse_media_header(prefix + junk)
+    assert meta["media_type"] in {"unknown", "image/png", "image/jpeg", "audio/wav"}
