@@ -108,6 +108,9 @@ HEADLINE = [
     "text_chunking",
     "s14_latest_version_read",
     "source_mix_weights",
+    "a12_grouping_sets",
+    "w8_ntile_deciles",
+    "a13_corr_exact_moments",
 ]
 
 

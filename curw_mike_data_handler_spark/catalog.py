@@ -2656,6 +2656,143 @@ def a11_cube(spark, sf_dir):
     )
 
 
+@query(
+    "a12_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+           count(*) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def a12_grouping_sets_q(spark, sf_dir):
+    """Arbitrary GROUPING SETS — the non-hierarchical case ROLLUP (a7)
+    and CUBE (a11) can't express: per-flag totals and per-status totals
+    in ONE pass (one Expand + one exchange) instead of a union of two
+    aggregates scanning the fact twice."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n_rows"),
+            (F.sum(_cents("l_extendedprice")) / 100.0).alias("sum_price"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "n_rows", "sum_price"
+        )
+    )
+
+
+@query(
+    "w8_ntile_deciles",
+    """
+    WITH v AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS v100,
+               ntile(10) OVER (
+                   PARTITION BY event_type ORDER BY CAST(round(value * 100) AS BIGINT),
+                   event_id
+               ) AS decile
+        FROM events
+    )
+    SELECT event_type, decile, count(*) AS n,
+           CAST(min(v100) AS DOUBLE) / 100 AS lo,
+           CAST(max(v100) AS DOUBLE) / 100 AS hi
+    FROM v GROUP BY event_type, decile
+    """,
+)
+def w8_ntile_deciles_q(spark, sf_dir):
+    """Equi-depth bucketing via ntile(10): both engines deal the first
+    (n mod k) buckets one extra row, so with a TOTAL order (value +
+    event_id tie-break) bucket membership is engine-deterministic.
+    Complements a8's equal-width histogram; the decile summary groupBy
+    reuses the window's event_type exchange."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", _cents("value").alias("v100")
+    )
+    w = Window.partitionBy("event_type").orderBy("v100", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            (F.min("v100").cast("double") / 100).alias("lo"),
+            (F.max("v100").cast("double") / 100).alias("hi"),
+        )
+    )
+
+
+@query(
+    "a13_corr_exact_moments",
+    """
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DECIMAL(38,0)) AS sxy,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                        * CAST(round(l_quantity) AS BIGINT)) AS DECIMAL(38,0)) AS sx2,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DECIMAL(38,0)) AS sy2
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS corr_qty_price
+    FROM m
+    """,
+)
+def a13_corr_exact_moments_q(spark, sf_dir):
+    """Pearson correlation from EXACT integer moments: Σx, Σy, Σxy,
+    Σx², Σy² accumulate as DECIMAL(38,0) (Σy² of cents overflows
+    int64 at SF≥0.1), then one identical double-algebra edge in both
+    engines — the t_profile_stats technique extended to bivariate
+    statistics.  Partial aggregation stays order-independent, so the
+    result is reproducible under any partitioning — which a naive
+    corr() of doubles is NOT."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("bigint")
+    y = _cents("l_extendedprice")
+    dec = "decimal(38,0)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+        F.sum((x * x).cast(dec)).alias("sx2"),
+        F.sum((y * y).cast(dec)).alias("sy2"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sx2 - sx * sx) * F.sqrt(nd * sy2 - sy * sy)),
+            9,
+        ).alias("corr_qty_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline widening: decontamination, deterministic
 # stratified sampling, per-source quota capping

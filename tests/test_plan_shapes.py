@@ -274,3 +274,22 @@ def test_latest_version_read_single_exchange(spark):
     hash(series) partitioning — one exchange total."""
     plan = _plan(spark, "s14_latest_version_read")
     assert plan.count("Exchange") == 1
+
+
+def test_grouping_sets_expand_once_single_exchange(spark):
+    plan = _plan(spark, "a12_grouping_sets")
+    assert "Expand" in plan, "GROUPING SETS must be one Expand, not a union of aggs"
+    assert plan.count("Exchange") == 1
+
+
+def test_ntile_summary_reuses_window_partitioning(spark):
+    """decile groupBy keys (event_type, decile) ⊇ window key
+    (event_type) — no second exchange."""
+    plan = _plan(spark, "w8_ntile_deciles")
+    assert plan.count("Exchange") == 1
+
+
+def test_corr_moments_single_exchange_partial_agg(spark):
+    plan = _plan(spark, "a13_corr_exact_moments")
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan, "moment sums must combine map-side"
