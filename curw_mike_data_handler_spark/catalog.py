@@ -320,7 +320,7 @@ def p6_membership_semi_join(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 45).select("p_partkey")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        li.join(p, li["l_partkey"] == p["p_partkey"], "left_semi")
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_rows"),
@@ -2419,16 +2419,18 @@ def q6_revenue_delta(spark, sf_dir):
     """,
 )
 def q14_promo_share(spark, sf_dir):
-    """TPC-H Q14 shape: fact ⋈ small dim + conditional (CASE) share
-    aggregation by month.  `part` is broadcast — the fact side never
-    shuffles for the join; the only exchange is the 1-row-per-month
-    final aggregate.  Promo/total computed in the same pass (one scan,
-    two conditional sums)."""
+    """TPC-H Q14 shape: fact ⋈ dim + conditional (CASE) share
+    aggregation by month.  `part` grows with SF so it carries no
+    broadcast hint — AQE broadcasts it while it fits (it does at test
+    scale: fact side unshuffled, the only exchange is the
+    1-row-per-month final aggregate) and shuffles both sides beyond.
+    Promo/total computed in the same pass (one scan, two conditional
+    sums)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy(F.date_trunc("month", "l_shipdate").alias("__m"))
         .agg(
             (F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))) / 1e4).alias(
@@ -2506,7 +2508,7 @@ def q19_disjunctive(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(10, 30))
     )
     rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
-    matched = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).filter(
+    matched = li.join(p, li["l_partkey"] == p["p_partkey"]).filter(
         (
             (F.col("p_brand") == "Brand#9")
             & F.col("p_size").between(1, 15)
@@ -2610,7 +2612,7 @@ def q17_small_qty_revenue(spark, sf_dir):
         .select("p_partkey")
     )
     li_f = li.join(
-        F.broadcast(p_f), li["l_partkey"] == p_f["p_partkey"]
+        p_f, li["l_partkey"] == p_f["p_partkey"]
     ).drop("p_partkey")
     w = Window.partitionBy("l_partkey")
     small = (
@@ -3264,7 +3266,7 @@ def q8_market_share(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
     flat = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
@@ -3323,7 +3325,7 @@ def q9_product_profit(spark, sf_dir):
         "p_retailprice"
     ) * F.round("l_quantity").cast("long") * 100
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -3549,7 +3551,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     ).select("s_suppkey", "s_name", "nation")
     li = _t(spark, sf_dir, "lineitem")
     li_f = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .select("l_partkey", "p_brand", "s_name", "nation", _cents("l_extendedprice").alias("price"))
     )
@@ -3648,7 +3650,7 @@ def q16_supplier_part_counts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
         li.join(F.broadcast(complaints), li["l_suppkey"] == complaints["s_suppkey"], "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .join(p, F.col("l_partkey") == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -3695,7 +3697,7 @@ def q20_heavy_shippers(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
     )
-    li_f = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+    li_f = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
         "l_partkey", "l_suppkey", F.round("l_quantity").cast("long").alias("qty")
     )
     w = Window.partitionBy("l_partkey")

@@ -73,7 +73,9 @@ def test_no_forced_broadcast_on_sf_scaling_relations(spark):
     scaling relation."""
     import re
 
-    for name in ("q3_top_revenue_orders", "q5_regional_revenue", "q8_market_share"):
+    for name in ("q3_top_revenue_orders", "q5_regional_revenue", "q8_market_share",
+             "q14_promo_share", "q9_product_profit", "q17_small_qty_revenue",
+             "p6_membership_semi_join", "q19_disjunctive", "q16_supplier_part_counts"):
         df = catalog.QUERIES[name](spark, SF)
         analyzed = df._jdf.queryExecution().analyzed().toString()
         # each ResolvedHint node governs the subtree printed under it at
@@ -86,7 +88,7 @@ def test_no_forced_broadcast_on_sf_scaling_relations(spark):
             for nxt in lines[i + 1 :]:
                 if "Relation" not in nxt:
                     continue
-                m = re.search(r"(customer|orders|lineitem)\.parquet", nxt)
+                m = re.search(r"(customer|orders|lineitem|part)\.parquet", nxt)
                 assert m is None, (
                     f"{name}: forced broadcast above scaling relation "
                     f"{m.group(1) if m else ''}:\n{line}\n{nxt}"
