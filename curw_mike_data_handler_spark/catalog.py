@@ -1188,7 +1188,10 @@ def j4_dim_broadcast_lookup(spark, sf_dir):
     """J4: the reference's dict-lookup joins (station rename maps,
     all_raw:290-294, rf_obs:135-138) as a broadcast hash join — fact
     side streams, dim side ships once per executor, zero shuffle before
-    the final group."""
+    the final group.  The explicit hint is this operator's CONTRACT
+    (the caller asserts the dimension is station-registry-sized, as in
+    the reference); for dims that grow with the data, use the
+    unhinted joins elsewhere in the catalog and let AQE decide."""
     ev = _t(spark, sf_dir, "events")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
