@@ -295,3 +295,40 @@ def test_corr_moments_single_exchange_partial_agg(spark):
     plan = _plan(spark, "a13_corr_exact_moments")
     assert plan.count("Exchange") == 1
     assert "partial_sum" in plan, "moment sums must combine map-side"
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Skew survival at scale, demonstrated: a join whose left side is
+    90% one key, both sides fact-sized (no broadcast), must come out
+    of AQE with the hot partition split (SortMergeJoin(skew=true) /
+    'AQEShuffleRead … skewed') instead of one straggler task.  This is
+    the engine's runtime answer to skew wherever the static salting
+    option isn't used."""
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    prev = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        a = spark.range(0, 300_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN CAST(0 AS BIGINT) ELSE id END AS k",
+            "id AS va",
+        )
+        b = spark.range(0, 300_000).selectExpr("id % 1000 AS k", "id AS vb")
+        j = a.join(b, "k")
+        qe = j._jdf.queryExecution()
+        qe.toRdd().count()  # execute THIS query execution so its
+        # adaptive plan is final
+        plan = qe.executedPlan().toString()
+        assert "skew=true" in plan, f"AQE did not split the hot partition:\n{plan[:2000]}"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

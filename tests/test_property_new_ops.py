@@ -311,3 +311,27 @@ def test_media_parser_never_raises_on_truncated_headers(prefix, junk):
 
     meta = parse_media_header(prefix + junk)
     assert meta["media_type"] in {"unknown", "image/png", "image/jpeg", "audio/wav"}
+
+
+def test_salted_neardup_pairs_identical_to_unsalted(spark):
+    """The skew-salting option must be output-invariant: replicating
+    the right side across salt keys changes the shuffle layout, never
+    the pair set."""
+    from curw_mike_data_handler_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+    from curw_mike_data_handler_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def pairs(salt):
+        return {
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in embedding_neardup_pairs(
+                emb, threshold=0.35, bucket_col="label", salt_buckets=salt
+            ).collect()
+        }
+
+    base = pairs(0)
+    assert base, "fixture must produce near-dup pairs"
+    assert pairs(4) == base
