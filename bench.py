@@ -111,6 +111,8 @@ HEADLINE = [
     "a12_grouping_sets",
     "w8_ntile_deciles",
     "a13_corr_exact_moments",
+    "line_dedup",
+    "gopher_rules_census",
 ]
 
 

@@ -3953,6 +3953,147 @@ def mad_anomalies(spark, sf_dir):
     )
 
 
+@query(
+    "line_dedup",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    l AS (
+        SELECT doc_id,
+               unnest(generate_series(1, (len(ws) + 2) // 3)) AS idx,
+               unnest(list_transform(generate_series(1, (len(ws) + 2) // 3),
+                      i -> array_to_string(ws[(i-1)*3+1:(i-1)*3+3], ' '))) AS line
+        FROM w
+    ),
+    df AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+    kept AS (
+        SELECT l.doc_id, l.idx, l.line
+        FROM l JOIN df ON l.line = df.line WHERE df.df = 1
+    ),
+    re AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, ' ' ORDER BY idx) AS cleaned_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST((len(w.ws) + 2) // 3 - coalesce(re.n_kept, 0) AS BIGINT) AS n_dropped,
+           coalesce(re.cleaned_text, '') AS cleaned_text
+    FROM w LEFT JOIN re ON w.doc_id = re.doc_id
+    """,
+)
+def line_dedup(spark, sf_dir):
+    """Corpus-level line deduplication (C4/RefinedWeb-style boilerplate
+    removal): split each document into fixed 3-word 'lines' (the
+    synthetic corpus has no newlines — the chunking keeps the operator
+    non-vacuous: ~1/3 of chunks are corpus-duplicated at sf0.01), drop
+    every line whose text occurs in more than one distinct document,
+    and reassemble the survivors in original order.
+
+    Scale shape: one exchange on hash(line) for the document-frequency
+    count (partial count-distinct map-side), one broadcast-or-shuffle
+    join back, one exchange on hash(doc_id) to reassemble.  No
+    all-pairs anything — cost is linear in total line count, which is
+    the only plan that survives 100 TB (the df table is the corpus
+    line vocabulary; a df>1 filter keeps the join side heavy-tail-safe
+    because boilerplate lines collapse to ONE row each in df).  At
+    real scale the exploded lines relation would be checkpointed to
+    avoid the double scan (it feeds both the df agg and the join)."""
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    n_lines = F.floor((F.size(w) + 2) / 3).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.concat_ws(" ", F.slice(w, (i - F.lit(1)) * 3 + 1, 3)).alias("line"),
+        ),
+    )
+    ex = (
+        docs.select("doc_id", F.explode(lines).alias("c"))
+        .select("doc_id", F.col("c.idx").alias("idx"), F.col("c.line").alias("line"))
+    )
+    dfreq = ex.groupBy("line").agg(F.countDistinct("doc_id").alias("df"))
+    kept = ex.join(dfreq, "line").filter(F.col("df") == 1)
+    reasm = kept.groupBy("doc_id").agg(
+        F.count("*").alias("k"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    base = docs.select("doc_id", n_lines.cast("long").alias("n_lines"))
+    return base.join(reasm, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_lines") - F.coalesce(F.col("k"), F.lit(0))).cast("long").alias("n_dropped"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )
+
+
+@query(
+    "gopher_rules_census",
+    """
+    WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+    m AS (
+        SELECT source,
+               len(ws) < 30 AS f_wc,
+               (length(array_to_string(ws, '')) * 1.0 / len(ws) < 4.0
+                OR length(array_to_string(ws, '')) * 1.0 / len(ws) > 5.0) AS f_mwl,
+               len(list_filter(ws, x -> x IN ('the', 'a'))) < 2 AS f_stop,
+               len(list_distinct(ws)) * 1.0 / len(ws) < 0.45 AS f_dr
+        FROM w
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordcount,
+           CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_meanwordlen,
+           CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopwords,
+           CAST(sum(CASE WHEN f_dr THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_distinctratio,
+           CAST(sum(CASE WHEN NOT (f_wc OR f_mwl OR f_stop OR f_dr) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass_all
+    FROM m GROUP BY source
+    """,
+)
+def gopher_rules_census(spark, sf_dir):
+    """Gopher-style document-quality rule census per source: word-count
+    floor, mean-word-length band, minimum stopword count, and
+    distinct-word ratio (the repetition proxy), with a final pass-all
+    keep decision — the standard pre-training filter battery reported
+    as a per-source audit table.  Thresholds are tuned to discriminate
+    on the synthetic corpus (each rule fails a non-trivial subset).
+
+    All four rules are pure column expressions over the token array —
+    map-only, whole-stage-codegen'd, no UDF — followed by a single
+    exchange on hash(source).  Ratio comparisons are engine-invariant:
+    both sides compute an exact-integer → double division, so the IEEE
+    result is bit-identical in Spark and the oracle."""
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    wc = F.size(w)
+    mwl = F.length(F.array_join(w, "")) / wc
+    stop = F.size(F.filter(w, lambda x: x.isin("the", "a")))
+    dr = F.size(F.array_distinct(w)) / wc
+    m = docs.select(
+        "source",
+        (wc < 30).alias("f_wc"),
+        ((mwl < 4.0) | (mwl > 5.0)).alias("f_mwl"),
+        (stop < 2).alias("f_stop"),
+        (dr < 0.45).alias("f_dr"),
+    )
+    return m.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("f_wc").cast("long")).alias("n_fail_wordcount"),
+        F.sum(F.col("f_mwl").cast("long")).alias("n_fail_meanwordlen"),
+        F.sum(F.col("f_stop").cast("long")).alias("n_fail_stopwords"),
+        F.sum(F.col("f_dr").cast("long")).alias("n_fail_distinctratio"),
+        F.sum(
+            (~F.col("f_wc") & ~F.col("f_mwl") & ~F.col("f_stop") & ~F.col("f_dr")).cast("long")
+        ).alias("n_pass_all"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
