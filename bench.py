@@ -113,6 +113,7 @@ HEADLINE = [
     "a13_corr_exact_moments",
     "line_dedup",
     "gopher_rules_census",
+    "scd2_user_state",
 ]
 
 

@@ -4094,6 +4094,73 @@ def gopher_rules_census(spark, sf_dir):
     )
 
 
+@query(
+    "scd2_user_state",
+    """
+    WITH m AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    v AS (
+        SELECT user_id, ts, event_type,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ver
+        FROM m
+    ),
+    g AS (
+        SELECT user_id, ver, min(event_type) AS state, min(ts) AS vf,
+               count(*) AS n_events
+        FROM v GROUP BY user_id, ver
+    )
+    SELECT user_id, CAST(ver AS BIGINT) AS version, state,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY ver),
+                    '%Y-%m-%d %H:%M:%S'), 'open') AS valid_to,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM g
+    """,
+)
+def scd2_user_state(spark, sf_dir):
+    """Change-data-capture → slowly-changing-dimension type 2: collapse
+    each user's event stream into maximal runs of identical state
+    (event_type) and emit one versioned row per run with
+    [valid_from, valid_to) — the open current version labeled 'open'.
+    This is the interval-building half of the reference's run-header
+    maintenance (S10 tracks only the latest state; SCD2 keeps the full
+    history a warehouse dimension needs).
+
+    Scale shape: change-flag lag + running-sum version share ONE
+    window spec, so the fact shuffles once on hash(user_id); the
+    run-collapse groupBy on (user_id, ver) reuses that exchange
+    (group keys ⊇ partition keys).  Only the collapsed runs — orders
+    of magnitude smaller than the fact — pass through the second
+    exchange for the lead(valid_to) stitch.  Deterministic under ties
+    via the (ts, event_id) total order in every window."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    marked = ev.withColumn("chg", chg).withColumn("ver", F.sum("chg").over(w))
+    g = marked.groupBy("user_id", "ver").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("vf"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ver")
+    return g.select(
+        "user_id",
+        F.col("ver").cast("long").alias("version"),
+        "state",
+        _fmt("vf").alias("valid_from"),
+        F.coalesce(_fmt(F.lead("vf").over(w2)), F.lit("open")).alias("valid_to"),
+        F.col("n_events").alias("n_events"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

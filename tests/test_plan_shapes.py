@@ -33,6 +33,31 @@ def test_filtered_scan_pushes_predicates_and_prunes_columns(spark):
     assert read_schema.count(":") <= 5
 
 
+def test_partitioned_layout_prunes_directories(spark, tmp_path):
+    """Hive-style partition pruning: a filter on the partition column
+    must become a PartitionFilter (directory skip at planning time),
+    not a PushedFilter evaluated inside every file — at 100 TB the
+    difference is reading one day vs scanning the whole lake."""
+    from curw_mike_data_handler_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    part_dir = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(part_dir)
+
+    df = spark.read.parquet(part_dir).filter("event_type = 'click'").select("event_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters: ")[1].splitlines()[0], (
+        "partition-column filter must prune directories"
+    )
+    pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+    assert "event_type" not in pushed, (
+        "partition filter must not degrade to a row-level pushed filter"
+    )
+
+
 def test_flagship_agg_is_partial_then_final_single_exchange(spark):
     plan = _plan(spark, "q1_pricing_summary")
     assert "partial_sum" in plan, "map-side combine missing"

@@ -184,3 +184,57 @@ def test_stream_static_dim_enrichment(spark, tmp_path):
     run_available_now(stream, ckpt, sink)
     got = {(r["station"], r["value"]) for r in out}
     assert got == {("Hanwella", 1.0), ("Glencourse", 2.0)}  # sX dropped
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two live streams joined directly on key + bounded time range —
+    matches emit without a DB round-trip, range bound keeps join state
+    finite, and cross-batch pairs match from retained state."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.streaming.joins import stream_interval_join
+
+    views_dir = tmp_path / "views"
+    buys_dir = tmp_path / "buys"
+    views_dir.mkdir()
+    buys_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = []
+
+    def sink(batch_df, batch_id):
+        out.extend(
+            (r["tms_id"], str(r["view_time"]), str(r["buy_time"])) for r in batch_df.collect()
+        )
+
+    def tick():
+        views = stream_csv_dir(spark, str(views_dir), SCHEMA, header=False).select(
+            "tms_id", F.col("time").alias("view_time"), F.col("value").alias("view_value")
+        )
+        buys = stream_csv_dir(spark, str(buys_dir), SCHEMA, header=False).select(
+            "tms_id", F.col("time").alias("buy_time"), F.col("value").alias("buy_value")
+        )
+        joined = stream_interval_join(
+            views, buys, ("tms_id",), "view_time", "buy_time",
+            max_lag_minutes=30, watermark="2 hours",
+        )
+        run_available_now(joined, ckpt, sink)
+
+    _write(views_dir / "v1.csv", [("s1", "2020-05-22 00:00:00", 1.0),
+                                  ("s1", "2020-05-22 01:00:00", 2.0),
+                                  ("s2", "2020-05-22 00:00:00", 3.0)])
+    _write(buys_dir / "b1.csv", [("s1", "2020-05-22 00:10:00", 10.0),   # in range of view 00:00
+                                 ("s1", "2020-05-22 01:20:00", 20.0),   # in range of view 01:00
+                                 ("s1", "2020-05-22 02:30:00", 30.0),   # no view within 30 min
+                                 ("s2", "2020-05-22 00:40:00", 40.0)])  # outside 30-min bound
+    tick()
+    assert set(out) == {
+        ("s1", "2020-05-22 00:00:00", "2020-05-22 00:10:00"),
+        ("s1", "2020-05-22 01:00:00", "2020-05-22 01:20:00"),
+    }
+
+    # cross-batch: a buy in the NEXT micro-batch matches a view held in
+    # join state from the previous one (watermark hasn't evicted it)
+    _write(buys_dir / "b2.csv", [("s2", "2020-05-22 00:20:00", 50.0)])
+    tick()
+    assert ("s2", "2020-05-22 00:00:00", "2020-05-22 00:20:00") in set(out)
+    assert len(out) == 3
