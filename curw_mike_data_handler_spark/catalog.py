@@ -44,6 +44,7 @@ from curw_mike_data_handler_spark.operators.dedup import (
     connected_components,
     dedup_exact,
     jaccard_pairs,
+    line_level_dedup,
     minhash_lsh_pairs,
     simhash_pairs,
 )
@@ -3987,50 +3988,11 @@ def line_dedup(spark, sf_dir):
     synthetic corpus has no newlines — the chunking keeps the operator
     non-vacuous: ~1/3 of chunks are corpus-duplicated at sf0.01), drop
     every line whose text occurs in more than one distinct document,
-    and reassemble the survivors in original order.
-
-    Scale shape: one exchange on hash(line) for the document-frequency
-    count (partial count-distinct map-side), one broadcast-or-shuffle
-    join back, one exchange on hash(doc_id) to reassemble.  No
-    all-pairs anything — cost is linear in total line count, which is
-    the only plan that survives 100 TB (the df table is the corpus
-    line vocabulary; a df>1 filter keeps the join side heavy-tail-safe
-    because boilerplate lines collapse to ONE row each in df).  At
-    real scale the exploded lines relation would be checkpointed to
-    avoid the double scan (it feeds both the df agg and the join)."""
+    and reassemble the survivors in original order.  Scale rationale in
+    `operators.dedup.line_level_dedup` (linear in line count, no
+    all-pairs step)."""
     docs = _par(spark, _t(spark, sf_dir, "documents"))
-    w = F.split(F.col("text"), " ")
-    n_lines = F.floor((F.size(w) + 2) / 3).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(1), n_lines),
-        lambda i: F.struct(
-            i.alias("idx"),
-            F.concat_ws(" ", F.slice(w, (i - F.lit(1)) * 3 + 1, 3)).alias("line"),
-        ),
-    )
-    ex = (
-        docs.select("doc_id", F.explode(lines).alias("c"))
-        .select("doc_id", F.col("c.idx").alias("idx"), F.col("c.line").alias("line"))
-    )
-    dfreq = ex.groupBy("line").agg(F.countDistinct("doc_id").alias("df"))
-    kept = ex.join(dfreq, "line").filter(F.col("df") == 1)
-    reasm = kept.groupBy("doc_id").agg(
-        F.count("*").alias("k"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "line"))),
-                lambda x: x["line"],
-            ),
-            " ",
-        ).alias("cleaned_text"),
-    )
-    base = docs.select("doc_id", n_lines.cast("long").alias("n_lines"))
-    return base.join(reasm, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("n_kept"),
-        (F.col("n_lines") - F.coalesce(F.col("k"), F.lit(0))).cast("long").alias("n_dropped"),
-        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
-    )
+    return line_level_dedup(docs, chunk_words=3, max_doc_freq=1)
 
 
 @query(

@@ -47,6 +47,63 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def line_level_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 3,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Corpus-level line deduplication (C4/RefinedWeb boilerplate
+    removal): split each document into fixed ``chunk_words``-word
+    'lines', drop every line whose exact text occurs in more than
+    ``max_doc_freq`` distinct documents, reassemble survivors in
+    original order.  Returns (id_col, n_kept, n_dropped, cleaned_text)
+    — one row per input document, empty string when nothing survives.
+
+    Scale shape: one exchange on hash(line) for the document-frequency
+    count (map-side partial count-distinct), one join back, one
+    exchange on hash(id) to reassemble — linear in total line count,
+    no all-pairs step.  Boilerplate lines are heavy-tail-safe: they
+    collapse to a single df row each.  At lake scale, checkpoint the
+    exploded lines relation once (it feeds both the df aggregate and
+    the join)."""
+    k = int(chunk_words)
+    w = F.split(F.col(text_col), " ")
+    n_lines = F.floor((F.size(w) + (k - 1)) / k).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.concat_ws(" ", F.slice(w, (i - F.lit(1)) * k + 1, k)).alias("line"),
+        ),
+    )
+    ex = (
+        docs.select(F.col(id_col), F.explode(lines).alias("c"))
+        .select(id_col, F.col("c.idx").alias("idx"), F.col("c.line").alias("line"))
+    )
+    dfreq = ex.groupBy("line").agg(F.countDistinct(id_col).alias("df"))
+    kept = ex.join(dfreq, "line").filter(F.col("df") <= int(max_doc_freq))
+    reasm = kept.groupBy(id_col).agg(
+        F.count("*").alias("k"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    base = docs.select(F.col(id_col), n_lines.cast("long").alias("n_lines"))
+    return base.join(reasm, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_lines") - F.coalesce(F.col("k"), F.lit(0))).cast("long").alias("n_dropped"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )
+
+
 def _distinct_doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         docs.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("token"))

@@ -335,3 +335,54 @@ def test_salted_neardup_pairs_identical_to_unsalted(spark):
     base = pairs(0)
     assert base, "fixture must produce near-dup pairs"
     assert pairs(4) == base
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk=st.integers(min_value=1, max_value=4),
+    max_df=st.integers(min_value=1, max_value=3),
+)
+def test_line_level_dedup_matches_naive(spark, docs, chunk, max_df):
+    """line_level_dedup against the obvious single-machine semantics:
+    chunk each word list, count distinct-doc frequency per exact chunk
+    text, drop over-frequent chunks, reassemble in order."""
+    from curw_mike_data_handler_spark.operators.dedup import line_level_dedup
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+
+    # naive reference
+    chunked = {}
+    for i, ws in enumerate(docs):
+        chunked[i] = [
+            " ".join(ws[j : j + chunk]) for j in range(0, len(ws), chunk)
+        ]
+    dfreq = {}
+    for i, lines in chunked.items():
+        for line in set(lines):
+            dfreq[line] = dfreq.get(line, 0) + 1
+    expect = {}
+    for i, lines in chunked.items():
+        kept = [l for l in lines if dfreq[l] <= max_df]
+        expect[i] = (len(kept), len(lines) - len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_kept"], r["n_dropped"], r["cleaned_text"])
+        for r in line_level_dedup(
+            df, chunk_words=chunk, max_doc_freq=max_df
+        ).collect()
+    }
+    assert got == expect
