@@ -357,3 +357,25 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_line_dedup_is_linear_no_allpairs(spark):
+    """Line dedup must stay linear in line count: hash exchanges for
+    the df count and the reassembly only — never a cartesian/all-pairs
+    step, never a sort-merge join of the full exploded relation against
+    itself without the df reduction in between."""
+    plan = _plan(spark, "line_dedup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_entire_pipeline_reuses_one_fact_exchange(spark):
+    """The whole SCD2 build — change-flag lag, running version number,
+    run-collapse aggregate, AND the lead(valid_to) stitch — runs on a
+    single hash(user_id) exchange: every downstream clustering
+    requirement ({user_id, ver} ⊇ {user_id}, then {user_id} again) is
+    satisfied by the fact's one shuffle.  A regression to two or three
+    exchanges would triple the shuffled bytes of a CDC-history job."""
+    plan = _plan(spark, "scd2_user_state", "extended")
+    physical = plan.split("== Physical Plan ==")[1]
+    assert physical.count("Exchange hashpartitioning") == 1
+    assert physical.count("Window") >= 2
