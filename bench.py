@@ -114,6 +114,7 @@ HEADLINE = [
     "line_dedup",
     "gopher_rules_census",
     "scd2_user_state",
+    "ann_recall_census",
 ]
 
 

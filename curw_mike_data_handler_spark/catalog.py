@@ -4123,6 +4123,92 @@ def scd2_user_state(spark, sf_dir):
     )
 
 
+@query(
+    "ann_recall_census",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {{_LSH_BUCKET}} AS bucket FROM e),
+    q AS (SELECT e.vec_id, e.label, e.v, b.bucket
+          FROM e JOIN b ON e.vec_id = b.vec_id WHERE e.vec_id % 100 = 0),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+            FROM q JOIN e c ON q.vec_id <> c.vec_id) WHERE rank <= 5
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+            FROM q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id) WHERE rank <= 5
+    ),
+    lsh AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+            FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id) WHERE rank <= 5
+    )
+    SELECT ex.query_id,
+           CAST(count(iv.neighbor_id) AS BIGINT) AS n_overlap_ivf,
+           CAST(count(ls.neighbor_id) AS BIGINT) AS n_overlap_lsh,
+           CAST(count(iv.neighbor_id) AS DOUBLE) / 5.0 AS recall_ivf,
+           CAST(count(ls.neighbor_id) AS DOUBLE) / 5.0 AS recall_lsh
+    FROM exact ex
+    LEFT JOIN ivf iv ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
+    LEFT JOIN lsh ls ON ex.query_id = ls.query_id AND ex.neighbor_id = ls.neighbor_id
+    GROUP BY ex.query_id
+    """,
+)
+def ann_recall_census(spark, sf_dir):
+    """The eval harness for the ANN family: recall@5 of BOTH
+    approximate strategies (label-bucketed IVF-style, random-projection
+    LSH) measured against the exact brute-force baseline, per query
+    point.  This is the query a platform runs before trusting an ANN
+    index at scale — at sf0.01 it shows label buckets don't align with
+    cosine geometry (recall ≈ 0) while sign-bit LSH buckets do
+    (recall > 0), i.e. it actually discriminates between strategies.
+
+    Overlap counts are set intersections of deterministic top-k lists
+    (rounded-measure + id tie-break total order), so the census is
+    exact-integer stable across engines; recalls are small-int/5.0 —
+    exact in IEEE doubles.  Cost: the three top-k operators (each
+    already bounded: one corpus pass / bucket-equi joins) plus two
+    broadcast-sized joins on the tiny top-k lists."""
+    from curw_mike_data_handler_spark.operators.similarity import ann_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    par = spark.sparkContext.defaultParallelism
+    exact = ann_topk_bruteforce(qs, emb, k=5, corpus_partitions=par).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ann_topk_bucketed(qs, emb, k=5, corpus_partitions=par).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_ivf")
+    )
+    lsh = ann_topk_lsh(qs, emb, k=5, num_planes=4, dim=64, corpus_partitions=par).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_lsh")
+    )
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit_ivf").alias("n_overlap_ivf"),
+            F.count("hit_lsh").alias("n_overlap_lsh"),
+            (F.count("hit_ivf").cast("double") / 5.0).alias("recall_ivf"),
+            (F.count("hit_lsh").cast("double") / 5.0).alias("recall_lsh"),
+        )
+    )
+
+
+ORACLE["ann_recall_census"] = ORACLE["ann_recall_census"].replace(
+    "{_LSH_BUCKET}", _lsh_bucket_sql(4, 64)
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
