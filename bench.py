@@ -115,6 +115,7 @@ HEADLINE = [
     "gopher_rules_census",
     "scd2_user_state",
     "ann_recall_census",
+    "curation_pipeline_e2e",
 ]
 
 

@@ -4209,6 +4209,93 @@ ORACLE["ann_recall_census"] = ORACLE["ann_recall_census"].replace(
 )
 
 
+@query(
+    "curation_pipeline_e2e",
+    """
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+    q AS (
+        SELECT doc_id, source, ws FROM w
+        WHERE NOT (len(ws) < 30
+                   OR length(array_to_string(ws, '')) * 1.0 / len(ws) < 4.0
+                   OR length(array_to_string(ws, '')) * 1.0 / len(ws) > 5.0
+                   OR len(list_filter(ws, x -> x IN ('the', 'a'))) < 2
+                   OR len(list_distinct(ws)) * 1.0 / len(ws) < 0.45)
+    ),
+    l AS (
+        SELECT doc_id,
+               unnest(generate_series(1, (len(ws) + 2) // 3)) AS idx,
+               unnest(list_transform(generate_series(1, (len(ws) + 2) // 3),
+                      i -> array_to_string(ws[(i-1)*3+1:(i-1)*3+3], ' '))) AS line
+        FROM q
+    ),
+    df AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+    kept AS (
+        SELECT l.doc_id, l.idx, l.line
+        FROM l JOIN df ON l.line = df.line WHERE df.df = 1
+    ),
+    re AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, ' ' ORDER BY idx) AS cleaned
+        FROM kept GROUP BY doc_id
+    ),
+    samp AS (
+        SELECT q.doc_id, q.source, re.cleaned, re.n_kept
+        FROM q JOIN re ON q.doc_id = re.doc_id
+        WHERE substr(md5(q.doc_id::VARCHAR), 1, 1) < '8'
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(cleaned, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(n_kept) AS BIGINT) AS total_lines
+    FROM samp GROUP BY source
+    """,
+)
+def curation_pipeline_e2e(spark, sf_dir):
+    """The whole curation pipeline as ONE composed lazy plan — the
+    actual shape of a pre-training data job, proving the catalog's
+    operators compose: Gopher-rule quality gate (map-only) →
+    corpus-level line dedup over the SURVIVING docs (filter-then-dedup,
+    the standard order — df counts change when junk is removed first)
+    → drop docs left empty → deterministic md5 50 % sample (narrow,
+    resume-safe) → per-source document/token/line inventory.
+
+    Because every stage is declarative, Catalyst optimizes ACROSS
+    stage boundaries: the quality gate and the doc-id sample both
+    reach the scan side of the dedup joins, and the only exchanges are
+    the three the dedup inherently needs (line-df, reassembly, final
+    source rollup).  At 100 TB each stage would otherwise be a
+    separate job writing intermediate datasets; composed, nothing
+    materializes."""
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    wc = F.size(w)
+    mwl = F.length(F.array_join(w, "")) / wc
+    stop = F.size(F.filter(w, lambda x: x.isin("the", "a")))
+    dr = F.size(F.array_distinct(w)) / wc
+    passing = docs.filter(
+        ~(
+            (wc < 30)
+            | (mwl < 4.0)
+            | (mwl > 5.0)
+            | (stop < 2)
+            | (dr < 0.45)
+        )
+    )
+    cleaned = line_level_dedup(passing, chunk_words=3, max_doc_freq=1).filter(
+        F.col("n_kept") > 0
+    )
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    sampled = (
+        cleaned.join(passing.select("doc_id", "source"), "doc_id")
+        .filter(nibble < "8")
+    )
+    return sampled.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("cleaned_text"), " "))).cast("bigint").alias("total_tokens"),
+        F.sum("n_kept").cast("bigint").alias("total_lines"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
