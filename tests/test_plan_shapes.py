@@ -379,3 +379,22 @@ def test_scd2_entire_pipeline_reuses_one_fact_exchange(spark):
     physical = plan.split("== Physical Plan ==")[1]
     assert physical.count("Exchange hashpartitioning") == 1
     assert physical.count("Window") >= 2
+
+
+def test_gopher_census_is_map_only_plus_one_exchange(spark):
+    """All four quality rules are codegen'd column expressions; the
+    only shuffle is the final hash(source) rollup."""
+    plan = _plan(spark, "gopher_rules_census")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_curation_pipeline_composes_without_extra_shuffles(spark):
+    """The composed pipeline may shuffle only where the line dedup
+    inherently must (line-df, reassembly) plus the doc re-join and the
+    final source rollup — four hash exchanges; the quality gate and
+    the md5 sample must fuse into scans/joins, never add exchanges,
+    and nothing may degrade to a cartesian plan."""
+    plan = _plan(spark, "curation_pipeline_e2e")
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
