@@ -116,6 +116,7 @@ HEADLINE = [
     "scd2_user_state",
     "ann_recall_census",
     "curation_pipeline_e2e",
+    "s15_forecast_revision_delta",
 ]
 
 

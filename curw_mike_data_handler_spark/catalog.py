@@ -4296,6 +4296,90 @@ def curation_pipeline_e2e(spark, sf_dir):
     )
 
 
+@query(
+    "s15_forecast_revision_delta",
+    """
+    WITH d AS (
+        SELECT user_id, date_trunc('day', ts) AS fgt,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, fgt, v,
+               dense_rank() OVER (PARTITION BY user_id ORDER BY fgt DESC) AS rk
+        FROM d
+    ),
+    g AS (
+        SELECT user_id, rk, min(fgt) AS fgt, count(*) AS n, sum(v) AS sv
+        FROM r WHERE rk <= 2 GROUP BY user_id, rk
+    ),
+    p AS (
+        SELECT user_id,
+               max(CASE WHEN rk = 1 THEN strftime(fgt, '%Y-%m-%d %H:%M:%S') END) AS latest_fgt,
+               max(CASE WHEN rk = 2 THEN strftime(fgt, '%Y-%m-%d %H:%M:%S') END) AS prev_fgt,
+               max(CASE WHEN rk = 1 THEN n END) AS n_latest,
+               max(CASE WHEN rk = 2 THEN n END) AS n_prev,
+               max(CASE WHEN rk = 1 THEN sv END) AS sv_latest,
+               max(CASE WHEN rk = 2 THEN sv END) AS sv_prev
+        FROM g GROUP BY user_id
+    )
+    SELECT user_id AS series, latest_fgt, prev_fgt,
+           CAST(n_latest AS BIGINT) AS n_latest,
+           CAST(n_prev AS BIGINT) AS n_prev,
+           round(CAST(sv_latest AS DOUBLE) / 100.0 / n_latest
+                 - CAST(sv_prev AS DOUBLE) / 100.0 / n_prev, 6) AS mean_revision
+    FROM p WHERE prev_fgt IS NOT NULL
+    """,
+)
+def s15_forecast_revision_delta(spark, sf_dir):
+    """Forecast revision analysis — the question the reference's fgt
+    versioning exists to answer (S10/§1.1 update_latest_fgt keeps
+    history precisely so revisions are comparable): for each series,
+    the two newest forecast-generation-times side by side with the
+    mean-value shift between them.  Series with a single version drop
+    out (no revision to measure).
+
+    One exchange total: dense_rank over hash(user_id), the rk≤2
+    filter discards all older versions BEFORE any aggregation, and
+    both rollups ((user_id, rk) then user_id) reuse the window's
+    partitioning.  Means are exact-integer cents over counts; the
+    subtraction is the same double algebra in both engines."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.date_trunc("day", F.col("ts")).alias("fgt"),
+        _cents("value").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("fgt"))
+    r = ev.withColumn("rk", F.dense_rank().over(w)).filter(F.col("rk") <= 2)
+    g = r.groupBy("user_id", "rk").agg(
+        F.min("fgt").alias("fgt"), F.count("*").alias("n"), F.sum("v").alias("sv")
+    )
+    is1 = F.col("rk") == 1
+    is2 = F.col("rk") == 2
+    p = g.groupBy("user_id").agg(
+        F.max(F.when(is1, _fmt("fgt"))).alias("latest_fgt"),
+        F.max(F.when(is2, _fmt("fgt"))).alias("prev_fgt"),
+        F.max(F.when(is1, F.col("n"))).alias("n_latest"),
+        F.max(F.when(is2, F.col("n"))).alias("n_prev"),
+        F.max(F.when(is1, F.col("sv"))).alias("sv_latest"),
+        F.max(F.when(is2, F.col("sv"))).alias("sv_prev"),
+    )
+    return p.filter(F.col("prev_fgt").isNotNull()).select(
+        F.col("user_id").alias("series"),
+        "latest_fgt",
+        "prev_fgt",
+        F.col("n_latest").cast("long").alias("n_latest"),
+        F.col("n_prev").cast("long").alias("n_prev"),
+        F.round(
+            F.col("sv_latest").cast("double") / 100.0 / F.col("n_latest")
+            - F.col("sv_prev").cast("double") / 100.0 / F.col("n_prev"),
+            6,
+        ).alias("mean_revision"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

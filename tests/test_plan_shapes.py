@@ -398,3 +398,11 @@ def test_curation_pipeline_composes_without_extra_shuffles(spark):
     assert plan.count("Exchange hashpartitioning") <= 4
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_forecast_revision_runs_on_one_exchange(spark):
+    """dense_rank, the rk≤2 version prefilter, and both rollups all
+    reuse the single hash(user_id) exchange; older versions are
+    discarded before any aggregate touches them."""
+    plan = _plan(spark, "s15_forecast_revision_delta")
+    assert plan.count("Exchange hashpartitioning") == 1
