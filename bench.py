@@ -117,6 +117,7 @@ HEADLINE = [
     "ann_recall_census",
     "curation_pipeline_e2e",
     "s15_forecast_revision_delta",
+    "cross_source_contamination",
 ]
 
 

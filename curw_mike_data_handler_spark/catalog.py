@@ -4380,6 +4380,71 @@ def s15_forecast_revision_delta(spark, sf_dir):
     )
 
 
+@query(
+    "cross_source_contamination",
+    """
+    WITH inj AS (
+        SELECT a.doc_id,
+               'src' || (a.doc_id % 20)::VARCHAR AS source,
+               CASE WHEN a.doc_id % 7 = 3 AND b.text IS NOT NULL
+                    THEN b.text ELSE a.text END AS text
+        FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1
+    ),
+    fp AS (
+        SELECT DISTINCT
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+               source
+        FROM inj
+    )
+    SELECT x.source AS source_a, y.source AS source_b,
+           count(*) AS n_shared_fingerprints
+    FROM fp x JOIN fp y ON x.fingerprint = y.fingerprint AND x.source < y.source
+    GROUP BY x.source, y.source
+    """,
+)
+def cross_source_contamination(spark, sf_dir):
+    """Cross-source leakage matrix: which pairs of sources share
+    byte-identical documents — the audit a mixing pipeline runs before
+    weighting sources as independent.  The raw corpus has no exact
+    dups (vacuity check), so duplicates are injected deterministically
+    (every doc_id ≡ 3 mod 7 takes its predecessor's text, crossing a
+    source boundary each time); the matrix then counts distinct shared
+    fingerprints per source pair.
+
+    Scale shape: fingerprint + per-source distinct is one exchange;
+    the pair join hits only fingerprint groups spanning ≥2 sources
+    (the contaminated sliver), and the per-fingerprint fan-out is
+    bounded by |sources| choose 2, not corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select("doc_id", "text")
+    b = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("prev_text")
+    )
+    inj = a.join(b, "doc_id", "left").select(
+        F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias("source"),
+        F.when(
+            (F.col("doc_id") % 7 == 3) & F.col("prev_text").isNotNull(),
+            F.col("prev_text"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    fp = inj.select(doc_fingerprint("text").alias("fingerprint"), "source").distinct()
+    x = fp.alias("x")
+    y = fp.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.fingerprint") == F.col("y.fingerprint"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"), F.col("y.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared_fingerprints"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
