@@ -118,6 +118,7 @@ HEADLINE = [
     "curation_pipeline_e2e",
     "s15_forecast_revision_delta",
     "cross_source_contamination",
+    "forecast_error_stats",
 ]
 
 

@@ -4445,6 +4445,67 @@ def cross_source_contamination(spark, sf_dir):
     )
 
 
+@query(
+    "forecast_error_stats",
+    """
+    WITH f AS (
+        SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS fv
+        FROM events WHERE event_type = 'view'
+    ),
+    o AS (
+        SELECT user_id, ts, max(CAST(round(value * 100) AS BIGINT)) AS ov
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    a AS (
+        SELECT f.user_id, f.fv, o.ov
+        FROM f ASOF JOIN o ON f.user_id = o.user_id AND f.ts >= o.ts
+    )
+    SELECT user_id AS series, count(*) AS n_aligned,
+           round(CAST(sum(fv - ov) AS DOUBLE) / 100.0 / count(*), 6) AS bias,
+           round(CAST(sum(abs(fv - ov)) AS DOUBLE) / 100.0 / count(*), 6) AS mae,
+           round(sqrt(CAST(sum((fv - ov) * (fv - ov)) AS DOUBLE) / 10000.0 / count(*)), 6) AS rmse
+    FROM a GROUP BY user_id
+    """,
+)
+def forecast_error_stats(spark, sf_dir):
+    """Forecast verification — the reference's reason to exist (MIKE
+    forecasts vs telemetered observations), composed from catalog
+    operators: as-of-align each 'forecast' to the latest preceding
+    observation per series, then bias / MAE / RMSE per series from
+    exact integer-cent moments (Σe, Σ|e|, Σe² as longs; the double
+    algebra and sqrt at the edge are the identical IEEE expressions in
+    both engines).
+
+    Scale shape: the as-of join is the single-window tagged-union form
+    (operators/asof.py — one hash(series) exchange, no join
+    explosion), and the error rollup groups on the same key, so the
+    whole verification job rides one fact shuffle."""
+    from curw_mike_data_handler_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    fc = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", _cents("value").alias("fv")
+    )
+    obs = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", _cents("value").alias("ov")
+    )
+    j = asof_join(fc, obs, on="ts", by="user_id", value_cols=["ov"])
+    e = F.col("fv") - F.col("asof_ov")
+    n = F.count("*")
+    return (
+        j.filter(F.col("asof_ov").isNotNull())
+        .groupBy(F.col("user_id").alias("series"))
+        .agg(
+            n.alias("n_aligned"),
+            F.round(F.sum(e).cast("double") / 100.0 / n, 6).alias("bias"),
+            F.round(F.sum(F.abs(e)).cast("double") / 100.0 / n, 6).alias("mae"),
+            F.round(
+                F.sqrt(F.sum(e * e).cast("double") / 10000.0 / n), 6
+            ).alias("rmse"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
