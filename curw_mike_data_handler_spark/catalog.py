@@ -1601,7 +1601,9 @@ def approx_quantiles_contract_q(spark, sf_dir):
         FROM embeddings
     )
     SELECT vec_id,
-           list_transform(v, x -> CAST(least(floor(x * 64), 63.0) AS INTEGER)) AS codes,
+           array_to_string(
+               list_transform(v, x -> CAST(least(floor(x * 64), 63.0) AS INTEGER)),
+               ',') AS codes_csv,
            n_clipped,
            round(list_distance(v,
                  list_transform(v, x -> (least(floor(x * 64), 63.0) + 0.5) / 64)), 6)
@@ -1614,11 +1616,22 @@ def embedding_quantize_int8_q(spark, sf_dir):
     similarity.quantize_embeddings): power-of-two scale + explicit
     floor keep every step exact across engines; recon_dist is the
     same sequential fold DuckDB's list_distance computes.  4-8× less
-    shuffle/storage for the ANN corpus at 100 TB."""
+    shuffle/storage for the ANN corpus at 100 TB.
+
+    The operator emits ``codes`` as array<int>; the attested row
+    scalarizes it to a comma-joined string — the driver's pandas
+    canonicalizer sorts rows by every output column, and list-valued
+    cells are unhashable there (the one red row of round 2)."""
     from curw_mike_data_handler_spark.operators.similarity import quantize_embeddings
 
     emb = _par(spark, _t(spark, sf_dir, "embeddings"))
-    return quantize_embeddings(emb, scale=64)
+    q = quantize_embeddings(emb, scale=64)
+    return q.select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes_csv"),
+        "n_clipped",
+        "recon_dist",
+    )
 
 
 @query(

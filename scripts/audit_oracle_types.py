@@ -8,6 +8,13 @@ values, which is type-blind.  This script closes that gap: it converts
 both result sets to pyarrow and reports any per-column type mismatch so
 oracle SQL can be CAST-fixed before the driver runs.
 
+It also flags CANONICALIZER-UNSAFE outputs: the driver sorts the
+result rows with pandas ``sort_values`` over every column, and a
+list/map/struct-typed cell raises ``unhashable type`` there before any
+value comparison happens (round 2's embedding_quantize_int8).  Any
+nested arrow type in either engine's output is an error — scalarize
+(concat_ws / array_to_string / md5) before returning.
+
 Usage: python scripts/audit_oracle_types.py [sf_dir]
 """
 
@@ -16,6 +23,7 @@ from __future__ import annotations
 import sys
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, "/root/repo")
 
@@ -45,6 +53,16 @@ def main() -> None:
             continue
         s_types = {f.name: f.type for f in s_tbl.schema}
         d_types = {f.name: f.type for f in d_tbl.schema}
+        nested = [
+            f"{side}.{c}: {t}"
+            for side, types in (("spark", s_types), ("duck", d_types))
+            for c, t in sorted(types.items())
+            if pa.types.is_nested(t)
+        ]
+        if nested:
+            print(f"{name}: CANONICALIZER-UNSAFE nested output {'; '.join(nested)}")
+            mismatched.append(name)
+            continue
         if set(s_types) != set(d_types):
             print(f"{name}: COLUMN SET spark={sorted(s_types)} duck={sorted(d_types)}")
             mismatched.append(name)
