@@ -884,11 +884,11 @@ def q4_order_priority(spark, sf_dir):
     """,
 )
 def q5_regional_revenue(spark, sf_dir):
-    """Deep multi-join (TPC-H Q5 shape): fact ⋈ 5 dims.  Fixed-size
-    dims (supplier/nation/region) are hint-broadcast; customer GROWS
-    with SF so it carries no hint — AQE broadcasts it while it fits
-    and degrades to a shuffle join at scale instead of OOMing the
-    build side."""
+    """Deep multi-join (TPC-H Q5 shape): fact ⋈ 5 dims.  Only the
+    schema-fixed dims (nation 25 rows, region 5) are hint-broadcast;
+    supplier and customer GROW with SF so they carry no hint — AQE
+    broadcasts them while they fit and degrades to a shuffle join at
+    scale instead of OOMing the build side."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -900,7 +900,7 @@ def q5_regional_revenue(spark, sf_dir):
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (s["s_suppkey"] == li["l_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]),
         )
         .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
@@ -1179,28 +1179,29 @@ def s5_active_stations(spark, sf_dir):
 @query(
     "j4_dim_broadcast_lookup",
     """
-    SELECT c.c_name AS station, count(*) AS n_events,
-           CAST(sum(e.value::DECIMAL(18,2)) AS DOUBLE) AS total_value
-    FROM events e JOIN customer c ON e.user_id = c.c_custkey
-    GROUP BY c.c_name
+    SELECT n.n_name AS station, count(*) AS n_members,
+           CAST(sum(c.c_acctbal::DECIMAL(18,2)) AS DOUBLE) AS total_value
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
     """,
 )
 def j4_dim_broadcast_lookup(spark, sf_dir):
     """J4: the reference's dict-lookup joins (station rename maps,
     all_raw:290-294, rf_obs:135-138) as a broadcast hash join — fact
     side streams, dim side ships once per executor, zero shuffle before
-    the final group.  The explicit hint is this operator's CONTRACT
-    (the caller asserts the dimension is station-registry-sized, as in
-    the reference); for dims that grow with the data, use the
-    unhinted joins elsewhere in the catalog and let AQE decide."""
-    ev = _t(spark, sf_dir, "events")
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    the final group.  The explicit hint is this operator's CONTRACT,
+    so the demo binds it to a dim whose size is fixed by the schema
+    (nation, 25 rows) — never to an SF-scaling relation.  For dims
+    that grow with the data, use the unhinted joins elsewhere in the
+    catalog and let AQE decide."""
+    c = _t(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        ev.join(F.broadcast(c), ev["user_id"] == c["c_custkey"])
-        .groupBy(F.col("c_name").alias("station"))
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("station"))
         .agg(
-            F.count("*").alias("n_events"),
-            F.sum(_dec("value")).cast("double").alias("total_value"),
+            F.count("*").alias("n_members"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_value"),
         )
     )
 
@@ -3199,8 +3200,9 @@ def q7_volume_shipping(spark, sf_dir):
     Q19-style: each side gets its implied prefilter (supplier and
     customer both restricted to the two nations BEFORE their joins),
     and the residual condition collapses to supp_nation ≠ cust_nation.
-    Suppliers⋈nation broadcast into the fact; the date range pushes to
-    the lineitem scan; customer joins orders on the shuffle key it
+    Suppliers⋈nation joins into the fact unhinted (supplier scales
+    with SF; AQE broadcasts it while it fits); the date range pushes
+    to the lineitem scan; customer joins orders on the shuffle key it
     already needs.  One agg exchange on the 2×2×years group space."""
     pair = ("NATION_1", "NATION_2")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -3220,7 +3222,7 @@ def q7_volume_shipping(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
     return (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -3284,7 +3286,7 @@ def q8_market_share(spark, sf_dir):
     rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
     flat = (
         li.join(p, li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
@@ -3343,7 +3345,7 @@ def q9_product_profit(spark, sf_dir):
     ) * F.round("l_quantity").cast("long") * 100
     return (
         li.join(p, li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
@@ -3507,8 +3509,8 @@ def q15_top_supplier(spark, sf_dir):
     and the equality keeps ties exactly — revenue is an exact long,
     so "equal to the max" is a well-defined comparison in both
     engines (the textbook FP formulation can drop a tied supplier to
-    a ulp).  Supplier joins by broadcast; no shuffle beyond the one
-    revenue agg."""
+    a ulp).  Supplier joins unhinted (AQE-broadcast while small); no
+    shuffle beyond the one revenue agg."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1999-04-01").cast("timestamp"))
@@ -3521,7 +3523,7 @@ def q15_top_supplier(spark, sf_dir):
         F.col("total_rev") == F.col("__mx")
     )
     s = _t(spark, sf_dir, "supplier")
-    return top.join(F.broadcast(s), top["supplier_no"] == s["s_suppkey"]).select(
+    return top.join(s, top["supplier_no"] == s["s_suppkey"]).select(
         "s_suppkey", "s_name", (F.col("total_rev") / 1e4).alias("total_revenue")
     )
 
@@ -3569,7 +3571,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     li_f = (
         li.join(p, li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .select("l_partkey", "p_brand", "s_name", "nation", _cents("l_extendedprice").alias("price"))
     )
     w = Window.partitionBy("l_partkey")
@@ -3621,7 +3623,7 @@ def q11_important_parts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
     pr = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .groupBy("l_partkey")
         .agg(F.sum(rev).alias("part_rev"))
     )
@@ -3653,8 +3655,9 @@ def q16_supplier_part_counts(spark, sf_dir):
     (brand, type, size) bucket, excluding a complaint list — NOT IN
     over a subquery plus COUNT(DISTINCT) in one query.  The exclusion
     list (negative-balance suppliers; s_suppkey is non-nullable so
-    NOT IN ≡ anti join) broadcasts as a LeftAnti build side; part's
-    three predicates prune it before ITS broadcast.  The distinct
+    NOT IN ≡ anti join) joins as an unhinted LeftAnti build side (it
+    is supplier-derived, so it scales with SF — AQE broadcasts it
+    while it fits); part's three predicates prune it first.  The distinct
     count runs as Catalyst's two-phase expand (partial dedup of
     (group, suppkey) map-side, then final count) — no pre-distinct
     materialization of the pair set is needed."""
@@ -3666,7 +3669,7 @@ def q16_supplier_part_counts(spark, sf_dir):
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(complaints), li["l_suppkey"] == complaints["s_suppkey"], "left_anti")
+        li.join(complaints, li["l_suppkey"] == complaints["s_suppkey"], "left_anti")
         .join(p, F.col("l_partkey") == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -3728,7 +3731,7 @@ def q20_heavy_shippers(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     )
-    return s.join(F.broadcast(heavy), s["s_suppkey"] == heavy["l_suppkey"]).select(
+    return s.join(heavy, s["s_suppkey"] == heavy["l_suppkey"]).select(
         "s_suppkey", "s_name", F.col("n_name").alias("nation")
     )
 
@@ -3791,7 +3794,7 @@ def q21_sole_late_shipper(spark, sf_dir):
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        m2.join(F.broadcast(s), m2["l_suppkey"] == s["s_suppkey"])
+        m2.join(s, m2["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -3895,7 +3898,7 @@ def w7_ratio_to_report(spark, sf_dir):
     )
     rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
     nat = (
-        li.join(F.broadcast(dim), li["l_suppkey"] == dim["s_suppkey"])
+        li.join(dim, li["l_suppkey"] == dim["s_suppkey"])
         .groupBy("nation", "region")
         .agg(F.sum(rev).alias("rev"))
     )
@@ -3942,21 +3945,22 @@ def mad_anomalies(spark, sf_dir):
     tails (median/MAD have a 50 % breakdown point; mean/stddev, 0 %).
     Medians are holistic, so this is inherently two-pass: per-group
     median, deviations, per-group MAD, census.  Each aggregate output
-    is group-cardinality-sized (8 rows) and broadcasts back onto the
-    fact — the fact itself is scanned twice but never shuffled (the
-    small agg exchanges move ~nothing).  All medians run on exact
+    is group-cardinality-sized (8 rows) and joins back onto the fact
+    unhinted — AQE sees the tiny runtime size and broadcasts, without
+    a hard hint baked into the plan — so the fact itself is scanned
+    twice but never shuffled (the small agg exchanges move ~nothing).  All medians run on exact
     integer cents (interpolation at worst introduces an exact .5),
     |v − med| is exact in doubles, and the 3×MAD threshold compare is
     therefore engine-invariant.  At corpus scale swap percentile for
     approx_percentile and fold both passes' thresholds into one scan."""
     ev = _t(spark, sf_dir, "events").select("event_type", _cents("value").alias("v"))
     med = ev.groupBy("event_type").agg(F.expr("percentile(v, 0.5)").alias("med_c"))
-    dev = ev.join(F.broadcast(med), "event_type").select(
+    dev = ev.join(med, "event_type").select(
         "event_type", "v", F.abs(F.col("v") - F.col("med_c")).alias("d"), "med_c"
     )
     mad = dev.groupBy("event_type").agg(F.expr("percentile(d, 0.5)").alias("mad_c"))
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        dev.join(mad, "event_type")
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),

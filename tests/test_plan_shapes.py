@@ -90,17 +90,21 @@ def test_multi_join_broadcasts_every_dim(spark):
 
 
 def test_no_forced_broadcast_on_sf_scaling_relations(spark):
-    """customer/orders/lineitem grow with SF — a hard broadcast hint on
-    any of them OOMs the build side at cluster scale.  Hints are
-    reserved for fixed-size dims (nation/region) and the supplier-sized
-    station dims; AQE handles the scaling relations.  Checked at the
+    """customer/orders/lineitem/part/supplier ALL grow with SF — a hard
+    broadcast hint on any of them (or anything derived from them) OOMs
+    the build side at cluster scale.  Hints are reserved for dims whose
+    size is fixed by the schema (nation 25 rows, region 5, the station
+    registry); AQE handles the scaling relations.  Checked at the
     analyzed-plan level: no ResolvedHint may sit above a scan of a
     scaling relation."""
     import re
 
     for name in ("q3_top_revenue_orders", "q5_regional_revenue", "q8_market_share",
              "q14_promo_share", "q9_product_profit", "q17_small_qty_revenue",
-             "p6_membership_semi_join", "q19_disjunctive", "q16_supplier_part_counts"):
+             "p6_membership_semi_join", "q19_disjunctive", "q16_supplier_part_counts",
+             "q2_min_cost_supplier", "q7_volume_shipping", "q11_important_parts",
+             "q15_top_supplier", "q20_heavy_shippers", "q21_sole_late_shipper",
+             "w7_ratio_to_report", "mad_anomalies", "j4_dim_broadcast_lookup"):
         df = catalog.QUERIES[name](spark, SF)
         analyzed = df._jdf.queryExecution().analyzed().toString()
         # each ResolvedHint node governs the subtree printed under it at
@@ -113,7 +117,7 @@ def test_no_forced_broadcast_on_sf_scaling_relations(spark):
             for nxt in lines[i + 1 :]:
                 if "Relation" not in nxt:
                     continue
-                m = re.search(r"(customer|orders|lineitem|part)\.parquet", nxt)
+                m = re.search(r"(customer|orders|lineitem|part|supplier)\.parquet", nxt)
                 assert m is None, (
                     f"{name}: forced broadcast above scaling relation "
                     f"{m.group(1) if m else ''}:\n{line}\n{nxt}"
