@@ -311,6 +311,7 @@ def kmeans_assign(
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Deterministic Lloyd's k-means → (id, cluster): the IVF coarse
     quantizer that produces the bucket column ann_topk_bucketed /
@@ -322,17 +323,26 @@ def kmeans_assign(
       tie-break;
     * update: coordinate-wise mean of members (fixed ``iterations``
       rounds — at corpus scale each round is ONE scan + ONE small
-      groupBy; centroids ship to executors as a broadcast literal).
+      groupBy).
 
     The per-round collect is k×dim doubles (the centroids), not data —
     the standard iterative-algorithm driver loop.
 
-    Plan-width ceiling: distances are built as k literal-centroid
-    columns, so the plan grows O(k·dim) per round — fine for a COARSE
-    quantizer (k in the hundreds).  For fine quantizers (k ≫ 1000),
-    switch the assignment step to a broadcast centroid table +
-    posexplode/argmin aggregation so centroids travel as data, not
-    plan literals."""
+    Two assignment strategies, bit-for-bit identical output (same
+    sequential zip_with/aggregate fold, same first-minimum = lowest
+    centroid-id tie-break):
+
+    * ``"broadcast"`` (default): the centroids travel as DATA — one
+      broadcast row holding ``array<struct<cid, center>>``, argmin as
+      a higher-order fold over that array.  Zero shuffle, plan size
+      independent of k·dim — the 100 TB / fine-quantizer path.
+    * ``"literal"``: k literal-array distance columns in the plan.
+      Plan grows O(k·dim) per round — only for tiny k, where it
+      dodges the one-row crossJoin, and kept as the parity witness
+      for the broadcast fold."""
+    if strategy not in ("broadcast", "literal"):
+        raise ValueError(f"unknown kmeans_assign strategy: {strategy!r}")
+    spark = corpus.sparkSession
     vecs = corpus.select(
         F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
     ).cache()
@@ -349,27 +359,65 @@ def kmeans_assign(
             lambda acc, x: acc + x,
         )
 
-    assigned = None
-    for _ in range(iterations):
+    def assign_literal(centroids):
         d = vecs
         for cid, center in centroids:
             d = d.withColumn(f"__d{cid}", dist2(F.col("v"), center))
         dist_arr = F.array(*[F.col(f"__d{cid}") for cid, _ in centroids])
-        assigned = d.select(
+        return d.select(
             "id",
             "v",
-            F.array_position(dist_arr, F.array_min(dist_arr)).cast("int").alias("__c"),
-        ).withColumn("cluster", F.col("__c") - 1)
-        new_rows = (
+            (F.array_position(dist_arr, F.array_min(dist_arr)).cast("int") - 1)
+            .alias("cluster"),
+        )
+
+    def assign_broadcast(centroids):
+        # One row, one array column: ships once per executor; the
+        # nested fold below is the argmin loop a native engine would
+        # compile, but expressed as data so the PLAN stays O(1).
+        cents = spark.createDataFrame(
+            [([{"cid": cid, "center": ctr} for cid, ctr in centroids],)],
+            "cents array<struct<cid:int,center:array<double>>>",
+        )
+        # struct ordering is lexicographic (d2, then cid), so
+        # array_min IS "nearest centroid, lowest-cid tie-break" — the
+        # same total order the literal path's first-minimum gives.
+        scored = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("v"), c["center"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                ).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("id", "v", F.array_min(scored)["cid"].alias("cluster"))
+        )
+
+    assign = assign_broadcast if strategy == "broadcast" else assign_literal
+    assigned = None
+    for _ in range(iterations):
+        assigned = assign(centroids)
+        # ONE narrow shuffle on (cluster, dim); the k×dim mean rows are
+        # the per-round collect, assembled into centers driver-side
+        # (cheaper than a second exchange just to re-array them).
+        mean_rows = (
             assigned.select(
                 "cluster", F.posexplode("v").alias("dim", "x")
             )
             .groupBy("cluster", "dim")
             .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms"))
-            .select("cluster", F.transform("ms", lambda s: s["m"]).alias("center"))
             .collect()
         )
-        centroids = sorted((r["cluster"], r["center"]) for r in new_rows)
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        centroids = sorted(
+            (cid, [dims[d] for d in sorted(dims)])
+            for cid, dims in by_cluster.items()
+        )
     return assigned.select("id", "cluster")

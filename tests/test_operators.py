@@ -262,6 +262,26 @@ def test_kmeans_assign_deterministic_and_separating(spark):
     assert len({next(iter(cs)) for cs in groups.values()}) == 3
 
 
+def test_kmeans_assign_strategies_identical(spark):
+    """The broadcast-centroid argmin (centroids as data, O(1) plan)
+    must reproduce the literal-column path bit-for-bit: same zip_with
+    fold for d2, same lowest-cid tie-break.  Exercised on the real
+    embeddings table so ties and FP edges come from actual data."""
+    from curw_mike_data_handler_spark.operators.similarity import kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lit = {
+        r["id"]: r["cluster"]
+        for r in kmeans_assign(emb, k=5, iterations=3, strategy="literal").collect()
+    }
+    bc = {
+        r["id"]: r["cluster"]
+        for r in kmeans_assign(emb, k=5, iterations=3, strategy="broadcast").collect()
+    }
+    assert lit == bc
+    assert len(set(bc.values())) > 1, "separating on real data"
+
+
 def test_media_header_roundtrip_and_robustness(spark):
     """Real header decode: builder → parser round-trip for every format,
     plus malformed/truncated payloads mapping to 'unknown' rather than
