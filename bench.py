@@ -154,21 +154,29 @@ def main() -> None:
         warm[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "warm_total": round(sum(warm.values()), 3),
-                "note": "cold pass first (value/queries), then warm pass"
-                        " (queries_warm); run without concurrent load",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
+        "note": "cold then warm pass; full precision in BENCH_local.json",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full-precision copy on disk: the driver keeps only a bounded tail
+    # of stdout, which truncated the cold numbers in round 2 — the file
+    # is the durable, diffable artifact.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_local.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    # ONE compact line for the driver: tightest separators + 2-decimal
+    # times so the whole line fits well inside the captured tail.
+    compact = dict(payload)
+    compact["queries"] = {n: round(v, 2) for n, v in timings.items()}
+    compact["queries_warm"] = {n: round(v, 2) for n, v in warm.items()}
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 
