@@ -90,18 +90,53 @@ def latest_fgt_view(data: DataFrame, key: str = "tms_id", fgt_col: str = "fgt") 
     )
 
 
+def upsert_statement(table: str, columns: Sequence[str], key_cols: Sequence[str],
+                     dialect: str = "mysql") -> str:
+    """The keyed-upsert statement for one DB dialect.
+
+    * ``"mysql"`` — ``INSERT … ON DUPLICATE KEY UPDATE c=VALUES(c)``
+      with ``%s`` placeholders (pymysql paramstyle), byte-for-byte the
+      reference's statement (wl_x:96).
+    * ``"duckdb"`` — standard-SQL ``INSERT … ON CONFLICT (keys) DO
+      UPDATE SET c=excluded.c`` with ``?`` placeholders (qmark
+      paramstyle) — the same contract on an engine that actually runs
+      in this container, so the execution path is integration-testable
+      against a live cursor.
+    """
+    non_keys = [c for c in columns if c not in key_cols]
+    if dialect == "mysql":
+        placeholders = ",".join(["%s"] * len(columns))
+        updates = ",".join(f"{c}=VALUES({c})" for c in non_keys)
+        return (
+            f"INSERT INTO {table} ({','.join(columns)}) VALUES ({placeholders}) "
+            f"ON DUPLICATE KEY UPDATE {updates}"
+        )
+    if dialect == "duckdb":
+        placeholders = ",".join(["?"] * len(columns))
+        updates = ",".join(f"{c}=excluded.{c}" for c in non_keys)
+        return (
+            f"INSERT INTO {table} ({','.join(columns)}) VALUES ({placeholders}) "
+            f"ON CONFLICT ({','.join(key_cols)}) DO UPDATE SET {updates}"
+        )
+    raise ValueError(f"unknown upsert dialect: {dialect!r}")
+
+
 def jdbc_upsert_partition(rows, *, table: str, columns: Sequence[str],
                           key_cols: Sequence[str], url: str | None = None,
-                          batch_size: int = 1000, connection_factory=None):
+                          batch_size: int = 1000, connection_factory=None,
+                          dialect: str = "mysql"):
     """foreachPartition body: MySQL ``INSERT … ON DUPLICATE KEY UPDATE``
     parity with wl_x:96.
 
     ``connection_factory`` is any zero-arg callable returning a DB-API
     connection — injected so the statement generation, batching and
-    idempotence contract are unit-testable without a live server; the
-    default builds a pymysql connection from ``url`` (requires the
-    driver at runtime)."""
+    idempotence contract are unit-testable without a live server, and
+    so the whole path can run for real against DuckDB
+    (``dialect="duckdb"``); the default builds a pymysql connection
+    from ``url`` (requires the driver at runtime)."""
     if connection_factory is None:
+        if url is None:
+            raise ValueError("url required when no connection_factory is given")
         try:
             import pymysql  # noqa: F401
         except ImportError as exc:  # pragma: no cover - no driver in container
@@ -111,12 +146,7 @@ def jdbc_upsert_partition(rows, *, table: str, columns: Sequence[str],
         def connection_factory():  # pragma: no cover
             return pymysql.connect(**conn_kwargs)
 
-    placeholders = ",".join(["%s"] * len(columns))
-    updates = ",".join(f"{c}=VALUES({c})" for c in columns if c not in key_cols)
-    sql = (
-        f"INSERT INTO {table} ({','.join(columns)}) VALUES ({placeholders}) "
-        f"ON DUPLICATE KEY UPDATE {updates}"
-    )
+    sql = upsert_statement(table, columns, key_cols, dialect)
     conn = connection_factory()
     try:
         with conn.cursor() as cur:

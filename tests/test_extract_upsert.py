@@ -187,3 +187,100 @@ def test_jdbc_upsert_sql_batching_and_idempotence():
     assert len(store["table"]) == 2500
     for r in bumped:
         assert store["table"][(r["tms_id"], r["time"], r["fgt"])][-1] == r["value"]
+
+
+def test_jdbc_upsert_live_duckdb(tmp_path):
+    """The last untested branch, executed for REAL: the same
+    foreachPartition body (batch loop, executemany, commit, close)
+    against a live database engine with an enforced composite PRIMARY
+    KEY — DuckDB stands in for MySQL via the dialect switch, so the
+    on-conflict semantics are the database's, not a fake's.  Mirrors
+    reference outputs/extract_water_level.py:96."""
+    import duckdb
+
+    from curw_mike_data_handler_spark.sources.upsert import jdbc_upsert_partition
+
+    db = str(tmp_path / "curw.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE data (tms_id VARCHAR, time VARCHAR, fgt VARCHAR,"
+        " value DOUBLE, PRIMARY KEY (tms_id, time, fgt))"
+    )
+    con.close()
+
+    cols = ["tms_id", "time", "fgt", "value"]
+    keys = ["tms_id", "time", "fgt"]
+    rows = [
+        {"tms_id": f"id{i % 3}", "time": f"t{i}", "fgt": "f1", "value": float(i)}
+        for i in range(250)
+    ]
+    run = lambda rs: jdbc_upsert_partition(  # noqa: E731
+        iter(rs), table="data", columns=cols, key_cols=keys, batch_size=100,
+        connection_factory=lambda: duckdb.connect(db), dialect="duckdb",
+    )
+    run(rows)
+    con = duckdb.connect(db, read_only=True)
+    assert con.execute("SELECT count(*) FROM data").fetchone()[0] == 250
+
+    con.close()
+    run(rows)  # re-apply ⇒ fixpoint
+    bumped = [dict(r, value=r["value"] + 0.5) for r in rows[:7]]
+    run(bumped)  # conflicting keys UPDATE in place
+    con = duckdb.connect(db, read_only=True)
+    assert con.execute("SELECT count(*) FROM data").fetchone()[0] == 250
+    got = dict(
+        (tuple(k), v)
+        for *k, v in con.execute("SELECT tms_id, time, fgt, value FROM data").fetchall()
+    )
+    con.close()
+    for r in bumped:
+        assert got[(r["tms_id"], r["time"], r["fgt"])] == r["value"]
+    assert got[("id2", "t200", "f1")] == 200.0
+
+
+def test_jdbc_upsert_from_spark_foreachpartition(spark, tmp_path):
+    """End-to-end wiring: a DataFrame upserts itself into the live
+    DuckDB table THROUGH Spark's foreachPartition in the Python
+    worker process — the exact deployment shape of the MySQL sink.
+    Single writer (coalesce(1)): DuckDB is single-writer, and the
+    real MySQL target takes concurrent partitions instead."""
+    import duckdb
+
+    from curw_mike_data_handler_spark.sources.upsert import jdbc_upsert_partition
+
+    db = str(tmp_path / "sink.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE data (tms_id VARCHAR, time VARCHAR, fgt VARCHAR,"
+        " value DOUBLE, PRIMARY KEY (tms_id, time, fgt))"
+    )
+    con.close()
+    df = spark.createDataFrame(
+        [(f"id{i % 5}", f"t{i}", "f1", float(i)) for i in range(400)],
+        "tms_id string, time string, fgt string, value double",
+    )
+
+    def sink(part):
+        jdbc_upsert_partition(
+            part, table="data", columns=["tms_id", "time", "fgt", "value"],
+            key_cols=["tms_id", "time", "fgt"], batch_size=128,
+            connection_factory=lambda: duckdb.connect(db), dialect="duckdb",
+        )
+
+    df.coalesce(1).foreachPartition(sink)
+    df.coalesce(1).foreachPartition(sink)  # exactly-once effect on re-run
+    con = duckdb.connect(db, read_only=True)
+    assert con.execute("SELECT count(*) FROM data").fetchone()[0] == 400
+    assert con.execute(
+        "SELECT value FROM data WHERE tms_id='id3' AND time='t3'"
+    ).fetchone()[0] == 3.0
+    con.close()
+
+
+def test_jdbc_upsert_requires_url_or_factory():
+    from curw_mike_data_handler_spark.sources.upsert import jdbc_upsert_partition
+
+    with pytest.raises(ValueError, match="url required"):
+        jdbc_upsert_partition(
+            iter([]), table="data", columns=["k", "v"], key_cols=["k"],
+        )
