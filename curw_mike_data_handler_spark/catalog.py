@@ -1573,8 +1573,14 @@ def approx_quantiles_contract_q(spark, sf_dir):
     with engine-specific estimates — so, like approx_distinct_hll, the
     attested value is the rank-error CONTRACT: each approx quantile
     must land between the exact ±1%-rank quantiles (Spark accuracy
-    10000 ⇒ rank error 1e-4, two orders inside the bound).  The exact
-    median rides along as a fully-checked value on integer cents."""
+    10000 ⇒ rank error 1e-4, two orders inside the bound; DuckDB's
+    t-digest is far inside it too on this near-uniform measure).  The
+    ±1 %-rank band is deliberately ~100× looser than either engine's
+    observed error so the booleans cannot flip between engines at an
+    UNTESTED scale factor — the row attests "sketch quantiles are
+    sane", not a sharp error constant; validated green at
+    sf0.001/0.01/0.1.  The exact median rides along as a
+    fully-checked value on integer cents."""
     li = _t(spark, sf_dir, "lineitem")
     c = _cents("l_extendedprice")
     g = li.groupBy("l_returnflag").agg(
@@ -1640,8 +1646,8 @@ def embedding_quantize_int8_q(spark, sf_dir):
     """
     SELECT event_type, count(*) AS n_events,
            count(DISTINCT user_id) AS exact_users,
-           abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) * 50
-               <= count(DISTINCT user_id) * 3 AS hll_ok
+           abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) * 10
+               <= count(DISTINCT user_id) AS hll_ok
     FROM events GROUP BY event_type
     """,
 )
@@ -1650,9 +1656,16 @@ def approx_distinct_hll_q(spark, sf_dir):
     rsd=0.02) — the one-pass mergeable form a10_count_distinct swaps
     to at corpus scale.  Raw estimates are engine-specific, so the
     attested value is the ERROR-BOUND CONTRACT: hll_ok ⇔ the sketch
-    lands within 3·rsd (6%) of the exact count — deterministic per
-    engine and data, integer-arithmetic comparison, hash-stable.
-    Exact count and row count ride along as fully-checked columns."""
+    lands within 5·rsd (10%) of the exact count — deterministic per
+    engine and data, integer-arithmetic comparison, hash-stable.  The
+    band is 5σ, not the 3σ a statistician would quote, ON PURPOSE:
+    both engines' sketches must sit inside it at EVERY scale factor,
+    not just the tested ones, so the contract boolean cannot flip
+    between engines at an untested SF (observed margins at sf0.001-0.1
+    are under 2·rsd; 5·rsd is provable headroom, and a sketch that
+    misses 5σ is a broken implementation, which is what the row is
+    there to catch).  Exact count and row count ride along as
+    fully-checked columns."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -1666,8 +1679,8 @@ def approx_distinct_hll_q(spark, sf_dir):
             "n_events",
             "exact_users",
             (
-                F.abs(F.col("__approx") - F.col("exact_users")) * 50
-                <= F.col("exact_users") * 3
+                F.abs(F.col("__approx") - F.col("exact_users")) * 10
+                <= F.col("exact_users")
             ).alias("hll_ok"),
         )
     )
@@ -4151,21 +4164,21 @@ def scd2_user_state(spark, sf_dir):
         SELECT query_id, neighbor_id FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    row_number() OVER (PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+                       ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
             FROM q JOIN e c ON q.vec_id <> c.vec_id) WHERE rank <= 5
     ),
     ivf AS (
         SELECT query_id, neighbor_id FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    row_number() OVER (PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+                       ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
             FROM q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id) WHERE rank <= 5
     ),
     lsh AS (
         SELECT query_id, neighbor_id FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    row_number() OVER (PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+                       ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
             FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id) WHERE rank <= 5
     )
     SELECT ex.query_id,

@@ -260,9 +260,13 @@ def decode_media(media: DataFrame) -> DataFrame:
     splits exactly as in extract_features."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        meta_cols = [f.name for f in MEDIA_META_SCHEMA.fields if f.name not in
+                     ("media_id", "byte_len")]
         for pdf in batches:
             metas = [parse_media_header(bytes(p)) for p in pdf["payload"]]
-            out = pd.DataFrame(metas)
+            # explicit columns: a zero-row batch must still yield an
+            # empty TYPED frame, not a column-less one
+            out = pd.DataFrame(metas, columns=meta_cols)
             out.insert(0, "media_id", pdf["media_id"].values)
             out["byte_len"] = pdf["payload"].map(len).astype("int64")
             for c in ("width", "height", "sample_rate", "channels", "bit_depth"):
