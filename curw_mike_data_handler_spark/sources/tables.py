@@ -24,6 +24,12 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # tz-naive parquet timestamps (timestamp[us], isAdjustedToUTC=false)
+    # must come back as TIMESTAMP (LTZ) with the naive value taken as
+    # UTC epoch micros — the same reading DuckDB gives the oracle side.
+    # Spark 4 would otherwise infer TIMESTAMP_NTZ, which unix_micros()
+    # and window() reject.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # TIMESTAMP(NANOS) read as long nanos → truncate to micros
