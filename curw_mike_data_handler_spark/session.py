@@ -41,6 +41,13 @@ _BASE_CONF = {
     # pandas-written parquet may carry TIMESTAMP(NANOS) which Spark has
     # no native type for; read as long and convert in the loader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # tz-naive parquet timestamps (isAdjustedToUTC=false) must come back
+    # as TIMESTAMP (LTZ, naive value taken as UTC epoch micros) — the
+    # same reading DuckDB gives the oracle side.  Set here, not only in
+    # the table loader, so EVERY parquet read path (maintenance sweeps,
+    # bucketed tables, raw spark.read in tests) behaves identically
+    # regardless of call order.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Spark 4 ANSI mode breaks the reference's permissive casts
     # (strings→double with junk rows); the engine validates explicitly.
     "spark.sql.ansi.enabled": "false",
