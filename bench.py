@@ -119,6 +119,10 @@ HEADLINE = [
     "s15_forecast_revision_delta",
     "cross_source_contamination",
     "forecast_error_stats",
+    "p10_pivot_wide",
+    "w9_linear_interpolate",
+    "w10_ewma_lag16",
+    "a14_winsorized_mean",
 ]
 
 

@@ -4536,6 +4536,263 @@ def forecast_error_stats(spark, sf_dir):
     )
 
 
+@query(
+    "p10_pivot_wide",
+    """
+    SELECT user_id,
+           CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 100) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS click,
+           CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN CAST(round(value * 100) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS error,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS purchase,
+           CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN CAST(round(value * 100) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS signup,
+           CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def p10_pivot_wide(spark, sf_dir):
+    """Long→wide pivot — the reference's in-flight layout (SURVEY §1.2:
+    one column per station, built by repeated pandas merges at
+    rf_linux:149) as ONE grouped aggregate.  The pivot value list is
+    pinned, so Spark plans a single hash aggregate with 5 conditional
+    sums (no value-discovery job, no per-column join chain); missing
+    cells coalesce to 0.0 like the reference's fillna.
+
+    Scale shape: identical to any groupBy — one exchange on the group
+    key; the wide row stays narrow (|event types| is schema-fixed, not
+    data-driven)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.sum(_cents("value")))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            (F.coalesce(F.col(t), F.lit(0)).cast("double") / 100.0).alias(t)
+            for t in types
+        ],
+    )
+
+
+@query(
+    "w9_linear_interpolate",
+    """
+    WITH s AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               CASE WHEN event_id % 5 = 2 THEN NULL
+                    ELSE CAST(round(value * 100) AS BIGINT) END AS v
+        FROM events WHERE event_type = 'view'
+    ),
+    n AS (
+        SELECT user_id, event_id, t, v,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pt,
+               first_value(v IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nt
+        FROM s
+        WINDOW wp AS (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wn AS (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id,
+           round((CAST(pv AS DOUBLE)
+                  + CAST(nv - pv AS DOUBLE)
+                    * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)))
+                 / 100.0, 6) AS interp
+    FROM n
+    WHERE v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+    """,
+)
+def w9_linear_interpolate(spark, sf_dir):
+    """Time-weighted linear interpolation of interior gaps — the
+    pandas `interpolate(method='time')` the reference's gap-filling
+    alludes to (its actual fill is mean-impute, A2), done with two
+    IGNORE NULLS window scans instead of per-series Python: the last
+    non-null observation before the gap and the first after it bracket
+    the gap, and the value is interpolated on the micro-epoch axis.
+    Gaps are injected deterministically (event_id ≡ 2 mod 5) since the
+    synthetic series is dense; leading/trailing gaps (no bracket) are
+    left out, matching pandas' interior-only default.
+
+    Exactness: neighbors are integer cents / integer micros; the single
+    interpolation expression is written with identical association in
+    both engines, then rounded at the edge.
+
+    Scale shape: one hash(user_id) exchange feeds both window frames
+    (same partition+order key → one sort, two frames); no join, no
+    Python. 100 TB of series = the same one exchange."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.when(F.col("event_id") % 5 == 2, F.lit(None))
+        .otherwise(_cents("value"))
+        .alias("v"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    t_if_obs = F.when(F.col("v").isNotNull(), F.col("t"))
+    n = s.select(
+        "user_id",
+        "event_id",
+        "t",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(t_if_obs, ignorenulls=True).over(wp).alias("pt"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(t_if_obs, ignorenulls=True).over(wn).alias("nt"),
+    )
+    interp = (
+        F.col("pv").cast("double")
+        + (F.col("nv") - F.col("pv")).cast("double")
+        * ((F.col("t") - F.col("pt")).cast("double")
+           / (F.col("nt") - F.col("pt")).cast("double"))
+    ) / 100.0
+    return (
+        n.filter(
+            F.col("v").isNull()
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+        )
+        .select("user_id", "event_id", F.round(interp, 6).alias("interp"))
+    )
+
+
+# EWMA with a bounded 16-term memory: weights (1-α)^k are exact dyadic
+# rationals (3^k/4^k), so every term is computed identically in both
+# engines; the k-term truncation makes the recursion a fixed lag chain
+# (windowable, exact, engine-portable) instead of an unbounded
+# sequential scan.
+_EWMA_ALPHA = 0.25
+_EWMA_K = 16
+_EWMA_W = [(1.0 - _EWMA_ALPHA) ** k for k in range(_EWMA_K)]
+
+
+def _ewma_oracle_sql() -> str:
+    num = "\n               + ".join(
+        f"coalesce(CAST(lag(v, {k}) OVER w AS DOUBLE), 0.0) * {w!r}"
+        for k, w in enumerate(_EWMA_W)
+    )
+    den = "\n               + ".join(
+        f"(CASE WHEN lag(v, {k}) OVER w IS NOT NULL THEN {w!r} ELSE 0.0 END)"
+        for k, w in enumerate(_EWMA_W)
+    )
+    return f"""
+    WITH s AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT user_id, event_id,
+           round(({num})
+                 / ({den}) / 100.0, 6) AS ewma
+    FROM s
+    WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    """
+
+
+@query("w10_ewma_lag16", _ewma_oracle_sql())
+def w10_ewma_lag16(spark, sf_dir):
+    """Exponentially-weighted moving average, 16-term truncation —
+    pandas `ewm(alpha=.25).mean()` semantics with the tail cut at
+    (1-α)^16 ≈ 1% residual weight.  The truncation is the point: the
+    exact EWMA recursion is inherently sequential (each row needs the
+    previous row's result), which forces per-series single-threaded
+    scans; the k-term form is a lag chain — pure window functions, no
+    recursion, no Python — at the cost of a bounded, quantified bias.
+    Weights (3/4)^k are exactly representable doubles, so both engines
+    evaluate bit-identical products in the same association order.
+
+    Scale shape: one hash(user_id) exchange, one sort, 16 lag reads
+    from the SAME window frame buffer (Spark plans a single Window
+    operator); cost is O(k) per row with k fixed."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        _cents("value").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    lags = [F.lag("v", k).over(w) for k in range(_EWMA_K)]
+    num = lags[0].cast("double") * F.lit(_EWMA_W[0])
+    den = F.when(lags[0].isNotNull(), F.lit(_EWMA_W[0])).otherwise(F.lit(0.0))
+    for k in range(1, _EWMA_K):
+        num = num + F.coalesce(lags[k].cast("double"), F.lit(0.0)) * F.lit(_EWMA_W[k])
+        den = den + F.when(lags[k].isNotNull(), F.lit(_EWMA_W[k])).otherwise(F.lit(0.0))
+    return s.select(
+        "user_id",
+        "event_id",
+        F.round(num / den / 100.0, 6).alias("ewma"),
+    )
+
+
+@query(
+    "a14_winsorized_mean",
+    """
+    WITH c AS (
+        SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    q AS (
+        SELECT quantile_cont(v, 0.01) AS lo, quantile_cont(v, 0.99) AS hi FROM c
+    )
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CASE WHEN CAST(v AS DOUBLE) < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           CAST(sum(CASE WHEN CAST(v AS DOUBLE) > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           round(CAST(sum(CAST(round(least(greatest(CAST(v AS DOUBLE), lo), hi)) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / count(*), 6) AS wins_mean
+    FROM c CROSS JOIN q
+    GROUP BY l_returnflag
+    """,
+)
+def a14_winsorized_mean(spark, sf_dir):
+    """Winsorized mean: clip the global p01/p99 tails, then average per
+    group — the robust-statistics cousin of the reference's sentinel
+    clamping (P4/P5 null out known-bad codes; winsorizing bounds
+    unknown-bad magnitudes).  Thresholds come from the same exact
+    interpolated percentile contract as a9_quantiles; clipped values
+    are re-integerized (round to cents) so the group mean is an exact
+    integer sum in both engines.
+
+    Scale shape: two passes — a holistic percentile (the exact
+    attestation; at 100 TB swap in approx_percentile, same plan) and
+    one grouped aggregate over the broadcast scalar thresholds.  The
+    cross join is a 1-row broadcast, not a fan-out."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _cents("l_extendedprice").alias("v")
+    )
+    q = li.agg(F.expr("percentile(v, array(0.01, 0.99))").alias("q")).select(
+        F.col("q")[0].alias("lo"), F.col("q")[1].alias("hi")
+    )
+    j = li.crossJoin(F.broadcast(q))
+    vd = F.col("v").cast("double")
+    clipped = F.round(F.least(F.greatest(vd, F.col("lo")), F.col("hi"))).cast("long")
+    n = F.count("*")
+    return j.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.sum((vd < F.col("lo")).cast("long")).alias("n_clip_lo"),
+        F.sum((vd > F.col("hi")).cast("long")).alias("n_clip_hi"),
+        F.round(F.sum(clipped).cast("double") / 100.0 / n, 6).alias("wins_mean"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -410,3 +410,33 @@ def test_forecast_revision_runs_on_one_exchange(spark):
     discarded before any aggregate touches them."""
     plan = _plan(spark, "s15_forecast_revision_delta")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interpolate_and_ewma_ride_one_window_exchange(spark):
+    """Both IGNORE-NULLS neighbor frames (w9) and the 16-term lag chain
+    (w10) must share a single hash(user_id) exchange and a single sort —
+    the windows all use the same partition+order key, so Catalyst plans
+    one Window pipeline, not one shuffle per frame."""
+    for name in ("w9_linear_interpolate", "w10_ewma_lag16"):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert plan.count("Sort ") <= 1, name
+
+
+def test_pivot_wide_is_fixed_width_aggregate_no_join_chain(spark):
+    """The long→wide pivot must plan as grouped aggregation (the pinned
+    value list keeps it to the standard two-step pivot agg), never as
+    the reference's per-column merge chain — no joins at all."""
+    plan = _plan(spark, "p10_pivot_wide")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+
+
+def test_winsorize_broadcasts_scalar_thresholds(spark):
+    """The p01/p99 scalar row joins the fact via broadcast; the grouped
+    rollup is the only hash exchange.  A shuffled scalar join here would
+    mean the thresholds re-partition the whole fact at 100 TB."""
+    plan = _plan(spark, "a14_winsorized_mean")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan
