@@ -123,6 +123,9 @@ HEADLINE = [
     "w9_linear_interpolate",
     "w10_ewma_lag16",
     "a14_winsorized_mean",
+    "events_cohort_retention",
+    "events_funnel",
+    "semdedup_clusters",
 ]
 
 

@@ -4793,6 +4793,223 @@ def a14_winsorized_mean(spark, sf_dir):
     )
 
 
+@query(
+    "events_cohort_retention",
+    """
+    WITH w AS (
+        SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+    ),
+    c AS (
+        SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort_wk
+        FROM w
+    )
+    SELECT cohort_wk, wk - cohort_wk AS week_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM c GROUP BY cohort_wk, week_offset
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen epoch
+    week, counted in each subsequent activity week — the standard
+    product-analytics rollup, built on integer epoch-week arithmetic
+    (micro-epoch div 604800e6) so bucketing is exact in any engine.
+    The cohort key comes from a min() window over the same hash
+    (user_id) partitioning the activity rows already need — no
+    self-join against a "first events" subquery.
+
+    Scale shape: one hash(user_id) exchange (window min), then the
+    count-distinct rollup on (cohort, offset) — Spark plans distinct
+    as partial-dedup before the second exchange, so the fan-in is
+    |users| not |events|."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 604800000000").alias("wk")
+    )
+    c = ev.withColumn(
+        "cohort_wk", F.min("wk").over(Window.partitionBy("user_id"))
+    )
+    return (
+        c.groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "events_funnel",
+    """
+    WITH b AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    w1 AS (
+        SELECT *, min(CASE WHEN event_type = 'signup' THEN t END)
+                      OVER (PARTITION BY user_id) AS s0 FROM b
+    ),
+    w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'view' AND t >= s0 THEN t END)
+                      OVER (PARTITION BY user_id) AS v1 FROM w1
+    ),
+    w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND t >= v1 THEN t END)
+                      OVER (PARTITION BY user_id) AS p2 FROM w2
+    ),
+    u AS (SELECT DISTINCT user_id, s0, v1, p2 FROM w3),
+    a AS (
+        SELECT count(s0) AS n_signup, count(v1) AS n_view, count(p2) AS n_purchase,
+               round(CAST(sum(CASE WHEN v1 IS NOT NULL THEN v1 - s0 END) AS DOUBLE)
+                     / count(v1) / 3600000000.0, 6) AS h_view,
+               round(CAST(sum(CASE WHEN p2 IS NOT NULL THEN p2 - s0 END) AS DOUBLE)
+                     / count(p2) / 3600000000.0, 6) AS h_purchase
+        FROM u
+    )
+    SELECT 'signup' AS stage, n_signup AS n_users, 0.0 AS mean_hours_from_signup FROM a
+    UNION ALL SELECT 'view', n_view, h_view FROM a
+    UNION ALL SELECT 'purchase', n_purchase, h_purchase FROM a
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (signup → first view after signup →
+    first purchase after that view) with per-stage user counts and mean
+    hours from signup.  The staged "after the previous stage" condition
+    is three stacked min() windows over the SAME user partition — each
+    stage's timestamp conditions on the previous window column, and
+    Catalyst plans all three Window operators over one hash(user_id)
+    exchange; no per-stage self-joins (the naive form is three).  Times
+    are integer micros; hour means divide once at the edge.
+
+    Scale shape: one exchange + one per-user dedup; the final 3-row
+    unpivot is driver-free (stack over a 1-row aggregate)."""
+    from pyspark.sql import Window
+
+    b = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id")
+    t = F.col("t")
+    w1 = b.withColumn(
+        "s0", F.min(F.when(F.col("event_type") == "signup", t)).over(w)
+    )
+    w2 = w1.withColumn(
+        "v1",
+        F.min(
+            F.when((F.col("event_type") == "view") & (t >= F.col("s0")), t)
+        ).over(w),
+    )
+    w3 = w2.withColumn(
+        "p2",
+        F.min(
+            F.when((F.col("event_type") == "purchase") & (t >= F.col("v1")), t)
+        ).over(w),
+    )
+    u = w3.select("user_id", "s0", "v1", "p2").distinct()
+    a = u.agg(
+        F.count("s0").alias("n_signup"),
+        F.count("v1").alias("n_view"),
+        F.count("p2").alias("n_purchase"),
+        F.round(
+            F.sum(F.when(F.col("v1").isNotNull(), F.col("v1") - F.col("s0")))
+            .cast("double")
+            / F.count("v1")
+            / 3.6e9,
+            6,
+        ).alias("h_view"),
+        F.round(
+            F.sum(F.when(F.col("p2").isNotNull(), F.col("p2") - F.col("s0")))
+            .cast("double")
+            / F.count("p2")
+            / 3.6e9,
+            6,
+        ).alias("h_purchase"),
+    )
+    return a.select(
+        F.expr(
+            "stack(3, 'signup', n_signup, 0.0D,"
+            " 'view', n_view, h_view,"
+            " 'purchase', n_purchase, h_purchase)"
+            " as (stage, n_users, mean_hours_from_signup)"
+        )
+    )
+
+
+@query(
+    "semdedup_clusters",
+    """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+        FROM emb ORDER BY vec_id LIMIT 8
+    ),"""
+    + _KMEANS_ORACLE_ROUND.format(r=1, cents="seeds") + ","
+    + _KMEANS_ORACLE_UPDATE.format(r=1) + ","
+    + _KMEANS_ORACLE_ROUND.format(r=2, cents="c1") + ","
+    + _KMEANS_ORACLE_UPDATE.format(r=2) + ","
+    + _KMEANS_ORACLE_ROUND.format(r=3, cents="c2")
+    + """,
+    members AS (
+        SELECT cluster::INTEGER AS cluster, count(*) AS n_members
+        FROM m3 GROUP BY cluster
+    ),
+    pairs AS (
+        SELECT a.cluster::INTEGER AS cluster, a.vec_id AS id_a, b.vec_id AS id_b
+        FROM m3 a JOIN m3 b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    ),
+    stats AS (
+        SELECT cluster, count(*) AS n_pairs, count(DISTINCT id_b) AS n_drop
+        FROM pairs GROUP BY cluster
+    )
+    SELECT m.cluster, m.n_members,
+           coalesce(s.n_pairs, 0) AS n_pairs,
+           coalesce(s.n_drop, 0) AS n_drop
+    FROM members m LEFT JOIN stats s ON s.cluster = m.cluster
+    """,
+)
+def semdedup_clusters(spark, sf_dir):
+    """SemDeDup-style semantic dedup census: k-means-cluster the
+    embedding space (the paper's blocking step — arXiv:2303.09540 uses
+    exactly this to avoid all-pairs cosine), then find near-duplicate
+    pairs ONLY within clusters and count, per cluster, the members,
+    the ≥τ pairs, and the documents a keep-lowest-id policy would drop
+    (distinct higher ids in any pair).  Composition of two catalog
+    operators: kmeans_assign (broadcast-centroid argmin) feeds
+    embedding_neardup_pairs (bucket-blocked self-join) as its blocking
+    key.
+
+    Scale shape: clustering is iterations × (scan + small groupBy);
+    the pair join is an equi join on the cluster key, so compared pairs
+    shrink ~|clusters|× vs all-pairs; rollups ride the same key.  The
+    oracle reuses the unrolled-Lloyd's CTEs, so both engines derive
+    identical clusters before pairing."""
+    from curw_mike_data_handler_spark.operators.similarity import kmeans_assign
+
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
+    assigned = kmeans_assign(emb, k=8, iterations=3)  # (id, cluster)
+    clustered = emb.join(
+        assigned, emb["vec_id"] == assigned["id"]
+    ).select("vec_id", "embedding", "cluster")
+    pairs = embedding_neardup_pairs(
+        clustered, threshold=0.35, bucket_col="cluster"
+    )
+    members = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    stats = (
+        pairs.join(
+            assigned.select(F.col("id").alias("id_a"), "cluster"), "id_a"
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("id_b").alias("n_drop"),
+        )
+    )
+    return members.join(stats, "cluster", "left").select(
+        "cluster",
+        "n_members",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+        F.coalesce(F.col("n_drop"), F.lit(0)).alias("n_drop"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

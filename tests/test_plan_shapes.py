@@ -440,3 +440,30 @@ def test_winsorize_broadcasts_scalar_thresholds(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_funnel_stages_share_one_user_exchange(spark):
+    """The three staged min() windows (signup → view-after → purchase-
+    after) must all plan over a single hash(user_id) exchange — the
+    naive funnel is three self-joins; the window form is why this
+    survives 100 TB of events."""
+    plan = _plan(spark, "events_funnel")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_cohort_retention_two_exchanges_no_self_join(spark):
+    """Cohort key via window min (reuses the user partitioning), then
+    the (cohort, offset) distinct-count rollup: two exchanges total and
+    no join against a first-events subquery."""
+    plan = _plan(spark, "events_cohort_retention")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+
+
+def test_semdedup_pairs_only_within_clusters(spark):
+    """SemDeDup's pair join must be an equi join on the cluster key —
+    the only nested-loop joins allowed are the 1-row broadcast centroid
+    attachments from the kmeans rounds, never a data×data cartesian."""
+    plan = _plan(spark, "semdedup_clusters")
+    assert "CartesianProduct" not in plan
