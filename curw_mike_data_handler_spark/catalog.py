@@ -1538,9 +1538,13 @@ c{r} AS (
 def ivf_kmeans_assign_q(spark, sf_dir):
     """IVF coarse quantizer: deterministic Lloyd's k-means over the
     embeddings (operators/similarity.kmeans_assign) — produces the
-    bucket column the blocked ANN/near-dup operators join on.  The
-    oracle is the SAME fixed-iteration Lloyd's unrolled as DuckDB SQL
-    (seed = 8 lowest ids; assign by L2 with cluster-id tie-break;
+    bucket column the blocked ANN/near-dup operators join on.  Runs
+    the Arrow strategy: each round is one vectorized mapInPandas pass
+    (batch (X−C)² argmin + fused per-cluster partial sums), a
+    (batches×k)-row shuffle, and a k×dim collect; the zero-Python
+    broadcast-fold strategy is kept as its property-tested witness.
+    The oracle is the SAME fixed-iteration Lloyd's unrolled as DuckDB
+    SQL (seed = 8 lowest ids; assign by L2 with cluster-id tie-break;
     update = per-dim mean; 3 rounds, output from the 3rd assignment).
     Assignments are integer and boundary margins are huge relative to
     FP summation-order noise, so the hash compare is stable."""
@@ -4984,7 +4988,13 @@ def semdedup_clusters(spark, sf_dir):
     from curw_mike_data_handler_spark.operators.similarity import kmeans_assign
 
     emb = _par(spark, _t(spark, sf_dir, "embeddings"))
-    assigned = kmeans_assign(emb, k=8, iterations=3)  # (id, cluster)
+    # the assignment feeds FOUR plan branches (both sides of the pair
+    # self-join, the member census, and the pair→cluster attach); cache
+    # it so the iterative kmeans subtree runs once, not once per branch
+    # — at corpus scale this materialization is (id, cluster) pairs
+    # only, the standard persist point between an iterative algorithm
+    # and its consumers.
+    assigned = kmeans_assign(emb, k=8, iterations=3).cache()  # (id, cluster)
     clustered = emb.join(
         assigned, emb["vec_id"] == assigned["id"]
     ).select("vec_id", "embedding", "cluster")

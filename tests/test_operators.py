@@ -263,10 +263,14 @@ def test_kmeans_assign_deterministic_and_separating(spark):
 
 
 def test_kmeans_assign_strategies_identical(spark):
-    """The broadcast-centroid argmin (centroids as data, O(1) plan)
-    must reproduce the literal-column path bit-for-bit: same zip_with
-    fold for d2, same lowest-cid tie-break.  Exercised on the real
-    embeddings table so ties and FP edges come from actual data."""
+    """All three assignment strategies must agree on real data: the
+    broadcast-centroid argmin reproduces the literal-column path
+    bit-for-bit (same zip_with fold, same lowest-cid tie-break), and
+    the Arrow/numpy path — whose only divergence is FP summation order
+    inside the distance, a ULP-scale effect — must land every vector in
+    the same cluster because assignment margins dwarf ULPs.  Exercised
+    on the real embeddings table so ties and FP edges come from actual
+    data."""
     from curw_mike_data_handler_spark.operators.similarity import kmeans_assign
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -278,7 +282,12 @@ def test_kmeans_assign_strategies_identical(spark):
         r["id"]: r["cluster"]
         for r in kmeans_assign(emb, k=5, iterations=3, strategy="broadcast").collect()
     }
+    ar = {
+        r["id"]: r["cluster"]
+        for r in kmeans_assign(emb, k=5, iterations=3, strategy="arrow").collect()
+    }
     assert lit == bc
+    assert ar == bc
     assert len(set(bc.values())) > 1, "separating on real data"
 
 
