@@ -126,6 +126,8 @@ HEADLINE = [
     "events_cohort_retention",
     "events_funnel",
     "semdedup_clusters",
+    "ann_topk_pq",
+    "f_scalar_suite2",
 ]
 
 

@@ -5020,6 +5020,141 @@ def semdedup_clusters(spark, sf_dir):
     )
 
 
+@query(
+    "ann_topk_pq",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    r AS (
+        SELECT vec_id, label,
+               list_transform(
+                   v,
+                   x -> (least(floor(least(greatest(x, -1.0), 1.0) * 64), 63) + 0.5) / 64.0
+               ) AS rv
+        FROM e
+    ),
+    q AS (SELECT vec_id, label, v FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.rv), 6) AS pq_sim
+        FROM q JOIN r c ON q.label = c.label AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, pq_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY pq_sim DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, pq_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_topk_pq(spark, sf_dir):
+    """Quantized ANN re-ranking (IVF-ADC shape): the corpus is stored
+    as int8-style codes (the same power-of-two scalar quantization as
+    embedding_quantize_int8 — exact cross-engine), queries stay exact,
+    and candidates are ranked by the ASYMMETRIC similarity between the
+    exact query and the reconstructed corpus vector — the standard
+    product-quantization search layout (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011: ADC).
+
+    The 100 TB lever this attests: the scanned corpus is codes, not
+    floats — 4-8× less storage/shuffle/cache per vector — while the
+    ranking math still runs entirely JVM-side.  Composition: the
+    operator IS ann_topk_bucketed over a corpus whose embedding column
+    is replaced by its reconstruction, so the bucket-blocked join plan
+    (and its scale story) is inherited unchanged."""
+    from curw_mike_data_handler_spark.operators.similarity import ann_topk_bucketed
+
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
+    recon = emb.withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: (
+                F.least(
+                    F.floor(
+                        F.least(F.greatest(x.cast("double"), F.lit(-1.0)), F.lit(1.0))
+                        * 64
+                    ),
+                    F.lit(63),
+                )
+                + 0.5
+            )
+            / 64.0,
+        ),
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_topk_bucketed(
+        queries,
+        recon,
+        k=5,
+        corpus_partitions=spark.sparkContext.defaultParallelism,
+    ).withColumnRenamed("cos_sim", "pq_sim")
+
+
+@query(
+    "f_scalar_suite2",
+    """
+    SELECT s_suppkey,
+           s_suppkey & 2731 AS b_and,
+           s_suppkey | 168 AS b_or,
+           xor(s_suppkey, 1365) AS b_xor,
+           (s_suppkey % 1024) << 3 AS b_shl,
+           CAST(bit_count(s_suppkey) AS BIGINT) AS b_pop,
+           upper(to_hex(s_suppkey)) AS hex_key,
+           to_base64(encode(s_name)) AS name_b64,
+           array_to_string(list_sort(list_distinct(
+               string_split_regex(lower(s_name), '[^a-z0-9]+'))), ',') AS name_tokens,
+           array_to_string(list_sort(list_distinct(list_intersect(
+               string_split_regex(lower(s_name), '[^a-z0-9]+'),
+               ['supplier', 'x', 'y']))), ',') AS tok_inter,
+           round(sin(s_suppkey * 0.1) + cos(s_suppkey * 0.05), 6) AS trig,
+           round(ln(s_suppkey + 1), 6) AS lg,
+           lpad(CAST(s_suppkey AS VARCHAR), 8, '0') || '|' ||
+               translate(s_name, '#,', '__') AS padded
+    FROM supplier
+    """,
+)
+def f_scalar_suite2(spark, sf_dir):
+    """§2.8 scalar families round two — the surface a SQL-complete
+    engine owes beyond the reference's own needs: bitwise algebra
+    (& | xor, shifts, popcount), base conversion (hex), binary→base64,
+    array set-operations (split → distinct → intersect → sort,
+    stringified at the edge so the driver canonicalizer sees scalars),
+    transcendentals rounded at the edge (libm implementations differ by
+    ULPs across engines; 6 dp absorbs that), and string padding /
+    translation.  All map-only column expressions in one
+    whole-stage-codegen span — zero exchanges at any scale."""
+    s = _t(spark, sf_dir, "supplier")
+    toks = F.split(F.lower("s_name"), "[^a-z0-9]+")
+    return s.select(
+        "s_suppkey",
+        F.expr("s_suppkey & 2731").alias("b_and"),
+        F.expr("s_suppkey | 168").alias("b_or"),
+        F.expr("s_suppkey ^ 1365").alias("b_xor"),
+        F.expr("shiftleft(s_suppkey % 1024, 3)").alias("b_shl"),
+        F.bit_count("s_suppkey").cast("bigint").alias("b_pop"),
+        F.hex("s_suppkey").alias("hex_key"),
+        F.base64(F.encode("s_name", "UTF-8")).alias("name_b64"),
+        F.concat_ws(",", F.array_sort(F.array_distinct(toks))).alias("name_tokens"),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.array_distinct(
+                    F.array_intersect(toks, F.array(F.lit("supplier"), F.lit("x"), F.lit("y")))
+                )
+            ),
+        ).alias("tok_inter"),
+        F.round(F.sin(F.col("s_suppkey") * 0.1) + F.cos(F.col("s_suppkey") * 0.05), 6).alias("trig"),
+        F.round(F.log(F.col("s_suppkey") + 1), 6).alias("lg"),
+        F.concat(
+            F.lpad(F.col("s_suppkey").cast("string"), 8, "0"),
+            F.lit("|"),
+            F.translate("s_name", "#,", "__"),
+        ).alias("padded"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

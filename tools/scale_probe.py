@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""sf1 scale probe: run the nonlinear dedup operators and the composed
+curation pipeline on a 50k-document corpus (10× the sf0.1 table) and
+record wall time + ACTUAL shuffle bytes from the Spark UI REST API —
+measured evidence that the posting-list / candidate-pair plans stay
+bounded at 10× the bench scale (VERDICT r2, item 6).
+
+Two probe corpora are derived deterministically from
+``/root/testdata/sf0.1/documents.parquet`` (never modified) into
+``.scratch/`` (gitignored):
+
+* ``sf1_linear`` — the natural text ×10 copies (doc_id shifted, a
+  rare per-copy marker token appended).  Drives the LINEAR operators:
+  line_dedup, curation_pipeline_e2e, dedup_exact.  Its ~50-word
+  vocabulary is exactly the all-pairs-pathological case for
+  inverted-index joins, so for the uncapped token-Jaccard join we
+  MEASURE the blowup from the document-frequency census (Σ df² join
+  rows) instead of executing it.
+* ``sf1_pairwise`` — 40 family-hash tokens per base document (shared
+  verbatim by its 10 copies, disjoint across families) + the rare
+  marker.  True near-dup structure is bounded (10-copy families), so
+  the banded-LSH and capped-Jaccard pair plans are exercised end to
+  end at 50k docs with nonzero, verifiable output.
+
+Usage: ``python tools/scale_probe.py`` (writes BENCH_sf1.json and
+prints a markdown table for SCALE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from curw_mike_data_handler_spark import catalog, get_spark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRATCH = os.path.join(REPO, ".scratch")
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = 10
+
+
+def build_corpora(spark) -> tuple[str, str]:
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    copies = spark.range(COPIES).select(F.col("id").alias("copy"))
+    base = docs.crossJoin(copies).select(
+        (F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
+        F.col("doc_id").alias("family"),
+        "copy",
+        "text",
+        "lang",
+        "source",
+    )
+    # rare marker: unique per (family, copy) so it never grows a
+    # posting list; keeps every copy's token set distinct
+    marker = F.concat(
+        F.lit("m"),
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("family"), F.col("copy"))), 1, 8
+        ),
+    )
+    lin_dir = os.path.join(SCRATCH, "sf1_linear")
+    pw_dir = os.path.join(SCRATCH, "sf1_pairwise")
+
+    lin = base.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("text"), marker).alias("text"),
+        "lang",
+        "source",
+        F.length(F.concat_ws(" ", F.col("text"), marker)).alias("n_chars"),
+    )
+    lin.write.mode("overwrite").parquet(os.path.join(lin_dir, "documents.parquet"))
+
+    fam_tokens = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda j: F.concat(
+                F.lit("t"),
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("family").cast("string"), j.cast("string"))),
+                    1,
+                    7,
+                ),
+            ),
+        ),
+    )
+    pw_text = F.concat_ws(" ", fam_tokens, marker)
+    pw = base.select(
+        "doc_id",
+        pw_text.alias("text"),
+        "lang",
+        "source",
+        F.length(pw_text).alias("n_chars"),
+    )
+    pw.write.mode("overwrite").parquet(os.path.join(pw_dir, "documents.parquet"))
+    return lin_dir, pw_dir
+
+
+def _stage_totals(spark) -> tuple[int, int]:
+    sc = spark.sparkContext
+    url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages?status=complete"
+    stages = json.load(urllib.request.urlopen(url))
+    return (
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+    )
+
+
+def measure(spark, label: str, df_factory, results: dict) -> None:
+    # materialize through a noop WRITE, not count(): count() lets
+    # Catalyst prune whole subtrees (line_dedup's reassembly join
+    # vanished — 0 shuffle bytes), which under-reports the real cost
+    w0, r0 = _stage_totals(spark)
+    t0 = time.perf_counter()
+    df_factory().write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    w1, r1 = _stage_totals(spark)
+    n = df_factory().count()
+    results[label] = {
+        "wall_s": round(wall, 2),
+        "rows_out": n,
+        "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+        "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+    }
+    print(f"  {label}: {wall:.1f}s, {n} rows, "
+          f"W {results[label]['shuffle_write_mb']} MB / R {results[label]['shuffle_read_mb']} MB")
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="scale-probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    print("building sf1 probe corpora (50k docs each)...")
+    lin_dir, pw_dir = build_corpora(spark)
+
+    from curw_mike_data_handler_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    results: dict[str, dict] = {}
+    docs_lin = spark.read.parquet(os.path.join(lin_dir, "documents.parquet"))
+    docs_pw = spark.read.parquet(os.path.join(pw_dir, "documents.parquet"))
+
+    print("linear corpus (natural text x10):")
+    measure(spark, "dedup_exact", lambda: catalog.QUERIES["dedup_exact"](spark, lin_dir), results)
+    measure(spark, "line_dedup", lambda: catalog.QUERIES["line_dedup"](spark, lin_dir), results)
+    measure(
+        spark,
+        "curation_pipeline_e2e",
+        lambda: catalog.QUERIES["curation_pipeline_e2e"](spark, lin_dir),
+        results,
+    )
+
+    # uncapped inverted-index join size on the NATURAL corpus, from the
+    # df census (Σ df² = self-join rows) — measured, not executed: this
+    # is the blowup max_df exists to prevent.
+    from curw_mike_data_handler_spark.operators.dedup import _distinct_doc_tokens
+
+    dt = _distinct_doc_tokens(docs_lin, "doc_id", "text")
+    census = (
+        dt.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .agg(
+            F.count("*").alias("vocab"),
+            F.sum(F.col("df") * F.col("df")).alias("join_rows_uncapped"),
+            F.sum(
+                F.when(F.col("df") <= 1000, F.col("df") * F.col("df")).otherwise(0)
+            ).alias("join_rows_capped_1000"),
+        )
+        .collect()[0]
+    )
+    results["jaccard_join_census_linear"] = {
+        "vocab": census["vocab"],
+        "join_rows_uncapped": int(census["join_rows_uncapped"]),
+        "join_rows_capped_1000": int(census["join_rows_capped_1000"]),
+    }
+    print(f"  df census: vocab={census['vocab']}, uncapped join rows="
+          f"{census['join_rows_uncapped']:,}, capped(1000)={census['join_rows_capped_1000']:,}")
+
+    print("pairwise corpus (bounded near-dup families):")
+    measure(
+        spark,
+        "jaccard_pairs_capped",
+        lambda: jaccard_pairs(docs_pw, threshold=0.6, max_df=1000),
+        results,
+    )
+    measure(
+        spark,
+        "minhash_lsh_pairs",
+        lambda: minhash_lsh_pairs(docs_pw, threshold=0.5),
+        results,
+    )
+
+    payload = {
+        "sf": 1.0,
+        "docs": docs_lin.count(),
+        "copies": COPIES,
+        "cpus": spark.sparkContext.defaultParallelism,
+        "results": results,
+    }
+    out = os.path.join(REPO, "BENCH_sf1.json")
+    with open(out, "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    print(f"wrote {out}")
+
+    print("\n| operator | corpus | wall s | rows out | shuffle W MB | shuffle R MB |")
+    print("|---|---|---|---|---|---|")
+    corpus_of = {
+        "dedup_exact": "linear",
+        "line_dedup": "linear",
+        "curation_pipeline_e2e": "linear",
+        "jaccard_pairs_capped": "pairwise",
+        "minhash_lsh_pairs": "pairwise",
+    }
+    for k, v in results.items():
+        if "wall_s" in v:
+            print(f"| {k} | {corpus_of[k]} | {v['wall_s']} | {v['rows_out']:,} "
+                  f"| {v['shuffle_write_mb']} | {v['shuffle_read_mb']} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
