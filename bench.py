@@ -128,6 +128,8 @@ HEADLINE = [
     "semdedup_clusters",
     "ann_topk_pq",
     "f_scalar_suite2",
+    "graph_pagerank",
+    "hll_mergeable_rollup",
 ]
 
 

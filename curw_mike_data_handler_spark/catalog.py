@@ -5155,6 +5155,105 @@ def f_scalar_suite2(spark, sf_dir):
     )
 
 
+_PAGERANK_ROUND = """
+c{r} AS (
+    SELECT e.dst AS node, sum(r.r / o.od) AS c
+    FROM edges e JOIN r{p} r ON r.node = e.src JOIN outd o ON o.src = e.src
+    GROUP BY e.dst
+),
+r{r} AS (
+    SELECT nd.node,
+           (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.c, 0.0) AS r
+    FROM nodes nd LEFT JOIN c{r} c ON c.node = nd.node
+)"""
+
+
+@query(
+    "graph_pagerank",
+    """
+    WITH edges AS (
+        SELECT DISTINCT l_suppkey AS src, 100000 + l_partkey % 200 AS dst
+        FROM lineitem
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    + "," + _PAGERANK_ROUND.format(r=1, p=0)
+    + "," + _PAGERANK_ROUND.format(r=2, p=1)
+    + "," + _PAGERANK_ROUND.format(r=3, p=2)
+    + """
+    SELECT node, round(r, 6) AS rank FROM r3
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (operators/graph.pagerank) over a
+    deterministic bipartite graph derived from the fact table:
+    supplier → part-family edges (l_partkey mod 200, offset so node
+    ids never collide).  Authority scores like this are how web-corpus
+    curation weights documents by link structure (the PageRank side of
+    Common-Crawl-style quality signals).  The oracle unrolls the same
+    three rounds as SQL CTEs — same damping literals, same dangling-
+    mass-leak semantics, same left-join re-base — and both engines
+    round the FP rank at the edge (summation order over in-neighbors
+    differs by ULPs; 6 dp absorbs it).
+
+    Scale shape: per round, ONE hash join of edges⋈ranks on src and
+    ONE grouped sum on dst — GraphX's Pregel dataflow as plain
+    DataFrame ops; out-degrees precomputed once; lineage truncated per
+    round so the plan is iteration-count-independent."""
+    from curw_mike_data_handler_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(100000) + F.col("l_partkey") % 200).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select("node", F.round("r", 6).alias("rank"))
+
+
+@query(
+    "hll_mergeable_rollup",
+    """
+    SELECT count(DISTINCT event_type) AS n_groups,
+           count(DISTINCT user_id) AS exact_users,
+           abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) * 10
+               <= count(DISTINCT user_id) AS merge_ok
+    FROM events
+    """,
+)
+def hll_mergeable_rollup(spark, sf_dir):
+    """Sketch MERGEABILITY — the property that makes sketches the
+    100 TB answer: per-group Datasketches HLL sketches
+    (hll_sketch_agg) are UNIONED (hll_union_agg) into a global
+    estimate without re-touching the data, the exact pattern of a
+    pre-aggregated sketch column in a rollup table (daily sketches →
+    monthly distinct, per-partition sketches → global).  Where
+    approx_distinct_hll attests one-pass estimation quality, this row
+    attests that merged partial sketches land inside the same
+    5σ band; DuckDB has no sketch-union surface, so its side of the
+    contract is its single-pass estimator — the booleans agree unless
+    an implementation is broken, which is what the row exists to
+    catch.  Exact global distinct and group count ride along
+    fully-checked."""
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = sk.agg(
+        F.count("*").alias("n_groups"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return merged.crossJoin(exact).select(
+        "n_groups",
+        "exact_users",
+        (
+            F.abs(F.col("__est") - F.col("exact_users")) * 10
+            <= F.col("exact_users")
+        ).alias("merge_ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,82 @@
+"""Graph analytics over edge DataFrames.
+
+The reference has no graph operators; this family exists because a
+training-data platform needs link-structure signals (page authority for
+web-corpus quality weighting, citation ranking for document sampling)
+and the iterative-driver idiom is already established here
+(operators/dedup.connected_components, operators/similarity.
+kmeans_assign): a fixed number of rounds, each ONE join + ONE grouped
+aggregate, per-round lineage truncated so plans don't grow, and only
+O(1) driver-side state (the node count) — never data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank → (node, rank).
+
+    r₀(v) = 1/N; rₜ₊₁(v) = (1−d)/N + d·Σ_{u→v} rₜ(u)/outdeg(u).
+
+    Semantics pinned for cross-engine reproducibility:
+
+    * fixed ``iterations`` (no convergence test) — the oracle unrolls
+      the same rounds as SQL CTEs;
+    * dangling nodes (no out-edges) leak their mass — the classic
+      simplification, identical in both engines, so total rank sums to
+      < 1 when dangling nodes exist;
+    * rank values are FP sums over in-neighbors whose order differs
+      across engines by ULPs — consumers should round at the edge
+      (the catalog query rounds to 6 dp).
+
+    Scale shape: the edge list joins the rank vector once per round
+    (hash join on src), contributions aggregate on dst — two shuffles
+    per round, both on node keys, exactly GraphX's Pregel dataflow
+    without the RDD layer.  The out-degree join is precomputed ONCE
+    and cached; per-round lineage is truncated with localCheckpoint.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    outd = e.groupBy("src").agg(F.count("*").alias("od"))
+    eo = e.join(outd, "src").cache()
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            eo.join(ranks, eo["src"] == ranks["node"])
+            .select("dst", (F.col("r") / F.col("od")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

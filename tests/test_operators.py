@@ -336,3 +336,28 @@ def test_media_header_roundtrip_and_robustness(spark):
     assert got[2]["sample_rate"] == 8000 and got[2]["channels"] == 1
     assert got[3]["media_type"] == "unknown" and got[3]["width"] is None
     assert got[3]["byte_len"] == len(b"not media")
+
+
+def test_pagerank_mass_and_determinism(spark):
+    """Fixed-iteration PageRank invariants: every rank ≥ the teleport
+    floor (1-d)/N; total mass ≤ 1 (dangling nodes leak, never gain);
+    a node with strictly more in-links from the same source set ranks
+    higher; and the operator is deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        # star into 1, chain 2->3->4, dangling node 4
+        [(10, 1), (11, 1), (12, 1), (2, 3), (3, 4), (10, 3)],
+        "src long, dst long",
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    rows = {r["node"]: r["r"] for r in pr.collect()}
+    n = len(rows)
+    floor = 0.15 / n
+    assert all(v >= floor - 1e-12 for v in rows.values())
+    assert sum(rows.values()) <= 1.0 + 1e-9
+    assert rows[1] > rows[4] > floor  # 3 in-links beats chain tail
+    again = {r["node"]: r["r"] for r in pagerank(edges, iterations=3, damping=0.85).collect()}
+    assert rows == again

@@ -58,6 +58,13 @@ SHOWCASE = [
     ("curation_pipeline_e2e", "composed pipeline: gate+sample fuse into dedup scans; 4 exchanges, nothing materializes"),
     ("s15_forecast_revision_delta", "fgt revision compare: rank, prefilter, two rollups on ONE hash(series) exchange"),
     ("cross_source_contamination", "dup-leakage matrix: distinct (fp,source) exchange + bounded pair join"),
+    ("events_funnel", "3-stage ordered funnel: stacked conditional min windows on ONE user exchange"),
+    ("w9_linear_interpolate", "IGNORE NULLS neighbor frames share one exchange + one sort"),
+    ("p10_pivot_wide", "pinned-value pivot: grouped aggregate, no per-column join chain"),
+    ("semdedup_clusters", "kmeans blocking key feeds within-cluster cosine pairs; cached assignment"),
+    ("ann_topk_pq", "IVF-ADC: exact queries vs int8-reconstructed corpus, bucket equi join"),
+    ("graph_pagerank", "Pregel dataflow: edges⋈ranks + dst rollup per round, checkpoint-truncated"),
+    ("hll_mergeable_rollup", "per-group HLL sketches unioned driver-free to a global estimate"),
 ]
 
 
