@@ -546,7 +546,7 @@ def s14_latest_version_read(spark, sf_dir):
                row_number() OVER (PARTITION BY origin ORDER BY distance_km, neighbor) AS rank
         FROM pairs WHERE distance_km <= 100.0
     )
-    SELECT origin, neighbor, distance_km, rank FROM ranked WHERE rank <= 3
+    SELECT origin, neighbor, distance_km, rank::INTEGER AS rank FROM ranked WHERE rank <= 3
     """,
 )
 def j3_w2_nearest_stations(spark, sf_dir):
@@ -1431,7 +1431,7 @@ def s13_set_ops(spark, sf_dir):
                ) AS rank
         FROM m CROSS JOIN t
     )
-    SELECT name, cand, dist, rank FROM scored WHERE rank <= 2
+    SELECT name, cand, dist::INTEGER AS dist, rank::INTEGER AS rank FROM scored WHERE rank <= 2
     """,
 )
 def f_fuzzy_match(spark, sf_dir):
@@ -1819,7 +1819,7 @@ def dedup_minhash_lsh_q(spark, sf_dir):
         SELECT a.doc, b.doc, a.simhash, b.simhash
         FROM banded a JOIN banded b ON a.hi = b.hi AND a.doc < b.doc
     )
-    SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
     FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= 3
     """,
 )
@@ -1963,7 +1963,7 @@ def dedup_keep_list_q(spark, sf_dir):
                ) AS rank
         FROM scored
     )
-    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    SELECT query_id, neighbor_id, cos_sim, rank::INTEGER AS rank FROM ranked WHERE rank <= 5
     """,
 )
 def ann_topk_bruteforce_q(spark, sf_dir):
@@ -1991,7 +1991,7 @@ def ann_topk_bruteforce_q(spark, sf_dir):
                ) AS rank
         FROM scored
     )
-    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    SELECT query_id, neighbor_id, cos_sim, rank::INTEGER AS rank FROM ranked WHERE rank <= 5
     """,
 )
 def ann_topk_bucketed_q(spark, sf_dir):
@@ -2033,7 +2033,7 @@ def _lsh_bucket_sql(num_planes: int = 4, dim: int = 64) -> str:
                ) AS rank
         FROM scored
     )
-    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    SELECT query_id, neighbor_id, cos_sim, rank::INTEGER AS rank FROM ranked WHERE rank <= 5
     """,
 )
 def ann_topk_lsh_q(spark, sf_dir):
@@ -2665,7 +2665,8 @@ def q17_small_qty_revenue(spark, sf_dir):
     "a11_cube",
     """
     SELECT l_returnflag, l_linestatus,
-           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
            count(*) AS n_rows,
            CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty
     FROM lineitem
@@ -2740,7 +2741,7 @@ def a12_grouping_sets_q(spark, sf_dir):
                ) AS decile
         FROM events
     )
-    SELECT event_type, decile, count(*) AS n,
+    SELECT event_type, decile::INTEGER AS decile, count(*) AS n,
            CAST(min(v100) AS DOUBLE) / 100 AS lo,
            CAST(max(v100) AS DOUBLE) / 100 AS hi
     FROM v GROUP BY event_type, decile
@@ -2982,7 +2983,7 @@ def sample_stratified_hash(spark, sf_dir):
 @query(
     "quota_cap_per_source",
     """
-    SELECT doc_id, source, rnk
+    SELECT doc_id, source, rnk::INTEGER AS rnk
     FROM (
         SELECT doc_id, source,
                row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
@@ -3086,7 +3087,7 @@ def pack_sequences_q(spark, sf_dir):
                                      ORDER BY tfidf DESC, term) AS rnk
         FROM s
     )
-    SELECT doc_id, term, tfidf, rnk FROM r WHERE rnk <= 3
+    SELECT doc_id, term, tfidf, rnk::INTEGER AS rnk FROM r WHERE rnk <= 3
     """,
 )
 def tfidf_top_terms(spark, sf_dir):
@@ -5045,7 +5046,7 @@ def semdedup_clusters(spark, sf_dir):
                ) AS rank
         FROM scored
     )
-    SELECT query_id, neighbor_id, pq_sim, rank FROM ranked WHERE rank <= 5
+    SELECT query_id, neighbor_id, pq_sim, rank::INTEGER AS rank FROM ranked WHERE rank <= 5
     """,
 )
 def ann_topk_pq(spark, sf_dir):
