@@ -130,6 +130,9 @@ HEADLINE = [
     "f_scalar_suite2",
     "graph_pagerank",
     "hll_mergeable_rollup",
+    "w11_distribution_ranks",
+    "a15_linear_regression",
+    "graph_triangles",
 ]
 
 

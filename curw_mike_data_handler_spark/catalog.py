@@ -5255,6 +5255,189 @@ def hll_mergeable_rollup(spark, sf_dir):
     )
 
 
+@query(
+    "w11_distribution_ranks",
+    """
+    WITH v AS (
+        SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS v100
+        FROM events WHERE event_type IN ('view', 'purchase')
+    )
+    SELECT event_type, event_id,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(CASE WHEN percent_rank() OVER w >= 0.99 THEN 1 ELSE 0 END
+                AS BOOLEAN) AS top_1pct
+    FROM v
+    WINDOW w AS (PARTITION BY event_type ORDER BY v100, event_id)
+    """,
+)
+def w11_distribution_ranks(spark, sf_dir):
+    """Distribution-position windows: percent_rank (rank−1)/(n−1) and
+    cume_dist rows≤current/n over a TOTAL order (value + id tie-break),
+    plus the derived top-1% flag — the remaining §2.5 ranking family
+    beyond row_number/rank/ntile.  Both functions are exact rational
+    arithmetic on rank integers, identical across engines; 6 dp
+    rounding guards the division.
+
+    Scale shape: one hash(event_type) exchange + one sort feeds both
+    functions (same window spec)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    v = ev.select("event_type", "event_id", _cents("value").alias("v100"))
+    w = Window.partitionBy("event_type").orderBy("v100", "event_id")
+    return v.select(
+        "event_type",
+        "event_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        (F.percent_rank().over(w) >= 0.99).alias("top_1pct"),
+    )
+
+
+@query(
+    "a15_linear_regression",
+    """
+    WITH c AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_quantity * 100) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT grp, count(*) AS n,
+               sum(x::DECIMAL(38,0)) AS sx, sum(y::DECIMAL(38,0)) AS sy,
+               sum((x::DECIMAL(38,0)) * x) AS sxx,
+               sum((x::DECIMAL(38,0)) * y) AS sxy
+        FROM c GROUP BY grp
+    )
+    SELECT grp, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 100.0, 6) AS intercept
+    FROM m
+    """,
+)
+def a15_linear_regression(spark, sf_dir):
+    """Per-group least-squares fit (regr_slope/regr_intercept
+    semantics) from EXACT integer moments — the a13_corr pattern
+    extended to regression: Σx, Σy, Σx², Σxy accumulate as
+    DECIMAL(38,0) (order-independent, map-side combinable), and the
+    closed-form slope/intercept algebra runs on doubles in an
+    identical expression order in both engines, rounded at the edge.
+    The native regr_* aggregates would stream FP partials whose
+    summation order differs per engine — the moments form is both
+    exact and one-exchange.
+
+    Scale shape: ONE grouped aggregate with partial aggregation; the
+    double algebra touches |groups| rows only."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = _cents("l_quantity")
+    y = _cents("l_extendedprice")
+    d38 = "decimal(38,0)"
+    m = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            x.alias("x"),
+            y.alias("y"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast(d38)).alias("sx"),
+            F.sum(F.col("y").cast(d38)).alias("sy"),
+            F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+            F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return m.select(
+        "grp",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / nd / 100.0, 6).alias("intercept"),
+    )
+
+
+@query(
+    "graph_triangles",
+    """
+    WITH co AS (
+        SELECT a.l_partkey % 200 AS u, b.l_partkey % 200 AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey % 200 < b.l_partkey % 200
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM co e1 JOIN co e2 ON e2.u = e1.v
+                   JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+        SELECT a FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+    ) t(a)
+    GROUP BY a
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Per-node triangle counting over the part-family co-order graph
+    (families co-ordered at least twice are linked — the support
+    threshold keeps the graph sparse and data-dependent) — the
+    clustering-coefficient numerator used for community/quality
+    signals.  The classic two-join plan on ordered edges (u<v) counts
+    each triangle once as (a<b<c), then credits all three corners.
+
+    Scale shape: edge build is one self-join on the order key (bounded
+    by order width) plus a support rollup; the triangle join is two
+    hash joins on node keys of the thresholded edge list — the
+    standard MapReduce triangle enumeration (node-ordered edges keep
+    it to |E|·d_max, not |E|²)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 200).alias("fam")
+    )
+    a = li.select("l_orderkey", F.col("fam").alias("u"))
+    b = li.select("l_orderkey", F.col("fam").alias("v"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("__support"))
+        .filter(F.col("__support") >= 2)
+        .select("u", "v")
+    )
+    e1 = co.alias("e1")
+    e2 = co.alias("e2")
+    e3 = co.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

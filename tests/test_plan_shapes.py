@@ -467,3 +467,27 @@ def test_semdedup_pairs_only_within_clusters(spark):
     attachments from the kmeans rounds, never a data×data cartesian."""
     plan = _plan(spark, "semdedup_clusters")
     assert "CartesianProduct" not in plan
+
+
+def test_distribution_ranks_share_one_window_exchange(spark):
+    """percent_rank, cume_dist, and the derived flag all use one window
+    spec — one hash(event_type) exchange, one sort."""
+    plan = _plan(spark, "w11_distribution_ranks")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") <= 1
+
+
+def test_regression_moments_partial_aggregate_single_exchange(spark):
+    """The DECIMAL moment sums must map-side combine: one exchange, and
+    the closed-form algebra runs above the final aggregate only."""
+    plan = _plan(spark, "a15_linear_regression")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+
+
+def test_triangle_join_is_hashed_not_cartesian(spark):
+    """Triangle enumeration must stay equi-join on node keys — a
+    cartesian/nested-loop here is |E|² and dead at any scale."""
+    plan = _plan(spark, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
