@@ -386,3 +386,110 @@ def test_line_level_dedup_matches_naive(spark, docs, chunk, max_df):
         ).collect()
     }
     assert got == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    series=st.lists(
+        st.tuples(
+            small_minutes,
+            st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),
+        ),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_linear_interpolation_matches_naive(spark, series):
+    """Interior-gap time-weighted interpolation against a brute-force
+    reference on arbitrary gap patterns: every NULL bracketed by
+    observations gets prev + (next-prev)·(t-pt)/(nt-pt); leading and
+    trailing NULLs stay out (pandas interior-only default)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [("k", i, _ts(m), None if v is None else float(v))
+            for i, (m, v) in enumerate(sorted(series))]
+    df = spark.createDataFrame(rows, "k string, idx long, t timestamp, v double")
+
+    wp = Window.partitionBy("k").orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wn = Window.partitionBy("k").orderBy("t").rowsBetween(1, Window.unboundedFollowing)
+    t_if = F.when(F.col("v").isNotNull(), F.unix_micros("t"))
+    out = (
+        df.select(
+            "idx", "v", F.unix_micros("t").alias("tm"),
+            F.last("v", ignorenulls=True).over(wp).alias("pv"),
+            F.last(t_if, ignorenulls=True).over(wp).alias("pt"),
+            F.first("v", ignorenulls=True).over(wn).alias("nv"),
+            F.first(t_if, ignorenulls=True).over(wn).alias("nt"),
+        )
+        .filter(F.col("v").isNull() & F.col("pv").isNotNull() & F.col("nv").isNotNull())
+        .select(
+            "idx",
+            (
+                F.col("pv")
+                + (F.col("nv") - F.col("pv"))
+                * ((F.col("tm") - F.col("pt")) / (F.col("nt") - F.col("pt")))
+            ).alias("interp"),
+        )
+    )
+    got = {r["idx"]: r["interp"] for r in out.collect()}
+
+    # brute-force reference
+    pts = sorted((m, v) for m, v in series)
+    want = {}
+    for i, (m, v) in enumerate(pts):
+        if v is not None:
+            continue
+        prev = next(((pm, pv) for pm, pv in reversed(pts[:i]) if pv is not None), None)
+        nxt = next(((nm, nv) for nm, nv in pts[i + 1:] if nv is not None), None)
+        if prev and nxt:
+            want[i] = prev[1] + (nxt[1] - prev[1]) * (m - prev[0]) / (nxt[0] - prev[0])
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.integers(min_value=-10000, max_value=10000), min_size=1, max_size=40
+    ),
+)
+def test_ewma_truncation_bias_is_bounded(spark, values):
+    """The 16-term truncated EWMA must track the exact untruncated
+    recursion within the analytic tail bound: |truncated − exact| ≤
+    (1−α)^16 · max|v| (the discarded geometric tail), on arbitrary
+    series."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    alpha, K = 0.25, 16
+    w16 = [(1 - alpha) ** k for k in range(K)]
+    rows = [("k", i, float(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    w = Window.partitionBy("k").orderBy("i")
+    lags = [F.lag("v", k).over(w) for k in range(K)]
+    num = lags[0] * F.lit(w16[0])
+    den = F.when(lags[0].isNotNull(), F.lit(w16[0])).otherwise(F.lit(0.0))
+    for k in range(1, K):
+        num = num + F.coalesce(lags[k], F.lit(0.0)) * F.lit(w16[k])
+        den = den + F.when(lags[k].isNotNull(), F.lit(w16[k])).otherwise(F.lit(0.0))
+    got = {r["i"]: r["e"] for r in df.select("i", (num / den).alias("e")).collect()}
+
+    vmax = max(abs(v) for v in values)
+    bound = (1 - alpha) ** K * vmax + 1e-9
+    # exact EWMA: normalized finite-history form (pandas adjust=True)
+    for i in range(len(values)):
+        hist = values[: i + 1][::-1]
+        wts = [(1 - alpha) ** k for k in range(len(hist))]
+        exact = sum(v * w for v, w in zip(hist, wts)) / sum(wts)
+        assert abs(got[i] - exact) <= bound, (i, got[i], exact, bound)
