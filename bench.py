@@ -133,6 +133,10 @@ HEADLINE = [
     "w11_distribution_ranks",
     "a15_linear_regression",
     "graph_triangles",
+    "dq_expectations",
+    "forecast_mase",
+    "events_session_window_native",
+    "split_assignment_census",
 ]
 
 

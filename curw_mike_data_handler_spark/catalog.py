@@ -5438,6 +5438,322 @@ def graph_triangles(spark, sf_dir):
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
 
 
+@query(
+    "dq_expectations",
+    """
+    SELECT 'lineitem_orphan_orderkey' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_bad
+    FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_negative_qty', CAST(coalesce(sum(CASE WHEN l_quantity < 0 THEN 1 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range', CAST(coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_null_custkey', CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 END), 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'events_null_user', CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 END), 0) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'events_bad_type', CAST(coalesce(sum(CASE WHEN event_type NOT IN
+        ('click','view','purchase','signup','error') THEN 1 END), 0) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents_empty_text', CAST(coalesce(sum(CASE WHEN length(trim(text)) = 0 THEN 1 END), 0) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'embeddings_dim_violation', CAST(coalesce(sum(CASE WHEN len(embedding) <> 64 THEN 1 END), 0) AS BIGINT)
+    FROM embeddings
+    """,
+)
+def dq_expectations(spark, sf_dir):
+    """Data-quality expectation suite — the validation layer the
+    reference runs imperatively before every pipeline (grid checks,
+    sentinel scans, station-membership guards: SURVEY §2.2 P4-P8)
+    generalized into ONE declarative report: referential integrity
+    (orphan facts via anti join), null contracts, domain/range checks,
+    and schema-shape checks (embedding dimensionality), each a
+    (check_name, n_bad) row.
+
+    Scale shape: one pass per table with conditional partial sums
+    (the per-table checks FUSE into a single aggregate each), plus one
+    anti join for the referential check — at 100 TB the whole suite
+    costs one scan of each table, not one scan per check."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def cnt(cond, name):
+        return (
+            F.coalesce(F.sum(F.when(cond, F.lit(1))), F.lit(0))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    def one(label, df, col="n_bad"):
+        return df.select(
+            F.lit(label).alias("check_name"), F.col(col).alias("n_bad")
+        )
+
+    orphans = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_bad"))
+    )
+    # both lineitem checks fuse into ONE scan/aggregate
+    li_checks = li.agg(
+        cnt(F.col("l_quantity") < 0, "neg_qty"),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), "disc_rng"),
+    )
+    return (
+        one("lineitem_orphan_orderkey", orphans)
+        .unionAll(one("lineitem_negative_qty", li_checks, "neg_qty"))
+        .unionAll(one("lineitem_discount_range", li_checks, "disc_rng"))
+        .unionAll(
+            one("orders_null_custkey", o.agg(cnt(F.col("o_custkey").isNull(), "n_bad")))
+        )
+        .unionAll(
+            one("events_null_user", ev.agg(cnt(F.col("user_id").isNull(), "n_bad")))
+        )
+        .unionAll(
+            one(
+                "events_bad_type",
+                ev.agg(
+                    cnt(
+                        ~F.col("event_type").isin(
+                            "click", "view", "purchase", "signup", "error"
+                        ),
+                        "n_bad",
+                    )
+                ),
+            )
+        )
+        .unionAll(
+            one(
+                "documents_empty_text",
+                docs.agg(cnt(F.length(F.trim(F.col("text"))) == 0, "n_bad")),
+            )
+        )
+        .unionAll(
+            one(
+                "embeddings_dim_violation",
+                emb.agg(cnt(F.size("embedding") != 64, "n_bad")),
+            )
+        )
+    )
+
+
+@query(
+    "forecast_mase",
+    """
+    WITH f AS (
+        SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS fv
+        FROM events WHERE event_type = 'view'
+    ),
+    o AS (
+        SELECT user_id, ts, max(CAST(round(value * 100) AS BIGINT)) AS ov
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    a AS (
+        SELECT f.user_id, f.fv, o.ov
+        FROM f ASOF JOIN o ON f.user_id = o.user_id AND f.ts >= o.ts
+    ),
+    fc AS (
+        SELECT user_id, count(*) AS n_fc, sum(abs(fv - ov)) AS sae_fc
+        FROM a GROUP BY user_id
+    ),
+    lagged AS (
+        SELECT user_id, ov,
+               lag(ov) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ov
+        FROM o
+    ),
+    nv AS (
+        SELECT user_id, count(prev_ov) AS n_naive,
+               sum(abs(ov - prev_ov)) AS sae_naive
+        FROM lagged GROUP BY user_id
+    )
+    SELECT fc.user_id AS series, fc.n_fc, nv.n_naive,
+           round((CAST(fc.sae_fc AS DOUBLE) / fc.n_fc)
+                 / (CAST(nv.sae_naive AS DOUBLE) / nv.n_naive), 6) AS mase
+    FROM fc JOIN nv ON nv.user_id = fc.user_id
+    WHERE nv.n_naive > 0 AND nv.sae_naive > 0
+    """,
+)
+def forecast_mase(spark, sf_dir):
+    """MASE — mean absolute scaled error (Hyndman & Koehler 2006), the
+    forecast-verification skill score that completes
+    forecast_error_stats: the forecast's MAE (as-of-aligned to the
+    latest preceding observation per series) scaled by the in-sample
+    MAE of the naive persistence baseline.  MASE < 1 ⇔ the forecast
+    beats "predict the previous observation" — the question a MIKE-
+    style forecast system actually has to answer.  All error moments
+    accumulate as exact integer cents; the single division chain runs
+    in identical order in both engines, rounded at the edge.
+
+    Scale shape: the as-of alignment and the per-series error rollup
+    ride one hash(series) exchange (operators/asof.py's tagged-union
+    form); the naive baseline is a lag window + rollup on the same
+    key; the final join is |series| rows."""
+    from curw_mike_data_handler_spark.operators.asof import asof_join
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    fc = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", _cents("value").alias("fv")
+    )
+    obs = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max(_cents("value")).alias("ov"))
+    )
+    aligned = asof_join(fc, obs, on="ts", by="user_id", value_cols=["ov"])
+    fc_err = (
+        aligned.filter(F.col("asof_ov").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_fc"),
+            F.sum(F.abs(F.col("fv") - F.col("asof_ov"))).alias("sae_fc"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    naive = (
+        obs.withColumn("prev_ov", F.lag("ov").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("prev_ov").alias("n_naive"),
+            F.sum(F.abs(F.col("ov") - F.col("prev_ov"))).alias("sae_naive"),
+        )
+    )
+    return (
+        fc_err.join(naive, "user_id")
+        .filter((F.col("n_naive") > 0) & (F.col("sae_naive") > 0))
+        .select(
+            F.col("user_id").alias("series"),
+            "n_fc",
+            "n_naive",
+            F.round(
+                (F.col("sae_fc").cast("double") / F.col("n_fc"))
+                / (F.col("sae_naive").cast("double") / F.col("n_naive")),
+                6,
+            ).alias("mase"),
+        )
+    )
+
+
+@query(
+    "events_session_window_native",
+    """
+    WITH o AS (
+        SELECT user_id, ts, epoch_us(ts) AS t,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    m AS (
+        SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                         OR t - lag(t) OVER w >= 2700000000
+                       THEN 1 ELSE 0 END AS brk
+        FROM o
+        WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    i AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 45 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           CAST(sum(v) AS DOUBLE) / 100.0 AS total_value
+    FROM i GROUP BY user_id, sid
+    """,
+)
+def events_session_window_native(spark, sf_dir):
+    """Spark's NATIVE session windows (F.session_window, 45-min gap) as
+    a grouped aggregate — per-session rows with [start, last+gap)
+    bounds, completing §2.9's session story: events_sessionize is the
+    lag-window count, streaming/sessionize.py the custom stateful
+    operator, and this is the built-in merging window (zero Python,
+    usable identically in batch and Structured Streaming).  The oracle
+    derives the same sessions as gaps-and-islands: a session breaks
+    exactly when the gap is ≥ 45 min (Spark's end bound is exclusive),
+    and boundaries depend only on timestamp values, so intra-tie
+    ordering cannot change them.  Money sums are exact cents; bounds
+    are formatted at the edge.
+
+    Scale shape: one hash(user_id) exchange; the session merge happens
+    inside the aggregate operator (no self-join, no window + groupBy
+    pair)."""
+    ev = _t(spark, sf_dir, "events")
+    g = (
+        ev.groupBy("user_id", F.session_window("ts", "45 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents("value")).alias("s100"),
+        )
+    )
+    return g.select(
+        "user_id",
+        _fmt(F.col("sw.start")).alias("session_start"),
+        _fmt(F.col("sw.end")).alias("session_end"),
+        "n_events",
+        (F.col("s100").cast("double") / 100.0).alias("total_value"),
+    )
+
+
+@query(
+    "split_assignment_census",
+    """
+    WITH h AS (
+        SELECT source,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM h GROUP BY source, split
+    """,
+)
+def split_assignment_census(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by md5 bucket
+    of the document id, rolled up per source — the dataset-split
+    primitive every training pipeline needs: hash-derived (no RNG
+    state, reproducible across runs/engines/retries), disjoint and
+    exhaustive by construction (each id lands in exactly one of the
+    100 buckets), and stable under corpus growth (existing ids never
+    change split when new ids arrive — unlike any count-based split).
+
+    Scale shape: the split column is a narrow map expression fused
+    into the scan; the census is one grouped count."""
+    docs = _t(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        docs.select(
+            "source",
+            F.when(b < 80, F.lit("train"))
+            .when(b < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
