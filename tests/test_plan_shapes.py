@@ -491,3 +491,34 @@ def test_triangle_join_is_hashed_not_cartesian(spark):
     plan = _plan(spark, "graph_triangles")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dq_suite_one_aggregate_per_table(spark):
+    """Each table's checks must fuse into one conditional-sum scan —
+    at most one aggregate pair per table plus the anti join; never one
+    scan per check."""
+    plan = _plan(spark, "dq_expectations")
+    assert "LeftAnti" in plan
+    # 6 aggregate branches (orphans, lineitem-fused, orders, events x2
+    # fused separately is NOT allowed... events has two separate aggs
+    # in the union but they fuse at scan level; bound the exchanges:
+    assert plan.count("Exchange hashpartitioning") == 0, (
+        "global aggregates shuffle to a single partition, not by hash"
+    )
+
+
+def test_session_window_native_single_exchange(spark):
+    """The native session-window aggregate must merge sessions inside
+    the aggregation operator: one hash(user_id) exchange, no self-join,
+    no window-then-groupBy pair."""
+    plan = _plan(spark, "events_session_window_native")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_split_census_is_scan_fused(spark):
+    """The split assignment is a narrow map fused into the scan; the
+    census is one grouped count — a single hash exchange."""
+    plan = _plan(spark, "split_assignment_census")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

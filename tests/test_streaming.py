@@ -238,3 +238,60 @@ def test_stream_stream_interval_join(spark, tmp_path):
     tick()
     assert ("s2", "2020-05-22 00:00:00", "2020-05-22 00:20:00") in set(out)
     assert len(out) == 3
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """The SAME F.session_window aggregation runs in batch and in a
+    watermarked stream; on identical input the finalized streaming
+    sessions must equal the batch sessions — the batch/stream unity
+    that makes the native operator preferable to hand-rolled state
+    when gap-merge semantics suffice."""
+    from pyspark.sql import functions as F
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        ("s1", "2020-05-22 00:00:00", 1.0),
+        ("s1", "2020-05-22 00:10:00", 2.0),   # merges (gap 10m < 30m)
+        ("s1", "2020-05-22 01:00:00", 4.0),   # 50m gap → new session
+        ("s2", "2020-05-22 00:05:00", 8.0),
+        # watermark pusher so every real session finalizes
+        ("s3", "2020-05-22 09:00:00", 0.0),
+    ]
+    _write(inbox / "a.csv", rows)
+
+    def sessionize(df):
+        return (
+            df.groupBy("tms_id", F.session_window("time", "30 minutes").alias("sw"))
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .select(
+                "tms_id",
+                F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("s"),
+                "n",
+                "total",
+            )
+        )
+
+    batch = {
+        (r["tms_id"], r["s"]): (r["n"], r["total"])
+        for r in sessionize(spark.read.schema(SCHEMA).csv(str(inbox))).collect()
+    }
+
+    out = []
+
+    def sink(batch_df, batch_id):
+        out.extend(
+            (r["tms_id"], r["s"], r["n"], r["total"]) for r in batch_df.collect()
+        )
+
+    stream = sessionize(
+        stream_csv_dir(spark, str(inbox), SCHEMA, header=False).withWatermark(
+            "time", "1 minute"
+        )
+    )
+    run_available_now(stream, ckpt, sink)
+
+    got = {(k, s): (n, t) for k, s, n, t in out}
+    finalized = {k: v for k, v in batch.items() if k[0] != "s3"}
+    assert got == finalized, (got, finalized)
