@@ -5000,7 +5000,7 @@ def semdedup_clusters(spark, sf_dir):
         assigned, emb["vec_id"] == assigned["id"]
     ).select("vec_id", "embedding", "cluster")
     pairs = embedding_neardup_pairs(
-        clustered, threshold=0.35, bucket_col="cluster"
+        clustered, threshold=0.35, bucket_col="cluster", engine="arrow"
     )
     members = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
     stats = (

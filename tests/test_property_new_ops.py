@@ -493,3 +493,29 @@ def test_ewma_truncation_bias_is_bounded(spark, values):
         wts = [(1 - alpha) ** k for k in range(len(hist))]
         exact = sum(v * w for v, w in zip(hist, wts)) / sum(wts)
         assert abs(got[i] - exact) <= bound, (i, got[i], exact, bound)
+
+
+def test_neardup_engines_agree_on_real_data(spark):
+    """The Arrow matrix-product pair scorer must produce the same pair
+    set and 6-dp similarities as the HOF fold on the real embeddings
+    table — the only divergence is FP summation order (ULPs), which
+    the shared rounding absorbs."""
+    from curw_mike_data_handler_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hof = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.35, bucket_col="label"
+        ).collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.35, bucket_col="label", engine="arrow"
+        ).collect()
+    }
+    assert hof == arrow
+    assert len(hof) > 0
