@@ -137,6 +137,7 @@ HEADLINE = [
     "forecast_mase",
     "events_session_window_native",
     "split_assignment_census",
+    "basket_lift_top_pairs",
 ]
 
 

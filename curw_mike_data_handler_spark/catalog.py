@@ -5754,6 +5754,103 @@ def split_assignment_census(spark, sf_dir):
     )
 
 
+@query(
+    "basket_lift_top_pairs",
+    """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey % 100 AS item FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT bk) AS DOUBLE) AS n FROM b),
+    s AS (SELECT item, count(*) AS c FROM b GROUP BY item),
+    p AS (
+        SELECT a.item AS item_a, c.item AS item_b, count(*) AS cab
+        FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    l AS (
+        SELECT item_a, item_b, cab,
+               round((CAST(cab AS DOUBLE) / (SELECT n FROM n))
+                     / ((CAST(sa.c AS DOUBLE) / (SELECT n FROM n))
+                        * (CAST(sb.c AS DOUBLE) / (SELECT n FROM n))), 6) AS lift,
+               round(CAST(cab AS DOUBLE) / sa.c, 6) AS conf_a_to_b
+        FROM p JOIN s sa ON sa.item = p.item_a JOIN s sb ON sb.item = p.item_b
+    ),
+    r AS (
+        SELECT *, row_number() OVER (ORDER BY lift DESC, item_a, item_b) AS rk
+        FROM l
+    )
+    SELECT item_a, item_b, CAST(cab AS BIGINT) AS n_baskets_both,
+           lift, conf_a_to_b, rk::INTEGER AS rk
+    FROM r WHERE rk <= 20
+    """,
+)
+def basket_lift_top_pairs(spark, sf_dir):
+    """Market-basket association mining: top-20 part-family pairs by
+    lift (P(a∧b)/P(a)P(b)) with confidence riding along — the
+    co-occurrence statistic behind recommender candidates and
+    curriculum pairing.  Support floor (≥3 baskets) prunes the noise
+    tail; ranking on the 6-dp-rounded lift with item tie-breaks is a
+    total order, so top-20 is engine-deterministic.
+
+    Scale shape: basket-item dedup (one exchange), item supports (one
+    exchange), pair counts via the self-join on the basket key — the
+    a-priori candidate join, bounded by Σ(basket width²) not |items|²
+    — then two small joins against the support table and a |pairs|-row
+    top-k window."""
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    b = li.select(
+        F.col("l_orderkey").alias("bk"), (F.col("l_partkey") % 100).alias("item")
+    ).distinct()
+    n = b.agg(F.countDistinct("bk").cast("double").alias("n"))
+    s = b.groupBy("item").agg(F.count("*").alias("c"))
+    a = b.select("bk", F.col("item").alias("item_a"))
+    c2 = b.select("bk", F.col("item").alias("item_b"))
+    p = (
+        a.join(c2, "bk")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= 3)
+    )
+    sa = s.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))
+    sb = s.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))
+    cab = F.col("cab").cast("double")
+    l = (
+        p.join(sa, "item_a")
+        .join(sb, "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "cab",
+            F.round(
+                (cab / F.col("n"))
+                / (
+                    (F.col("ca").cast("double") / F.col("n"))
+                    * (F.col("cb").cast("double") / F.col("n"))
+                ),
+                6,
+            ).alias("lift"),
+            F.round(cab / F.col("ca"), 6).alias("conf_a_to_b"),
+        )
+    )
+    w = Window.orderBy(F.col("lift").desc(), "item_a", "item_b")
+    return (
+        l.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "item_a",
+            "item_b",
+            F.col("cab").alias("n_baskets_both"),
+            "lift",
+            "conf_a_to_b",
+            "rk",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -65,6 +65,9 @@ SHOWCASE = [
     ("ann_topk_pq", "IVF-ADC: exact queries vs int8-reconstructed corpus, bucket equi join"),
     ("graph_pagerank", "Pregel dataflow: edges⋈ranks + dst rollup per round, checkpoint-truncated"),
     ("hll_mergeable_rollup", "per-group HLL sketches unioned driver-free to a global estimate"),
+    ("dq_expectations", "validation suite: per-table checks fuse to one conditional-sum scan each"),
+    ("events_session_window_native", "native session windows: gap-merge inside ONE aggregate, no self-join"),
+    ("basket_lift_top_pairs", "a-priori pair join bounded by basket width; rounded-lift total-order top-k"),
 ]
 
 
