@@ -138,6 +138,7 @@ HEADLINE = [
     "events_session_window_native",
     "split_assignment_census",
     "basket_lift_top_pairs",
+    "corr_matrix_event_types",
 ]
 
 

@@ -5851,6 +5851,115 @@ def basket_lift_top_pairs(spark, sf_dir):
     )
 
 
+_CORRM_TYPES = ["click", "error", "purchase", "signup", "view"]
+_CORRM_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORRM_TYPES)
+    for b in _CORRM_TYPES[i + 1 :]
+]
+
+
+def _corr_matrix_oracle() -> str:
+    wide = ",\n               ".join(
+        f"coalesce(sum(CASE WHEN event_type = '{t}' "
+        f"THEN CAST(round(value * 100) AS BIGINT) END), 0) AS {t}"
+        for t in _CORRM_TYPES
+    )
+    moms = ["count(*) AS n"]
+    for t in _CORRM_TYPES:
+        moms.append(f"CAST(sum(CAST({t} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_{t}")
+        moms.append(
+            f"CAST(sum(CAST({t} AS DECIMAL(38,0)) * {t}) AS DECIMAL(38,0)) AS q_{t}"
+        )
+    for a, b in _CORRM_PAIRS:
+        moms.append(
+            f"CAST(sum(CAST({a} AS DECIMAL(38,0)) * {b}) AS DECIMAL(38,0)) AS p_{a}_{b}"
+        )
+    blocks = []
+    for a, b in _CORRM_PAIRS:
+        corr = (
+            f"(CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / (sqrt(CAST(n AS DOUBLE) * CAST(q_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * sqrt(CAST(n AS DOUBLE) * CAST(q_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+        blocks.append(
+            f"SELECT '{a}' AS type_a, '{b}' AS type_b, n AS n_hours,"
+            f" round({corr}, 9) AS corr FROM m"
+        )
+    union = "\n    UNION ALL ".join(blocks)
+    return f"""
+    WITH w AS (
+        SELECT epoch_us(ts) // 3600000000 AS hr,
+               {wide}
+        FROM events GROUP BY hr
+    ),
+    m AS (SELECT {', '.join(moms)} FROM w)
+    {union}
+    """
+
+
+@query("corr_matrix_event_types", _corr_matrix_oracle())
+def corr_matrix_event_types(spark, sf_dir):
+    """Cross-series correlation MATRIX: the five event types become
+    hourly series (conditional-sum wide pivot, missing hours = 0) and
+    all C(5,2) Pearson coefficients come from one pass of exact
+    DECIMAL(38,0) moments — a13's bivariate technique lifted to the
+    full matrix, the multi-sensor correlation scan a hydrology network
+    (or a feature-selection pass) runs across stations.  The double
+    algebra per pair is the identical expression in both engines,
+    rounded at the edge; the 10-row matrix is unpivoted from one
+    aggregate row, never re-scanning.
+
+    Scale shape: one hash(hr) exchange for the wide series, one global
+    moment aggregate (partial-combined), and a 10-row driver-free
+    stack — series count enters as columns, so a 1000-station matrix
+    is wider rows and C(1000,2) output rows, still two exchanges."""
+    ev = _t(spark, sf_dir, "events")
+    hr = F.expr("unix_micros(ts) div 3600000000").alias("hr")
+    w = ev.groupBy(hr).agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == t, _cents("value"))), F.lit(0)
+            ).alias(t)
+            for t in _CORRM_TYPES
+        ]
+    )
+    d38 = "decimal(38,0)"
+    moms = [F.count("*").alias("n")]
+    for t in _CORRM_TYPES:
+        moms.append(F.sum(F.col(t).cast(d38)).alias(f"s_{t}"))
+        moms.append(F.sum(F.col(t).cast(d38) * F.col(t)).alias(f"q_{t}"))
+    for a, b in _CORRM_PAIRS:
+        moms.append(F.sum(F.col(a).cast(d38) * F.col(b)).alias(f"p_{a}_{b}"))
+    m = w.agg(*moms)
+    nd = F.col("n").cast("double")
+    # build the 10-row unpivot as a stack over the single aggregate row
+    stack_args = []
+    for a, b in _CORRM_PAIRS:
+        stack_args.append(f"'{a}'")
+        stack_args.append(f"'{b}'")
+        stack_args.append("n")
+        stack_args.append(f"__corr_{a}_{b}")
+    withs = m
+    for a, b in _CORRM_PAIRS:
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        qa, qb = F.col(f"q_{a}").cast("double"), F.col(f"q_{b}").cast("double")
+        pab = F.col(f"p_{a}_{b}").cast("double")
+        corr = (nd * pab - sa * sb) / (
+            F.sqrt(nd * qa - sa * sa) * F.sqrt(nd * qb - sb * sb)
+        )
+        withs = withs.withColumn(f"__corr_{a}_{b}", F.round(corr, 9))
+    return withs.select(
+        F.expr(
+            f"stack({len(_CORRM_PAIRS)}, {', '.join(stack_args)})"
+            " as (type_a, type_b, n_hours, corr)"
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
