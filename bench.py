@@ -139,6 +139,7 @@ HEADLINE = [
     "split_assignment_census",
     "basket_lift_top_pairs",
     "corr_matrix_event_types",
+    "unigram_logprob_quality",
 ]
 
 

@@ -5960,6 +5960,61 @@ def corr_matrix_event_types(spark, sf_dir):
     )
 
 
+@query(
+    "unigram_logprob_quality",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, t.token
+        FROM documents, unnest({_TOKENS}) AS t(token)
+        WHERE len(t.token) > 0
+    ),
+    vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab)
+    SELECT doc_id, count(*) AS n_tok,
+           round(-sum(ln(CAST(v.c AS DOUBLE) / (SELECT n FROM total)))
+                 / count(*), 6) AS avg_nll
+    FROM tok JOIN vocab v USING (token)
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_quality(spark, sf_dir):
+    """Corpus-model perplexity proxy (CCNet-style quality filtering,
+    Wenzek et al. 2020): fit a unigram model on the corpus itself
+    (token count / total count) and score each document by its average
+    negative log-probability — documents full of rare/garbage tokens
+    score high and get filtered, the language-model cousin of the
+    Gopher rule battery.  One text scan builds token instances; the
+    vocabulary is a grouped count (never a driver-side dict); scoring
+    joins instances back to the vocabulary on the token key.  FP sum
+    order over a doc's ~45 log terms differs across engines by ULPs;
+    6 dp absorbs it.
+
+    Scale shape: two hash exchanges (vocab count, per-doc rollup) plus
+    the instance⋈vocab join on hash(token) — a heavy-tailed 10⁸-term
+    real vocabulary stays distributed end to end; the 1-row total
+    broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(
+                -F.sum(F.log(F.col("c").cast("double") / F.col("n")))
+                / F.count("*"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
