@@ -140,6 +140,7 @@ HEADLINE = [
     "basket_lift_top_pairs",
     "corr_matrix_event_types",
     "unigram_logprob_quality",
+    "w12_rolling_median_despike",
 ]
 
 

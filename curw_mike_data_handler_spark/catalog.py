@@ -6015,6 +6015,57 @@ def unigram_logprob_quality(spark, sf_dir):
     )
 
 
+@query(
+    "w12_rolling_median_despike",
+    """
+    WITH s AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT user_id, event_id,
+           round(median(v) OVER w / 100.0, 6) AS rolling_med,
+           round((CAST(v AS DOUBLE) - median(v) OVER w) / 100.0, 6) AS deviation
+    FROM s
+    WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING)
+    """,
+)
+def w12_rolling_median_despike(spark, sf_dir):
+    """Centered 9-point rolling median + deviation — the classic
+    telemetry despiking filter (a hydrology network's first defense
+    against stuck/spiking sensors; robust where a rolling mean smears
+    the spike across the window).  Exact integer cents feed the window;
+    both engines share the interpolated-median definition (the a9
+    percentile contract) over the same total order, so the 6-dp edge
+    rounding is belt-and-suspenders.
+
+    Scale shape: one hash(user_id) exchange + one sort; the holistic
+    median touches only the 9-row frame per output row (bounded
+    memory, unlike a whole-partition percentile)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        _cents("value").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(-4, 4)
+    )
+    med = F.expr("percentile(v, 0.5)").over(w)
+    return s.select(
+        "user_id",
+        "event_id",
+        F.round(med / 100.0, 6).alias("rolling_med"),
+        F.round((F.col("v").cast("double") - med) / 100.0, 6).alias("deviation"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
