@@ -5,17 +5,28 @@
 curw_mike_data_handler_spark.catalog (one entry per implemented
 operator from SURVEY.md §2 + the training-data extensions), each paired
 with DuckDB oracle SQL for the sf0.01 correctness gate.
+
+The catalog (128 queries) is larger than the driver's CORRECTNESS
+sample (first 50 by dict order), so ``queries()`` rotates its ordering:
+names that have never appeared in a past ``CORRECTNESS_r*.json`` come
+first, then least-recently-checked.  Every query therefore receives a
+hard driver-oracle row within a few rounds instead of the same 50
+being re-checked forever.
 """
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
 from curw_mike_data_handler_spark import catalog
 
 SF0001 = "/root/testdata/sf0.001"
+_REPO = Path(__file__).resolve().parent
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -23,9 +34,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return catalog.QUERIES["q1_pricing_summary"](spark, SF0001)
 
 
+def _last_checked_round() -> dict[str, int]:
+    """name -> highest round number whose CORRECTNESS file sampled it."""
+    seen: dict[str, int] = {}
+    for path in _REPO.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            seen[name] = max(seen.get(name, 0), rnd)
+    return seen
+
+
+def _rotated(names: list[str]) -> list[str]:
+    """Never-driver-checked names first, then least-recently-checked;
+    registration order breaks ties (stable sort)."""
+    seen = _last_checked_round()
+    return sorted(names, key=lambda n: seen.get(n, 0))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return catalog.queries()
+    all_q = catalog.queries()
+    return {name: all_q[name] for name in _rotated(list(all_q))}
 
 
 def oracle_sql() -> dict[str, str]:
-    return catalog.oracle_sql()
+    sql = catalog.oracle_sql()
+    order = _rotated(list(catalog.queries()))
+    return {name: sql[name] for name in order if name in sql}
