@@ -1539,10 +1539,11 @@ def ivf_kmeans_assign_q(spark, sf_dir):
     """IVF coarse quantizer: deterministic Lloyd's k-means over the
     embeddings (operators/similarity.kmeans_assign) — produces the
     bucket column the blocked ANN/near-dup operators join on.  Runs
-    the Arrow strategy: each round is one vectorized mapInPandas pass
-    (batch (X−C)² argmin + fused per-cluster partial sums), a
-    (batches×k)-row shuffle, and a k×dim collect; the zero-Python
-    broadcast-fold strategy is kept as its property-tested witness.
+    the bit-reproducible broadcast-fold strategy (deterministic
+    regardless of partitioning/batching — required for the exact
+    oracle hash); the Arrow strategy (vectorized mapInPandas with
+    fused per-cluster partial sums) remains the at-scale default and
+    is property-tested equivalent on separated data.
     The oracle is the SAME fixed-iteration Lloyd's unrolled as DuckDB
     SQL (seed = 8 lowest ids; assign by L2 with cluster-id tie-break;
     update = per-dim mean; 3 rounds, output from the 3rd assignment).
@@ -1551,7 +1552,11 @@ def ivf_kmeans_assign_q(spark, sf_dir):
     from curw_mike_data_handler_spark.operators.similarity import kmeans_assign
 
     emb = _par(spark, _t(spark, sf_dir, "embeddings"))
-    return kmeans_assign(emb, k=8, iterations=3)
+    # oracle-paired: pin the bit-reproducible broadcast fold so the
+    # hash compare rests on construction, not data-separation margins
+    # (the Arrow path's fused partial means depend on batch/combine
+    # order by ULPs — fine operationally, wrong for an exact oracle).
+    return kmeans_assign(emb, k=8, iterations=3, strategy="broadcast")
 
 
 @query(
@@ -4995,7 +5000,11 @@ def semdedup_clusters(spark, sf_dir):
     # — at corpus scale this materialization is (id, cluster) pairs
     # only, the standard persist point between an iterative algorithm
     # and its consumers.
-    assigned = kmeans_assign(emb, k=8, iterations=3).cache()  # (id, cluster)
+    # strategy="broadcast": oracle-paired, so use the bit-reproducible
+    # fold (see ivf_kmeans_assign) rather than the Arrow default.
+    assigned = kmeans_assign(
+        emb, k=8, iterations=3, strategy="broadcast"
+    ).cache()  # (id, cluster)
     clustered = emb.join(
         assigned, emb["vec_id"] == assigned["id"]
     ).select("vec_id", "embedding", "cluster")
@@ -5430,10 +5439,12 @@ def graph_triangles(spark, sf_dir):
             F.col("e2.v").alias("c"),
         )
     )
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    # credit the three corners via ONE explode over the enumerated
+    # triangles — a three-way unionAll of tri projections would
+    # re-execute the two-join enumeration subtree up to 3× (Spark
+    # does not guarantee exchange reuse across union branches)
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
 

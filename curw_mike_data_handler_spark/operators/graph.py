@@ -79,4 +79,10 @@ def pagerank(
             )
             .localCheckpoint()
         )
+    # the final ranks are localCheckpoint-ed (lineage truncated), so
+    # the working caches can be dropped instead of pinning executor
+    # memory for the rest of the session (a long bench run executes
+    # 100+ queries in one session — leaked caches accumulate)
+    for df in (eo, nodes, e):
+        df.unpersist()
     return ranks

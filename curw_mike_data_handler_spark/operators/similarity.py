@@ -203,9 +203,13 @@ def embedding_neardup_pairs(
     wide buckets; cosine values differ from the fold only by
     FP-summation order (ULPs), rounded to the same 6 dp, so the pair
     set is identical except for values within an ULP of the rounding
-    boundary (property-tested equal on real data).  Requires
-    ``bucket_col``; salting doesn't apply (the group IS the work
-    unit — use more clusters, not salts, to split hot buckets)."""
+    boundary (property-tested equal on real data).  Note the rounding
+    modes also differ in that last ULP: numpy rounds half-even where
+    Spark's ``round`` is HALF_UP — immaterial off the boundary, but
+    don't hash-compare the two engines at exactly-half values.
+    Requires ``bucket_col``; salting doesn't apply (the group IS the
+    work unit — use more clusters, not salts, to split hot buckets).
+    The id column keeps its input type on both engines."""
     if engine == "arrow":
         if not bucket_col:
             raise ValueError("engine='arrow' requires bucket_col")
@@ -216,6 +220,10 @@ def embedding_neardup_pairs(
             F.col(bucket_col).alias("bucket"),
             as_double_array(vec_col).alias("v"),
         )
+        # mirror the HOF path: output ids carry the input column's
+        # native type instead of a hardcoded bigint (string/int32 ids
+        # previously broke or silently cast on this path only)
+        id_type = src.schema["id"].dataType.simpleString()
 
         def score(key, pdf):
             import numpy as np
@@ -239,7 +247,7 @@ def embedding_neardup_pairs(
             )
 
         return src.groupBy("bucket").applyInPandas(
-            score, "id_a long, id_b long, cos_sim double"
+            score, f"id_a {id_type}, id_b {id_type}, cos_sim double"
         )
     c1 = corpus.select(
         F.col(id_col).alias("id_a"),

@@ -519,3 +519,26 @@ def test_neardup_engines_agree_on_real_data(spark):
     }
     assert hof == arrow
     assert len(hof) > 0
+
+
+def test_neardup_arrow_preserves_id_type(spark):
+    """The arrow path derives its output id type from the input schema
+    (previously hardcoded bigint, breaking string/int32 ids)."""
+    from curw_mike_data_handler_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    s = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    out = embedding_neardup_pairs(
+        s, threshold=0.35, bucket_col="label", engine="arrow"
+    )
+    assert dict(out.dtypes)["id_a"] == "string"
+    rows = out.collect()
+    assert rows and all(r["id_a"].startswith("doc-") for r in rows)
