@@ -192,19 +192,39 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash→banded LSH candidates→exact-Jaccard verification.
 
     Bands: ``num_hashes/band_size`` buckets keyed by the md5 of the
     band's concatenated minhashes; docs sharing any band bucket become
     candidates; candidates are verified with true Jaccard (no false
-    positives in the output; recall is the standard LSH S-curve)."""
+    positives in the output; recall is the standard LSH S-curve).
+
+    ``max_bucket`` is the skew guard for corpus scale (the analog of
+    ``jaccard_pairs``' ``max_df``): a band bucket holding d docs
+    contributes d² candidate rows to the self-join, so one degenerate
+    bucket — boilerplate-heavy corpora where thousands of near-empty
+    docs share a minhash band — is a quadratic hot spot.  When set,
+    buckets with more than ``max_bucket`` members are dropped BEFORE
+    the self-join (one grouped count on the band keys — no second pass
+    over the corpus).  Docs in a dropped bucket can still pair through
+    their other bands; with no bucket over the cap the output is
+    identical to the uncapped plan (property-tested)."""
     sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes)
     banded = sigs.withColumn("band", F.floor(F.col("seed") / band_size))
     band_keys = (
         banded.groupBy("doc", "band")
         .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
     )
+    if max_bucket is not None:
+        bucket_sizes = band_keys.groupBy("band", "band_key").agg(
+            F.count("*").alias("__bs")
+        )
+        band_keys = band_keys.join(
+            bucket_sizes.filter(F.col("__bs") <= max_bucket),
+            ["band", "band_key"],
+        ).select("doc", "band", "band_key")
     left = band_keys.select(F.col("doc").alias("doc_a"), "band", "band_key")
     right = band_keys.select(F.col("doc").alias("doc_b"), "band", "band_key")
     candidates = (

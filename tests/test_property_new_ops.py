@@ -240,6 +240,44 @@ def test_jaccard_df_cap_noop_when_under_cap_and_correct_when_over(spark):
     assert run(4) == naive(4)
 
 
+def test_lsh_bucket_cap_noop_under_cap_and_tames_hot_bucket(spark):
+    """The band-bucket skew guard (VERDICT r4 #2): with every bucket
+    under the cap the capped plan returns EXACTLY the uncapped pair
+    set; a degenerate bucket (many identical boilerplate docs sharing
+    every band) stops contributing its d² candidates once capped,
+    while pairs reachable through other, small bands survive."""
+    from curw_mike_data_handler_spark.operators.dedup import minhash_lsh_pairs
+
+    # two genuine near-dup docs + 40 identical boilerplate docs
+    near_a = (1, "quick brown fox jumps over the lazy dog tonight")
+    near_b = (2, "quick brown fox jumps over the lazy dog today")
+    boiler = [(100 + i, "lorem ipsum dolor sit amet") for i in range(40)]
+    docs = spark.createDataFrame(
+        [near_a, near_b, *boiler], "doc_id bigint, text string"
+    )
+
+    def run(max_bucket):
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(
+                docs, threshold=0.5, max_bucket=max_bucket
+            ).collect()
+        }
+
+    uncapped = run(None)
+    assert (1, 2) in uncapped
+    # every boilerplate doc pairs with every other through its band
+    # buckets: the d² blow-up the cap exists to stop
+    n_boiler_pairs = 40 * 39 // 2
+    assert len(uncapped) == n_boiler_pairs + 1
+    # cap above the largest bucket (40 members) -> identical output
+    assert run(40) == uncapped
+    # cap below the hot bucket: its d² candidates vanish; the genuine
+    # near-dup pair still arrives through its own (size-2) buckets
+    capped = run(10)
+    assert capped == {(1, 2)}
+
+
 def test_chunk_documents_edges_and_coverage(spark):
     """Chunking contract: empty doc → no chunks; short doc → one
     full-coverage chunk; boundary cases produce the closed-form chunk
