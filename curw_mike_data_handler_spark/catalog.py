@@ -1316,17 +1316,21 @@ def a9_quantiles(spark, sf_dir):
     """Exact interpolated quantiles on the integer representation —
     Spark's percentile() and DuckDB's quantile_cont share the linear-
     interpolation definition, and integer inputs keep the interpolation
-    arithmetic identical.  At corpus scale swap percentile() for
-    approx_percentile(v, p, accuracy): same plan shape, bounded
-    memory (exact percentile materializes each group's values)."""
+    arithmetic identical.  ``exact=True`` is the gate-scale oracle pin;
+    the operator's default is the mergeable approx_percentile sketch
+    (operators/robust.py — bounded memory, the 100-TB path, error bound
+    attested by approx_quantiles_contract)."""
+    from curw_mike_data_handler_spark.operators.robust import grouped_quantiles
+
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.select("event_type", _cents("value").alias("v"))
-        .groupBy("event_type")
-        .agg(
-            F.round(F.expr("percentile(v, 0.5)") / 100.0, 6).alias("p50"),
-            F.round(F.expr("percentile(v, 0.95)") / 100.0, 6).alias("p95"),
-        )
+    return grouped_quantiles(
+        ev.select("event_type", _cents("value").alias("v")),
+        "v",
+        [0.5, 0.95],
+        by=["event_type"],
+        names=["p50", "p95"],
+        scale=100.0,
+        exact=True,
     )
 
 
@@ -4781,26 +4785,17 @@ def a14_winsorized_mean(spark, sf_dir):
     are re-integerized (round to cents) so the group mean is an exact
     integer sum in both engines.
 
-    Scale shape: two passes — a holistic percentile (the exact
-    attestation; at 100 TB swap in approx_percentile, same plan) and
-    one grouped aggregate over the broadcast scalar thresholds.  The
-    cross join is a 1-row broadcast, not a fan-out."""
+    Scale shape: one threshold pass + one grouped aggregate over the
+    broadcast 1-row thresholds (operators/robust.winsorized_mean).
+    ``exact=True`` (holistic percentile) is the gate-scale oracle pin
+    ONLY — the operator defaults to the mergeable approx sketch, and a
+    plan guard asserts no holistic percentile on the default path."""
+    from curw_mike_data_handler_spark.operators.robust import winsorized_mean
+
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", _cents("l_extendedprice").alias("v")
     )
-    q = li.agg(F.expr("percentile(v, array(0.01, 0.99))").alias("q")).select(
-        F.col("q")[0].alias("lo"), F.col("q")[1].alias("hi")
-    )
-    j = li.crossJoin(F.broadcast(q))
-    vd = F.col("v").cast("double")
-    clipped = F.round(F.least(F.greatest(vd, F.col("lo")), F.col("hi"))).cast("long")
-    n = F.count("*")
-    return j.groupBy("l_returnflag").agg(
-        n.alias("n"),
-        F.sum((vd < F.col("lo")).cast("long")).alias("n_clip_lo"),
-        F.sum((vd > F.col("hi")).cast("long")).alias("n_clip_hi"),
-        F.round(F.sum(clipped).cast("double") / 100.0 / n, 6).alias("wins_mean"),
-    )
+    return winsorized_mean(li, "v", by=["l_returnflag"], exact=True)
 
 
 @query(

@@ -1,0 +1,110 @@
+"""Robust statistics over value columns: quantiles, winsorized means.
+
+Scale contract (SCALE.md "Percentiles"): Spark's ``percentile`` is a
+HOLISTIC aggregate — every value in the group is buffered into the
+final merge, so an exact global percentile over a 100-TB column OOMs
+the merging task.  Every entry point here therefore defaults to
+``exact=False`` → ``approx_percentile`` (the mergeable KLL/GK-style
+sketch, bounded memory, error ≤ 1/accuracy quantile ranks — the bound
+``approx_quantiles_contract`` attests empirically).  ``exact=True``
+exists for gate-scale oracle attestation ONLY: the catalog queries pin
+it so DuckDB's ``quantile_cont`` hash-compares exactly, but nothing on
+the 100-TB path may pass it (a plan guard asserts the default plan
+contains no holistic percentile).
+
+Reference parity: the reference clamps known-bad sentinel codes
+(`replace_negative_numbers_with_nan`, rf_linux:118); winsorizing is the
+same defense for unknown-bad magnitudes, expressed as thresholds + one
+grouped aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_ACCURACY = 10_000
+
+
+def quantile_agg(
+    col: str | Column,
+    probs: list[float],
+    *,
+    exact: bool = False,
+    accuracy: int = DEFAULT_ACCURACY,
+) -> Column:
+    """Aggregate expression for the given quantiles of ``col``.
+
+    ``exact=False`` (default, the at-scale path): ``approx_percentile``
+    — a mergeable sketch, partial-aggregated map-side like any
+    algebraic aggregate.  ``exact=True``: holistic ``percentile`` with
+    the linear-interpolation definition DuckDB's ``quantile_cont``
+    shares — gate-scale attestation only.  Returns an array column in
+    ``probs`` order either way."""
+    c = F.col(col) if isinstance(col, str) else col
+    parr = F.array(*[F.lit(p) for p in probs])
+    if exact:
+        return F.percentile(c, parr)
+    return F.percentile_approx(c, parr, F.lit(accuracy))
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    *,
+    by: list[str] | None = None,
+    names: list[str] | None = None,
+    scale: float = 1.0,
+    exact: bool = False,
+    accuracy: int = DEFAULT_ACCURACY,
+) -> DataFrame:
+    """Per-group quantiles of ``value_col`` → one row per group with
+    one column per prob (``names`` or ``p50``-style defaults), each
+    divided by ``scale`` and rounded to 6 dp (the catalog's cents
+    convention)."""
+    names = names or [f"p{int(p * 100)}" for p in probs]
+    q = quantile_agg(value_col, probs, exact=exact, accuracy=accuracy).alias("__q")
+    g = df.groupBy(*(by or [])).agg(q) if by else df.agg(q)
+    return g.select(
+        *(by or []),
+        *[
+            F.round(F.col("__q")[i] / scale, 6).alias(n)
+            for i, n in enumerate(names)
+        ],
+    )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: list[str],
+    lo: float = 0.01,
+    hi: float = 0.99,
+    exact: bool = False,
+    accuracy: int = DEFAULT_ACCURACY,
+) -> DataFrame:
+    """Clip ``value_col`` (integer cents) at the GLOBAL [lo, hi]
+    quantiles, then average per group → (by…, n, n_clip_lo, n_clip_hi,
+    wins_mean).
+
+    Plan shape: one threshold pass (sketch by default; holistic only
+    under ``exact=True``) broadcast as a 1-row cross join into one
+    grouped aggregate — two scans, one exchange, no fan-out.  Clipped
+    values re-integerize (round to cents) so the group mean is an
+    exact integer sum in both engines under ``exact=True``."""
+    vals = df.select(*by, F.col(value_col).alias("v"))
+    q = vals.agg(
+        quantile_agg("v", [lo, hi], exact=exact, accuracy=accuracy).alias("q")
+    ).select(F.col("q")[0].alias("lo"), F.col("q")[1].alias("hi"))
+    j = vals.crossJoin(F.broadcast(q))
+    vd = F.col("v").cast("double")
+    clipped = F.round(F.least(F.greatest(vd, F.col("lo")), F.col("hi"))).cast("long")
+    n = F.count("*")
+    return j.groupBy(*by).agg(
+        n.alias("n"),
+        F.sum((vd < F.col("lo")).cast("long")).alias("n_clip_lo"),
+        F.sum((vd > F.col("hi")).cast("long")).alias("n_clip_hi"),
+        F.round(F.sum(clipped).cast("double") / 100.0 / n, 6).alias("wins_mean"),
+    )

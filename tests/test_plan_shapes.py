@@ -442,6 +442,34 @@ def test_winsorize_broadcasts_scalar_thresholds(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_robust_default_path_has_no_holistic_percentile(spark):
+    """The 100-TB contract for operators/robust.py: the DEFAULT
+    (exact=False) quantile path must plan the mergeable
+    approx_percentile sketch, never the holistic percentile that
+    buffers every group value into the final merge.  exact=True exists
+    only for gate-scale oracle attestation (a9/a14 pin it)."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.robust import (
+        grouped_quantiles,
+        winsorized_mean,
+    )
+    from curw_mike_data_handler_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v")
+    )
+    for df in (
+        grouped_quantiles(ev, "v", [0.5, 0.95], by=["event_type"]),
+        winsorized_mean(ev, "v", by=["event_type"]),
+    ):
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "percentile_approx" in analyzed
+        # the holistic aggregate must not appear: every 'percentile'
+        # occurrence must be part of 'percentile_approx'
+        assert analyzed.count("percentile") == analyzed.count("percentile_approx")
+
+
 def test_funnel_stages_share_one_user_exchange(spark):
     """The three staged min() windows (signup → view-after → purchase-
     after) must all plan over a single hash(user_id) exchange — the
