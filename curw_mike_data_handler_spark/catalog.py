@@ -52,6 +52,7 @@ from curw_mike_data_handler_spark.operators.multimodal import (
     attach_payload,
     decode_media,
     extract_features,
+    png_pixel_stats,
     synthesize_media,
 )
 from curw_mike_data_handler_spark.operators.resample import resample_sum_right_closed
@@ -2403,6 +2404,47 @@ def multimodal_decode_q(spark, sf_dir):
     oracle recomputes the expected metadata as a closed form of
     doc_id, so a parser that misreads any header field hash-fails."""
     return decode_media(synthesize_media(_t(spark, sf_dir, "documents")))
+
+
+@query(
+    "multimodal_pixel_stats",
+    """
+    WITH p AS (
+        SELECT doc_id, 16 + doc_id % 240 AS w, 16 + doc_id % 135 AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    s AS (
+        SELECT doc_id, w, h,
+               120 * (w // 16) + ((w % 16) * (w % 16 - 1)) // 2 AS sx,
+               120 * (h // 16) + ((h % 16) * (h % 16 - 1)) // 2 AS sy
+        FROM p
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(24 * h * sx + 3 * w * sy + 9 * w * h AS BIGINT) AS pixel_sum,
+           CAST(8 * (LEAST(w, 16) - 1) + (LEAST(h, 16) - 1) + 6 AS BIGINT) AS pixel_max
+    FROM s
+    """,
+)
+def multimodal_pixel_stats_q(spark, sf_dir):
+    """REAL PNG pixel decode, stdlib-only: every PNG row gets a genuine
+    zlib-compressed IDAT (closed-form 8-bit RGB raster, scanlines
+    filtered through ALL five PNG filter types), and the decoder
+    actually inflates and inverts None/Sub/Up/Average/Paeth inside
+    Arrow-batched mapInPandas (operators/multimodal.decode_png_pixels).
+    The oracle recomputes the raster's pixel sum as a closed form of
+    (width, height) — pixel(x,y,c) = 8·(x%16)+(y%16)+3c, so
+    Σ = 24·h·Sx + 3·w·Sy + 9·w·h with Sx/Sy the mod-16 prefix sums —
+    meaning one wrong byte anywhere in inflate or any inverse filter
+    hash-fails the whole row.
+
+    Scale shape: map-only (synthesize → decode are fused into one
+    Python-worker pass per split); parallelism from input splits, no
+    exchange anywhere."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return png_pixel_stats(synthesize_media(docs, png_pixels=True))
 
 
 # ---------------------------------------------------------------------------

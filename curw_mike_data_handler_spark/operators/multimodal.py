@@ -15,8 +15,15 @@ Decode comes in two layers:
   streams deterministically from the row id, so the parse path is
   exercised on real bytes and oracle-checkable (the expected metadata
   is a closed form of the id).
-* **Pixel/sample decode stays STUBBED** (``decode_image`` raises — it
-  genuinely needs libjpeg/PIL, absent in this container).
+* **PNG pixel decode is REAL, stdlib-only**: ``make_png(pixels=True)``
+  writes a genuine zlib-compressed IDAT whose scanlines cycle all five
+  PNG filter types; ``decode_png_pixels`` inflates with stdlib zlib and
+  inverts None/Sub/Up/Average/Paeth to recover the raster, so the
+  pixel-stat oracle (a closed form of width/height) fails unless the
+  inflate+unfilter is bit-correct.
+* **JPEG/audio sample decode stays STUBBED** (``decode_image`` raises —
+  entropy-coded JPEG genuinely needs libjpeg/PIL, absent in this
+  container).
 """
 
 from __future__ import annotations
@@ -68,28 +75,103 @@ MEDIA_META_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """STUB: full pixel decode needs PIL/libjpeg, absent in this
-    container (header metadata decode is real — parse_media_header)."""
+    """STUB: JPEG pixel decode needs PIL/libjpeg (entropy coding),
+    absent in this container.  PNG pixel decode IS implemented —
+    ``decode_png_pixels`` below, stdlib zlib only."""
     raise NotImplementedError(
-        "image decode requires an imaging library not present in this environment"
+        "JPEG decode requires an imaging library not present in this environment"
     )
 
 
 # -- deterministic spec-conformant media builders (pure Python; run
 #    inside mapInPandas on executors) --------------------------------
 
-def make_png(width: int, height: int, bit_depth: int = 8) -> bytes:
-    """Minimal valid PNG byte stream: signature + IHDR + IEND.  CRCs are
-    zeroed (readers that verify CRCs would reject; the header layout is
-    exact per the PNG spec)."""
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _png_pixel_value(x, y, c):
+    """Closed-form raster: 8·(x mod 16) + (y mod 16) + 3c — always
+    < 256, so the DuckDB oracle can recompute the image sum from
+    (width, height) alone without a mod-wrap case split."""
+    return 8 * (x % 16) + (y % 16) + 3 * c
+
+
+def _row_filter_type(y: int) -> int:
+    """Per-scanline filter schedule: rows 3 and 4 carry Average and
+    Paeth (the sequential inverse filters — kept to one row each so
+    decode stays vectorizable), everything else cycles None/Sub/Up.
+    All five inverse filters are therefore exercised on every image
+    taller than 4 rows."""
+    if y == 3:
+        return 3
+    if y == 4:
+        return 4
+    return y % 3
+
+
+def make_png(width: int, height: int, bit_depth: int = 8, pixels: bool = False) -> bytes:
+    """Valid PNG byte stream with real chunk CRCs.
+
+    ``pixels=False``: signature + IHDR + empty IEND (45 bytes — the
+    closed-form byte_len the multimodal_decode oracle pins).
+    ``pixels=True`` (requires ``bit_depth=8``): adds a genuine IDAT —
+    the closed-form RGB raster ``_png_pixel_value``, filtered per
+    ``_row_filter_type`` and zlib-compressed — so a real decoder (ours
+    or any other) recovers exact pixel values."""
     import struct
 
     ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 2, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
-        + struct.pack(">I", 0) + b"IEND" + b"\x00\x00\x00\x00"
-    )
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if pixels:
+        import zlib
+
+        import numpy as np
+
+        if bit_depth != 8:
+            raise ValueError("pixel PNGs are 8-bit RGB")
+        x = np.arange(width)
+        y = np.arange(height)
+        raw = (
+            8 * (x % 16)[None, :, None]
+            + (y % 16)[:, None, None]
+            + 3 * np.arange(3)[None, None, :]
+        ).astype(np.int16).reshape(height, width * 3)
+        bpp = 3
+        zeros = np.zeros(width * 3, dtype=np.int16)
+        lines = []
+        for yy in range(height):
+            cur = raw[yy]
+            prior = raw[yy - 1] if yy > 0 else zeros
+            left = np.concatenate([zeros[:bpp], cur[:-bpp]])
+            ul = np.concatenate([zeros[:bpp], prior[:-bpp]])
+            ft = _row_filter_type(yy)
+            if ft == 0:
+                f = cur
+            elif ft == 1:
+                f = cur - left
+            elif ft == 2:
+                f = cur - prior
+            elif ft == 3:
+                f = cur - (left + prior) // 2
+            else:  # Paeth
+                p = left + prior - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+                )
+                f = cur - pred
+            lines.append(bytes([ft]) + (f % 256).astype(np.uint8).tobytes())
+        out += _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+    return out + _png_chunk(b"IEND", b"")
 
 
 def make_jpeg(width: int, height: int) -> bytes:
@@ -169,6 +251,110 @@ def parse_media_header(b: bytes) -> dict:
     return out
 
 
+def decode_png_pixels(b: bytes) -> dict | None:
+    """REAL PNG pixel decode, stdlib-only: chunk walk → IDAT concat →
+    zlib inflate → inverse scanline filters (None/Sub/Up vectorized;
+    Average/Paeth per-pixel, exactly as the spec defines them) → pixel
+    stats of the recovered 8-bit RGB raster.  Returns None for
+    non-PNG / non-8-bit-RGB / truncated payloads (one bad blob must
+    not kill a batch); raises nothing."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    try:
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        i, w, h, depth, ctype, idat = 8, None, None, None, None, []
+        while i + 8 <= len(b):
+            (size,) = struct.unpack(">I", b[i : i + 4])
+            cid = b[i + 4 : i + 8]
+            data = b[i + 8 : i + 8 + size]
+            if cid == b"IHDR":
+                w, h = struct.unpack(">II", data[:8])
+                depth, ctype = data[8], data[9]
+            elif cid == b"IDAT":
+                idat.append(data)
+            elif cid == b"IEND":
+                break
+            i += 12 + size
+        if not idat or depth != 8 or ctype != 2:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        bpp, stride = 3, w * 3
+        if len(raw) != h * (stride + 1):
+            return None
+        total = 0
+        pmax = 0
+        prev = np.zeros(stride, dtype=np.int32)
+        for yy in range(h):
+            row = raw[yy * (stride + 1) : (yy + 1) * (stride + 1)]
+            ft = row[0]
+            data = np.frombuffer(row[1:], dtype=np.uint8).astype(np.int32)
+            if ft == 0:
+                cur = data
+            elif ft == 1:  # Sub: prefix sum with stride bpp
+                cur = np.cumsum(data.reshape(w, bpp), axis=0).reshape(stride) % 256
+            elif ft == 2:  # Up
+                cur = (data + prev) % 256
+            elif ft in (3, 4):  # Average / Paeth: left-dependent, per pixel
+                cur = np.empty(stride, dtype=np.int32)
+                for j in range(stride):
+                    a = cur[j - bpp] if j >= bpp else 0
+                    p = prev[j]
+                    if ft == 3:
+                        pred = (a + p) >> 1
+                    else:
+                        c = prev[j - bpp] if j >= bpp else 0
+                        q = a + p - c
+                        pa, pb, pc = abs(q - a), abs(q - p), abs(q - c)
+                        pred = a if pa <= pb and pa <= pc else (p if pb <= pc else c)
+                    cur[j] = (data[j] + pred) % 256
+            else:
+                return None
+            total += int(cur.sum())
+            m = int(cur.max()) if stride else 0
+            pmax = m if m > pmax else pmax
+            prev = cur
+        return {"width": w, "height": h, "n_px": w * h,
+                "pixel_sum": total, "pixel_max": pmax}
+    except (struct.error, IndexError, ValueError, zlib.error):
+        return None
+
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_px", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("pixel_max", LongType()),
+    ]
+)
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched PNG pixel-stat extraction over the binary payload
+    column → (media_id, width, height, n_px, pixel_sum, pixel_max).
+    Non-PNG rows are dropped (a mixed-modality table routes each type
+    to its own decoder).  Same scale shape as decode_media: map-only,
+    parallelism from input splits."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                st = decode_png_pixels(bytes(payload))
+                if st is not None:
+                    rows.append({"media_id": mid, **st})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_stats, schema=PIXEL_STATS_SCHEMA)
+
+
 def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Demo payload: UTF-8 bytes of the text column standing in for an
     opaque media blob (keeps the pipeline runnable on the synthetic
@@ -226,11 +412,16 @@ def _synth_params(mid: int) -> tuple[str, dict]:
 
 
 def synthesize_media(ids: DataFrame, id_col: str = "doc_id",
-                     parallelism: int | None = None) -> DataFrame:
+                     parallelism: int | None = None,
+                     png_pixels: bool = False) -> DataFrame:
     """id column → (media_id, media_type, payload) with REAL binary
     payloads (spec-conformant PNG/JPEG/WAV built per row).  Stands in
     for the object-store fetch stage of a production pipeline; being
-    deterministic in the id keeps the downstream decode oracle-able."""
+    deterministic in the id keeps the downstream decode oracle-able.
+
+    ``png_pixels=True`` gives every PNG a real zlib-compressed IDAT
+    carrying the closed-form raster (always 8-bit — pixel payloads
+    override the 16-bit header variant), for the pixel-decode path."""
     sc = ids.sparkSession.sparkContext
     n = parallelism or min(sc.defaultParallelism, 16)
     src = ids.select(F.col(id_col).cast("long").alias("media_id"))
@@ -244,6 +435,8 @@ def synthesize_media(ids: DataFrame, id_col: str = "doc_id",
             kinds, payloads = [], []
             for mid in pdf["media_id"]:
                 kind, params = _synth_params(int(mid))
+                if kind == "png" and png_pixels:
+                    params = {**params, "bit_depth": 8, "pixels": True}
                 kinds.append(mime[kind])
                 payloads.append(builders[kind](**params))
             yield pd.DataFrame(

@@ -338,6 +338,48 @@ def test_media_header_roundtrip_and_robustness(spark):
     assert got[3]["byte_len"] == len(b"not media")
 
 
+def test_png_pixel_decode_roundtrip_all_filters(spark):
+    """Real stdlib-zlib pixel decode: the encoder filters scanlines
+    through ALL five PNG filter types, so a correct closed-form sum
+    proves every inverse filter (None/Sub/Up/Average/Paeth) is
+    bit-correct.  Junk/header-only/16-bit payloads map to None/dropped
+    rather than raising."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_png_pixels,
+        make_png,
+        png_pixel_stats,
+    )
+
+    def closed_sum(w, h):
+        sx = 120 * (w // 16) + (w % 16) * ((w % 16) - 1) // 2
+        sy = 120 * (h // 16) + (h % 16) * ((h % 16) - 1) // 2
+        return 24 * h * sx + 3 * w * sy + 9 * w * h
+
+    for w, h in [(16, 16), (17, 19), (255, 150), (20, 3)]:
+        st = decode_png_pixels(make_png(w, h, pixels=True))
+        assert st["width"] == w and st["height"] == h and st["n_px"] == w * h
+        assert st["pixel_sum"] == closed_sum(w, h)
+    # a >4-row image exercises every filter type in its scanlines
+    raw = make_png(16, 16, pixels=True)
+    assert decode_png_pixels(raw)["pixel_max"] == 141
+    # robustness: header-only PNG (no IDAT), junk, truncation → None
+    assert decode_png_pixels(make_png(8, 8)) is None
+    assert decode_png_pixels(b"junk") is None
+    assert decode_png_pixels(raw[: len(raw) // 2]) is None
+
+    # Spark path: PNGs decode, non-PNG rows drop
+    media = spark.createDataFrame(
+        [
+            (1, "image/png", make_png(16, 20, pixels=True)),
+            (2, "application/octet-stream", b"not a png"),
+        ],
+        "media_id long, media_type string, payload binary",
+    )
+    got = {r["media_id"]: r.asDict() for r in png_pixel_stats(media).collect()}
+    assert set(got) == {1}
+    assert got[1]["pixel_sum"] == closed_sum(16, 20)
+
+
 def test_pagerank_mass_and_determinism(spark):
     """Fixed-iteration PageRank invariants: every rank ≥ the teleport
     floor (1-d)/N; total mass ≤ 1 (dangling nodes leak, never gain);
