@@ -163,6 +163,72 @@ def jdbc_upsert_partition(rows, *, table: str, columns: Sequence[str],
         conn.close()
 
 
+def merge_from_staging_statement(
+    table: str,
+    staging: str,
+    columns: Sequence[str],
+    key_cols: Sequence[str],
+    quote: str = '"',
+) -> str:
+    """ANSI ``MERGE INTO target USING staging`` — the server-side half
+    of the stage-and-merge bulk-upsert pattern (Derby, Oracle, DB2,
+    SQL Server; MySQL callers use ``upsert_statement`` instead since
+    MySQL lacks MERGE).  Column identifiers are quoted (default ``"``)
+    because Spark's JDBC writer creates case-preserved quoted columns —
+    an unquoted reference would fold to uppercase on Derby and miss."""
+    q = lambda c: f"{quote}{c}{quote}"  # noqa: E731
+    non_keys = [c for c in columns if c not in key_cols]
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
+    set_clause = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
+    cols = ", ".join(q(c) for c in columns)
+    vals = ", ".join(f"s.{q(c)}" for c in columns)
+    return (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def jdbc_stage_and_merge(
+    updates: DataFrame,
+    *,
+    url: str,
+    table: str,
+    staging: str,
+    key_cols: Sequence[str],
+    driver: str | None = None,
+) -> int:
+    """Bulk keyed upsert into a JDBC RDBMS, the warehouse-standard
+    two-step: (1) the DISTRIBUTED data movement — Spark's real JDBC
+    writer overwrites the staging table from every partition in
+    parallel; (2) ONE server-side ``MERGE`` from staging into the
+    target, issued over a driver-side JDBC connection (one statement,
+    no rows through the driver).  Idempotent: re-applying the same
+    staged batch is a fixpoint, the reference's S8 upsert contract
+    (extract_water_level.py:96) on engines with real MERGE.
+
+    Within-batch duplicate keys keep one arbitrary row first (ANSI
+    MERGE rejects a target row matched by two source rows).  Returns
+    the server-reported merged-row count."""
+    spark = updates.sparkSession
+    w = updates.dropDuplicates(list(key_cols)).write.format("jdbc").option(
+        "url", url
+    ).option("dbtable", staging)
+    if driver:
+        w = w.option("driver", driver)
+    w.mode("overwrite").save()
+    sql = merge_from_staging_statement(table, staging, updates.columns, key_cols)
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        n = st.executeUpdate(sql)
+        conn.commit()
+        st.close()
+        return n
+    finally:
+        conn.close()
+
+
 def _parse_mysql_url(url: str) -> dict:  # pragma: no cover
     from urllib.parse import urlparse
 

@@ -1,0 +1,135 @@
+"""Real Spark JDBC relation exercised end-to-end against Derby (the
+embedded database already inside Spark's JVM — zero new dependencies).
+
+Closes the r4-verdict gap: the reference's primary source/sink is a SQL
+database over a DB driver (rf_linux:157 read, extract_water_level.py:96
+upsert), and until now only the SQL *templates* were tested (against
+DuckDB DB-API connections) — Spark's actual JDBC reader/writer
+(predicate pushdown through the JDBCRelation, fetch partitioning, the
+distributed writer) had never run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+from pyspark.sql import functions as F
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _url(name: str) -> str:
+    # per-test in-memory DB (Derby memory DBs live for the JVM's life,
+    # so distinct names keep tests independent within one session)
+    return f"jdbc:derby:memory:{name}_{os.getpid()};create=true"
+
+
+def _jdbc(spark, url: str, table: str):
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", DRIVER)
+    )
+
+
+def _write(df, url: str, table: str, mode: str = "overwrite"):
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", DRIVER)
+        .mode(mode)
+        .save()
+    )
+
+
+def test_jdbc_roundtrip_preserves_rows_and_schema(spark):
+    url = _url("rt")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.5).alias("v"),
+        F.concat(F.lit("s"), F.col("id")).alias("name"),
+    )
+    _write(df, url, "t1")
+    back = _jdbc(spark, url, "t1").load()
+    assert back.schema.simpleString() == df.schema.simpleString()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_jdbc_scan_pushes_predicates_and_prunes_columns(spark):
+    """SURVEY S3/S4 parity on the REAL JDBC relation: the filter must
+    reach the remote scan as PushedFilters (at scale: the database does
+    the filtering, not Spark after a full-table fetch), and the
+    projection must prune to the referenced columns."""
+    url = _url("push")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.5).alias("v"),
+        F.lit("x").alias("unused"),
+    )
+    _write(df, url, "t2")
+    q = _jdbc(spark, url, "t2").load().filter(F.col("k") > 90).select("k", "v")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain()
+    plan = buf.getvalue()
+    assert "JDBCRelation" in plan
+    assert "GreaterThan(k,90)" in plan
+    assert "unused" not in plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert q.count() == 9
+
+
+def test_jdbc_fetch_partitioning_splits_the_scan(spark):
+    """partitionColumn/bounds/numPartitions → N parallel range-bounded
+    queries, the mechanism that makes a 10^9-row table read scale
+    across executors instead of one fetch cursor."""
+    url = _url("part")
+    _write(spark.range(1000).select(F.col("id").alias("k")), url, "t3")
+    r = (
+        _jdbc(spark, url, "t3")
+        .option("partitionColumn", "k")
+        .option("lowerBound", "0")
+        .option("upperBound", "1000")
+        .option("numPartitions", "4")
+        .load()
+    )
+    assert r.rdd.getNumPartitions() == 4
+    assert r.count() == 1000
+    assert r.agg(F.sum("k")).collect()[0][0] == 999 * 1000 // 2
+
+
+def test_jdbc_stage_and_merge_upserts_idempotently(spark):
+    """The S8 upsert contract through the real distributed JDBC writer:
+    stage overwrite + one server-side MERGE.  Last-writer-wins on the
+    key, inserts for new keys, and re-applying the same batch is a
+    fixpoint (the reference's re-run-safe cron semantics)."""
+    from curw_mike_data_handler_spark.sources.upsert import jdbc_stage_and_merge
+
+    url = _url("merge")
+    base = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2.5).alias("v"))
+    _write(base, url, "target")
+    updates = spark.createDataFrame([(5, 99.0), (20, 1.0)], "k bigint, v double")
+
+    n = jdbc_stage_and_merge(
+        updates, url=url, table="target", staging="stage1",
+        key_cols=["k"], driver=DRIVER,
+    )
+    assert n == 2
+
+    def state():
+        return sorted(
+            (r["k"], r["v"]) for r in _jdbc(spark, url, "target").load().collect()
+        )
+
+    first = state()
+    assert (5, 99.0) in first and (20, 1.0) in first and (4, 10.0) in first
+    assert len(first) == 11
+
+    # idempotence: same batch again → identical table state
+    jdbc_stage_and_merge(
+        updates, url=url, table="target", staging="stage2",
+        key_cols=["k"], driver=DRIVER,
+    )
+    assert state() == first
