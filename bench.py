@@ -141,7 +141,17 @@ HEADLINE = [
     "corr_matrix_event_types",
     "unigram_logprob_quality",
     "w12_rolling_median_despike",
+    "multimodal_pixel_stats",
 ]
+
+# Round-over-round comparability (r4 verdict #7): the first 100
+# HEADLINE entries are PINNED — new queries append at the end, so
+# "common_warm_total" sums the same 100 queries every round and
+# regressions are separable from catalog growth.  tests/test_bench_
+# contract.py pins the list's hash; change it only with a new baseline.
+COMMON_100 = tuple(HEADLINE[:100])
+# recomputed from the r4 BENCH_local.json over the same 100 names
+COMMON_100_R4_WARM_TOTAL = 61.777
 
 
 def main() -> None:
@@ -183,6 +193,8 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
+        "common_warm_total": round(sum(warm[n] for n in COMMON_100), 3),
+        "common_warm_total_r4": COMMON_100_R4_WARM_TOTAL,
         "note": "cold then warm pass; full precision in BENCH_local.json",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -206,6 +218,7 @@ def main() -> None:
         "value": payload["value"],
         "unit": "sec",
         "warm_total": payload["warm_total"],
+        "common_warm_total": payload["common_warm_total"],
         "sf": payload["sf"],
         "note": "slowest-first subset; all cold+warm in BENCH_local.json",
     }

@@ -73,3 +73,37 @@ def test_query_matches_oracle(spark, name):
 def test_every_query_has_entry():
     assert set(catalog.ORACLE).issubset(set(catalog.QUERIES))
     assert len(catalog.QUERIES) >= 20
+
+
+def test_coverage_md_tracks_catalog_bijectively():
+    """Drift guard (r4 verdict #8): every catalog query must have a
+    COVERAGE.md row, and every name COVERAGE.md's catalog-query cells
+    reference must still exist in the catalog — a query landing without
+    documentation, or a doc row naming a renamed/removed query, fails."""
+    import re
+
+    text = open(os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")).read()
+    missing = [n for n in catalog.QUERIES if n not in text]
+    assert not missing, f"catalog queries with no COVERAGE.md row: {missing}"
+
+    # reverse: scan ONLY the "catalog query" column of each table (the
+    # header row names it), so implementation-column function names
+    # don't false-positive; every backticked snake_case token there
+    # must be a live catalog query.
+    stale = set()
+    col_idx = None
+    for line in text.splitlines():
+        if not line.startswith("|"):
+            col_idx = None
+            continue
+        cells = [c.strip() for c in line.strip("|").split("|")]
+        lowered = [c.lower() for c in cells]
+        if "catalog query" in lowered:
+            col_idx = lowered.index("catalog query")
+            continue
+        if col_idx is None or len(cells) <= col_idx or set(cells[0]) <= {"-"}:
+            continue
+        for tok in re.findall(r"`([a-z][a-z0-9_]+)`", cells[col_idx]):
+            if "_" in tok and tok not in catalog.QUERIES:
+                stale.add(tok)
+    assert not stale, f"COVERAGE.md references unknown catalog queries: {stale}"
