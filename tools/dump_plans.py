@@ -68,6 +68,9 @@ SHOWCASE = [
     ("dq_expectations", "validation suite: per-table checks fuse to one conditional-sum scan each"),
     ("events_session_window_native", "native session windows: gap-merge inside ONE aggregate, no self-join"),
     ("basket_lift_top_pairs", "a-priori pair join bounded by basket width; rounded-lift total-order top-k"),
+    ("multimodal_pixel_stats", "REAL zlib inflate + inverse PNG filters: two Arrow map stages, zero exchanges"),
+    ("a14_winsorized_mean", "1-row quantile thresholds broadcast into one grouped agg (approx sketch at scale)"),
+    ("graph_triangles", "node-ordered two-join enumeration; corners via ONE explode, no union re-execution"),
 ]
 
 
