@@ -319,32 +319,109 @@ def simhash_pairs(
     )
 
 
+def _two_phase_components(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") → (node, label).
+
+    Each round is two grouped-min + join passes over the edge list:
+
+    * large-star: every node u links its LARGER neighbors to
+      m(u) = min(N(u) ∪ {u});
+    * small-star: keyed on the larger endpoint, every node links its
+      smaller neighbors (and itself) to the minimum.
+
+    Converges to min-rooted stars in O(log² n) rounds regardless of
+    graph DIAMETER — the upgrade over per-round label propagation
+    (diameter-bound) for path-shaped or billion-edge graphs.
+    Convergence is detected by an O(1) driver aggregate (edge count +
+    xor-ish hash sum), never by collecting edges."""
+    E = (
+        edges.select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        sym = E.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            E.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mn = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            sym.join(mn, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("a"),
+                F.least(F.col("mn"), F.col("u")).alias("b"),
+            )
+        )
+        E1 = (
+            large.select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        mn2 = E1.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = E1.join(mn2, "hi")
+        small = joined.select(F.col("lo").alias("a"), F.col("m").alias("b")).union(
+            joined.select(F.col("hi").alias("a"), F.col("m").alias("b")).distinct()
+        )
+        E = (
+            small.select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = E.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("lo", "hi")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: E holds min-rooted star edges (root = lo side)
+    return E.select(F.col("hi").alias("node"), F.col("lo").alias("label")).union(
+        E.select(F.col("lo").alias("node"), F.col("lo").alias("label"))
+    ).distinct()
+
+
 def connected_components(
     pairs: DataFrame,
     *,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
-    """Duplicate-pair lists → duplicate GROUPS: iterative min-label
-    propagation to a fixpoint (the step that turns any of the pair
-    generators — exact, Jaccard, MinHash-LSH, SimHash, embedding — into
-    an actionable keep/drop partition of the corpus).
+    """Duplicate-pair lists → duplicate GROUPS: the step that turns any
+    of the pair generators — exact, Jaccard, MinHash-LSH, SimHash,
+    embedding — into an actionable keep/drop partition of the corpus.
 
     → (node, component, component_size) where component is the minimum
-    reachable node id.
+    reachable node id (identical under both algorithms).
 
-    Each round is one shuffle: label(v) ← min(label(v), min of
-    neighbors' labels); converges in graph-diameter rounds (near-dup
-    clusters are shallow — single digits even at corpus scale).  The
-    driver loop is the standard iterative-algorithm shape (GraphX /
-    MLlib do the same); per-round lineage is truncated with
-    localCheckpoint so plans don't grow with iterations.  For graphs
-    with billions of edges move to the large-star/small-star
-    formulation (Kiveris et al., "Connected Components in MapReduce"),
-    which contracts the same fixpoint in O(log²) rounds.
+    ``algorithm="label_prop"`` (default): per-round min-label
+    propagation — one shuffle per round, converges in graph-DIAMETER
+    rounds; right for near-dup clusters, whose diameter is single-digit
+    even at corpus scale.  The driver loop is the standard
+    iterative-algorithm shape (GraphX / MLlib do the same); per-round
+    lineage is truncated with localCheckpoint so plans don't grow.
+
+    ``algorithm="two_phase"``: the large-star/small-star contraction
+    (Kiveris et al.) — O(log² n) rounds regardless of diameter, the
+    at-scale path for billions of edges or chain-shaped graphs
+    (property-tested equal to label_prop, including on a path graph
+    whose diameter exceeds the round budget).
     """
+    if algorithm not in ("label_prop", "two_phase"):
+        raise ValueError(f"unknown connected_components algorithm: {algorithm!r}")
     edges = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    if algorithm == "two_phase":
+        labels = _two_phase_components(edges, max_iter)
+        sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
+        return labels.join(sizes, "label").select(
+            "node", F.col("label").alias("component"), "component_size"
+        )
     sym = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()

@@ -240,6 +240,46 @@ def test_jaccard_df_cap_noop_when_under_cap_and_correct_when_over(spark):
     assert run(4) == naive(4)
 
 
+def test_two_phase_components_match_label_prop(spark):
+    """The large-star/small-star contraction must produce exactly the
+    label-propagation partition (component = min reachable id) — on a
+    random multi-component graph AND on a path graph whose diameter
+    exceeds the round budget (where per-round propagation can't finish
+    but the O(log²) contraction does)."""
+    import random
+
+    from curw_mike_data_handler_spark.operators.dedup import connected_components
+
+    rng = random.Random(11)
+    nodes = list(range(1, 61))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+
+    def run(alg, max_iter=50):
+        return {
+            r["node"]: (r["component"], r["component_size"])
+            for r in connected_components(
+                df, max_iter=max_iter, algorithm=alg
+            ).collect()
+        }
+
+    assert run("two_phase") == run("label_prop")
+
+    # path 1-2-…-40: diameter 39.  label_prop@10 rounds CANNOT have
+    # converged; two_phase@10 must be fully contracted to component 1.
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            path, max_iter=10, algorithm="two_phase"
+        ).collect()
+    }
+    assert got == {i: 1 for i in range(1, 41)}
+
+
 def test_lsh_bucket_cap_noop_under_cap_and_tames_hot_bucket(spark):
     """The band-bucket skew guard (VERDICT r4 #2): with every bucket
     under the cap the capped plan returns EXACTLY the uncapped pair
