@@ -53,6 +53,40 @@ def run_available_now(
     q.awaitTermination()
 
 
+def jdbc_merge_sink(
+    *,
+    url: str,
+    table: str,
+    staging: str,
+    key_cols: list[str],
+    driver: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink: each micro-batch upserts into a JDBC
+    RDBMS via the stage-and-merge pattern (sources/upsert.
+    jdbc_stage_and_merge) — distributed staging write, one server-side
+    MERGE.  Composed with the checkpointed file source this gives
+    effectively-exactly-once delivery: the source never re-offers a
+    processed file, and a crash-replayed batch re-MERGEs to a fixpoint
+    (the reference's idempotent re-extraction contract, wl_x:96, on a
+    real database instead of the parquet emulation).  Each batch uses
+    a batch-id-suffixed staging table so a replay never clobbers a
+    concurrent batch's stage."""
+    from curw_mike_data_handler_spark.sources.upsert import jdbc_stage_and_merge
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        if not batch.isEmpty():
+            jdbc_stage_and_merge(
+                batch,
+                url=url,
+                table=table,
+                staging=f"{staging}_{batch_id}",
+                key_cols=key_cols,
+                driver=driver,
+            )
+
+    return batch_fn
+
+
 def batch_modified_after(
     spark: SparkSession,
     input_dir: str,

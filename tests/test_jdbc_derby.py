@@ -133,3 +133,58 @@ def test_jdbc_stage_and_merge_upserts_idempotently(spark):
         key_cols=["k"], driver=DRIVER,
     )
     assert state() == first
+
+
+def test_streaming_file_source_to_jdbc_merge_sink(spark, tmp_path):
+    """Cron-as-stream → real database: checkpointed file source +
+    per-batch stage-and-merge gives effectively-exactly-once delivery
+    into Derby — new files land once, re-ticks process nothing, and
+    overlapping keys resolve last-writer-wins (the reference's
+    idempotent re-extraction, wl_x:96, against a live JDBC target)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from curw_mike_data_handler_spark.streaming.file_watch import (
+        jdbc_merge_sink,
+        run_available_now,
+        stream_csv_dir,
+    )
+
+    url = _url("stream")
+    # MERGE needs an existing target: seed it through the real writer
+    _write(
+        spark.createDataFrame([(0, 0.0)], "k bigint, v double"), url, "target"
+    )
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", DoubleType())]
+    )
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = jdbc_merge_sink(
+        url=url, table="target", staging="stream_stage", key_cols=["k"],
+        driver=DRIVER,
+    )
+    (inbox / "f1.csv").write_text("k,v\n1,1.0\n2,2.0\n")
+    run_available_now(stream_csv_dir(spark, str(inbox), schema), ckpt, sink)
+
+    def state():
+        return sorted(
+            (r["k"], r["v"]) for r in _jdbc(spark, url, "target").load().collect()
+        )
+
+    assert state() == [(0, 0.0), (1, 1.0), (2, 2.0)]
+
+    # second tick: one new file, one overlapping key — f1 is NOT
+    # re-offered (checkpoint), k=2 updates, k=3 inserts
+    (inbox / "f2.csv").write_text("k,v\n2,20.0\n3,3.0\n")
+    run_available_now(stream_csv_dir(spark, str(inbox), schema), ckpt, sink)
+    assert state() == [(0, 0.0), (1, 1.0), (2, 20.0), (3, 3.0)]
+
+    # idle tick: nothing new → state untouched
+    run_available_now(stream_csv_dir(spark, str(inbox), schema), ckpt, sink)
+    assert state() == [(0, 0.0), (1, 1.0), (2, 20.0), (3, 3.0)]
