@@ -142,6 +142,7 @@ HEADLINE = [
     "unigram_logprob_quality",
     "w12_rolling_median_despike",
     "multimodal_pixel_stats",
+    "dedup_components_twophase",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

@@ -1904,6 +1904,25 @@ def dedup_components_q(spark, sf_dir):
     return connected_components(pairs, src_col="id_a", dst_col="id_b")
 
 
+@query("dedup_components_twophase", ORACLE["dedup_components"])
+def dedup_components_twophase_q(spark, sf_dir):
+    """The same duplicate-group partition computed by the
+    large-star/small-star contraction (Kiveris et al., operators.dedup.
+    _two_phase_components) — O(log² n) rounds independent of graph
+    diameter, the at-scale path for billion-edge or chain-shaped dup
+    graphs.  Shares dedup_components' recursive-closure oracle: both
+    algorithms must land the identical (node, component, size) rows,
+    so the hash compare attests algorithm equivalence, not just shape."""
+    pairs = embedding_neardup_pairs(
+        _par(spark, _t(spark, sf_dir, "embeddings")),
+        threshold=0.35,
+        bucket_col="label",
+    )
+    return connected_components(
+        pairs, src_col="id_a", dst_col="id_b", algorithm="two_phase"
+    )
+
+
 @query(
     "dedup_keep_list",
     """

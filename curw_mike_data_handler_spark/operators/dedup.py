@@ -371,9 +371,12 @@ def _two_phase_components(edges: DataFrame, max_iter: int) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
+        # bit_xor, not sum: order-independent AND overflow-free (a
+        # summed 64-bit hash overflows long under ANSI mode — the
+        # driver's vanilla session — while xor cannot)
         sig = E.agg(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64("lo", "hi")).alias("h"),
+            F.expr("bit_xor(xxhash64(lo, hi))").alias("h"),
         ).collect()[0]
         sig = (sig["n"], sig["h"])
         if sig == prev_sig:
