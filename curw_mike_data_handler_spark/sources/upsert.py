@@ -5,7 +5,7 @@ The reference upserts forecast rows into MySQL with
 (outputs/extract_water_level.py:96) and maintains a run-header table
 (insert_run / update_start_date / update_latest_fgt, wl_x:88-97).
 
-Two sinks:
+Three sinks:
 
 * ``ParquetMergeTable`` — lakehouse-style MERGE emulation over plain
   parquet (no Delta in this container): anti-join the existing
@@ -16,7 +16,13 @@ Two sinks:
 * ``jdbc_upsert_partition`` — MySQL parity path: batched
   ``INSERT … ON DUPLICATE KEY UPDATE`` from ``foreachPartition``
   (Spark's JDBC writer has no upsert mode).  Gated behind an
-  import-try since no DB driver ships in this container.
+  import-try since no pymysql driver ships in this container.
+* ``jdbc_stage_and_merge`` — the warehouse-standard bulk upsert for
+  engines with real MERGE (Derby/Oracle/DB2/SQL Server): distributed
+  staging write through Spark's actual JDBC writer, then ONE
+  server-side ANSI MERGE.  Exercised live against in-JVM Derby
+  (tests/test_jdbc_derby.py), including as a streaming foreachBatch
+  sink (streaming/file_watch.jdbc_merge_sink).
 """
 
 from __future__ import annotations

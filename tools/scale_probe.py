@@ -136,7 +136,13 @@ def measure(spark, label: str, df_factory, results: dict) -> None:
 def main() -> None:
     spark = get_spark(
         app_name="scale-probe",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # the probe chains a dozen 50k-doc jobs (with checkpoints
+            # and caches) through one local JVM; the 1g default heap
+            # OOMs late in the sequence on this box's 32 cores
+            "spark.driver.memory": "16g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     print("building sf1 probe corpora (50k docs each)...")
@@ -200,6 +206,67 @@ def main() -> None:
         lambda: minhash_lsh_pairs(docs_pw, threshold=0.5),
         results,
     )
+    # capped variant: same output here (no bucket over the cap in the
+    # bounded-family corpus), so the delta vs the row above is the pure
+    # cost of the skew-guard's bucket-count join
+    measure(
+        spark,
+        "minhash_lsh_pairs_capped",
+        lambda: minhash_lsh_pairs(docs_pw, threshold=0.5, max_bucket=1000),
+        results,
+    )
+
+    # band-bucket census on the LINEAR corpus (the boilerplate-shaped
+    # one): Σ bucket² = candidate rows of the band self-join, uncapped
+    # vs capped — the LSH analog of the jaccard df census above,
+    # measured from the same grouped count the capped plan runs.
+    from curw_mike_data_handler_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(docs_lin, id_col="doc_id", text_col="text")
+    band_keys = (
+        sigs.withColumn("band", F.floor(F.col("seed") / 2))
+        .groupBy("doc", "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
+    )
+    bc = (
+        band_keys.groupBy("band", "band_key")
+        .agg(F.count("*").alias("bs"))
+        .agg(
+            F.count("*").alias("buckets"),
+            F.max("bs").alias("max_bucket"),
+            F.sum(F.col("bs") * F.col("bs")).alias("cand_rows_uncapped"),
+            F.sum(
+                F.when(F.col("bs") <= 100, F.col("bs") * F.col("bs")).otherwise(0)
+            ).alias("cand_rows_capped_100"),
+        )
+        .collect()[0]
+    )
+    results["lsh_bucket_census_linear"] = {
+        "buckets": bc["buckets"],
+        "max_bucket": int(bc["max_bucket"]),
+        "cand_rows_uncapped": int(bc["cand_rows_uncapped"]),
+        "cand_rows_capped_100": int(bc["cand_rows_capped_100"]),
+    }
+    print(f"  lsh census: buckets={bc['buckets']:,}, max_bucket={bc['max_bucket']:,}, "
+          f"cand rows uncapped={bc['cand_rows_uncapped']:,}, capped(100)={bc['cand_rows_capped_100']:,}")
+
+    # connected components at sf1: label propagation vs the
+    # large-star/small-star contraction over the same ~225k-pair input
+    from curw_mike_data_handler_spark.operators.dedup import connected_components
+
+    pairs_pw = minhash_lsh_pairs(docs_pw, threshold=0.5).localCheckpoint()
+    measure(
+        spark,
+        "components_label_prop",
+        lambda: connected_components(pairs_pw),
+        results,
+    )
+    measure(
+        spark,
+        "components_two_phase",
+        lambda: connected_components(pairs_pw, algorithm="two_phase"),
+        results,
+    )
 
     payload = {
         "sf": 1.0,
@@ -222,6 +289,9 @@ def main() -> None:
         "curation_pipeline_e2e": "linear",
         "jaccard_pairs_capped": "pairwise",
         "minhash_lsh_pairs": "pairwise",
+        "minhash_lsh_pairs_capped": "pairwise",
+        "components_label_prop": "pairwise",
+        "components_two_phase": "pairwise",
     }
     for k, v in results.items():
         if "wall_s" in v:
