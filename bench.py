@@ -143,6 +143,7 @@ HEADLINE = [
     "w12_rolling_median_despike",
     "multimodal_pixel_stats",
     "dedup_components_twophase",
+    "multimodal_audio_stats",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

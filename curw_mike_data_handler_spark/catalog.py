@@ -54,6 +54,7 @@ from curw_mike_data_handler_spark.operators.multimodal import (
     extract_features,
     png_pixel_stats,
     synthesize_media,
+    wav_sample_stats,
 )
 from curw_mike_data_handler_spark.operators.resample import resample_sum_right_closed
 from curw_mike_data_handler_spark.operators.similarity import (
@@ -2464,6 +2465,41 @@ def multimodal_pixel_stats_q(spark, sf_dir):
     exchange anywhere."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     return png_pixel_stats(synthesize_media(docs, png_pixels=True))
+
+
+@query(
+    "multimodal_audio_stats",
+    """
+    WITH w AS (
+        SELECT doc_id, doc_id % 32 AS n, 1 + doc_id % 2 AS c
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    grid AS (
+        SELECT i.i AS i, ch.ch AS ch FROM range(0, 32) i(i), range(0, 2) ch(ch)
+    )
+    SELECT w.doc_id AS media_id,
+           CAST(w.c AS BIGINT) AS channels,
+           CAST(w.n AS BIGINT) AS n_frames,
+           CAST(coalesce(sum((7 * g.i + 3 * g.ch) % 199 - 99), 0) AS BIGINT) AS sample_sum,
+           CAST(max((7 * g.i + 3 * g.ch) % 199 - 99) AS BIGINT) AS sample_max
+    FROM w LEFT JOIN grid g ON g.i < w.n AND g.ch < w.c
+    GROUP BY w.doc_id, w.c, w.n
+    """,
+)
+def multimodal_audio_stats_q(spark, sf_dir):
+    """REAL PCM sample decode, stdlib-only: every WAV payload carries
+    the closed-form int16 waveform s(i,ch) = (7i+3ch) mod 199 − 99
+    (same byte length as before — header oracles untouched), and the
+    decoder walks RIFF chunks, parses fmt, and unpacks the frames in
+    Arrow-batched mapInPandas (operators/multimodal.decode_wav_samples)
+    — the audio twin of multimodal_pixel_stats.  The oracle recomputes
+    the waveform sum/max from (n_samples, channels) alone, so a wrong
+    byte offset, endianness, or channel interleave hash-fails.
+
+    Scale shape: map-only, parallelism from input splits, no
+    exchange (the grouped rollup is per-payload inside the batch)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    return wav_sample_stats(synthesize_media(docs))
 
 
 # ---------------------------------------------------------------------------

@@ -189,12 +189,29 @@ def make_jpeg(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
+def _wav_sample_value(i, ch):
+    """Closed-form PCM frame: ((7i + 3·ch) mod 199) − 99 — small exact
+    int16 values the DuckDB oracle recomputes from (n_samples,
+    channels) alone."""
+    return (7 * i + 3 * ch) % 199 - 99
+
+
 def make_wav(sample_rate: int, channels: int, bits: int = 16, n_samples: int = 0) -> bytes:
-    """Minimal RIFF/WAVE: fmt chunk (PCM) + zero-filled data chunk."""
+    """Minimal RIFF/WAVE: fmt chunk (PCM) + a data chunk carrying the
+    closed-form int16 waveform ``_wav_sample_value`` (same byte LENGTH
+    as the former zero fill, so header-level oracles are unchanged;
+    the content gives the PCM decoder something real to verify)."""
     import struct
 
     block_align = channels * (bits // 8)
-    data = b"\x00" * (n_samples * block_align)
+    if bits == 16:
+        data = b"".join(
+            struct.pack("<h", _wav_sample_value(i, ch))
+            for i in range(n_samples)
+            for ch in range(channels)
+        )
+    else:
+        data = b"\x00" * (n_samples * block_align)
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
     )
@@ -202,6 +219,40 @@ def make_wav(sample_rate: int, channels: int, bits: int = 16, n_samples: int = 0
         "<I", len(data)
     ) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_samples(b: bytes) -> dict | None:
+    """REAL PCM sample decode, stdlib-only: RIFF chunk walk → fmt parse
+    → int16 frame decode → sample stats.  Returns None for non-WAV /
+    non-16-bit / truncated payloads (never raises)."""
+    import struct
+
+    try:
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        i, channels, bits, data = 12, None, None, None
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+            if cid == b"fmt ":
+                _, channels, _, _, _, bits = struct.unpack("<HHIIHH", b[i + 8 : i + 24])
+            elif cid == b"data":
+                data = b[i + 8 : i + 8 + size]
+                if len(data) < size:
+                    return None
+            i += 8 + size + (size & 1)
+        if channels is None or data is None or bits != 16:
+            return None
+        vals = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
+        n_frames = len(vals) // channels
+        return {
+            "channels": channels,
+            "n_frames": n_frames,
+            "sample_sum": int(sum(vals)),
+            "sample_max": int(max(vals)) if vals else None,
+        }
+    except (struct.error, IndexError, ValueError):
+        return None
 
 
 _SOF_MARKERS = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
@@ -353,6 +404,38 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(_stats, schema=PIXEL_STATS_SCHEMA)
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("sample_sum", LongType()),
+        StructField("sample_max", LongType()),
+    ]
+)
+
+
+def wav_sample_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched PCM sample-stat extraction over the binary payload
+    column → (media_id, channels, n_frames, sample_sum, sample_max).
+    Non-WAV rows are dropped.  Map-only, like png_pixel_stats."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WAV_STATS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                st = decode_wav_samples(bytes(payload))
+                if st is not None:
+                    rows.append({"media_id": mid, **st})
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("sample_max",):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return media.mapInPandas(_stats, schema=WAV_STATS_SCHEMA)
 
 
 def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -380,6 +380,36 @@ def test_png_pixel_decode_roundtrip_all_filters(spark):
     assert got[1]["pixel_sum"] == closed_sum(16, 20)
 
 
+def test_wav_pcm_decode_roundtrip_and_robustness(spark):
+    """Real PCM decode: builder waveform → RIFF walk → int16 unpack
+    matches the closed form; empty/stereo/junk payloads behave."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _wav_sample_value,
+        decode_wav_samples,
+        make_wav,
+        wav_sample_stats,
+    )
+
+    for n, c in [(0, 1), (5, 1), (31, 2), (7, 2)]:
+        st = decode_wav_samples(make_wav(8000, c, 16, n))
+        vals = [_wav_sample_value(i, ch) for i in range(n) for ch in range(c)]
+        assert st["channels"] == c and st["n_frames"] == n
+        assert st["sample_sum"] == sum(vals)
+        assert st["sample_max"] == (max(vals) if vals else None)
+    assert decode_wav_samples(b"junk") is None
+    assert decode_wav_samples(make_wav(8000, 1, 16, 9)[:20]) is None
+    # 8-bit payloads are not decoded (16-bit PCM only)
+    assert decode_wav_samples(make_wav(8000, 1, 8, 4)) is None
+
+    media = spark.createDataFrame(
+        [(1, "audio/wav", make_wav(8000, 2, 16, 7)), (2, "x", b"nope")],
+        "media_id long, media_type string, payload binary",
+    )
+    got = {r["media_id"]: r.asDict() for r in wav_sample_stats(media).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_frames"] == 7 and got[1]["channels"] == 2
+
+
 def test_pagerank_mass_and_determinism(spark):
     """Fixed-iteration PageRank invariants: every rank ≥ the teleport
     floor (1-d)/N; total mass ≤ 1 (dangling nodes leak, never gain);
