@@ -21,9 +21,12 @@ Decode comes in two layers:
   inverts None/Sub/Up/Average/Paeth to recover the raster, so the
   pixel-stat oracle (a closed form of width/height) fails unless the
   inflate+unfilter is bit-correct.
-* **JPEG/audio sample decode stays STUBBED** (``decode_image`` raises —
-  entropy-coded JPEG genuinely needs libjpeg/PIL, absent in this
-  container).
+* **WAV PCM sample decode is REAL, stdlib-only**: ``make_wav`` writes
+  a closed-form int16 waveform and ``decode_wav_samples`` walks the
+  RIFF chunks and unpacks the frames — the audio twin of the PNG path.
+* **JPEG pixel / video frame decode stays STUBBED** (``decode_image``
+  raises — entropy-coded JPEG and video genuinely need native codecs,
+  absent in this container).
 """
 
 from __future__ import annotations
