@@ -300,6 +300,18 @@ def test_chunking_is_map_only_no_shuffle(spark):
     )
 
 
+def test_media_sample_decode_is_map_only_no_shuffle(spark):
+    """The pixel/PCM decode paths (synthesize → inflate/unpack stats)
+    must stay pure map stages: at corpus scale their cost is scan
+    bandwidth, and any exchange here would shuffle raw media bytes."""
+    for name in ("multimodal_pixel_stats", "multimodal_audio_stats"):
+        plan = _plan(spark, name)
+        assert "Exchange hashpartitioning" not in plan, (
+            f"{name} must not shuffle payload bytes"
+        )
+        assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 1
+
+
 def test_latest_version_read_single_exchange(spark):
     """The summary aggregate must reuse the latest-fgt window's
     hash(series) partitioning — one exchange total."""
