@@ -144,6 +144,7 @@ HEADLINE = [
     "multimodal_pixel_stats",
     "dedup_components_twophase",
     "multimodal_audio_stats",
+    "multimodal_video_frames",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

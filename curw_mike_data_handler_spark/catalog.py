@@ -2502,6 +2502,47 @@ def multimodal_audio_stats_q(spark, sf_dir):
     return wav_sample_stats(synthesize_media(docs))
 
 
+@query(
+    "multimodal_video_frames",
+    """
+    WITH p AS (
+        SELECT doc_id, 16 + doc_id % 240 AS w, 16 + doc_id % 135 AS h,
+               doc_id % 64 AS nf
+        FROM documents
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(p.w AS BIGINT) AS width,
+           CAST(p.h AS BIGINT) AS height,
+           CAST(p.nf AS BIGINT) AS n_frames,
+           CAST(f.f AS BIGINT) AS frame_no
+    FROM p JOIN range(0, 64, 10) f(f) ON f.f < p.nf
+    """,
+)
+def multimodal_video_frames_q(spark, sf_dir):
+    """Video column plumbing with a REAL container: every doc gets a
+    spec-layout RIFF/AVI payload (LIST hdrl → avih main header), the
+    header is actually demuxed in Arrow-batched mapInPandas
+    (operators/multimodal.parse_avi_header), and the every-10th-frame
+    sampling plan is pure column math (sequence+explode) bounded by
+    the container's decoded frame count — the work list a codec stage
+    consumes.  Frame PIXEL decode is the one stubbed step (needs
+    native codecs); the oracle recomputes the sampled frame list as a
+    closed form of doc_id, so a demuxer that misreads dwTotalFrames or
+    the avih offsets hash-fails.
+
+    Scale shape: map-only synthesize→demux, then a narrow explode —
+    zero exchanges; output rows bounded by n_frames/every_n per
+    video."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        avi_meta,
+        frame_sample_plan,
+        synthesize_avi,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return frame_sample_plan(avi_meta(synthesize_avi(docs)), every_n=10)
+
+
 # ---------------------------------------------------------------------------
 # Classic OLAP widening: pushdown-only agg, conditional-share agg,
 # group-HAVING join, disjunctive-predicate join

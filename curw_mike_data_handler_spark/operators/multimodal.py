@@ -562,3 +562,142 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), F.lit(every_n - 1))).alias("frame_no"),
     )
+
+
+# -- video: real AVI container header, frame decode stubbed ----------
+
+def make_avi(width: int, height: int, fps: int = 24, n_frames: int = 0) -> bytes:
+    """Minimal RIFF/AVI: LIST hdrl holding a spec-layout avih main
+    header (microseconds/frame, total frames, dimensions live exactly
+    where a real demuxer reads them) + an empty movi list.  Frame
+    payloads are absent by design — entropy/codec decode is the one
+    genuinely stubbed modality."""
+    import struct
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        0, 0, 0,
+        n_frames,          # dwTotalFrames
+        0, 1, 0,
+        width, height,
+        0, 0, 0, 0,
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi = b"movi"
+    body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + movi
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_header(b: bytes) -> dict | None:
+    """REAL RIFF/AVI header walk: LIST traversal → avih main header →
+    (width, height, fps_micros, n_frames).  None for non-AVI/truncated
+    payloads (never raises)."""
+    import struct
+
+    try:
+        if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+            return None
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+            if cid == b"LIST" and b[i + 8 : i + 12] == b"hdrl":
+                j = i + 12
+                while j + 8 <= i + 8 + size:
+                    sub = b[j : j + 4]
+                    (ssz,) = struct.unpack("<I", b[j + 4 : j + 8])
+                    if sub == b"avih":
+                        f = struct.unpack("<14I", b[j + 8 : j + 64])
+                        return {
+                            "us_per_frame": f[0],
+                            "n_frames": f[4],
+                            "width": f[8],
+                            "height": f[9],
+                        }
+                    j += 8 + ssz + (ssz & 1)
+            i += 8 + size + (size & 1)
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
+AVI_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("us_per_frame", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def synthesize_avi(ids: DataFrame, id_col: str = "doc_id",
+                   parallelism: int | None = None) -> DataFrame:
+    """id column → (media_id, media_type, payload) with real AVI
+    container bytes, deterministic in the id (width 16+id%240, height
+    16+id%135, fps 24/30, id%64 frames) so downstream header decode
+    and frame plans are oracle-able."""
+    sc = ids.sparkSession.sparkContext
+    n = parallelism or min(sc.defaultParallelism, 16)
+    src = ids.select(F.col(id_col).cast("long").alias("media_id"))
+    if src.rdd.getNumPartitions() < n:
+        src = src.repartition(n)
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                make_avi(
+                    16 + int(m) % 240,
+                    16 + int(m) % 135,
+                    fps=24 + 6 * (int(m) % 2),
+                    n_frames=int(m) % 64,
+                )
+                for m in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "media_type": ["video/avi"] * len(pdf),
+                 "payload": payloads}
+            )
+
+    return src.mapInPandas(_build, schema=MEDIA_SCHEMA)
+
+
+def avi_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched AVI header decode → typed metadata; non-AVI rows
+    drop.  Map-only."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AVI_META_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                st = parse_avi_header(bytes(payload))
+                if st is not None:
+                    rows.append({"media_id": mid, **st})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_meta, schema=AVI_META_SCHEMA)
+
+
+def frame_sample_plan(meta: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL frame-sampling plan over decoded metadata: one
+    (media_id, frame_no) row per every_n-th frame, bounded by the
+    container's actual frame count — the work list a codec stage
+    would consume.  Pure column math (sequence+explode), no Python,
+    no shuffle; videos with no frames contribute no rows."""
+    return meta.filter(F.col("n_frames") > 0).select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_no"),
+    )

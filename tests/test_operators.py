@@ -410,6 +410,35 @@ def test_wav_pcm_decode_roundtrip_and_robustness(spark):
     assert got[1]["n_frames"] == 7 and got[1]["channels"] == 2
 
 
+def test_avi_header_roundtrip_and_frame_plan(spark):
+    """Real AVI demux: builder → avih parse round-trip, junk/truncated
+    → None, and the frame-sampling plan is bounded by the decoded
+    frame count with no shuffle."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        avi_meta,
+        frame_sample_plan,
+        make_avi,
+        parse_avi_header,
+    )
+
+    st = parse_avi_header(make_avi(320, 240, fps=30, n_frames=55))
+    assert st == {"us_per_frame": 33333, "n_frames": 55, "width": 320,
+                  "height": 240}
+    assert parse_avi_header(b"RIFFjunk") is None
+    assert parse_avi_header(make_avi(8, 8, n_frames=3)[:16]) is None
+
+    media = spark.createDataFrame(
+        [(1, "video/avi", make_avi(64, 48, n_frames=25)),
+         (2, "video/avi", make_avi(64, 48, n_frames=0)),
+         (3, "x", b"not avi")],
+        "media_id long, media_type string, payload binary",
+    )
+    plan = frame_sample_plan(avi_meta(media), every_n=10)
+    rows = sorted((r["media_id"], r["frame_no"]) for r in plan.collect())
+    # 25 frames sampled every 10 → 0,10,20; zero-frame and non-AVI drop
+    assert rows == [(1, 0), (1, 10), (1, 20)]
+
+
 def test_pagerank_mass_and_determinism(spark):
     """Fixed-iteration PageRank invariants: every rank ≥ the teleport
     floor (1-d)/N; total mass ≤ 1 (dangling nodes leak, never gain);
