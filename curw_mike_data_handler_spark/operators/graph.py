@@ -23,6 +23,7 @@ def pagerank(
     dst_col: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    ckpt_every: int = 4,
 ) -> DataFrame:
     """Fixed-iteration PageRank → (node, rank).
 
@@ -43,7 +44,11 @@ def pagerank(
     (hash join on src), contributions aggregate on dst — two shuffles
     per round, both on node keys, exactly GraphX's Pregel dataflow
     without the RDD layer.  The out-degree join is precomputed ONCE
-    and cached; per-round lineage is truncated with localCheckpoint.
+    and cached; lineage is truncated with localCheckpoint every
+    ``ckpt_every`` rounds plus at the end — each checkpoint is a
+    synchronous materialization (~20% of a 3-round run when taken
+    every round), while the plan only needs truncating before it grows
+    past a few rounds deep.
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -61,24 +66,22 @@ def pagerank(
     eo = e.join(outd, "src").cache()
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             eo.join(ranks, eo["src"] == ranks["node"])
             .select("dst", (F.col("r") / F.col("od")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
-                ).alias("r"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(contribs, nodes["node"] == contribs["dst"], "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("r"),
         )
+        if (it + 1) % ckpt_every == 0 or it == iterations - 1:
+            ranks = ranks.localCheckpoint()
     # the final ranks are localCheckpoint-ed (lineage truncated), so
     # the working caches can be dropped instead of pinning executor
     # memory for the rest of the session (a long bench run executes
