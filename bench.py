@@ -220,14 +220,20 @@ def main() -> None:
                            "BENCH_local.json"), "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
-    # ONE compact line for the driver.  The driver keeps only the last
-    # ~2000 chars of stdout and parses the JSON line out of that tail —
-    # round 3's line carried all ~92 cold+warm entries (~5 KB), so the
-    # head was cut off and the driver recorded "parsed": null.  Budget
-    # the line: headline fields + as many per-query cold times as fit
-    # (slowest first — those are the informative ones), and point at
-    # BENCH_local.json for the complete cold+warm set.
-    budget = 1800
+    print(compact_line(payload))
+    spark.stop()
+
+
+def compact_line(payload: dict, budget: int = 1800) -> str:
+    """ONE compact JSON line for the driver.  The driver keeps only the
+    last ~2000 chars of stdout and parses the JSON line out of that
+    tail — round 3's line carried all ~92 cold+warm entries (~5 KB), so
+    the head was cut off and the driver recorded "parsed": null.
+    Budget the line: headline fields + as many per-query cold times as
+    fit (slowest first — those are the informative ones), and point at
+    BENCH_local.json for the complete cold+warm set.  Unit-tested to
+    stay under the tail budget at any catalog size."""
+    timings = payload["queries"]
     head = {
         "metric": payload["metric"],
         "value": payload["value"],
@@ -249,8 +255,7 @@ def main() -> None:
         used += entry
     head["queries"] = compact_q
     head["omitted"] = len(timings) - len(compact_q)
-    print(json.dumps(head, separators=(",", ":")))
-    spark.stop()
+    return json.dumps(head, separators=(",", ":"))
 
 
 if __name__ == "__main__":

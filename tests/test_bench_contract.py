@@ -32,3 +32,32 @@ def test_headline_queries_all_exist():
     missing = [n for n in bench.HEADLINE if n not in catalog.QUERIES]
     assert not missing, f"bench HEADLINE names not in catalog: {missing}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate names"
+
+
+def test_compact_line_fits_driver_tail_at_any_scale():
+    """The driver parses the JSON line from a ~2000-char stdout tail;
+    the budgeted line must stay under that for the current catalog AND
+    a pathologically larger one, and must parse back losslessly."""
+    import json
+
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": 123.456,
+        "warm_total": 99.9,
+        "common_warm_total": 66.6,
+        "sf": 0.1,
+        "queries": {f"query_with_a_rather_long_name_{i:04d}": i * 0.37
+                    for i in range(1, 501)},
+    }
+    line = bench.compact_line(payload)
+    assert len(line) <= 1800
+    parsed = json.loads(line)
+    assert parsed["common_warm_total"] == 66.6
+    assert parsed["omitted"] == 500 - len(parsed["queries"])
+    # slowest-first: the biggest timing must be present
+    assert "query_with_a_rather_long_name_0500" in parsed["queries"]
+
+    # the real current catalog also fits
+    real = {**payload, "queries": {n: 1.0 for n in bench.HEADLINE}}
+    line2 = bench.compact_line(real)
+    assert len(line2) <= 1800 and json.loads(line2)["omitted"] >= 0
