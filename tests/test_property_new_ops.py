@@ -240,6 +240,41 @@ def test_jaccard_df_cap_noop_when_under_cap_and_correct_when_over(spark):
     assert run(4) == naive(4)
 
 
+@settings(max_examples=40, deadline=None)
+@given(w=st.integers(1, 80), h=st.integers(1, 60))
+def test_png_pixel_roundtrip_property(w, h):
+    """Any (w,h): encode → inflate → unfilter recovers the closed-form
+    raster sum and count exactly (no Spark needed — the codec is pure
+    Python; the Spark path is covered by the catalog oracle)."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_png_pixels,
+        make_png,
+    )
+
+    st_ = decode_png_pixels(make_png(w, h, pixels=True))
+    sx = 120 * (w // 16) + (w % 16) * ((w % 16) - 1) // 2
+    sy = 120 * (h // 16) + (h % 16) * ((h % 16) - 1) // 2
+    assert st_["n_px"] == w * h
+    assert st_["pixel_sum"] == 24 * h * sx + 3 * w * sy + 9 * w * h
+    assert st_["pixel_max"] == 8 * (min(w, 16) - 1) + (min(h, 16) - 1) + 6
+
+
+@settings(max_examples=40, deadline=None)
+@given(n=st.integers(0, 200), c=st.integers(1, 4), sr=st.integers(1, 96000))
+def test_wav_pcm_roundtrip_property(n, c, sr):
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _wav_sample_value,
+        decode_wav_samples,
+        make_wav,
+    )
+
+    st_ = decode_wav_samples(make_wav(sr, c, 16, n))
+    vals = [_wav_sample_value(i, ch) for i in range(n) for ch in range(c)]
+    assert st_["channels"] == c and st_["n_frames"] == n
+    assert st_["sample_sum"] == sum(vals)
+    assert st_["sample_max"] == (max(vals) if vals else None)
+
+
 def test_two_phase_components_match_label_prop(spark):
     """The large-star/small-star contraction must produce exactly the
     label-propagation partition (component = min reachable id) — on a
