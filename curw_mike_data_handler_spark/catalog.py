@@ -5128,16 +5128,15 @@ def semdedup_clusters(spark, sf_dir):
 
     emb = _par(spark, _t(spark, sf_dir, "embeddings"))
     # the assignment feeds FOUR plan branches (both sides of the pair
-    # self-join, the member census, and the pair→cluster attach); cache
-    # it so the iterative kmeans subtree runs once, not once per branch
-    # — at corpus scale this materialization is (id, cluster) pairs
-    # only, the standard persist point between an iterative algorithm
-    # and its consumers.
+    # self-join, the member census, and the pair→cluster attach);
+    # kmeans_assign returns a localCheckpoint-ed (id, cluster) frame,
+    # so all four branches reuse the materialized rows without an extra
+    # session-lifetime cache entry.
     # strategy="broadcast": oracle-paired, so use the bit-reproducible
     # fold (see ivf_kmeans_assign) rather than the Arrow default.
     assigned = kmeans_assign(
         emb, k=8, iterations=3, strategy="broadcast"
-    ).cache()  # (id, cluster)
+    )  # (id, cluster)
     clustered = emb.join(
         assigned, emb["vec_id"] == assigned["id"]
     ).select("vec_id", "embedding", "cluster")

@@ -459,6 +459,11 @@ def connected_components(
         labels = stepped.drop("__improved")
         if not changed:
             break
+    # the final labels are localCheckpoint-ed (lineage truncated), so
+    # the symmetrized-edge cache can be released instead of leaking
+    # into the CacheManager for the rest of the session — same fix as
+    # graph.pagerank's working caches
+    sym.unpersist()
     sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
     return labels.join(sizes, "label").select(
         "node", F.col("label").alias("component"), "component_size"

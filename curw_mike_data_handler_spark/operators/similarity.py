@@ -550,4 +550,15 @@ def kmeans_assign(
             (cid, [dims[d] for d in sorted(dims)])
             for cid, dims in by_cluster.items()
         )
-    return assign(centroids).select("id", "cluster")
+    # Materialize the final (id, cluster) assignment and release the
+    # cached vectors: the algorithm is already eager (per-round
+    # collects), and without this every call leaked its vecs cache into
+    # the CacheManager for the life of the session — across a 130-query
+    # bench those copies of the embedding arrays accumulate until the
+    # heap GC-thrashes.  localCheckpoint blocks, by contrast, are freed
+    # by the ContextCleaner once the returned frame is unreachable, and
+    # consumers with several branches (semdedup) reuse the materialized
+    # rows instead of re-running the assignment subtree.
+    final = assign(centroids).select("id", "cluster").localCheckpoint()
+    vecs.unpersist()
+    return final
