@@ -145,6 +145,9 @@ HEADLINE = [
     "dedup_components_twophase",
     "multimodal_audio_stats",
     "multimodal_video_frames",
+    "bm25_topdocs",
+    "zorder_cell_stats",
+    "skyline_pareto_parts",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

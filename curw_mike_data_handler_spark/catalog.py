@@ -6209,6 +6209,241 @@ def w12_rolling_median_despike(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ("spark", "join", "vector")
+
+
+@query(
+    "bm25_topdocs",
+    f"""
+    WITH dl AS (
+        SELECT doc_id, len({_TOKENS}) AS dl FROM documents
+    ), stats AS (
+        SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+    ), toks AS (
+        SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('spark', 'join', 'vector')
+        GROUP BY doc_id, term
+    ), dfed AS (
+        SELECT tf.*, count(*) OVER (PARTITION BY term) AS df FROM tf
+    ), contrib AS (
+        SELECT d.doc_id,
+               CAST(round(
+                   ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+                             + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+                   * CAST(d.tf AS DOUBLE) * 2.2
+                   / (CAST(d.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                               / (CAST(s.sum_dl AS DOUBLE)
+                                  / CAST(s.n_docs AS DOUBLE)))))
+                   * 1000000.0) AS BIGINT) AS c_micros
+        FROM dfed d JOIN dl ON d.doc_id = dl.doc_id, stats s
+    ), scored AS (
+        SELECT doc_id, sum(c_micros) AS s_micros FROM contrib GROUP BY doc_id
+    ), ranked AS (
+        SELECT doc_id, round(CAST(s_micros AS DOUBLE) / 1000000.0, 6) AS score,
+               row_number() OVER (ORDER BY s_micros DESC, doc_id) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, score, rnk::INTEGER AS rnk FROM ranked WHERE rnk <= 15
+    """,
+)
+def bm25_topdocs(spark, sf_dir):
+    """BM25 full-text relevance (k1=1.2, b=0.75, Lucene's
+    always-positive idf): top-15 documents for a fixed 3-term query —
+    the retrieval scorer a training-data curation stack uses for
+    quality-by-query mining.
+
+    Scale shape: text is tokenized ONCE; the posting list is
+    pre-filtered to the query terms AT THE EXPLODE (so the (doc, term)
+    shuffle carries only matching postings — for a q-term query that is
+    ≤ q rows per doc, not the vocabulary); df is a count window over
+    the already-tiny tf table; corpus stats broadcast as one row.  The
+    final top-15 is a sort-limit (TakeOrdered — partial top-k per
+    partition, no global sort).
+
+    Parity: per-term contributions are rounded to integer micro-units
+    BEFORE the per-doc sum, so the cross-term addition is exact integer
+    math in both engines (FP summation order can't flip the hash or the
+    rank), and the ln/÷ expression tree mirrors the oracle token for
+    token."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(tokens("text")).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfed = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    ndc = F.col("n_docs").cast("double")
+    dfc = F.col("df").cast("double")
+    tfc = F.col("tf").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / ndc
+    idf = F.log(F.lit(1.0) + (ndc - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+    denom = tfc + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
+    )
+    contrib = (
+        dfed.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tfc * F.lit(2.2) / denom * F.lit(1000000.0))
+            .cast("long")
+            .alias("c_micros"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.sum("c_micros").alias("s_micros"))
+    # global top-15 via sort-limit (TakeOrdered: partial top-k per
+    # partition, no all-rows single-partition sort); the rank window
+    # then runs over ONLY the 15 survivors
+    top = scored.orderBy(F.desc("s_micros"), F.asc("doc_id")).limit(15)
+    w = Window.orderBy(F.desc("s_micros"), F.asc("doc_id"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.round(F.col("s_micros").cast("double") / 1000000.0, 6).alias(
+                "score"
+            ),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def _morton_sql_xy() -> str:
+    from curw_mike_data_handler_spark.operators.layout import morton_key_sql
+
+    return morton_key_sql("x", "y", bits=8)
+
+
+@query(
+    "zorder_cell_stats",
+    f"""
+    WITH d AS (
+        SELECT p_partkey,
+               CAST(p_size AS BIGINT) & 255 AS x,
+               CAST(floor(p_retailprice) AS BIGINT) & 255 AS y
+        FROM part
+    ), z AS (
+        SELECT p_partkey, x, y, {_morton_sql_xy()} AS zkey FROM d
+    ), f AS (
+        SELECT zkey >> 6 AS file_id, x, y FROM z
+    )
+    SELECT file_id, count(*) AS n_rows,
+           min(x) AS min_size, max(x) AS max_size,
+           min(y) AS min_price, max(y) AS max_price,
+           max(x) - min(x) + max(y) - min(y) AS bbox_span
+    FROM f GROUP BY file_id
+    """,
+)
+def zorder_cell_stats(spark, sf_dir):
+    """Z-order (Morton) layout audit: interleave the bits of two part
+    dimensions into one clustering key, group rows into 64-cell
+    "files" along that key, and emit each file's min/max bounding box
+    — the exact statistics a parquet/Iceberg reader would prune on.
+    Tight per-file spans on BOTH dimensions are the whole point of
+    Z-ordering (a single-column sort gives tight bounds on one axis
+    and useless ones on the other); ``operators/layout.zorder_write``
+    is the real sink that range-partitions + sorts on this key.
+
+    The key is a compile-time-unrolled OR-fold of 32 shift/mask terms
+    — one whole-stage-codegen span, no UDF, no shuffle before the
+    final rollup; the oracle's SQL is GENERATED from the same loop so
+    both engines interleave bit-identically."""
+    from curw_mike_data_handler_spark.operators.layout import morton_key
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_size").cast("long").bitwiseAND(F.lit(255)).alias("x"),
+        F.floor(F.col("p_retailprice"))
+        .cast("long")
+        .bitwiseAND(F.lit(255))
+        .alias("y"),
+    )
+    z = p.select(
+        "x", "y", F.shiftright(morton_key("x", "y", bits=8), 6).alias("file_id")
+    )
+    return z.groupBy("file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("x").alias("min_size"),
+        F.max("x").alias("max_size"),
+        F.min("y").alias("min_price"),
+        F.max("y").alias("max_price"),
+        (
+            F.max("x") - F.min("x") + F.max("y") - F.min("y")
+        ).alias("bbox_span"),
+    )
+
+
+@query(
+    "skyline_pareto_parts",
+    """
+    WITH p AS (
+        SELECT p_partkey, p_size,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+        FROM part
+    )
+    SELECT a.p_partkey, a.p_size, a.price_cents
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+          AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+    )
+    """,
+)
+def skyline_pareto_parts(spark, sf_dir):
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (maximize size, minimize price) — the multi-objective shortlist
+    query (Börzsönyi et al., ICDE 2001).
+
+    Scale shape: the |rows| problem CONTRACTS before any frontier
+    logic runs — groupBy(price) → max(size) reduces the input to one
+    row per distinct price (bounded by the key domain, not the table),
+    and the frontier test on that reduced set is a running max over
+    strictly-cheaper prices (one range-frame window over a
+    broadcast-sized input; same contraction pattern as the dedup
+    component map).  Membership joins back to the full table broadcast.
+    The oracle deliberately uses the O(n²) NOT EXISTS formulation — an
+    independent algorithm agreeing on the same frontier.
+
+    Domination handling: same-price smaller sizes lose to the
+    per-price max at the groupBy; strictly-cheaper ties lose to the
+    strict ``m1 < ms`` filter; exact (price, size) duplicates are all
+    kept (neither strictly dominates)."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    red = p.groupBy("price_cents").agg(F.max("p_size").alias("ms"))
+    w = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        red.withColumn("m1", F.max("ms").over(w))
+        .filter(F.col("m1").isNull() | (F.col("m1") < F.col("ms")))
+        .select(F.col("price_cents").alias("f_pc"), F.col("ms").alias("f_ms"))
+    )
+    return p.join(
+        F.broadcast(frontier),
+        (F.col("price_cents") == F.col("f_pc"))
+        & (F.col("p_size") == F.col("f_ms")),
+    ).select("p_partkey", "p_size", "price_cents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

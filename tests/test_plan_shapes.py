@@ -562,3 +562,30 @@ def test_split_census_is_scan_fused(spark):
     plan = _plan(spark, "split_assignment_census")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_bm25_topk_is_take_ordered_not_global_window(spark):
+    """The global top-15 must be TakeOrderedAndProject (partial top-k
+    per partition) — an all-docs single-partition rank window would be
+    the scale bug; the only row_number runs over the 15 survivors."""
+    plan = _plan(spark, "bm25_topdocs")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_key_is_codegen_no_join(spark):
+    """The Morton key is a compile-time-unrolled bit expression: the
+    whole query is scan → project → one hash rollup.  No join, no UDF
+    (BatchEvalPython/ArrowEvalPython), one exchange."""
+    plan = _plan(spark, "zorder_cell_stats")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_skyline_membership_join_is_broadcast(spark):
+    """The frontier (reduced to one row per distinct price) must come
+    back to the full table as a broadcast hash join — a shuffle join
+    keyed on price would move the whole table for a tiny build side."""
+    plan = _plan(spark, "skyline_pareto_parts")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
