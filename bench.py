@@ -148,6 +148,7 @@ HEADLINE = [
     "bm25_topdocs",
     "zorder_cell_stats",
     "skyline_pareto_parts",
+    "weighted_sample_es",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

@@ -6444,6 +6444,65 @@ def skyline_pareto_parts(spark, sf_dir):
     ).select("p_partkey", "p_size", "price_cents")
 
 
+@query(
+    "weighted_sample_es",
+    """
+    WITH k AS (
+        SELECT doc_id, source,
+               round(
+                   ln((CAST(('0x' || left(md5(doc_id::VARCHAR), 15)) AS BIGINT)
+                       + 1.0) / 1152921504606846976.0)
+                   / CAST(greatest(n_chars, 1) AS DOUBLE),
+                   6) AS priority
+        FROM documents
+    )
+    SELECT source, doc_id, priority, rnk::INTEGER AS rnk
+    FROM (
+        SELECT source, doc_id, priority,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY priority DESC, doc_id) AS rnk
+        FROM k
+    ) WHERE rnk <= 5
+    """,
+)
+def weighted_sample_es(spark, sf_dir):
+    """Weighted sampling without replacement, Efraimidis–Spirakis
+    (2006): per source, keep the top-5 documents by priority
+    ln(u)/w — equivalent to ranking on u^(1/w) — with weight
+    w = n_chars, so longer documents are proportionally likelier to
+    survive the downsample.  The importance-sampling step of a
+    source-mixing pipeline.
+
+    u is NOT an RNG draw: it's md5(doc_id) mapped into (0,1] — the
+    sample is a pure function of the data, so a resumed/retried 100-TB
+    job (or a different engine) selects the SAME sample; no seed state
+    to checkpoint.  One narrow map computes the key; one hash(source)
+    exchange ranks it with WindowGroupLimit keeping 5 rows per
+    partition pre-shuffle.  The ln/÷ tree mirrors the oracle and the
+    rank orders by the ROUNDED priority + doc_id tie-break (total
+    order both engines agree on)."""
+    from pyspark.sql import Window
+
+    from curw_mike_data_handler_spark.operators.dedup import portable_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (portable_hash60(F.col("doc_id").cast("string")).cast("double")
+         + F.lit(1.0)) / F.lit(1152921504606846976.0)
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        F.round(
+            F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"), 6
+        ).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "doc_id", "priority", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -538,3 +538,44 @@ def test_zorder_write_tightens_file_bounding_boxes(spark, tmp_path):
     assert z_span < s_span * 0.6, (z_span, s_span)
     # and the data survives the round trip
     assert spark.read.parquet(zdir).count() == 4096
+
+
+def test_weighted_sample_es_favors_heavy_docs(spark):
+    """Efraimidis–Spirakis sanity: priority ln(u)/w is monotone in w
+    for fixed u, so an overwhelming weight must rank first in its
+    stratum, and the sample is a pure function of the data (identical
+    across two evaluations)."""
+    from curw_mike_data_handler_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    out1 = {
+        (r["source"], r["rnk"]): r["doc_id"]
+        for r in catalog.QUERIES["weighted_sample_es"](spark, sf).collect()
+    }
+    out2 = {
+        (r["source"], r["rnk"]): r["doc_id"]
+        for r in catalog.QUERIES["weighted_sample_es"](spark, sf).collect()
+    }
+    assert out1 == out2 and out1
+    # monotonicity: recompute priorities directly; within every source
+    # the winner's ln(u)/w must be the max
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT source, doc_id,
+               ln((CAST(('0x' || left(md5(doc_id::VARCHAR), 15)) AS BIGINT)
+                   + 1.0) / 1152921504606846976.0)
+               / CAST(greatest(n_chars, 1) AS DOUBLE) AS p
+        FROM read_parquet('{sf}/documents.parquet')
+        """
+    ).fetchall()
+    best = {}
+    for src, doc, p in rows:
+        if src not in best or (p, -doc) > best[src][0]:
+            best[src] = ((p, -doc), doc)
+    for src, (_, doc) in best.items():
+        assert out1[(src, 1)] == doc
