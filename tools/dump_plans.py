@@ -71,6 +71,10 @@ SHOWCASE = [
     ("multimodal_pixel_stats", "REAL zlib inflate + inverse PNG filters: two Arrow map stages, zero exchanges"),
     ("a14_winsorized_mean", "1-row quantile thresholds broadcast into one grouped agg (approx sketch at scale)"),
     ("graph_triangles", "node-ordered two-join enumeration; corners via ONE explode, no union re-execution"),
+    ("bm25_topdocs", "postings filtered at the explode; df count window; TakeOrdered global top-k"),
+    ("zorder_cell_stats", "Morton key as one codegen span; scan → project → single rollup exchange"),
+    ("skyline_pareto_parts", "distinct-price contraction + frontier window + broadcast membership join"),
+    ("weighted_sample_es", "md5-uniform priority in-scan; WindowGroupLimit top-5 per source"),
 ]
 
 
