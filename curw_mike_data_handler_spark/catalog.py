@@ -6503,6 +6503,43 @@ def weighted_sample_es(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_jaccard_prefix",
+    f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id AS doc, t.token
+        FROM documents, unnest({_TOKENS}) AS t(token)
+        WHERE len(t.token) > 0
+    ),
+    sizes AS (SELECT doc, count(*) AS n FROM dt GROUP BY doc),
+    inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+        FROM dt a JOIN dt b ON a.token = b.token AND a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.6
+    """,
+)
+def dedup_jaccard_prefix_q(spark, sf_dir):
+    """Prefix-filtered set-similarity join (SSJoin/PPJoin family):
+    IDENTICAL output to dedup_ngram_jaccard — the prefix filter is
+    lossless — so the oracle is the plain all-pairs formulation, while
+    the Spark plan only joins each document's rarest
+    ``n − ceil(t·n) + 1`` tokens and length-filters candidates before
+    exact verification.  The scale path for corpora whose full posting
+    lists make the plain inverted-index join quadratic."""
+    from curw_mike_data_handler_spark.operators.dedup import jaccard_pairs_prefix
+
+    return jaccard_pairs_prefix(
+        _t(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

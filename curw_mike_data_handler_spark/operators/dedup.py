@@ -161,6 +161,93 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """All pairs (a<b) with token-set Jaccard ≥ threshold via PREFIX
+    FILTERING (SSJoin / AllPairs / PPJoin family — Chaudhuri et al.
+    ICDE'06, Bayardo et al. WWW'07): a LOSSLESS candidate-pruning
+    upgrade over the plain inverted-index join, same output, far fewer
+    candidate pairs.
+
+    Tokens get one global total order, rarest first (df asc, token) —
+    the order that makes prefixes maximally selective.  A document of
+    size n only indexes its first ``n − ceil(t·n) + 1`` tokens in that
+    order: two sets with Jaccard ≥ t must overlap by ≥ ceil(t·max(na,
+    nb)), and the prefix theorem guarantees such pairs share at least
+    one PREFIX token, so joining on prefix postings alone misses
+    nothing.  Candidates also pass the length filter (t·na ≤ nb and
+    t·nb ≤ na, a necessary Jaccard condition) before the exact
+    verification join over the full posting lists.
+
+    Scale shape: a token with document frequency d contributes d² rows
+    to the plain self-join but only (prefix-d)² here — and frequent
+    tokens are precisely the ones prefixes EXCLUDE (rarest-first
+    order), so the quadratic term collapses where it hurts most.  The
+    df census and the per-doc rank reuse one hash(doc) window; the
+    verification is bounded by Σ|candidates|·doc-size.  Equality with
+    ``jaccard_pairs`` is property-tested; the candidate-count
+    reduction is asserted, not assumed."""
+    from pyspark.sql import Window
+
+    dt = _distinct_doc_tokens(docs, id_col, text_col)
+    dfc = dt.groupBy("token").agg(F.count("*").alias("__df"))
+    sizes = dt.groupBy("doc").agg(F.count("*").alias("n"))
+    ranked = (
+        dt.join(dfc, "token")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("__df", "token")
+            ),
+        )
+        .join(sizes, "doc")
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    )
+    a = prefix.select(F.col("doc").alias("doc_a"), "token", F.col("n").alias("n_a"))
+    b = prefix.select(F.col("doc").alias("doc_b"), "token", F.col("n").alias("n_b"))
+    cand = (
+        a.join(b, "token")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.lit(threshold) * F.col("n_a") <= F.col("n_b"))
+            & (F.lit(threshold) * F.col("n_b") <= F.col("n_a"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = dt.select(F.col("doc").alias("doc_a"), "token")
+    tb = dt.select(F.col("doc").alias("doc_b"), "token")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,

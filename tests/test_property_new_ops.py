@@ -655,3 +655,60 @@ def test_neardup_arrow_preserves_id_type(spark):
     assert dict(out.dtypes)["id_a"] == "string"
     rows = out.collect()
     assert rows and all(r["id_a"].startswith("doc-") for r in rows)
+
+
+def test_jaccard_prefix_filter_is_lossless_and_prunes(spark):
+    """jaccard_pairs_prefix must return EXACTLY jaccard_pairs' output
+    (the prefix filter is lossless) while indexing strictly fewer
+    posting rows than the full inverted index, across thresholds —
+    checked on real corpus data plus an adversarial near-dup cluster."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.dedup import (
+        _distinct_doc_tokens,
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # adversarial: three 90%-overlapping docs + disjoint singletons
+    extra = spark.createDataFrame(
+        [
+            (900001, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (900002, "alpha beta gamma delta epsilon zeta eta theta iota lam"),
+            (900003, "alpha beta gamma delta epsilon zeta eta theta mu kappa"),
+            (900004, "nu xi omicron pi rho"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(extra)
+    for t in (0.5, 0.6, 0.8):
+        plain = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in jaccard_pairs(corpus, threshold=t).collect()
+        }
+        pref = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in jaccard_pairs_prefix(corpus, threshold=t).collect()
+        }
+        assert pref == plain, f"threshold {t}: prefix filter lost/added pairs"
+    assert plain  # the adversarial cluster guarantees nonempty output
+    # pruning: the t=0.8 prefix index must be well under the full index
+    dt = _distinct_doc_tokens(corpus, "doc_id", "text")
+    full_rows = dt.count()
+    from pyspark.sql import Window
+
+    dfc = dt.groupBy("token").agg(F.count("*").alias("__df"))
+    sizes = dt.groupBy("doc").agg(F.count("*").alias("n"))
+    ranked = (
+        dt.join(dfc, "token")
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("doc").orderBy("__df", "token")),
+        )
+        .join(sizes, "doc")
+    )
+    pref_rows = ranked.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(0.8) * F.col("n")) + 1
+    ).count()
+    assert pref_rows < full_rows * 0.5, (pref_rows, full_rows)
