@@ -149,6 +149,7 @@ HEADLINE = [
     "zorder_cell_stats",
     "skyline_pareto_parts",
     "weighted_sample_es",
+    "j8_nearest_grid",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

@@ -6540,6 +6540,108 @@ def dedup_jaccard_prefix_q(spark, sf_dir):
     )
 
 
+@query(
+    "j8_nearest_grid",
+    """
+    WITH stations AS (
+        SELECT s_suppkey AS sid,
+               6.8 + (s_suppkey % 37) * 0.01 AS lat,
+               79.8 + (s_suppkey % 53) * 0.015 AS lon
+        FROM supplier
+    ),
+    pairs AS (
+        SELECT t.sid AS origin, c.sid AS neighbor,
+               round(6371.0 * acos(least(
+                   cos(radians(t.lat)) * cos(radians(c.lat)) * cos(radians(c.lon) - radians(t.lon))
+                   + sin(radians(t.lat)) * sin(radians(c.lat)), 1.0)), 4) AS distance_km
+        FROM stations t, stations c
+        WHERE t.sid <> c.sid
+    ),
+    ranked AS (
+        SELECT origin, neighbor, distance_km,
+               row_number() OVER (PARTITION BY origin ORDER BY distance_km, neighbor) AS rank
+        FROM pairs WHERE distance_km <= 15.0
+    )
+    SELECT origin, neighbor, distance_km, rank::INTEGER AS rank FROM ranked WHERE rank <= 3
+    """,
+)
+def j8_nearest_grid(spark, sf_dir):
+    """Grid-bucketed spatial nearest-neighbor: the SCALE path for J3's
+    broadcast cross join.  Each station lands in one 0.15°×0.15° grid
+    cell; an origin only probes candidates in its 3×3 cell
+    neighborhood, turning the O(n²) cross join into an equi join on
+    cell keys — candidate count Σ(9·cell-density), not n².
+
+    LOSSLESS for the 15 km radius by construction: at this latitude
+    1° spans ≤111.2 km, so a ≤15 km neighbor is ≤0.136° away on each
+    axis — strictly inside one 0.15° cell step, hence inside the 3×3
+    neighborhood.  The oracle deliberately brute-forces the full cross
+    join — an independent algorithm agreeing on every pair (same
+    pattern as skyline's NOT EXISTS oracle).
+
+    Parity: cell = floor(coord/0.15) uses only IEEE +,×,÷,floor on
+    doubles (bit-identical in any engine; no libm); the great-circle
+    acos IS libm, absorbed by round(·,4) as in J3.  At 100 TB the cell
+    key is the shuffle key — density skew (urban clusters) is the
+    known hazard, treated like any hot key: smaller cells + a per-cell
+    counterpart of the LSH max_bucket cap."""
+    from pyspark.sql import Window
+
+    cell = 0.15
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sid"),
+        (F.lit(6.8) + (F.col("s_suppkey") % 37) * 0.01).alias("lat"),
+        (F.lit(79.8) + (F.col("s_suppkey") % 53) * 0.015).alias("lon"),
+    )
+    keyed = s.select(
+        "sid", "lat", "lon",
+        F.floor(F.col("lon") / cell).cast("long").alias("cx"),
+        F.floor(F.col("lat") / cell).cast("long").alias("cy"),
+    )
+    offsets = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("dx"),
+        ((F.col("id") / 3).cast("long") - 1).alias("dy"),
+    )
+    probes = (
+        _par(spark, keyed)
+        .crossJoin(F.broadcast(offsets))
+        .select(
+            F.col("sid").alias("origin"),
+            F.col("lat").alias("t_lat"),
+            F.col("lon").alias("t_lon"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    cands = probes.join(
+        F.broadcast(
+            keyed.select(
+                F.col("sid").alias("neighbor"),
+                F.col("lat").alias("c_lat"),
+                F.col("lon").alias("c_lon"),
+                "cx",
+                "cy",
+            )
+        ),
+        ["cx", "cy"],
+    ).filter(F.col("origin") != F.col("neighbor"))
+    pairs = cands.withColumn(
+        "distance_km",
+        F.round(
+            great_circle_km(
+                F.col("t_lat"), F.col("t_lon"), F.col("c_lat"), F.col("c_lon")
+            ),
+            4,
+        ),
+    ).filter(F.col("distance_km") <= 15.0)
+    w = Window.partitionBy("origin").orderBy("distance_km", "neighbor")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("origin", "neighbor", "distance_km", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

