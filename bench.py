@@ -150,6 +150,7 @@ HEADLINE = [
     "skyline_pareto_parts",
     "weighted_sample_es",
     "j8_nearest_grid",
+    "j9_interval_overlap",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

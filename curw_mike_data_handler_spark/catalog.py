@@ -6642,6 +6642,69 @@ def j8_nearest_grid(spark, sf_dir):
     )
 
 
+@query(
+    "j9_interval_overlap",
+    """
+    WITH a AS (
+        SELECT user_id, event_id AS view_id, epoch_us(ts) AS s_a,
+               epoch_us(ts) + 1200000000 AS e_a
+        FROM events WHERE event_type = 'view'
+    ), b AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS s_b,
+               epoch_us(ts) + 1200000000 AS e_b
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id, view_id, purchase_id,
+           CAST((least(e_a, e_b) - greatest(s_a, s_b)) // 1000000 AS BIGINT)
+               AS overlap_sec
+    FROM a JOIN b ON a.user_id = b.user_id
+    WHERE s_a <= e_b AND s_b <= e_a
+    """,
+)
+def j9_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join (the attribution primitive:
+    which view windows overlap which purchase windows, per user):
+    each event opens a 20-minute closed interval; pairs overlap iff
+    starts precede opposite ends.  Runs through
+    operators/rangejoin.interval_overlap_join — hour-bucket blocking
+    turns the inequality join into an equi join on (user, bucket),
+    with the first-overlap-bucket trick replacing a distinct.  The
+    oracle is the plain inequality join (independent formulation);
+    overlap is exact integer micro arithmetic in both engines."""
+    from curw_mike_data_handler_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    span = 1_200_000_000
+    a = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.unix_micros("ts").alias("s_a"),
+        (F.unix_micros("ts") + span).alias("e_a"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("s_b"),
+        (F.unix_micros("ts") + span).alias("e_b"),
+    )
+    joined = interval_overlap_join(
+        a, b,
+        left_start="s_a", left_end="e_a",
+        right_start="s_b", right_end="e_b",
+        by="user_id",
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        F.floor(
+            (F.least("e_a", "e_b") - F.greatest("s_a", "s_b")) / 1_000_000
+        ).cast("long").alias("overlap_sec"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
