@@ -151,6 +151,7 @@ HEADLINE = [
     "weighted_sample_es",
     "j8_nearest_grid",
     "j9_interval_overlap",
+    "graph_reachability",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

@@ -6705,6 +6705,57 @@ def j9_interval_overlap(spark, sf_dir):
     )
 
 
+@query(
+    "graph_reachability",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT l_suppkey AS src, 100000 + l_partkey % 200 AS dst
+        FROM lineitem
+        UNION
+        SELECT DISTINCT 100000 + l_partkey % 200, l_suppkey FROM lineitem
+    ),
+    seeds AS (
+        SELECT s_suppkey AS node FROM supplier WHERE s_nationkey = 0
+    ),
+    reach(node, d) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.dst, r.d + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.d < 3
+    )
+    SELECT node, CAST(min(d) AS INTEGER) AS dist FROM reach GROUP BY node
+    """,
+)
+def graph_reachability(spark, sf_dir):
+    """Bounded-depth reachability (the recursive-CTE workload): BFS
+    distance ≤3 hops from nation-0 suppliers over the symmetrized
+    supplier↔part-family graph (same edge construction as pagerank).
+    Spark has no WITH RECURSIVE — the frontier loop in
+    operators/graph.bfs_distances IS the engine's recursion analog,
+    with per-level localCheckpoint lineage control; the oracle runs
+    the genuine recursive CTE, an independent formulation agreeing on
+    every (node, dist)."""
+    from curw_mike_data_handler_spark.operators.graph import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(100000) + F.col("l_partkey") % 200).alias("dst"),
+    ).distinct()
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return bfs_distances(edges, seeds, max_depth=3).select(
+        "node", F.col("dist").cast("int").alias("dist")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -89,3 +89,47 @@ def pagerank(
     for df in (eo, nodes, e):
         df.unpersist()
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    max_depth: int = 3,
+) -> DataFrame:
+    """Bounded-depth BFS → (node, dist): minimum hop count from any
+    seed, the engine's recursive-CTE analog (DuckDB oracles it with
+    WITH RECURSIVE; Spark runs the classic frontier loop).
+
+    Scale shape: each level is ONE hash join (frontier⋈edges on src)
+    + a distinct + an anti join against the settled set — all keyed on
+    node ids, frontier-sized, never |V|².  The settled set and each
+    frontier are localCheckpoint-ed (lineage stays flat across levels,
+    blocks freed by the ContextCleaner); the only driver state is the
+    per-level emptiness check, O(1).  Levels are inherently sequential
+    — BFS's critical path is its depth, on any engine."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    settled = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = settled.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            break
+        settled = settled.union(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return settled

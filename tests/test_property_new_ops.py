@@ -765,3 +765,25 @@ def test_interval_overlap_join_matches_naive(spark):
         ).collect()
     ]
     assert len(dup) == len(set(dup))
+
+
+def test_bfs_distances_on_path_and_star(spark):
+    """BFS must report true minimum hop counts, respect the depth
+    bound (unreached nodes absent), and settle each node exactly once
+    — checked on a 10-node path (depth bound truncates at 3) and a
+    star with a redundant shortcut (min-distance wins over the longer
+    path)."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.graph import bfs_distances
+
+    path = [(i, i + 1) for i in range(9)]
+    edges = spark.createDataFrame(path + [(0, 5)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds, max_depth=3).collect()
+    }
+    # path 0→1→2→3 plus shortcut 0→5→6→7; node 4 via 3 at depth 4 is
+    # beyond the bound; 5 is depth 1 via the shortcut, not 5 via path
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 5: 1, 6: 2, 7: 3}
