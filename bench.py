@@ -152,6 +152,7 @@ HEADLINE = [
     "j8_nearest_grid",
     "j9_interval_overlap",
     "graph_reachability",
+    "countmin_heavy_hitters",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

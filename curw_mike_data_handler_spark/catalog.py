@@ -6756,6 +6756,106 @@ def graph_reachability(spark, sf_dir):
     )
 
 
+@query(
+    "countmin_heavy_hitters",
+    f"""
+    WITH tf AS (
+        SELECT t.token, count(*) AS n
+        FROM documents, unnest({_TOKENS}) AS t(token)
+        WHERE len(t.token) > 0
+        GROUP BY t.token
+    ),
+    cells AS (
+        SELECT d.d,
+               ('0x' || substr(md5(d.d::VARCHAR || ':' || tf.token), 1, 15))::BIGINT % 64 AS cell,
+               sum(n) AS c
+        FROM tf, unnest([0, 1, 2]) AS d(d)
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT token, n,
+               row_number() OVER (ORDER BY n DESC, token) AS rnk
+        FROM tf QUALIFY rnk <= 10
+    ),
+    est AS (
+        SELECT top.token, top.n, top.rnk, min(c.c) AS cm_estimate
+        FROM top, unnest([0, 1, 2]) AS d(d)
+        JOIN cells c
+          ON c.d = d.d
+         AND c.cell = ('0x' || substr(md5(d.d::VARCHAR || ':' || top.token), 1, 15))::BIGINT % 64
+        GROUP BY 1, 2, 3
+    )
+    SELECT token, CAST(n AS BIGINT) AS true_count,
+           CAST(cm_estimate AS BIGINT) AS cm_estimate,
+           rnk::INTEGER AS rnk
+    FROM est
+    """,
+)
+def countmin_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    audit: a depth-3 × width-64 sketch of corpus token counts, plus
+    the exact top-10 tokens with both their TRUE count and the
+    sketch's estimate — demonstrating the one-sided error contract
+    (estimate ≥ truth, within εN with high probability) with EXACT
+    integer parity, because the hash functions are md5-derived and the
+    sketch is pure integer sums.
+
+    Scale shape: the sketch is MERGEABLE — each partition's d×w cell
+    sums combine by addition, so the exchange carries ≤ d·w = 192 rows
+    per partition regardless of corpus size (the same partial-agg
+    shape as the HLL rollup); estimating a token is a broadcast-sized
+    lookup of d cells.  At 100 TB the sketch replaces the full
+    groupBy(token) census wherever only heavy hitters matter; here the
+    exact census doubles as the ground truth the estimate is audited
+    against."""
+    from pyspark.sql import Window
+
+    from curw_mike_data_handler_spark.operators.dedup import portable_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    salts = spark.range(3).select(F.col("id").cast("int").alias("d"))
+    cells = (
+        tf.crossJoin(F.broadcast(salts))
+        .select(
+            "d",
+            (portable_hash60("token", salt=F.col("d")) % 64).alias("cell"),
+            "n",
+        )
+        .groupBy("d", "cell")
+        .agg(F.sum("n").alias("c"))
+    )
+    top = (
+        tf.orderBy(F.desc("n"), F.asc("token"))
+        .limit(10)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))),
+        )
+    )
+    est = (
+        top.crossJoin(F.broadcast(salts))
+        .select(
+            "token", "n", "rnk", "d",
+            (portable_hash60("token", salt=F.col("d")) % 64).alias("cell"),
+        )
+        .join(F.broadcast(cells), ["d", "cell"])
+        .groupBy("token", "n", "rnk")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return est.select(
+        "token",
+        F.col("n").alias("true_count"),
+        "cm_estimate",
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -787,3 +787,40 @@ def test_bfs_distances_on_path_and_star(spark):
     # path 0→1→2→3 plus shortcut 0→5→6→7; node 4 via 3 at depth 4 is
     # beyond the bound; 5 is depth 1 via the shortcut, not 5 via path
     assert got == {0: 0, 1: 1, 2: 2, 3: 3, 5: 1, 6: 2, 7: 3}
+
+
+def test_countmin_one_sided_error_and_mass_conservation(spark):
+    """Count-min invariants on real corpus data: every estimate is ≥
+    the true count (one-sided error), and each depth row of the sketch
+    conserves total token mass (Σ cells = Σ counts) — the property
+    that makes per-partition sketches mergeable by addition."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark import catalog
+    from curw_mike_data_handler_spark.functions.text import tokens
+    from curw_mike_data_handler_spark.operators.dedup import portable_hash60
+
+    sf = "/root/testdata/sf0.001"
+    for r in catalog.QUERIES["countmin_heavy_hitters"](spark, sf).collect():
+        assert r["cm_estimate"] >= r["true_count"], r
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = tf.agg(F.sum("n")).collect()[0][0]
+    salts = spark.range(3).select(F.col("id").cast("int").alias("d"))
+    per_depth = (
+        tf.crossJoin(F.broadcast(salts))
+        .select("d", (portable_hash60("token", salt=F.col("d")) % 64).alias("cell"), "n")
+        .groupBy("d", "cell")
+        .agg(F.sum("n").alias("c"))
+        .groupBy("d")
+        .agg(F.sum("c").alias("mass"))
+        .collect()
+    )
+    assert len(per_depth) == 3
+    for row in per_depth:
+        assert row["mass"] == total, (row, total)
