@@ -153,6 +153,7 @@ HEADLINE = [
     "j9_interval_overlap",
     "graph_reachability",
     "countmin_heavy_hitters",
+    "ivm_incremental_rollup",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

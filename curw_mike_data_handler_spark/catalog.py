@@ -6856,6 +6856,58 @@ def countmin_heavy_hitters(spark, sf_dir):
     )
 
 
+@query(
+    "ivm_incremental_rollup",
+    """
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def ivm_incremental_rollup(spark, sf_dir):
+    """Incremental view maintenance: the per-customer order rollup is
+    NOT computed in one pass — orders are split into three arrival
+    batches (by year, mimicking partition landings) and the
+    materialized state is maintained by folding each batch's PARTIAL
+    aggregate into the running state (operators/ivm.py).  The oracle
+    is the full one-shot recompute: hash equality IS the proof that
+    the monoid fold (count/sum over exact integer cents) commutes with
+    batching — the property that lets an hourly 100-TB rollup job scan
+    one hour instead of all history.  Each merge is O(|state|+|delta|)
+    keyed work; bucket the state table on the key and the merge
+    exchange vanishes."""
+    from curw_mike_data_handler_spark.operators.ivm import (
+        merge_rollup_states,
+        partial_rollup,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.lit(1).alias("n_orders"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    batches = [
+        o.filter(F.col("yr") <= 1993),
+        o.filter((F.col("yr") > 1993) & (F.col("yr") <= 1995)),
+        o.filter(F.col("yr") > 1995),
+    ]
+    partials = [
+        partial_rollup(b, ["o_custkey"], ["n_orders", "total_cents"])
+        for b in batches
+    ]
+    return merge_rollup_states(
+        partials, ["o_custkey"], ["n_orders", "total_cents"]
+    ).select(
+        "o_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        "total_cents",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -824,3 +824,37 @@ def test_countmin_one_sided_error_and_mass_conservation(spark):
     assert len(per_depth) == 3
     for row in per_depth:
         assert row["mass"] == total, (row, total)
+
+
+def test_ivm_merge_commutes_with_batching(spark):
+    """The IVM fold must be invariant to how rows are batched: any
+    partition of the input into arrival batches — including empty
+    batches and a single all-at-once batch — yields the identical
+    maintained state (the monoid property the catalog query's
+    full-recompute oracle pins at the hash level)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.ivm import (
+        merge_rollup_states,
+        partial_rollup,
+    )
+
+    rng = random.Random(5)
+    rows = [(rng.randrange(7), 1, rng.randrange(-100, 1000)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "k long, n long, v long")
+
+    def fold(splits):
+        parts = [partial_rollup(b, ["k"], ["n", "v"]) for b in splits]
+        return {
+            (r["k"], r["n"], r["v"])
+            for r in merge_rollup_states(parts, ["k"], ["n", "v"]).collect()
+        }
+
+    one_shot = fold([df])
+    thirds = fold([
+        df.filter(F.pmod(F.col("v"), F.lit(3)) == i) for i in range(3)
+    ])
+    with_empty = fold([df, df.filter(F.lit(False))])
+    assert one_shot == thirds == with_empty and one_shot
