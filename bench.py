@@ -154,6 +154,7 @@ HEADLINE = [
     "graph_reachability",
     "countmin_heavy_hitters",
     "ivm_incremental_rollup",
+    "bigram_logprob_quality",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

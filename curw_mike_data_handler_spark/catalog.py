@@ -6908,6 +6908,94 @@ def ivm_incremental_rollup(spark, sf_dir):
     )
 
 
+@query(
+    "bigram_logprob_quality",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS} AS ts FROM documents
+    ),
+    big AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM toks, unnest(range(1, len(ts))) AS r(i)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+    vocab AS (
+        SELECT CAST(count(DISTINCT t.token) AS DOUBLE) AS v
+        FROM documents, unnest({_TOKENS}) AS t(token)
+        WHERE len(t.token) > 0
+    )
+    SELECT big.doc_id, count(*) AS n_bigrams,
+           round(sum(ln((CAST(c1.c1 AS DOUBLE) + (SELECT v FROM vocab))
+                        / (CAST(c2.c12 AS DOUBLE) + 1.0)))
+                 / count(*), 6) AS avg_nll
+    FROM big
+    JOIN c2 ON big.w1 = c2.w1 AND big.w2 = c2.w2
+    JOIN c1 ON big.w1 = c1.w1
+    GROUP BY big.doc_id
+    """,
+)
+def bigram_logprob_quality(spark, sf_dir):
+    """Bigram upgrade of the CCNet-style corpus-LM quality score:
+    P(w_i|w_{i-1}) with add-1 (Laplace) smoothing fit on the corpus
+    itself — -ln P = ln((c(w1)+V)/(c(w1,w2)+1)) — averaged per
+    document.  Catches locally-incoherent token salads the unigram
+    model scores as fluent (every token common, no common token ever
+    followed by that neighbor).
+
+    Scale shape: bigram instances come from ONE narrow map (zip the
+    token array against its own tail — no self-join; the oracle's
+    ordinality self-join is the independent formulation); the bigram
+    and history counts are grouped counts on hash(w1,w2)/hash(w1) —
+    the model stays distributed, never a driver dict — and scoring
+    joins instances back on those keys.  FP sum order over a doc's
+    ~45 log terms differs across engines by ULPs; 6 dp absorbs it
+    (same contract as unigram_logprob_quality)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.filter(tokens("text"), lambda t: F.length(t) > 0).alias("ts")
+    )
+    big = (
+        tok.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("ts"), 1, F.size("ts") - 1).alias("w1"),
+                    F.slice(F.col("ts"), 2, F.size("ts") - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.length("token") > 0)
+        .agg(F.countDistinct("token").cast("double").alias("v"))
+    )
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.col("c1").cast("double") + F.col("v"))
+                        / (F.col("c12").cast("double") + F.lit(1.0))
+                    )
+                )
+                / F.count("*"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
