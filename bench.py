@@ -155,6 +155,7 @@ HEADLINE = [
     "countmin_heavy_hitters",
     "ivm_incremental_rollup",
     "bigram_logprob_quality",
+    "variant_shred_extract",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

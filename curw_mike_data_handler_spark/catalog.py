@@ -6996,6 +6996,41 @@ def bigram_logprob_quality(spark, sf_dir):
     )
 
 
+@query(
+    "variant_shred_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_shred_extract(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json``
+    turns the JSON string into the binary VARIANT encoding ONCE, then
+    ``variant_get`` extracts the typed field — the open-format
+    equivalent of shredded JSON columns (and the engine surface Delta/
+    Iceberg v3 variant shredding targets).  Versus per-path
+    ``get_json_object`` (f_json_extract), the parse cost is paid once
+    per row regardless of how many paths are read.
+
+    Scale shape: parse + extracts fuse into the scan projection
+    (narrow, codegen'd, no UDF); the rollup is one hash exchange.  The
+    oracle reads the same values through DuckDB's JSON type — two
+    engines, two binary JSON encodings, identical typed answers."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return ev.select(F.col("event_type"), k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("n_missing"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
