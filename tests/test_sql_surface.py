@@ -46,3 +46,33 @@ def test_multi_path_union_read(spark, tmp_path):
     a, b = spark.read.parquet(d1), spark.read.parquet(d2)
     assert a.unionByName(b).count() == 9
     assert multi.agg(F.sum("id")).first()[0] == sum(range(9))
+
+
+def test_schema_evolution_merge_schema_read(spark, tmp_path):
+    """A landing zone accumulates files written under EVOLVING schemas
+    (a column added in a later generation): mergeSchema=true must read
+    the union schema with NULLs for pre-evolution rows, and column
+    pruning must still let a query touching only the original columns
+    skip the merged one — the 100-TB lake reality where a scan spans
+    years of schema generations."""
+    gen1, gen2 = str(tmp_path / "z/g1"), str(tmp_path / "z/g2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(gen1)
+    spark.createDataFrame(
+        [(3, "c", 30.0), (4, "d", 40.0)], "id long, name string, score double"
+    ).write.parquet(gen2)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(gen1, gen2)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # aggregation over the evolved column treats missing as NULL (skipped)
+    assert merged.agg(F.sum("score")).first()[0] == 70.0
+    # pruned projection on pre-evolution columns reads only those
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        merged.select("id").explain()
+    assert "score" not in buf.getvalue().split("ReadSchema: ")[-1]
