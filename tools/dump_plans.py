@@ -75,6 +75,12 @@ SHOWCASE = [
     ("zorder_cell_stats", "Morton key as one codegen span; scan → project → single rollup exchange"),
     ("skyline_pareto_parts", "distinct-price contraction + frontier window + broadcast membership join"),
     ("weighted_sample_es", "md5-uniform priority in-scan; WindowGroupLimit top-5 per source"),
+    ("j8_nearest_grid", "grid-cell hash join (3x3 neighborhood); only the 9-row offsets nested-loop"),
+    ("j9_interval_overlap", "bucket-blocked interval overlap: equi join, first-bucket dedup, no BNLJ"),
+    ("countmin_heavy_hitters", "mergeable d*w integer sketch: tiny partial-agg exchange, broadcast lookups"),
+    ("ivm_incremental_rollup", "three partial rollups folded by keyed merges — no base-data re-read"),
+    ("bigram_logprob_quality", "bigrams from one narrow array zip; model counts as grouped counts"),
+    ("variant_shred_extract", "parse_json + variant_get fused in the scan projection; one rollup exchange"),
 ]
 
 
