@@ -156,6 +156,7 @@ HEADLINE = [
     "ivm_incremental_rollup",
     "bigram_logprob_quality",
     "variant_shred_extract",
+    "seasonal_decompose",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

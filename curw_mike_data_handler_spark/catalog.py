@@ -7031,6 +7031,104 @@ def variant_shred_extract(spark, sf_dir):
     )
 
 
+@query(
+    "seasonal_decompose",
+    """
+    WITH h AS (
+        SELECT epoch_us(ts) // 3600000000 AS bucket,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events WHERE event_type = 'view'
+        GROUP BY 1
+    ),
+    t AS (
+        SELECT bucket, v,
+               sum(v) OVER w AS s25,
+               count(*) OVER w AS n25
+        FROM h
+        WINDOW w AS (ORDER BY bucket ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    interior AS (SELECT bucket, v, s25 FROM t WHERE n25 = 25),
+    season AS (
+        SELECT bucket % 24 AS hod,
+               CAST(sum(v) AS BIGINT) AS sv,
+               CAST(sum(s25) AS BIGINT) AS st,
+               count(*) AS m
+        FROM interior GROUP BY 1
+    )
+    SELECT i.bucket,
+           i.v,
+           round(CAST(i.s25 AS DOUBLE) / 25.0, 6) AS trend,
+           round(CAST(s.sv AS DOUBLE) / s.m
+                 - CAST(s.st AS DOUBLE) / (25.0 * s.m), 6) AS seasonal,
+           round(CAST(i.v AS DOUBLE) - CAST(i.s25 AS DOUBLE) / 25.0
+                 - (CAST(s.sv AS DOUBLE) / s.m
+                    - CAST(s.st AS DOUBLE) / (25.0 * s.m)), 6) AS residual
+    FROM interior i JOIN season s ON i.bucket % 24 = s.hod
+    """,
+)
+def seasonal_decompose(spark, sf_dir):
+    """Classical seasonal decomposition by moving averages (the STL
+    ancestor; the hydrology reference's diurnal-cycle use case): hourly
+    series → 25-point centered moving-average TREND, hour-of-day
+    SEASONAL component (mean detrended value per hour slot), RESIDUAL
+    — the anomaly input.  Edge rows without a full 25-point window are
+    excluded so the trend numerator stays an exact integer sum.
+
+    Parity is exact because every aggregate is integer: cents sums,
+    window sums, per-slot sums — the only doubles are final divisions
+    mirrored token-for-token (seasonal = Σv/m − ΣS/(25m), never a sum
+    of per-row doubles whose order could differ).
+
+    Scale shape: one hash exchange for the hourly rollup, ONE sort for
+    the rows-window (per series at scale: partitionBy series), and the
+    seasonal rollup + join ride the tiny 24-row slot table —
+    broadcast."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    h = (
+        ev.select(
+            F.floor(F.unix_micros("ts") / 3_600_000_000).alias("bucket"),
+            _cents("value").alias("c"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("v"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(-12, 12)
+    t = h.select(
+        "bucket", "v",
+        F.sum("v").over(w).alias("s25"),
+        F.count("*").over(w).alias("n25"),
+    )
+    interior = t.filter(F.col("n25") == 25).select("bucket", "v", "s25")
+    season = (
+        interior.groupBy((F.col("bucket") % 24).alias("hod"))
+        .agg(
+            F.sum("v").alias("sv"),
+            F.sum("s25").alias("st"),
+            F.count("*").alias("m"),
+        )
+    )
+    trend = F.col("s25").cast("double") / F.lit(25.0)
+    seasonal = F.col("sv").cast("double") / F.col("m") - F.col(
+        "st"
+    ).cast("double") / (F.lit(25.0) * F.col("m"))
+    return (
+        interior.join(
+            F.broadcast(season), interior["bucket"] % 24 == season["hod"]
+        )
+        .select(
+            "bucket",
+            "v",
+            F.round(trend, 6).alias("trend"),
+            F.round(seasonal, 6).alias("seasonal"),
+            F.round(
+                F.col("v").cast("double") - trend - seasonal, 6
+            ).alias("residual"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

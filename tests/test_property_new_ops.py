@@ -858,3 +858,19 @@ def test_ivm_merge_commutes_with_batching(spark):
     ])
     with_empty = fold([df, df.filter(F.lit(False))])
     assert one_shot == thirds == with_empty and one_shot
+
+
+def test_seasonal_decompose_components_sum_and_center(spark):
+    """Decomposition invariants: v = trend + seasonal + residual
+    (to rounding) for every interior row, and the seasonal component
+    is centered — the weighted (by slot count) sum of seasonal values
+    over all rows is ~0 by construction (avg of detrended values)."""
+    from curw_mike_data_handler_spark import catalog
+
+    rows = catalog.QUERIES["seasonal_decompose"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["v"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-4, r
+    assert abs(sum(r["residual"] for r in rows)) / len(rows) < 1.0
