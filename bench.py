@@ -157,6 +157,7 @@ HEADLINE = [
     "bigram_logprob_quality",
     "variant_shred_extract",
     "seasonal_decompose",
+    "dq_benford_digits",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

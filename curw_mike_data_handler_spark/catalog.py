@@ -7129,6 +7129,63 @@ def seasonal_decompose(spark, sf_dir):
     )
 
 
+@query(
+    "dq_benford_digits",
+    """
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    n AS (SELECT count(*) AS total FROM d)
+    SELECT digit, count(*) AS n_obs,
+           round(CAST(count(*) AS DOUBLE) / (SELECT total FROM n), 6)
+               AS p_obs,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS p_benford
+    FROM d GROUP BY digit
+    """,
+)
+def dq_benford_digits(spark, sf_dir):
+    """Benford's-law first-significant-digit census over order totals
+    — the data-quality screen for fabricated or truncated monetary
+    columns (naturally-occurring multi-magnitude amounts follow
+    log₁₀(1+1/d); uniform or spiked digits flag synthetic data, which
+    this synthetic corpus duly exhibits — the point is the audit
+    artifact, not conformance).  First digit comes from the exact
+    integer cents' decimal string — no float log10 in the digit
+    extraction, so both engines bucket identically; expected
+    frequencies mirror ln-token-for-token.  One narrow map + one
+    9-row rollup: at 100 TB this is a free rider on any scan."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    n = d.agg(F.count("*").alias("total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("total"), 6).alias(
+                "p_obs"
+            ),
+            F.round(
+                F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+                / F.log(F.lit(10.0)),
+                6,
+            ).alias("p_benford"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
