@@ -6216,7 +6216,11 @@ _BM25_TERMS = ("spark", "join", "vector")
     "bm25_topdocs",
     f"""
     WITH dl AS (
-        SELECT doc_id, len({_TOKENS}) AS dl FROM documents
+        -- list_filter mirrors Spark tokens()'s empty-text behavior:
+        -- string_split_regex('') yields [''] where Spark yields [],
+        -- so count only non-empty tokens on both sides
+        SELECT doc_id, len(list_filter({_TOKENS}, x -> len(x) > 0)) AS dl
+        FROM documents
     ), stats AS (
         SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
     ), toks AS (

@@ -191,7 +191,14 @@ def jaccard_pairs_prefix(
     df census and the per-doc rank reuse one hash(doc) window; the
     verification is bounded by Σ|candidates|·doc-size.  Equality with
     ``jaccard_pairs`` is property-tested; the candidate-count
-    reduction is asserted, not assumed."""
+    reduction is asserted, not assumed.
+
+    Boundary note: the output filter accepts ROUNDED 6-dp jaccard ≥ t,
+    admitting true similarity down to t − 5e-7, so the prefix length
+    and length filter are computed against that effective threshold —
+    without it, a pair with true J just under t (needs ~10⁶-token
+    documents to exist) would survive the plain join's rounding but be
+    pruned here."""
     from pyspark.sql import Window
 
     dt = _distinct_doc_tokens(docs, id_col, text_col)
@@ -207,34 +214,38 @@ def jaccard_pairs_prefix(
         )
         .join(sizes, "doc")
     )
+    # The output filter accepts ROUNDED jaccard >= threshold (6 dp, the
+    # engine-parity contract), which admits true J down to t - 5e-7; the
+    # prefix length and length filter must therefore be computed against
+    # that slightly lower effective threshold or a boundary pair (true J
+    # in [t-5e-7, t), reachable only with ~1e6-token documents) could be
+    # pruned here yet emitted by the plain join.
+    t_eff = threshold - 5e-7
     prefix = ranked.filter(
-        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(t_eff) * F.col("n")) + 1
     )
     a = prefix.select(F.col("doc").alias("doc_a"), "token", F.col("n").alias("n_a"))
     b = prefix.select(F.col("doc").alias("doc_b"), "token", F.col("n").alias("n_b"))
+    # n_a/n_b are functionally dependent on the doc ids, so carrying
+    # them through the distinct costs nothing and saves re-joining
+    # sizes twice for the verification step
     cand = (
         a.join(b, "token")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.lit(threshold) * F.col("n_a") <= F.col("n_b"))
-            & (F.lit(threshold) * F.col("n_b") <= F.col("n_a"))
+            & (F.lit(t_eff) * F.col("n_a") <= F.col("n_b"))
+            & (F.lit(t_eff) * F.col("n_b") <= F.col("n_a"))
         )
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
     )
     ta = dt.select(F.col("doc").alias("doc_a"), "token")
     tb = dt.select(F.col("doc").alias("doc_b"), "token")
-    inter = (
+    return (
         cand.join(ta, "doc_a")
         .join(tb, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(

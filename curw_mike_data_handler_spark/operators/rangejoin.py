@@ -81,35 +81,47 @@ def interval_overlap_join(
     of a distinct, each pair is kept ONLY in the overlap's first
     bucket (``bucket == floor(max(starts)/width)`` — a row that exists
     exactly once per overlapping pair), so the join needs no
-    post-aggregation and stays pipelined."""
+    post-aggregation and stays pipelined.
+
+    The two sides may use the SAME endpoint column names (the defaults
+    do): the overlap predicate references internal per-side aliases,
+    never the raw names, so no ambiguous-reference failure — though if
+    names collide the OUTPUT carries both same-named columns, as any
+    Spark join of same-named frames does."""
     by_cols = [by] if isinstance(by, str) else list(by or [])
     w = F.lit(bucket_width).cast("long")
-    lv = left.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(left_start) / w).cast("long"),
-                F.floor(F.col(left_end) / w).cast("long"),
-            )
-        ),
-    )
-    rv = right.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(right_start) / w).cast("long"),
-                F.floor(F.col(right_end) / w).cast("long"),
-            )
-        ),
-    )
-    joined = lv.join(rv, [*by_cols, "__bucket"]).filter(
-        (F.col(left_start) <= F.col(right_end))
-        & (F.col(right_start) <= F.col(left_end))
-        & (
-            F.col("__bucket")
-            == F.floor(
-                F.greatest(F.col(left_start), F.col(right_start)) / w
-            ).cast("long")
+    lv = (
+        left.withColumn("__ls", F.col(left_start))
+        .withColumn("__le", F.col(left_end))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__ls") / w).cast("long"),
+                    F.floor(F.col("__le") / w).cast("long"),
+                )
+            ),
         )
     )
-    return joined.drop("__bucket")
+    rv = (
+        right.withColumn("__rs", F.col(right_start))
+        .withColumn("__re", F.col(right_end))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__rs") / w).cast("long"),
+                    F.floor(F.col("__re") / w).cast("long"),
+                )
+            ),
+        )
+    )
+    joined = lv.join(rv, [*by_cols, "__bucket"]).filter(
+        (F.col("__ls") <= F.col("__re"))
+        & (F.col("__rs") <= F.col("__le"))
+        & (
+            F.col("__bucket")
+            == F.floor(F.greatest(F.col("__ls"), F.col("__rs")) / w).cast("long")
+        )
+    )
+    return joined.drop("__bucket", "__ls", "__le", "__rs", "__re")

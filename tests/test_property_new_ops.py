@@ -874,3 +874,24 @@ def test_seasonal_decompose_components_sum_and_center(spark):
     for r in rows:
         assert abs(r["v"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-4, r
     assert abs(sum(r["residual"] for r in rows)) / len(rows) < 1.0
+
+
+def test_interval_overlap_join_default_shared_column_names(spark):
+    """The documented default signature — both sides using columns
+    named start/end — must work (regression: the overlap predicate
+    previously referenced the raw names and hit AMBIGUOUS_REFERENCE)."""
+    from curw_mike_data_handler_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    L = spark.createDataFrame(
+        [(1, 0, 100), (2, 500, 600)], "l_id long, start long, end long"
+    )
+    R = spark.createDataFrame(
+        [(10, 50, 150), (20, 700, 800)], "r_id long, start long, end long"
+    )
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(L, R, bucket_width=64).collect()
+    )
+    assert got == [(1, 10)]
