@@ -158,6 +158,7 @@ HEADLINE = [
     "variant_shred_extract",
     "seasonal_decompose",
     "dq_benford_digits",
+    "j10_asof_forward",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

@@ -7190,6 +7190,47 @@ def dq_benford_digits(spark, sf_dir):
     )
 
 
+@query(
+    "j10_asof_forward",
+    """
+    WITH l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    r AS (
+        SELECT user_id, ts, max(value) AS value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS t,
+           r.value AS asof_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def j10_asof_forward(spark, sf_dir):
+    """FORWARD as-of join: each view gets the NEXT purchase value per
+    user (earliest purchase at-or-after the view) — the attribution /
+    time-to-convert direction, j6's mirror.  Same one-exchange
+    tagged-union window plan traversed in descending time order;
+    verified against DuckDB's native forward ASOF JOIN (l.ts <=
+    r.ts)."""
+    from curw_mike_data_handler_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        views, purchases, on="ts", by="user_id",
+        value_cols=["value"], direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", _fmt("ts").alias("t"), F.col("asof_value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

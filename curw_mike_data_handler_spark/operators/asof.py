@@ -37,10 +37,21 @@ def asof_join(
     by: str | list[str] = "key",
     value_cols: list[str] | None = None,
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """→ all left columns + each right ``value_cols`` column as
-    ``asof_<name>`` (NULL when no right row precedes, or the match is
-    older than ``tolerance_seconds``)."""
+    ``asof_<name>`` (NULL when no right row precedes/follows, or the
+    match is further than ``tolerance_seconds``).
+
+    ``direction="backward"`` (default): latest right row with
+    right.time <= left.time — the fill-from-history join.
+    ``direction="forward"``: earliest right row with right.time >=
+    left.time — the next-event join (attribution, time-to-convert).
+    Forward is the same one-exchange tagged-union plan traversed in
+    descending time order; equal instants still match (the right tag
+    sorts before the left tag at the same time in either direction)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     by_cols = [by] if isinstance(by, str) else list(by)
     value_cols = value_cols or [
         c for c in right.columns if c not in set(by_cols) | {on}
@@ -56,9 +67,10 @@ def asof_join(
     ).withColumn("__side", F.lit(0))
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
+    time_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(*by_cols)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .orderBy(time_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -74,9 +86,12 @@ def asof_join(
 
     out = filled.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
-        within = (
+        gap = (
             F.unix_micros(F.col(on)) - F.unix_micros(F.col("__asof_time"))
-        ) <= int(tolerance_seconds * 1_000_000)
+            if direction == "backward"
+            else F.unix_micros(F.col("__asof_time")) - F.unix_micros(F.col(on))
+        )
+        within = gap <= int(tolerance_seconds * 1_000_000)
         out = out.select(
             *left.columns,
             *[

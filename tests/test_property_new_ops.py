@@ -895,3 +895,54 @@ def test_interval_overlap_join_default_shared_column_names(spark):
         for r in interval_overlap_join(L, R, bucket_width=64).collect()
     )
     assert got == [(1, 10)]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lefts=st.lists(
+        st.tuples(st.sampled_from(["k1", "k2"]), small_minutes),
+        min_size=1,
+        max_size=8,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            small_minutes,
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+)
+def test_asof_join_forward_matches_naive(spark, lefts, rights):
+    """Forward direction: earliest right row at-or-after each left
+    instant (max value among same-instant rights), ties at the exact
+    instant included."""
+    from curw_mike_data_handler_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(k, _ts(m)) for k, m in lefts], "key string, time timestamp"
+    )
+    right = spark.createDataFrame(
+        [(k, _ts(m), float(v)) for k, m, v in rights],
+        "key string, time timestamp, value double",
+    )
+    got = {
+        (r["key"], r["time"]): r["asof_value"]
+        for r in asof_join(
+            left, right, on="time", by="key", value_cols=["value"],
+            direction="forward",
+        ).collect()
+    }
+    for k, m in set(lefts):
+        t = _ts(m)
+        cands = [(rm, rv) for rk, rm, rv in rights if rk == k and _ts(rm) >= t]
+        want = None
+        if cands:
+            best = min(rm for rm, _ in cands)
+            want = float(max(rv for rm, rv in cands if rm == best))
+        assert got[(k, t)] == want, (k, t, got[(k, t)], want)
