@@ -159,6 +159,7 @@ HEADLINE = [
     "seasonal_decompose",
     "dq_benford_digits",
     "j10_asof_forward",
+    "events_transition_matrix",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

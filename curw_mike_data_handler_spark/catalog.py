@@ -7231,6 +7231,65 @@ def j10_asof_forward(spark, sf_dir):
     )
 
 
+@query(
+    "events_transition_matrix",
+    """
+    WITH s AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+        FROM s WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    f AS (SELECT from_type, sum(n) AS tot FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+           round(CAST(t.n AS DOUBLE) / f.tot, 6) AS p
+    FROM t JOIN f ON t.from_type = f.from_type
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the path-analysis /
+    next-action model behind funnels (events_funnel gives one fixed
+    path; this gives the whole transition structure).
+
+    Scale shape: ONE hash(user) exchange + sort for the lag window
+    (the same clustering every sequence op in the catalog reuses), a
+    grouped count on the tiny |types|² transition table, and the
+    row-normalization joins a |types|-row aggregate — broadcast.
+    Counts are exact integers; the only double is the final mirrored
+    division."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = (
+        s.groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    f = t.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        t.join(F.broadcast(f), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
