@@ -160,6 +160,7 @@ HEADLINE = [
     "dq_benford_digits",
     "j10_asof_forward",
     "events_transition_matrix",
+    "dq_psi_drift",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

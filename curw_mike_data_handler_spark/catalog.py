@@ -7290,6 +7290,86 @@ def events_transition_matrix(spark, sf_dir):
     )
 
 
+@query(
+    "dq_psi_drift",
+    """
+    WITH b AS (
+        SELECT CASE WHEN epoch_us(ts) < (
+                   SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                   FROM events
+               ) THEN 'ref' ELSE 'cur' END AS period,
+               least(CAST(round(value * 100) AS BIGINT) // 2500, 9) AS bucket
+        FROM events
+    ),
+    c AS (
+        SELECT period, bucket, count(*) AS n FROM b GROUP BY 1, 2
+    ),
+    tot AS (SELECT period, sum(n) AS t FROM c GROUP BY 1),
+    p AS (
+        SELECT c.bucket,
+               CAST(c.n AS DOUBLE) / tot.t AS frac, c.period
+        FROM c JOIN tot ON c.period = tot.period
+    ),
+    w AS (
+        SELECT r.bucket, r.frac AS p_ref, u.frac AS p_cur
+        FROM (SELECT bucket, frac FROM p WHERE period = 'ref') r
+        JOIN (SELECT bucket, frac FROM p WHERE period = 'cur') u
+          ON r.bucket = u.bucket
+    )
+    SELECT bucket, round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+           round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+    FROM w
+    """,
+)
+def dq_psi_drift(spark, sf_dir):
+    """Population stability index (the standard model-monitoring drift
+    metric): value distribution of the first half of the time range
+    (reference) vs the second half (current), equal-width cents
+    buckets, per-bucket PSI term (p_cur − p_ref)·ln(p_cur/p_ref) —
+    Σ terms > 0.2 is the canonical "significant drift" alarm.
+
+    Scale shape: bucketing is a narrow map on exact integer cents (no
+    float bin edges); counts are one hash(period, bucket) exchange;
+    the per-period totals and the ref⋈cur pivot operate on ≤2·|bins|
+    rows — driver-free but broadcast-sized.  The midpoint split
+    broadcasts as a 1-row aggregate.  Parity: fractions and the ln
+    term mirror the oracle token-for-token on top of exact integer
+    counts."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("t"), _cents("value").alias("c")
+    )
+    mid = ev.agg(
+        F.floor((F.min("t") + F.max("t")) / 2).cast("long").alias("mid")
+    )
+    b = ev.crossJoin(F.broadcast(mid)).select(
+        F.when(F.col("t") < F.col("mid"), F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("period"),
+        F.least(F.floor(F.col("c") / 2500), F.lit(9)).cast("long").alias("bucket"),
+    )
+    c = b.groupBy("period", "bucket").agg(F.count("*").alias("n"))
+    tot = c.groupBy("period").agg(F.sum("n").alias("t"))
+    p = c.join(F.broadcast(tot), "period").select(
+        "period", "bucket", (F.col("n").cast("double") / F.col("t")).alias("frac")
+    )
+    ref = p.filter(F.col("period") == "ref").select(
+        "bucket", F.col("frac").alias("p_ref")
+    )
+    cur = p.filter(F.col("period") == "cur").select(
+        "bucket", F.col("frac").alias("p_cur")
+    )
+    return ref.join(cur, "bucket").select(
+        "bucket",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(
+            (F.col("p_cur") - F.col("p_ref"))
+            * F.log(F.col("p_cur") / F.col("p_ref")),
+            6,
+        ).alias("psi_term"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
