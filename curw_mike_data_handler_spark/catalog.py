@@ -7370,6 +7370,72 @@ def dq_psi_drift(spark, sf_dir):
     )
 
 
+@query(
+    "source_quota_apportion",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT sum(n) AS tot FROM c),
+    q AS (
+        SELECT source, n,
+               (1000 * n) // tot AS fl,
+               (1000 * n) % tot AS rem
+        FROM c, t
+    ),
+    l AS (SELECT 1000 - sum(fl) AS leftover FROM q),
+    r AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(fl + CASE WHEN rk <= (SELECT leftover FROM l)
+                          THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM r
+    """,
+)
+def source_quota_apportion(spark, sf_dir):
+    """Exact integer apportionment of a global sampling budget across
+    sources (largest-remainder / Hamilton method): each source gets
+    floor(B·n/T) documents and the leftover seats go to the largest
+    fractional remainders — quotas sum to EXACTLY the budget with no
+    float rounding drift, the allocation step of a training-mix
+    builder (pair with sample_stratified_hash / weighted_sample_es for
+    the actual row selection).
+
+    Everything is 64-bit integer arithmetic — (B·n)//T and (B·n)%T —
+    so the hash compare is exact by construction; the remainder rank
+    runs on the |sources|-row aggregate (broadcast-sized, the same
+    contraction pattern as skyline's frontier)."""
+    from pyspark.sql import Window
+
+    B = 1000
+    c = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("tot"))
+    q = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n",
+        # SQL `div` is true 64-bit integer division (no double detour,
+        # exact at any corpus size), matching DuckDB's `//`
+        F.expr(f"({B} * n) div tot").alias("fl"),
+        (F.lit(B) * F.col("n") % F.col("tot")).alias("rem"),
+    )
+    leftover = q.agg((F.lit(B) - F.sum("fl")).alias("leftover"))
+    r = q.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source"))),
+    )
+    return r.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        (
+            F.col("fl")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("long").alias("quota"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
