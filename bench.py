@@ -161,6 +161,8 @@ HEADLINE = [
     "j10_asof_forward",
     "events_transition_matrix",
     "dq_psi_drift",
+    "source_quota_apportion",
+    "multi_touch_attribution",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

@@ -7436,6 +7436,130 @@ def source_quota_apportion(spark, sf_dir):
     )
 
 
+@query(
+    "multi_touch_attribution",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, ts, event_type FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    seqd AS (
+        SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM ev
+    ),
+    touch AS (SELECT user_id, event_id, ts, event_type, seq
+              FROM seqd WHERE event_type <> 'purchase' AND seq >= 1),
+    conv AS (SELECT user_id, seq, event_id AS conv_id
+             FROM seqd WHERE event_type = 'purchase'),
+    pairs AS (
+        SELECT c.conv_id, t.event_type, t.ts, t.event_id
+        FROM touch t JOIN conv c USING (user_id, seq)
+    ),
+    ranked AS (
+        SELECT conv_id, event_type,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY ts, event_id) AS rk_first,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk_last,
+               count(*) OVER (PARTITION BY conv_id) AS n_conv
+        FROM pairs
+    ),
+    per AS (
+        SELECT conv_id, event_type,
+               count(*) AS n_type,
+               max(CASE WHEN rk_first = 1 THEN 1 ELSE 0 END) AS is_first,
+               max(CASE WHEN rk_last = 1 THEN 1 ELSE 0 END) AS is_last,
+               max(n_conv) AS n_conv
+        FROM ranked GROUP BY conv_id, event_type
+    )
+    SELECT event_type,
+           CAST(sum(is_first) AS BIGINT) AS first_touch_convs,
+           CAST(sum(is_last) AS BIGINT) AS last_touch_convs,
+           CAST(sum((1000000 * n_type) // n_conv) AS BIGINT) AS linear_microcredit,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS touched_convs
+    FROM per GROUP BY event_type
+    """,
+)
+def multi_touch_attribution(spark, sf_dir):
+    """Multi-touch conversion attribution over the event stream: every
+    click/view is credited to the user's NEXT purchase, and per
+    touch-type totals come out under three standard models at once —
+    first-touch, last-touch, and linear (equal split across the
+    conversion's touches).
+
+    Touch→conversion assignment is the descending running count of
+    purchases per user (a touch with k purchases at-or-after it
+    belongs to the k-th-from-last conversion), so the "next purchase"
+    lookup is a plain EQUI-join on (user_id, seq) — no range/as-of
+    join and no per-conversion scan of the history.  Linear credit is
+    integerized per conversion as (1e6·n_type) div n — 64-bit integer
+    division, so every output column is an exact integer and the
+    cross-engine hash is order-independent by construction (same trick
+    as source_quota_apportion; a float 1/n sum would be
+    combine-order-sensitive at the 6-dp boundary).
+
+    Scale shape: one hash(user_id) exchange + sort for the seq window,
+    an equi-join on (user_id, seq) between two slices of that same
+    scan, one hash(conv_id) exchange for the per-conversion ranks
+    (bounded by per-user activity, no skew beyond the busiest user),
+    and a |types|-row final rollup."""
+    from pyspark.sql import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    wdesc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seqd = ev.withColumn(
+        "seq",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(wdesc),
+    )
+    touch = seqd.filter(
+        (F.col("event_type") != "purchase") & (F.col("seq") >= 1)
+    )
+    conv = seqd.filter(F.col("event_type") == "purchase").select(
+        "user_id", "seq", F.col("event_id").alias("conv_id")
+    )
+    pairs = touch.join(conv, ["user_id", "seq"]).select(
+        "conv_id", "event_type", "ts", "event_id"
+    )
+    wf = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    wl = Window.partitionBy("conv_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    wc = Window.partitionBy("conv_id")
+    ranked = pairs.select(
+        "conv_id",
+        "event_type",
+        F.row_number().over(wf).alias("rk_first"),
+        F.row_number().over(wl).alias("rk_last"),
+        F.count("*").over(wc).alias("n_conv"),
+    )
+    per = ranked.groupBy("conv_id", "event_type").agg(
+        F.count("*").alias("n_type"),
+        F.max(F.when(F.col("rk_first") == 1, 1).otherwise(0)).alias("is_first"),
+        F.max(F.when(F.col("rk_last") == 1, 1).otherwise(0)).alias("is_last"),
+        F.max("n_conv").alias("n_conv"),
+    )
+    return per.groupBy("event_type").agg(
+        F.sum("is_first").cast("long").alias("first_touch_convs"),
+        F.sum("is_last").cast("long").alias("last_touch_convs"),
+        F.sum(F.expr("(1000000 * n_type) div n_conv"))
+        .cast("long")
+        .alias("linear_microcredit"),
+        F.countDistinct("conv_id").cast("long").alias("touched_convs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
