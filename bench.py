@@ -163,6 +163,7 @@ HEADLINE = [
     "dq_psi_drift",
     "source_quota_apportion",
     "multi_touch_attribution",
+    "j11_bloom_semi_join",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

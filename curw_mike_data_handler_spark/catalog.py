@@ -7560,6 +7560,49 @@ def multi_touch_attribution(spark, sf_dir):
     )
 
 
+@query(
+    "j11_bloom_semi_join",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+               / 1e4 AS revenue
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_totalprice > 300000)
+    GROUP BY l_returnflag
+    """,
+)
+def j11_bloom_semi_join(spark, sf_dir):
+    """Semi join behind a Bloom runtime filter
+    (operators/bloom.bloom_semi_join): lineitems of high-value orders,
+    rolled up per return flag.  The dimension predicate becomes a
+    bitset sketch (one small-side rollup, m/64 longs) that rides a
+    broadcast onto the fact scan and drops non-members MAP-SIDE —
+    only the prefiltered survivors reach the exact semi join, so at
+    100 TB the join shuffle carries selectivity × fact, not the fact.
+    Bloom false positives are removed by the exact join, so the
+    result is hash-identical to the plain EXISTS the oracle runs
+    (the reference's model/station whitelists, ``wl_x:193-195``, are
+    this exact shape at warehouse scale)."""
+    from curw_mike_data_handler_spark.operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_orderkey")
+    )
+    hit = bloom_semi_join(li, keys, "l_orderkey", "o_orderkey")
+    rev_units = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return hit.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_items"),
+        (F.sum(rev_units).cast("double") / 1e4).alias("revenue"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
