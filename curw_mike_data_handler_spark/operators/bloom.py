@@ -101,12 +101,24 @@ def bloom_prefilter(
     k_hashes: int = 5,
 ) -> DataFrame:
     """``fact`` reduced to PROBABLE members of ``keys`` — map-only on
-    the fact side (the bitset rides a broadcast cross join).  Superset
-    of the true semi join; pair with an exact join for exactness."""
-    bloom = build_bloom(keys, keys_key, m_bits=m_bits, k_hashes=k_hashes)
+    the fact side.  Superset of the true semi join; pair with an exact
+    join for exactness.
+
+    The sketch is COLLECTED (one row of m/64 longs — O(sketch) driver
+    state, the same sanctioned shape as k-means centroids, never data)
+    and inlined as a literal, so the probe is a plain filter on the
+    fact columns.  The earlier broadcast-cross-join formulation kept
+    everything lazy but Catalyst pulls the cross join ABOVE a
+    downstream semi join (join reorder), running the bloom AFTER the
+    join it was meant to protect; a literal filter stays put and
+    pushes down like any other predicate."""
+    [words_row] = build_bloom(
+        keys, keys_key, m_bits=m_bits, k_hashes=k_hashes
+    ).collect()
+    lit_words = F.array(*[F.lit(int(w)) for w in words_row["words"]])
     return (
         fact.withColumn("__pos", hash_positions(fact_key, m_bits, k_hashes))
-        .crossJoin(F.broadcast(bloom))
+        .withColumn("words", lit_words)
         .filter(might_contain_positions())
         .drop("words", "__pos")
     )

@@ -62,13 +62,28 @@ def test_sketch_is_one_fixed_width_row(spark):
     assert len(rows) == 1 and len(rows[0]["words"]) == 4096 // 64
 
 
-def test_probe_side_plan_has_no_extra_exchange(spark):
-    """The fact side must reach the bloom filter without shuffling:
-    scan → project(__pos) → broadcast cross join → filter."""
+def test_probe_is_map_only(spark):
+    """The prefilter must be a pure map over the fact: scan →
+    project(__pos) → filter, with NO exchange and NO join (the sketch
+    is an inlined literal, so there is nothing Catalyst can reorder
+    above a downstream join)."""
     fact, keys, _ = _fixture(spark)
     pre = bloom_prefilter(fact, keys, "k", "kk")
     plan = pre._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # exactly the sketch build's exchanges; none on the probe path
-    fact_side = plan.split("Broadcast", 1)[0]
-    assert "Exchange hashpartitioning" not in fact_side, fact_side
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_semi_join_runs_bloom_below_the_join(spark):
+    """In the composed exact form the bloom filter must sit BELOW the
+    semi join (on its streamed side), not above it — the reorder the
+    literal formulation exists to prevent."""
+    fact, keys, _ = _fixture(spark)
+    j = bloom_semi_join(fact, keys, "k", "kk")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    join_pos = plan.find("LeftSemi")
+    probe_pos = plan.find("forall(")
+    assert join_pos != -1 and probe_pos != -1
+    # physical plans print top-down: the filter must appear AFTER the
+    # join line (i.e. deeper in the tree)
+    assert probe_pos > join_pos, plan[:1500]

@@ -268,6 +268,48 @@ def main() -> None:
         results,
     )
 
+    # bloom runtime filter vs plain shuffle semi join: broadcast is
+    # DISABLED so both sides of the plain semi join shuffle (the
+    # too-big-to-broadcast dimension case bloom exists for); the bloom
+    # variant drops non-members map-side, so the fact shuffle carries
+    # selectivity × fact.  Same rows out — the delta is pure shuffle.
+    from curw_mike_data_handler_spark.operators.bloom import bloom_semi_join
+
+    # the key set must be defined by a NON-join-column predicate, or
+    # Catalyst infers the predicate onto the fact scan and no shuffle
+    # is left to save (the real dimension-whitelist case is exactly
+    # this: the predicate lives on dimension attributes)
+    keys = docs_lin.filter(F.col("n_chars") % 211 == 0).select("doc_id")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        aqe_thr = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        aqe_thr = None
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # AQE re-plans the shuffle join back into a broadcast at runtime
+    # (its own threshold) — disable that too or the "plain" arm
+    # silently measures a broadcast join
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        measure(
+            spark,
+            "semi_join_shuffle_plain",
+            lambda: docs_lin.join(keys, "doc_id", "left_semi"),
+            results,
+        )
+        measure(
+            spark,
+            "semi_join_bloom_prefiltered",
+            lambda: bloom_semi_join(docs_lin, keys, "doc_id", "doc_id"),
+            results,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        if aqe_thr:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqe_thr)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
     payload = {
         "sf": 1.0,
         "docs": docs_lin.count(),
@@ -292,6 +334,8 @@ def main() -> None:
         "minhash_lsh_pairs_capped": "pairwise",
         "components_label_prop": "pairwise",
         "components_two_phase": "pairwise",
+        "semi_join_shuffle_plain": "linear",
+        "semi_join_bloom_prefiltered": "linear",
     }
     for k, v in results.items():
         if "wall_s" in v:
