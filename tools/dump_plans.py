@@ -81,6 +81,9 @@ SHOWCASE = [
     ("ivm_incremental_rollup", "three partial rollups folded by keyed merges — no base-data re-read"),
     ("bigram_logprob_quality", "bigrams from one narrow array zip; model counts as grouped counts"),
     ("variant_shred_extract", "parse_json + variant_get fused in the scan projection; one rollup exchange"),
+    ("source_quota_apportion", "integer Hamilton quotas; remainder rank on the broadcast-sized source frontier"),
+    ("multi_touch_attribution", "desc purchase-count seq turns next-purchase lookup into an equi-join; two keyed exchanges"),
+    ("j11_bloom_semi_join", "literal bloom filter BELOW the semi join — map-side prune before the shuffle"),
 ]
 
 
