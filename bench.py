@@ -164,6 +164,7 @@ HEADLINE = [
     "source_quota_apportion",
     "multi_touch_attribution",
     "j11_bloom_semi_join",
+    "snapshot_diff",
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

@@ -7603,6 +7603,102 @@ def j11_bloom_semi_join(spark, sf_dir):
     )
 
 
+@query(
+    "snapshot_diff",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    ),
+    vb AS (
+        SELECT *, substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS nib
+        FROM v1
+    ),
+    v2 AS (
+        -- deterministic second snapshot by md5 nibble: 1/16 deleted,
+        -- 1/16 repriced, 1/16 new keys (shifted), rest identical
+        SELECT o_orderkey,
+               o_orderstatus,
+               price_cents + CASE WHEN nib = '1' THEN 100 ELSE 0 END AS price_cents
+        FROM vb WHERE nib <> '0'
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_orderstatus, price_cents
+        FROM vb WHERE nib = '2'
+    )
+    SELECT CASE
+               WHEN v1.o_orderkey IS NULL THEN 'added'
+               WHEN v2.o_orderkey IS NULL THEN 'removed'
+               WHEN v1.price_cents <> v2.price_cents
+                    OR v1.o_orderstatus <> v2.o_orderstatus THEN 'changed'
+               ELSE 'unchanged'
+           END AS diff_status,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    GROUP BY 1
+    """,
+)
+def snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation (data diff): classify every key of two
+    table versions as added / removed / changed / unchanged — the
+    audit that closes the loop on a partitioned backfill
+    (sources/partitioned.py): after re-running a day, diff the new
+    snapshot against the old and alert on anything outside the
+    intended partitions.  The second snapshot is synthesized
+    deterministically from the first (md5 first-nibble: 1/16 deleted,
+    1/16 repriced, 1/16 new keys) so both engines diff identical
+    inputs.
+
+    Scale shape: ONE full-outer hash join on the key — both sides
+    partition the same way, compares are per-row integer/string
+    equality (no row-hash strings shuffled), and the rollup is 4 rows.
+    At 100 TB: both snapshots bucketed on the key make the join
+    exchange-free; the compare columns prune to only the audited
+    fields."""
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        _cents("o_totalprice").alias("price_cents"),
+    )
+    nib = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    vb = v1.withColumn("nib", nib)
+    v2 = (
+        vb.filter(F.col("nib") != "0")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (
+                F.col("price_cents")
+                + F.when(F.col("nib") == "1", 100).otherwise(0)
+            ).alias("price_cents"),
+        )
+        .unionAll(
+            vb.filter(F.col("nib") == "2").select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "price_cents",
+            )
+        )
+    )
+    a = v1.alias("a")
+    b = v2.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    status = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("a.price_cents") != F.col("b.price_cents"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return j.select(status.alias("diff_status")).groupBy("diff_status").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
