@@ -165,6 +165,15 @@ HEADLINE = [
     "multi_touch_attribution",
     "j11_bloom_semi_join",
     "snapshot_diff",
+    "fuzzy_join_edit1",
+    "events_ohlc_bars",
+    "weighted_median_price",
+    "dedup_incremental_batch",
+    "compaction_bins",
+    # dedup_containment_census excluded like the other posting-list
+    # pair generators: the synthetic corpus' tiny shared vocabulary
+    # makes them quadratic by construction (they run in the sf0.01
+    # correctness gate instead)
 ]
 
 # Round-over-round comparability (r4 verdict #7): the first 100

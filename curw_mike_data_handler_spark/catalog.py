@@ -7699,6 +7699,363 @@ def snapshot_diff(spark, sf_dir):
     )
 
 
+@query(
+    "fuzzy_join_edit1",
+    """
+    WITH w AS (
+        SELECT DISTINCT word FROM (
+            SELECT lower(unnest(string_split(p_name, ' '))) AS word FROM part
+            UNION
+            SELECT lower(unnest(string_split(text, ' '))) FROM documents
+            UNION
+            SELECT lower(p_type) FROM part
+            UNION
+            SELECT lower(n_name) FROM nation
+        ) WHERE word <> ''
+    )
+    SELECT a.word AS word_a, b.word AS word_b,
+           CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
+    FROM w a JOIN w b ON a.word < b.word AND levenshtein(a.word, b.word) <= 1
+    """,
+)
+def fuzzy_join_edit1(spark, sf_dir):
+    """Edit-distance-1 similarity self-join over the combined
+    part/doc/nation vocabulary — typo-cluster detection for entity
+    canonicalization (the scalable version of the reference's manual
+    station-name → id normalization maps, rf_linux:95-117's hardcoded
+    lookup dicts).
+
+    The ORACLE does the O(n²) cross join + levenshtein (fine on a
+    gate-SF vocabulary); the ENGINE uses the deletion-variant index
+    (FastSS blocking): each word emits length+1 variant keys, the
+    self-join hashes on the variant, and only candidate pairs are
+    levenshtein-verified.  Scale shape: linear in corpus bytes, never
+    |vocab|² — 1e6 distinct strings is ~1e7 index rows instead of
+    5e11 comparisons; `max_bucket` (operators/fuzzyjoin.py) caps
+    degenerate variant buckets the way jaccard_pairs caps hot
+    tokens."""
+    from curw_mike_data_handler_spark.operators.fuzzyjoin import edit1_self_join
+
+    p = _t(spark, sf_dir, "part")
+    d = _t(spark, sf_dir, "documents")
+    n = _t(spark, sf_dir, "nation")
+    words = (
+        p.select(F.explode(F.split(F.lower("p_name"), " ")).alias("word"))
+        .unionAll(d.select(F.explode(F.split(F.lower("text"), " ")).alias("word")))
+        .unionAll(p.select(F.lower("p_type").alias("word")))
+        .unionAll(n.select(F.lower("n_name").alias("word")))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    return edit1_self_join(words, "word")
+
+
+@query(
+    "events_ohlc_bars",
+    """
+    WITH c AS (
+        SELECT event_type, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS v_cents,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket
+        FROM events
+    ), o AS (
+        SELECT event_type, bucket, v_cents,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM c
+    )
+    SELECT event_type, bucket,
+           CAST(max(CASE WHEN rn_a = 1 THEN v_cents END) AS DOUBLE) / 100 AS open,
+           CAST(max(v_cents) AS DOUBLE) / 100 AS high,
+           CAST(min(v_cents) AS DOUBLE) / 100 AS low,
+           CAST(max(CASE WHEN rn_d = 1 THEN v_cents END) AS DOUBLE) / 100 AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM o GROUP BY 1, 2
+    """,
+)
+def events_ohlc_bars(spark, sf_dir):
+    """Hourly OHLC (open/high/low/close) bars per event type — the
+    classic time-series downsample (the financial twin of the
+    reference's 15-min resample, rf_linux:170).
+
+    Engine plan: ONE hash aggregate using `min_by`/`max_by` with a
+    lexicographic [epoch_us, event_id] array key — open/close come
+    out of the same partial+final agg as high/low, with NO window
+    sort and no second shuffle.  The oracle spells the identical
+    semantics with row_number windows (DuckDB's arg_min can't take a
+    list ordering key).  The [ts, id] composite makes first/last
+    deterministic under ties — plain arg_min(ts) would be
+    hash-unstable for two events in the same microsecond.  Scale:
+    partial aggregation collapses each (type, hour) bucket
+    map-side; nothing holistic, nothing sorted."""
+    e = _t(spark, sf_dir, "events")
+    key = F.array(F.unix_micros("ts"), F.col("event_id"))
+    v = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.select(
+            "event_type",
+            _fmt(F.date_trunc("hour", F.col("ts"))).alias("bucket"),
+            v.alias("v_cents"),
+            key.alias("k"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            (F.min_by("v_cents", "k").cast("double") / 100).alias("open"),
+            (F.max("v_cents").cast("double") / 100).alias("high"),
+            (F.min("v_cents").cast("double") / 100).alias("low"),
+            (F.max_by("v_cents", "k").cast("double") / 100).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "weighted_median_price",
+    """
+    WITH c AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+               CAST(round(l_quantity) AS BIGINT) AS w
+        FROM lineitem
+    ), g AS (
+        SELECT grp, v, sum(w) AS w FROM c GROUP BY 1, 2
+    ), cum AS (
+        SELECT grp, v,
+               sum(w) OVER (PARTITION BY grp ORDER BY v) AS cw,
+               sum(w) OVER (PARTITION BY grp) AS tw
+        FROM g
+    )
+    SELECT grp, CAST(min(v) AS DOUBLE) / 100 AS weighted_median
+    FROM cum WHERE 2 * cw >= tw GROUP BY grp
+    """,
+)
+def weighted_median_price(spark, sf_dir):
+    """Weighted median (lower weighted median: smallest v whose
+    cumulative weight reaches half the total) of extended price
+    weighted by quantity, per return flag — the robust-stats
+    companion to mad_anomalies for order-book-style data where each
+    observation carries a volume.
+
+    Scale shape: the raw fact first collapses to DISTINCT (group,
+    value) rows with pre-summed integer weights — one partial+final
+    hash agg — so the subsequent cumulative-sum window runs over the
+    value-distinct set, not the raw rows (for measures with bounded
+    cardinality this is orders of magnitude smaller).  Integer
+    weights and cents values make cw/tw exact in both engines; no
+    holistic percentile anywhere."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            _cents("l_extendedprice").alias("v"),
+            F.round("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("grp", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    w_cum = Window.partitionBy("grp").orderBy("v")
+    w_tot = Window.partitionBy("grp")
+    cum = g.select(
+        "grp",
+        "v",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("grp")
+        .agg((F.min("v").cast("double") / 100).alias("weighted_median"))
+    )
+
+
+@query(
+    "dedup_incremental_batch",
+    """
+    WITH f AS (
+        SELECT doc_id,
+               md5(list_aggregate(list_sort(list_distinct(
+                   string_split_regex(trim(lower(text)), '\\s+'))), 'string_agg', ',')) AS fp,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib
+        FROM documents
+    ),
+    batch  AS (SELECT doc_id, fp FROM f WHERE nib IN ('0','1','2','3')),
+    corpus AS (SELECT doc_id, fp FROM f WHERE nib NOT IN ('0','1','2','3')),
+    firsts AS (SELECT fp, min(doc_id) AS first_id FROM batch GROUP BY fp),
+    cls AS (
+        SELECT b.doc_id,
+               CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+                    WHEN b.doc_id <> fi.first_id THEN 'intra_batch_dup'
+                    ELSE 'new' END AS ingest_status
+        FROM batch b
+        LEFT JOIN (SELECT DISTINCT fp FROM corpus) c ON c.fp = b.fp
+        JOIN firsts fi ON fi.fp = b.fp
+    )
+    SELECT ingest_status, CAST(count(*) AS BIGINT) AS n_docs
+    FROM cls GROUP BY 1
+    """,
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental ingest dedup: classify every document of an
+    incoming batch against the already-ingested corpus —
+    `dup_of_corpus` (fingerprint already stored), `intra_batch_dup`
+    (duplicated within the batch itself, keeping the min-id copy),
+    or `new`.  This is the daily-crawl-increment shape of exact
+    dedup: the full-corpus `dedup_exact` re-run is wasteful when
+    99% of the corpus is unchanged.  The batch/corpus split is
+    deterministic (md5 nibble of doc_id → 25% batch), and the
+    fingerprint is the sorted-distinct-token bag (bag-of-words) so
+    the gate corpus actually contains duplicates to find.
+
+    Scale shape: ONE semi-join of the (small) batch against the
+    corpus fingerprint index + one batch-local first-id aggregate —
+    the 100-TB corpus is only probed on its (bucketed, sorted)
+    fingerprint column, never rescanned; with the fingerprint store
+    bucketed by fp the probe is exchange-free on the corpus side."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(",", F.array_sort(F.array_distinct(tokens(F.col("text")))))
+    )
+    f = d.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("nib"),
+    )
+    is_batch = F.col("nib").isin("0", "1", "2", "3")
+    batch = f.filter(is_batch).select("doc_id", "fp")
+    corpus_fps = f.filter(~is_batch).select("fp").distinct()
+    firsts = batch.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
+    cls = (
+        batch.join(
+            corpus_fps.withColumn("__in_corpus", F.lit(1)), "fp", "left"
+        )
+        .join(firsts, "fp")
+        .select(
+            F.when(F.col("__in_corpus").isNotNull(), "dup_of_corpus")
+            .when(F.col("doc_id") != F.col("first_id"), "intra_batch_dup")
+            .otherwise("new")
+            .alias("ingest_status")
+        )
+    )
+    return cls.groupBy("ingest_status").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+@query(
+    "compaction_bins",
+    """
+    WITH c AS (
+        SELECT source, doc_id, n_chars,
+               coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        FROM documents
+    )
+    SELECT source, CAST(prior // 2000 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM c GROUP BY 1, 2
+    """,
+)
+def compaction_bins(spark, sf_dir):
+    """Small-file compaction planning: assign each document to an
+    output file bin by greedy cumulative-size packing (running chars
+    BEFORE this doc, integer-divided by the target bin size), then
+    report per-bin document count and bytes.  This is the planning
+    half of the small-file problem — the operational pathology of a
+    100-TB lake (SCALE.md; sources/layout.py does the physical
+    rewrite, this query decides the file boundaries
+    deterministically, driver-free).
+
+    Scale shape: one window (partitioned by source, ordered by id —
+    the same partitioning the write uses) + one hash agg.  The
+    cumulative sum is per-source, so no global sort; bins are a
+    pure function of the running total, so the plan is
+    embarrassingly parallel across sources.  Exact integer
+    arithmetic end-to-end."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    return (
+        d.select(
+            "source",
+            "n_chars",
+            F.floor(prior / 2000).cast("long").alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "dedup_containment_census",
+    """
+    WITH dt AS (
+        SELECT DISTINCT doc_id AS doc, t.token
+        FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+        WHERE len(t.token) > 0
+    ),
+    sizes AS (SELECT doc, count(*) AS n FROM dt GROUP BY doc),
+    inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+        FROM dt a JOIN dt b ON a.token = b.token AND a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    bo AS (
+        SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b
+        FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+    ),
+    directed AS (
+        SELECT doc_a AS doc_src, round(n_common / n_a, 6) AS containment FROM bo
+        UNION ALL
+        SELECT doc_b, round(n_common / n_b, 6) FROM bo
+    )
+    SELECT doc_src,
+           CAST(count(CASE WHEN containment >= 0.9 THEN 1 END) AS BIGINT) AS n_superdocs,
+           max(containment) AS max_containment
+    FROM directed GROUP BY 1
+    """,
+)
+def dedup_containment_census(spark, sf_dir):
+    """Directed containment census: for each document, how many other
+    documents contain ≥90% of its token set, and its maximum
+    containment anywhere in the corpus.  Containment (|A∩B|/|A|,
+    Broder's resemblance-containment) catches doc-inclusion
+    duplication that Jaccard structurally misses — a paragraph
+    quoted inside a 100× longer page scores Jaccard ≈ 0.01 but
+    containment ≈ 1.0 — and the census form ("how subsumed is each
+    doc") is the curation signal for dropping fully-quoted
+    fragments.
+
+    Scale shape: identical to dedup_ngram_jaccard — ONE inverted-
+    index posting-list self-join (operators/dedup.py
+    containment_pairs shares the plan and the max_df hot-token
+    guard); both directions are projected from the single undirected
+    intersection, and the census rollup collapses pairs to one row
+    per doc before anything leaves the shuffle."""
+    from curw_mike_data_handler_spark.operators.dedup import containment_pairs
+
+    pairs = containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.0
+    )
+    return pairs.groupBy(F.col("doc_src")).agg(
+        F.count(F.when(F.col("containment") >= 0.9, 1)).cast("long").alias("n_superdocs"),
+        F.max("containment").alias("max_containment"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -161,6 +161,62 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed token-set CONTAINMENT |A∩B| / |A| for every ordered
+    pair with containment ≥ threshold (both directions emitted when
+    both clear it).
+
+    Jaccard misses doc-inclusion duplication: a paragraph quoted
+    verbatim inside a 100× longer page has Jaccard ≈ 0.01 but
+    containment ≈ 1.0 — the signal used for quote/boilerplate
+    detection and "is this doc subsumed by that one" curation calls
+    (cf. the containment variant of MinHash in Broder's resemblance
+    work).  Same inverted-index plan as ``jaccard_pairs`` — ONE
+    posting-list self-join bounded by document frequency, never
+    |docs|² — with the same ``max_df`` hot-token guard; the only
+    difference is the final normalization (by |A| instead of |A∪B|),
+    so the scale shape is identical."""
+    dt = _distinct_doc_tokens(docs, id_col, text_col)
+    if max_df is not None:
+        df_counts = dt.groupBy("token").agg(F.count("*").alias("__df"))
+        dt = (
+            dt.join(df_counts.filter(F.col("__df") <= max_df), "token")
+            .select("doc", "token")
+        )
+    sizes = dt.groupBy("doc").agg(F.count("*").alias("n_tokens"))
+    a = dt.select(F.col("doc").alias("doc_a"), "token")
+    b = dt.select(F.col("doc").alias("doc_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_tokens").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_tokens").alias("n_b"))
+    both = inter.join(sa, "doc_a").join(sb, "doc_b")
+    # emit the two directions from the one undirected intersection —
+    # the join work is not repeated, only the 4-column result is
+    fwd = both.select(
+        F.col("doc_a").alias("doc_src"),
+        F.col("doc_b").alias("doc_dst"),
+        F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment"),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("doc_src"),
+        F.col("doc_a").alias("doc_dst"),
+        F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
+
+
 def jaccard_pairs_prefix(
     docs: DataFrame,
     *,

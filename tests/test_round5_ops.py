@@ -1,0 +1,163 @@
+"""Property and unit tests for the round-5 operators: the
+deletion-variant edit-1 join, directed containment pairs, OHLC
+aggregation determinism, and compaction bin invariants.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+def _lev1(a: str, b: str) -> bool:
+    """Naive edit-distance ≤ 1 check."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # insertion: b drops one char to equal a
+    return any(b[:i] + b[i + 1 :] == a for i in range(lb))
+
+
+words_strategy = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=5),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=words_strategy)
+def test_edit1_join_matches_bruteforce(spark, words):
+    from curw_mike_data_handler_spark.operators.fuzzyjoin import edit1_self_join
+
+    distinct = sorted({w for w in words if w})
+    df = spark.createDataFrame(
+        [(w,) for w in distinct] or [(None,)], "word string"
+    )
+    got = {
+        (r["word_a"], r["word_b"])
+        for r in edit1_self_join(df, "word").collect()
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(distinct, 2)
+        if _lev1(a, b)
+    }
+    assert got == want
+
+
+def test_edit1_join_max_bucket_preserves_covered_pairs(spark):
+    """A hot-bucket cap only loses pairs whose EVERY shared variant
+    bucket is over the cap; pairs covered by another bucket survive.
+    On this fixture no pair depends solely on an over-cap bucket, so
+    output is identical to uncapped."""
+    from curw_mike_data_handler_spark.operators.fuzzyjoin import edit1_self_join
+
+    words = ["cold", "old", "bold", "colt", "red", "rod"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    uncapped = {
+        tuple(r) for r in edit1_self_join(df, "word").select("word_a", "word_b").collect()
+    }
+    capped = {
+        tuple(r)
+        for r in edit1_self_join(df, "word", max_bucket=3)
+        .select("word_a", "word_b")
+        .collect()
+    }
+    assert capped == uncapped
+    # and a degenerate cap of 1 kills candidate generation entirely
+    none = edit1_self_join(df, "word", max_bucket=1).count()
+    assert none == 0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=6),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_containment_pairs_match_bruteforce(spark, docs):
+    from curw_mike_data_handler_spark.operators.dedup import containment_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows or [(None, None)], "doc_id long, text string")
+    got = {
+        (r["doc_src"], r["doc_dst"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.5).collect()
+    }
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    want = {}
+    for a, b in itertools.permutations(sets, 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            c = round(inter / len(sets[a]), 6)
+            if c >= 0.5:
+                want[(a, b)] = c
+    assert got == want
+
+
+def test_containment_subset_doc_scores_one(spark):
+    from curw_mike_data_handler_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_src"], r["doc_dst"]): r["containment"]
+            for r in containment_pairs(df, threshold=0.0).collect()}
+    assert rows[(1, 2)] == 1.0          # doc 1 fully inside doc 2
+    assert rows[(2, 1)] == round(2 / 6, 6)
+
+
+def test_ohlc_min_by_deterministic_under_ts_ties(spark):
+    """Two events in the same microsecond: the [epoch, id] composite
+    key must break the tie by event_id, not hash order."""
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [(2, t, 20.0), (1, t, 10.0), (3, t, 30.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    key = F.array(F.unix_micros("ts"), F.col("event_id"))
+    row = df.agg(
+        F.min_by("value", key).alias("open"),
+        F.max_by("value", key).alias("close"),
+    ).collect()[0]
+    assert row["open"] == 10.0 and row["close"] == 30.0
+
+
+def test_compaction_bins_invariants(spark):
+    """Greedy packing invariants on the real fixture: bins within a
+    source are contiguous from 0, and every bin except the last holds
+    at least the target before its last doc was added (i.e. a bin
+    only opens because the prior one crossed the target)."""
+    from curw_mike_data_handler_spark.catalog import QUERIES
+
+    rows = QUERIES["compaction_bins"](spark, "/root/testdata/sf0.001").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, bins in by_src.items():
+        idx = sorted(b["bin"] for b in bins)
+        assert idx == list(range(len(idx))), f"{src}: non-contiguous bins {idx}"
+        assert all(b["n_docs"] > 0 for b in bins)
