@@ -601,3 +601,53 @@ def test_nearest_grid_candidate_join_is_hash_on_cells(spark):
     # the station-side self-pairing must not be a nested loop: at most
     # one BNLJ (the 9-row offsets), the candidate join is hashed
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_edit1_join_is_hashed_on_variants_no_cartesian(spark):
+    """The deletion-variant index must make the fuzzy join a hash
+    join on the variant key — a CartesianProduct/BNLJ here is the
+    O(n²) plan the blocking exists to avoid."""
+    plan = _plan(spark, "fuzzy_join_edit1")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "variant" in plan
+
+
+def test_ohlc_is_one_aggregate_no_window(spark):
+    """open/close come from min_by/max_by inside the SAME partial+
+    final hash aggregate as high/low — a Window (per-bucket sort)
+    or a second Exchange would be the scale regression."""
+    plan = _plan(spark, "events_ohlc_bars")
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
+    assert "min_by" in plan and "max_by" in plan
+
+
+def test_weighted_median_windows_value_distinct_set(spark):
+    """The cumulative-weight window must run AFTER the (group, value)
+    pre-aggregation: exactly one HashAggregate pair below the Sort —
+    windowing the raw fact would sort every row."""
+    plan = _plan(spark, "weighted_median_price")
+    # partial+final pre-agg, then window, then final min rollup
+    assert "Window" in plan
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:], "pre-agg must sit below the window"
+
+
+def test_incremental_dedup_probes_corpus_no_full_rescan_join(spark):
+    """Batch-vs-corpus classification: the corpus side enters only as
+    a distinct fingerprint index on a hash join — no cartesian, no
+    second pass over the documents scan per class."""
+    plan = _plan(spark, "dedup_incremental_batch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_compaction_bins_windows_per_source_only(spark):
+    """The packing window must be partitioned by source (parallel
+    across sources) — a global, unpartitioned window would serialize
+    the whole corpus through one task."""
+    plan = _plan(spark, "compaction_bins")
+    assert "Window" in plan
+    # the window spec carries the partition key
+    assert "source" in plan.split("Window")[1][:400]
