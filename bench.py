@@ -170,6 +170,7 @@ HEADLINE = [
     "weighted_median_price",
     "dedup_incremental_batch",
     "compaction_bins",
+    "entity_canonicalize",
     # dedup_containment_census excluded like the other posting-list
     # pair generators: the synthetic corpus' tiny shared vocabulary
     # makes them quadratic by construction (they run in the sf0.01

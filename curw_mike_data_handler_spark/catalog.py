@@ -8056,6 +8056,80 @@ def dedup_containment_census(spark, sf_dir):
     )
 
 
+@query(
+    "entity_canonicalize",
+    """
+    WITH RECURSIVE w AS (
+        SELECT DISTINCT word FROM (
+            SELECT lower(unnest(string_split(p_name, ' '))) AS word FROM part
+            UNION
+            SELECT lower(unnest(string_split(text, ' '))) FROM documents
+            UNION
+            SELECT lower(p_type) FROM part
+            UNION
+            SELECT lower(n_name) FROM nation
+        ) WHERE word <> ''
+    ),
+    pairs AS (
+        SELECT a.word AS wa, b.word AS wb
+        FROM w a JOIN w b ON a.word < b.word AND levenshtein(a.word, b.word) <= 1
+    ),
+    edges AS (
+        SELECT wa AS src, wb AS dst FROM pairs
+        UNION
+        SELECT wb, wa FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    comp AS (SELECT node AS word, min(lbl) AS canonical FROM reach GROUP BY node)
+    SELECT word, canonical,
+           CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS cluster_size
+    FROM comp
+    """,
+)
+def entity_canonicalize(spark, sf_dir):
+    """End-to-end entity canonicalization: typo-cluster the combined
+    vocabulary (edit-distance-1 pairs via the deletion-variant index)
+    and map every clustered word to a canonical representative (the
+    lexicographic minimum of its connected component) with its
+    cluster size — the composition fuzzy-pairs → components →
+    canonical map that replaces the reference's hand-maintained
+    name-normalization dicts (rf_linux:95-117) at corpus scale.
+
+    Scale shape: the pair generator is the linear FastSS index (see
+    fuzzy_join_edit1); components use the same min-label propagation
+    as dedup (diameter-bounded rounds, lineage-truncated, O(1) driver
+    state) — label propagation is type-agnostic, so string node ids
+    ride the exact plan the doc-id graphs use.  The oracle is an
+    independent formulation: a genuine recursive CTE transitive
+    closure.  Output is one row per clustered word; singletons stay
+    un-emitted (they canonicalize to themselves by definition)."""
+    from curw_mike_data_handler_spark.operators.dedup import connected_components
+    from curw_mike_data_handler_spark.operators.fuzzyjoin import edit1_self_join
+
+    p = _t(spark, sf_dir, "part")
+    d = _t(spark, sf_dir, "documents")
+    n = _t(spark, sf_dir, "nation")
+    words = (
+        p.select(F.explode(F.split(F.lower("p_name"), " ")).alias("word"))
+        .unionAll(d.select(F.explode(F.split(F.lower("text"), " ")).alias("word")))
+        .unionAll(p.select(F.lower("p_type").alias("word")))
+        .unionAll(n.select(F.lower("n_name").alias("word")))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    pairs = edit1_self_join(words, "word")
+    comp = connected_components(pairs, src_col="word_a", dst_col="word_b")
+    return comp.select(
+        F.col("node").alias("word"),
+        F.col("component").alias("canonical"),
+        F.col("component_size").cast("long").alias("cluster_size"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
