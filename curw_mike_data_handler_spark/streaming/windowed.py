@@ -49,3 +49,54 @@ def windowed_sum_right_closed_stream(
         .agg(F.coalesce(F.sum(value_col), F.lit(0.0)).alias(value_col))
     )
     return agg.select(*key_cols, F.col("__w.end").alias(time_col), value_col)
+
+
+def ohlc_bars_stream(
+    events: DataFrame,
+    *,
+    step_minutes: int = 60,
+    watermark: str = "30 minutes",
+    time_col: str = "time",
+    value_col: str = "value",
+    key_cols: Sequence[str] = (),
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Streaming OHLC bars: one row per (keys, bucket-start) with
+    open/high/low/close/n_events, finalized exactly once when the
+    watermark passes the bucket end (append mode) — the unbounded
+    twin of catalog.events_ohlc_bars, sharing its semantics: buckets
+    are [start, end) labeled by start (`date_trunc` parity), and
+    open/close are `min_by`/`max_by` on a lexicographic
+    [epoch_us(, seq)] array key, so first/last are deterministic
+    under same-microsecond ties when ``seq_col`` is given.
+
+    Scale shape: a plain watermarked streaming aggregation — state is
+    one row per open (keys, bucket), evicted at finalization; the
+    min_by/max_by pairs fold incrementally per micro-batch exactly
+    like sum/min/max (no sorted buffer, no per-event state)."""
+    key_parts = [F.unix_micros(F.col(time_col))]
+    if seq_col is not None:
+        key_parts.append(F.col(seq_col).cast("long"))
+    key = F.array(*key_parts)
+    agg = (
+        events.withWatermark(time_col, watermark)
+        .groupBy(
+            *key_cols, F.window(time_col, f"{step_minutes} minutes").alias("__w")
+        )
+        .agg(
+            F.min_by(value_col, key).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, key).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    return agg.select(
+        *key_cols,
+        F.col("__w.start").alias(time_col),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+    )

@@ -421,3 +421,78 @@ def test_latest_version_processor_logic():
     # advance
     assert feed([(7, 70.0)]) == [("s1", 7, 70.0)]
     assert h.state.get() == (7, 70.0)
+
+
+def test_streaming_ohlc_bars_agree_with_batch(spark, tmp_path):
+    """Stream/batch unification for OHLC: finalized streaming bars
+    must equal the batch min_by/max_by aggregate over the same rows,
+    and each bar is emitted exactly once."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.streaming.file_watch import (
+        run_available_now,
+        stream_csv_dir,
+    )
+    from curw_mike_data_handler_spark.streaming.windowed import ohlc_bars_stream
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = []
+
+    def sink(batch_df, batch_id):
+        out.extend(
+            (r["tms_id"], str(r["time"]), r["open"], r["high"], r["low"],
+             r["close"], r["n_events"])
+            for r in batch_df.collect()
+        )
+
+    def tick():
+        stream = ohlc_bars_stream(
+            stream_csv_dir(spark, str(inbox), SCHEMA, header=False),
+            step_minutes=15,
+            watermark="20 minutes",
+            time_col="time",
+            value_col="value",
+            key_cols=("tms_id",),
+        )
+        run_available_now(stream, ckpt, sink)
+
+    rows = [
+        ("s1", "2020-05-22 00:01:00", 5.0),
+        ("s1", "2020-05-22 00:07:00", 9.0),
+        ("s1", "2020-05-22 00:14:00", 2.0),
+        ("s1", "2020-05-22 00:20:00", 4.0),
+        ("s2", "2020-05-22 00:03:00", 1.0),
+    ]
+    _write(inbox / "a.csv", rows)
+    tick()
+    # advance the watermark far enough to finalize every bucket above
+    _write(inbox / "b.csv", [("s1", "2020-05-22 02:00:00", 8.0)])
+    tick()
+
+    got = {(k, t): rest for k, t, *rest in out}
+    assert len(out) == len(got), "each bar must be emitted exactly once"
+
+    batch = spark.createDataFrame(
+        rows, "tms_id string, time string, value double"
+    ).withColumn("time", F.to_timestamp("time"))
+    key = F.array(F.unix_micros("time"))
+    want_rows = (
+        batch.groupBy("tms_id", F.window("time", "15 minutes").alias("w"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .collect()
+    )
+    want = {
+        (r["tms_id"], str(r["w"]["start"])): [r["open"], r["high"], r["low"],
+                                              r["close"], r["n"]]
+        for r in want_rows
+    }
+    assert got == want
+    assert got[("s1", "2020-05-22 00:00:00")] == [5.0, 9.0, 2.0, 2.0, 3]
