@@ -171,6 +171,9 @@ HEADLINE = [
     "dedup_incremental_batch",
     "compaction_bins",
     "entity_canonicalize",
+    "events_anomaly_episodes",
+    "skew_key_census",
+    "customer_rfm_segments",
     # dedup_containment_census excluded like the other posting-list
     # pair generators: the synthetic corpus' tiny shared vocabulary
     # makes them quadratic by construction (they run in the sf0.01

@@ -8130,6 +8130,214 @@ def entity_canonicalize(spark, sf_dir):
     )
 
 
+@query(
+    "events_anomaly_episodes",
+    """
+    WITH a AS (
+        SELECT event_type, ts, event_id, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE value > 90
+    ), marked AS (
+        SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                              PARTITION BY event_type ORDER BY ts, event_id) > 600000000
+                  THEN 1 ELSE 0 END AS brk
+        FROM a
+    ), epi AS (
+        SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS episode
+        FROM marked
+    )
+    SELECT event_type, CAST(episode AS BIGINT) AS episode,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS episode_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS episode_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(v) AS DOUBLE) / 100 AS peak_value
+    FROM epi GROUP BY 1, 2
+    """,
+)
+def events_anomaly_episodes(spark, sf_dir):
+    """Alerting episodes (gaps-and-islands over a threshold filter):
+    consecutive above-threshold events within a 10-minute gap merge
+    into one episode per event type, reported as [start, end] with
+    event count and peak — the monitoring op that turns a raw
+    telemetry filter into pageable incidents (the reference's analog
+    is its staleness alerting around obs_end, rf_linux:115-121,
+    generalized to value excursions).
+
+    Scale shape: the threshold filter lands on the scan (pushed
+    predicate prunes the fact FIRST — episodes only ever see the
+    anomalous sliver), then one hash(event_type) exchange feeds the
+    lag/cumsum/rollup chain, all three sharing the SAME window sort.
+    Episode ids are per-type cumulative break counts — deterministic
+    with the (ts, event_id) tie-break, no global numbering."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 90)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    brk = F.when(
+        prev.isNull() | ((F.unix_micros(F.col("ts")) - prev) > 600_000_000), 1
+    ).otherwise(0)
+    cum = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    epi = (
+        ev.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+            brk.alias("brk"),
+        )
+        .withColumn("episode", F.sum("brk").over(cum).cast("long"))
+        .drop("event_id")
+    )
+    return epi.groupBy("event_type", "episode").agg(
+        _fmt(F.min("ts")).alias("episode_start"),
+        _fmt(F.max("ts")).alias("episode_end"),
+        F.count("*").cast("long").alias("n_events"),
+        (F.max("v").cast("double") / 100).alias("peak_value"),
+    )
+
+
+@query(
+    "skew_key_census",
+    """
+    WITH k AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+    b AS (
+        SELECT CAST(length(format('{:b}', cnt)) - 1 AS BIGINT) AS size_bucket_log2,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(max(cnt) AS BIGINT) AS max_cnt
+        FROM k GROUP BY 1
+    )
+    SELECT size_bucket_log2, n_keys, n_rows, max_cnt,
+           round(CAST(n_rows AS DOUBLE) / CAST(sum(n_rows) OVER () AS DOUBLE), 6)
+               AS row_share
+    FROM b
+    """,
+)
+def skew_key_census(spark, sf_dir):
+    """Shuffle-skew diagnostic: the log₂ histogram of per-key group
+    sizes (how many keys fall in each power-of-two size bucket, how
+    many rows they carry, the largest key, and each bucket's share of
+    all rows).  This is the measurement behind every salting/AQE
+    decision in SCALE.md — run it BEFORE picking a join strategy on a
+    new key, exactly how tools/scale_probe.py sized the sf1 runs.
+
+    Scale shape: one partial-aggregated hash(key) exchange (the same
+    count the real workload would shuffle anyway), then a ≤64-row
+    bucket rollup; the share window runs on those ≤64 rows.  The
+    bucket index is the integer bit-length of the count (length of
+    the base-2 string, exact in both engines) — no float log2 near
+    integer boundaries."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    b = (
+        k.select((F.length(F.bin("cnt")) - 1).cast("long").alias("size_bucket_log2"), "cnt")
+        .groupBy("size_bucket_log2")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.max("cnt").cast("long").alias("max_cnt"),
+        )
+    )
+    w = Window.partitionBy()
+    return b.withColumn(
+        "row_share",
+        F.round(F.col("n_rows").cast("double") / F.sum("n_rows").over(w).cast("double"), 6),
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH gm AS (SELECT max(epoch_us(o_orderdate)) AS g FROM orders),
+    m AS (
+        SELECT o_custkey AS c_custkey,
+               CAST((gm.g - max(epoch_us(o_orderdate))) // 86400000000 AS BIGINT)
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+        FROM orders, gm GROUP BY o_custkey, gm.g
+    ), scored AS (
+        SELECT c_custkey, monetary_cents,
+               ntile(5) OVER (ORDER BY recency_days DESC, c_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency ASC, c_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary_cents ASC, c_custkey) AS m_score
+        FROM m
+    )
+    SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS DOUBLE) / 100 AS total_monetary
+    FROM scored GROUP BY 1
+    """,
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation: quintile-score every customer on Recency
+    (days since last order, vs the corpus max date), Frequency
+    (order count) and Monetary (lifetime cents), concatenate the
+    three scores into the classic '555'-style segment code, and
+    census the segments.  5 is best on every axis; ties break on
+    custkey so ntile is deterministic.
+
+    Scale shape: the fact collapses to one row per CUSTOMER in the
+    first hash agg — the three unpartitioned ntile windows then run
+    on the DIMENSION-scale aggregate (customers, not orders), the
+    same defense as w7/w8: global windows are fine when their input
+    is the already-aggregated small side.  The corpus max date is a
+    1-row broadcast (q22's threshold pattern).  At true 100-TB
+    dimension scale, swap ntile for broadcast approx_percentile
+    thresholds (the robust.quantile_agg path) — same segment
+    semantics, no global sort."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    gm = o.agg(F.max(F.unix_micros("o_orderdate")).alias("g"))
+    m = (
+        o.crossJoin(F.broadcast(gm))
+        .groupBy("o_custkey", "g")
+        .agg(
+            F.max(F.unix_micros("o_orderdate")).alias("last_us"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(_cents("o_totalprice")).alias("monetary_cents"),
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.floor((F.col("g") - F.col("last_us")) / 86_400_000_000).cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r_w = Window.orderBy(F.desc("recency_days"), "c_custkey")
+    f_w = Window.orderBy(F.asc("frequency"), "c_custkey")
+    m_w = Window.orderBy(F.asc("monetary_cents"), "c_custkey")
+    scored = m.select(
+        "monetary_cents",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    return (
+        scored.select(
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("segment"),
+            "monetary_cents",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            (F.sum("monetary_cents").cast("double") / 100).alias("total_monetary"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
