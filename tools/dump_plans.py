@@ -84,6 +84,15 @@ SHOWCASE = [
     ("source_quota_apportion", "integer Hamilton quotas; remainder rank on the broadcast-sized source frontier"),
     ("multi_touch_attribution", "desc purchase-count seq turns next-purchase lookup into an equi-join; two keyed exchanges"),
     ("j11_bloom_semi_join", "literal bloom filter BELOW the semi join — map-side prune before the shuffle"),
+    ("fuzzy_join_edit1", "FastSS deletion-variant index: hash join on variants, verify on candidates — no cross join"),
+    ("events_ohlc_bars", "all four OHLC prices from ONE min_by/max_by hash aggregate — no window, one exchange"),
+    ("weighted_median_price", "cumulative-weight window over the value-distinct pre-aggregate, not the raw fact"),
+    ("dedup_incremental_batch", "batch probes the corpus fingerprint index on one hash join — corpus never rescanned"),
+    ("compaction_bins", "per-source packing window + rollup — parallel across sources, driver-free planning"),
+    ("entity_canonicalize", "fuzzy pairs → min-label components → canonical map, string node ids on the doc-id plan"),
+    ("events_anomaly_episodes", "pushed threshold filter; lag/cumsum/rollup share ONE window sort on the sliver"),
+    ("skew_key_census", "partial-aggregated key counts → bit-length buckets (≤64 rows) → share window"),
+    ("customer_rfm_segments", "fact collapses to customers first; ntile windows on the dimension-scale aggregate"),
 ]
 
 

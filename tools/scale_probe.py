@@ -310,6 +310,36 @@ def main() -> None:
         else:
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
+    # edit-1 fuzzy join at 50k distinct strings: the deletion-variant
+    # index executes (linear Σ(len+1) keys); the cross-join alternative
+    # is REPORTED (n², the blowup the blocking avoids), not executed.
+    # Vocabulary: md5-derived 8-hex "words" in 5k clusters of 10 — each
+    # cluster shares a 7-hex stem with a varying last char, so every
+    # cluster contributes C(10,2) true edit-1 pairs (verifiable volume)
+    # while stems are disjoint across clusters.
+    from curw_mike_data_handler_spark.operators.fuzzyjoin import edit1_self_join
+
+    vocab = spark.range(50_000).select(
+        F.concat(
+            F.substring(F.md5((F.col("id") / 10).cast("long").cast("string")), 1, 7),
+            F.substring(F.md5(F.col("id").cast("string")), 1, 1),
+        ).alias("word")
+    ).distinct()
+    n_vocab = vocab.count()
+    measure(
+        spark,
+        "fuzzy_edit1_variant_index",
+        lambda: edit1_self_join(vocab, "word", max_bucket=1000),
+        results,
+    )
+    results["fuzzy_edit1_cross_join_rows"] = {
+        "vocab": n_vocab,
+        "cross_join_rows_not_executed": n_vocab * (n_vocab - 1) // 2,
+        "variant_index_rows": n_vocab * 9,  # len 8 → 9 keys per word
+    }
+    print(f"  fuzzy census: vocab={n_vocab:,}, cross-join rows (avoided)="
+          f"{n_vocab * (n_vocab - 1) // 2:,}, index rows={n_vocab * 9:,}")
+
     payload = {
         "sf": 1.0,
         "docs": docs_lin.count(),
@@ -336,6 +366,7 @@ def main() -> None:
         "components_two_phase": "pairwise",
         "semi_join_shuffle_plain": "linear",
         "semi_join_bloom_prefiltered": "linear",
+        "fuzzy_edit1_variant_index": "synthetic-vocab",
     }
     for k, v in results.items():
         if "wall_s" in v:
