@@ -174,6 +174,7 @@ HEADLINE = [
     "events_anomaly_episodes",
     "skew_key_census",
     "customer_rfm_segments",
+    "embedding_label_centroids",
     # dedup_containment_census excluded like the other posting-list
     # pair generators: the synthetic corpus' tiny shared vocabulary
     # makes them quadratic by construction (they run in the sf0.01

@@ -8338,6 +8338,100 @@ def customer_rfm_segments(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_label_centroids",
+    """
+    WITH dims AS (
+        SELECT label, i.i AS dim,
+               sum(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT)) AS s
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS i(i)
+        GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT label, sum(CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) AS nsq
+        FROM dims GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               sum(CAST(a.s AS DECIMAL(38,0)) * CAST(b.s AS DECIMAL(38,0))) AS dot
+        FROM dims a JOIN dims b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6)
+               AS centroid_cosine
+    FROM dots
+    JOIN norms na ON na.label = label_a
+    JOIN norms nb ON nb.label = label_b
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Dataset-diversity matrix: the pairwise cosine between per-label
+    embedding CENTROIDS — the corpus-mix health check (are two
+    sources/classes embedding-indistinguishable? is a new crawl
+    drifting onto an old one?) used alongside semdedup_clusters.
+
+    Exactness trick: the centroid divides by n, and cosine is
+    scale-invariant, so cos(centroid_a, centroid_b) = cos(sum_a,
+    sum_b) — the engine never divides.  Elements are quantized to
+    integer micros (exact in both engines since float32 → float64
+    promotion is exact), per-dimension sums are exact BIGINTs, and
+    the dot/norm products run in DECIMAL(38,0) — the whole pipeline
+    is combine-order independent, so cross-engine hashes match
+    without any FP tolerance.
+
+    Scale shape: posexplode inflates the fact ×dims, but the partial
+    aggregate collapses it to |labels|×dims rows map-side (the only
+    fact-scale exchange); the pair join and norm rollup run on that
+    tiny grid — |labels|²·dims work, independent of corpus size."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "label",
+            "dim",
+            F.round(F.col("x").cast("double") * 1_000_000).cast("long").alias("v"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("v").alias("s"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    norms = dims.groupBy("label").agg(
+        F.sum(dec("s") * dec("s")).alias("nsq")
+    )
+    a = dims.select(
+        F.col("label").alias("label_a"), "dim", F.col("s").alias("sa")
+    )
+    b = dims.select(
+        F.col("label").alias("label_b"), "dim", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(dec("sa") * dec("sb")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nsq").alias("nsq_a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nsq").alias("nsq_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nsq_a").cast("double"))
+                    * F.sqrt(F.col("nsq_b").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
