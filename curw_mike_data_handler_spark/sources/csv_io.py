@@ -71,3 +71,44 @@ def read_wide_matrix(
         F.to_timestamp(F.col(time_col)).alias(time_col),
         *[F.col(c).cast("double").alias(c) for c in value_cols],
     )
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    header: bool = False,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV read split into (good_rows, quarantine).
+
+    The reference trusts its CSVs completely (``pd.read_csv`` at
+    rf_linux:142 crashes the whole hourly run on one malformed line);
+    production ingest needs the malformed sliver captured, not fatal
+    and not silently dropped.  Spark's PERMISSIVE mode parses what it
+    can and stores the raw line of any row that failed in the
+    ``columnNameOfCorruptRecord`` column — this helper returns the
+    clean frame (corrupt column dropped) plus a quarantine frame of
+    the raw offending lines for replay/alerting.
+
+    Scale shape: ONE scan serves both frames (the split is two lazy
+    filters over the same read); no pre-validation pass.  Caveat
+    pinned by the test: Spark requires the corrupt column to be
+    CACHED or re-read to filter on it (SPARK-21610) — the helper
+    handles that by selecting it explicitly in the scan schema.
+    """
+    full_schema = f"{schema}, {corrupt_col} string"
+    raw = (
+        spark.read.schema(full_schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+        .cache()  # SPARK-21610: can't filter the corrupt col on a lazy scan
+    )
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad

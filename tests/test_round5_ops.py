@@ -161,3 +161,49 @@ def test_compaction_bins_invariants(spark):
         idx = sorted(b["bin"] for b in bins)
         assert idx == list(range(len(idx))), f"{src}: non-contiguous bins {idx}"
         assert all(b["n_docs"] > 0 for b in bins)
+
+
+def test_csv_quarantine_splits_good_and_bad(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "s1,2020-05-22 00:00:00,1.5\n"
+        "oops,this,is,not,parseable,extra,cols\n"
+        "s2,2020-05-22 00:15:00,notanumber\n"
+        "s3,2020-05-22 00:30:00,2.5\n"
+    )
+    from curw_mike_data_handler_spark.sources.csv_io import read_csv_with_quarantine
+
+    good, bad = read_csv_with_quarantine(
+        spark, str(p), "tms_id string, time timestamp, value double"
+    )
+    good_rows = {(r["tms_id"], r["value"]) for r in good.collect()}
+    bad_rows = [r["raw_line"] for r in bad.collect()]
+    assert good_rows == {("s1", 1.5), ("s3", 2.5)}
+    assert len(bad_rows) == 2
+    assert any("notanumber" in b for b in bad_rows)
+    assert any("oops" in b for b in bad_rows)
+
+
+def test_observe_metrics_ride_the_write_action(spark, tmp_path):
+    """with_ingest_metrics: counts/min/max/watermark are collected as
+    a side effect of the ONE materializing action — the reference's
+    post-write SELECT-back audit without a second scan."""
+    from datetime import datetime
+
+    from curw_mike_data_handler_spark.sources.observe import with_ingest_metrics
+
+    rows = [
+        ("s1", datetime(2020, 5, 22, 0, 0), 1.5),
+        ("s1", datetime(2020, 5, 22, 0, 15), -2.0),
+        ("s2", datetime(2020, 5, 22, 0, 30), None),
+        ("s2", datetime(2020, 5, 22, 1, 0), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "tms_id string, time timestamp, value double")
+    out, obs = with_ingest_metrics(df, value_col="value", time_col="time")
+    out.write.mode("overwrite").parquet(str(tmp_path / "sink"))
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["n_null_value"] == 1
+    assert got["n_negative_value"] == 1
+    assert got["min_value"] == -2.0 and got["max_value"] == 4.0
+    assert str(got["max_time"]) == "2020-05-22 01:00:00"
