@@ -175,6 +175,7 @@ HEADLINE = [
     "skew_key_census",
     "customer_rfm_segments",
     "embedding_label_centroids",
+    "w13_trailing_range_frame",
     # dedup_containment_census excluded like the other posting-list
     # pair generators: the synthetic corpus' tiny shared vocabulary
     # makes them quadratic by construction (they run in the sf0.01

@@ -8432,6 +8432,53 @@ def embedding_label_centroids(spark, sf_dir):
     )
 
 
+@query(
+    "w13_trailing_range_frame",
+    """
+    SELECT event_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY epoch_us(ts)
+               RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+               AS trailing_sum_30m,
+           CAST(count(*) OVER (
+               PARTITION BY event_type ORDER BY epoch_us(ts)
+               RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_trailing_30m
+    FROM events
+    """,
+)
+def w13_trailing_range_frame(spark, sf_dir):
+    """Per-EVENT trailing 30-minute rollup via a time-based RANGE
+    window frame — the event-anchored sibling of w4's bucket-anchored
+    sliding window (every event sees its own trailing horizon, not a
+    grid's).  RANGE frames are the one window variant the catalog
+    didn't exercise: the frame bound is a VALUE offset on the
+    ordering key (epoch micros), and ties are peers — rows sharing a
+    timestamp enter each other's frames in both engines by the SQL
+    standard, so no tie-break is needed for determinism.
+
+    Scale shape: one hash(event_type) exchange + one sort; the
+    running frame is maintained incrementally by the window operator
+    (two pointers over the sorted run — no per-row rescan of the
+    horizon, no self-join on the time inequality, which is the naive
+    O(n·k) plan w4's grid join replaces in bucket form).  Sums are
+    exact integer cents."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-1_800_000_000, Window.currentRow)
+    )
+    v = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        (F.sum(v).over(w).cast("double") / 100).alias("trailing_sum_30m"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_30m"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
