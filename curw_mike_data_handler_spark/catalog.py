@@ -8479,6 +8479,324 @@ def w13_trailing_range_frame(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_substring_spans",
+    """
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    base AS (SELECT doc_id, w, len(w) AS n_tokens FROM d),
+    wins AS (
+        SELECT doc_id, i, array_to_string(w[i : i + 4], ' ') AS win
+        FROM base, unnest(range(1, n_tokens - 5 + 2)) AS r(i)
+        WHERE n_tokens >= 5
+    ),
+    freq AS (SELECT win, count(*) AS c FROM wins GROUP BY win),
+    marked AS (
+        SELECT wins.doc_id, wins.i
+        FROM wins JOIN freq USING (win) WHERE freq.c >= 2
+    ),
+    mk AS (
+        SELECT doc_id, i,
+               CASE WHEN i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 5
+                    THEN 1 ELSE 0 END AS brk
+        FROM marked
+    ),
+    isl AS (
+        SELECT doc_id, i,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM mk
+    ),
+    spans AS (
+        SELECT doc_id, grp, max(i) + 5 - min(i) AS span_len
+        FROM isl GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_dup_spans,
+               CAST(sum(span_len) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(p.dup_tokens, 0) AS dup_tokens,
+           (10000 * coalesce(p.dup_tokens, 0)) // b.n_tokens AS dup_bp
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_substring_spans_q(spark, sf_dir):
+    """Exact-substring duplication census — the distributable
+    re-expression of suffix-array substring dedup (Lee et al. 2021):
+    every 5-word window repeated anywhere in the corpus marks its
+    tokens, overlapping/adjacent marked windows merge into maximal
+    spans, and each document reports how much of it is duplicated
+    text (basis points, integer math).  Complements dedup_exact
+    (whole-doc) and line_dedup (fixed 3-word lines, corpus df): spans
+    are position-merged, so a 40-token plagiarized passage counts
+    once as a 40-token span, not as 36 overlapping windows.
+
+    See operators.dedup.substring_dup_spans for the scale shape:
+    narrow window explode → one hash(window) freq exchange → mark
+    join → per-doc islands window; linear, no self-join, no suffix
+    sort."""
+    from curw_mike_data_handler_spark.operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(
+        _t(spark, sf_dir, "documents"), k=5, min_count=2
+    )
+
+
+@query(
+    "quality_classifier_auc",
+    """
+    WITH scored AS (
+        SELECT source,
+               (100 * n_chars) // len(string_split(text, ' ')) AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, y,
+               2 * rank() OVER (PARTITION BY source ORDER BY score)
+                 + count(*) OVER (PARTITION BY source, score) - 1 AS r2
+        FROM scored
+    ),
+    agg AS (
+        SELECT source,
+               CAST(sum(y) AS BIGINT) AS np,
+               CAST(count(*) - sum(y) AS BIGINT) AS nn,
+               CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT) AS rank2_pos
+        FROM ranked GROUP BY source
+    )
+    SELECT source, np, nn,
+           rank2_pos - np * (np + 1) AS auc_num,
+           2 * np * nn AS auc_den,
+           CAST(rank2_pos - np * (np + 1) AS DOUBLE) / (2 * np * nn) AS auc
+    FROM agg WHERE np > 0 AND nn > 0
+    """,
+)
+def quality_classifier_auc(spark, sf_dir):
+    """Distributed classifier evaluation: exact ROC-AUC per source for
+    a quality score (mean word length, integer centi-units)
+    predicting the lang='en' label — the evaluation loop every
+    classifier-based corpus filter (fastText quality, perplexity
+    gates) needs at corpus scale.  AUC is computed by the
+    Mann-Whitney rank statistic with the standard tie correction:
+    2·avg_rank = 2·RANK + tie_count − 1 stays integer, so
+    AUC = (Σ₂ranks(pos) − np(np+1)) / (2·np·nn) is a single exact
+    integer ratio — no sorting the whole corpus to the driver, no FP
+    accumulation, and the final double division of two BIGINTs is
+    IEEE-identical across engines.
+
+    Scale shape: one hash(source) exchange + per-partition sort for
+    the two windows (both share the same partitioning), then a grouped
+    rollup that reuses it — AUC over a 100-TB corpus is exactly one
+    shuffle.  Degenerate sources (single-class) are filtered, not
+    divided by zero."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        F.expr("(100 * n_chars) div size(split(text, ' '))").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    r2 = (
+        2 * F.rank().over(Window.partitionBy("source").orderBy("score"))
+        + F.count("*").over(Window.partitionBy("source", "score"))
+        - 1
+    )
+    agg = (
+        scored.withColumn("r2", r2)
+        .groupBy("source")
+        .agg(
+            F.sum("y").cast("long").alias("np"),
+            (F.count("*") - F.sum("y")).cast("long").alias("nn"),
+            F.sum(F.when(F.col("y") == 1, F.col("r2")).otherwise(0))
+            .cast("long")
+            .alias("rank2_pos"),
+        )
+    )
+    return agg.filter((F.col("np") > 0) & (F.col("nn") > 0)).select(
+        "source",
+        "np",
+        "nn",
+        (F.col("rank2_pos") - F.col("np") * (F.col("np") + 1)).alias("auc_num"),
+        (2 * F.col("np") * F.col("nn")).alias("auc_den"),
+        (
+            (F.col("rank2_pos") - F.col("np") * (F.col("np") + 1)).cast("double")
+            / (2 * F.col("np") * F.col("nn"))
+        ).alias("auc"),
+    )
+
+
+@query(
+    "dbscan_station_clusters",
+    """
+    WITH RECURSIVE p AS (
+        SELECT c_custkey AS id,
+               ('0x' || substr(md5(c_custkey::VARCHAR || ':x'), 1, 15))::BIGINT
+                   % 1000 AS x,
+               ('0x' || substr(md5(c_custkey::VARCHAR || ':y'), 1, 15))::BIGINT
+                   % 1000 AS y
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.id AS ia, b.id AS ib
+        FROM p a JOIN p b
+          ON a.id <> b.id
+         AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625
+    ),
+    nc AS (SELECT ia AS id, count(*) + 1 AS n FROM pairs GROUP BY ia),
+    cores AS (SELECT id FROM nc WHERE n >= 4),
+    ce AS (
+        SELECT ia AS a, ib AS b FROM pairs
+        WHERE ia IN (SELECT id FROM cores) AND ib IN (SELECT id FROM cores)
+        UNION
+        SELECT id, id FROM cores
+    ),
+    reach(src, dst) AS (
+        SELECT a, a FROM ce
+        UNION
+        SELECT r.src, g.b FROM reach r JOIN ce g ON r.dst = g.a
+    ),
+    comp AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src),
+    border AS (
+        SELECT pr.ia AS id, min(c.cluster) AS cluster
+        FROM pairs pr
+        JOIN cores co ON pr.ib = co.id
+        JOIN comp c ON c.id = pr.ib
+        WHERE pr.ia NOT IN (SELECT id FROM cores)
+        GROUP BY pr.ia
+    ),
+    assigned AS (
+        SELECT id, 'core' AS role, cluster FROM comp
+        UNION ALL
+        SELECT id, 'border' AS role, cluster FROM border
+    ),
+    sizes AS (
+        SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM assigned GROUP BY cluster
+    )
+    SELECT p.id, coalesce(a.role, 'noise') AS role, a.cluster, s.cluster_size
+    FROM p
+    LEFT JOIN assigned a USING (id)
+    LEFT JOIN sizes s USING (cluster)
+    """,
+)
+def dbscan_station_clusters(spark, sf_dir):
+    """DBSCAN density clustering of the station-like point set (the
+    reference's stations carry lat/lon the test tables lack, so
+    coordinates derive deterministically from the key — same device as
+    j3's synthetic station grid): eps=25 on a 1000×1000 integer grid,
+    min_pts=4, grid-cell-blocked candidate pairs, components over
+    core–core edges, min-cluster border adoption.  Every point lands
+    in exactly one of core/border/noise — the oracle recomputes the
+    whole thing as a brute-force pair join + recursive transitive
+    closure (tractable at gate scale; the Spark side stays blocked and
+    diameter-bounded for corpus scale).  See
+    operators.density.dbscan_grid."""
+    from curw_mike_data_handler_spark.operators.density import dbscan_grid
+
+    c = _t(spark, sf_dir, "customer")
+    h = lambda sfx: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(sfx))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("id"), h(":x").alias("x"), h(":y").alias("y")
+    )
+    return dbscan_grid(pts, eps=25, min_pts=4)
+
+
+_PHRASES = [
+    "slow hash batch",
+    "stream table hash",
+    "part the the",
+    "row column sort",
+    "data query",
+]
+
+
+@query(
+    "phrase_search_positional",
+    f"""
+    WITH ph AS (
+        SELECT ph.phrase, r.j + 1 AS j, string_split(ph.phrase, ' ')[r.j + 1] AS word,
+               len(string_split(ph.phrase, ' ')) AS m
+        FROM (VALUES {", ".join(f"('{p}')" for p in _PHRASES)}) ph(phrase),
+             unnest(range(0, len(string_split(ph.phrase, ' ')))) r(j)
+    ),
+    post AS (
+        SELECT doc_id, i AS pos, w[i] AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             unnest(range(1, len(w) + 1)) r(i)
+    ),
+    hits AS (
+        SELECT ph.phrase, post.doc_id, post.pos - ph.j + 1 AS start, ph.m
+        FROM post JOIN ph USING (word)
+    ),
+    starts AS (
+        SELECT phrase, doc_id, start
+        FROM hits GROUP BY phrase, doc_id, start, m HAVING count(*) = m
+    )
+    SELECT phrase, doc_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(start) AS BIGINT) AS first_pos
+    FROM starts GROUP BY phrase, doc_id
+    """,
+)
+def phrase_search_positional(spark, sf_dir):
+    """Exact multi-word phrase search over an inverted POSITIONAL
+    index — the retrieval sibling of bm25_topdocs (bag-of-words can't
+    answer "these words adjacent, in this order").  The classic
+    search-engine plan, re-expressed relationally: posting list
+    (word, doc, pos) ⋈ broadcast phrase tokens (word, j) puts every
+    candidate alignment at start = pos − j; a start is a match iff
+    all m phrase slots matched, i.e. the (phrase, doc, start) group
+    has exactly m rows.  Handles repeated words inside a phrase
+    ('part the the') for free — each slot j matches independently.
+
+    Scale shape: the posting explode is a narrow map; the phrase dim
+    is a handful of rows (broadcast — never shuffles the postings
+    against anything big); then two grouped counts whose first
+    grouping key (phrase, doc, start) is a superset of the second's
+    (phrase, doc), so AQE reuses one exchange.  Query cost is
+    proportional to the posting lists of the phrase's words only —
+    the corpus index is never scanned for other words (the word
+    equi-join prunes at the shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    spark_phrases = spark.createDataFrame(
+        [(p,) for p in _PHRASES], "phrase string"
+    )
+    ph = spark_phrases.select(
+        "phrase",
+        F.posexplode(F.split("phrase", " ")).alias("j0", "word"),
+        F.size(F.split("phrase", " ")).alias("m"),
+    ).select("phrase", (F.col("j0") + 1).alias("j"), "word", "m")
+    post = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "word")
+    hits = post.join(F.broadcast(ph), "word").select(
+        "phrase", "doc_id", (F.col("pos") - F.col("j") + 1).alias("start"), "m"
+    )
+    starts = (
+        hits.groupBy("phrase", "doc_id", "start", "m")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") == F.col("m"))
+    )
+    return starts.groupBy("phrase", "doc_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.min("start").cast("long").alias("first_pos"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

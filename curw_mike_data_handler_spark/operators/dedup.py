@@ -622,3 +622,77 @@ def connected_components(
     return labels.join(sizes, "label").select(
         "node", F.col("label").alias("component"), "component_size"
     )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication census (the DataFrame re-expression
+    of suffix-array substring dedup, Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better"): every ``k``-word
+    window whose exact text occurs at least ``min_count`` times
+    corpus-wide marks its tokens as duplicated; overlapping or
+    adjacent marked windows merge into maximal spans
+    (gaps-and-islands).  Returns one row per document:
+    (id, n_tokens, n_dup_spans, dup_tokens, dup_bp) where dup_bp is
+    basis points of duplicated tokens — integer math end-to-end so the
+    cross-engine hash compare is exact.
+
+    Scale shape (the suffix-array stand-in that distributes): windows
+    come from a narrow explode (k-sliding slice of the token array —
+    no self-join); corpus window frequency is ONE exchange on
+    hash(window) with map-side partial counts; marking joins instances
+    back on that key; span merging is a per-document sort window (one
+    exchange on hash(id)).  Linear in corpus token count — the
+    suffix-array construction this replaces is O(n log n) with a
+    global sort; the window-hash formulation trades the guarantee of
+    maximal-length detection for pure data-parallel shuffles, matching
+    what BigQuery/Spark implementations of C4/RefinedWeb actually ship.
+    Heavy-tail safe: a boilerplate window collapses to one freq row."""
+    from pyspark.sql import Window
+
+    kk = int(k)
+    w = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col), w.alias("__w"), F.size(w).cast("long").alias("n_tokens")
+    )
+    wins = base.filter(F.col("n_tokens") >= kk).select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), (F.col("n_tokens") - kk + 1).cast("int"))).alias(
+            "i"
+        ),
+        F.col("__w").alias("__w"),
+    ).select(id_col, "i", F.concat_ws(" ", F.slice("__w", F.col("i"), kk)).alias("win"))
+    freq = wins.groupBy("win").agg(F.count("*").alias("c"))
+    marked = (
+        wins.join(freq.filter(F.col("c") >= int(min_count)), "win")
+        .select(id_col, "i")
+    )
+    ow = Window.partitionBy(id_col).orderBy("i")
+    brk = F.when(F.col("i") > F.lag("i").over(ow) + kk, 1).otherwise(0)
+    isl = marked.withColumn(
+        "grp", F.sum(brk).over(ow.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    spans = isl.groupBy(id_col, "grp").agg(
+        (F.max("i") + kk - F.min("i")).cast("long").alias("span_len")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.expr("(10000 * coalesce(dup_tokens, 0)) div n_tokens").alias("dup_bp"),
+        )
+    )

@@ -1,0 +1,143 @@
+"""Density-based spatial clustering (DBSCAN) as DataFrame ops.
+
+The classic DBSCAN is a sequential region-growing algorithm; the
+distributable re-expression used here (the MR-DBSCAN / "DBSCAN on
+Spark" family) is:
+
+1. **Grid-cell blocking**: bucket points into eps-sized cells; every
+   eps-neighbor pair lives in the same or an adjacent cell, so the
+   candidate join is cell ⋈ 3×3-neighborhood — shuffle bounded by
+   cell occupancy (density), never |points|².
+2. **Core test**: neighborhood counts from the candidate pairs — one
+   grouped count.
+3. **Cluster formation**: connected components over core–core
+   eps-edges (reusing operators.dedup.connected_components, whose
+   label-prop loop is diameter-bounded and lineage-truncated).
+4. **Border assignment**: non-core points adopt the minimum cluster
+   id among their core neighbors (deterministic tie-break, matching
+   the oracle's min()).
+
+All geometry is integer (squared distances), so the DuckDB oracle
+hash-compares exactly — no FP tolerance anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from curw_mike_data_handler_spark.operators.dedup import connected_components
+
+
+def dbscan_grid(
+    points: DataFrame,
+    *,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    eps: int = 25,
+    min_pts: int = 4,
+    max_iter: int = 25,
+) -> DataFrame:
+    """DBSCAN over integer-coordinate points → one row per point:
+    (id, role, cluster, cluster_size) with role ∈ core/border/noise,
+    cluster = min point id of the core component (NULL for noise).
+
+    ``min_pts`` counts the point itself (the standard convention).
+
+    Join sides are left un-hinted on purpose: the core set is a
+    large fraction of all points in dense corpora, so forcing
+    broadcast would be wrong at scale — AQE picks broadcast when the
+    runtime size allows it.
+
+    Scale shape: ONE exchange on the eps-cell key builds all candidate
+    pairs (the probe side explodes to its 9 neighboring cells, so each
+    ordered pair is produced exactly once); the pair relation is
+    localCheckpoint-ed because three consumers walk it (core counts,
+    core–core edges, border adoption) and the component loop would
+    otherwise re-run the join every round.  Everything after the pair
+    join is grouped counts and a diameter-bounded component loop —
+    no step is quadratic in points, only in per-cell density, which
+    eps controls."""
+    e = int(eps)
+    p = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    a = p.select(
+        F.col("id").alias("ia"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.expr(f"x div {e}").alias("cx"),
+        F.expr(f"y div {e}").alias("cy"),
+    )
+    off = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), dx ->"
+        " transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    b = (
+        p.select(
+            F.col("id").alias("ib"),
+            F.col("x").alias("xb"),
+            F.col("y").alias("yb"),
+            F.expr(f"x div {e}").alias("bcx"),
+            F.expr(f"y div {e}").alias("bcy"),
+        )
+        .select("*", off.alias("o"))
+        .select(
+            "ib",
+            "xb",
+            "yb",
+            (F.col("bcx") + F.col("o.dx")).alias("cx"),
+            (F.col("bcy") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    pairs = (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("ia") != F.col("ib")) & (d2 <= e * e))
+        .select("ia", "ib")
+        .localCheckpoint()
+    )
+    ncnt = pairs.groupBy(F.col("ia").alias("id")).agg(
+        (F.count("*") + 1).cast("long").alias("n")
+    )
+    cores = ncnt.filter(F.col("n") >= int(min_pts)).select("id")
+    ca = cores.select(F.col("id").alias("ia"))
+    cb = cores.select(F.col("id").alias("ib"))
+    core_edges = (
+        pairs.join(ca, "ia")
+        .join(cb, "ib")
+        .select("ia", "ib")
+        .union(cores.select(F.col("id").alias("ia"), F.col("id").alias("ib")))
+    )
+    comp = connected_components(
+        core_edges, src_col="ia", dst_col="ib", max_iter=max_iter
+    ).select(F.col("node").alias("id"), F.col("component").alias("cluster"))
+    border = (
+        pairs.join(cores.withColumnRenamed("id", "ib"), "ib")
+        .join(cores.withColumnRenamed("id", "ia"), "ia", "left_anti")
+        .join(comp.select(F.col("id").alias("ib"), "cluster"), "ib")
+        .groupBy(F.col("ia").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    assigned = comp.select("id", F.lit("core").alias("role"), "cluster").unionByName(
+        border.select("id", F.lit("border").alias("role"), "cluster")
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        p.select("id")
+        .join(assigned, "id", "left")
+        .join(sizes, "cluster", "left")
+        .select(
+            "id",
+            F.coalesce("role", F.lit("noise")).alias("role"),
+            "cluster",
+            "cluster_size",
+        )
+    )

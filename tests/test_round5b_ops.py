@@ -1,0 +1,283 @@
+"""Property and unit tests for the round-5 second-wave operators:
+substring-span dedup, exact ROC-AUC, grid DBSCAN, and positional
+phrase search.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- substring
+
+
+def test_substring_spans_verbatim_dup_is_fully_covered(spark):
+    from curw_mike_data_handler_spark.operators.dedup import substring_dup_spans
+
+    text = "a b c d e f g h i j"
+    unique = "q w e r t y u i o p"[::-1]  # distinct token soup
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in substring_dup_spans(df, k=5).collect()}
+    # docs 1 and 2 are byte-identical: every window repeats, one span
+    # covers the whole doc
+    for d in (1, 2):
+        assert rows[d]["n_dup_spans"] == 1
+        assert rows[d]["dup_tokens"] == 10
+        assert rows[d]["dup_bp"] == 10000
+    assert rows[3]["n_dup_spans"] == 0
+    assert rows[3]["dup_tokens"] == 0
+    assert rows[3]["dup_bp"] == 0
+    del unique
+
+
+def test_substring_spans_merges_overlapping_windows(spark):
+    from curw_mike_data_handler_spark.operators.dedup import substring_dup_spans
+
+    # doc 1 embeds the SAME 7-token passage twice with unique filler
+    # between; k=5 windows inside each passage overlap and must merge
+    # into exactly one span per occurrence (2 spans, 7 tokens each)
+    passage = "p1 p2 p3 p4 p5 p6 p7"
+    doc = f"u1 u2 {passage} u3 u4 u5 {passage} u6"
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    row = substring_dup_spans(df, k=5).collect()[0]
+    assert row["n_dup_spans"] == 2
+    assert row["dup_tokens"] == 14
+    n_tokens = len(doc.split(" "))
+    assert row["dup_bp"] == (10000 * 14) // n_tokens
+
+
+def test_substring_spans_short_doc_has_row(spark):
+    from curw_mike_data_handler_spark.operators.dedup import substring_dup_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in substring_dup_spans(df, k=5).collect()}
+    assert set(rows) == {1, 2}
+    assert all(r["dup_tokens"] == 0 and r["n_tokens"] == 2 for r in rows.values())
+
+
+# ---------------------------------------------------------------- AUC
+
+
+def _auc_bruteforce(pairs):
+    """P(score_pos > score_neg) + 0.5 P(=) over all pos×neg pairs."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    num = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in itertools.product(pos, neg)
+    )
+    return num / (len(pos) * len(neg))
+
+
+def _spark_auc(spark, pairs):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(pairs, "score long, y int").withColumn(
+        "g", F.lit("g")
+    )
+    r2 = (
+        2 * F.rank().over(Window.partitionBy("g").orderBy("score"))
+        + F.count("*").over(Window.partitionBy("g", "score"))
+        - 1
+    )
+    agg = (
+        df.withColumn("r2", r2)
+        .groupBy("g")
+        .agg(
+            F.sum("y").cast("long").alias("np"),
+            (F.count("*") - F.sum("y")).cast("long").alias("nn"),
+            F.sum(F.when(F.col("y") == 1, F.col("r2")).otherwise(0))
+            .cast("long")
+            .alias("rank2_pos"),
+        )
+        .collect()[0]
+    )
+    return (agg["rank2_pos"] - agg["np"] * (agg["np"] + 1)) / (
+        2 * agg["np"] * agg["nn"]
+    )
+
+
+def test_auc_rank_formula_matches_pairwise_definition(spark):
+    cases = [
+        # perfect separation
+        [(10, 1), (9, 1), (2, 0), (1, 0)],
+        # anti-correlated
+        [(1, 1), (2, 1), (9, 0), (10, 0)],
+        # heavy ties across classes
+        [(5, 1), (5, 0), (5, 1), (5, 0), (7, 1), (3, 0)],
+        # all scores equal -> AUC exactly 0.5
+        [(4, 1), (4, 0), (4, 1), (4, 0)],
+    ]
+    for pairs in cases:
+        want = _auc_bruteforce(pairs)
+        got = _spark_auc(spark, pairs)
+        assert math.isclose(got, want, rel_tol=0, abs_tol=0), (pairs, got, want)
+
+
+# ---------------------------------------------------------------- DBSCAN
+
+
+def _dbscan_bruteforce(points, eps, min_pts):
+    ids = [p[0] for p in points]
+    xy = {p[0]: (p[1], p[2]) for p in points}
+    nbr = {
+        i: [
+            j
+            for j in ids
+            if j != i
+            and (xy[i][0] - xy[j][0]) ** 2 + (xy[i][1] - xy[j][1]) ** 2 <= eps * eps
+        ]
+        for i in ids
+    }
+    cores = {i for i in ids if len(nbr[i]) + 1 >= min_pts}
+    # union-find over core-core edges
+    parent = {i: i for i in cores}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in cores:
+        for j in nbr[i]:
+            if j in cores:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    cluster = {i: min(j for j in cores if find(j) == find(i)) for i in cores}
+    out = {}
+    for i in ids:
+        if i in cores:
+            out[i] = ("core", cluster[i])
+        else:
+            core_nbrs = [j for j in nbr[i] if j in cores]
+            if core_nbrs:
+                out[i] = ("border", min(cluster[j] for j in core_nbrs))
+            else:
+                out[i] = ("noise", None)
+    return out
+
+
+def test_dbscan_two_blobs_and_noise(spark):
+    from curw_mike_data_handler_spark.operators.density import dbscan_grid
+
+    pts = (
+        # blob A: 5 points inside eps=5 of each other
+        [(1, 10, 10), (2, 12, 10), (3, 10, 12), (4, 13, 12), (5, 11, 14)]
+        # blob B: 4 points, far away
+        + [(11, 200, 200), (12, 202, 201), (13, 201, 203), (14, 199, 202)]
+        # border-ish: near blob A but with few neighbors
+        + [(21, 17, 12)]
+        # pure noise
+        + [(31, 500, 500)]
+    )
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan_grid(df, eps=5, min_pts=4).collect()
+    }
+    want = _dbscan_bruteforce(pts, eps=5, min_pts=4)
+    assert got == want
+    # and the scenario actually exercises all three roles
+    roles = {v[0] for v in got.values()}
+    assert roles == {"core", "border", "noise"}
+
+
+def test_dbscan_cluster_sizes_count_core_plus_border(spark):
+    from curw_mike_data_handler_spark.operators.density import dbscan_grid
+
+    pts = [(1, 0, 0), (2, 1, 0), (3, 0, 1), (4, 1, 1), (5, 4, 0), (6, 100, 100)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    rows = dbscan_grid(df, eps=3, min_pts=4).collect()
+    by_id = {r["id"]: r for r in rows}
+    in_cluster = [r for r in rows if r["cluster"] is not None]
+    assert all(
+        r["cluster_size"] == len([s for s in in_cluster if s["cluster"] == r["cluster"]])
+        for r in in_cluster
+    )
+    assert by_id[6]["role"] == "noise"
+    assert by_id[6]["cluster"] is None and by_id[6]["cluster_size"] is None
+
+
+# ---------------------------------------------------------------- phrase
+
+
+def _phrase_hits(text, phrase):
+    w, p = text.split(" "), phrase.split(" ")
+    return [
+        i + 1
+        for i in range(len(w) - len(p) + 1)
+        if w[i : i + len(p)] == p
+    ]
+
+
+def test_phrase_search_finds_all_and_only_matches(spark):
+    docs = [
+        (1, "the cat sat on the mat the cat sat again"),
+        (2, "the cat stood on the mat"),
+        (3, "cat the sat"),
+    ]
+    phrase = "the cat sat"
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    ph = spark.createDataFrame([(phrase,)], "phrase string")
+    ph_tok = ph.select(
+        "phrase",
+        F.posexplode(F.split("phrase", " ")).alias("j0", "word"),
+        F.size(F.split("phrase", " ")).alias("m"),
+    ).select("phrase", (F.col("j0") + 1).alias("j"), "word", "m")
+    post = df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "word")
+    hits = post.join(F.broadcast(ph_tok), "word").select(
+        "phrase", "doc_id", (F.col("pos") - F.col("j") + 1).alias("start"), "m"
+    )
+    starts = (
+        hits.groupBy("phrase", "doc_id", "start", "m")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") == F.col("m"))
+    )
+    got = {
+        (r["doc_id"], r["start"])
+        for r in starts.collect()
+    }
+    want = {
+        (d, s) for d, t in [(x[0], x[1]) for x in docs] for s in _phrase_hits(t, phrase)
+    }
+    assert got == want == {(1, 1), (1, 7)}
+
+
+def test_phrase_search_repeated_word_phrase(spark):
+    # 'b b' inside 'a b b b c': starts at 2 and 3 — the slot-count
+    # trick must not double-count the middle token into one start
+    docs = [(1, "a b b b c")]
+    phrase = "b b"
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = set(_phrase_hits(docs[0][1], phrase))
+    assert want == {2, 3}
+    ph = spark.createDataFrame([(phrase,)], "phrase string")
+    ph_tok = ph.select(
+        "phrase",
+        F.posexplode(F.split("phrase", " ")).alias("j0", "word"),
+        F.size(F.split("phrase", " ")).alias("m"),
+    ).select("phrase", (F.col("j0") + 1).alias("j"), "word", "m")
+    post = df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "word")
+    starts = (
+        post.join(F.broadcast(ph_tok), "word")
+        .select("doc_id", (F.col("pos") - F.col("j") + 1).alias("start"), "m")
+        .groupBy("doc_id", "start", "m")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") == F.col("m"))
+    )
+    got = {r["start"] for r in starts.collect()}
+    assert got == want
