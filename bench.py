@@ -176,6 +176,13 @@ HEADLINE = [
     "customer_rfm_segments",
     "embedding_label_centroids",
     "w13_trailing_range_frame",
+    "dedup_substring_spans",
+    "quality_classifier_auc",
+    "dbscan_station_clusters",
+    "phrase_search_positional",
+    "bpe_merge_training",
+    "auc_histogram_contract",
+    "source_keyness_chi2",
     # dedup_containment_census excluded like the other posting-list
     # pair generators: the synthetic corpus' tiny shared vocabulary
     # makes them quadratic by construction (they run in the sf0.01

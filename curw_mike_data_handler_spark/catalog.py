@@ -8797,6 +8797,265 @@ def phrase_search_positional(spark, sf_dir):
     )
 
 
+from curw_mike_data_handler_spark.operators.bpe import bpe_oracle_sql as _bpe_oracle
+
+
+@query("bpe_merge_training", _bpe_oracle("documents", "text", rounds=3))
+def bpe_merge_training(spark, sf_dir):
+    """REAL BPE vocabulary training (Sennrich et al. 2016), 3 merge
+    rounds over the corpus word-frequency table: per round, count
+    adjacent symbol pairs (narrow array zip + ONE grouped sum on the
+    vocabulary-scale word table), collect only the 1-row argmax rule
+    (O(1) driver state, the kmeans-centroid shape), and apply it with
+    a leftmost-greedy JVM-side fold (F.aggregate — 'a a a a' + (a,a)
+    → 'aa aa', no re-merge within a round, matching tokenizer
+    semantics).  Complements text_bpe_tokens, which only COUNTS
+    regex-piece tokens; this learns the merge table itself.  The
+    oracle unrolls the identical 3 rounds as chained recursive-CTE
+    folds.  See operators.bpe."""
+    from curw_mike_data_handler_spark.operators.bpe import bpe_train_merges
+
+    return bpe_train_merges(_t(spark, sf_dir, "documents"), rounds=3)
+
+
+@query(
+    "auc_histogram_contract",
+    """
+    WITH scored AS (
+        SELECT (100 * n_chars) // len(string_split(text, ' ')) AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    ranked AS (
+        SELECT y, 2 * rank() OVER (ORDER BY score)
+                  + count(*) OVER (PARTITION BY score) - 1 AS r2
+        FROM scored
+    ),
+    ex AS (
+        SELECT CAST(sum(y) AS BIGINT) AS np,
+               CAST(count(*) - sum(y) AS BIGINT) AS nn,
+               CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT) AS rank2_pos
+        FROM ranked
+    ),
+    bins AS (
+        SELECT score // 8 AS bin,
+               CAST(sum(y) AS BIGINT) AS npos,
+               CAST(count(*) - sum(y) AS BIGINT) AS nneg
+        FROM scored GROUP BY score // 8
+    ),
+    cum AS (
+        SELECT bin, npos, nneg,
+               CAST(sum(npos) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cumpos,
+               CAST(sum(npos) OVER () AS BIGINT) AS totpos
+        FROM bins
+    ),
+    hist AS (
+        SELECT CAST(sum(nneg * (2 * (totpos - cumpos) + npos)) AS BIGINT)
+                   AS hist_num,
+               CAST(sum(npos * nneg) AS BIGINT) AS bound_num
+        FROM cum
+    )
+    SELECT np, nn, 2 * np * nn AS den,
+           rank2_pos - np * (np + 1) AS exact_num,
+           hist_num, bound_num,
+           CAST(rank2_pos - np * (np + 1) AS DOUBLE) / (2 * np * nn) AS auc_exact,
+           CAST(hist_num AS DOUBLE) / (2 * np * nn) AS auc_hist,
+           abs((rank2_pos - np * (np + 1)) - hist_num) <= bound_num AS within_bound
+    FROM ex, hist
+    """,
+)
+def auc_histogram_contract(spark, sf_dir):
+    """The 100-TB path for GLOBAL AUC (quality_classifier_auc's
+    per-source windows shard naturally; a single global AUC would
+    need one total sort) — and the contract that attests it: bucket
+    scores into fixed-width bins (score div 8 — data-independent, no
+    min/max pass), count (npos, nneg) per bin, and evaluate the
+    Mann-Whitney statistic on the COARSENED score.  Within-bin
+    cross-class pairs score ½ instead of their true {0,½,1}, so
+    |exact − hist| ≤ Σ_b npos_b·nneg_b / (2·np·nn) — and that bound
+    is computed IN THE SAME PASS and checked as a boolean.  Every
+    quantity is an exact BIGINT numerator over the common 2·np·nn
+    denominator; the doubles are edge-of-query divisions of the same
+    integers in both engines.
+
+    Scale shape of the attested path: one grouped count on
+    hash(bin) (map-side partials), then a window over the ≤ few
+    hundred bin rows — the single-partition window is over BINS, not
+    rows, identical to a8_histogram's rollup.  The exact side
+    (global rank window) runs here for attestation only, same
+    division of labor as approx_quantiles_contract."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        F.expr("(100 * n_chars) div size(split(text, ' '))").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    r2 = (
+        2 * F.rank().over(Window.orderBy("score"))
+        + F.count("*").over(Window.partitionBy("score"))
+        - 1
+    )
+    ex = scored.withColumn("r2", r2).agg(
+        F.sum("y").cast("long").alias("np"),
+        (F.count("*") - F.sum("y")).cast("long").alias("nn"),
+        F.sum(F.when(F.col("y") == 1, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("rank2_pos"),
+    )
+    bins = scored.groupBy(F.expr("score div 8").alias("bin")).agg(
+        F.sum("y").cast("long").alias("npos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("nneg"),
+    )
+    cum = bins.withColumn(
+        "cumpos",
+        F.sum("npos")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    ).withColumn(
+        "totpos",
+        F.sum("npos")
+        .over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long"),
+    )
+    hist = cum.agg(
+        F.sum(
+            F.col("nneg")
+            * (2 * (F.col("totpos") - F.col("cumpos")) + F.col("npos"))
+        )
+        .cast("long")
+        .alias("hist_num"),
+        F.sum(F.col("npos") * F.col("nneg")).cast("long").alias("bound_num"),
+    )
+    return ex.crossJoin(hist).select(
+        "np",
+        "nn",
+        (2 * F.col("np") * F.col("nn")).alias("den"),
+        (F.col("rank2_pos") - F.col("np") * (F.col("np") + 1)).alias("exact_num"),
+        "hist_num",
+        "bound_num",
+        (
+            (F.col("rank2_pos") - F.col("np") * (F.col("np") + 1)).cast("double")
+            / (2 * F.col("np") * F.col("nn"))
+        ).alias("auc_exact"),
+        (F.col("hist_num").cast("double") / (2 * F.col("np") * F.col("nn"))).alias(
+            "auc_hist"
+        ),
+        (
+            F.abs(
+                F.col("rank2_pos")
+                - F.col("np") * (F.col("np") + 1)
+                - F.col("hist_num")
+            )
+            <= F.col("bound_num")
+        ).alias("within_bound"),
+    )
+
+
+@query(
+    "source_keyness_chi2",
+    """
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    a AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS a
+        FROM tok WHERE len(word) > 0 GROUP BY source, word
+    ),
+    wtot AS (SELECT word, CAST(sum(a) AS BIGINT) AS w FROM a GROUP BY word),
+    stot AS (SELECT source, CAST(sum(a) AS BIGINT) AS s FROM a GROUP BY source),
+    n AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM a),
+    cells AS (
+        SELECT a.source, a.word, a.a,
+               wtot.w - a.a AS b, stot.s - a.a AS c,
+               n.n - wtot.w - stot.s + a.a AS d, n.n AS n
+        FROM a JOIN wtot USING (word) JOIN stot USING (source), n
+    )
+    SELECT source, word, a, b,
+           round(CAST(n AS DOUBLE)
+                 * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                 * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                 / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)), 3)
+               AS chi2,
+           CASE WHEN CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                     > CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                THEN 'over' ELSE 'under' END AS direction
+    FROM cells WHERE a >= 25
+    """,
+)
+def source_keyness_chi2(spark, sf_dir):
+    """Per-source distinctive vocabulary (corpus-linguistics
+    'keyness'): the 2×2 chi-squared statistic of each (source, word)
+    contingency — word-in-source vs word-elsewhere — with an
+    over/under direction flag.  The source-fingerprinting signal a
+    mixture-weighting pipeline uses to see WHAT makes a source
+    different, not just how big it is (complements
+    source_mix_weights/tfidf_top_terms).  Support floor a ≥ 25 keeps
+    output deliberate; no top-k ranking, so near-tie ULP ordering
+    can't flap rows, and the 3-dp round absorbs the one double
+    expression (all inputs are exact integer counts < 2^53; the
+    margin sums are window-free grouped rollups).
+
+    Scale shape: one (source, word) grouped count over the token
+    explode, then two broadcast-scale margin rollups (|vocab| and
+    |sources| rows) joined back — the corpus never shuffles twice;
+    the 1-row N total rides the same pass (cross join of a
+    singleton)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    a = tok.groupBy("source", "word").agg(F.count("*").cast("long").alias("a"))
+    wtot = a.groupBy("word").agg(F.sum("a").cast("long").alias("w"))
+    stot = a.groupBy("source").agg(F.sum("a").cast("long").alias("s"))
+    n = a.agg(F.sum("a").cast("long").alias("n"))
+    cells = (
+        a.join(wtot, "word")
+        .join(stot, "source")
+        .crossJoin(n)
+        .select(
+            "source",
+            "word",
+            "a",
+            (F.col("w") - F.col("a")).alias("b"),
+            (F.col("s") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("w") - F.col("s") + F.col("a")).alias("d"),
+            "n",
+        )
+    )
+    ad_bc = F.col("a").cast("double") * F.col("d").cast("double") - F.col(
+        "b"
+    ).cast("double") * F.col("c").cast("double")
+    chi2 = (
+        F.col("n").cast("double")
+        * ad_bc
+        * ad_bc
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d")).cast("double")
+            * (F.col("a") + F.col("c")).cast("double")
+            * (F.col("b") + F.col("d")).cast("double")
+        )
+    )
+    return cells.filter(F.col("a") >= 25).select(
+        "source",
+        "word",
+        "a",
+        "b",
+        F.round(chi2, 3).alias("chi2"),
+        F.when(ad_bc > 0, "over").otherwise("under").alias("direction"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -281,3 +281,155 @@ def test_phrase_search_repeated_word_phrase(spark):
     )
     got = {r["start"] for r in starts.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def test_bpe_merges_match_reference_implementation(spark):
+    """Pure-Python canonical BPE on a tiny corpus vs the operator."""
+    from curw_mike_data_handler_spark.operators.bpe import bpe_train_merges
+
+    corpus = ["low low low lower lowest", "new newer newest low"]
+
+    def py_bpe(texts, rounds):
+        from collections import Counter
+
+        freq = Counter(w for t in texts for w in t.split(" ") if w)
+        words = {w: list(w) for w in freq}
+        out = []
+        for rnd in range(1, rounds + 1):
+            pc = Counter()
+            for w, syms in words.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += freq[w]
+            if not pc:
+                break
+            # max by count, tie-break lexicographic on "l r"
+            (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+            out.append((rnd, f"{l} {r}", cnt))
+            for w, syms in words.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        merged.append(l + r)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                words[w] = merged
+        return out
+
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = [
+        (r["round"], r["pair"], r["cnt"])
+        for r in bpe_train_merges(df, rounds=4).orderBy("round").collect()
+    ]
+    assert got == py_bpe(corpus, 4)
+
+
+def test_bpe_greedy_no_remerge_within_round(spark):
+    """'a a a a' + rule (a,a) must become [aa, aa], never [aaa, a] or
+    [aaaa] — a merged token does not immediately re-merge."""
+    from curw_mike_data_handler_spark.operators.bpe import bpe_train_merges
+
+    df = spark.createDataFrame([("aaaa aaaa",)], "text string")
+    rows = bpe_train_merges(df, rounds=2).orderBy("round").collect()
+    # round 1: (a,a) appears 3 times per word occurrence? No —
+    # pair instances per 'aaaa': (a,a)x3, weight 2 words -> cnt 6
+    assert rows[0]["pair"] == "a a" and rows[0]["cnt"] == 6
+    # after merging: each word is [aa, aa] -> round 2 merges (aa, aa)
+    assert rows[1]["pair"] == "aa aa" and rows[1]["cnt"] == 2
+
+
+# ---------------------------------------------------------------- AUC hist
+
+
+def test_histogram_auc_within_its_own_bound(spark):
+    """For several label/score layouts, the binned Mann-Whitney AUC
+    must sit within the self-computed within-bin-pair bound of the
+    exact AUC, and the bound must be tight enough to be non-vacuous
+    when bins are fine."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    for width in (1, 4, 32):
+        pairs = [
+            (rng.randrange(0, 200), 1 if rng.random() < 0.4 else 0)
+            for _ in range(300)
+        ]
+        # ensure both classes present
+        pairs += [(10, 1), (190, 0)]
+        df = spark.createDataFrame(pairs, "score long, y int")
+        r2 = (
+            2 * F.rank().over(Window.orderBy("score"))
+            + F.count("*").over(Window.partitionBy("score"))
+            - 1
+        )
+        ex = df.withColumn("r2", r2).agg(
+            F.sum("y").cast("long").alias("np"),
+            (F.count("*") - F.sum("y")).cast("long").alias("nn"),
+            F.sum(F.when(F.col("y") == 1, F.col("r2")).otherwise(0))
+            .cast("long")
+            .alias("rank2_pos"),
+        ).collect()[0]
+        exact_num = ex["rank2_pos"] - ex["np"] * (ex["np"] + 1)
+        bins = df.groupBy(F.expr(f"score div {width}").alias("bin")).agg(
+            F.sum("y").cast("long").alias("npos"),
+            (F.count("*") - F.sum("y")).cast("long").alias("nneg"),
+        )
+        cum = bins.withColumn(
+            "cumpos",
+            F.sum("npos")
+            .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        ).withColumn(
+            "totpos",
+            F.sum("npos")
+            .over(
+                Window.orderBy("bin").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .cast("long"),
+        )
+        h = cum.agg(
+            F.sum(
+                F.col("nneg")
+                * (2 * (F.col("totpos") - F.col("cumpos")) + F.col("npos"))
+            )
+            .cast("long")
+            .alias("hist_num"),
+            F.sum(F.col("npos") * F.col("nneg")).cast("long").alias("bound_num"),
+        ).collect()[0]
+        assert abs(exact_num - h["hist_num"]) <= h["bound_num"], width
+        if width == 1:
+            # single-score bins: the coarsened AUC IS the exact AUC
+            assert h["hist_num"] == exact_num
+
+
+def test_chi2_keyness_matches_scipy_free_reference(spark):
+    """2x2 chi-squared from the catalog formula vs the direct
+    observed/expected definition on a hand-built contingency."""
+    # source X: 30 'a', 10 'b'; source Y: 10 'a', 50 'b'
+    docs = [("X", " ".join(["aa"] * 30 + ["bb"] * 10)),
+            ("Y", " ".join(["aa"] * 10 + ["bb"] * 50))]
+    df = spark.createDataFrame(docs, "source string, text string")
+    tok = df.select("source", F.explode(F.split("text", " ")).alias("word"))
+    a = tok.groupBy("source", "word").agg(F.count("*").cast("long").alias("a"))
+    rows = {(r["source"], r["word"]): r["a"] for r in a.collect()}
+    # chi2 for (X, 'aa'): a=30 b=10 c=10 d=50, n=100
+    aa, b, c, d = 30, 10, 10, 50
+    n = aa + b + c + d
+    want = n * (aa * d - b * c) ** 2 / ((aa + b) * (c + d) * (aa + c) * (b + d))
+    # direct observed/expected definition
+    tot = {"row0": aa + b, "row1": c + d, "col0": aa + c, "col1": b + d}
+    oe = 0.0
+    for obs, r_, c_ in [(aa, "row0", "col0"), (b, "row0", "col1"),
+                        (c, "row1", "col0"), (d, "row1", "col1")]:
+        e = tot[r_] * tot[c_] / n
+        oe += (obs - e) ** 2 / e
+    assert abs(want - oe) < 1e-9
+    assert rows[("X", "aa")] == 30 and rows[("Y", "bb")] == 50
