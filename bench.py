@@ -183,6 +183,14 @@ HEADLINE = [
     "bpe_merge_training",
     "auc_histogram_contract",
     "source_keyness_chi2",
+    "survival_km_curve",
+    "stats_ks_two_sample",
+    "gini_nation_revenue",
+    "stats_mannwhitney",
+    "ab_ztest_orders",
+    "w14_max_drawdown",
+    "events_debounce",
+    "entropy_user_mix",
     # dedup_containment_census excluded like the other posting-list
     # pair generators: the synthetic corpus' tiny shared vocabulary
     # makes them quadratic by construction (they run in the sf0.01

@@ -9056,6 +9056,616 @@ def source_keyness_chi2(spark, sf_dir):
     )
 
 
+@query(
+    "survival_km_curve",
+    """
+    WITH life AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', min(o_orderdate), max(o_orderdate)) AS BIGINT) AS dur,
+               CASE WHEN max(o_orderdate) <
+                         (SELECT max(o_orderdate) FROM orders) - INTERVAL 180 DAY
+                    THEN 1 ELSE 0 END AS ev
+        FROM orders GROUP BY o_custkey
+    ),
+    tab AS (
+        SELECT dur, CAST(count(*) AS BIGINT) AS at_t, CAST(sum(ev) AS BIGINT) AS d
+        FROM life GROUP BY dur
+    ),
+    r AS (
+        SELECT dur, d,
+               CAST(sum(at_t) OVER (ORDER BY dur
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+                   AS n_risk
+        FROM tab
+    ),
+    s AS (
+        SELECT dur, d, n_risk,
+               round(exp(sum(CASE WHEN d = 0 THEN 0.0
+                                  ELSE ln(CAST(n_risk - d AS DOUBLE) / n_risk) END)
+                         OVER (ORDER BY dur)), 6) AS survival
+        FROM r WHERE d < n_risk
+    )
+    SELECT dur AS t, n_risk, d, survival FROM s WHERE d > 0
+    """,
+)
+def survival_km_curve(spark, sf_dir):
+    """Kaplan-Meier product-limit survival estimator over customer
+    lifetimes (duration = days between first and last order; a
+    customer is an 'event' if their last order predates the corpus
+    horizon by >180 days, else right-censored) — the churn/survival
+    curve every retention team derives, and a non-trivial cumulative-
+    product window exercise.  All risk-set arithmetic is exact
+    integers: n_risk is a REVERSE cumulative sum over the per-duration
+    census (no separate total pass), and the product Π(1−dᵢ/nᵢ)
+    becomes exp(Σ ln) over a window whose ORDER BY dur is a total
+    order on grouped keys, so both engines add the same log terms in
+    the same sequence; 6 dp absorbs ln/exp ULP drift.  The d=n_risk
+    guard drops only the degenerate final-time full-death row, where
+    ln(0) diverges (and Spark's log returns NULL).
+
+    Scale shape: one grouped agg per customer, one tiny per-duration
+    rollup (|distinct durations| rows — bounded by the date span, not
+    the corpus), and single-partition windows over that rollup only;
+    the horizon scalar broadcasts."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    life = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+        .cast("long")
+        .alias("dur"),
+        F.max("o_orderdate").alias("last"),
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("mx"))
+    life = life.crossJoin(F.broadcast(horizon)).select(
+        "dur",
+        F.when(
+            F.col("last") < F.col("mx") - F.expr("INTERVAL 180 DAYS"), 1
+        )
+        .otherwise(0)
+        .alias("ev"),
+    )
+    tab = life.groupBy("dur").agg(
+        F.count("*").cast("long").alias("at_t"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    w_rev = Window.orderBy("dur").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    r = tab.select(
+        "dur",
+        "d",
+        F.sum("at_t").over(w_rev).cast("long").alias("n_risk"),
+    ).filter(F.col("d") < F.col("n_risk"))
+    w_cum = Window.orderBy("dur")
+    term = F.when(F.col("d") == 0, F.lit(0.0)).otherwise(
+        F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk"))
+    )
+    return (
+        r.select(
+            "dur",
+            "d",
+            "n_risk",
+            F.round(F.exp(F.sum(term).over(w_cum)), 6).alias("survival"),
+        )
+        .filter(F.col("d") > 0)
+        .select(F.col("dur").alias("t"), "n_risk", "d", "survival")
+    )
+
+
+@query(
+    "stats_ks_two_sample",
+    """
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS isv
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    c AS (
+        SELECT v, CAST(sum(isv) AS BIGINT) AS a,
+               CAST(count(*) - sum(isv) AS BIGINT) AS b
+        FROM s GROUP BY v
+    ),
+    n AS (SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2 FROM c),
+    cum AS (
+        SELECT sum(a) OVER (ORDER BY v) AS ca, sum(b) OVER (ORDER BY v) AS cb
+        FROM c
+    )
+    SELECT n1, n2,
+           CAST(max(abs(ca * n2 - cb * n1)) AS BIGINT) AS d_num,
+           round(CAST(max(abs(ca * n2 - cb * n1)) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d
+    FROM cum, n GROUP BY n1, n2
+    """,
+)
+def stats_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the 'view' and
+    'purchase' value distributions — the distribution-drift test a
+    data-quality harness runs between a reference and a candidate
+    sample (the exact counterpart of dq_psi_drift's binned PSI).
+    ENTIRELY integer until the last division: the sup-norm
+    D = max|F₁−F₂| is maximized as max|c₁·n₂ − c₂·n₁| over cumulative
+    counts at each distinct value, so ties, FP summation order, and
+    ULP effects cannot flap the argmax; one division at the edge.
+    Overflow bound: c·n < 2⁶³ holds through ~10⁹ rows per side.
+
+    Scale shape: one grouped count per distinct cents value, a
+    single-partition cumulative window over that (|distinct values| ≤
+    32768 here — bounded by the measure's dynamic range, not corpus
+    size), and a 1-row broadcast of the two totals."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = ev.select(
+        _cents("value").alias("v"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("isv"),
+    )
+    c = s.groupBy("v").agg(
+        F.sum("isv").cast("long").alias("a"),
+        (F.count("*") - F.sum("isv")).cast("long").alias("b"),
+    )
+    n = c.agg(
+        F.sum("a").cast("long").alias("n1"), F.sum("b").cast("long").alias("n2")
+    )
+    w = Window.orderBy("v")
+    cum = c.select(
+        F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1")))
+            .cast("long")
+            .alias("d_num"),
+            F.round(
+                F.max(
+                    F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1"))
+                ).cast("double")
+                / (F.col("n1").cast("double") * F.col("n2")),
+                6,
+            ).alias("ks_d"),
+        )
+    )
+
+
+@query(
+    "gini_nation_revenue",
+    """
+    WITH rev AS (
+        SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT nk, x,
+               CAST(row_number() OVER (PARTITION BY nk ORDER BY x, ck) AS BIGINT) AS i
+        FROM rev
+    )
+    SELECT nk AS nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+           round((2.0 * CAST(sum(i * x) AS DOUBLE)
+                  - (count(*) + 1) * CAST(sum(x) AS DOUBLE))
+                 / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)), 6) AS gini
+    FROM rk GROUP BY nk
+    """,
+)
+def gini_nation_revenue(spark, sf_dir):
+    """Gini concentration coefficient of customer revenue within each
+    nation — the inequality measure a marketplace uses to see whether
+    a region's revenue rides on a few whales (G→1) or a broad base
+    (G→0), via the rank formula G = (2Σi·xᵢ − (n+1)Σx)/(nΣx) on
+    ascending-sorted revenues.  The (x, custkey) sort key is a total
+    order, and permutations within equal-x tie blocks leave Σi·xᵢ
+    unchanged (the i-weights are the same set), so the rank weighting
+    is deterministic; everything is exact integer cents until the
+    final division, rounded at 6 dp.
+
+    Scale shape: one join-rollup per (nation, customer) — the join
+    side flows into the same hash exchange — then a per-nation window
+    rank and grouped rollup; partitions are nations (bounded
+    cardinality, revenue ranks never cross nations)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cst = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(cst.select("c_custkey", "c_nationkey")),
+               o.o_custkey == cst.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"), F.col("o_custkey").alias("ck"))
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("x"))
+    )
+    w = Window.partitionBy("nk").orderBy("x", "ck")
+    rk = rev.select("nk", "x", F.row_number().over(w).cast("long").alias("i"))
+    n = F.count("*")
+    sx = F.sum("x").cast("double")
+    six = F.sum(F.col("i") * F.col("x")).cast("double")
+    return rk.groupBy(F.col("nk").alias("nationkey")).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round((2.0 * six - (n + 1) * sx) / (n.cast("double") * sx), 6).alias(
+            "gini"
+        ),
+    )
+
+
+@query(
+    "stats_mannwhitney",
+    """
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS isv
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    c AS (
+        SELECT v, CAST(sum(isv) AS BIGINT) AS a, CAST(count(*) AS BIGINT) AS t
+        FROM s GROUP BY v
+    ),
+    cum AS (
+        SELECT a, t,
+               coalesce(sum(t) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        FROM c
+    ),
+    agg AS (
+        SELECT CAST(sum(a) AS BIGINT) AS n1,
+               CAST(sum(t) - sum(a) AS BIGINT) AS n2,
+               CAST(sum(a * (2 * before + t + 1)) AS BIGINT) AS two_r1,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        FROM cum
+    )
+    SELECT n1, n2,
+           (two_r1 - n1 * (n1 + 1)) / 2.0 AS u1,
+           round(((two_r1 - n1 * (n1 + 1)) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                 / sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                        * ((n1 + n2 + 1) - CAST(tie3 AS DOUBLE)
+                           / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 6) AS z
+    FROM agg
+    """,
+)
+def stats_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (tie-corrected normal
+    approximation) between the same two samples as the KS query — the
+    robust 'are these distributions shifted?' companion that ranks
+    instead of binning.  Midrank tie handling is closed-form on the
+    per-distinct-value census: a value block starting after `before`
+    cumulative rows with t members contributes a·(2·before+t+1) to
+    2R₁ — an INTEGER, so the doubled rank sum and the tie-correction
+    term Σ(t³−t) both stay exact; the z normalization runs on doubles
+    once, rounded at 6 dp.
+
+    Scale shape: identical to stats_ks_two_sample — grouped census,
+    one bounded-cardinality cumulative window, scalar rollup."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = ev.select(
+        _cents("value").alias("v"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("isv"),
+    )
+    c = s.groupBy("v").agg(
+        F.sum("isv").cast("long").alias("a"),
+        F.count("*").cast("long").alias("t"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = c.select(
+        "a", "t", F.coalesce(F.sum("t").over(w), F.lit(0)).alias("before")
+    )
+    agg = cum.agg(
+        F.sum("a").cast("long").alias("n1"),
+        (F.sum("t") - F.sum("a")).cast("long").alias("n2"),
+        F.sum(F.col("a") * (2 * F.col("before") + F.col("t") + 1))
+        .cast("long")
+        .alias("two_r1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u1 = (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)) / 2.0
+    var = (n1d * n2d / 12.0) * (
+        (F.col("n1") + F.col("n2") + 1)
+        - F.col("tie3").cast("double")
+        / ((n1d + n2d) * (F.col("n1") + F.col("n2") - 1))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        F.round((u1 - n1d * n2d / 2.0) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+@query(
+    "ab_ztest_orders",
+    """
+    WITH u AS (
+        SELECT CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+                         % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS conv
+        FROM orders
+    ),
+    w AS (
+        SELECT CAST(count(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN arm = 'A' THEN conv END) AS BIGINT) AS xa,
+               CAST(count(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS nb,
+               CAST(sum(CASE WHEN arm = 'B' THEN conv END) AS BIGINT) AS xb
+        FROM u
+    )
+    SELECT na, xa, nb, xb,
+           round(CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb, 6) AS lift,
+           round((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                 / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+                        * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 6) AS z
+    FROM w
+    """,
+)
+def ab_ztest_orders(spark, sf_dir):
+    """Two-proportion pooled z-test over a deterministic hash-based
+    experiment split — the A/B readout layer on top of the
+    split-assignment primitive: arms come from the same md5-bucket
+    assignment as split_assignment_census (reproducible, engine-
+    agnostic, no RNG state), 'conversion' is the order reaching
+    status F, and the pooled-variance z statistic quantifies the
+    lift.  All counts are exact integers from one conditional
+    aggregate; the z algebra runs once on scalars, rounded at 6 dp.
+
+    Scale shape: the arm/conv columns are narrow map expressions
+    fused into the scan; ONE map-side-combinable aggregate produces a
+    single row — no join, no window, no second pass."""
+    o = _t(spark, sf_dir, "orders")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = o.select(
+        F.when(arm == 0, "A").otherwise("B").alias("arm"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("conv"),
+    )
+    w = u.agg(
+        F.count(F.when(F.col("arm") == "A", 1)).cast("long").alias("na"),
+        F.sum(F.when(F.col("arm") == "A", F.col("conv"))).cast("long").alias("xa"),
+        F.count(F.when(F.col("arm") == "B", 1)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("arm") == "B", F.col("conv"))).cast("long").alias("xb"),
+    )
+    pa = F.col("xa").cast("double") / F.col("na")
+    pb = F.col("xb").cast("double") / F.col("nb")
+    pool = (F.col("xa") + F.col("xb")).cast("double") / (F.col("na") + F.col("nb"))
+    z = (pa - pb) / F.sqrt(
+        pool
+        * (1.0 - pool)
+        * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return w.select(
+        "na",
+        "xa",
+        "nb",
+        "xb",
+        F.round(pa - pb, 6).alias("lift"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+@query(
+    "w14_max_drawdown",
+    """
+    WITH s AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               CAST(round(CASE WHEN event_type = 'error' THEN -value
+                               ELSE value END * 100) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    c AS (
+        SELECT user_id, event_id, t,
+               CAST(sum(v) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                    AS BIGINT) AS cum
+        FROM s
+    ),
+    d AS (
+        SELECT user_id, event_id, cum,
+               CAST(max(cum) OVER (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS peak
+        FROM c
+    ),
+    e AS (
+        SELECT user_id, event_id, peak - cum AS dd,
+               max(peak - cum) OVER (PARTITION BY user_id) AS mx
+        FROM d
+    )
+    SELECT user_id, CAST(mx AS BIGINT) AS max_dd_cents,
+           round(CAST(mx AS DOUBLE) / 100.0, 2) AS max_dd,
+           CAST(min(event_id) AS BIGINT) AS at_event
+    FROM e WHERE dd = mx GROUP BY user_id, mx
+    """,
+)
+def w14_max_drawdown(spark, sf_dir):
+    """Maximum drawdown per user over a signed cash-flow series
+    (purchases credit, errors debit): running balance → running peak →
+    peak-minus-balance, maximized — the classic peak-to-trough risk
+    statistic (finance's drawdown, an SRE's 'worst cumulative error
+    burst'), and a three-deep stacked-window exercise that stays in
+    ONE sort.  All arithmetic is integer cents; the trough row is
+    identified by dd = mx with a min(event_id) tie-break, so ties
+    cannot flap the answer.
+
+    Scale shape: all three windows share the same
+    (user_id)/(t, event_id) partitioning and ordering — Catalyst
+    plans a single hash exchange and a single sort, the two running
+    frames and the per-user max pipeline over it; the final rollup
+    reuses the same keys."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    s = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        _cents(
+            F.when(F.col("event_type") == "error", -F.col("value")).otherwise(
+                F.col("value")
+            )
+        ).alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("user_id")
+    c = s.select(
+        "user_id", "event_id", "t", F.sum("v").over(w).cast("long").alias("cum")
+    )
+    d = c.select(
+        "user_id",
+        "event_id",
+        "cum",
+        F.max("cum").over(wrun).cast("long").alias("peak"),
+    )
+    e = d.select(
+        "user_id",
+        "event_id",
+        (F.col("peak") - F.col("cum")).alias("dd"),
+        F.max(F.col("peak") - F.col("cum")).over(wall).alias("mx"),
+    )
+    return (
+        e.filter(F.col("dd") == F.col("mx"))
+        .groupBy("user_id", "mx")
+        .agg(F.min("event_id").cast("long").alias("at_event"))
+        .select(
+            "user_id",
+            F.col("mx").cast("long").alias("max_dd_cents"),
+            F.round(F.col("mx").cast("double") / 100.0, 2).alias("max_dd"),
+            "at_event",
+        )
+    )
+
+
+@query(
+    "events_debounce",
+    """
+    WITH g AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                         (PARTITION BY user_id, event_type
+                          ORDER BY epoch_us(ts), event_id) > 86400000000
+                         OR lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id, event_type
+                             ORDER BY epoch_us(ts), event_id) IS NULL
+                    THEN 1 ELSE 0 END AS nb
+        FROM events
+    ),
+    b AS (
+        SELECT user_id, event_type, event_id,
+               CAST(sum(nb) OVER (PARTITION BY user_id, event_type
+                    ORDER BY t, event_id) AS BIGINT) AS burst_id
+        FROM g
+    )
+    SELECT user_id, event_type, burst_id,
+           CAST(min(event_id) AS BIGINT) AS kept_event,
+           CAST(count(*) AS BIGINT) AS burst_len
+    FROM b GROUP BY user_id, event_type, burst_id
+    """,
+)
+def events_debounce(spark, sf_dir):
+    """Burst debouncing: collapse each run of same-type events from
+    the same user with inter-event gaps ≤ 24 h into one kept event
+    (the burst's first) plus a burst length — the alert-deduplication
+    primitive that turns a flapping sensor's 40 notifications into
+    one, and the keyed cousin of events_sessionize (gap sessions on
+    (user, type), keeping min instead of aggregating).  The
+    lag-gap → cumulative-burst-counter idiom is exact integer
+    microseconds; (t, event_id) total order makes burst boundaries
+    deterministic under timestamp ties.
+
+    Scale shape: lag and the cumulative counter share one
+    (user_id, event_type) exchange + sort; the burst rollup reuses
+    the same keys (no second shuffle under partial aggregation)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("t", "event_id")
+    s = ev.select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("t")
+    )
+    prev = F.lag("t").over(w)
+    g = s.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "t",
+        F.when(prev.isNull() | ((F.col("t") - prev) > 86_400_000_000), 1)
+        .otherwise(0)
+        .alias("nb"),
+    )
+    b = g.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.sum("nb").over(w).cast("long").alias("burst_id"),
+    )
+    return b.groupBy("user_id", "event_type", "burst_id").agg(
+        F.min("event_id").cast("long").alias("kept_event"),
+        F.count("*").cast("long").alias("burst_len"),
+    )
+
+
+@query(
+    "entropy_user_mix",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6)
+               AS entropy
+    FROM c GROUP BY user_id
+    """,
+)
+def entropy_user_mix(spark, sf_dir):
+    """Shannon entropy of each user's event-type mix via the
+    count-form identity H = ln n − (Σ cᵢ ln cᵢ)/n — the behavioral-
+    diversity feature (bots hammer one event type, H→0; organic users
+    spread, H→ln k), and the same diversity lens source_mix_weights
+    applies corpus-wide, pushed down to per-user granularity.  The
+    count form needs no p=c/n division inside the sum, so the only FP
+    is ≤|event types| ln terms per user; their summation-order ULP
+    drift is absorbed by the 6 dp round (same contract as
+    unigram_logprob_quality).
+
+    Scale shape: one (user, type) grouped count, then a per-user
+    rollup — two map-side-combinable exchanges, the second over rows
+    already bounded by |users|×|types|; no window, no join."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    cd = F.col("c").cast("double")
+    return c.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(cd * F.log(cd)) / F.sum("c"),
+            6,
+        ).alias("entropy"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
