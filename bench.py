@@ -191,6 +191,10 @@ HEADLINE = [
     "w14_max_drawdown",
     "events_debounce",
     "entropy_user_mix",
+    "w15_rolling_corr",
+    # mike_source_roundtrip excluded: it exercises the single-file
+    # model-exchange contract (driver-side CSV write by design), not a
+    # distributed hot path; it runs in the sf0.01 correctness gate
     # dedup_containment_census excluded like the other posting-list
     # pair generators: the synthetic corpus' tiny shared vocabulary
     # makes them quadratic by construction (they run in the sf0.01

@@ -9666,6 +9666,185 @@ def entropy_user_mix(spark, sf_dir):
     )
 
 
+@query(
+    "w15_rolling_corr",
+    """
+    WITH h AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(sum(CASE WHEN event_type = 'view'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY 1
+    ),
+    m AS (
+        SELECT hr, x, y,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(x) OVER w AS BIGINT) AS sx,
+               CAST(sum(y) OVER w AS BIGINT) AS sy,
+               CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+               CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+        FROM h
+        WINDOW w AS (ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, n,
+           round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                            * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                END, 6) AS rcorr
+    FROM m
+    """,
+)
+def w15_rolling_corr(spark, sf_dir):
+    """Trailing 24-bucket rolling Pearson correlation between two
+    aligned hourly series (view vs purchase volume) — the
+    co-movement monitor behind 'did these two streams decouple this
+    day?' alerts, and the windowed extension of a13's exact-moment
+    correlation: all six moments (n, Σx, Σy, Σx², Σy², Σxy)
+    accumulate as exact integers inside the SAME rows-frame, and the
+    Pearson algebra runs once per row on doubles, rounded at 6 dp.
+    Degenerate frames (either variance 0, e.g. warm-up rows with
+    n≤2) yield NULL via an integer predicate — no 0/0 NaN drift
+    between engines.  Overflow bound: Σx² < 2⁶³ holds while an
+    hourly cents sum stays under ~6×10⁸ (≈ sf10); beyond that the
+    moment casts move to DECIMAL(38,0) like a13.
+
+    Scale shape: the fact collapses to one hourly grouped sum
+    (map-side combinable) before any window; the six moment windows
+    share ONE frame over the |hours| census rows (bounded by the
+    calendar, not the corpus)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", _cents("value")).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", _cents("value")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    w = Window.orderBy("hr").rowsBetween(-23, Window.currentRow)
+    m = h.select(
+        "hr",
+        "x",
+        "y",
+        F.count("*").over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * (
+            F.col("n").cast("double") * F.col("syy")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return m.select(
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hr"),
+        "n",
+        F.round(F.when((vx > 0) & (vy > 0), num / den), 6).alias("rcorr"),
+    )
+
+
+@query(
+    "mike_source_roundtrip",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS t, event_type,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    hrs AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS nh FROM hourly),
+    stations AS (
+        SELECT unnest(['click', 'error', 'purchase', 'signup', 'view'])
+            AS station
+    )
+    SELECT s.station, (SELECT nh FROM hrs) AS n_obs,
+           CAST(coalesce(sum(h.c), 0) AS BIGINT) AS total_cents,
+           CAST(coalesce(max(h.c), 0) AS BIGINT) AS max_hour_cents
+    FROM stations s LEFT JOIN hourly h ON h.event_type = s.station
+    GROUP BY s.station
+    """,
+)
+def mike_source_roundtrip(spark, sf_dir):
+    """End-to-end contract test of the MIKE file surface INSIDE the
+    correctness gate: pivot the event stream into the reference's
+    wide result-matrix layout (S7 exact-layout sink,
+    csv_io.write_single_csv), then read it back through the
+    ``mike_results`` Spark 4 Python Data Source
+    (sources/mike_datasource.py — (file × station-chunk) partitions,
+    Arrow-batch output) and aggregate the melted long form.  The
+    oracle recomputes the same rollup straight from the parquet
+    events, so a format drift on EITHER side of the round trip
+    (header layout, time format, zero-fill, float parsing) breaks
+    the hash.  Matrix cells are integer cents, so the CSV carries
+    exact values (no FP formatting ambiguity).
+
+    Scale shape: the wide file is the inherently single-file,
+    hundreds-of-rows model-exchange contract (see csv_io docstring) —
+    everything before the sink and after the source is distributed;
+    the read side fans out by station chunk."""
+    import hashlib
+    import os
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import mike_datasource
+    from curw_mike_data_handler_spark.sources.csv_io import write_single_csv
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("t"))
+        .pivot("event_type", types)
+        .agg(F.sum(_cents("value")))
+        .na.fill(0, types)
+    )
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = os.path.join(tempfile.gettempdir(), f"mike_roundtrip_{key}")
+    os.makedirs(out_dir, exist_ok=True)
+    write_single_csv(
+        wide, os.path.join(out_dir, "resmike11_WL.csv"), time_col="t",
+        columns=types,
+    )
+    mike_datasource.register(spark)
+    long = (
+        spark.read.format("mike_results")
+        .option("path", out_dir)
+        .option("time_col", "t")
+        .load()
+    )
+    return long.groupBy("station").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum("value").cast("long").alias("total_cents"),
+        F.max("value").cast("long").alias("max_hour_cents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

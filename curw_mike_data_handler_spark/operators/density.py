@@ -106,17 +106,59 @@ def dbscan_grid(
         (F.count("*") + 1).cast("long").alias("n")
     )
     cores = ncnt.filter(F.col("n") >= int(min_pts)).select("id")
-    ca = cores.select(F.col("id").alias("ia"))
-    cb = cores.select(F.col("id").alias("ib"))
-    core_edges = (
-        pairs.join(ca, "ia")
-        .join(cb, "ib")
-        .select("ia", "ib")
-        .union(cores.select(F.col("id").alias("ia"), F.col("id").alias("ib")))
+    # --- clique contraction + diameter-free components -------------
+    # Two exactness-preserving reductions before the iterative loop:
+    #
+    # 1. **Subcell clique contraction**: points sharing an
+    #    (eps/√2)-sized subcell are pairwise ≤ eps apart, so same-
+    #    subcell CORES form a clique — contract each to its minimum
+    #    id (the rep).  The component loop then runs on the subcell-
+    #    level graph (|occupied subcells| nodes, distinct rep-edges)
+    #    instead of the full core graph; since every rep is already
+    #    its subcell's minimum, component minima — the cluster ids —
+    #    are unchanged.  This is the cell-graph step of MR-DBSCAN.
+    # 2. **Large-star/small-star components** (not label-prop): a
+    #    spatial eps-graph's diameter grows with the grid extent (a
+    #    dense corpus is one giant blob spanning many cells), so the
+    #    diameter-bounded loop is the wrong tool — the contraction
+    #    algorithm converges in O(log² n) rounds regardless.
+    #
+    # Measured at sf0.1 (15k points, one ~40-cell-wide component):
+    # 16 s (label-prop on point graph) → 9 s (two-phase on point
+    # graph) → the contracted graph is ~5× smaller on both axes.
+    # floor(eps/√2) — a valid (same-cell ⇒ ≤ eps) subcell needs
+    # s·√2 ≤ eps, impossible for integer eps < 2: there the "subcell"
+    # degenerates to the point itself (identity contraction, loop runs
+    # on the original core graph — tiny eps means tiny components)
+    sub = int(e / 1.4143)
+    cell_expr = (
+        (F.expr(f"x div {sub}") * 1_048_576 + F.expr(f"y div {sub}"))
+        if sub >= 1
+        else (F.col("x") * 1_048_576 + F.col("y"))
     )
-    comp = connected_components(
-        core_edges, src_col="ia", dst_col="ib", max_iter=max_iter
-    ).select(F.col("node").alias("id"), F.col("component").alias("cluster"))
+    core_xy = cores.join(p, "id").select("id", cell_expr.alias("sc"))
+    reps = core_xy.groupBy("sc").agg(F.min("id").alias("rep"))
+    cmap = core_xy.join(reps, "sc").select("id", "rep")
+    rep_edges = (
+        pairs.join(cmap.select(F.col("id").alias("ia"), F.col("rep").alias("ra")), "ia")
+        .join(cmap.select(F.col("id").alias("ib"), F.col("rep").alias("rb")), "ib")
+        .select("ra", "rb")
+        .filter(F.col("ra") != F.col("rb"))
+        .distinct()
+    )
+    rep_comp = connected_components(
+        rep_edges,
+        src_col="ra",
+        dst_col="rb",
+        max_iter=max_iter,
+        algorithm="two_phase",
+    ).select(F.col("node").alias("rep"), F.col("component").alias("comp"))
+    # isolated reps (subcell cliques with no external core edge) keep
+    # their own id as the cluster label
+    comp = (
+        cmap.join(rep_comp, "rep", "left")
+        .select("id", F.coalesce("comp", "rep").alias("cluster"))
+    )
     border = (
         pairs.join(cores.withColumnRenamed("id", "ib"), "ib")
         .join(cores.withColumnRenamed("id", "ia"), "ia", "left_anti")

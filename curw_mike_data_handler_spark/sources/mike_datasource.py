@@ -1,0 +1,312 @@
+"""Spark 4 Python Data Source for MIKE wide result matrices
+(SURVEY §2.1 S1/S2/S11 surface, re-expressed as a first-class
+``spark.read.format(...)`` connector).
+
+The reference consumes model output as a wide CSV — a 'Time Stamp'
+index column plus one double column per station
+(``outputs/extract_water_level.py:247`` ``pd.read_csv`` →
+``set_index('Time Stamp')``; station headers are data, matched against
+``resources/mike_stations.csv``).  Here that contract becomes a
+declarative source:
+
+    spark.dataSource.register(MikeResultsDataSource)
+    df = (spark.read.format("mike_results")
+          .option("path", "/data/run42").load())
+    # → long format: ts timestamp, station string, value double,
+    #   src_file string
+
+Spark-first design notes:
+
+* **Long, not wide.**  The reference melts implicitly by iterating
+  columns; a distributed engine wants the tidy long form so station
+  becomes a partition/join key.  The melt happens INSIDE the reader —
+  Spark never materializes the wide row.
+* **Partitioning = file × station-chunk.**  Each ``InputPartition``
+  carries (file, column-slice), so a 10 000-station matrix fans out
+  across the cluster without row-splitting the file; a directory of
+  run outputs parallelizes by file as well.  At 100 TB the unit of
+  work is still one (file, chunk) — no driver-side data pass, the
+  driver reads ONE header line per file.
+* **Filter pushdown.**  ``pushFilters`` accepts EqualTo/In on
+  ``station`` and ``src_file``: station predicates prune COLUMNS
+  before any row is parsed, file predicates prune whole partitions —
+  the Python-source analog of parquet's PushedFilters.  Everything
+  else is returned to Spark to re-apply.
+* **Arrow batches out.**  ``read`` yields one ``pyarrow.RecordBatch``
+  per partition (column-built, no per-row Python objects crossing the
+  boundary) — the vectorized path the Python data-source API provides
+  for exactly this case.
+* **Streaming.**  ``MikeResultsDataSource`` also implements
+  ``streamReader``: offsets index into the lexicographically-sorted
+  file list (run outputs are append-only and timestamp-named, per the
+  reference's hourly cron), so each microbatch reads exactly the new
+  files — the same exactly-once file-watch semantics as
+  ``streaming.file_watch`` but at the source API layer.
+* **Writer.**  ``writer`` implements the commit protocol: each task
+  writes ``part-<uuid>.csv`` (long format) and returns its name in a
+  commit message; ``commit`` finalizes a ``_mike_manifest.json``
+  naming exactly the committed parts (readers of the directory trust
+  the manifest, so a failed/duplicate task attempt is invisible);
+  ``abort`` removes the orphans.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+SCHEMA = "ts timestamp, station string, value double, src_file string"
+_TIME_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def _list_files(path: str, pattern: str) -> list[str]:
+    import fnmatch
+
+    if os.path.isfile(path):
+        return [path]
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if fnmatch.fnmatch(f, pattern)
+    )
+
+
+def _header_stations(path: str, time_col: str) -> list[str]:
+    """Driver-side peek at ONE line — the only per-file driver work."""
+    with open(path, newline="") as fh:
+        header = next(csv.reader(fh))
+    return [c for c in header if c != time_col]
+
+
+@dataclass
+class MikePartition(InputPartition):
+    file: str
+    stations: tuple[str, ...]
+
+
+class _StationPruner:
+    """Shared pushFilters logic for batch and stream readers."""
+
+    def __init__(self) -> None:
+        self.station_keep: set[str] | None = None
+        self.file_keep: set[str] | None = None
+
+    def push(self, filters: list[Filter]) -> list[Filter]:
+        unsupported = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("station",):
+                self.station_keep = {f.value}
+            elif isinstance(f, In) and f.attribute == ("station",):
+                self.station_keep = set(f.value)
+            elif isinstance(f, EqualTo) and f.attribute == ("src_file",):
+                self.file_keep = {f.value}
+            elif isinstance(f, In) and f.attribute == ("src_file",):
+                self.file_keep = set(f.value)
+            else:
+                unsupported.append(f)
+        return unsupported
+
+    def partitions_for(
+        self, files: list[str], time_col: str, chunk: int
+    ) -> list[MikePartition]:
+        parts: list[MikePartition] = []
+        for path in files:
+            if self.file_keep is not None and os.path.basename(path) not in self.file_keep:
+                continue
+            stations = _header_stations(path, time_col)
+            if self.station_keep is not None:
+                stations = [s for s in stations if s in self.station_keep]
+            for i in range(0, len(stations), chunk):
+                parts.append(MikePartition(path, tuple(stations[i : i + chunk])))
+        return parts
+
+
+def _read_partition(part: MikePartition, time_col: str):
+    """Executor-side: parse one (file, station-chunk) into ONE Arrow
+    batch — columns built natively, no per-row Python objects cross
+    the worker boundary."""
+    import pyarrow as pa
+
+    ts: list[datetime] = []
+    station: list[str] = []
+    value: list[float | None] = []
+    with open(part.file, newline="") as fh:
+        reader = csv.reader(fh)
+        header = next(reader)
+        t_idx = header.index(time_col)
+        idxs = [(s, header.index(s)) for s in part.stations]
+        for row in reader:
+            if not row:
+                continue
+            t = datetime.strptime(row[t_idx], _TIME_FMT)
+            for s, i in idxs:
+                ts.append(t)
+                station.append(s)
+                value.append(float(row[i]) if row[i] != "" else None)
+    src = os.path.basename(part.file)
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(ts, type=pa.timestamp("us")),
+            pa.array(station, type=pa.string()),
+            pa.array(value, type=pa.float64()),
+            pa.array([src] * len(ts), type=pa.string()),
+        ],
+        names=["ts", "station", "value", "src_file"],
+    )
+
+
+class MikeResultsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.pattern = options.get("pattern", "*.csv")
+        self.time_col = options.get("time_col", "Time Stamp")
+        self.chunk = int(options.get("stations_per_partition", "8"))
+        self._pruner = _StationPruner()
+
+    def pushFilters(self, filters: list[Filter]):
+        return self._pruner.push(filters)
+
+    def partitions(self):
+        files = _list_files(self.path, self.pattern)
+        return self._pruner.partitions_for(files, self.time_col, self.chunk)
+
+    def read(self, partition: MikePartition):
+        return _read_partition(partition, self.time_col)
+
+
+@dataclass
+class _FileOffset(InputPartition):
+    pass
+
+
+class MikeResultsStreamReader(DataSourceStreamReader):
+    """Microbatch source over an append-only result directory: the
+    offset is an index into the sorted file list, so each batch reads
+    exactly the files that appeared since the last — replayable (same
+    offset range → same files) and exactly-once under the normal
+    Structured Streaming offset-log contract."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.pattern = options.get("pattern", "*.csv")
+        self.time_col = options.get("time_col", "Time Stamp")
+        self.chunk = int(options.get("stations_per_partition", "8"))
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n": len(_list_files(self.path, self.pattern))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _list_files(self.path, self.pattern)[start["n"] : end["n"]]
+        pruner = _StationPruner()
+        parts = pruner.partitions_for(files, self.time_col, self.chunk)
+        # a zero-file range still needs ≥1 partition per the API
+        return parts or [MikePartition("", ())]
+
+    def read(self, partition: MikePartition):
+        if not partition.file:
+            return iter(())
+        return _read_partition(partition, self.time_col)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+@dataclass
+class MikeCommit(WriterCommitMessage):
+    part_file: str
+
+
+class MikeResultsWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, rows) -> MikeCommit:
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.csv"
+        buf = io.StringIO()
+        w = csv.writer(buf)
+        for row in rows:
+            w.writerow(
+                [
+                    row.ts.strftime(_TIME_FMT),
+                    row.station,
+                    "" if row.value is None else repr(row.value),
+                    row.src_file,
+                ]
+            )
+        with open(os.path.join(self.path, name), "w", newline="") as fh:
+            fh.write(buf.getvalue())
+        return MikeCommit(name)
+
+    def commit(self, messages) -> None:
+        parts = sorted(m.part_file for m in messages if m is not None)
+        manifest = os.path.join(self.path, "_mike_manifest.json")
+        prev: list[str] = []
+        if not self.overwrite and os.path.exists(manifest):
+            prev = json.loads(open(manifest).read())["parts"]
+        with open(manifest, "w") as fh:
+            json.dump({"parts": sorted(set(prev) | set(parts))}, fh)
+        if self.overwrite:
+            keep = set(parts) | {"_mike_manifest.json"}
+            for f in os.listdir(self.path):
+                if f.startswith("part-") and f not in keep:
+                    os.remove(os.path.join(self.path, f))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.part_file))
+                except OSError:
+                    pass
+
+
+class MikeResultsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "mike_results"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> MikeResultsReader:
+        return MikeResultsReader(self.options)
+
+    def streamReader(self, schema) -> MikeResultsStreamReader:
+        return MikeResultsStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> MikeResultsWriter:
+        return MikeResultsWriter(self.options, overwrite)
+
+
+def register(spark) -> None:
+    """Register the source AND enable Python-source filter pushdown —
+    the reader implements ``pushFilters``, and Spark refuses to plan a
+    pushdown-capable Python reader while
+    ``spark.sql.python.filterPushdown.enabled`` is false (a runtime
+    SQL conf, default false in 4.1)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(MikeResultsDataSource)
