@@ -192,6 +192,10 @@ HEADLINE = [
     "events_debounce",
     "entropy_user_mix",
     "w15_rolling_corr",
+    "cdc_apply_changelog",
+    "bom_subtree_rollup",
+    "trending_decay_counts",
+    "session_path_trigrams",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

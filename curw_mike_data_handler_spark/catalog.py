@@ -9845,6 +9845,264 @@ def mike_source_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "cdc_apply_changelog",
+    """
+    WITH log AS (
+        SELECT event_id % 300 AS key,
+               CASE WHEN event_type = 'signup' THEN 'I'
+                    WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               CAST(round(value * 100) AS BIGINT) AS val,
+               epoch_us(ts) AS v, event_id
+        FROM events
+    ),
+    r AS (
+        SELECT key, op, val, v,
+               row_number() OVER (PARTITION BY key
+                    ORDER BY v DESC, event_id DESC) AS rn,
+               CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n_ops
+        FROM log
+    )
+    SELECT key, val AS last_val, n_ops,
+           strftime(make_timestamp(v), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_changelog(spark, sf_dir):
+    """Changelog compaction (CDC apply): fold an insert/update/delete
+    event log into the final table state — the snapshot
+    materialization step every change-data-capture pipeline runs
+    (Debezium→lake, Delta CDF apply).  Op codes derive
+    deterministically from the event type; version order is the
+    (epoch, event_id) total order, so ties cannot flap the winner;
+    keys whose LAST op is a delete vanish from the snapshot; n_ops
+    preserves the audit trail.  The s14 latest-version read is the
+    2-way (upsert-only) special case — this adds tombstone handling.
+
+    Scale shape: ONE hash(key) exchange feeds both the row_number and
+    the count window (same partitioning); WindowGroupLimit prunes
+    rank>1 rows before the filter at scan-side where supported."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        (F.col("event_id") % 300).alias("key"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        _cents("value").alias("val"),
+        F.unix_micros("ts").alias("v"),
+        "event_id",
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("v").desc(), F.col("event_id").desc()
+    )
+    r = log.select(
+        "key",
+        "op",
+        "val",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("key")).cast("long").alias("n_ops"),
+    )
+    return (
+        r.filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "key",
+            F.col("val").alias("last_val"),
+            "n_ops",
+            F.date_format(F.timestamp_micros(F.col("v")), "yyyy-MM-dd HH:mm:ss")
+            .alias("last_ts"),
+        )
+    )
+
+
+@query(
+    "bom_subtree_rollup",
+    """
+    WITH anc AS (
+        SELECT p_partkey AS k, CAST(round(p_retailprice * 100) AS BIGINT) AS c,
+               unnest(list_distinct([p_partkey, p_partkey // 10,
+                      p_partkey // 100, p_partkey // 1000,
+                      p_partkey // 10000, p_partkey // 100000,
+                      p_partkey // 1000000, p_partkey // 10000000]))
+                   AS ancestor
+        FROM part
+    )
+    SELECT ancestor, CAST(count(*) AS BIGINT) AS n_desc,
+           CAST(sum(c) AS BIGINT) AS subtree_cents
+    FROM anc GROUP BY ancestor
+    """,
+)
+def bom_subtree_rollup(spark, sf_dir):
+    """Hierarchical (bill-of-materials style) subtree rollup WITHOUT
+    iteration: the part hierarchy parent(k) = k div 10 has a
+    closed-form ancestor chain, so each part explodes to its ≤8
+    distinct ancestors (array_distinct collapses the repeated root
+    for shallow keys) and ONE grouped sum yields every node's
+    subtree total — the recursive-CTE rollup (classic BOM costing)
+    re-expressed as a bounded fan-out map + aggregate.  Contrast
+    graph_reachability, which handles ARBITRARY edges with a
+    level-wise loop; when the hierarchy is an arithmetic encoding
+    (materialized-path, Dewey order), the loop disappears entirely.
+    8 levels cover part keys through 10⁸.
+
+    Scale shape: narrow explode (≤8× fan-out, no join) into one
+    map-side-combinable hash(ancestor) aggregate; no window, no
+    iteration, no driver state."""
+    p = _t(spark, sf_dir, "part")
+    chain = F.array_distinct(
+        F.array(*[F.expr(f"p_partkey div {10**i}") for i in range(8)])
+    )
+    return (
+        p.select(
+            _cents("p_retailprice").alias("c"),
+            F.explode(chain).alias("ancestor"),
+        )
+        .groupBy("ancestor")
+        .agg(
+            F.count("*").cast("long").alias("n_desc"),
+            F.sum("c").cast("long").alias("subtree_cents"),
+        )
+    )
+
+
+@query(
+    "trending_decay_counts",
+    """
+    WITH horizon AS (SELECT max(date_trunc('day', ts)) AS h FROM events),
+    a AS (
+        SELECT event_type,
+               CAST(date_diff('day', date_trunc('day', ts),
+                    (SELECT h FROM horizon)) AS BIGINT) AS age,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+           round(sum(CAST(n AS DOUBLE) * pow(2.0, -CAST(age AS DOUBLE) / 7.0)),
+                 6) AS decayed
+    FROM a GROUP BY event_type
+    """,
+)
+def trending_decay_counts(spark, sf_dir):
+    """Exponentially time-decayed activity score per event type
+    (7-day half-life) — the 'trending now' ranking signal that favors
+    recent volume without a hard cutoff window.  Naively this is
+    Σ 2^(−age/h) over raw events — an FP sum whose per-engine order
+    would differ across millions of terms; instead the events
+    collapse to an exact integer (type, age-in-days) census FIRST,
+    and the decay weighting touches only |types|×|days| rows (≤ a
+    few thousand doubles, 6 dp absorbing their ULP order drift).
+    The decayed score is mergeable: yesterday's score × 2^(−1/h) +
+    today's count — the census form is exactly the state a
+    streaming version would keep.
+
+    Scale shape: one grouped count (map-side combinable), a 1-row
+    horizon broadcast, and a tiny second rollup."""
+    ev = _t(spark, sf_dir, "events")
+    horizon = ev.agg(F.max(F.date_trunc("day", "ts")).alias("h"))
+    a = (
+        ev.crossJoin(F.broadcast(horizon))
+        .groupBy(
+            "event_type",
+            F.datediff(F.col("h"), F.date_trunc("day", "ts"))
+            .cast("long")
+            .alias("age"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return a.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.round(
+            F.sum(
+                F.col("n").cast("double")
+                * F.pow(F.lit(2.0), -F.col("age").cast("double") / 7.0)
+            ),
+            6,
+        ).alias("decayed"),
+    )
+
+
+@query(
+    "session_path_trigrams",
+    """
+    WITH s AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                         OR lag(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    g AS (
+        SELECT user_id, event_type, t, event_id,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id) AS sid
+        FROM s
+    ),
+    tri AS (
+        SELECT lag(event_type, 2) OVER w AS e1, lag(event_type) OVER w AS e2,
+               event_type AS e3
+        FROM g WINDOW w AS (PARTITION BY user_id, sid ORDER BY t, event_id)
+    ),
+    c AS (
+        SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+        FROM tri WHERE e1 IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (ORDER BY n DESC, e1, e2, e3) AS rn FROM c
+    )
+    SELECT e1, e2, e3, n, CAST(rn AS BIGINT) AS rn FROM rk WHERE rn <= 10
+    """,
+)
+def session_path_trigrams(spark, sf_dir):
+    """Top-10 within-session event-type trigrams — sequential pattern
+    mining over user journeys (the 'what do people do right before
+    purchasing?' query), composing the 30-min gap sessionization with
+    a lag-chain n-gram extract and a deterministic top-k
+    ((count, e1, e2, e3) total order, so equal-count trigrams rank
+    stably).  Trigrams never cross session boundaries because the lag
+    window partitions on (user, session).
+
+    Scale shape: the session-id window and the lag chain share the
+    hash(user) exchange (the second window's (user, sid) keys are a
+    refinement, one extra sort, no reshuffle of foreign data); the
+    trigram census is |types|³-bounded, so the final ranking window
+    is a ≤125-row single partition."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("t", "event_id")
+    s = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    prev = F.lag("t").over(wu)
+    g = s.select(
+        "user_id",
+        "event_type",
+        "t",
+        "event_id",
+        F.sum(
+            F.when(prev.isNull() | ((F.col("t") - prev) > 1_800_000_000), 1)
+            .otherwise(0)
+        )
+        .over(wu)
+        .alias("sid"),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("t", "event_id")
+    tri = g.select(
+        F.lag("event_type", 2).over(ws).alias("e1"),
+        F.lag("event_type").over(ws).alias("e2"),
+        F.col("event_type").alias("e3"),
+    ).filter(F.col("e1").isNotNull())
+    c = tri.groupBy("e1", "e2", "e3").agg(F.count("*").cast("long").alias("n"))
+    rk = Window.orderBy(F.col("n").desc(), "e1", "e2", "e3")
+    return (
+        c.select("e1", "e2", "e3", "n", F.row_number().over(rk).cast("long").alias("rn"))
+        .filter(F.col("rn") <= 10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
