@@ -10103,6 +10103,269 @@ def session_path_trigrams(spark, sf_dir):
     )
 
 
+@query(
+    "a16_regression_residual_topk",
+    """
+    WITH c AS (
+        SELECT l_returnflag AS grp, l_orderkey, l_linenumber,
+               CAST(round(l_quantity * 100) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(CAST(y * y AS HUGEINT)) AS HUGEINT) AS syy
+        FROM c GROUP BY grp
+    ),
+    coef AS (
+        SELECT grp, n, sx, sy, sxx, sxy, syy,
+               CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * 100) AS BIGINT) AS slope_c,
+               CAST(round((CAST(sy AS DOUBLE)
+                    - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) * 100)
+                   AS BIGINT) AS icept_c
+        FROM m
+    ),
+    s AS (
+        SELECT grp, n, slope_c, icept_c,
+               100 * sy - slope_c * sx - n * icept_c AS sr,
+               10000 * syy
+               + CAST(slope_c AS HUGEINT) * slope_c * sxx
+               + CAST(n AS HUGEINT) * icept_c * icept_c
+               - 200 * CAST(slope_c AS HUGEINT) * sxy
+               - 200 * CAST(icept_c AS HUGEINT) * sy
+               + 2 * CAST(slope_c AS HUGEINT) * icept_c * sx AS srr
+        FROM coef
+    ),
+    rk AS (
+        SELECT c.grp, c.l_orderkey, c.l_linenumber,
+               c.y * 100 - s.slope_c * c.x - s.icept_c AS ru,
+               s.n, s.sr, s.srr,
+               row_number() OVER (PARTITION BY c.grp
+                    ORDER BY abs((c.y * 100 - s.slope_c * c.x - s.icept_c)
+                                 * s.n - s.sr) DESC,
+                             c.l_orderkey, c.l_linenumber) AS rk
+        FROM c JOIN s USING (grp)
+    )
+    SELECT grp, CAST(rk AS BIGINT) AS rk, l_orderkey, l_linenumber,
+           round(ru / 10000.0, 2) AS residual,
+           round((CAST(ru AS DOUBLE) - CAST(sr AS DOUBLE) / n)
+                 / sqrt(CAST(srr AS DOUBLE) / n
+                        - (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n)),
+                 6) AS z
+    FROM rk WHERE rk <= 20
+    """,
+)
+def a16_regression_residual_topk(spark, sf_dir):
+    """Model-scoring join + exact anomaly ranking: fit a15's per-group
+    least-squares line, QUANTIZE the coefficients to fixed-point
+    centi-units (the honest at-scale design — a broadcast model is a
+    frozen artifact, not a live double), score every line item's
+    residual as an exact integer, and rank each group's top 20
+    deviations.  The ranking key |ru·n − Σru| is an exact LONG, so
+    near-tie FP ordering CANNOT flap the top-k membership — the
+    z-score is display-only, computed once from exact moments and
+    rounded.  (An outlier FILTER z>3 would be empty here: the
+    synthetic residuals are near-uniform, max|z|≈√3 — a ranking is
+    the robust deliverable.)
+
+    The centi (not micro) quantization is a measured perf decision:
+    at 1e6 scale the residuals forced DECIMAL(38) row arithmetic
+    (BigDecimal per row, no codegen fast path — 4.9 s warm at sf0.1);
+    at 1e2 every per-row op is a plain long (ru ≤ 1e9, ru·n ≤ 6e14,
+    ru² ≤ 1e18) and ONLY the Σru² accumulator widens to DECIMAL in
+    the aggregate.  Headroom bound: ru·n and Σru stay in long through
+    ~sf10 per group; past that, widen the two aggregates, not the
+    rows.
+
+    Scale shape: two grouped-moment passes (|groups| rows each), a
+    broadcast coefficient join fused into the scan projection, and a
+    per-group WindowGroupLimit top-k — no global sort, no holistic
+    aggregate."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    c = li.select(
+        F.col("l_returnflag").alias("grp"),
+        "l_orderkey",
+        "l_linenumber",
+        _cents("l_quantity").alias("x"),
+        _cents("l_extendedprice").alias("y"),
+    )
+    m = c.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).cast(d38).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx") - sxd * F.col("sx")
+    )
+    coef = m.select(
+        "grp",
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        "syy",
+        F.round(slope * 100).cast("long").alias("slope_c"),
+        F.round(
+            (F.col("sy").cast("double") - slope * sxd) / nd * 100
+        )
+        .cast("long")
+        .alias("icept_c"),
+    )
+    # residual moments in CLOSED FORM from the fit moments — no second
+    # pass over the fact: Σru = 100Σy − aΣx − nb,
+    # Σru² = 10⁴Σy² + a²Σx² + nb² − 200aΣxy − 200bΣy + 2abΣx
+    # (3-row decimal algebra only; the fact rows never see a decimal)
+    a_, b_ = F.col("slope_c").cast(d38), F.col("icept_c").cast(d38)
+    s = coef.select(
+        "grp",
+        "n",
+        "slope_c",
+        "icept_c",
+        (
+            100 * F.col("sy") - F.col("slope_c") * F.col("sx")
+            - F.col("n") * F.col("icept_c")
+        ).alias("sr"),
+        (
+            10_000 * F.col("syy")
+            + a_ * F.col("slope_c") * F.col("sxx")
+            + F.col("n").cast(d38) * F.col("icept_c") * F.col("icept_c")
+            - 200 * a_ * F.col("sxy")
+            - 200 * b_ * F.col("sy")
+            + 2 * a_ * F.col("icept_c") * F.col("sx")
+        ).cast(d38).alias("srr"),
+    )
+    rj = c.join(F.broadcast(s), "grp")
+    ru = F.col("y") * 100 - F.col("slope_c") * F.col("x") - F.col("icept_c")
+    dev = F.abs(ru * F.col("n") - F.col("sr"))
+    w = Window.partitionBy("grp").orderBy(
+        dev.desc(), "l_orderkey", "l_linenumber"
+    )
+    nd2 = F.col("n").cast("double")
+    mean = F.col("sr").cast("double") / nd2
+    std = F.sqrt(
+        F.col("srr").cast("double") / nd2 - mean * mean
+    )
+    return (
+        rj.select(
+            "grp",
+            "l_orderkey",
+            "l_linenumber",
+            ru.alias("ru"),
+            "n",
+            "sr",
+            "srr",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 20)
+        .select(
+            "grp",
+            "rk",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("ru") / 10_000.0, 2).alias("residual"),
+            F.round((F.col("ru").cast("double") - mean) / std, 6).alias("z"),
+        )
+    )
+
+
+@query(
+    "snm_candidate_pairs",
+    """
+    WITH vocab AS (
+        SELECT DISTINCT word FROM (
+            SELECT lower(unnest(string_split(p_name, ' '))) AS word FROM part
+        ) WHERE len(word) >= 3
+    ),
+    passes AS (
+        SELECT 'fwd' AS pass, word,
+               row_number() OVER (ORDER BY word) AS rn FROM vocab
+        UNION ALL
+        SELECT 'rev' AS pass, word,
+               row_number() OVER (ORDER BY reverse(word)) AS rn FROM vocab
+    ),
+    cand AS (
+        SELECT DISTINCT least(a.word, b.word) AS word_a,
+               greatest(a.word, b.word) AS word_b
+        FROM passes a JOIN passes b
+          ON a.pass = b.pass AND b.rn > a.rn AND b.rn <= a.rn + 4
+    )
+    SELECT word_a, word_b, CAST(levenshtein(word_a, word_b) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(word_a, word_b) <= 1
+    """,
+)
+def snm_candidate_pairs(spark, sf_dir):
+    """Multi-pass sorted-neighborhood (SNM) record-linkage blocking
+    (Hernández & Stolfo 1995) over the part-name vocabulary: sort by
+    the word and by its reversal, compare each entry only to its 4
+    successors per pass, verify candidates with exact edit distance.
+    The THIRD candidate-generation strategy in the dedup family —
+    FastSS deletion variants (fuzzy_join_edit1) are exact-recall at
+    ~L variants/word, LSH bands are probabilistic, SNM is the classic
+    sort-based heuristic whose window, not the data, bounds the
+    candidate count: exactly w·|vocab| pairs per pass, the cheapest
+    possible blocking when typos preserve a prefix or suffix.  The
+    forward+reverse passes are windows over the sorted vocabulary —
+    lead() neighbors, no self-join.
+
+    Scale shape: two sorts of the (deduplicated, vocabulary-scale)
+    key column, a lead-window pair emit (linear in |vocab|·w), and a
+    narrow verify; the corpus-scale token explode collapses to the
+    vocabulary before any pairing."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part")
+    vocab = (
+        p.select(F.explode(F.split(F.lower("p_name"), " ")).alias("word"))
+        .filter(F.length("word") >= 3)
+        .distinct()
+    )
+    W = 4
+    cands = None
+    for key in (F.col("word"), F.reverse(F.col("word"))):
+        w = Window.orderBy(key.asc())
+        nbrs = vocab.select(
+            "word",
+            *[F.lead("word", i).over(w).alias(f"nb{i}") for i in range(1, W + 1)],
+        )
+        c = (
+            nbrs.select(
+                "word",
+                F.explode(
+                    F.array(*[F.col(f"nb{i}") for i in range(1, W + 1)])
+                ).alias("other"),
+            )
+            .filter(F.col("other").isNotNull())
+            .select(
+                F.least("word", "other").alias("word_a"),
+                F.greatest("word", "other").alias("word_b"),
+            )
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.distinct()
+        .withColumn(
+            "dist", F.levenshtein("word_a", "word_b").cast("long")
+        )
+        .filter(F.col("dist") <= 1)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
