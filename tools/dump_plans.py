@@ -93,6 +93,19 @@ SHOWCASE = [
     ("events_anomaly_episodes", "pushed threshold filter; lag/cumsum/rollup share ONE window sort on the sliver"),
     ("skew_key_census", "partial-aggregated key counts → bit-length buckets (≤64 rows) → share window"),
     ("customer_rfm_segments", "fact collapses to customers first; ntile windows on the dimension-scale aggregate"),
+    ("survival_km_curve", "KM estimator: per-duration census, reverse-cumsum risk set, log-sum windows on census rows only"),
+    ("stats_ks_two_sample", "integer sup-norm: grouped value census, bounded cumulative window, 1-row broadcast totals"),
+    ("w14_max_drawdown", "three stacked running windows + rollup share ONE hash(user) exchange and sort"),
+    ("events_debounce", "lag-gap burst counter + first-of-burst rollup on ONE (user,type) exchange"),
+    ("cdc_apply_changelog", "I/U/D fold: rank + count windows share hash(key); WindowGroupLimit prunes rank>1"),
+    ("bom_subtree_rollup", "recursion-free hierarchy rollup: array_distinct ancestor explode + one hash aggregate"),
+    ("trending_decay_counts", "exact (type, age-day) census first; FP decay touches census rows only"),
+    ("session_path_trigrams", "session windows + lag chain on one hash(user) exchange; |types|^3-bounded rank window"),
+    ("a16_regression_residual_topk", "closed-form residual moments (no 2nd fact pass); broadcast model; exact-key WindowGroupLimit"),
+    ("w15_rolling_corr", "six integer moment windows share one frame over the hourly census"),
+    ("dbscan_station_clusters", "grid-blocked pairs, subcell clique contraction, two-phase components on the cell graph"),
+    ("snm_candidate_pairs", "two sorted-vocab lead windows emit w·|vocab| candidates; levenshtein verify on candidates only"),
+    ("gini_nation_revenue", "per-nation rank window on the customer-scale rollup; exact integer sums to one edge division"),
 ]
 
 
