@@ -340,6 +340,56 @@ def main() -> None:
     print(f"  fuzzy census: vocab={n_vocab:,}, cross-join rows (avoided)="
           f"{n_vocab * (n_vocab - 1) // 2:,}, index rows={n_vocab * 9:,}")
 
+    # DBSCAN at 10× the sf0.1 point density (150k md5-placed points on
+    # the same 1000×1000 grid, eps=25): the eps-disk now holds ~300
+    # neighbors, the core graph is one giant blob, and the candidate
+    # pair count — not the point count — is the scaling variable the
+    # grid blocking controls (Σ cell² × 9 candidate bound measured
+    # from the same grouped count the plan runs).  The clique
+    # contraction + two-phase components keep the iterative part on
+    # the |occupied subcells| graph.
+    from curw_mike_data_handler_spark.operators.density import dbscan_grid
+
+    def _h(sfx):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("id").cast("string"), F.lit(sfx))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000
+        )
+
+    pts = spark.range(150_000).select(
+        F.col("id"), _h(":x").alias("x"), _h(":y").alias("y")
+    )
+    cellc = (
+        pts.groupBy((F.expr("x div 25") * 1024 + F.expr("y div 25")).alias("cell"))
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("cells"),
+            F.max("n").alias("max_cell"),
+            F.sum(F.col("n") * F.col("n") * 9).alias("cand_pair_bound"),
+        )
+        .collect()[0]
+    )
+    results["dbscan_cell_census_10x"] = {
+        "points": 150_000,
+        "cells": cellc["cells"],
+        "max_cell": int(cellc["max_cell"]),
+        "cand_pair_bound": int(cellc["cand_pair_bound"]),
+    }
+    print(f"  dbscan census: cells={cellc['cells']:,}, max_cell={cellc['max_cell']}, "
+          f"candidate bound={cellc['cand_pair_bound']:,}")
+    measure(
+        spark,
+        "dbscan_grid_10x_density",
+        lambda: dbscan_grid(pts, eps=25, min_pts=4),
+        results,
+    )
+
     payload = {
         "sf": 1.0,
         "docs": docs_lin.count(),
