@@ -10366,6 +10366,113 @@ def snm_candidate_pairs(spark, sf_dir):
     )
 
 
+@query(
+    "geo_point_in_catchment",
+    """
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               ('0x' || substr(md5(c_custkey::VARCHAR || ':x'), 1, 15))::BIGINT
+                   % 1000 AS x,
+               ('0x' || substr(md5(c_custkey::VARCHAR || ':y'), 1, 15))::BIGINT
+                   % 1000 AS y
+        FROM customer
+    ),
+    poly AS (
+        SELECT * FROM (VALUES
+            ('upper_basin', [{'x': 100, 'y': 100}, {'x': 600, 'y': 80},
+                             {'x': 650, 'y': 500}, {'x': 150, 'y': 550}]),
+            ('lower_basin', [{'x': 400, 'y': 400}, {'x': 900, 'y': 450},
+                             {'x': 850, 'y': 950}]),
+            ('coastal_strip', [{'x': 0, 'y': 700}, {'x': 300, 'y': 650},
+                               {'x': 350, 'y': 980}, {'x': 20, 'y': 990}])
+        ) p(name, verts)
+    ),
+    edges AS (
+        SELECT name, verts[i] AS a,
+               verts[CASE WHEN i = len(verts) THEN 1 ELSE i + 1 END] AS b
+        FROM poly, unnest(range(1, len(verts) + 1)) r(i)
+    ),
+    test AS (
+        SELECT p.id, e.name,
+               CASE WHEN (e.b.x - e.a.x) * (p.y - e.a.y)
+                         - (e.b.y - e.a.y) * (p.x - e.a.x) > 0 THEN 1
+                    WHEN (e.b.x - e.a.x) * (p.y - e.a.y)
+                         - (e.b.y - e.a.y) * (p.x - e.a.x) < 0 THEN -1
+                    ELSE 0 END AS s
+        FROM pts p CROSS JOIN edges e
+    ),
+    membership AS (
+        SELECT id, name FROM test GROUP BY id, name
+        HAVING min(s) >= 0 OR max(s) <= 0
+    )
+    SELECT name AS catchment, CAST(count(*) AS BIGINT) AS n_stations
+    FROM membership GROUP BY name
+    """,
+)
+def geo_point_in_catchment(spark, sf_dir):
+    """Point-in-polygon catchment membership — the geometric primitive
+    the reference's catchment logic sidesteps with precomputed station
+    weight files (resources/, rf_linux:119): given convex catchment
+    polygons, count the synthetic stations inside each via the exact
+    same-side test (all edge×point cross products share a sign).
+    Integer coordinates keep every cross product exact — no epsilon,
+    no orientation convention needed (all-nonnegative OR all-
+    nonpositive accepts either winding; boundary points count in).
+
+    Scale shape: polygon edges are a broadcast literal (a catchment
+    set is dimension-sized), so the point×edge test is a broadcast
+    nested-loop over a narrow projection — one pass over the station
+    scan, then two grouped rollups, the second on |polygons| rows.
+    For polygon sets too large to broadcast, block on a grid cell key
+    first (the j8_nearest_grid device) so each point only meets
+    polygons whose bounding box shares its cell."""
+    polys = [
+        ("upper_basin", [(100, 100), (600, 80), (650, 500), (150, 550)]),
+        ("lower_basin", [(400, 400), (900, 450), (850, 950)]),
+        ("coastal_strip", [(0, 700), (300, 650), (350, 980), (20, 990)]),
+    ]
+    pdf = spark.createDataFrame(
+        [(n, [{"x": x, "y": y} for x, y in vs]) for n, vs in polys],
+        "name string, verts array<struct<x:long,y:long>>",
+    )
+    edges = pdf.select(
+        "name", "verts", F.posexplode("verts").alias("i0", "a")
+    ).select(
+        "name",
+        "a",
+        F.expr("verts[CAST((i0 + 1) % size(verts) AS INT)]").alias("b"),
+    )
+    c = _t(spark, sf_dir, "customer")
+    h = lambda sfx: (  # noqa: E731 — same device as dbscan_station_clusters
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(sfx))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("id"), h(":x").alias("x"), h(":y").alias("y")
+    )
+    cross = (F.col("b.x") - F.col("a.x")) * (F.col("y") - F.col("a.y")) - (
+        F.col("b.y") - F.col("a.y")
+    ) * (F.col("x") - F.col("a.x"))
+    s = F.when(cross > 0, 1).when(cross < 0, -1).otherwise(0)
+    test = pts.crossJoin(F.broadcast(edges)).select("id", "name", s.alias("s"))
+    membership = (
+        test.groupBy("id", "name")
+        .agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+        .filter((F.col("mn") >= 0) | (F.col("mx") <= 0))
+    )
+    return membership.groupBy(F.col("name").alias("catchment")).agg(
+        F.count("*").cast("long").alias("n_stations")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
