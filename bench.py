@@ -306,6 +306,13 @@ def main() -> None:
         "common_warm_total": round(sum(warm[n] for n in COMMON_100), 3),
         "common_warm_total_r4": COMMON_100_R4_WARM_TOTAL,
         "note": "cold then warm pass; full precision in BENCH_local.json",
+        # measured on this box (round 5): IDENTICAL plans re-run in the
+        # same session swing ±2-3×, and full-bench common-100 sums
+        # varied 68→95 s across one day with zero code changes to those
+        # queries — treat cross-round deltas below ~1.5× as noise and
+        # audit per-query plans (PLANS.md) rather than wall sums
+        "variance_note": "same-plan repeats swing 2-3x on this host; "
+        "common_warm deltas under ~1.5x are environment noise",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full-precision copy on disk: the driver keeps only a bounded tail
