@@ -199,6 +199,8 @@ HEADLINE = [
     "a16_regression_residual_topk",
     "snm_candidate_pairs",
     "geo_point_in_catchment",
+    "f_hof_suite",
+    "f_map_suite",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -10473,6 +10473,129 @@ def geo_point_in_catchment(spark, sf_dir):
     )
 
 
+@query(
+    "f_hof_suite",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> len(x) >= 5)) AS BIGINT) AS n_long,
+           len(list_filter(toks, x -> len(x) >= 8)) > 0 AS has_big,
+           len(list_filter(toks, x -> len(x) = 0)) = 0 AS all_nonempty,
+           CAST(list_reduce(list_prepend(0,
+                list_transform(toks, x -> len(x))), (a, b) -> a + b)
+               AS BIGINT) AS total_chars,
+           array_to_string(list_slice(toks, 1, 3), '|') AS first3,
+           array_to_string(
+               list_transform(range(1, least(len(toks), 4) + 1),
+                   i -> toks[i] || '-' || toks[len(toks) + 1 - i]), '|')
+               AS mirror4,
+           CAST(len(toks) * (len(toks) + 1) / 2 AS BIGINT) AS seq_sum
+    FROM t
+    """,
+)
+def f_hof_suite(spark, sf_dir):
+    """Higher-order-function surface attestation — the §2.8 lambda
+    battery: filter (predicate counting), exists/forall (spelled as
+    filter-length tests so both engines share ONE semantics for empty
+    arrays), aggregate with a seed (character totals), slice,
+    index-based zip-with-reverse (transform over sequence —
+    DuckDB's list_zip pads with NULL structs where Spark's zip_with
+    truncates, so the mirrored pairing indexes explicitly), and a
+    sequence+closed-form check.  All seven expressions are narrow
+    per-row lambdas fused into one projection — zero exchanges, the
+    plan is scan → project.
+
+    Scale shape: map-only; rides any scan for free."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    mirror = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.least(n, F.lit(4))),
+            lambda i: F.concat(
+                F.element_at(toks, i),
+                F.lit("-"),
+                F.element_at(toks, n + 1 - i),
+            ),
+        ),
+        "|",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) >= 5))
+        .cast("long")
+        .alias("n_long"),
+        F.exists(toks, lambda x: F.length(x) >= 8).alias("has_big"),
+        F.forall(toks, lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, x: acc + F.length(x)
+        )
+        .cast("long")
+        .alias("total_chars"),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("first3"),
+        mirror.alias("mirror4"),
+        (n.cast("long") * (n + 1) / 2).cast("long").alias("seq_sum"),
+    )
+
+
+@query(
+    "f_map_suite",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    vocab AS (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+        FROM t, unnest(toks) AS u(word) GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c * 2) AS BIGINT) AS doubled_total,
+           CAST(count(*) FILTER (WHERE c >= 2) AS BIGINT) AS n_repeated,
+           coalesce(array_to_string(list_sort(list(word ORDER BY word)
+               FILTER (WHERE c >= 2)), '|'), '') AS repeated_keys
+    FROM vocab GROUP BY doc_id
+    """,
+)
+def f_map_suite(spark, sf_dir):
+    """Map-type surface attestation: build a per-document token-count
+    MAP (map_from_entries over the grouped census), then exercise
+    transform_values (doubling), map_filter (repeated tokens),
+    map_keys + array_sort, and cardinality.  The oracle computes the
+    same VALUES relationally (DuckDB's map lambdas are narrower), so
+    the hash compare pins Spark's map semantics — key set, filtered
+    entries, value transform — against an engine-neutral definition.
+    Output flattens to sortable scalars (counts + a joined key
+    string) because maps have no canonical cross-engine hash order.
+
+    Scale shape: one (doc, word) grouped count, one per-doc
+    map_from_entries rollup — the map ops are narrow projections on
+    the doc-level rows."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens("text")).alias("word")
+    )
+    vocab = tok.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    m = vocab.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "c"))
+        ).alias("cnt")
+    )
+    doubled = F.transform_values(F.col("cnt"), lambda k, v: v * 2)
+    repeated = F.map_filter(F.col("cnt"), lambda k, v: v >= 2)
+    return m.select(
+        "doc_id",
+        F.cardinality("cnt").cast("long").alias("n_keys"),
+        F.aggregate(
+            F.map_values(doubled), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("doubled_total"),
+        F.cardinality(repeated).cast("long").alias("n_repeated"),
+        F.array_join(F.array_sort(F.map_keys(repeated)), "|").alias(
+            "repeated_keys"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
