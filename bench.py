@@ -201,6 +201,8 @@ HEADLINE = [
     "geo_point_in_catchment",
     "f_hof_suite",
     "f_map_suite",
+    "f_xml_extract",
+    "f_try_suite",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -10596,6 +10596,100 @@ def f_map_suite(spark, sf_dir):
     )
 
 
+@query(
+    "f_xml_extract",
+    """
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+           strftime(o_orderdate, '%Y-%m-%d') AS d
+    FROM orders WHERE o_orderkey % 40 = 0
+    """,
+)
+def f_xml_extract(spark, sf_dir):
+    """XML round trip through Spark 4's native XML support: serialize
+    each order to an XML document string (concat — the layout a
+    legacy telemetry feed would deliver), then parse it back with
+    ``from_xml`` under an explicit schema and extract typed fields.
+    The oracle reads the same fields straight from parquet, so the
+    hash compare proves the XML writer→parser round trip is lossless
+    for every row — the from_xml analog of f_json_extract and
+    variant_shred_extract (three self-describing formats, one
+    contract).
+
+    Scale shape: serialize + parse + extract fuse into one narrow
+    projection on the scan — zero exchanges."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 40 == 0)
+    xml = F.concat(
+        F.lit("<order><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><total>"),
+        _cents("o_totalprice").cast("string"),
+        F.lit("</total><date>"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit("</date></order>"),
+    )
+    parsed = F.from_xml(
+        xml, "STRUCT<status: STRING, total: BIGINT, date: STRING>"
+    )
+    return o.select(
+        "o_orderkey",
+        parsed.getField("status").alias("status"),
+        parsed.getField("total").alias("total_cents"),
+        parsed.getField("date").alias("d"),
+    )
+
+
+@query(
+    "f_try_suite",
+    """
+    SELECT e.event_id,
+           CASE WHEN (e.event_id % 7) = 0 THEN NULL
+                ELSE CAST(round(e.value * 100) AS BIGINT) / (e.event_id % 7)
+           END AS safe_div,
+           CASE WHEN e.event_id % 3 = 0
+                THEN CAST(e.event_id AS BIGINT) ELSE NULL END AS parsed_num,
+           CASE WHEN len(string_split(e.props, ',')) >= 4
+                THEN string_split(e.props, ',')[4] ELSE NULL END AS fourth,
+           CAST(NULL AS BIGINT) AS overflowed
+    FROM events e WHERE e.event_id % 10 = 0
+    """,
+)
+def f_try_suite(spark, sf_dir):
+    """ANSI-mode safety surface: the ``try_`` function family that
+    turns would-be runtime errors into NULLs — try_divide (division
+    by a cycling, sometimes-zero denominator), try_to_number against
+    a format (digits-only strings parse, others NULL), try_element_at
+    past the end of an array, and try_multiply at the far edge of
+    BIGINT (Long.MAX × 2 → NULL, where plain multiply under ANSI
+    kills the job).  The reference's pandas scripts silently coerce
+    these cases (pandas-0.25 NaN semantics); under Spark's ANSI
+    default the try_ forms are the explicit, per-expression opt-out —
+    a correctness-critical surface for any 100-TB run where one bad
+    row must not fail a 6-hour job.  The oracle spells each outcome
+    as a CASE, so the hash compare pins the NULL semantics exactly.
+
+    Scale shape: narrow projection on a pushed-filter scan; zero
+    exchanges."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    num_str = F.when(
+        F.col("event_id") % 3 == 0, F.col("event_id").cast("string")
+    ).otherwise(F.concat(F.lit("x"), F.col("event_id").cast("string")))
+    return e.select(
+        "event_id",
+        F.try_divide(
+            _cents("value"), F.col("event_id") % 7
+        ).alias("safe_div"),
+        F.try_to_number(num_str, F.lit("999999999")).cast("long").alias(
+            "parsed_num"
+        ),
+        F.try_element_at(F.split("props", ","), F.lit(4)).alias("fourth"),
+        F.try_multiply(
+            F.lit(9223372036854775807).cast("long"), F.lit(2).cast("long")
+        ).alias("overflowed"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
