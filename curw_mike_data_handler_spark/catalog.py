@@ -10690,6 +10690,120 @@ def f_try_suite(spark, sf_dir):
     )
 
 
+@query(
+    "revenue_bridge_decomposition",
+    """
+    WITH li AS (
+        SELECT l.l_partkey AS pk,
+               CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 0 ELSE 1 END AS period,
+               CAST(round(l.l_quantity * 100) AS BIGINT) AS q,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT) AS rev
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+    ),
+    per AS (
+        SELECT pk % 25 AS grp, period,
+               CAST(sum(q) AS BIGINT) AS q, CAST(sum(rev) AS BIGINT) AS rev
+        FROM li GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT grp,
+               coalesce(max(CASE WHEN period = 0 THEN q END), 0) AS q0,
+               coalesce(max(CASE WHEN period = 0 THEN rev END), 0) AS r0,
+               coalesce(max(CASE WHEN period = 1 THEN q END), 0) AS q1,
+               coalesce(max(CASE WHEN period = 1 THEN rev END), 0) AS r1
+        FROM per GROUP BY grp
+    )
+    SELECT grp, q0, q1, r0, r1, r1 - r0 AS delta_rev,
+           CASE WHEN q0 > 0 AND q1 > 0
+                THEN CAST(round((CAST(r1 AS DOUBLE) / q1
+                                 - CAST(r0 AS DOUBLE) / q0) * q0) AS BIGINT)
+                ELSE 0 END AS price_effect,
+           CASE WHEN q0 > 0 AND q1 > 0
+                THEN CAST(round((q1 - q0) * (CAST(r0 AS DOUBLE) / q0))
+                     AS BIGINT)
+                ELSE 0 END AS volume_effect,
+           r1 - r0
+           - CASE WHEN q0 > 0 AND q1 > 0
+                THEN CAST(round((CAST(r1 AS DOUBLE) / q1
+                                 - CAST(r0 AS DOUBLE) / q0) * q0) AS BIGINT)
+                ELSE 0 END
+           - CASE WHEN q0 > 0 AND q1 > 0
+                THEN CAST(round((q1 - q0) * (CAST(r0 AS DOUBLE) / q0))
+                     AS BIGINT)
+                ELSE 0 END AS mix_residual
+    FROM w
+    """,
+)
+def revenue_bridge_decomposition(spark, sf_dir):
+    """Period-over-period revenue bridge (price / volume / mix
+    waterfall): for each part group, decompose Δrevenue between 1997
+    and 1998+ into a price effect ((p̄₁−p̄₀)·q₀), a volume effect
+    ((q₁−q₀)·p̄₀), and the mix/interaction residual that makes the
+    bridge sum EXACTLY to Δrevenue (the residual is computed by
+    integer subtraction, so the waterfall closes by construction —
+    the invariant every FP&A bridge must satisfy).  Per-period sums
+    are exact integer cents; the two average-price divisions are the
+    only doubles, rounded once to integer cents with matching
+    round-half semantics.
+
+    Scale shape: fact joins the date filter (broadcast-prunable),
+    collapses to |groups|×2 period rows in ONE map-side-combinable
+    aggregate, and the pivot + bridge algebra runs on broadcast-scale
+    rows — the fact is touched once."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1997-01-01"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (F.col("l_partkey") % 25).alias("grp"),
+        F.when(F.col("o_orderdate") < "1998-01-01", 0).otherwise(1).alias(
+            "period"
+        ),
+        _cents("l_quantity").alias("q"),
+        _cents("l_extendedprice").alias("rev"),
+    )
+    per = j.groupBy("grp", "period").agg(
+        F.sum("q").cast("long").alias("q"),
+        F.sum("rev").cast("long").alias("rev"),
+    )
+    w = per.groupBy("grp").agg(
+        F.coalesce(F.max(F.when(F.col("period") == 0, F.col("q"))), F.lit(0))
+        .cast("long")
+        .alias("q0"),
+        F.coalesce(F.max(F.when(F.col("period") == 0, F.col("rev"))), F.lit(0))
+        .cast("long")
+        .alias("r0"),
+        F.coalesce(F.max(F.when(F.col("period") == 1, F.col("q"))), F.lit(0))
+        .cast("long")
+        .alias("q1"),
+        F.coalesce(F.max(F.when(F.col("period") == 1, F.col("rev"))), F.lit(0))
+        .cast("long")
+        .alias("r1"),
+    )
+    both = (F.col("q0") > 0) & (F.col("q1") > 0)
+    p0 = F.col("r0").cast("double") / F.col("q0")
+    p1 = F.col("r1").cast("double") / F.col("q1")
+    price = F.when(both, F.round((p1 - p0) * F.col("q0")).cast("long")).otherwise(
+        F.lit(0)
+    )
+    volume = F.when(
+        both, F.round((F.col("q1") - F.col("q0")) * p0).cast("long")
+    ).otherwise(F.lit(0))
+    return w.select(
+        "grp",
+        "q0",
+        "q1",
+        "r0",
+        "r1",
+        (F.col("r1") - F.col("r0")).alias("delta_rev"),
+        price.alias("price_effect"),
+        volume.alias("volume_effect"),
+        (F.col("r1") - F.col("r0") - price - volume).alias("mix_residual"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

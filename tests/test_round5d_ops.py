@@ -88,6 +88,44 @@ def test_residual_topk_is_exactly_ranked(spark):
         assert all(a >= b - 1e-9 for a, b in zip(zs, zs[1:]))
 
 
+def _plan(spark, name, sf=SF):
+    import contextlib
+    import io
+
+    df = catalog.QUERIES[name](spark, sf)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_cdc_single_key_exchange(spark):
+    # both windows and the final projection ride ONE hash(key) exchange
+    plan = _plan(spark, "cdc_apply_changelog")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bom_rollup_no_join_one_aggregate(spark):
+    plan = _plan(spark, "bom_subtree_rollup")
+    assert "Join" not in plan, "ancestor chain must not become a join"
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Generate explode" in plan
+
+
+def test_trigrams_share_user_exchange(spark):
+    # session-id window + lag chain refine the same hash(user) keys;
+    # the only other exchanges are the tiny census rollup + its
+    # single-partition ranking window
+    plan = _plan(spark, "session_path_trigrams")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_a16_broadcast_model_and_group_limit(spark):
+    plan = _plan(spark, "a16_regression_residual_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan, "rank<=20 must prune before full sort"
+
+
 def test_snm_pairs_subset_of_exhaustive_edit1(spark):
     snm = {
         (r.word_a, r.word_b)
