@@ -10804,6 +10804,85 @@ def revenue_bridge_decomposition(spark, sf_dir):
     )
 
 
+@query(
+    "sliding_distinct_users",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    g AS (
+        SELECT user_id, d,
+               CASE WHEN date_diff('day', lag(d) OVER w, d) <= 6 THEN 0
+                    ELSE 1 END AS brk
+        FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    ),
+    isl AS (
+        SELECT user_id, d,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY d) AS island
+        FROM g
+    ),
+    iv AS (
+        SELECT user_id, min(d) AS d0, max(d) + INTERVAL 6 DAY AS d1
+        FROM isl GROUP BY user_id, island
+    ),
+    days AS (
+        SELECT user_id,
+               unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM iv
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS distinct_users
+    FROM days GROUP BY day
+    """,
+)
+def sliding_distinct_users(spark, sf_dir):
+    """EXACT trailing-7-day distinct-user count per day — the rolling
+    'weekly active users' metric, and the textbook case where the
+    naive formulation (a COUNT(DISTINCT) window, or a calendar×events
+    range join) is quadratic and not partial-aggregable.  The linear
+    rewrite: a user contributes to the window ending on day D iff D
+    falls in the union of [active_day, active_day+6] intervals, so
+    per-user gaps-and-islands interval merge (>6-day gaps break) →
+    explode each merged island's covered days → ONE grouped count.
+    Every step is exact integer date arithmetic; property-tested
+    equal to the brute-force calendar join.  (The approximate
+    companion at extreme cardinalities is a per-day HLL sketch
+    rollup — hll_mergeable_rollup's shape.)
+
+    Scale shape: the fact collapses to distinct (user, day) first;
+    islands share one hash(user) exchange; the explode fans out ≤
+    7 + island-length rows per island; the final count is map-side
+    combinable on hash(day).  Nothing is quadratic in users, days,
+    or events."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = ud.select(
+        "user_id",
+        "d",
+        F.when(F.datediff(F.col("d"), F.lag("d").over(w)) <= 6, 0)
+        .otherwise(1)
+        .alias("brk"),
+    )
+    isl = g.select(
+        "user_id", "d", F.sum("brk").over(w).alias("island")
+    )
+    iv = isl.groupBy("user_id", "island").agg(
+        F.min("d").alias("d0"),
+        (F.max("d") + F.expr("INTERVAL 6 DAYS")).alias("d1"),
+    )
+    days = iv.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    return days.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("long").alias("distinct_users"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -142,3 +142,26 @@ def test_snm_pairs_subset_of_exhaustive_edit1(spark):
     assert snm <= full
     for a, b in snm:
         assert a < b
+
+
+def test_sliding_distinct_matches_bruteforce(spark):
+    out = {
+        r.day: r.distinct_users
+        for r in catalog.QUERIES["sliding_distinct_users"](spark, SF).collect()
+    }
+    from curw_mike_data_handler_spark.sources.tables import load_table
+
+    ud = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .collect()
+    )
+    import datetime
+
+    by_day: dict[str, set] = {}
+    for r in ud:
+        for k in range(7):
+            day = (r.d + datetime.timedelta(days=k)).strftime("%Y-%m-%d")
+            by_day.setdefault(day, set()).add(r.user_id)
+    assert out == {d: len(s) for d, s in by_day.items()}
