@@ -205,6 +205,7 @@ HEADLINE = [
     "f_try_suite",
     "revenue_bridge_decomposition",
     "sliding_distinct_users",
+    "basket_apriori_triples",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

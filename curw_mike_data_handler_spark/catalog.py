@@ -10883,6 +10883,98 @@ def sliding_distinct_users(spark, sf_dir):
     ).agg(F.count("*").cast("long").alias("distinct_users"))
 
 
+@query(
+    "basket_apriori_triples",
+    """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey % 100 AS item
+        FROM lineitem
+    )
+    SELECT x.item AS item_a, y.item AS item_b, z.item AS item_c,
+           CAST(count(*) AS BIGINT) AS support
+    FROM b x JOIN b y ON x.bk = y.bk AND x.item < y.item
+             JOIN b z ON x.bk = z.bk AND y.item < z.item
+    GROUP BY 1, 2, 3 HAVING count(*) >= 3
+    """,
+)
+def basket_apriori_triples(spark, sf_dir):
+    """Frequent 3-itemsets by the genuine A-priori iteration
+    (Agrawal & Srikant 1994) — the level-wise step beyond
+    basket_lift_top_pairs: L1 frequent items gate the basket
+    relation, L2 frequent pairs are counted, C3 candidates are
+    GENERATED by joining L2 pairs sharing their first item and
+    PRUNED by requiring the third face (y,z) ∈ L2 (downward
+    closure), and only then is candidate support verified against
+    baskets.  The oracle is the brute-force three-way self-join —
+    pruning is lossless, so both produce identical itemsets, and the
+    hash compare attests exactly that.
+
+    Scale shape: every basket join is an equi join on hash(bk) with
+    the basket relation pre-shrunk to L1 survivors; C3 generation
+    and pruning run on the L2 relation (pair-scale, not
+    basket-scale); the verify join streams baskets once against the
+    broadcast candidate set.  Support thresholds make each level's
+    relation strictly smaller — the A-priori contract that keeps
+    level k from touching the full basket data more than once."""
+    minsup = 3
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("bk"), (F.col("l_partkey") % 100).alias("item")
+    ).distinct()
+    l1 = (
+        b.groupBy("item")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= minsup)
+        .select("item")
+    )
+    bf = b.join(F.broadcast(l1), "item").select("bk", "item")
+    pairs = (
+        bf.alias("p")
+        .join(bf.alias("q"), (F.col("p.bk") == F.col("q.bk")) & (F.col("p.item") < F.col("q.item")))
+        .groupBy(F.col("p.item").alias("ia"), F.col("q.item").alias("ib"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= minsup)
+        .select("ia", "ib")
+    )
+    # C3: join L2 pairs on the shared first item, prune on the third face
+    c3 = (
+        pairs.alias("u")
+        .join(
+            pairs.alias("v"),
+            (F.col("u.ia") == F.col("v.ia")) & (F.col("u.ib") < F.col("v.ib")),
+        )
+        .select(
+            F.col("u.ia").alias("item_a"),
+            F.col("u.ib").alias("item_b"),
+            F.col("v.ib").alias("item_c"),
+        )
+        .join(
+            pairs.select(
+                F.col("ia").alias("item_b"), F.col("ib").alias("item_c")
+            ),
+            ["item_b", "item_c"],
+            "left_semi",
+        )
+    )
+    trip = (
+        bf.alias("x")
+        .join(bf.alias("y"), (F.col("x.bk") == F.col("y.bk")) & (F.col("x.item") < F.col("y.item")))
+        .join(bf.alias("z"), (F.col("x.bk") == F.col("z.bk")) & (F.col("y.item") < F.col("z.item")))
+        .select(
+            F.col("x.bk").alias("bk"),
+            F.col("x.item").alias("item_a"),
+            F.col("y.item").alias("item_b"),
+            F.col("z.item").alias("item_c"),
+        )
+        .join(F.broadcast(c3), ["item_a", "item_b", "item_c"], "left_semi")
+    )
+    return (
+        trip.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= minsup)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
