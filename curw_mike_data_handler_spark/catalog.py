@@ -10975,6 +10975,345 @@ def basket_apriori_triples(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Time-series widening: exact ACF, CUSUM changepoints, time-weighted
+# averages, clamped running balances via the prefix-min identity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_autocorrelation",
+    """
+    WITH ser AS (
+        SELECT event_type, epoch_us(ts) // 900000000 AS b,
+               sum(CAST(round(value * 100) AS BIGINT)) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT x.event_type, k.lag,
+               CAST(x.s AS BIGINT) AS xs, CAST(y.s AS BIGINT) AS ys
+        FROM ser x
+        JOIN (SELECT unnest([1, 2, 3, 4]) AS lag) k ON true
+        JOIN ser y ON y.event_type = x.event_type AND y.b = x.b - k.lag
+    ),
+    m AS (
+        SELECT event_type, lag, count(*) AS n_pairs,
+               CAST(sum(xs) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(ys) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(xs * ys) AS DECIMAL(38,0)) AS sxy,
+               CAST(sum(xs * xs) AS DECIMAL(38,0)) AS sx2,
+               CAST(sum(ys * ys) AS DECIMAL(38,0)) AS sy2
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, lag, n_pairs,
+           round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+    FROM m
+    WHERE n_pairs >= 8
+    """,
+)
+def ts_autocorrelation(spark, sf_dir):
+    """Autocorrelation function at lags 1–4 per event-type series: the
+    per-15-min bucket sums are paired with their lag-k buckets by an
+    equi join on the bucket INDEX (not a window lag — a window over a
+    gappy series would silently pair non-adjacent buckets), then each
+    (series, lag) cell computes Pearson r from exact integer moments
+    (the a13 technique: Σx, Σy, Σxy, Σx², Σy² as DECIMAL(38,0), one
+    identical double-algebra edge).  Scale shape: the raw fact
+    collapses to bucket granularity FIRST (one shuffle with map-side
+    combine, ~n/bucket_width rows), the lag join is an equi join on
+    (type, b) over that collapsed series, and the tiny 4-row lag
+    relation is broadcast — nothing ever pairs raw events.  Variance-
+    degenerate cells are excluded by the n_pairs floor, keeping the
+    divide total."""
+    ser = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(STEP_US)).cast("long").alias("b"),
+        )
+        .agg(F.sum(_cents("value")).alias("s"))
+    )
+    lags = spark.range(1, 5).select(F.col("id").cast("int").alias("lag"))
+    x, y = ser.alias("x"), ser.alias("y")
+    pairs = (
+        x.join(F.broadcast(lags))
+        .join(
+            y,
+            (F.col("y.event_type") == F.col("x.event_type"))
+            & (F.col("y.b") == F.col("x.b") - F.col("lag")),
+        )
+        .select(
+            F.col("x.event_type").alias("event_type"),
+            "lag",
+            F.col("x.s").alias("xs"),
+            F.col("y.s").alias("ys"),
+        )
+    )
+    dec = "decimal(38,0)"
+    xs, ys = F.col("xs"), F.col("ys")
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(xs.cast(dec)).alias("sx"),
+        F.sum(ys.cast(dec)).alias("sy"),
+        F.sum((xs * ys).cast(dec)).alias("sxy"),
+        F.sum((xs * xs).cast(dec)).alias("sx2"),
+        F.sum((ys * ys).cast(dec)).alias("sy2"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    return m.filter(F.col("n_pairs") >= 8).select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.round(
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sx2 - sx * sx) * F.sqrt(nd * sy2 - sy * sy)),
+            6,
+        ).alias("acf"),
+    )
+
+
+@query(
+    "cusum_changepoint",
+    """
+    WITH c AS (
+        SELECT event_type, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    g AS (SELECT event_type, count(*) AS n, sum(v) AS tot FROM c GROUP BY 1),
+    s AS (
+        SELECT c.event_type, c.ts, c.event_id, g.n,
+               CAST(sum(c.v * g.n - g.tot) OVER (
+                   PARTITION BY c.event_type ORDER BY c.ts, c.event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cusum
+        FROM c JOIN g ON c.event_type = g.event_type
+    ),
+    r AS (
+        SELECT event_type, ts, n, cusum,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(cusum) DESC, ts ASC, event_id ASC
+               ) AS rn
+        FROM s
+    )
+    SELECT event_type, n AS n_events,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS changepoint_ts,
+           round(CAST(abs(cusum) AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+               AS cusum_peak
+    FROM r WHERE rn = 1
+    """,
+)
+def cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection per series: the cumulative sum of
+    deviations from the series mean peaks (in absolute value) at the
+    single point where the mean shifts.  Deviations are scaled by n
+    (v·n − Σv) so every intermediate stays an exact integer — no
+    per-row FP mean subtraction whose summation order could perturb
+    the argmax near ties; the tie itself breaks on (ts, event_id) so
+    the winner is a total-order pick.  Scale shape: one tiny
+    per-series aggregate (broadcast back by AQE), one running-sum
+    window per series partition, one top-1 pick that
+    WindowGroupLimit prunes to a per-partition streaming min — the
+    fact is never shuffled more than once on the series key.  Peak
+    magnitude is reported de-scaled (|S|/n/100) with one identical
+    double divide in both engines."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", _cents("value").alias("v")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("v").alias("tot")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.join(g, "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n",
+        F.sum(F.col("v") * F.col("n") - F.col("tot")).over(w).alias("cusum"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            _fmt("ts").alias("changepoint_ts"),
+            F.round(
+                F.abs(F.col("cusum")).cast("double")
+                / F.col("n").cast("double")
+                / 100.0,
+                6,
+            ).alias("cusum_peak"),
+        )
+    )
+
+
+@query(
+    "time_weighted_average",
+    """
+    WITH c AS (
+        SELECT event_type, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(ts AS DATE) AS day
+        FROM events
+    ),
+    l AS (
+        SELECT event_type, day, v,
+               epoch_us(coalesce(
+                   lead(ts) OVER (PARTITION BY event_type, day
+                                  ORDER BY ts, event_id),
+                   CAST(day + 1 AS TIMESTAMP))) - epoch_us(ts) AS dur_us
+        FROM c
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           CAST(sum(dur_us) AS BIGINT) AS held_us,
+           round(CAST(sum(v * dur_us) AS DOUBLE)
+                 / CAST(sum(dur_us) AS DOUBLE) / 100.0, 6) AS twa
+    FROM l GROUP BY event_type, day
+    """,
+)
+def time_weighted_average(spark, sf_dir):
+    """Time-weighted average per (series, day) — the sensor/finance
+    aggregate where a reading 'holds' until superseded, so sparse
+    quiet hours are not under-weighted the way a plain AVG would.
+    Each reading's holding interval runs to the next reading's
+    timestamp (lead over a (series, day) partition, total-ordered by
+    (ts, event_id)) or to local midnight for the day's last reading;
+    weights are exact integer microseconds, the value·duration
+    products accumulate in DECIMAL(38,0) (a day of µs × cents
+    overflows int64 past ~2k rows/group), and a single double divide
+    lands the edge.  Scale shape: one shuffle on the (series, day)
+    composite key serves both the lead window and the final
+    aggregate — partitions stay day-bounded, so no giant series
+    partition forms (contrast a bare series-key window)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        _cents("value").alias("v"),
+        F.to_date("ts").alias("day"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    nxt = F.coalesce(
+        F.lead("ts").over(w), F.date_add("day", 1).cast("timestamp")
+    )
+    ld = ev.select(
+        "event_type",
+        "day",
+        "v",
+        (F.unix_micros(nxt) - F.unix_micros("ts")).alias("dur_us"),
+    )
+    dec = "decimal(38,0)"
+    return ld.groupBy(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("dur_us").cast("long").alias("held_us"),
+        F.round(
+            F.sum((F.col("v") * F.col("dur_us")).cast(dec)).cast("double")
+            / F.sum("dur_us").cast("double")
+            / 100.0,
+            6,
+        ).alias("twa"),
+    )
+
+
+@query(
+    "clamped_running_balance",
+    """
+    WITH c AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type IN ('purchase', 'error')
+                    THEN -CAST(round(value * 100) AS BIGINT)
+                    ELSE CAST(round(value * 100) AS BIGINT) END AS d
+        FROM events
+    )
+    SELECT user_id, count(*) AS n_events,
+           round(CAST(sum(d) - least(0, min(mn)) AS DOUBLE) / 100.0, 2)
+               AS final_balance,
+           round(CAST(max(s_run - least(0, mn)) AS DOUBLE) / 100.0, 2)
+               AS peak_balance,
+           round(CAST(min(s_run) AS DOUBLE) / 100.0, 2) AS trough_raw
+    FROM (
+        SELECT user_id, d, s_run,
+               CAST(min(s_run) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS mn
+        FROM (
+            SELECT user_id, ts, event_id, d,
+                   CAST(sum(d) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS s_run
+            FROM c
+        )
+    )
+    GROUP BY user_id
+    """,
+)
+def clamped_running_balance(spark, sf_dir):
+    """Floor-clamped running balance (inventory / wallet semantics:
+    withdrawals cannot take the balance below zero) WITHOUT per-key
+    recursion, via the prefix-min identity
+    ``B_t = S_t − min(0, min_{j≤t} S_j)`` — the clamped balance is
+    the raw prefix sum shifted up by however far it ever dipped below
+    the floor.  That turns an inherently sequential simulation (what
+    a naive engine would applyInPandas per key) into two O(n) window
+    passes over the same (user, ts) sort — no Python, no recursion,
+    one shuffle on the user key serving both windows and the final
+    per-user rollup.  purchase/error events debit, the rest credit;
+    every balance is exact integer cents until the single /100 edge."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    d = F.when(
+        F.col("event_type").isin("purchase", "error"), -_cents("value")
+    ).otherwise(_cents("value"))
+    c = ev.select("user_id", "ts", "event_id", d.alias("d"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = c.withColumn("s_run", F.sum("d").over(w)).withColumn(
+        "mn", F.min("s_run").over(w)
+    )
+    return s.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            (F.sum("d") - F.least(F.lit(0), F.min("mn"))).cast("double") / 100.0, 2
+        ).alias("final_balance"),
+        F.round(
+            F.max(F.col("s_run") - F.least(F.lit(0), F.col("mn"))).cast("double")
+            / 100.0,
+            2,
+        ).alias("peak_balance"),
+        F.round(F.min("s_run").cast("double") / 100.0, 2).alias("trough_raw"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
