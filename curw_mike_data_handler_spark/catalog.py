@@ -11314,6 +11314,241 @@ def clamped_running_balance(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Affinity / ranking widening: co-occurrence cosine, audience overlap,
+# rank-agreement census
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "item_cooccurrence_cosine",
+    """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey % 100 AS item
+        FROM lineitem
+    ),
+    n AS (SELECT item, count(*) AS cnt FROM b GROUP BY item),
+    co AS (
+        SELECT p.item AS ia, q.item AS ib, count(*) AS cooc
+        FROM b p JOIN b q ON p.bk = q.bk AND p.item < q.item
+        GROUP BY p.item, q.item
+    ),
+    sc AS (
+        SELECT co.ia, co.ib, co.cooc, na.cnt AS cnt_a, nb.cnt AS cnt_b,
+               round(CAST(co.cooc AS DOUBLE)
+                     / (sqrt(CAST(na.cnt AS DOUBLE))
+                        * sqrt(CAST(nb.cnt AS DOUBLE))), 6) AS cosine
+        FROM co JOIN n na ON co.ia = na.item JOIN n nb ON co.ib = nb.item
+    )
+    SELECT ia, ib, cooc, cnt_a, cnt_b, cosine
+    FROM sc
+    ORDER BY cosine DESC, ia ASC, ib ASC
+    LIMIT 20
+    """,
+)
+def item_cooccurrence_cosine(spark, sf_dir):
+    """Item-item collaborative-filtering scores: cosine similarity of
+    category co-purchase vectors, cos(a,b) = |A∩B| / √|A|·√|B| over
+    the distinct (basket, item) relation — the classic 'bought
+    together' recommender primitive.  The basket relation shrinks to
+    category granularity FIRST (distinct = one map-side-combinable
+    exchange), the pair self-join is an equi join on the basket key,
+    and the ≤|items| frequency dim joins in twice by broadcast.  Both
+    engines compute the identical √·√ expression from identical
+    integers, so the rounded score and its (score, ia, ib) total-order
+    top-20 agree exactly.  At catalog scale, cap per-basket fanout
+    (baskets here are ≤7 lines by construction) and drop items above
+    a document-frequency ceiling — the jaccard_pairs max_df device."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("bk"), (F.col("l_partkey") % 100).alias("item")
+    ).distinct()
+    n = b.groupBy("item").agg(F.count("*").alias("cnt"))
+    co = (
+        b.alias("p")
+        .join(
+            b.alias("q"),
+            (F.col("p.bk") == F.col("q.bk")) & (F.col("p.item") < F.col("q.item")),
+        )
+        .groupBy(F.col("p.item").alias("ia"), F.col("q.item").alias("ib"))
+        .agg(F.count("*").alias("cooc"))
+    )
+    na = F.broadcast(n.select(F.col("item").alias("ia"), F.col("cnt").alias("cnt_a")))
+    nb = F.broadcast(n.select(F.col("item").alias("ib"), F.col("cnt").alias("cnt_b")))
+    return (
+        co.join(na, "ia")
+        .join(nb, "ib")
+        .select(
+            "ia",
+            "ib",
+            "cooc",
+            "cnt_a",
+            "cnt_b",
+            F.round(
+                F.col("cooc").cast("double")
+                / (
+                    F.sqrt(F.col("cnt_a").cast("double"))
+                    * F.sqrt(F.col("cnt_b").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("ia").asc(), F.col("ib").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "audience_overlap_jaccard",
+    """
+    WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+    n AS (SELECT event_type, count(*) AS sz FROM a GROUP BY event_type),
+    inter AS (
+        SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS both_users
+        FROM a x JOIN a y ON x.user_id = y.user_id
+                         AND x.event_type < y.event_type
+        GROUP BY x.event_type, y.event_type
+    )
+    SELECT i.ta, i.tb, i.both_users, na.sz AS sz_a, nb.sz AS sz_b,
+           round(CAST(i.both_users AS DOUBLE)
+                 / CAST(na.sz + nb.sz - i.both_users AS DOUBLE), 6) AS jaccard
+    FROM inter i JOIN n na ON i.ta = na.event_type
+                 JOIN n nb ON i.tb = nb.event_type
+    """,
+)
+def audience_overlap_jaccard(spark, sf_dir):
+    """Audience-overlap matrix: Jaccard similarity between the
+    distinct user sets of every event-type pair — the segment-overlap
+    readout behind reach/frequency planning and dedup across
+    channels.  Set sizes and intersections come from one distinct
+    (type, user) relation: the intersection is a self equi join on
+    user_id (each user contributes |types-seen|² pair rows — bounded
+    by the type cardinality, never quadratic in users), sizes join in
+    by broadcast, and Jaccard = |∩| / (|A|+|B|−|∩|) is one exact
+    integer expression with a single rounded divide.  The HLL-sketch
+    rollup (hll_mergeable_rollup) is this operator's
+    extreme-cardinality companion — swap exact distinct for sketch
+    union/intersection when user sets stop fitting a shuffle."""
+    a = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    n = a.groupBy("event_type").agg(F.count("*").alias("sz"))
+    inter = (
+        a.alias("x")
+        .join(
+            a.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("ta"), F.col("y.event_type").alias("tb")
+        )
+        .agg(F.count("*").alias("both_users"))
+    )
+    na = F.broadcast(n.select(F.col("event_type").alias("ta"), F.col("sz").alias("sz_a")))
+    nb = F.broadcast(n.select(F.col("event_type").alias("tb"), F.col("sz").alias("sz_b")))
+    return (
+        inter.join(na, "ta")
+        .join(nb, "tb")
+        .select(
+            "ta",
+            "tb",
+            "both_users",
+            "sz_a",
+            "sz_b",
+            F.round(
+                F.col("both_users").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("both_users")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "ranking_overlap",
+    """
+    WITH m AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev,
+               sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+        FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (
+        SELECT l_partkey,
+               row_number() OVER (ORDER BY rev DESC, l_partkey ASC) AS rank_rev,
+               row_number() OVER (ORDER BY qty DESC, l_partkey ASC) AS rank_qty
+        FROM m
+    ),
+    d AS (SELECT unnest([10, 25, 50, 100]) AS depth)
+    SELECT d.depth,
+           CAST(sum(CASE WHEN r.rank_rev <= d.depth
+                          AND r.rank_qty <= d.depth THEN 1 ELSE 0 END)
+                AS BIGINT) AS overlap,
+           round(CAST(sum(CASE WHEN r.rank_rev <= d.depth
+                               AND r.rank_qty <= d.depth THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(2 * d.depth
+                        - sum(CASE WHEN r.rank_rev <= d.depth
+                                    AND r.rank_qty <= d.depth
+                               THEN 1 ELSE 0 END) AS DOUBLE), 6)
+               AS jaccard_at_depth
+    FROM r CROSS JOIN d
+    GROUP BY d.depth
+    """,
+)
+def ranking_overlap(spark, sf_dir):
+    """Rank-agreement census between two orderings of the same
+    entities (parts by revenue vs by unit volume): overlap@d and
+    Jaccard@d at depths 10/25/50/100 — the metric for 'do our two
+    ranking signals surface the same head?'.  Both ranks are
+    row_numbers over EXACT integer measures with an id tie-break
+    (total order, ULP-proof), computed on the part-granularity
+    aggregate — the global windows sort |parts| rows, never the fact
+    (the fact collapses in one map-side-combinable exchange first).
+    The 4-row depth dim cross-joins in broadcast; each depth's
+    overlap is one conditional count."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_partkey").agg(
+        F.sum(_cents("l_extendedprice")).alias("rev"),
+        F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("qty"),
+    )
+    r = m.select(
+        "l_partkey",
+        F.row_number()
+        .over(Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc()))
+        .alias("rank_rev"),
+        F.row_number()
+        .over(Window.orderBy(F.col("qty").desc(), F.col("l_partkey").asc()))
+        .alias("rank_qty"),
+    )
+    d = spark.createDataFrame([(10,), (25,), (50,), (100,)], "depth int")
+    hit = F.when(
+        (F.col("rank_rev") <= F.col("depth")) & (F.col("rank_qty") <= F.col("depth")),
+        1,
+    ).otherwise(0)
+    return (
+        r.join(F.broadcast(d))
+        .groupBy("depth")
+        .agg(F.sum(hit).cast("long").alias("overlap"))
+        .select(
+            "depth",
+            "overlap",
+            F.round(
+                F.col("overlap").cast("double")
+                / (2 * F.col("depth") - F.col("overlap")).cast("double"),
+                6,
+            ).alias("jaccard_at_depth"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
