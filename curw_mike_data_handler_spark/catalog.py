@@ -11549,6 +11549,196 @@ def ranking_overlap(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Governance / evaluation widening: k-anonymity, calibration, robust trend
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "k_anonymity_census",
+    """
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS sz
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    tot AS (SELECT count(*) AS n_rows FROM customer),
+    ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+    SELECT ks.k,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN g.sz < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_groups,
+           CAST(sum(CASE WHEN g.sz < ks.k THEN g.sz ELSE 0 END) AS BIGINT)
+               AS n_risky_rows,
+           round(CAST(sum(CASE WHEN g.sz < ks.k THEN g.sz ELSE 0 END)
+                      AS DOUBLE) / CAST(max(tot.n_rows) AS DOUBLE), 6)
+               AS pct_risky_rows
+    FROM g CROSS JOIN ks CROSS JOIN tot
+    GROUP BY ks.k
+    """,
+)
+def k_anonymity_census(spark, sf_dir):
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier: how many equivalence classes — and what share of
+    individuals — fall below re-identification thresholds k ∈
+    {2,5,10,20}.  The privacy gate a corpus must pass before
+    releasing 'anonymized' records.  One map-side-combinable group
+    census, a 4-row broadcast threshold dim, and a scalar total
+    folded in by cross join — the fact is touched once; every output
+    is an exact integer until the single share divide.  At 100 TB the
+    census relation is |QI-combinations|-sized, so the threshold
+    sweep costs nothing regardless of row scale."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("sz"))
+    tot = c.agg(F.count("*").alias("n_rows"))
+    ks = spark.createDataFrame([(2,), (5,), (10,), (20,)], "k int")
+    risky = F.when(F.col("sz") < F.col("k"), 1).otherwise(0)
+    risky_rows = F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0)
+    return (
+        g.join(F.broadcast(ks))
+        .join(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(risky).cast("long").alias("n_risky_groups"),
+            F.sum(risky_rows).cast("long").alias("n_risky_rows"),
+            F.round(
+                F.sum(risky_rows).cast("double")
+                / F.max("n_rows").cast("double"),
+                6,
+            ).alias("pct_risky_rows"),
+        )
+    )
+
+
+@query(
+    "calibration_bins",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               (100 * n_chars) // len(string_split(text, ' ')) AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    binned AS (
+        SELECT score, y,
+               ntile(10) OVER (ORDER BY score, doc_id) AS decile
+        FROM scored
+    )
+    SELECT decile, count(*) AS n,
+           CAST(min(score) AS BIGINT) AS score_min,
+           CAST(max(score) AS BIGINT) AS score_max,
+           round(CAST(sum(score) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 100.0, 6) AS mean_score,
+           round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS positive_rate
+    FROM binned GROUP BY decile
+    """,
+)
+def calibration_bins(spark, sf_dir):
+    """Classifier calibration curve for the corpus quality score
+    (quality_classifier_auc's scorer): decile-binned mean score vs
+    observed positive rate — AUC says the ranking is good;
+    calibration says whether the score MEANS anything as a
+    probability, which decides where a corpus-filter threshold goes.
+    Deciles come from ntile over the exact (score, doc_id) total
+    order (tie-proof), per-bin stats are exact integer sums with two
+    rounded edge divides.  The global ntile is the one
+    single-partition step — at corpus scale swap it for
+    approx-quantile bin EDGES broadcast to a map-only binning pass
+    (the a9/approx_quantiles_contract device); the bin census
+    afterwards is identical."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.expr("(100 * n_chars) div size(split(text, ' '))").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy("score", "doc_id")).cast("long"),
+    )
+    return binned.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.min("score").cast("long").alias("score_min"),
+        F.max("score").cast("long").alias("score_max"),
+        F.round(
+            F.sum("score").cast("double") / F.count("*").cast("double") / 100.0, 6
+        ).alias("mean_score"),
+        F.round(F.sum("y").cast("double") / F.count("*").cast("double"), 6).alias(
+            "positive_rate"
+        ),
+    )
+
+
+@query(
+    "theilsen_trend",
+    """
+    WITH ser AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+               sum(CAST(round(value * 100) AS BIGINT)) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    sl AS (
+        SELECT x.event_type,
+               CAST(y.s - x.s AS DOUBLE) / CAST(y.b - x.b AS DOUBLE) AS slope
+        FROM ser x JOIN ser y
+          ON x.event_type = y.event_type AND x.b < y.b
+    )
+    SELECT sl.event_type,
+           (SELECT count(*) FROM ser WHERE ser.event_type = sl.event_type)
+               AS n_buckets,
+           count(*) AS n_pairs,
+           round(quantile_cont(slope, 0.5) / 100.0, 6) AS median_slope_per_hour
+    FROM sl GROUP BY sl.event_type
+    """,
+)
+def theilsen_trend(spark, sf_dir):
+    """Theil–Sen robust trend per series: the median of all pairwise
+    slopes over the hourly bucket sums — a 29% breakdown-point
+    alternative to the least-squares line (a15) that one outlier
+    spike cannot bend.  Slopes are single divides of exact integers
+    (identical doubles in both engines), so the interpolated median
+    matches bit-for-bit.  Scale shape: the fact collapses to the
+    hourly census FIRST, so the O(m²) pair join is bounded by the
+    TIME RANGE (m = buckets), not by row count — 30 days of hourly
+    buckets is ~260k pairs per series at ANY corpus scale; for
+    multi-year ranges, sample pairs per the Siegel repeated-median
+    or stratify by lag.  The per-series median is holistic but runs
+    on the pair relation, partitioned by series key."""
+    ev = _t(spark, sf_dir, "events")
+    ser = (
+        ev.groupBy(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("b"),
+        )
+        .agg(F.sum(_cents("value")).alias("s"))
+    )
+    nb = ser.groupBy("event_type").agg(F.count("*").alias("n_buckets"))
+    x, y = ser.alias("x"), ser.alias("y")
+    sl = x.join(
+        y,
+        (F.col("x.event_type") == F.col("y.event_type"))
+        & (F.col("x.b") < F.col("y.b")),
+    ).select(
+        F.col("x.event_type").alias("event_type"),
+        (
+            (F.col("y.s") - F.col("x.s")).cast("double")
+            / (F.col("y.b") - F.col("x.b")).cast("double")
+        ).alias("slope"),
+    )
+    agg = sl.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)") / 100.0, 6).alias(
+            "median_slope_per_hour"
+        ),
+    )
+    return agg.join(F.broadcast(nb), "event_type").select(
+        "event_type", "n_buckets", "n_pairs", "median_slope_per_hour"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
