@@ -11739,6 +11739,238 @@ def theilsen_trend(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Warehouse / ML-feature widening: SCD2 snapshot bridge, leave-one-out
+# target encoding, feature-hashing collision census
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "scd2_daily_snapshot",
+    f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS ver
+        FROM marked
+    ),
+    iv AS (
+        SELECT user_id, min(event_type) AS state,
+               epoch_us(min(ts)) AS vf_us,
+               lead(epoch_us(min(ts))) OVER (
+                   PARTITION BY user_id ORDER BY min(ts)) AS vt_us
+        FROM runs GROUP BY user_id, ver
+    ),
+    mx AS (SELECT epoch_us(max(ts)) // {_DAY_US} AS last_day FROM ev),
+    days AS (
+        SELECT iv.user_id, iv.state,
+               unnest(generate_series(
+                   (iv.vf_us + {_DAY_US} - 1) // {_DAY_US},
+                   CASE WHEN iv.vt_us IS NULL THEN mx.last_day
+                        ELSE (iv.vt_us + {_DAY_US} - 1) // {_DAY_US} - 1 END
+               )) AS d
+        FROM iv CROSS JOIN mx
+    )
+    SELECT user_id,
+           strftime(make_timestamp(d * {_DAY_US}), '%Y-%m-%d') AS day,
+           state
+    FROM days
+    """,
+)
+def scd2_daily_snapshot(spark, sf_dir):
+    """Point-in-time snapshot fact from the SCD2 dimension: one row
+    per (entity, midnight) carrying the version valid AT that instant
+    — the bridge that turns a versioned dimension back into the daily
+    table BI tools expect.  Instead of a theta join of snapshots
+    against [valid_from, valid_to) intervals (quadratic-ish, unusable
+    at warehouse scale), each interval EMITS its covered midnights by
+    integer day arithmetic (ceil(vf) … ceil(vt)−1, open intervals run
+    to the corpus max-day) — a narrow sequence-explode, linear in
+    output rows, no join at all.  The SCD2 build shares one
+    hash(user) exchange (scd2_user_state's shape); the half-open
+    interval algebra guarantees each (user, day) lands in EXACTLY one
+    version — no dupes, no gaps, which the oracle hash attests."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    runs = ev.withColumn("chg", chg).withColumn(
+        "ver",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    iv = (
+        runs.groupBy("user_id", "ver")
+        .agg(F.min("event_type").alias("state"), F.min("ts").alias("vf"))
+        .withColumn(
+            "vt_us",
+            F.unix_micros(
+                F.lead("vf").over(Window.partitionBy("user_id").orderBy("vf"))
+            ),
+        )
+        .withColumn("vf_us", F.unix_micros("vf"))
+    )
+    mx = _t(spark, sf_dir, "events").agg(
+        (F.max(F.unix_micros("ts")) / F.lit(_DAY_US)).cast("long").alias("last_day")
+    )
+    day = F.lit(_DAY_US)
+    d_first = ((F.col("vf_us") + day - 1) / day).cast("long")
+    d_last = F.when(
+        F.col("vt_us").isNull(), F.col("last_day")
+    ).otherwise(((F.col("vt_us") + day - 1) / day).cast("long") - 1)
+    return (
+        iv.join(F.broadcast(mx))
+        .select("user_id", "state", d_first.alias("d0"), d_last.alias("d1"))
+        # Spark's sequence(a, b) auto-reverses when b < a (DuckDB's
+        # generate_series yields empty) — zero-midnight intervals must
+        # be dropped BEFORE the explode, not by it.
+        .filter(F.col("d1") >= F.col("d0"))
+        .select(
+            "user_id",
+            "state",
+            F.explode(F.sequence("d0", "d1")).alias("d"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.timestamp_micros(F.col("d") * day), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "state",
+        )
+    )
+
+
+@query(
+    "target_encode_loo",
+    """
+    WITH f AS (
+        SELECT o.o_orderkey, c.c_mktsegment AS segment,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+        SELECT segment, count(*) AS n,
+               CAST(sum(y) AS DECIMAL(38,0)) AS tot
+        FROM f GROUP BY segment
+    )
+    SELECT f.o_orderkey, f.segment,
+           round((CAST(g.tot AS DOUBLE) - CAST(f.y AS DOUBLE))
+                 / CAST(g.n - 1 AS DOUBLE) / 100.0, 6) AS loo_encoding
+    FROM f JOIN g ON f.segment = g.segment
+    """,
+)
+def target_encode_loo(spark, sf_dir):
+    """Leave-one-out target encoding — the categorical-feature trick
+    that replaces a category with the target mean of OTHER rows in the
+    category, avoiding the self-leakage a naive mean encoding feeds a
+    downstream model: enc_i = (Σy − y_i)/(n−1).  One tiny per-category
+    aggregate (exact integer cents, DECIMAL(38,0) totals) broadcast
+    back onto the fact by AQE, one map-side expression per row — the
+    fact shuffles zero times beyond its dimension join.  The closed
+    form is what makes this scale: no per-row anti-join against the
+    category, just two aggregate scalars per group."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("y")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    f = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", F.col("c_mktsegment").alias("segment"), "y"
+    )
+    g = f.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("tot"),
+    )
+    return f.join(g, "segment").select(
+        "o_orderkey",
+        "segment",
+        F.round(
+            (F.col("tot").cast("double") - F.col("y").cast("double"))
+            / (F.col("n") - 1).cast("double")
+            / 100.0,
+            6,
+        ).alias("loo_encoding"),
+    )
+
+
+@query(
+    "feature_hashing_census",
+    """
+    WITH tok AS (
+        SELECT DISTINCT t.g AS token
+        FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                    i -> ws[i] || '_' || ws[i+1])) AS t(g)
+        WHERE t.g IS NOT NULL
+    ),
+    hashed AS (
+        SELECT token,
+               ('0x' || substr(md5(token), 1, 15))::BIGINT % 256 AS bucket
+        FROM tok
+    ),
+    loads AS (
+        SELECT bucket, count(*) AS load FROM hashed GROUP BY bucket
+    )
+    SELECT load, count(*) AS n_buckets,
+           CAST(load * count(*) AS BIGINT) AS n_features
+    FROM loads GROUP BY load
+    """,
+)
+def feature_hashing_census(spark, sf_dir):
+    """Hashing-trick collision census: the word-bigram feature
+    vocabulary maps to 2^8 feature buckets via a portable md5-derived
+    hash, and the census reports how many buckets carry 1, 2, 3…
+    distinct features — the collision-rate readout that decides the
+    hash dimension before a 100-TB featurization pass (expected load
+    is Poisson(|V|/2^k); heavy tails mean the dimension is too
+    small).  The feature relation (already distinct-collapsed, orders
+    smaller than the corpus) is the only shuffled data; both census
+    aggregates are map-side-combinable.  The md5 60-bit→mod hash is
+    bit-identical in both engines, so bucket assignment — not just
+    the histogram — is attested by the oracle."""
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    # guard size<2: Spark's sequence(1, 0) would run DESCENDING, not empty
+    grams = F.expr(
+        "case when size(ws) >= 2 then "
+        "transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], '_', ws[i])) "
+        "else array() end"
+    )
+    tok = (
+        d.select(F.split(F.lower("text"), " ").alias("ws"))
+        .select(F.explode(grams).alias("token"))
+        .filter(F.col("token").isNotNull())
+        .distinct()
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint") % 256
+    )
+    loads = (
+        tok.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("load"))
+    )
+    return loads.groupBy("load").agg(
+        F.count("*").alias("n_buckets"),
+        (F.col("load") * F.count("*")).cast("long").alias("n_features"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
