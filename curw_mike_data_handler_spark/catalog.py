@@ -11971,6 +11971,318 @@ def feature_hashing_census(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Visualization / text-association / distribution / governance widening
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m4_downsample",
+    """
+    WITH c AS (
+        SELECT event_type, ts, event_id,
+               epoch_us(ts) // 21600000000 AS b,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, b, v,
+               row_number() OVER w AS rn,
+               count(*) OVER (PARTITION BY event_type, b) AS cnt
+        FROM c
+        WINDOW w AS (PARTITION BY event_type, b ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           strftime(make_timestamp(b * 21600000000), '%Y-%m-%d %H:%M:%S')
+               AS bucket_start,
+           CAST(max(cnt) AS BIGINT) AS n,
+           round(CAST(max(CASE WHEN rn = 1 THEN v END) AS DOUBLE) / 100.0, 2)
+               AS v_first,
+           round(CAST(min(v) AS DOUBLE) / 100.0, 2) AS v_min,
+           round(CAST(max(v) AS DOUBLE) / 100.0, 2) AS v_max,
+           round(CAST(max(CASE WHEN rn = cnt THEN v END) AS DOUBLE) / 100.0, 2)
+               AS v_last
+    FROM r GROUP BY event_type, b
+    """,
+)
+def m4_downsample(spark, sf_dir):
+    """M4 downsampling (Jugel et al., VLDB 2014): per (series,
+    time-bucket) emit first/min/max/last — the four values that make a
+    line chart of the reduced series pixel-identical to the full one.
+    THE standard for shipping a 100-TB series to a dashboard: output
+    is |series|×|buckets| regardless of row count.  first/last come
+    from ONE window sort per (series, bucket) — rn ascending plus the
+    partition count gives both endpoints without a second descending
+    sort — and min/max ride the same grouped aggregate.  All values
+    exact integer cents; ties on ts break on event_id so endpoint
+    choice is total-order deterministic."""
+    from pyspark.sql import Window
+
+    step = 21_600_000_000  # 6 h in µs
+    c = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.unix_micros("ts") / F.lit(step)).cast("long").alias("b"),
+        _cents("value").alias("v"),
+    )
+    wp = Window.partitionBy("event_type", "b")
+    r = c.select(
+        "event_type",
+        "b",
+        "v",
+        F.row_number().over(wp.orderBy("ts", "event_id")).alias("rn"),
+        F.count("*").over(wp).alias("cnt"),
+    )
+    d100 = lambda col: F.round(col.cast("double") / 100.0, 2)  # noqa: E731
+    return r.groupBy("event_type", "b").agg(
+        F.max("cnt").cast("long").alias("n"),
+        d100(F.max(F.when(F.col("rn") == 1, F.col("v")))).alias("v_first"),
+        d100(F.min("v")).alias("v_min"),
+        d100(F.max("v")).alias("v_max"),
+        d100(F.max(F.when(F.col("rn") == F.col("cnt"), F.col("v")))).alias("v_last"),
+    ).select(
+        "event_type",
+        F.date_format(
+            F.timestamp_micros(F.col("b") * F.lit(step)), "yyyy-MM-dd HH:mm:ss"
+        ).alias("bucket_start"),
+        "n",
+        "v_first",
+        "v_min",
+        "v_max",
+        "v_last",
+    )
+
+
+@query(
+    "word_cooccurrence_pmi",
+    """
+    WITH dw AS (
+        SELECT DISTINCT doc_id, t.token
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+              FROM documents),
+             unnest(ws) AS t(token)
+        WHERE t.token <> ''
+    ),
+    n AS (SELECT token, count(*) AS df FROM dw GROUP BY token),
+    tot AS (SELECT count(DISTINCT doc_id) AS nd FROM dw),
+    co AS (
+        SELECT a.token AS wa, b.token AS wb, count(*) AS cooc
+        FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.token < b.token
+        GROUP BY a.token, b.token
+    )
+    SELECT co.wa, co.wb, co.cooc, na.df AS df_a, nb.df AS df_b,
+           round(ln(CAST(co.cooc AS DOUBLE) * CAST(tot.nd AS DOUBLE)
+                    / (CAST(na.df AS DOUBLE) * CAST(nb.df AS DOUBLE))), 6)
+               AS pmi
+    FROM co JOIN n na ON co.wa = na.token
+            JOIN n nb ON co.wb = nb.token
+            CROSS JOIN tot
+    WHERE co.cooc >= 5
+    ORDER BY pmi DESC, wa ASC, wb ASC
+    LIMIT 20
+    """,
+)
+def word_cooccurrence_pmi(spark, sf_dir):
+    """Pointwise mutual information over within-document word
+    co-occurrence — the association score behind collocation mining
+    and distributional word similarity: pmi = ln(P(a,b)/P(a)P(b)) =
+    ln(co·N / df_a·df_b), computed as one log of an exact-integer
+    ratio so both engines emit the identical double.  The (doc, word)
+    relation distinct-collapses first; the pair self-join is an equi
+    join on doc_id whose fanout is per-doc-vocabulary², bounded by
+    document length, never corpus size; frequency dims broadcast.
+    The cooc floor is the classic sparse-PMI reliability cut (and the
+    quadratic-tail valve at corpus scale — pair rows below it never
+    aggregate)."""
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    dw = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    n = dw.groupBy("token").agg(F.count("*").alias("df"))
+    tot = dw.agg(F.countDistinct("doc_id").alias("nd"))
+    co = (
+        dw.alias("a")
+        .join(
+            dw.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(F.col("a.token").alias("wa"), F.col("b.token").alias("wb"))
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= 5)
+    )
+    na = F.broadcast(n.select(F.col("token").alias("wa"), F.col("df").alias("df_a")))
+    nb = F.broadcast(n.select(F.col("token").alias("wb"), F.col("df").alias("df_b")))
+    return (
+        co.join(na, "wa")
+        .join(nb, "wb")
+        .join(F.broadcast(tot))
+        .select(
+            "wa",
+            "wb",
+            "cooc",
+            "df_a",
+            "df_b",
+            F.round(
+                F.log(
+                    F.col("cooc").cast("double")
+                    * F.col("nd").cast("double")
+                    / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("wa").asc(), F.col("wb").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "lorenz_curve_deciles",
+    """
+    WITH cr AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT rev, ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+        FROM cr
+    ),
+    g AS (
+        SELECT decile, count(*) AS n,
+               CAST(sum(rev) AS DECIMAL(38,0)) AS dec_rev
+        FROM b GROUP BY decile
+    ),
+    t AS (SELECT CAST(sum(rev) AS DECIMAL(38,0)) AS tot FROM cr)
+    SELECT g.decile, g.n,
+           round(CAST(g.dec_rev AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+               AS rev_share,
+           round(CAST(sum(g.dec_rev) OVER (ORDER BY g.decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS cum_share
+    FROM g CROSS JOIN t
+    """,
+)
+def lorenz_curve_deciles(spark, sf_dir):
+    """Lorenz curve in decile points — the distribution plot behind
+    gini_nation_revenue's scalar: sort customers by revenue, bucket
+    into population deciles (ntile over the exact (rev, id) total
+    order), report each decile's revenue share and the running
+    cumulative share.  The fact collapses to customer granularity
+    first; the global ntile sorts |customers|, never orders; decile
+    rollup and the 10-row cumulative window are dimension-sized.
+    Revenue stays exact integer cents in DECIMAL(38,0) with two
+    rounded share divides at the edge — identical curve points in
+    both engines."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(F.sum(_cents("o_totalprice")).alias("rev"))
+    b = cr.select(
+        "rev",
+        F.ntile(10)
+        .over(Window.orderBy("rev", "o_custkey"))
+        .cast("long")
+        .alias("decile"),
+    )
+    g = b.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rev").cast("decimal(38,0)")).alias("dec_rev"),
+    )
+    t = cr.agg(F.sum(F.col("rev").cast("decimal(38,0)")).alias("tot"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.join(F.broadcast(t))
+        .select(
+            "decile",
+            "n",
+            F.round(
+                F.col("dec_rev").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("rev_share"),
+            F.round(
+                F.sum("dec_rev").over(wc).cast("double")
+                / F.col("tot").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+    )
+
+
+@query(
+    "gdpr_erasure_cascade",
+    """
+    WITH del_c AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+    del_o AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM del_c)
+    ),
+    del_l AS (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)
+    )
+    SELECT 'customer' AS tbl,
+           (SELECT count(*) FROM del_c) AS n_erased,
+           (SELECT count(*) FROM customer) - (SELECT count(*) FROM del_c)
+               AS n_surviving
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM del_o),
+           (SELECT count(*) FROM orders) - (SELECT count(*) FROM del_o)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM del_l),
+           (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM del_l)
+    """,
+)
+def gdpr_erasure_cascade(spark, sf_dir):
+    """Right-to-erasure impact census: given a deletion cohort
+    (negative-balance customers standing in for DSAR requesters),
+    cascade the erasure through the foreign-key chain
+    customer→orders→lineitem and report per-table erased/surviving
+    counts — the dry-run every GDPR delete pipeline emits before it
+    rewrites 100 TB of parquet.  Each cascade level is ONE left-semi
+    join on the parent's key set (the erasure cohort is orders of
+    magnitude smaller than the facts, so every semi join broadcasts);
+    facts are scanned once each, nothing shuffles.  Pairs with
+    text_pii_redaction (field-level) and k_anonymity_census
+    (release-gate) as the governance family."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    del_c = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    del_o = o.join(
+        F.broadcast(del_c), o["o_custkey"] == del_c["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    del_l = li.join(
+        F.broadcast(del_o), li["l_orderkey"] == del_o["o_orderkey"], "left_semi"
+    )
+
+    def row(tbl, erased_df, base_df):
+        return (
+            erased_df.agg(F.count("*").alias("n_erased"))
+            .join(base_df.agg(F.count("*").alias("n_total")))
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "n_erased",
+                (F.col("n_total") - F.col("n_erased")).alias("n_surviving"),
+            )
+        )
+
+    return (
+        row("customer", del_c, c)
+        .unionAll(row("orders", del_o, o))
+        .unionAll(row("lineitem", del_l, li))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
