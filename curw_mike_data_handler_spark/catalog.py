@@ -12283,6 +12283,284 @@ def gdpr_erasure_cascade(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 6: Pareto classes, readability, conversion latency, confusion stats
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "abc_classification",
+    """
+    WITH pr AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT CAST(sum(rev) AS DECIMAL(38,0)) AS tot FROM pr),
+    c AS (
+        SELECT l_partkey, rev,
+               CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(38,0)) AS cum
+        FROM pr
+    ),
+    k AS (
+        SELECT l_partkey, rev,
+               CASE WHEN cum * 100 <= t.tot * 80 THEN 'A'
+                    WHEN cum * 100 <= t.tot * 95 THEN 'B'
+                    ELSE 'C' END AS klass
+        FROM c CROSS JOIN t
+    )
+    SELECT klass, count(*) AS n_parts,
+           round(CAST(CAST(sum(rev) AS DECIMAL(38,0)) AS DOUBLE)
+                 / CAST(max(t.tot) AS DOUBLE), 6) AS rev_share
+    FROM k CROSS JOIN t GROUP BY klass
+    """,
+)
+def abc_classification(spark, sf_dir):
+    """ABC / Pareto inventory classification: rank parts by revenue,
+    classify by cumulative share (A ≤ 80 %, B ≤ 95 %, C the tail),
+    and report each class's size and share — the 'which 20 % of SKUs
+    carry 80 % of value' census.  The class boundary compare is the
+    EXACT integer cross-multiplication cum·100 ≤ tot·80 (DECIMAL —
+    no FP share per row, so boundary rows cannot flip engines), with
+    rounding only in the final 3-row report.  The fact collapses to
+    part granularity first; the cumulative window sorts |parts| in a
+    known skew-free single pass (WindowExec on the aggregate, not
+    the fact), and the scalar total folds in by broadcast cross
+    join."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(F.sum(_cents("l_extendedprice")).alias("rev"))
+    t = pr.agg(F.sum(F.col("rev").cast("decimal(38,0)")).alias("tot"))
+    wc = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = pr.withColumn("cum", F.sum(F.col("rev").cast("decimal(38,0)")).over(wc))
+    k = c.join(F.broadcast(t)).select(
+        "rev",
+        "tot",
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+        .alias("klass"),
+    )
+    return k.groupBy("klass").agg(
+        F.count("*").alias("n_parts"),
+        F.round(
+            F.sum(F.col("rev").cast("decimal(38,0)")).cast("double")
+            / F.max("tot").cast("double"),
+            6,
+        ).alias("rev_share"),
+    )
+
+
+@query(
+    "text_readability",
+    """
+    WITH m AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS words,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+        FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS total_words,
+           CAST(sum(syl) AS BIGINT) AS total_syllables,
+           round(CAST(sum(syl) AS DOUBLE) / CAST(sum(words) AS DOUBLE), 6)
+               AS syllables_per_word,
+           round(0.39 * CAST(sum(words) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 + 11.8 * CAST(sum(syl) AS DOUBLE) / CAST(sum(words) AS DOUBLE)
+                 - 15.59, 6) AS fk_grade
+    FROM m GROUP BY source
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch–Kincaid readability per corpus source — the grade-level
+    score corpus curators bucket training text by (alongside
+    text_quality's length/punct heuristics).  Syllables use the
+    standard vowel-group proxy via regexp_extract_all — the regex
+    surface whose cross-engine agreement this query attests — and
+    every per-source statistic is a ratio of exact integer token
+    counts, so the FK formula is one identical double expression.
+    Single-doc sentences keep the sentence term degenerate
+    (synthetic corpus has no sentence breaks); the shape is one
+    narrow map + one map-side-combinable rollup, linear at any
+    scale."""
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    m = d.select(
+        "source",
+        F.size(F.split("text", " ")).alias("words"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).alias(
+            "syl"
+        ),
+    )
+    sw = F.sum("words").cast("double")
+    ss = F.sum("syl").cast("double")
+    return m.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("words").cast("long").alias("total_words"),
+        F.sum("syl").cast("long").alias("total_syllables"),
+        F.round(ss / sw, 6).alias("syllables_per_word"),
+        F.round(
+            0.39 * sw / F.count("*").cast("double") + 11.8 * ss / sw - 15.59, 6
+        ).alias("fk_grade"),
+    )
+
+
+@query(
+    "conversion_latency_quantiles",
+    """
+    WITH s AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    d AS (
+        SELECT s.user_id, (p.t1 - s.t0) // 1000000 AS lat_s
+        FROM s JOIN p ON s.user_id = p.user_id
+        WHERE p.t1 >= s.t0
+    )
+    SELECT count(*) AS n_converted,
+           CAST(quantile_cont(lat_s, 0.25) AS DOUBLE) AS p25_s,
+           CAST(quantile_cont(lat_s, 0.50) AS DOUBLE) AS p50_s,
+           CAST(quantile_cont(lat_s, 0.75) AS DOUBLE) AS p75_s,
+           CAST(quantile_cont(lat_s, 0.90) AS DOUBLE) AS p90_s
+    FROM d
+    """,
+)
+def conversion_latency_quantiles(spark, sf_dir):
+    """Time-to-convert distribution: latency from each user's first
+    signup to their first purchase, summarized at p25/p50/p75/p90 —
+    the funnel's 'how long' companion to events_funnel's 'how many'.
+    First-touch timestamps are exact integer micro-epochs from two
+    map-side-combinable min aggregates on the SAME hash(user)
+    exchange shape; latencies truncate to whole seconds (integer) so
+    the interpolated percentiles agree bit-for-bit.  The percentile
+    itself is holistic but runs over the |converted users| relation —
+    at corpus scale swap for approx_percentile under the
+    approx_quantiles_contract bound."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t1"))
+    )
+    d = (
+        s.join(p, "user_id")
+        .filter(F.col("t1") >= F.col("t0"))
+        .select(((F.col("t1") - F.col("t0")) / 1_000_000).cast("long").alias("lat_s"))
+    )
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile(lat_s, 0.25)").alias("p25_s"),
+        F.expr("percentile(lat_s, 0.50)").alias("p50_s"),
+        F.expr("percentile(lat_s, 0.75)").alias("p75_s"),
+        F.expr("percentile(lat_s, 0.90)").alias("p90_s"),
+    )
+
+
+@query(
+    "classifier_confusion_stats",
+    """
+    WITH scored AS (
+        SELECT source,
+               (100 * n_chars) // len(string_split(text, ' ')) AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    thr AS (SELECT quantile_cont(score, 0.5) AS m FROM scored),
+    cm AS (
+        SELECT source,
+               CAST(sum(CASE WHEN score > m AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN score > m AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN score <= m AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN score <= m AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM scored CROSS JOIN thr GROUP BY source
+    )
+    SELECT source, tp, fp, fn, tn,
+           round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+           round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
+           round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1,
+           round((CAST((tp + tn) * (tp + fp + fn + tn) AS DOUBLE)
+                  - CAST((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn) AS DOUBLE))
+                 / (CAST((tp + fp + fn + tn) * (tp + fp + fn + tn) AS DOUBLE)
+                    - CAST((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn) AS DOUBLE)),
+                 6) AS cohens_kappa
+    FROM cm
+    WHERE tp + fp > 0 AND tp + fn > 0
+    """,
+)
+def classifier_confusion_stats(spark, sf_dir):
+    """Thresholded classifier evaluation per source: confusion matrix
+    at the corpus-median score cut plus precision / recall / F1 /
+    Cohen's κ — the operating-point report that complements the
+    threshold-free AUC (quality_classifier_auc) and the
+    calibration curve (calibration_bins).  The median threshold is
+    an exact percentile of integer scores broadcast as a scalar; the
+    four confusion cells are ONE conditional map-side-combinable
+    aggregate over the fact; κ uses the integer-count form
+    (po·N² − pe-terms kept as exact integer products, one double
+    divide) so agreement-by-chance cannot drift between engines.
+    Degenerate sources (no predicted or no actual positives) are
+    filtered, not divided by zero."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        F.expr("(100 * n_chars) div size(split(text, ' '))").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    thr = scored.agg(F.expr("percentile(score, 0.5)").alias("m"))
+    pos = F.col("score") > F.col("m")
+    cm = (
+        scored.join(F.broadcast(thr))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(pos & (F.col("y") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(pos & (F.col("y") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when(~pos & (F.col("y") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+            F.sum(F.when(~pos & (F.col("y") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("tn"),
+        )
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    n = tp + fp + fn + tn
+    pe_num = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+    return cm.filter((tp + fp > 0) & (tp + fn > 0)).select(
+        "source",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(tp.cast("double") / (tp + fp).cast("double"), 6).alias("precision"),
+        F.round(tp.cast("double") / (tp + fn).cast("double"), 6).alias("recall"),
+        F.round((2 * tp).cast("double") / (2 * tp + fp + fn).cast("double"), 6).alias(
+            "f1"
+        ),
+        F.round(
+            (((tp + tn) * n).cast("double") - pe_num.cast("double"))
+            / ((n * n).cast("double") - pe_num.cast("double")),
+            6,
+        ).alias("cohens_kappa"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
