@@ -12561,6 +12561,182 @@ def classifier_confusion_stats(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Graph widening: weighted shortest paths, degree assortativity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_weighted_paths",
+    """
+    WITH e0 AS (
+        SELECT l_suppkey AS a, 100000 + l_partkey % 200 AS b,
+               min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT a AS src, b AS dst, w FROM e0
+        UNION ALL
+        SELECT b, a, w FROM e0
+    ),
+    d0 AS (
+        SELECT s_suppkey AS node, CAST(0 AS BIGINT) AS cost
+        FROM supplier WHERE s_nationkey % 5 = 3
+    ),
+    d1 AS (
+        SELECT node, min(cost) AS cost FROM (
+            SELECT node, cost FROM d0
+            UNION ALL
+            SELECT e.dst, d0.cost + e.w FROM d0 JOIN e ON e.src = d0.node
+        ) GROUP BY node
+    ),
+    d2 AS (
+        SELECT node, min(cost) AS cost FROM (
+            SELECT node, cost FROM d1
+            UNION ALL
+            SELECT e.dst, d1.cost + e.w FROM d1 JOIN e ON e.src = d1.node
+        ) GROUP BY node
+    ),
+    d3 AS (
+        SELECT node, min(cost) AS cost FROM (
+            SELECT node, cost FROM d2
+            UNION ALL
+            SELECT e.dst, d2.cost + e.w FROM d2 JOIN e ON e.src = d2.node
+        ) GROUP BY node
+    ),
+    d4 AS (
+        SELECT node, min(cost) AS cost FROM (
+            SELECT node, cost FROM d3
+            UNION ALL
+            SELECT e.dst, d3.cost + e.w FROM d3 JOIN e ON e.src = d3.node
+        ) GROUP BY node
+    )
+    SELECT node, round(CAST(cost AS DOUBLE) / 100.0, 2) AS min_cost
+    FROM d4
+    """,
+)
+def graph_weighted_paths(spark, sf_dir):
+    """Weighted shortest paths within 4 relaxations (bounded
+    Bellman–Ford) from the nation%5==3 supplier cohort over the symmetrized
+    supplier↔part-family graph (graph_reachability's edges, now
+    carrying min-price weights).  The DP formulation is the whole
+    point: per-round state is |settled nodes| with one join + one
+    min-aggregate — the oracle phrases the identical four relaxation
+    rounds as chained aggregated CTEs, while enumerating paths (the
+    naive recursive form) would be combinatorial.  Integer-cents
+    weights keep every path cost exact; dist frames are
+    localCheckpoint-ed per round so lineage stays flat (the
+    iterative-operator cache discipline)."""
+    from curw_mike_data_handler_spark.operators.graph import bellman_ford_rounds
+
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.groupBy(
+        F.col("l_suppkey").alias("a"),
+        (F.lit(100000) + F.col("l_partkey") % 200).alias("b"),
+    ).agg(F.min(_cents("l_extendedprice")).alias("w"))
+    e = e0.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") % 5 == 3)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    dist = bellman_ford_rounds(e, seeds, rounds=4)
+    return dist.select(
+        "node", F.round(F.col("cost").cast("double") / 100.0, 2).alias("min_cost")
+    )
+
+
+@query(
+    "graph_assortativity",
+    """
+    WITH e0 AS (
+        SELECT DISTINCT l_suppkey AS a, 100000 + l_partkey % 200 AS b
+        FROM lineitem
+    ),
+    e AS (
+        SELECT a AS src, b AS dst FROM e0
+        UNION ALL
+        SELECT b, a FROM e0
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+    p AS (
+        SELECT ds.d AS dx, dd.d AS dy
+        FROM e JOIN deg ds ON e.src = ds.node
+               JOIN deg dd ON e.dst = dd.node
+    ),
+    m AS (
+        SELECT count(*) AS n,
+               CAST(sum(dx) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(dy) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(dx * dy) AS DECIMAL(38,0)) AS sxy,
+               CAST(sum(dx * dx) AS DECIMAL(38,0)) AS sx2,
+               CAST(sum(dy * dy) AS DECIMAL(38,0)) AS sy2
+        FROM p
+    )
+    SELECT n AS n_directed_edges,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the supplier↔part-family graph —
+    Newman's 'do hubs attach to hubs?' coefficient: the Pearson
+    correlation of endpoint degrees over the symmetrized directed
+    edge list.  Degrees are exact integer counts; the correlation
+    reuses a13's DECIMAL(38,0) moment technique, so the coefficient
+    is combine-order invariant and bit-identical cross-engine (a
+    naive corr() of FP degrees is neither).  Scale shape: one
+    distinct-collapse of the fact to the edge relation, a
+    |nodes|-sized degree aggregate joined back twice (AQE broadcasts
+    it), and one scalar moment rollup — bipartite structure makes
+    the expected coefficient negative (suppliers fan out to
+    families), which the invariant test pins."""
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_suppkey").alias("a"),
+        (F.lit(100000) + F.col("l_partkey") % 200).alias("b"),
+    ).distinct()
+    e = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    p = (
+        e.join(deg.select(F.col("node").alias("src"), F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dy")), "dst")
+        .select("dx", "dy")
+    )
+    dec = "decimal(38,0)"
+    dx, dy = F.col("dx"), F.col("dy")
+    m = p.agg(
+        F.count("*").alias("n"),
+        F.sum(dx.cast(dec)).alias("sx"),
+        F.sum(dy.cast(dec)).alias("sy"),
+        F.sum((dx * dy).cast(dec)).alias("sxy"),
+        F.sum((dx * dx).cast(dec)).alias("sx2"),
+        F.sum((dy * dy).cast(dec)).alias("sy2"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sx2 - sx * sx) * F.sqrt(nd * sy2 - sy * sy)),
+            6,
+        ).alias("assortativity"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -133,3 +133,54 @@ def bfs_distances(
         settled = settled.union(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return settled
+
+
+def bellman_ford_rounds(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    seed_col: str = "node",
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded Bellman–Ford → (node, cost): minimum path WEIGHT from
+    any seed within ``rounds`` relaxations — the weighted companion to
+    bfs_distances (hop counts).  Each round relaxes every edge once:
+    dist' = min(dist, min over incoming (dist[src] + w)) — state stays
+    |settled nodes| per round (dynamic programming), NOT |paths|,
+    which is why an oracle can phrase the same computation as chained
+    aggregated joins while naive path enumeration explodes
+    combinatorially.
+
+    Scale shape: one hash join (dist⋈edges on src) + one min-aggregate
+    per round, both keyed on node ids; each round's frame is
+    localCheckpoint-ed so lineage stays flat and shuffle files free.
+    Weights must be non-negative integers for the exact-arithmetic
+    cross-engine contract (no FP accumulation along paths).  Rounds
+    are inherently sequential — Bellman-Ford's critical path is its
+    relaxation depth on any engine."""
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).alias("w"),
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+    return dist

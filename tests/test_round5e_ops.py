@@ -234,3 +234,35 @@ def test_twa_duration_conservation(spark):
         day_start = date.fromisoformat(r.day).toordinal() - date(1970, 1, 1).toordinal()
         day_end_us = (day_start + 1) * day_us
         assert r.held_us == day_end_us - t0, (r.event_type, r.day)
+
+
+def test_bellman_ford_dominated_by_bfs_and_negative_assortativity(spark):
+    """Weighted costs must be reachable exactly where 4-hop BFS from
+    the same seeds reaches (same edge relation), and the bipartite
+    graph must be disassortative."""
+    wp = {r.node: r.min_cost for r in catalog.QUERIES["graph_weighted_paths"](spark, SF).collect()}
+    li = load_table(spark, SF, "lineitem")
+    e0 = li.select(
+        F.col("l_suppkey").alias("a"),
+        (F.lit(100000) + F.col("l_partkey") % 200).alias("b"),
+    ).distinct()
+    e = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, SF, "supplier")
+        .filter(F.col("s_nationkey") % 5 == 3)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    from curw_mike_data_handler_spark.operators.graph import bfs_distances
+
+    bfs = {
+        r.node: r.dist
+        for r in bfs_distances(e, seeds, max_depth=4).collect()
+    }
+    assert set(wp) == set(bfs), "weighted reach == unweighted reach at equal depth"
+    for node, cost in wp.items():
+        assert cost >= 0.0
+        assert (cost == 0.0) == (bfs[node] == 0)
+    r = catalog.QUERIES["graph_assortativity"](spark, SF).collect()[0]
+    assert r.assortativity < 0, "bipartite fan-out graph must be disassortative"
