@@ -206,6 +206,31 @@ HEADLINE = [
     "revenue_bridge_decomposition",
     "sliding_distinct_users",
     "basket_apriori_triples",
+    "ts_autocorrelation",
+    "cusum_changepoint",
+    "time_weighted_average",
+    "clamped_running_balance",
+    "item_cooccurrence_cosine",
+    "audience_overlap_jaccard",
+    "ranking_overlap",
+    "k_anonymity_census",
+    "calibration_bins",
+    "theilsen_trend",
+    "scd2_daily_snapshot",
+    "target_encode_loo",
+    "feature_hashing_census",
+    "m4_downsample",
+    "word_cooccurrence_pmi",
+    "lorenz_curve_deciles",
+    "gdpr_erasure_cascade",
+    "abc_classification",
+    "text_readability",
+    "conversion_latency_quantiles",
+    "classifier_confusion_stats",
+    "graph_weighted_paths",
+    "graph_assortativity",
+    "trajectory_path_length",
+    "od_flow_matrix",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

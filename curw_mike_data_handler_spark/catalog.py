@@ -12737,6 +12737,137 @@ def graph_assortativity(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Geo-trajectory widening: path length, origin-destination flows
+# ---------------------------------------------------------------------------
+
+_GC_SQL = (
+    "6371.0 * acos(least("
+    "cos(radians({lat1})) * cos(radians({lat2})) * cos(radians({lon2}) - radians({lon1}))"
+    " + sin(radians({lat1})) * sin(radians({lat2})), 1.0))"
+)
+
+
+@query(
+    "trajectory_path_length",
+    f"""
+    WITH v AS (
+        SELECT user_id, ts, event_id, event_id % 100 AS sid
+        FROM events
+    ),
+    hop AS (
+        SELECT user_id, sid,
+               lag(sid) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_sid
+        FROM v
+    ),
+    seg AS (
+        SELECT user_id,
+               CAST(round(1000.0 * ({_GC_SQL.format(
+                   lat1="6.8 + (prev_sid % 37) * 0.01",
+                   lon1="79.8 + (prev_sid % 53) * 0.015",
+                   lat2="6.8 + (sid % 37) * 0.01",
+                   lon2="79.8 + (sid % 53) * 0.015")})) AS BIGINT) AS m
+        FROM hop WHERE prev_sid IS NOT NULL
+    )
+    SELECT user_id, count(*) AS n_moves,
+           round(CAST(sum(m) AS DOUBLE) / 1000.0, 3) AS total_km
+    FROM seg GROUP BY user_id
+    """,
+)
+def trajectory_path_length(spark, sf_dir):
+    """Per-entity trajectory length: consecutive station visits
+    (events pinned to the j3 synthetic station grid) become
+    great-circle hops, each segment ROUNDED TO INTEGER METERS before
+    summation — the device that makes a geo aggregate combine-order
+    invariant (a raw FP sum of distances would differ by partial
+    order; integer meters cannot).  One hash(user) exchange serves
+    the lag window and the rollup; the trig runs inside whole-stage
+    codegen on the hop rows (linear).  The telemetry/fleet 'distance
+    travelled per device per day' workload in its scale-safe form."""
+    from pyspark.sql import Window
+
+    v = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", (F.col("event_id") % 100).alias("sid")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hop = v.withColumn("prev_sid", F.lag("sid").over(w)).filter(
+        F.col("prev_sid").isNotNull()
+    )
+    lat = lambda c: 6.8 + (c % 37) * 0.01  # noqa: E731
+    lon = lambda c: 79.8 + (c % 53) * 0.015  # noqa: E731
+    km = great_circle_km(
+        lat(F.col("prev_sid")),
+        lon(F.col("prev_sid")),
+        lat(F.col("sid")),
+        lon(F.col("sid")),
+    )
+    seg = hop.select(
+        "user_id", F.round(km * 1000.0).cast("bigint").alias("m")
+    )
+    return seg.groupBy("user_id").agg(
+        F.count("*").alias("n_moves"),
+        F.round(F.sum("m").cast("double") / 1000.0, 3).alias("total_km"),
+    )
+
+
+@query(
+    "od_flow_matrix",
+    """
+    WITH v AS (
+        SELECT user_id, ts, event_id, event_id % 100 AS sid
+        FROM events
+    ),
+    hop AS (
+        SELECT user_id, sid AS dst,
+               lag(sid) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS src
+        FROM v
+    )
+    SELECT src, dst, count(*) AS flow,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM hop
+    WHERE src IS NOT NULL AND src <> dst
+    GROUP BY src, dst
+    ORDER BY flow DESC, src ASC, dst ASC
+    LIMIT 20
+    """,
+)
+def od_flow_matrix(spark, sf_dir):
+    """Origin→destination flow matrix over consecutive station visits
+    — the mobility / funnel-between-places rollup (top flows with
+    distinct-traveler counts).  The hop relation reuses
+    trajectory_path_length's lag shape (one hash(user) exchange);
+    the OD census then shuffles hop rows once on the (src, dst)
+    composite — output is bounded by |stations|², never by event
+    count — and the (flow, src, dst) total-order top-20 is
+    WindowGroupLimit-free (global sort of a ≤10k-cell matrix).
+    Self-loops are dropped (dwell, not movement)."""
+    from pyspark.sql import Window
+
+    v = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", (F.col("event_id") % 100).alias("sid")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hop = (
+        v.select(
+            "user_id",
+            F.col("sid").alias("dst"),
+            F.lag("sid").over(w).alias("src"),
+        )
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    return (
+        hop.groupBy("src", "dst")
+        .agg(
+            F.count("*").alias("flow"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.col("flow").desc(), F.col("src").asc(), F.col("dst").asc())
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

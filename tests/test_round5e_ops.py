@@ -266,3 +266,22 @@ def test_bellman_ford_dominated_by_bfs_and_negative_assortativity(spark):
         assert (cost == 0.0) == (bfs[node] == 0)
     r = catalog.QUERIES["graph_assortativity"](spark, SF).collect()[0]
     assert r.assortativity < 0, "bipartite fan-out graph must be disassortative"
+
+
+def test_trajectory_moves_and_od_conservation(spark):
+    """n_moves per user = events−1; total OD flow (pre-limit) + self
+    loops = total hops.  Both queries share the hop relation."""
+    traj = {r.user_id: r for r in catalog.QUERIES["trajectory_path_length"](spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    per_user = {r.user_id: r["count"] for r in ev.groupBy("user_id").count().collect()}
+    for uid, n in per_user.items():
+        if n >= 2:
+            assert traj[uid].n_moves == n - 1, uid
+            assert traj[uid].total_km >= 0.0
+    out = catalog.QUERIES["od_flow_matrix"](spark, SF).collect()
+    assert len(out) <= 20
+    flows = [r.flow for r in out]
+    assert flows == sorted(flows, reverse=True)
+    for r in out:
+        assert r.src != r.dst
+        assert 1 <= r.n_users <= r.flow
