@@ -106,6 +106,16 @@ SHOWCASE = [
     ("dbscan_station_clusters", "grid-blocked pairs, subcell clique contraction, two-phase components on the cell graph"),
     ("snm_candidate_pairs", "two sorted-vocab lead windows emit w·|vocab| candidates; levenshtein verify on candidates only"),
     ("gini_nation_revenue", "per-nation rank window on the customer-scale rollup; exact integer sums to one edge division"),
+    ("clamped_running_balance", "prefix-min identity: two stacked windows + rollup on ONE hash(user) exchange — no per-key recursion"),
+    ("cusum_changepoint", "integer n-scaled CUSUM; WindowGroupLimit prunes the argmax to a streaming top-1 per series"),
+    ("ts_autocorrelation", "bucket census first; gap-correct lag pairing as equi join; 4-row lag dim broadcast"),
+    ("m4_downsample", "first/last from ONE window sort (rn + partition count); min/max ride the same rollup"),
+    ("scd2_daily_snapshot", "SCD2→snapshot via ceil-day sequence-explode — linear in output, no interval theta join"),
+    ("target_encode_loo", "closed-form LOO encoding: two-scalar category dim broadcast back onto the fact"),
+    ("abc_classification", "cumulative DECIMAL window on the part aggregate; integer cross-multiplied class boundaries"),
+    ("graph_weighted_paths", "bounded Bellman-Ford: |nodes| DP state per round, join+min-agg, checkpoint-truncated"),
+    ("trajectory_path_length", "integer-meter great-circle hops: lag + rollup share one user exchange, trig in codegen"),
+    ("gdpr_erasure_cascade", "erasure cohort cascaded by broadcast semi joins — every fact scanned once, zero fact shuffles"),
 ]
 
 
