@@ -231,6 +231,8 @@ HEADLINE = [
     "graph_assortativity",
     "trajectory_path_length",
     "od_flow_matrix",
+    "ann_mrr_eval",
+    "wavelet_energy_levels",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -12868,6 +12868,199 @@ def od_flow_matrix(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 8: retrieval MRR, Haar wavelet energies
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_mrr_eval",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, label, v FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS qlabel,
+               c.vec_id AS neighbor_id, c.label AS nlabel,
+               round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        FROM q JOIN e c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, qlabel, nlabel,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    ),
+    hit AS (
+        SELECT query_id, qlabel, min(rank) AS first_rank
+        FROM ranked WHERE rank <= 10 AND nlabel = qlabel
+        GROUP BY query_id, qlabel
+    ),
+    per_q AS (
+        SELECT q.vec_id AS query_id, q.label AS qlabel,
+               coalesce(2520 // hit.first_rank, 0) AS rr2520
+        FROM q LEFT JOIN hit ON q.vec_id = hit.query_id
+    )
+    SELECT qlabel AS label, count(*) AS n_queries,
+           CAST(sum(CASE WHEN rr2520 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+           round(CAST(sum(rr2520) AS DOUBLE)
+                 / (2520.0 * CAST(count(*) AS DOUBLE)), 6) AS mrr_at_10
+    FROM per_q GROUP BY qlabel
+    """,
+)
+def ann_mrr_eval(spark, sf_dir):
+    """Mean reciprocal rank @10 of label retrieval per class — the
+    third leg of the ANN eval family (recall census = coverage, MRR =
+    how EARLY the first relevant hit lands).  The FP trap in MRR is
+    summing 1/rank doubles (combine-order dependent); here the
+    reciprocal is the exact integer 2520/rank (2520 = lcm(1..10), so
+    every reciprocal is integral), summed exactly and divided ONCE —
+    MRR is bit-identical under any partitioning.  Reuses the
+    brute-force top-k operator (broadcast query side, corpus carries
+    the cosine work); misses score 0 through the left join, so
+    degenerate classes are measured, not dropped."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = ann_topk_bruteforce(
+        queries_df,
+        emb,
+        k=10,
+        corpus_partitions=spark.sparkContext.defaultParallelism,
+    )
+    labels = F.broadcast(emb.select("vec_id", "label"))
+    ranked = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+    )
+    hit = (
+        ranked.filter(F.col("nlabel") == F.col("qlabel"))
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("first_rank"))
+    )
+    per_q = (
+        queries_df.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+        .join(hit, "query_id", "left")
+        .select(
+            "qlabel",
+            F.coalesce(
+                (F.lit(2520) / F.col("first_rank")).cast("long"), F.lit(0)
+            ).alias("rr2520"),
+        )
+    )
+    return per_q.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count("*").alias("n_queries"),
+        F.sum(F.when(F.col("rr2520") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit"),
+        F.round(
+            F.sum("rr2520").cast("double") / (2520.0 * F.count("*").cast("double")),
+            6,
+        ).alias("mrr_at_10"),
+    )
+
+
+@query(
+    "wavelet_energy_levels",
+    """
+    WITH a0 AS (
+        SELECT event_type, epoch_us(ts) // 900000000 AS b,
+               sum(CAST(round(value * 100) AS BIGINT)) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    l1 AS (
+        SELECT event_type, b // 2 AS b,
+               sum(CASE WHEN b % 2 = 0 THEN s ELSE -s END) AS d,
+               sum(s) AS a
+        FROM a0 GROUP BY event_type, b // 2
+    ),
+    l2 AS (
+        SELECT event_type, b // 2 AS b,
+               sum(CASE WHEN b % 2 = 0 THEN a ELSE -a END) AS d,
+               sum(a) AS a
+        FROM l1 GROUP BY event_type, b // 2
+    ),
+    l3 AS (
+        SELECT event_type, b // 2 AS b,
+               sum(CASE WHEN b % 2 = 0 THEN a ELSE -a END) AS d,
+               sum(a) AS a
+        FROM l2 GROUP BY event_type, b // 2
+    )
+    SELECT e1.event_type,
+           round(CAST(e1.e AS DOUBLE) / 10000.0, 4) AS energy_l1,
+           round(CAST(e2.e AS DOUBLE) / 10000.0, 4) AS energy_l2,
+           round(CAST(e3.e AS DOUBLE) / 10000.0, 4) AS energy_l3
+    FROM (SELECT event_type, CAST(sum(d * d) AS DECIMAL(38,0)) AS e
+          FROM l1 GROUP BY event_type) e1
+    JOIN (SELECT event_type, CAST(sum(d * d) AS DECIMAL(38,0)) AS e
+          FROM l2 GROUP BY event_type) e2 ON e1.event_type = e2.event_type
+    JOIN (SELECT event_type, CAST(sum(d * d) AS DECIMAL(38,0)) AS e
+          FROM l3 GROUP BY event_type) e3 ON e1.event_type = e3.event_type
+    """,
+)
+def wavelet_energy_levels(spark, sf_dir):
+    """Unnormalized Haar wavelet detail energy at dyadic levels 1–3
+    per series — the multi-resolution 'where does the variance live?'
+    readout (level 1 = 30-min fluctuation, level 3 = 2-hour) used for
+    series characterization and compressibility screens.  Each level
+    is ONE further groupBy on b÷2 with a signed conditional sum —
+    absent buckets contribute 0 naturally, no gap-filling join — so
+    the cascade is three map-side-combinable aggregates over
+    geometrically SHRINKING relations (the a0 census is the only
+    fact-sized step).  Detail coefficients and their squares stay
+    exact integers into DECIMAL(38,0); the /1e4 cents²→units² edge is
+    the lone double."""
+    ev = _t(spark, sf_dir, "events")
+    a0 = (
+        ev.groupBy(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(STEP_US)).cast("long").alias("b"),
+        )
+        .agg(F.sum(_cents("value")).alias("s"))
+    )
+
+    def lvl(df, val):
+        sign = F.when(F.col("b") % 2 == 0, F.col(val)).otherwise(-F.col(val))
+        return (
+            df.groupBy("event_type", (F.col("b") / 2).cast("long").alias("b2"))
+            .agg(F.sum(sign).alias("d"), F.sum(val).alias("a"))
+            .withColumnRenamed("b2", "b")
+        )
+
+    l1 = lvl(a0, "s")
+    l2 = lvl(l1, "a")
+    l3 = lvl(l2, "a")
+    dec = "decimal(38,0)"
+
+    def energy(df, name):
+        return df.groupBy("event_type").agg(
+            F.sum((F.col("d") * F.col("d")).cast(dec)).alias(name)
+        )
+
+    e1, e2, e3 = energy(l1, "e1"), energy(l2, "e2"), energy(l3, "e3")
+    out = e1.join(e2, "event_type").join(e3, "event_type")
+    d4 = lambda c: F.round(F.col(c).cast("double") / 10000.0, 4)  # noqa: E731
+    return out.select(
+        "event_type",
+        d4("e1").alias("energy_l1"),
+        d4("e2").alias("energy_l2"),
+        d4("e3").alias("energy_l3"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
