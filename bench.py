@@ -233,6 +233,7 @@ HEADLINE = [
     "od_flow_matrix",
     "ann_mrr_eval",
     "wavelet_energy_levels",
+    "token_bucket_throttle",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -13061,6 +13061,76 @@ def wavelet_energy_levels(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 9: token-bucket throttling — the genuinely-sequential tier-(b)
+# operator, applyInPandas vs a recursive-CTE oracle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_bucket_throttle",
+    """
+    WITH RECURSIVE c AS (
+        SELECT user_id, epoch_us(ts) AS t_us,
+               CAST(round(value * 100) AS BIGINT) AS cost,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    mx AS (SELECT user_id, max(rn) AS n FROM c GROUP BY user_id),
+    r AS (
+        SELECT user_id, CAST(0 AS BIGINT) AS rn,
+               CAST(20000 AS BIGINT) AS level,
+               CAST(NULL AS BIGINT) AS t_us, CAST(0 AS BIGINT) AS adm
+        FROM mx
+        UNION ALL
+        SELECT c.user_id, c.rn,
+               CASE WHEN least(20000, r.level
+                        + (c.t_us - coalesce(r.t_us, c.t_us)) * 100
+                          // 1000000000) >= c.cost
+                    THEN least(20000, r.level
+                        + (c.t_us - coalesce(r.t_us, c.t_us)) * 100
+                          // 1000000000) - c.cost
+                    ELSE least(20000, r.level
+                        + (c.t_us - coalesce(r.t_us, c.t_us)) * 100
+                          // 1000000000) END,
+               c.t_us,
+               r.adm + CASE WHEN least(20000, r.level
+                                + (c.t_us - coalesce(r.t_us, c.t_us)) * 100
+                                  // 1000000000) >= c.cost
+                            THEN 1 ELSE 0 END
+        FROM r JOIN c ON c.user_id = r.user_id AND c.rn = r.rn + 1
+    )
+    SELECT r.user_id, mx.n AS n_events, r.adm AS n_admitted,
+           mx.n - r.adm AS n_throttled, r.level AS final_level_cents
+    FROM r JOIN mx ON r.user_id = mx.user_id AND r.rn = mx.n
+    """,
+)
+def token_bucket_throttle_q(spark, sf_dir):
+    """Token-bucket admission control per user (capacity 200.00,
+    refill 0.1/s, cost = event value): the catalog's genuinely
+    SEQUENTIAL operator — the cap+floor+conditional-spend recurrence
+    has no window closed form (contrast clamped_running_balance's
+    prefix-min identity, which only a one-sided clamp admits).  The
+    engine therefore drops to the sanctioned tier-(b) path: ONE
+    hash(user) exchange feeding an Arrow-batched applyInPandas whose
+    per-group integer fold is O(1)-state and bit-reproducible; the
+    oracle folds the identical recurrence as a DuckDB RECURSIVE CTE
+    (one iteration per event rank), so even the Python escape hatch
+    carries a hard cross-engine value proof.  See
+    operators/ratelimit.py for the scale rationale."""
+    from curw_mike_data_handler_spark.operators.ratelimit import (
+        token_bucket_throttle,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", _cents("value").alias("cost")
+    )
+    return token_bucket_throttle(
+        ev, capacity_cents=20_000, rate_cents_per_ks=100
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

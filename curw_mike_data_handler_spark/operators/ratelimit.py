@@ -1,0 +1,103 @@
+"""Token-bucket rate limiting over an event stream — the one operator
+family in the catalog whose state is GENUINELY sequential.
+
+A token bucket holds ``capacity`` tokens, refills at ``rate`` tokens
+per 1000 seconds (clamped at capacity — the two-sided clamp), and admits an
+event iff the current level covers its cost.  Unlike the floor-only
+clamp (see catalog.clamped_running_balance's prefix-min identity), the
+cap+floor+conditional-spend recurrence has no window-algebra closed
+form: level_t depends on min(capacity, level_{t-1} + refill_t) AND on
+whether event t-1 was admitted.  This is the documented tier-(b) case
+from the engine's ground rules — when DataFrame algebra genuinely
+cannot express the semantics, drop to an Arrow-batched
+``applyInPandas`` keyed on the entity, never to a row-at-a-time UDF
+and never to the driver.
+
+Scale shape: one hash(key) exchange + per-group Arrow transfer; state
+is O(1) per key inside the loop and groups are single-entity event
+histories (bounded, day-partitionable if an entity's history outgrows
+a task).  All arithmetic is integer (cents, microseconds, integer
+refill floor) so the Python loop is bit-reproducible and — the reason
+the catalog can carry it — EXACTLY matched by a DuckDB recursive-CTE
+oracle folding the same recurrence.
+
+Reference anchor: the reference's ingestion scripts throttle
+re-extraction by timestamp freshness checks (extract-script guard
+loops); the token bucket is that admission control generalized to a
+rate contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, n_admitted bigint, "
+    "n_throttled bigint, final_level_cents bigint"
+)
+
+
+def token_bucket_throttle(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    order_col: str = "event_id",
+    cost_col: str = "cost",
+    capacity_cents: int = 50_000,
+    rate_cents_per_ks: int = 300,
+) -> DataFrame:
+    """→ (key, n_events, n_admitted, n_throttled, final_level_cents).
+
+    ``cost_col`` must be integer cents.  The bucket starts full; at
+    each event the elapsed-time refill ``gap_us * rate //
+    1_000_000_000`` (integer floor, rate in cents per 1000 s) is
+    added and clamped at capacity, then the event is admitted iff
+    ``level >= cost`` (spending ``cost``).
+    """
+    cap, rate = int(capacity_cents), int(rate_cents_per_ks)
+
+    def fold(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["_t_us", "_ord"], kind="mergesort")
+            level = cap
+            prev_us = None
+            admitted = 0
+            n = 0
+            for t_us, cost in zip(pdf["_t_us"].values, pdf["_cost"].values):
+                t_us, cost = int(t_us), int(cost)
+                if prev_us is not None:
+                    level = min(cap, level + (t_us - prev_us) * rate // 1_000_000_000)
+                prev_us = t_us
+                if level >= cost:
+                    level -= cost
+                    admitted += 1
+                n += 1
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(pdf["_key"].iloc[0])],
+                    "n_events": [n],
+                    "n_admitted": [admitted],
+                    "n_throttled": [n - admitted],
+                    "final_level_cents": [level],
+                }
+            )
+
+    prepared = events.select(
+        F.col(key_col).alias("_key"),
+        F.unix_micros(F.col(time_col)).alias("_t_us"),
+        F.col(order_col).alias("_ord"),
+        F.col(cost_col).cast("long").alias("_cost"),
+    )
+    # applyInPandas delivers each whole group to fold (possibly in
+    # several chunks only when a group exceeds the Arrow batch size;
+    # single-entity histories stay one chunk) — sort inside the group
+    # makes the fold order-deterministic regardless of shuffle order.
+    return prepared.groupBy("_key").applyInPandas(
+        lambda pdf: next(fold(iter([pdf]))), schema=OUT_SCHEMA
+    )

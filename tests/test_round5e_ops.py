@@ -285,3 +285,36 @@ def test_trajectory_moves_and_od_conservation(spark):
     for r in out:
         assert r.src != r.dst
         assert 1 <= r.n_users <= r.flow
+
+
+def test_token_bucket_python_reference(spark):
+    """The applyInPandas fold must match an independent plain-Python
+    simulation, and throttling must be non-vacuous at gate params."""
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    rows = sorted(ev.collect(), key=lambda r: (r.user_id, r.ts, r.event_id))
+    import collections
+
+    state = {}
+    counts = collections.Counter()
+    adm = collections.Counter()
+    CAP, RATE = 20_000, 100
+    for r in rows:
+        t_us = int(r.ts.timestamp() * 1_000_000)
+        lvl, prev = state.get(r.user_id, (CAP, None))
+        if prev is not None:
+            lvl = min(CAP, lvl + (t_us - prev) * RATE // 1_000_000_000)
+        cost = round(r.value * 100)
+        if lvl >= cost:
+            lvl -= cost
+            adm[r.user_id] += 1
+        counts[r.user_id] += 1
+        state[r.user_id] = (lvl, t_us)
+    out = {r.user_id: r for r in catalog.QUERIES["token_bucket_throttle"](spark, SF).collect()}
+    assert set(out) == set(counts)
+    for uid, r in out.items():
+        assert r.n_events == counts[uid]
+        assert r.n_admitted == adm[uid], uid
+        assert r.final_level_cents == state[uid][0], uid
+    assert sum(r.n_throttled for r in out.values()) > 0, "vacuous params"
