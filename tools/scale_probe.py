@@ -390,6 +390,55 @@ def main() -> None:
         results,
     )
 
+    # ------------------------------------------------------------------
+    # Round-5e probes: the new operators' scale claims at 10× the
+    # bench inputs.  events ×10 (1M rows, 1500 users, SAME 30-day
+    # range — the point: time-bounded censuses must not grow) and
+    # lineitem ×10 (6M rows, same parts/suppliers — the point: the
+    # distinct-collapsed edge/affinity relations must not grow).
+    # ------------------------------------------------------------------
+    ev10_dir = os.path.join(SCRATCH, "sf1_events")
+    li10_dir = os.path.join(SCRATCH, "sf1_lineitem")
+    from curw_mike_data_handler_spark.sources.tables import load_table
+
+    copies = spark.range(COPIES).select(F.col("id").alias("copy"))
+    ev = load_table(spark, SRC, "events")
+    ev.crossJoin(copies).select(
+        (F.col("event_id") + F.col("copy") * 10_000_000).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("copy") * 10_000).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").parquet(os.path.join(ev10_dir, "events.parquet"))
+    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    li.crossJoin(copies).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.col("copy") * 100_000_000
+    ).drop("copy").write.mode("overwrite").parquet(
+        os.path.join(li10_dir, "lineitem.parquet")
+    )
+    spark.read.parquet(os.path.join(SRC, "supplier.parquet")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(li10_dir, "supplier.parquet"))
+
+    print("round-5e probes (events x10 = 1M rows, lineitem x10 = 6M rows):")
+    for name, sf_dir in (
+        ("theilsen_trend", ev10_dir),
+        ("ts_autocorrelation", ev10_dir),
+        ("scd2_daily_snapshot", ev10_dir),
+        ("token_bucket_throttle", ev10_dir),
+        ("m4_downsample", ev10_dir),
+        ("item_cooccurrence_cosine", li10_dir),
+        ("graph_weighted_paths", li10_dir),
+        ("graph_assortativity", li10_dir),
+    ):
+        measure(
+            spark,
+            f"{name}_10x",
+            lambda name=name, sf_dir=sf_dir: catalog.QUERIES[name](spark, sf_dir),
+            results,
+        )
+
     payload = {
         "sf": 1.0,
         "docs": docs_lin.count(),
@@ -420,7 +469,10 @@ def main() -> None:
     }
     for k, v in results.items():
         if "wall_s" in v:
-            print(f"| {k} | {corpus_of[k]} | {v['wall_s']} | {v['rows_out']:,} "
+            corpus = corpus_of.get(
+                k, "events-10x" if k.endswith("_10x") else "10x"
+            )
+            print(f"| {k} | {corpus} | {v['wall_s']} | {v['rows_out']:,} "
                   f"| {v['shuffle_write_mb']} | {v['shuffle_read_mb']} |")
     spark.stop()
 
