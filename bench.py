@@ -234,6 +234,9 @@ HEADLINE = [
     "ann_mrr_eval",
     "wavelet_energy_levels",
     "token_bucket_throttle",
+    "chi2_independence",
+    "missing_combinations_census",
+    "holt_linear_smoothing",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -13131,6 +13131,267 @@ def token_bucket_throttle_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 10: contingency chi-squared, missing-combination census,
+# integer fixed-point Holt smoothing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chi2_independence",
+    """
+    WITH o AS (
+        SELECT c_nationkey AS r, c_mktsegment AS c, count(*) AS obs
+        FROM customer GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, sum(obs) AS rtot FROM o GROUP BY r),
+    ct AS (SELECT c, sum(obs) AS ctot FROM o GROUP BY c),
+    n AS (SELECT sum(obs) AS n FROM o),
+    cells AS (
+        SELECT o.r, o.c,
+               (o.obs * n.n - rt.rtot * ct.ctot)
+                   * (o.obs * n.n - rt.rtot * ct.ctot) * 10000
+                   // (n.n * rt.rtot * ct.ctot) AS contrib_micro
+        FROM o JOIN rt ON o.r = rt.r JOIN ct ON o.c = ct.c CROSS JOIN n
+    )
+    SELECT count(*) AS n_cells,
+           CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
+               * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,
+           round(CAST(sum(contrib_micro) AS DOUBLE) / 1e4, 4) AS chi2,
+           round(sqrt(CAST(sum(contrib_micro) AS DOUBLE) / 1e4
+                      / CAST((SELECT max(n) FROM n) AS DOUBLE)
+                      / CAST(least((SELECT count(*) FROM rt),
+                                   (SELECT count(*) FROM ct)) - 1 AS DOUBLE)),
+                 6) AS cramers_v
+    FROM cells
+    """,
+)
+def chi2_independence(spark, sf_dir):
+    """Pearson χ² independence test over the nation × market-segment
+    contingency table (plus Cramér's V effect size) — the categorical
+    'are these two columns related?' DQ/EDA primitive.  The FP trap:
+    summing per-cell (O−E)²/E doubles is combine-order dependent.
+    Here each cell's contribution is the EXACT integer
+    (O·N − R·C)²·10⁴ // (N·R·C) (floor division of non-negative
+    integers — the same integer in any engine), so the χ² sum is an
+    exact integer aggregate with one /1e4 edge; the ·10⁴ numerator
+    stays under 2⁶³ through sf0.1 (swap the cell expression to
+    DECIMAL(38,0) `div` beyond that); only observed cells contribute,
+    matching the identity Σ(O−E)²/E over zero-O cells being E, folded
+    out by construction on this dense table.  Scale: the contingency
+    relation is |rows×cols|-sized after ONE map-side-combinable
+    census of the fact; margins broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = c.groupBy(
+        F.col("c_nationkey").alias("r"), F.col("c_mktsegment").alias("c")
+    ).agg(F.count("*").alias("obs"))
+    rt = o.groupBy("r").agg(F.sum("obs").alias("rtot"))
+    ct = o.groupBy("c").agg(F.sum("obs").alias("ctot"))
+    n = o.agg(F.sum("obs").alias("n"))
+    cells = (
+        o.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .join(F.broadcast(n))
+        .select(
+            (
+                (F.col("obs") * F.col("n") - F.col("rtot") * F.col("ctot"))
+                * (F.col("obs") * F.col("n") - F.col("rtot") * F.col("ctot"))
+                * 10_000
+            )
+            .alias("_num"),
+            (F.col("n") * F.col("rtot") * F.col("ctot")).alias("_den"),
+        )
+    )
+    cells = cells.select(
+        F.expr("_num div _den").alias("contrib_micro")
+    )
+    nr = F.broadcast(rt.agg(F.count("*").alias("nr")))
+    nc = F.broadcast(ct.agg(F.count("*").alias("nc")))
+    chi2 = F.sum("contrib_micro").cast("double") / 1e4
+    return (
+        cells.agg(F.count("*").alias("n_cells"), chi2.alias("_chi2"))
+        .join(nr)
+        .join(nc)
+        .join(F.broadcast(n))
+        .select(
+            "n_cells",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+            F.round(F.col("_chi2"), 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("_chi2")
+                    / F.col("n").cast("double")
+                    / (F.least("nr", "nc") - 1).cast("double")
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@query(
+    "missing_combinations_census",
+    """
+    WITH dims AS (
+        SELECT n.n_nationkey, s.c_mktsegment, b.band
+        FROM nation n
+        CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
+        CROSS JOIN (SELECT unnest(generate_series(-1, 4)) AS band) b
+    ),
+    have AS (
+        SELECT DISTINCT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band
+        FROM customer
+    )
+    SELECT d.n_nationkey AS nationkey, d.c_mktsegment AS segment,
+           d.band AS band
+    FROM dims d
+    LEFT JOIN have h ON d.n_nationkey = h.c_nationkey
+                    AND d.c_mktsegment = h.c_mktsegment
+                    AND d.band = h.band
+    WHERE h.c_nationkey IS NULL
+    ORDER BY nationkey, segment, d.band
+    """,
+)
+def missing_combinations_census(spark, sf_dir):
+    """Coverage-gap census: which (dimension × dimension) cells have
+    ZERO facts — the completeness check behind 'every nation must
+    have customers in every segment and balance band' expectations (a dq_expectations
+    sibling that needs the generated full grid, not just observed
+    rows).  The expected grid is a broadcast cross join of two tiny
+    dims; observed combinations distinct-collapse the fact once; the
+    gap is one anti join.  Output is at most |grid| rows — constant
+    w.r.t. fact scale."""
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey")
+    c = _t(spark, sf_dir, "customer")
+    segs = c.select("c_mktsegment").distinct()
+    bands = spark.range(-1, 5).select(F.col("id").cast("long").alias("band"))
+    dims = F.broadcast(nat).crossJoin(F.broadcast(segs)).crossJoin(
+        F.broadcast(bands)
+    )
+    # 2000-unit balance bands: band edges are exactly representable
+    # doubles, so the floor cannot flip between engines
+    have = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("band"),
+    ).distinct()
+    return (
+        dims.join(
+            have,
+            (dims["n_nationkey"] == have["c_nationkey"])
+            & (dims["c_mktsegment"] == have["c_mktsegment"])
+            & (dims["band"] == have["band"]),
+            "left_anti",
+        )
+        .select(
+            F.col("n_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+            "band",
+        )
+        .orderBy("nationkey", "segment", "band")
+    )
+
+
+@query(
+    "holt_linear_smoothing",
+    """
+    WITH RECURSIVE c AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type ORDER BY b) AS rn,
+               s
+        FROM (
+            SELECT event_type, epoch_us(ts) // 21600000000 AS b,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS s
+            FROM events GROUP BY 1, 2
+        )
+    ),
+    mx AS (SELECT event_type, max(rn) AS n FROM c GROUP BY event_type),
+    r AS (
+        SELECT c.event_type, CAST(1 AS BIGINT) AS rn,
+               c.s AS l, CAST(0 AS BIGINT) AS t,
+               CAST(0 AS BIGINT) AS abs_err
+        FROM c WHERE c.rn = 1
+        UNION ALL
+        SELECT c.event_type, c.rn,
+               ((r.l + r.t) * 3 + c.s) // 4,
+               (r.t * 7 + (((r.l + r.t) * 3 + c.s) // 4 - r.l)) // 8,
+               r.abs_err + abs(c.s - (r.l + r.t))
+        FROM r JOIN c ON c.event_type = r.event_type AND c.rn = r.rn + 1
+    )
+    SELECT r.event_type, mx.n AS n_buckets,
+           round(CAST(r.l AS DOUBLE) / 100.0, 2) AS level,
+           round(CAST(r.t AS DOUBLE) / 100.0, 2) AS trend,
+           round(CAST(r.l + r.t AS DOUBLE) / 100.0, 2) AS forecast_next,
+           round(CAST(r.abs_err AS DOUBLE) / CAST(mx.n - 1 AS DOUBLE)
+                 / 100.0, 4) AS mae_one_step
+    FROM r JOIN mx ON r.event_type = mx.event_type AND r.rn = mx.n
+    """,
+)
+def holt_linear_smoothing(spark, sf_dir):
+    """Holt's linear (level+trend) exponential smoothing per series in
+    INTEGER FIXED-POINT: α = 1/4 and β = 1/8 as TRUNCATING integer
+    divisions (l' = (3(l+t) + x) ÷ 4; t' = (7t + (l'−l)) ÷ 8 —
+    matching DuckDB's `//`, which truncates where Python floors,
+    hence the explicit tdiv), so the whole
+    recurrence — and the running one-step-ahead MAE — is exact
+    integer arithmetic, reproducible bit-for-bit in the Python fold
+    AND the recursive-CTE oracle (the token_bucket device applied to
+    forecasting; a float α recurrence could never cross engines
+    exactly).  Runs on the 6 h bucket census (the only fact-sized
+    step), one sequential fold per series via the same Arrow
+    applyInPandas tier; complements forecast_mase (accuracy metric)
+    with an actual smoother."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    step = 21_600_000_000
+    ser = (
+        ev.groupBy(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(step)).cast("long").alias("b"),
+        )
+        .agg(F.sum(_cents("value")).alias("s"))
+    )
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("b", kind="mergesort")
+        vals = [int(x) for x in pdf["s"].values]
+
+        def tdiv(a, b):
+            # DuckDB's // TRUNCATES toward zero; Python's floors.
+            # The recurrence sees negative trend numerators, so the
+            # fold must truncate to match the oracle exactly.
+            q = abs(a) // b
+            return q if a >= 0 else -q
+
+        lvl, tr, abs_err = vals[0], 0, 0
+        for x in vals[1:]:
+            fc = lvl + tr
+            abs_err += abs(x - fc)
+            new_l = tdiv(fc * 3 + x, 4)
+            tr = tdiv(tr * 7 + (new_l - lvl), 8)
+            lvl = new_l
+        n = len(vals)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_buckets": [n],
+                "level": [round(lvl / 100.0, 2)],
+                "trend": [round(tr / 100.0, 2)],
+                "forecast_next": [round((lvl + tr) / 100.0, 2)],
+                "mae_one_step": [round(abs_err / (n - 1) / 100.0, 4)],
+            }
+        )
+
+    out_schema = (
+        "event_type string, n_buckets bigint, level double, trend double, "
+        "forecast_next double, mae_one_step double"
+    )
+    return ser.groupBy("event_type").applyInPandas(fold, schema=out_schema)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
