@@ -237,6 +237,9 @@ HEADLINE = [
     "chi2_independence",
     "missing_combinations_census",
     "holt_linear_smoothing",
+    "max_concurrency_sweep",
+    "fifo_allocation",
+    "f_url_parse",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -13392,6 +13392,258 @@ def holt_linear_smoothing(spark, sf_dir):
     return ser.groupBy("event_type").applyInPandas(fold, schema=out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Batch 11: sweep-line concurrency, FIFO allocation, URL-parse surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "max_concurrency_sweep",
+    """
+    WITH pts AS (
+        SELECT event_type, epoch_us(ts) AS t_us, 1 AS delta, event_id
+        FROM events
+        UNION ALL
+        SELECT event_type, epoch_us(ts) + 1800000000, -1, event_id
+        FROM events
+    ),
+    sw AS (
+        SELECT event_type, t_us, delta,
+               CAST(sum(delta) OVER (
+                   PARTITION BY event_type
+                   ORDER BY t_us, delta, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS conc,
+               event_id
+        FROM pts
+    ),
+    best AS (
+        SELECT event_type, conc, t_us,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY conc DESC, t_us ASC, delta ASC, event_id ASC
+               ) AS rn
+        FROM sw
+    )
+    SELECT event_type, conc AS peak_concurrency,
+           strftime(make_timestamp(t_us), '%Y-%m-%d %H:%M:%S') AS peak_ts
+    FROM best WHERE rn = 1
+    """,
+)
+def max_concurrency_sweep(spark, sf_dir):
+    """Peak concurrency by sweep line: each event opens a 30-min
+    half-open interval, the interval set becomes ±1 boundary points,
+    and a running sum over the (t, delta, id) total order IS the
+    concurrency profile — the classic O(n log n) replacement for the
+    quadratic self-join ('how many intervals overlap each other').
+    The delta-ascending tie rule realizes half-open semantics (an
+    interval ending at t frees its slot before one starting at t
+    takes it), and the argmax is integer + total-order tie-broken, so
+    the peak row is engine-pinned.  One hash(series) exchange serves
+    the sweep window and the top-1 pick (WindowGroupLimit); the
+    union doubles rows but stays narrow.  Capacity planning's
+    'peak simultaneous sessions' in one pass."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    start = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    )
+    end = ev.select(
+        "event_type",
+        (F.unix_micros("ts") + 1_800_000_000).alias("t_us"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    pts = start.unionAll(end)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t_us", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sw = pts.withColumn("conc", F.sum("delta").over(w))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("conc").desc(),
+        F.col("t_us").asc(),
+        F.col("delta").asc(),
+        F.col("event_id").asc(),
+    )
+    return (
+        sw.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("conc").alias("peak_concurrency"),
+            F.date_format(F.timestamp_micros("t_us"), "yyyy-MM-dd HH:mm:ss").alias(
+                "peak_ts"
+            ),
+        )
+    )
+
+
+@query(
+    "fifo_allocation",
+    """
+    WITH fl AS (
+        SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+               CAST(round(l_quantity) AS BIGINT) AS qty, l_returnflag
+        FROM lineitem WHERE l_returnflag IN ('N', 'R')
+    ),
+    inflow AS (
+        SELECT l_partkey, l_shipdate AS in_date, qty,
+               sum(qty) OVER w AS hi,
+               sum(qty) OVER w - qty AS lo
+        FROM fl WHERE l_returnflag = 'N'
+        WINDOW w AS (PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    outflow AS (
+        SELECT l_partkey, l_shipdate AS out_date, qty,
+               sum(qty) OVER w AS hi,
+               sum(qty) OVER w - qty AS lo
+        FROM fl WHERE l_returnflag = 'R'
+        WINDOW w AS (PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    matched AS (
+        SELECT i.l_partkey,
+               least(i.hi, o.hi) - greatest(i.lo, o.lo) AS m_qty,
+               greatest(date_diff('day', i.in_date, o.out_date), 0) AS age_d
+        FROM inflow i JOIN outflow o
+          ON i.l_partkey = o.l_partkey
+         AND i.lo < o.hi AND o.lo < i.hi
+    )
+    SELECT l_partkey, count(*) AS n_matches,
+           CAST(sum(m_qty) AS BIGINT) AS matched_qty,
+           round(CAST(sum(m_qty * age_d) AS DOUBLE)
+                 / CAST(sum(m_qty) AS DOUBLE), 4) AS avg_age_days
+    FROM matched GROUP BY l_partkey
+    """,
+)
+def fifo_allocation(spark, sf_dir):
+    """FIFO lot allocation WITHOUT the sequential ledger walk: number
+    both flows in cumulative-quantity space (each inflow/outflow owns
+    the half-open cum-interval (Σqty−qty, Σqty]), and FIFO matching
+    becomes an INTERVAL-OVERLAP equi-join per part — matched quantity
+    is min(hi)−max(lo), the quantity-weighted age is exact integer
+    day-diffs × qty.  The identity is what makes FIFO costing
+    distributable: the per-part running sums are one window pass,
+    the match join is keyed on part (bucket-block the cum ranges via
+    the j9 device if a single part's flow count explodes), and no row
+    ever depends on the previous MATCH, only on the previous SUM.
+    Unmatched tails (supply beyond demand) simply find no overlap.
+    Negative ages clamp to 0 (returns logged before shipment in the
+    synthetic data are same-lot)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("N", "R")
+    )
+    fl = li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.round("l_quantity").cast("bigint").alias("qty"),
+        "l_returnflag",
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def flow(flag, date_alias):
+        return (
+            fl.filter(F.col("l_returnflag") == flag)
+            .withColumn("hi", F.sum("qty").over(w))
+            .withColumn("lo", F.col("hi") - F.col("qty"))
+            .select(
+                "l_partkey", F.col("l_shipdate").alias(date_alias), "lo", "hi"
+            )
+        )
+
+    i, o = flow("N", "in_date").alias("i"), flow("R", "out_date").alias("o")
+    matched = i.join(
+        o,
+        (F.col("i.l_partkey") == F.col("o.l_partkey"))
+        & (F.col("i.lo") < F.col("o.hi"))
+        & (F.col("o.lo") < F.col("i.hi")),
+    ).select(
+        F.col("i.l_partkey").alias("l_partkey"),
+        (
+            F.least(F.col("i.hi"), F.col("o.hi"))
+            - F.greatest(F.col("i.lo"), F.col("o.lo"))
+        ).alias("m_qty"),
+        F.greatest(
+            F.datediff(F.col("o.out_date"), F.col("i.in_date")), F.lit(0)
+        ).alias("age_d"),
+    )
+    return matched.groupBy("l_partkey").agg(
+        F.count("*").alias("n_matches"),
+        F.sum("m_qty").cast("long").alias("matched_qty"),
+        F.round(
+            F.sum(F.col("m_qty") * F.col("age_d")).cast("double")
+            / F.sum("m_qty").cast("double"),
+            4,
+        ).alias("avg_age_days"),
+    )
+
+
+@query(
+    "f_url_parse",
+    """
+    WITH u AS (
+        SELECT c_custkey,
+               'https://seg-' || lower(replace(c_mktsegment, ' ', ''))
+               || '.example.com/n/' || CAST(c_nationkey AS VARCHAR)
+               || '/profile?cust=' || CAST(c_custkey AS VARCHAR)
+               || '&v=' || CAST(c_custkey % 7 AS VARCHAR) AS url
+        FROM customer
+    )
+    SELECT c_custkey,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]cust=([^&]*)', 1) AS q_cust,
+           regexp_extract(url, '[?&]v=([^&]*)', 1) AS q_v
+    FROM u
+    """,
+)
+def f_url_parse(spark, sf_dir):
+    """URL-parsing function surface: Spark's dedicated ``parse_url``
+    (HOST / PATH / QUERY-with-key extraction, the log-ingestion
+    staple) attested against an oracle that re-derives every part
+    with plain regular expressions — two INDEPENDENT formulations
+    that must agree byte-for-byte on constructed-but-realistic URLs.
+    Map-only (scan → project, zero exchanges); parse_url runs as a
+    single JVM expression per part, which is the point of preferring
+    it over regex chains in a 100-TB scan."""
+    c = _t(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://seg-"),
+        F.lower(F.regexp_replace("c_mktsegment", " ", "")),
+        F.lit(".example.com/n/"),
+        F.col("c_nationkey").cast("string"),
+        F.lit("/profile?cust="),
+        F.col("c_custkey").cast("string"),
+        F.lit("&v="),
+        (F.col("c_custkey") % 7).cast("string"),
+    )
+    u = c.select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("cust")).alias("q_cust"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("v")).alias("q_v"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -318,3 +318,48 @@ def test_token_bucket_python_reference(spark):
         assert r.n_admitted == adm[uid], uid
         assert r.final_level_cents == state[uid][0], uid
     assert sum(r.n_throttled for r in out.values()) > 0, "vacuous params"
+
+
+def test_fifo_conservation(spark):
+    """Per part: matched quantity == min(total inflow, total outflow)
+    — FIFO must allocate every coverable unit exactly once."""
+    out = {r.l_partkey: r for r in catalog.QUERIES["fifo_allocation"](spark, SF).collect()}
+    li = load_table(spark, SF, "lineitem").filter(
+        F.col("l_returnflag").isin("N", "R")
+    )
+    tot = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "N", F.round("l_quantity")).otherwise(0)
+            ).alias("tin"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.round("l_quantity")).otherwise(0)
+            ).alias("tout"),
+        )
+        .collect()
+    )
+    for r in tot:
+        want = int(min(r.tin, r.tout))
+        got = out[r.l_partkey].matched_qty if r.l_partkey in out else 0
+        assert got == want, (r.l_partkey, got, want)
+
+
+def test_max_concurrency_bruteforce(spark):
+    ev = load_table(spark, SF, "events").select("event_type", "ts", "event_id")
+    rows = ev.collect()
+    from collections import defaultdict
+
+    pts = defaultdict(list)
+    for r in rows:
+        t = int(r.ts.timestamp() * 1_000_000)
+        pts[r.event_type].append((t, 1, r.event_id))
+        pts[r.event_type].append((t + 1_800_000_000, -1, r.event_id))
+    out = {r.event_type: r for r in catalog.QUERIES["max_concurrency_sweep"](spark, SF).collect()}
+    for t, ps in pts.items():
+        ps.sort()
+        c, peak = 0, 0
+        for _, d, _ in ps:
+            c += d
+            peak = max(peak, c)
+        assert out[t].peak_concurrency == peak, t
