@@ -240,6 +240,9 @@ HEADLINE = [
     "max_concurrency_sweep",
     "fifo_allocation",
     "f_url_parse",
+    "diversified_topk",
+    "running_records_census",
+    "silent_hours_census",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

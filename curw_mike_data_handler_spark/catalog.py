@@ -13644,6 +13644,219 @@ def f_url_parse(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 12: diversified ranking, record-breaking census, silence monitor
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "diversified_topk",
+    """
+    WITH f AS (
+        SELECT o.o_orderkey, c.c_nationkey, n.n_regionkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    within AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY n_regionkey, c_nationkey
+            ORDER BY price_c DESC, o_orderkey ASC) AS nat_rank
+        FROM f
+    ),
+    capped AS (SELECT * FROM within WHERE nat_rank <= 2),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY n_regionkey
+            ORDER BY price_c DESC, o_orderkey ASC) AS reg_rank
+        FROM capped
+    )
+    SELECT n_regionkey AS region, reg_rank, o_orderkey,
+           c_nationkey AS nation, nat_rank,
+           round(CAST(price_c AS DOUBLE) / 100.0, 2) AS total_price
+    FROM ranked WHERE reg_rank <= 10
+    """,
+)
+def diversified_topk(spark, sf_dir):
+    """Diversified top-k: the 10 biggest orders per region with AT
+    MOST 2 per nation — the anti-monoculture ranking every
+    recommender/search result page needs (plain top-k lets one hot
+    nation fill the list).  Two stacked row_numbers implement the
+    quota: the within-nation rank caps each group at 2 BEFORE the
+    regional rank runs, so the second window sorts only the
+    2×|nations| survivors — and WindowGroupLimit pushes the nat_rank
+    cap below the shuffle.  Both ranks are exact-integer ordered with
+    id tie-breaks (engine-pinned lists).  One fact exchange on the
+    finer key serves the first window; the survivor set is
+    dimension-sized."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("price_c")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    f = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("o_orderkey", "c_nationkey", "n_regionkey", "price_c")
+    )
+    w_nat = Window.partitionBy("n_regionkey", "c_nationkey").orderBy(
+        F.col("price_c").desc(), F.col("o_orderkey").asc()
+    )
+    w_reg = Window.partitionBy("n_regionkey").orderBy(
+        F.col("price_c").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        f.withColumn("nat_rank", F.row_number().over(w_nat).cast("long"))
+        .filter(F.col("nat_rank") <= 2)
+        .withColumn("reg_rank", F.row_number().over(w_reg).cast("long"))
+        .filter(F.col("reg_rank") <= 10)
+        .select(
+            F.col("n_regionkey").alias("region"),
+            "reg_rank",
+            "o_orderkey",
+            F.col("c_nationkey").alias("nation"),
+            "nat_rank",
+            F.round(F.col("price_c").cast("double") / 100.0, 2).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+@query(
+    "running_records_census",
+    """
+    WITH c AS (
+        SELECT event_type, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, ts, v,
+               max(v) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prior_max
+        FROM c
+    ),
+    recs AS (
+        SELECT event_type, ts, v FROM r
+        WHERE prior_max IS NULL OR v > prior_max
+    )
+    SELECT event_type, count(*) AS n_records,
+           round(CAST(max(v) AS DOUBLE) / 100.0, 2) AS final_record,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_record_ts
+    FROM recs GROUP BY event_type
+    """,
+)
+def running_records_census(spark, sf_dir):
+    """Record-breaking census: how often each series set a new
+    all-time high, the final record value, and when it was last
+    broken — the 'records get rarer as ~ln(n)' monitoring readout
+    (a burst of records = regime change; compare cusum_changepoint's
+    mean-shift view).  The prior running max uses an UNBOUNDED-TO-1-
+    PRECEDING frame so the first row is a record by definition
+    (NULL prior) and ties do NOT break records (strict >) — both
+    conventions pinned by the oracle.  One series exchange, one
+    window sort, one rollup; exact integer compares so a record can
+    never flap on FP."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", _cents("value").alias("v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = c.withColumn("prior_max", F.max("v").over(w))
+    recs = r.filter(
+        F.col("prior_max").isNull() | (F.col("v") > F.col("prior_max"))
+    )
+    return recs.groupBy("event_type").agg(
+        F.count("*").alias("n_records"),
+        F.round(F.max("v").cast("double") / 100.0, 2).alias("final_record"),
+        _fmt(F.max("ts")).alias("last_record_ts"),
+    )
+
+
+@query(
+    "silent_hours_census",
+    """
+    WITH cal AS (
+        SELECT t.event_type, d.day
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(
+                (SELECT epoch_us(min(ts)) // 3600000000 FROM events),
+                (SELECT epoch_us(max(ts)) // 3600000000 FROM events)
+            )) AS day
+        ) d
+    ),
+    have AS (
+        SELECT DISTINCT event_type,
+               epoch_us(ts) // 3600000000 AS day
+        FROM events
+    )
+    SELECT cal.event_type,
+           CAST(count(*) AS BIGINT) AS n_hours_total,
+           CAST(sum(CASE WHEN have.day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_silent_hours,
+           coalesce(strftime(make_timestamp(
+               max(CASE WHEN have.day IS NULL THEN cal.day END)
+               * 3600000000), '%Y-%m-%d %H:%M:%S'), 'none') AS last_silent_hour
+    FROM cal LEFT JOIN have
+      ON cal.event_type = have.event_type AND cal.day = have.day
+    GROUP BY cal.event_type
+    """,
+)
+def silent_hours_census(spark, sf_dir):
+    """Pipeline-silence monitor: for each series, how many HOURS
+    inside the corpus' own [min, max] range produced zero events
+    and when the last silence was — the freshness alarm behind the
+    reference's file-listing freshness checks (S11), lifted to
+    per-series granularity.  The expected calendar generates from two
+    scalar aggregates (broadcast), the observed (series, day) set
+    distinct-collapses the fact once, and the gap census is one
+    outer-join rollup — output |series|-sized at any event scale.
+    Integer epoch-hour arithmetic end to end."""
+    ev = _t(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    dday = (F.unix_micros("ts") / F.lit(hour_us)).cast("long")
+    bounds = ev.agg(
+        F.min(dday).alias("d0"), F.max(dday).alias("d1")
+    )
+    types = ev.select("event_type").distinct()
+    cal = (
+        F.broadcast(types)
+        .join(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    have = ev.select("event_type", dday.alias("day")).distinct()
+    joined = cal.join(have.withColumnRenamed("day", "hday"),
+                      (cal["event_type"] == have["event_type"])
+                      & (cal["day"] == F.col("hday")), "left").select(
+        cal["event_type"].alias("event_type"), cal["day"].alias("day"), "hday"
+    )
+    silent_day = F.when(F.col("hday").isNull(), F.col("day"))
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours_total"),
+        F.sum(F.when(F.col("hday").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_silent_hours"),
+        F.coalesce(
+            F.date_format(
+                F.timestamp_micros(F.max(silent_day) * F.lit(hour_us)), "yyyy-MM-dd HH:mm:ss"
+            ),
+            F.lit("none"),
+        ).alias("last_silent_hour"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
