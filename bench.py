@@ -243,6 +243,7 @@ HEADLINE = [
     "diversified_topk",
     "running_records_census",
     "silent_hours_census",
+    "sessionize_incremental",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -13857,6 +13857,98 @@ def silent_hours_census(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 13: incremental sessionization (state carry across batch
+# boundaries) — the oracle recomputes from scratch, so the hash
+# compare IS the incremental-equals-batch equivalence proof
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionize_incremental",
+    """
+    WITH marked AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM marked GROUP BY user_id
+    """,
+)
+def sessionize_incremental(spark, sf_dir):
+    """Sessionization as an INCREMENTAL job: yesterday's run left a
+    per-user state row (sessions so far, events so far, last event
+    time); today's batch is sessionized alone, with each user's FIRST
+    new event testing its gap against the carried state instead of a
+    same-batch lag — then state and delta merge by full outer join.
+    The ORACLE sessionizes the full history from scratch: the hash
+    compare is therefore a machine-checked proof that
+    increment(state, batch) == batch(all), the property that lets a
+    daily 100-TB pipeline touch only the new day + an
+    |active-users|-sized state table instead of re-reading history
+    (the ivm_incremental_rollup contract extended to gap-stateful
+    windows; streaming twin: sessionize.py's
+    applyInPandasWithState).  Split point: day 16 of the corpus.
+    Scale shape: both phases are one hash(user) exchange each; the
+    state relation is user-dimension-sized."""
+    from pyspark.sql import Window
+
+    gap_us = 1_800_000_000
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = _t(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("ts") <= split)
+    b2 = ev.filter(F.col("ts") > split)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    prev1 = F.lag(F.unix_micros("ts")).over(w)
+    ns1 = F.when(
+        prev1.isNull() | ((F.unix_micros("ts") - prev1) > gap_us), 1
+    ).otherwise(0)
+    state = (
+        b1.withColumn("ns", ns1)
+        .groupBy("user_id")
+        .agg(
+            F.sum("ns").cast("long").alias("n1"),
+            F.count("*").alias("e1"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+    )
+
+    prev2 = F.lag(F.unix_micros("ts")).over(w)
+    m2 = b2.withColumn("prev2", prev2).join(state.select("user_id", "last_us"), "user_id", "left")
+    ns2 = (
+        F.when(
+            F.col("prev2").isNotNull(),
+            F.when((F.unix_micros("ts") - F.col("prev2")) > gap_us, 1).otherwise(0),
+        )
+        .when(F.col("last_us").isNull(), 1)
+        .otherwise(
+            F.when((F.unix_micros("ts") - F.col("last_us")) > gap_us, 1).otherwise(0)
+        )
+    )
+    delta = (
+        m2.withColumn("ns", ns2)
+        .groupBy("user_id")
+        .agg(F.sum("ns").cast("long").alias("n2"), F.count("*").alias("e2"))
+    )
+    merged = state.join(delta, "user_id", "full_outer").select(
+        "user_id",
+        (F.coalesce("n1", F.lit(0)) + F.coalesce("n2", F.lit(0))).alias(
+            "n_sessions"
+        ),
+        (F.coalesce("e1", F.lit(0)) + F.coalesce("e2", F.lit(0))).alias(
+            "n_events"
+        ),
+    )
+    return merged
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
