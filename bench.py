@@ -244,6 +244,8 @@ HEADLINE = [
     "running_records_census",
     "silent_hours_census",
     "sessionize_incremental",
+    "transition_conformance_census",
+    "histogram_2d",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -13949,6 +13949,138 @@ def sessionize_incremental(spark, sf_dir):
     return merged
 
 
+# ---------------------------------------------------------------------------
+# Batch 14: protocol conformance, 2-D histogram grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "transition_conformance_census",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+               event_type AS curr
+        FROM events
+    ),
+    allowed AS (
+        SELECT 'signup' AS f, 'view' AS t UNION ALL
+        SELECT 'signup', 'click' UNION ALL
+        SELECT 'view', 'click' UNION ALL
+        SELECT 'view', 'view' UNION ALL
+        SELECT 'click', 'purchase' UNION ALL
+        SELECT 'click', 'view' UNION ALL
+        SELECT 'click', 'click' UNION ALL
+        SELECT 'purchase', 'view' UNION ALL
+        SELECT 'error', 'view' UNION ALL
+        SELECT 'view', 'error' UNION ALL
+        SELECT 'click', 'error' UNION ALL
+        SELECT 'purchase', 'error'
+    )
+    SELECT seq.prev, seq.curr, count(*) AS n_transitions,
+           CAST(count(DISTINCT seq.user_id) AS BIGINT) AS n_users
+    FROM seq LEFT JOIN allowed a ON seq.prev = a.f AND seq.curr = a.t
+    WHERE seq.prev IS NOT NULL AND a.f IS NULL
+    GROUP BY seq.prev, seq.curr
+    """,
+)
+def transition_conformance_census(spark, sf_dir):
+    """Protocol-conformance audit: which adjacent event transitions
+    violate the declared state machine (the allowed-edge whitelist a
+    tracking plan defines), with violation counts and affected-user
+    reach — the event-instrumentation DQ check that catches broken
+    SDKs before they poison a funnel analysis.  One lag window on the
+    (user, time) order builds the transition stream; the whitelist is
+    a broadcast literal dim and violations are one anti-join-shaped
+    outer-join filter; the census is |types|²-bounded.  Pairs with
+    events_transition_matrix (descriptive) as its prescriptive
+    twin."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("curr"),
+    ).filter(F.col("prev").isNotNull())
+    allowed = spark.createDataFrame(
+        [
+            ("signup", "view"),
+            ("signup", "click"),
+            ("view", "click"),
+            ("view", "view"),
+            ("click", "purchase"),
+            ("click", "view"),
+            ("click", "click"),
+            ("purchase", "view"),
+            ("error", "view"),
+            ("view", "error"),
+            ("click", "error"),
+            ("purchase", "error"),
+        ],
+        "f string, t string",
+    )
+    bad = seq.join(
+        F.broadcast(allowed),
+        (seq["prev"] == allowed["f"]) & (seq["curr"] == allowed["t"]),
+        "left_anti",
+    )
+    return bad.groupBy("prev", "curr").agg(
+        F.count("*").alias("n_transitions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@query(
+    "histogram_2d",
+    """
+    WITH b AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(extract(hour FROM ts) AS BIGINT) AS hr
+        FROM events
+    ),
+    mm AS (SELECT min(v) AS lo, max(v) AS hi FROM b)
+    SELECT b.event_type,
+           least((b.v - mm.lo) * 10 // (mm.hi - mm.lo + 1), 9) AS vbin,
+           b.hr // 4 AS hbin,
+           count(*) AS n
+    FROM b CROSS JOIN mm
+    GROUP BY b.event_type, 2, 3
+    """,
+)
+def histogram_2d(spark, sf_dir):
+    """2-D density grid (value-decile × 4-hour band) per series — the
+    heatmap census behind 'when do the big values happen' dashboards
+    and the binned precursor to mutual-information screens.  Bin
+    edges come from ONE broadcast scalar min/max aggregate and the
+    bin index is exact integer arithmetic ((v−lo)·10 // span, the a8
+    fixed-width device in two dimensions), so every cell count is
+    engine-exact.  Shape: two fact passes (scalar bounds, then one
+    map-side-combinable census); output bounded by
+    |series|·10·6 cells.  At corpus scale replace the exact min/max
+    with fixed domain bounds to drop the first pass."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        _cents("value").alias("v"),
+        F.hour("ts").cast("long").alias("hr"),
+    )
+    mm = b.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = b.join(F.broadcast(mm)).select(
+        "event_type",
+        F.least(
+            F.expr("(v - lo) * 10 div (hi - lo + 1)"), F.lit(9).cast("long")
+        ).alias("vbin"),
+        F.expr("hr div 4").alias("hbin"),
+    )
+    return binned.groupBy("event_type", "vbin", "hbin").agg(
+        F.count("*").alias("n")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
