@@ -246,6 +246,8 @@ HEADLINE = [
     "sessionize_incremental",
     "transition_conformance_census",
     "histogram_2d",
+    "hysteresis_alarm",
+    "activity_streaks",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -14081,6 +14081,134 @@ def histogram_2d(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 15: hysteresis alarm (third sequential family), activity streaks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hysteresis_alarm",
+    """
+    WITH RECURSIVE c AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    mx AS (SELECT event_type, max(rn) AS n FROM c GROUP BY event_type),
+    r AS (
+        SELECT event_type, CAST(0 AS BIGINT) AS rn, 0 AS state,
+               CAST(0 AS BIGINT) AS n_trips
+        FROM mx
+        UNION ALL
+        SELECT c.event_type, c.rn,
+               CASE WHEN r.state = 0 AND c.v > 20000 THEN 1
+                    WHEN r.state = 1 AND c.v < 5000 THEN 0
+                    ELSE r.state END,
+               r.n_trips + CASE WHEN r.state = 0 AND c.v > 20000
+                                THEN 1 ELSE 0 END
+        FROM r JOIN c ON c.event_type = r.event_type AND c.rn = r.rn + 1
+    )
+    SELECT r.event_type, mx.n AS n_events, r.n_trips,
+           CAST(r.state AS BIGINT) AS final_state
+    FROM r JOIN mx ON r.event_type = mx.event_type AND r.rn = mx.n
+    """,
+)
+def hysteresis_alarm(spark, sf_dir):
+    """Schmitt-trigger alarm with hysteresis per series: trips HIGH
+    when a reading exceeds 200.00, re-arms only below 50.00 — the
+    dual-threshold discipline that stops threshold-chatter alarms
+    (compare events_anomaly_episodes' single-threshold episodes: with
+    one threshold, a value oscillating around it fires endlessly).
+    Current state depends on which threshold was crossed LAST — a
+    2-state machine over the event sequence with no window closed
+    form, so it joins token_bucket_throttle and
+    holt_linear_smoothing as the third sequential family member:
+    Arrow applyInPandas fold (integer compares only — no division
+    pitfalls at all) proven against the recursive-CTE oracle.  One
+    hash(series) exchange; O(1) fold state."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        _cents("value").alias("v"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t_us", "event_id"], kind="mergesort")
+        state, trips = 0, 0
+        for v in pdf["v"].values:
+            v = int(v)
+            if state == 0 and v > 20_000:
+                state, trips = 1, trips + 1
+            elif state == 1 and v < 5_000:
+                state = 0
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_events": [len(pdf)],
+                "n_trips": [trips],
+                "final_state": [state],
+            }
+        )
+
+    schema = (
+        "event_type string, n_events bigint, n_trips bigint, final_state bigint"
+    )
+    return ev.groupBy("event_type").applyInPandas(fold, schema=schema)
+
+
+@query(
+    "activity_streaks",
+    """
+    WITH d AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, day,
+               day - row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS grp
+        FROM d
+    ),
+    runs AS (
+        SELECT user_id, count(*) AS len, max(day) AS run_end
+        FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak_days,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+)
+def activity_streaks(spark, sf_dir):
+    """Longest consecutive-active-day streak per user — the retention
+    team's engagement metric, and the canonical gaps-and-islands
+    instance on the day grid: distinct active days minus their rank
+    is constant within a consecutive run (day − rn = island key), so
+    streaks fall out of one distinct-collapse + one window + two
+    rollups all sharing the hash(user) exchange.  Integer epoch-day
+    arithmetic; the distinct collapse bounds everything downstream by
+    |users|×|days| regardless of event volume."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day = (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+    d = ev.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    runs = g.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak_days"),
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_streaks"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
