@@ -496,3 +496,94 @@ def test_streaming_ohlc_bars_agree_with_batch(spark, tmp_path):
     }
     assert got == want
     assert got[("s1", "2020-05-22 00:00:00")] == [5.0, 9.0, 2.0, 2.0, 3]
+
+
+def test_streaming_token_bucket_matches_batch_across_restarts(spark, tmp_path):
+    """Two checkpointed availableNow runs (history split mid-way) must
+    reproduce the one-shot batch token-bucket fold exactly — state
+    carry across restarts is the whole point of the streaming twin."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from curw_mike_data_handler_spark.operators.ratelimit import (
+        token_bucket_throttle,
+    )
+    from curw_mike_data_handler_spark.sources.tables import load_table
+    from curw_mike_data_handler_spark.streaming.file_watch import (
+        run_available_now,
+    )
+    from curw_mike_data_handler_spark.streaming.ratelimit import (
+        token_bucket_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("event_id").alias("ord"),
+        F.round(F.col("value") * 100).cast("long").alias("cost"),
+    )
+    batch_expect = {
+        r.user_id: r
+        for r in token_bucket_throttle(
+            load_table(spark, sf, "events").select(
+                "user_id", "ts", "event_id",
+                F.round(F.col("value") * 100).cast("long").alias("cost"),
+            ),
+            capacity_cents=20_000,
+            rate_cents_per_ks=100,
+        ).collect()
+    }
+
+    split_us = ev.agg(F.expr("percentile(t_us, 0.5)")).collect()[0][0]
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = ev.schema
+    for f in schema.fields:
+        assert isinstance(f.dataType, LongType)
+
+    final: dict[int, tuple] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            final[r.user_id] = (
+                r.n_events,
+                r.n_admitted,
+                r.n_throttled,
+                r.final_level_cents,
+            )
+
+    def run(half_df, tag):
+        path = inbox / f"{tag}.csv"
+        pdf = half_df.toPandas()
+        path.write_text(
+            "".join(
+                f"{int(a)},{int(b)},{int(c)},{int(d)}\n"
+                for a, b, c, d in zip(
+                    pdf["user_id"], pdf["t_us"], pdf["ord"], pdf["cost"]
+                )
+            )
+        )
+        stream = token_bucket_stream(
+            spark.readStream.schema(
+                "user_id long, t_us long, ord long, cost long"
+            ).csv(str(inbox)),
+            capacity_cents=20_000,
+            rate_cents_per_ks=100,
+        )
+        run_available_now(stream, ckpt, sink, output_mode="update")
+
+    run(ev.filter(F.col("t_us") <= split_us), "a")
+    run(ev.filter(F.col("t_us") > split_us), "b")
+
+    assert set(final) == set(batch_expect)
+    for uid, got in final.items():
+        want = batch_expect[uid]
+        assert got == (
+            want.n_events,
+            want.n_admitted,
+            want.n_throttled,
+            want.final_level_cents,
+        ), uid
