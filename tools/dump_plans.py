@@ -116,6 +116,14 @@ SHOWCASE = [
     ("graph_weighted_paths", "bounded Bellman-Ford: |nodes| DP state per round, join+min-agg, checkpoint-truncated"),
     ("trajectory_path_length", "integer-meter great-circle hops: lag + rollup share one user exchange, trig in codegen"),
     ("gdpr_erasure_cascade", "erasure cohort cascaded by broadcast semi joins — every fact scanned once, zero fact shuffles"),
+    ("max_concurrency_sweep", "sweep line: union of ±1 boundary points, ONE running-sum window, WindowGroupLimit top-1"),
+    ("fifo_allocation", "FIFO as cumulative-quantity interval join: two flow windows + one keyed overlap join, no ledger walk"),
+    ("diversified_topk", "quota window caps nations BEFORE the regional rank — second sort touches only survivors"),
+    ("sessionize_incremental", "state + delta phases, each one hash(user) exchange; full outer merge of dimension-sized relations"),
+    ("chi2_independence", "fact → census exchange; margins broadcast back; exact integer cell contributions"),
+    ("activity_streaks", "islands via day−rank key: distinct-collapse + window + two rollups on one user exchange"),
+    ("token_bucket_throttle", "the sanctioned sequential tier: ONE exchange into Arrow FlatMapGroupsInPandas, O(1) fold state"),
+    ("wavelet_energy_levels", "three chained signed-sum aggregates over geometrically shrinking bucket relations"),
 ]
 
 
