@@ -248,6 +248,7 @@ HEADLINE = [
     "histogram_2d",
     "hysteresis_alarm",
     "activity_streaks",
+    "graph_kcore",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -14209,6 +14209,74 @@ def activity_streaks(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 16: bounded k-core decomposition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_kcore",
+    """
+    WITH e0x AS (
+        SELECT DISTINCT l_suppkey AS a, 100000 + l_partkey % 200 AS b
+        FROM lineitem
+    ),
+    e0 AS (
+        SELECT a AS src, b AS dst FROM e0x
+        UNION ALL SELECT b, a FROM e0x
+    ),
+    k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 4),
+    e1 AS (
+        SELECT e.src, e.dst FROM e0 e
+        WHERE e.src IN (SELECT src FROM k1) AND e.dst IN (SELECT src FROM k1)
+    ),
+    k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 4),
+    e2 AS (
+        SELECT e.src, e.dst FROM e1 e
+        WHERE e.src IN (SELECT src FROM k2) AND e.dst IN (SELECT src FROM k2)
+    ),
+    k3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 4),
+    e3 AS (
+        SELECT e.src, e.dst FROM e2 e
+        WHERE e.src IN (SELECT src FROM k3) AND e.dst IN (SELECT src FROM k3)
+    ),
+    k4 AS (SELECT src FROM e3 GROUP BY src HAVING count(*) >= 4),
+    e4 AS (
+        SELECT e.src, e.dst FROM e3 e
+        WHERE e.src IN (SELECT src FROM k4) AND e.dst IN (SELECT src FROM k4)
+    ),
+    k5 AS (SELECT src FROM e4 GROUP BY src HAVING count(*) >= 4),
+    e5 AS (
+        SELECT e.src, e.dst FROM e4 e
+        WHERE e.src IN (SELECT src FROM k5) AND e.dst IN (SELECT src FROM k5)
+    )
+    SELECT src AS node, count(*) AS deg FROM e5 GROUP BY src
+    """,
+)
+def graph_kcore(spark, sf_dir):
+    """4-core of the supplier↔part-family graph after five peeling
+    rounds — the dense-subgraph extractor behind community seeds and
+    spam-ring detection (nodes that stay connected to ≥4 others even
+    after weakly-attached neighbors vanish).  True k-core iterates to
+    a fixpoint; the FIXED round count is the cross-engine-expressible
+    form (the oracle chains one degree-filter CTE per round), and the
+    invariant test proves five rounds already reach the fixpoint here
+    (no survivor below degree 4).  Per round: one hash(node) degree
+    aggregate + two semi joins, |E|-bounded, localCheckpoint-ed —
+    the bfs/bellman iterative discipline on a shrinking relation."""
+    from curw_mike_data_handler_spark.operators.graph import kcore_peel_rounds
+
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_suppkey").alias("a"),
+        (F.lit(100000) + F.col("l_partkey") % 200).alias("b"),
+    ).distinct()
+    e = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return kcore_peel_rounds(e, k=4, rounds=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

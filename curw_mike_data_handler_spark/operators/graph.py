@@ -184,3 +184,39 @@ def bellman_ford_rounds(
             .localCheckpoint()
         )
     return dist
+
+
+def kcore_peel_rounds(
+    edges: DataFrame,
+    *,
+    k: int = 4,
+    rounds: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling → (node, deg): nodes surviving
+    ``rounds`` rounds of 'drop everything with degree < k' over the
+    symmetrized edge set, with their degree in the surviving
+    subgraph.  True k-core iterates to a fixpoint; a FIXED round
+    count is what both engines can express identically (the oracle
+    chains one CTE per round), and real graphs converge in a handful
+    of rounds — callers can test the fixpoint by checking that no
+    surviving node has deg < k (the invariant test does).
+
+    Scale shape per round: one degree aggregate on hash(node) + two
+    semi joins restricting edges to surviving endpoints — all
+    node-id-keyed, |E|-bounded, localCheckpoint-ed so lineage stays
+    flat (the iterative-operator cache discipline)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = e.localCheckpoint()
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select(F.col("src").alias("node"))
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )

@@ -363,3 +363,27 @@ def test_max_concurrency_bruteforce(spark):
             c += d
             peak = max(peak, c)
         assert out[t].peak_concurrency == peak, t
+
+
+def test_kcore_reaches_fixpoint_and_subgraph_closed(spark):
+    """After 5 rounds: every survivor has deg >= 4 (fixpoint reached)
+    and survivor degrees only count edges to other survivors."""
+    rows = catalog.QUERIES["graph_kcore"](spark, SF).collect()
+    nodes = {r.node for r in rows}
+    assert nodes, "4-core must be non-empty on this graph"
+    for r in rows:
+        assert r.deg >= 4, (r.node, r.deg)
+    li = load_table(spark, SF, "lineitem")
+    e0 = li.select(
+        F.col("l_suppkey").alias("a"),
+        (F.lit(100000) + F.col("l_partkey") % 200).alias("b"),
+    ).distinct().collect()
+    from collections import Counter
+
+    deg = Counter()
+    for e in e0:
+        if e.a in nodes and e.b in nodes:
+            deg[e.a] += 1
+            deg[e.b] += 1
+    for r in rows:
+        assert deg[r.node] == r.deg, r.node
