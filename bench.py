@@ -249,6 +249,8 @@ HEADLINE = [
     "hysteresis_alarm",
     "activity_streaks",
     "graph_kcore",
+    "stats_wasserstein_1d",
+    "corpus_novelty_curve",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -14277,6 +14277,189 @@ def graph_kcore(spark, sf_dir):
     return kcore_peel_rounds(e, k=4, rounds=5)
 
 
+# ---------------------------------------------------------------------------
+# Batch 17: 1-D Wasserstein distance, corpus novelty curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_wasserstein_1d",
+    """
+    WITH s AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS g,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    n AS (
+        SELECT sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS n2
+        FROM s
+    ),
+    cen AS (
+        SELECT v,
+               sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS c2
+        FROM s GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               CAST(sum(c1) OVER w AS BIGINT) AS f1,
+               CAST(sum(c2) OVER w AS BIGINT) AS f2,
+               lead(v) OVER (ORDER BY v) AS nxt
+        FROM cen
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT CAST(max(n.n1) AS BIGINT) AS n1, CAST(max(n.n2) AS BIGINT) AS n2,
+           round(CAST(sum(CAST(abs(cum.f1 * n.n2 - cum.f2 * n.n1)
+                          AS DECIMAL(38,0)) * (cum.nxt - cum.v)) AS DOUBLE)
+                 / (CAST(max(n.n1) AS DOUBLE) * CAST(max(n.n2) AS DOUBLE))
+                 / 100.0, 6) AS wasserstein
+    FROM cum CROSS JOIN n
+    WHERE cum.nxt IS NOT NULL
+    """,
+)
+def stats_wasserstein_1d(spark, sf_dir):
+    """1-D Wasserstein (earth-mover) distance between the purchase
+    and view value distributions — the L1 distribution-shift metric
+    beside the KS sup-norm (W₁ = ∫|F₁−F₂|, sensitive to WHERE mass
+    moved, which KS's max is blind to).  The integral is exact on the
+    merged value census: each inter-value strip contributes
+    |c₁n₂ − c₂n₁|·gap — integers in DECIMAL(38,0) — and the n₁n₂
+    normalization is ONE double divide at the edge (the KS device
+    extended from sup to sum).  Window cardinality is bounded by the
+    measure's dynamic range (distinct cents), never the event count;
+    one census exchange + one bounded cumulative window."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    s = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(2).alias("g"),
+        _cents("value").alias("v"),
+    )
+    n = s.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    cen = s.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wl = Window.orderBy("v")
+    cum = cen.select(
+        "v",
+        F.sum("c1").over(wc).alias("f1"),
+        F.sum("c2").over(wc).alias("f2"),
+        F.lead("v").over(wl).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dec = "decimal(38,0)"
+    term = (
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).cast(dec)
+        * (F.col("nxt") - F.col("v"))
+    )
+    return (
+        cum.join(F.broadcast(n))
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.round(
+                F.sum(term).cast("double")
+                / (F.max("n1").cast("double") * F.max("n2").cast("double"))
+                / 100.0,
+                6,
+            ).alias("wasserstein"),
+        )
+    )
+
+
+@query(
+    "corpus_novelty_curve",
+    """
+    WITH grams AS (
+        SELECT doc_id, t.g AS gram
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+              FROM documents),
+             unnest(list_transform(generate_series(1, len(ws) - 2),
+                    i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])) AS t(g)
+        WHERE t.g IS NOT NULL
+    ),
+    dedup AS (SELECT DISTINCT doc_id, gram FROM grams),
+    first_seen AS (
+        SELECT gram, min(doc_id) AS first_doc FROM dedup GROUP BY gram
+    ),
+    per_doc AS (
+        SELECT d.doc_id,
+               count(*) AS n_grams,
+               sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                   AS n_novel
+        FROM dedup d JOIN first_seen f ON d.gram = f.gram
+        GROUP BY d.doc_id
+    ),
+    tot AS (SELECT count(*) AS nd FROM documents)
+    SELECT CAST(per_doc.doc_id * 10 // tot.nd AS BIGINT) AS decile,
+           CAST(sum(n_grams) AS BIGINT) AS n_grams,
+           CAST(sum(n_novel) AS BIGINT) AS n_novel,
+           round(CAST(sum(n_novel) AS DOUBLE)
+                 / CAST(sum(n_grams) AS DOUBLE), 6) AS novelty_rate
+    FROM per_doc CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def corpus_novelty_curve(spark, sf_dir):
+    """Corpus novelty curve: for each ingestion decile (doc_id
+    order), what share of a document's distinct word-trigrams has
+    never appeared in ANY earlier document — the diminishing-returns
+    readout that tells a data-acquisition team when more of the same
+    source stops adding information (novelty decays toward the
+    dup/boilerplate floor).  'First appearance' is one min(doc_id)
+    aggregate over the distinct (doc, gram) relation — no ordered
+    scan, no self-join against all earlier docs; the credit join is
+    gram-keyed and the decile rollup integer.  Everything downstream
+    of the distinct collapse is |vocab|- or |docs|-bounded."""
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    grams = F.expr(
+        "case when size(ws) >= 3 then "
+        "transform(sequence(1, size(ws) - 2), "
+        "i -> concat(ws[i-1], '_', ws[i], '_', ws[i+1])) "
+        "else array() end"
+    )
+    dedup = (
+        d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .distinct()
+    )
+    first_seen = dedup.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        dedup.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    tot = _t(spark, sf_dir, "documents").agg(F.count("*").alias("nd"))
+    return (
+        per_doc.join(F.broadcast(tot))
+        .groupBy(
+            F.expr("doc_id * 10 div nd").cast("long").alias("decile")
+        )
+        .agg(
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+            F.round(
+                F.sum("n_novel").cast("double") / F.sum("n_grams").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
