@@ -251,6 +251,8 @@ HEADLINE = [
     "graph_kcore",
     "stats_wasserstein_1d",
     "corpus_novelty_curve",
+    "langid_eval_f1",
+    "cohort_ltv_matrix",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -14460,6 +14460,200 @@ def corpus_novelty_curve(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 18: language-ID evaluation, cohort LTV matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "langid_eval_f1",
+    f"""
+    WITH scores AS (
+        SELECT lang,
+               len(list_filter({_TOKENS}, t -> list_contains(
+                   ['the','a','and','of','to','in','is','that','it','for'], t))) AS s_en,
+               len(list_filter({_TOKENS}, t -> list_contains(
+                   ['der','die','das','und','ist','nicht','ein','mit','auf','zu'], t))) AS s_de,
+               len(list_filter({_TOKENS}, t -> list_contains(
+                   ['le','la','les','et','est','un','une','pour','dans','que'], t))) AS s_fr,
+               len(list_filter({_TOKENS}, t -> list_contains(
+                   ['el','la','los','y','es','un','una','por','para','como'], t))) AS s_es
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang AS actual,
+               CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                    WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                    WHEN s_es > 0 THEN 'es'
+                    ELSE 'und' END AS predicted
+        FROM scores
+    ),
+    classes AS (SELECT DISTINCT actual AS c FROM pred),
+    cm AS (
+        SELECT classes.c,
+               CAST(sum(CASE WHEN p.predicted = classes.c
+                              AND p.actual = classes.c THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN p.predicted = classes.c
+                              AND p.actual <> classes.c THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN p.predicted <> classes.c
+                              AND p.actual = classes.c THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn
+        FROM pred p CROSS JOIN classes GROUP BY classes.c
+    )
+    SELECT c AS lang, tp, fp, fn,
+           round(CASE WHEN tp + fp > 0
+                      THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                      ELSE 0.0 END, 6) AS precision_,
+           round(CASE WHEN tp + fn > 0
+                      THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                      ELSE 0.0 END, 6) AS recall_,
+           round(CASE WHEN 2 * tp + fp + fn > 0
+                      THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+                      ELSE 0.0 END, 6) AS f1
+    FROM cm
+    """,
+)
+def langid_eval_f1(spark, sf_dir):
+    """One-vs-rest evaluation of the engine's OWN language-ID
+    heuristic (functions.text.predict_lang) against the corpus labels:
+    per-class tp/fp/fn and precision/recall/F1 — the eval loop a
+    corpus team runs before trusting a langid gate at 100 TB, here
+    evaluating a real engine component rather than a synthetic score.
+    The one-vs-rest cells come from ONE (pred, actual) pass
+    cross-joined with the tiny class dim (broadcast); zero-denominator
+    classes score 0 by convention rather than dividing.  No FP
+    accumulation anywhere: every ratio is a single divide of exact
+    integer counts."""
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
+    pred = docs.select(
+        F.col("lang").alias("actual"), predict_lang("text").alias("predicted")
+    )
+    classes = F.broadcast(
+        pred.select(F.col("actual").alias("c")).distinct()
+    )
+    cm = (
+        pred.crossJoin(classes)
+        .groupBy("c")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("predicted") == F.col("c"))
+                    & (F.col("actual") == F.col("c")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("predicted") == F.col("c"))
+                    & (F.col("actual") != F.col("c")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("predicted") != F.col("c"))
+                    & (F.col("actual") == F.col("c")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    safe = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0), 6
+    )
+    return cm.select(
+        F.col("c").alias("lang"),
+        "tp",
+        "fp",
+        "fn",
+        safe(tp, tp + fp).alias("precision_"),
+        safe(tp, tp + fn).alias("recall_"),
+        safe(2 * tp, 2 * tp + fp + fn).alias("f1"),
+    )
+
+
+@query(
+    "cohort_ltv_matrix",
+    """
+    WITH first_seen AS (
+        SELECT user_id,
+               min(epoch_us(ts)) // 86400000000 AS cohort_d
+        FROM events GROUP BY user_id
+    ),
+    rev AS (
+        SELECT e.user_id,
+               epoch_us(e.ts) // 86400000000 AS d,
+               CAST(round(e.value * 100) AS BIGINT) AS v
+        FROM events e WHERE e.event_type = 'purchase'
+    )
+    SELECT f.cohort_d - (SELECT min(cohort_d) FROM first_seen)
+               AS cohort,
+           rev.d - f.cohort_d AS age_days,
+           CAST(count(DISTINCT rev.user_id) AS BIGINT) AS n_buyers,
+           round(CAST(sum(rev.v) AS DOUBLE) / 100.0, 2) AS revenue,
+           round(CAST(sum(sum(rev.v)) OVER (
+                     PARTITION BY f.cohort_d ORDER BY rev.d - f.cohort_d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS DOUBLE) / 100.0, 2) AS cum_ltv
+    FROM rev JOIN first_seen f ON rev.user_id = f.user_id
+    GROUP BY f.cohort_d, rev.d - f.cohort_d
+    """,
+)
+def cohort_ltv_matrix(spark, sf_dir):
+    """Cohort lifetime-value triangle: purchase revenue by (first-seen
+    day cohort × age-in-days), plus the running cumulative LTV per
+    cohort — events_cohort_retention's monetary twin (retention counts
+    WHO came back; LTV sums what they SPENT).  First-touch cohorts are
+    one min aggregate broadcast back onto the purchase slice; the
+    matrix is |cohorts|×|ages|-bounded, so the cumulative window runs
+    on a handful of rows; revenue stays integer cents through the
+    window (exact running sums) with /100 edges."""
+    from pyspark.sql import Window
+
+    day_us = 86_400_000_000
+    ev = _t(spark, sf_dir, "events")
+    day = (F.unix_micros("ts") / F.lit(day_us)).cast("long")
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("cohort_d"))
+    base = first_seen.agg(F.min("cohort_d").alias("wk0"))
+    rev = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", day.alias("d"), _cents("value").alias("v")
+    )
+    g = (
+        rev.join(first_seen, "user_id")
+        .join(F.broadcast(base))
+        .groupBy(
+            (F.col("cohort_d") - F.col("wk0")).alias("cohort"),
+            (F.col("d") - F.col("cohort_d")).alias("age_days"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_buyers"),
+            F.sum("v").alias("rev_c"),
+        )
+    )
+    wc = Window.partitionBy("cohort").orderBy("age_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        "cohort",
+        "age_days",
+        "n_buyers",
+        F.round(F.col("rev_c").cast("double") / 100.0, 2).alias("revenue"),
+        F.round(F.sum("rev_c").over(wc).cast("double") / 100.0, 2).alias(
+            "cum_ltv"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
