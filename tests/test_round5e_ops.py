@@ -387,3 +387,72 @@ def test_kcore_reaches_fixpoint_and_subgraph_closed(spark):
             deg[e.b] += 1
     for r in rows:
         assert deg[r.node] == r.deg, r.node
+
+
+def test_wasserstein_matches_pure_python(spark):
+    """W1 must equal the textbook sum |F1-F2| dx computed in pure
+    Python over the same integer cents."""
+    ev = load_table(spark, SF, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).collect()
+    a = sorted(round(r.value * 100) for r in ev if r.event_type == "purchase")
+    b = sorted(round(r.value * 100) for r in ev if r.event_type == "view")
+    vals = sorted(set(a) | set(b))
+    import bisect
+
+    n1, n2 = len(a), len(b)
+    acc = 0
+    for v, nxt in zip(vals, vals[1:]):
+        f1 = bisect.bisect_right(a, v)
+        f2 = bisect.bisect_right(b, v)
+        acc += abs(f1 * n2 - f2 * n1) * (nxt - v)
+    want = round(acc / n1 / n2 / 100.0, 6)
+    r = catalog.QUERIES["stats_wasserstein_1d"](spark, SF).collect()[0]
+    assert (r.n1, r.n2) == (n1, n2)
+    assert r.wasserstein == want
+
+
+def test_chi2_matches_pure_python(spark):
+    rows = load_table(spark, SF, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    ).collect()
+    from collections import Counter
+
+    obs = Counter((r.c_nationkey, r.c_mktsegment) for r in rows)
+    rtot = Counter(r.c_nationkey for r in rows)
+    ctot = Counter(r.c_mktsegment for r in rows)
+    n = len(rows)
+    acc = 0
+    for (rk, ck), o in obs.items():
+        num = (o * n - rtot[rk] * ctot[ck]) ** 2 * 10_000
+        acc += num // (n * rtot[rk] * ctot[ck])
+    want = round(acc / 1e4, 4)
+    r = catalog.QUERIES["chi2_independence"](spark, SF).collect()[0]
+    assert r.n_cells == len(obs)
+    assert r.dof == (len(rtot) - 1) * (len(ctot) - 1)
+    assert r.chi2 == want
+
+
+def test_wavelet_energy_matches_pure_python(spark):
+    ev = load_table(spark, SF, "events").collect()
+    from collections import defaultdict
+
+    ser = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        b = int(r.ts.timestamp() * 1_000_000) // catalog.STEP_US
+        ser[r.event_type][b] += round(r.value * 100)
+    out = {r.event_type: r for r in catalog.QUERIES["wavelet_energy_levels"](spark, SF).collect()}
+    for t, buckets in ser.items():
+        level = dict(buckets)
+        energies = []
+        for _ in range(3):
+            nxt, det = defaultdict(int), defaultdict(int)
+            for b, s in level.items():
+                nxt[b // 2] += s
+                det[b // 2] += s if b % 2 == 0 else -s
+            energies.append(sum(d * d for d in det.values()))
+            level = dict(nxt)
+        r = out[t]
+        assert r.energy_l1 == round(energies[0] / 1e4, 4), t
+        assert r.energy_l2 == round(energies[1] / 1e4, 4), t
+        assert r.energy_l3 == round(energies[2] / 1e4, 4), t
