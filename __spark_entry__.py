@@ -6,8 +6,9 @@ curw_mike_data_handler_spark.catalog (one entry per implemented
 operator from SURVEY.md §2 + the training-data extensions), each paired
 with DuckDB oracle SQL for the sf0.01 correctness gate.
 
-The catalog (194 queries) is larger than the driver's CORRECTNESS
-sample (first 50 by dict order), so ``queries()`` rotates its ordering:
+The catalog (``len(catalog.queries())`` entries — larger than the
+driver's 50-query CORRECTNESS sample, which takes the first 50 by dict
+order) is exposed through a rotation: ``queries()`` rotates its ordering:
 names that have never appeared in a past ``CORRECTNESS_r*.json`` come
 first, then least-recently-checked.  Every query therefore receives a
 hard driver-oracle row within a few rounds instead of the same 50

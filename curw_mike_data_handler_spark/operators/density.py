@@ -129,16 +129,23 @@ def dbscan_grid(
     # floor(eps/√2) — a valid (same-cell ⇒ ≤ eps) subcell needs
     # s·√2 ≤ eps, impossible for integer eps < 2: there the "subcell"
     # degenerates to the point itself (identity contraction, loop runs
-    # on the original core graph — tiny eps means tiny components)
+    # on the original core graph — tiny eps means tiny components).
+    # Bucketing MUST be floor-semantics (F.floor, not SQL `div`): `div`
+    # truncates toward zero, so the bucket straddling 0 would span
+    # width 2·sub−1 ≈ eps·√2 > eps and contract cores farther than eps
+    # apart.  The subcell key is the two-column (scx, scy) pair —
+    # grouping on both columns avoids any packed-integer collision for
+    # negative or wide coordinate domains.
     sub = int(e / 1.4143)
-    cell_expr = (
-        (F.expr(f"x div {sub}") * 1_048_576 + F.expr(f"y div {sub}"))
-        if sub >= 1
-        else (F.col("x") * 1_048_576 + F.col("y"))
+    if sub >= 1:
+        scx, scy = F.floor(F.col("x") / sub), F.floor(F.col("y") / sub)
+    else:
+        scx, scy = F.col("x"), F.col("y")
+    core_xy = cores.join(p, "id").select(
+        "id", scx.alias("scx"), scy.alias("scy")
     )
-    core_xy = cores.join(p, "id").select("id", cell_expr.alias("sc"))
-    reps = core_xy.groupBy("sc").agg(F.min("id").alias("rep"))
-    cmap = core_xy.join(reps, "sc").select("id", "rep")
+    reps = core_xy.groupBy("scx", "scy").agg(F.min("id").alias("rep"))
+    cmap = core_xy.join(reps, ["scx", "scy"]).select("id", "rep")
     rep_edges = (
         pairs.join(cmap.select(F.col("id").alias("ia"), F.col("rep").alias("ra")), "ia")
         .join(cmap.select(F.col("id").alias("ib"), F.col("rep").alias("rb")), "ib")

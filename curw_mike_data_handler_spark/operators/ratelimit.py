@@ -36,10 +36,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-OUT_SCHEMA = (
-    "user_id bigint, n_events bigint, n_admitted bigint, "
-    "n_throttled bigint, final_level_cents bigint"
-)
+def _out_schema(key_col: str, key_type: str) -> str:
+    """Output schema is derived from the caller's key column — the
+    result column carries the caller's name and type, not a
+    hard-coded ``user_id``."""
+    return (
+        f"{key_col} {key_type}, n_events bigint, n_admitted bigint, "
+        "n_throttled bigint, final_level_cents bigint"
+    )
 
 
 def token_bucket_throttle(
@@ -80,7 +84,7 @@ def token_bucket_throttle(
                 n += 1
             yield pd.DataFrame(
                 {
-                    "user_id": [int(pdf["_key"].iloc[0])],
+                    key_col: [pdf["_key"].iloc[0]],
                     "n_events": [n],
                     "n_admitted": [admitted],
                     "n_throttled": [n - admitted],
@@ -88,16 +92,17 @@ def token_bucket_throttle(
                 }
             )
 
+    key_type = events.schema[key_col].dataType.simpleString()
     prepared = events.select(
         F.col(key_col).alias("_key"),
         F.unix_micros(F.col(time_col)).alias("_t_us"),
         F.col(order_col).alias("_ord"),
         F.col(cost_col).cast("long").alias("_cost"),
     )
-    # applyInPandas delivers each whole group to fold (possibly in
-    # several chunks only when a group exceeds the Arrow batch size;
-    # single-entity histories stay one chunk) — sort inside the group
-    # makes the fold order-deterministic regardless of shuffle order.
+    # grouped applyInPandas delivers each group WHOLE (one pdf per
+    # group); the in-group sort makes the fold order-deterministic
+    # regardless of shuffle order.
     return prepared.groupBy("_key").applyInPandas(
-        lambda pdf: next(fold(iter([pdf]))), schema=OUT_SCHEMA
+        lambda pdf: next(fold(iter([pdf]))),
+        schema=_out_schema(key_col, key_type),
     )

@@ -111,16 +111,22 @@ class _StationPruner:
         self.file_keep: set[str] | None = None
 
     def push(self, filters: list[Filter]) -> list[Filter]:
+        # Filters arrive as a conjunction: a second predicate on the
+        # same column INTERSECTS the keep-set (overwriting would drop
+        # one conjunct without returning it to Spark → leaked rows).
+        def meet(cur: set[str] | None, new: set[str]) -> set[str]:
+            return new if cur is None else cur & new
+
         unsupported = []
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("station",):
-                self.station_keep = {f.value}
+                self.station_keep = meet(self.station_keep, {f.value})
             elif isinstance(f, In) and f.attribute == ("station",):
-                self.station_keep = set(f.value)
+                self.station_keep = meet(self.station_keep, set(f.value))
             elif isinstance(f, EqualTo) and f.attribute == ("src_file",):
-                self.file_keep = {f.value}
+                self.file_keep = meet(self.file_keep, {f.value})
             elif isinstance(f, In) and f.attribute == ("src_file",):
-                self.file_keep = set(f.value)
+                self.file_keep = meet(self.file_keep, set(f.value))
             else:
                 unsupported.append(f)
         return unsupported
@@ -200,10 +206,14 @@ class _FileOffset(InputPartition):
 
 class MikeResultsStreamReader(DataSourceStreamReader):
     """Microbatch source over an append-only result directory: the
-    offset is an index into the sorted file list, so each batch reads
-    exactly the files that appeared since the last — replayable (same
-    offset range → same files) and exactly-once under the normal
-    Structured Streaming offset-log contract."""
+    offset records the LAST FILE NAME seen (not a positional index),
+    so a replayed (start, end] range selects files by name comparison
+    — deletions or stragglers that sort before `start` cannot shift
+    the slice, keeping replay deterministic under the Structured
+    Streaming offset-log contract.  Producers are expected to write
+    lexicographically-increasing names (e.g. timestamped); a file
+    that appears sorting ≤ the committed high-water name is stale by
+    contract and is ignored."""
 
     def __init__(self, options: dict) -> None:
         self.path = options["path"]
@@ -212,13 +222,20 @@ class MikeResultsStreamReader(DataSourceStreamReader):
         self.chunk = int(options.get("stations_per_partition", "8"))
 
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        return {"last": ""}
 
     def latestOffset(self) -> dict:
-        return {"n": len(_list_files(self.path, self.pattern))}
+        files = _list_files(self.path, self.pattern)
+        names = sorted(os.path.basename(f) for f in files)
+        return {"last": names[-1] if names else ""}
 
     def partitions(self, start: dict, end: dict):
-        files = _list_files(self.path, self.pattern)[start["n"] : end["n"]]
+        lo, hi = start.get("last", ""), end.get("last", "")
+        files = [
+            f
+            for f in _list_files(self.path, self.pattern)
+            if lo < os.path.basename(f) <= hi
+        ]
         pruner = _StationPruner()
         parts = pruner.partitions_for(files, self.time_col, self.chunk)
         # a zero-file range still needs ≥1 partition per the API

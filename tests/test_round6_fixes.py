@@ -1,0 +1,159 @@
+"""Round-6 regression tests for the ADVICE.md findings:
+
+1. DBSCAN subcell contraction must use floor-semantics bucketing — the
+   trunc-toward-zero bucket straddling 0 is ~eps*sqrt(2) wide and
+   merged clusters separated by more than eps.
+2. _StationPruner.push must INTERSECT keep-sets across conjunctive
+   filters on the same column, not overwrite.
+3. MikeResultsStreamReader offsets are file-NAME based: a replayed
+   (start, end] range selects the same names even after deletions or
+   later-arriving files outside the range.
+4. token_bucket_throttle's output schema follows key_col.
+"""
+
+from __future__ import annotations
+
+import csv
+
+from pyspark.sql import functions as F
+
+from curw_mike_data_handler_spark.sources.mike_datasource import (
+    EqualTo,
+    In,
+    MikeResultsStreamReader,
+    _StationPruner,
+)
+
+STATIONS = ["hanwella", "glencourse"]
+
+
+# ------------------------------------------------------ DBSCAN floor
+
+
+def test_dbscan_negative_coords_do_not_merge_across_origin(spark):
+    """Two core blobs at x≈-16 and x≈+16 (eps=25 → sub=17): trunc
+    bucketing put both in subcell 0 (span (-17,17)) and contracted
+    them to one cluster; floor bucketing keeps them apart.  Verified
+    against the same brute-force comparator the sf tests use."""
+    from curw_mike_data_handler_spark.operators.density import dbscan_grid
+    from tests.test_round5b_ops import _dbscan_bruteforce
+
+    pts = (
+        [(1, -16, 0), (2, -16, 1), (3, -15, 0), (4, -15, 1)]
+        + [(11, 16, 0), (12, 16, 1), (13, 15, 0), (14, 15, 1)]
+    )
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan_grid(df, eps=25, min_pts=4).collect()
+    }
+    want = _dbscan_bruteforce(pts, eps=25, min_pts=4)
+    assert got == want
+    # the scenario is two DISTINCT clusters
+    assert len({c for (_, c) in got.values() if c is not None}) == 2
+
+
+def test_dbscan_negative_coords_match_bruteforce_mixed(spark):
+    from curw_mike_data_handler_spark.operators.density import dbscan_grid
+    from tests.test_round5b_ops import _dbscan_bruteforce
+
+    # blob spanning the origin + blob in the negative quadrant + noise
+    pts = (
+        [(1, -2, -2), (2, -1, 1), (3, 1, -1), (4, 2, 2)]
+        + [(11, -40, -40), (12, -41, -40), (13, -40, -41), (14, -42, -42)]
+        + [(21, -40, 40)]
+    )
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan_grid(df, eps=6, min_pts=4).collect()
+    }
+    assert got == _dbscan_bruteforce(pts, eps=6, min_pts=4)
+
+
+# --------------------------------------------- pruner conjunction
+
+
+def test_pruner_intersects_conjunctive_filters():
+    p = _StationPruner()
+    rest = p.push(
+        [
+            In(("station",), ("hanwella", "glencourse")),
+            EqualTo(("station",), "hanwella"),
+        ]
+    )
+    assert rest == []
+    assert p.station_keep == {"hanwella"}
+
+    p2 = _StationPruner()
+    p2.push([EqualTo(("src_file",), "a.csv"), In(("src_file",), ("a.csv", "b.csv"))])
+    assert p2.file_keep == {"a.csv"}
+
+    # disjoint conjunction → empty keep-set (no rows), not last-wins
+    p3 = _StationPruner()
+    p3.push([EqualTo(("station",), "x"), EqualTo(("station",), "y")])
+    assert p3.station_keep == set()
+
+
+# ------------------------------------------- name-based stream offsets
+
+
+def _write_wide(path, n_rows: int, t0: int = 0) -> None:
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["Time Stamp"] + STATIONS)
+        for i in range(n_rows):
+            w.writerow(
+                [f"2024-03-01 {(t0 + i) % 24:02d}:00:00"]
+                + [float(s + i) for s in range(len(STATIONS))]
+            )
+
+
+def test_stream_offsets_are_name_based_and_replay_stable(tmp_path):
+    d = tmp_path / "run"
+    d.mkdir()
+    for name in ("b.csv", "c.csv", "d.csv"):
+        _write_wide(str(d / name), 2)
+    r = MikeResultsStreamReader({"path": str(d), "pattern": "*.csv"})
+    assert r.initialOffset() == {"last": ""}
+    assert r.latestOffset() == {"last": "d.csv"}
+
+    batch1 = {"last": ""}, {"last": "c.csv"}
+    files1 = {p.file.split("/")[-1] for p in r.partitions(*batch1) if p.file}
+    assert files1 == {"b.csv", "c.csv"}
+
+    # a later-arriving file OUTSIDE the range and a deletion inside it
+    _write_wide(str(d / "e.csv"), 2)
+    (d / "b.csv").unlink()
+    files1_replay = {p.file.split("/")[-1] for p in r.partitions(*batch1) if p.file}
+    # e.csv (> c.csv) is NOT pulled into the replayed range, and the
+    # deletion does not shift c out of it (positional offsets did both)
+    assert files1_replay == {"c.csv"}
+
+    batch2 = {"last": "c.csv"}, r.latestOffset()
+    files2 = {p.file.split("/")[-1] for p in r.partitions(*batch2) if p.file}
+    assert files2 == {"d.csv", "e.csv"}
+
+
+# -------------------------------------------- token bucket key_col
+
+
+def test_token_bucket_output_schema_follows_key_col(spark):
+    from curw_mike_data_handler_spark.operators.ratelimit import (
+        token_bucket_throttle,
+    )
+
+    ev = spark.createDataFrame(
+        [("dev-a", "2024-01-01 00:00:00", 1, 100),
+         ("dev-a", "2024-01-01 00:00:05", 2, 100),
+         ("dev-b", "2024-01-01 00:00:00", 3, 50)],
+        "device string, ts string, event_id long, cost long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = token_bucket_throttle(
+        ev, key_col="device", capacity_cents=150, rate_cents_per_ks=0
+    )
+    assert out.columns[0] == "device"
+    assert dict(out.dtypes)["device"] == "string"
+    rows = {r["device"]: r for r in out.collect()}
+    assert rows["dev-a"].n_admitted == 1 and rows["dev-a"].n_throttled == 1
+    assert rows["dev-b"].n_admitted == 1
