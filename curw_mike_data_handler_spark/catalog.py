@@ -2895,19 +2895,23 @@ def a12_grouping_sets_q(spark, sf_dir):
     """,
 )
 def w8_ntile_deciles_q(spark, sf_dir):
-    """Equi-depth bucketing via ntile(10): both engines deal the first
-    (n mod k) buckets one extra row, so with a TOTAL order (value +
-    event_id tie-break) bucket membership is engine-deterministic.
-    Complements a8's equal-width histogram; the decile summary groupBy
-    reuses the window's event_type exchange."""
-    from pyspark.sql import Window
+    """Equi-depth bucketing through operators.robust.equidepth_bins:
+    the oracle gate pins ``exact=True`` (ntile(10) over the value +
+    event_id TOTAL order — both engines deal the first n mod k buckets
+    one extra row, so membership is engine-deterministic), while the
+    operator's DEFAULT is the scale path — approx-quantile bin edges
+    broadcast into a map-only binning pass, no per-event-type
+    single-task sort (guarded in test_plan_shapes.py).  Complements
+    a8's equal-width histogram."""
+    from curw_mike_data_handler_spark.operators.robust import equidepth_bins
 
     ev = _t(spark, sf_dir, "events").select(
         "event_type", "event_id", _cents("value").alias("v100")
     )
-    w = Window.partitionBy("event_type").orderBy("v100", "event_id")
     return (
-        ev.withColumn("decile", F.ntile(10).over(w))
+        equidepth_bins(
+            ev, "v100", k=10, by=["event_type"], tie_cols=["event_id"], exact=True
+        )
         .groupBy("event_type", "decile")
         .agg(
             F.count("*").alias("n"),
@@ -11640,14 +11644,15 @@ def calibration_bins(spark, sf_dir):
     observed positive rate — AUC says the ranking is good;
     calibration says whether the score MEANS anything as a
     probability, which decides where a corpus-filter threshold goes.
-    Deciles come from ntile over the exact (score, doc_id) total
-    order (tie-proof), per-bin stats are exact integer sums with two
-    rounded edge divides.  The global ntile is the one
-    single-partition step — at corpus scale swap it for
-    approx-quantile bin EDGES broadcast to a map-only binning pass
-    (the a9/approx_quantiles_contract device); the bin census
-    afterwards is identical."""
-    from pyspark.sql import Window
+    Deciles come from operators.robust.equidepth_bins: the oracle
+    gate pins ``exact=True`` (ntile over the (score, doc_id) total
+    order, tie-proof), while the operator DEFAULT is the scale path —
+    approx-quantile bin edges broadcast into a map-only binning pass
+    (the a9/approx_quantiles_contract device), no global
+    single-partition sort (guarded in test_plan_shapes.py); the bin
+    census afterwards is identical.  Per-bin stats are exact integer
+    sums with two rounded edge divides."""
+    from curw_mike_data_handler_spark.operators.robust import equidepth_bins
 
     d = _t(spark, sf_dir, "documents")
     scored = d.select(
@@ -11655,10 +11660,9 @@ def calibration_bins(spark, sf_dir):
         F.expr("(100 * n_chars) div size(split(text, ' '))").alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
-    binned = scored.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy("score", "doc_id")).cast("long"),
-    )
+    binned = equidepth_bins(
+        scored, "score", k=10, tie_cols=["doc_id"], exact=True
+    ).withColumn("decile", F.col("decile").cast("long"))
     return binned.groupBy("decile").agg(
         F.count("*").alias("n"),
         F.min("score").cast("long").alias("score_min"),

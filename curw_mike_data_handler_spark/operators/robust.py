@@ -108,3 +108,61 @@ def winsorized_mean(
         F.sum((vd > F.col("hi")).cast("long")).alias("n_clip_hi"),
         F.round(F.sum(clipped).cast("double") / 100.0 / n, 6).alias("wins_mean"),
     )
+
+
+def equidepth_bins(
+    df: DataFrame,
+    value_col: str,
+    *,
+    k: int = 10,
+    by: list[str] | None = None,
+    tie_cols: list[str] | None = None,
+    bin_col: str = "decile",
+    exact: bool = False,
+    accuracy: int = DEFAULT_ACCURACY,
+) -> DataFrame:
+    """Append an equi-depth bucket column (1..k) to ``df``.
+
+    ``exact=False`` (default — the at-scale path): compute k-1
+    approx-quantile bin EDGES per group (mergeable sketch → a tiny
+    one-row-per-group edges relation), broadcast them back, and assign
+    buckets with a map-only array count — no window, no total sort,
+    no single-partition stage.  Bucket populations are equal to within
+    sketch error; a value equal to an edge lands deterministically in
+    the lower bucket.
+
+    ``exact=True`` (gate-scale oracle attestation ONLY): ``ntile(k)``
+    over the (value, *tie_cols) total order — bit-identical to a SQL
+    oracle's ntile (both engines deal the first n mod k buckets one
+    extra row), but each window partition is ONE task sorting its
+    whole group; nothing on the 100-TB path may pass it.  The plan
+    guard in tests/test_plan_shapes.py pins that the default path
+    contains no window/ntile.
+
+    The bucket column is int on both paths; callers cast to match
+    their oracle (DuckDB ntile returns BIGINT).
+    """
+    from pyspark.sql import Window
+
+    if exact:
+        order = [value_col, *(tie_cols or [])]
+        w = (
+            Window.partitionBy(*by).orderBy(*order)
+            if by
+            else Window.orderBy(*order)
+        )
+        return df.withColumn(bin_col, F.ntile(k).over(w))
+    probs = [i / k for i in range(1, k)]
+    agg = F.percentile_approx(
+        F.col(value_col), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+    ).alias("__edges")
+    if by:
+        edges = df.groupBy(*by).agg(agg)
+        joined = df.join(F.broadcast(edges), by)
+    else:
+        joined = df.crossJoin(F.broadcast(df.groupBy().agg(agg)))
+    v = F.col(value_col)
+    return joined.withColumn(
+        bin_col,
+        F.size(F.filter(F.col("__edges"), lambda e: e < v)) + F.lit(1),
+    ).drop("__edges")

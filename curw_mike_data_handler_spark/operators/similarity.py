@@ -537,6 +537,20 @@ def kmeans_assign(
     # the returned assignment uses the centroids after iterations-1
     # updates, so the last round needs NO mean job — computing it would
     # be a full wasted pass (its update could never be observed).
+    # Driver-side centroid canonicalization: every strategy's mean
+    # reaches the driver as a double whose LAST ULPs depend on
+    # partition/batch combine order (Arrow partial sums, hof avg
+    # merges).  Snapping each mean to a fixed 1e-9 grid collapses that
+    # fold-order noise, so the NEXT round's assignments — and hence the
+    # final output — are identical under any repartitioning for all
+    # three strategies (property-tested with a repartition
+    # perturbation).  1e-9 is ~1e6 ULPs above double noise yet far
+    # below any real assignment margin.
+    def _quant(m: float) -> float:
+        import math
+
+        return math.floor(m * 1e9 + 0.5) / 1e9
+
     for it in range(iterations - 1):
         mean_rows = (
             round_means_arrow(centroids)
@@ -547,7 +561,7 @@ def kmeans_assign(
         for r in mean_rows:
             by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
         centroids = sorted(
-            (cid, [dims[d] for d in sorted(dims)])
+            (cid, [_quant(dims[d]) for d in sorted(dims)])
             for cid, dims in by_cluster.items()
         )
     # Materialize the final (id, cluster) assignment and release the

@@ -651,3 +651,69 @@ def test_compaction_bins_windows_per_source_only(spark):
     assert "Window" in plan
     # the window spec carries the partition key
     assert "source" in plan.split("Window")[1][:400]
+
+
+def test_equidepth_default_path_is_map_only_binning_no_ntile(spark):
+    """The 100-TB contract for operators/robust.equidepth_bins (the
+    device behind w8_ntile_deciles and calibration_bins): the DEFAULT
+    (exact=False) path must plan approx-quantile bin EDGES broadcast
+    into a map-only binning pass — no Window/ntile anywhere (a global
+    ntile is one task sorting the whole fact; a per-type ntile is a
+    straggler per hot key).  exact=True exists only for gate-scale
+    oracle attestation (the two catalog queries pin it)."""
+    import contextlib as _ctx
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.robust import equidepth_bins
+    from curw_mike_data_handler_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    for df in (
+        equidepth_bins(ev, "v100", k=10, by=["event_type"]),   # grouped
+        equidepth_bins(ev, "v100", k=10),                      # global
+    ):
+        buf = _io.StringIO()
+        with _ctx.redirect_stdout(buf):
+            df.explain(True)
+        plan = buf.getvalue()
+        # \bntile( — bare word, not the tail of (approx_)percentile
+        import re as _re
+
+        assert not _re.search(r"\bntile\(", plan)
+        phys = plan.split("== Physical Plan ==")[1]
+        assert "Window" not in phys
+        assert "BroadcastHashJoin" in phys or "BroadcastNestedLoopJoin" in phys
+        assert "SortMergeJoin" not in phys
+
+
+def test_equidepth_approx_buckets_are_near_equal_depth(spark):
+    """Value check for the default path: at high sketch accuracy the
+    bucket populations are near-equal and bucket ids span 1..k with
+    value ranges non-overlapping in order."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.robust import equidepth_bins
+    from curw_mike_data_handler_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v100")
+    )
+    n = ev.count()
+    rows = (
+        equidepth_bins(ev, "v100", k=10, accuracy=100_000)
+        .groupBy("decile")
+        .agg(F.count("*").alias("n"), F.min("v100").alias("lo"), F.max("v100").alias("hi"))
+        .orderBy("decile")
+        .collect()
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert sum(r["n"] for r in rows) == n
+    for r in rows:
+        assert abs(r["n"] - n / 10) <= max(10, 0.03 * n), rows
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]
