@@ -21,15 +21,20 @@ DATE_TIME_FORMAT = "%Y-%m-%d %H:%M:%S"  # rf_linux:14
 SL_OFFSET = "INTERVAL 5 HOURS 30 MINUTES"
 
 
-def check_time_format(time_str: str, quarter_hours_only: bool = True) -> datetime:
+def check_time_format(
+    time_str: str, quarter_hours_only: bool = True, hours_only: bool = False
+) -> datetime:
     """Validate a grid timestamp string (rf_linux:71-85 semantics):
     seconds must be 00; minutes in {00,15,30,45} when
-    ``quarter_hours_only`` (rf_obs:83-97 requires :00 only)."""
+    ``quarter_hours_only``; minutes exactly 00 when ``hours_only``
+    (rf_obs:83-97 requires :00 only)."""
     if not re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", time_str):
         raise ValueError(f"Given time incorrect format: {time_str}")
     time = datetime.strptime(time_str, DATE_TIME_FORMAT)
     if time.second != 0:
         raise ValueError(f"Seconds should be always 00: {time_str}")
+    if hours_only and time.minute != 0:
+        raise ValueError(f"Minutes should be always 00: {time_str}")
     if quarter_hours_only and time.minute % 15 != 0:
         raise ValueError(f"Minutes should be multiple of 15: {time_str}")
     return time

@@ -37,26 +37,32 @@ def resolve_window(
     end: str | None,
     *,
     quarter_hours_only: bool = True,
+    hours_only: bool = False,
     now: datetime | None = None,
 ) -> tuple[str, str]:
     """rf_linux:253-263: explicit times are format-validated (seconds
-    00, minutes on the grid); absent times default to day-floored
-    now−3d / now+2d."""
+    00, minutes on the grid — rf_obs:83-97 pins minutes to :00 via
+    ``hours_only``); absent times default to day-floored now−3d /
+    now+2d."""
     now = now or datetime.now()
     if start is None:
         start = (now - timedelta(days=3)).strftime("%Y-%m-%d 00:00:00")
     else:
-        _validate(start, quarter_hours_only)
+        _validate(start, quarter_hours_only, hours_only)
     if end is None:
         end = (now + timedelta(days=2)).strftime("%Y-%m-%d 00:00:00")
     else:
-        _validate(end, quarter_hours_only)
+        _validate(end, quarter_hours_only, hours_only)
     return start, end
 
 
-def _validate(time_str: str, quarter_hours_only: bool) -> None:
+def _validate(
+    time_str: str, quarter_hours_only: bool, hours_only: bool = False
+) -> None:
     try:
-        check_time_format(time_str, quarter_hours_only=quarter_hours_only)
+        check_time_format(
+            time_str, quarter_hours_only=quarter_hours_only, hours_only=hours_only
+        )
     except ValueError as exc:
         raise JobArgumentError(str(exc)) from exc
 

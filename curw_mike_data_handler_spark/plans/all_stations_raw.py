@@ -57,10 +57,15 @@ def prepare_all_stations_raw(
     )
 
     stations = mike_stations.select("hash_id", "station_id")
+    # value accumulates as DECIMAL(24,6): decimal addition is exact and
+    # associative, so the resample sums (and the row mean below) are
+    # bit-identical under ANY partitioning/combine order — a double sum
+    # here can flip the final round(…,1) at a .x5 boundary between two
+    # runs of the same plan (caught by the job-vs-plan golden test).
     ts = sim_ts.filter(
         (F.col("time") > F.lit(start)) & (F.col("time") <= F.lit(end))
     ).join(F.broadcast(stations), sim_ts["id"] == stations["hash_id"], "inner") \
-     .select("station_id", "time", F.col("value").cast("double").alias("value"))
+     .select("station_id", "time", F.col("value").cast("decimal(24,6)").alias("value"))
 
     spine = time_spine(spark, start, end, src_step_minutes)
     aligned = spine_align_long(
@@ -89,9 +94,13 @@ def prepare_all_stations_raw(
             .drop(f"__n{rank}", f"__nv{rank}")
         )
 
-    # row mean over the ALREADY-filled frame (all_raw:286)
-    imputed = row_mean_impute_long(filled)
-    return imputed.withColumn("value", F.round("value", 1))  # all_raw:288
+    # row mean over the ALREADY-filled frame (all_raw:286) — re-cast to
+    # decimal so the per-timestamp avg is combine-order exact too
+    imputed = row_mean_impute_long(
+        filled.withColumn("value", F.col("value").cast("decimal(24,6)"))
+    )
+    # all_raw:288; the 1-dp decimal → double cast is exact
+    return imputed.withColumn("value", F.round("value", 1).cast("double"))
 
 
 def write_all_stations_raw(

@@ -46,7 +46,7 @@ def prepare_obs_rainfall_input(
     ts = obs_ts.filter(
         (F.col("time") > F.lit(start)) & (F.col("time") <= F.lit(end))
     ).join(F.broadcast(station_dim), obs_ts["id"] == station_dim["hash_id"], "inner") \
-     .select("station_id", "time", F.col("value").cast("double").alias("value"))
+     .select("station_id", "time", F.col("value").cast("decimal(24,6)").alias("value"))
 
     spine = time_spine(spark, start, end, src_step_minutes)
     aligned = spine_align_long(
@@ -56,7 +56,11 @@ def prepare_obs_rainfall_input(
         aligned, "time", ["value"], step_minutes, group_cols=["station_id"],
         all_null_is_zero=False,  # obs export keeps gaps visible (rf_obs:168)
     )
-    return res.withColumn("value", negatives_to_null("value"))
+    # value accumulated as DECIMAL(24,6) (exact, combine-order
+    # independent); the per-bucket sum → double cast is deterministic
+    return res.withColumn(
+        "value", negatives_to_null(F.col("value").cast("double"))
+    )
 
 
 def write_obs_rainfall_input(
