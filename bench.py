@@ -272,6 +272,47 @@ COMMON_100 = tuple(HEADLINE[:100])
 COMMON_100_R4_WARM_TOTAL = 61.777
 
 
+def run_common_isolated() -> None:
+    """Isolation mode (r5 verdict #6): run ONLY the pinned common-100,
+    cold then warm, in THIS fresh JVM — no other query's cached
+    fragments, no checkpoint debris from 140 preceding queries, a
+    right-sized (not 48g) heap.  The in-session common_warm_total keeps
+    r1-r5 comparability; THIS number measures the plans themselves.
+    Prints one JSON object and exits (main() runs it as a subprocess
+    and merges the result into BENCH_local.json)."""
+    spark = get_spark(
+        app_name="bench-common-isolated",
+        extra_conf={
+            "spark.driver.memory": "16g",
+            "spark.driver.extraJavaOptions": (
+                "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing"
+            ),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog.QUERIES["a5_distinct"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.range(64).repartition(16).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for target in (cold, warm):
+        for name in COMMON_100:
+            t0 = time.perf_counter()
+            catalog.QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            target[name] = round(time.perf_counter() - t0, 3)
+    print(json.dumps({
+        "common_cold_total_isolated": round(sum(cold.values()), 3),
+        "common_warm_total_isolated": round(sum(warm.values()), 3),
+        "queries_warm_isolated": warm,
+    }))
+    spark.stop()
+
+
 def main() -> None:
     # right-size the single local JVM: the default 1g driver heap GC-
     # thrashes by the warm pass once ~120 queries' leaked caches and
@@ -349,6 +390,24 @@ def main() -> None:
     # benches ran with that reuse, so clearing would break
     # round-over-round comparability (measured: +20% warm_total)
 
+    # Isolated common-100 (r5 verdict #6): a FRESH subprocess JVM so
+    # the pinned line can also be read free of cross-query cache
+    # cohabitation and session aging.  Skippable for quick local runs.
+    isolated: dict = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_ISOLATED") != "1":
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--common-isolated"],
+            capture_output=True, text=True, timeout=1800,
+        )
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                isolated = json.loads(line)
+                break
+            except ValueError:
+                continue
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
         "metric": "headline_queries_total_wall",
@@ -359,6 +418,11 @@ def main() -> None:
         "warm_total": round(sum(warm.values()), 3),
         "common_warm_total": round(sum(warm[n] for n in COMMON_100), 3),
         "common_warm_total_r4": COMMON_100_R4_WARM_TOTAL,
+        # fresh-JVM isolation pass (r5 verdict #6): measures the pinned
+        # 100 plans without the other ~140 queries' cache cohabitation
+        "common_cold_total_isolated": isolated.get("common_cold_total_isolated"),
+        "common_warm_total_isolated": isolated.get("common_warm_total_isolated"),
+        "queries_warm_isolated": isolated.get("queries_warm_isolated"),
         "note": "cold then warm pass; full precision in BENCH_local.json",
         # measured on this box (round 5): IDENTICAL plans re-run in the
         # same session swing ±2-3×, and full-bench common-100 sums
@@ -396,6 +460,7 @@ def compact_line(payload: dict, budget: int = 1800) -> str:
         "unit": "sec",
         "warm_total": payload["warm_total"],
         "common_warm_total": payload["common_warm_total"],
+        "common_warm_total_isolated": payload.get("common_warm_total_isolated"),
         "sf": payload["sf"],
         "note": "slowest-first subset; all cold+warm in BENCH_local.json",
     }
@@ -415,4 +480,7 @@ def compact_line(payload: dict, budget: int = 1800) -> str:
 
 
 if __name__ == "__main__":
-    main()
+    if "--common-isolated" in sys.argv[1:]:
+        run_common_isolated()
+    else:
+        main()
