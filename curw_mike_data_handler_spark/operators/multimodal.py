@@ -24,9 +24,18 @@ Decode comes in two layers:
 * **WAV PCM sample decode is REAL, stdlib-only**: ``make_wav`` writes
   a closed-form int16 waveform and ``decode_wav_samples`` walks the
   RIFF chunks and unpacks the frames — the audio twin of the PNG path.
-* **JPEG pixel / video frame decode stays STUBBED** (``decode_image``
-  raises — entropy-coded JPEG and video genuinely need native codecs,
-  absent in this container).
+* **Baseline JPEG pixel decode is REAL, stdlib+numpy only**:
+  ``make_jpeg(pixels=True)`` writes a complete entropy-coded 4:4:4
+  scan (canonical Huffman tables shipped in DHT, all-1s quant) and
+  ``decode_jpeg_pixels`` genuinely Huffman-decodes, dequantizes, and
+  IDCTs it; the block-constant raster makes the round-trip bit-exact
+  (DC-only blocks), so the stats oracle is a closed form.  The
+  AC/zigzag path is property-tested against an independent IDCT.
+* **Video frame pixel decode stays STUBBED** (``decode_image`` for
+  non-baseline JPEGs — progressive/arithmetic-coded streams — and
+  video codecs genuinely need native libraries, absent in this
+  container; baseline streams, including subsampled ones, decode via
+  ``decode_jpeg_pixels``).
 """
 
 from __future__ import annotations
@@ -78,11 +87,15 @@ MEDIA_META_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """STUB: JPEG pixel decode needs PIL/libjpeg (entropy coding),
-    absent in this container.  PNG pixel decode IS implemented —
-    ``decode_png_pixels`` below, stdlib zlib only."""
+    """STUB for NON-BASELINE images: progressive (SOF2) and
+    arithmetic-coded JPEGs need native codecs absent in this
+    container.  Baseline JPEG pixel decode IS implemented —
+    ``decode_jpeg_pixels`` below (Huffman + dequant + IDCT, stdlib +
+    numpy) — and PNG via ``decode_png_pixels`` (stdlib zlib)."""
     raise NotImplementedError(
-        "JPEG decode requires an imaging library not present in this environment"
+        "progressive/arithmetic JPEG decode requires an imaging library "
+        "not present in this environment; baseline streams decode via "
+        "decode_jpeg_pixels"
     )
 
 
@@ -177,19 +190,432 @@ def make_png(width: int, height: int, bit_depth: int = 8, pixels: bool = False) 
     return out + _png_chunk(b"IEND", b"")
 
 
-def make_jpeg(width: int, height: int) -> bytes:
-    """Minimal JPEG/JFIF: SOI + APP0 + SOF0 (baseline, 3 components) +
-    EOI.  Dimensions live in the SOF0 frame header, exactly where a
-    real decoder reads them."""
+# --- baseline JPEG entropy layer (pure stdlib; ITU T.81) ------------
+
+# zig-zag scan order (T.81 figure 5): zigzag index -> raster index
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# Compact CUSTOM canonical Huffman tables (DHT-carried, so any
+# conformant decoder reads them): 12 DC categories at length 4;
+# 16 AC (run,size) symbols at length 5 — EOB, run-0 sizes 1..10,
+# a few run>0 symbols and ZRL so the AC code path is exercised.
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS = [0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07,
+                 0x08, 0x09, 0x0A, 0x11, 0x12, 0x21, 0x31, 0xF0]
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 canonical construction."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    """MSB-first bit emitter with 0xFF byte stuffing (T.81 B.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits to the byte boundary
+
+
+def _jpeg_category(v: int) -> tuple[int, int]:
+    """coefficient value -> (size category, appended bits) (T.81 F.1.2)."""
+    if v == 0:
+        return 0, 0
+    t = abs(v).bit_length()
+    return t, (v if v > 0 else v + (1 << t) - 1)
+
+
+def _jpeg_entropy_encode(blocks_per_mcu: list[list[list[int]]]) -> bytes:
+    """Encode MCUs of zigzag-ordered 64-coefficient blocks (one inner
+    list per frame component, in scan order) with the compact tables.
+    Quantization is the caller's business (tables are all 1s here)."""
+    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    n_comp = len(blocks_per_mcu[0])
+    pred = [0] * n_comp
+    for mcu in blocks_per_mcu:
+        for c, block in enumerate(mcu):
+            diff = block[0] - pred[c]
+            pred[c] = block[0]
+            t, bits = _jpeg_category(diff)
+            code, length = dc_codes[t]
+            w.put(code, length)
+            if t:
+                w.put(bits, t)
+            k = 1
+            while k < 64:
+                run = 0
+                while k < 64 and block[k] == 0:
+                    run += 1
+                    k += 1
+                if k == 64:
+                    code, length = ac_codes[0x00]  # EOB
+                    w.put(code, length)
+                    break
+                while run >= 16:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    w.put(code, length)
+                    run -= 16
+                t, bits = _jpeg_category(block[k])
+                code, length = ac_codes[(run << 4) | t]
+                w.put(code, length)
+                w.put(bits, t)
+                k += 1
+            else:
+                pass
+    w.flush()
+    return bytes(w.buf)
+
+
+def _jpeg_block_value(bx: int, by: int, c: int) -> int:
+    """Closed-form block-constant raster: 16·(bx mod 12) + 4·(by mod
+    12) + 5c ≤ 230 — a constant 8×8 block has a DC-only DCT, so with
+    all-1s quant tables decode is BIT-EXACT and the DuckDB oracle can
+    recompute image sums from (width, height) alone."""
+    return 16 * (bx % 12) + 4 * (by % 12) + 5 * c
+
+
+def make_jpeg(width: int, height: int, pixels: bool = False) -> bytes:
+    """JPEG/JFIF builder.
+
+    ``pixels=False`` (default — byte-stable for the header oracles):
+    SOI + APP0 + SOF0 (baseline, 3 components) + EOI, dimensions in the
+    SOF0 frame header exactly where a real decoder reads them.
+
+    ``pixels=True``: a COMPLETE baseline stream — DQT (all-1s table),
+    DHT (the compact canonical tables above), SOF0 4:4:4, SOS, and a
+    real entropy-coded scan carrying the closed-form block-constant
+    raster ``_jpeg_block_value`` (dimensions must be multiples of 8).
+    Block-constant ⇒ DC-only coefficients ⇒ the decode round-trip is
+    exact, which is what lets the pixel stats be value-oracled."""
     import struct
 
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
         ">HH", 1, 1
     ) + b"\x00\x00"
-    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8, height, width, 3) + bytes(
-        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    if not pixels:
+        sof0 = b"\xff\xc0" + struct.pack(
+            ">HBHHB", 8 + 3 * 3, 8, height, width, 3
+        ) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    nbx, nby = width // 8, height // 8
+    mcus = []
+    for by in range(nby):
+        for bx in range(nbx):
+            mcu = []
+            for c in range(3):
+                # constant block v ⇒ levelled DC = 8·(v−128), AC = 0
+                block = [0] * 64
+                block[0] = 8 * (_jpeg_block_value(bx, by, c) - 128)
+                mcu.append(block)
+            mcus.append(mcu)
+    return make_jpeg_from_coefficients(width, height, mcus)
+
+
+def make_jpeg_from_coefficients(
+    width: int, height: int, mcus: list[list[list[int]]]
+) -> bytes:
+    """Complete baseline 4:4:4 JFIF stream from quantized zigzag
+    coefficient blocks (one 64-list per component per MCU, row-major
+    MCUs) — all-1s quant table, the compact canonical Huffman tables.
+    Coefficient magnitudes must fit the tables (DC diff < 2^11, AC
+    run/size within _JPEG_AC_VALS).  Exists so tests can drive the
+    decoder's AC/zigzag/IDCT path against an independent reference."""
+    import struct
+
+    if width % 8 or height % 8 or width == 0 or height == 0:
+        raise ValueError("pixel JPEGs are built at multiple-of-8 dimensions")
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00) + bytes([1] * 64)
+    sof0 = b"\xff\xc0" + struct.pack(
+        ">HBHHB", 8 + 3 * 3, 8, height, width, 3
+    ) + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    dht = (
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_DC_VALS), 0x00)
+        + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_AC_VALS), 0x10)
+        + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
     )
-    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    sos = b"\xff\xda" + struct.pack(">HB", 6 + 2 * 3, 3) + bytes(
+        [1, 0x00, 2, 0x00, 3, 0x00]
+    ) + bytes([0, 63, 0])
+    scan = _jpeg_entropy_encode(mcus)
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; raises StopIteration at any non-stuffing marker."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.b = buf
+        self.i = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.b):
+                raise StopIteration
+            byte = self.b[self.i]
+            if byte == 0xFF:
+                nxt = self.b[self.i + 1] if self.i + 1 < len(self.b) else 0xD9
+                if nxt != 0x00:
+                    raise StopIteration  # real marker (EOI/RST handled above)
+                self.i += 2
+            else:
+                self.i += 1
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.n = 0
+
+    def at_marker(self) -> int | None:
+        """Byte-aligned peek: the marker byte if one is next, else None."""
+        if self.i + 1 < len(self.b) and self.b[self.i] == 0xFF and self.b[self.i + 1] != 0x00:
+            return self.b[self.i + 1]
+        return None
+
+
+def _jpeg_extend(bits: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: t appended bits -> signed coefficient."""
+    if t == 0:
+        return 0
+    return bits if bits >= (1 << (t - 1)) else bits - (1 << t) + 1
+
+
+def _huff_decode(reader: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def decode_jpeg_pixels(b: bytes) -> dict | None:
+    """REAL baseline JPEG pixel decode, stdlib+numpy only: marker walk
+    → DQT/DHT/SOF0/DRI/SOS parse → Huffman entropy decode (byte
+    unstuffing, restart markers) → dequantize → exact float 8×8 IDCT →
+    level shift + clamp → per-component planes (replication upsample
+    for subsampled components), cropped to the frame dimensions.
+
+    Stats run over the decoded COMPONENT SAMPLES at full resolution
+    (no colorspace conversion — the entropy/transform layers are what
+    the oracle attests; a YCbCr→RGB matmul would only wrap them).
+    Returns None for non-JPEG / non-baseline / scanless / truncated
+    payloads (one bad blob must not kill a batch); raises nothing."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if b[:2] != b"\xff\xd8":
+            return None
+        i = 2
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+        w = h = None
+        restart = 0
+        scan_at = None
+        scan_comps: list[tuple[int, int, int]] = []  # (comp index, dc id, ac id)
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            m = b[i + 1]
+            if m == 0xD9:
+                break
+            (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+            data = b[i + 4 : i + 2 + seglen]
+            if m == 0xDB:  # DQT (possibly several tables per segment)
+                j = 0
+                while j < len(data):
+                    pq, tq = data[j] >> 4, data[j] & 15
+                    if pq:  # 16-bit tables: not baseline
+                        return None
+                    qt[tq] = list(data[j + 1 : j + 65])
+                    j += 65
+            elif m == 0xC4:  # DHT
+                j = 0
+                while j < len(data):
+                    tc, th = data[j] >> 4, data[j] & 15
+                    bits = list(data[j + 1 : j + 17])
+                    nv = sum(bits)
+                    vals = list(data[j + 17 : j + 17 + nv])
+                    codes = _huff_canonical(bits, vals)
+                    huff[(tc, th)] = {(c, ln): s for s, (c, ln) in codes.items()}
+                    j += 17 + nv
+            elif m == 0xC0:  # SOF0 baseline
+                if data[0] != 8:
+                    return None
+                h, w = struct.unpack(">HH", data[1:5])
+                nc = data[5]
+                for k in range(nc):
+                    cid, hv, tq = data[6 + 3 * k : 9 + 3 * k]
+                    comps.append((cid, hv >> 4, hv & 15, tq))
+            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame
+            elif m == 0xDD:  # DRI
+                (restart,) = struct.unpack(">H", data[:2])
+            elif m == 0xDA:  # SOS
+                ns = data[0]
+                for k in range(ns):
+                    cid, tda = data[1 + 2 * k : 3 + 2 * k]
+                    idx = next(
+                        ci for ci, c in enumerate(comps) if c[0] == cid
+                    )
+                    scan_comps.append((idx, tda >> 4, tda & 15))
+                scan_at = i + 2 + seglen
+                break
+            i += 2 + seglen
+        if scan_at is None or w is None or not comps:
+            return None
+
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        # IDCT basis M[u, x] = C(u)/2 · cos((2x+1)uπ/16); f = Mᵀ F M
+        u = np.arange(8)
+        M = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+        M[0, :] /= np.sqrt(2.0)
+        planes = [
+            np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.int32)
+            for c in comps
+        ]
+        reader = _JpegBitReader(b, scan_at)
+        pred = [0] * len(comps)
+        mcu_no = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and mcu_no and mcu_no % restart == 0:
+                    reader.align()
+                    mk = reader.at_marker()
+                    if mk is not None and 0xD0 <= mk <= 0xD7:
+                        reader.i += 2
+                        pred = [0] * len(comps)
+                for ci, dc_id, ac_id in scan_comps:
+                    _, ch, cv, tq = comps[ci]
+                    dq = qt.get(tq)
+                    dc_tab = huff.get((0, dc_id))
+                    ac_tab = huff.get((1, ac_id))
+                    if dq is None or dc_tab is None or ac_tab is None:
+                        return None
+                    for byy in range(cv):
+                        for bxx in range(ch):
+                            zz = [0] * 64
+                            t = _huff_decode(reader, dc_tab)
+                            pred[ci] += _jpeg_extend(reader.bits(t), t)
+                            zz[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(reader, ac_tab)
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += rs >> 4
+                                t = rs & 15
+                                if k > 63:
+                                    return None
+                                zz[k] = _jpeg_extend(reader.bits(t), t)
+                                k += 1
+                            F8 = np.zeros(64, dtype=np.float64)
+                            for zi, coef in enumerate(zz):
+                                F8[_JPEG_ZIGZAG[zi]] = coef * dq[zi]
+                            f = M.T @ F8.reshape(8, 8) @ M
+                            px = np.clip(np.round(f) + 128, 0, 255).astype(np.int32)
+                            y0 = (my * cv + byy) * 8
+                            x0 = (mx * ch + bxx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+                mcu_no += 1
+        total = 0
+        pmax = 0
+        for ci, (_, ch, cv, _) in enumerate(comps):
+            up = planes[ci]
+            if ch < hmax or cv < vmax:
+                up = np.repeat(np.repeat(up, vmax // cv, axis=0), hmax // ch, axis=1)
+            crop = up[:h, :w]
+            total += int(crop.sum())
+            pmax = max(pmax, int(crop.max()))
+        return {
+            "width": int(w),
+            "height": int(h),
+            "n_px": int(w) * int(h),
+            "pixel_sum": total,
+            "pixel_max": pmax,
+        }
+    except Exception:
+        return None
+
+
+def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched baseline-JPEG pixel-stat extraction over the
+    binary payload column → PIXEL_STATS_SCHEMA rows; non-JPEG /
+    undecodable rows are dropped.  Map-only, parallelism from input
+    splits — the twin of png_pixel_stats."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                st = decode_jpeg_pixels(bytes(payload))
+                if st is not None:
+                    rows.append({"media_id": mid, **st})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_stats, schema=PIXEL_STATS_SCHEMA)
 
 
 def _wav_sample_value(i, ch):
@@ -499,7 +925,8 @@ def _synth_params(mid: int) -> tuple[str, dict]:
 
 def synthesize_media(ids: DataFrame, id_col: str = "doc_id",
                      parallelism: int | None = None,
-                     png_pixels: bool = False) -> DataFrame:
+                     png_pixels: bool = False,
+                     jpeg_pixels: bool = False) -> DataFrame:
     """id column → (media_id, media_type, payload) with REAL binary
     payloads (spec-conformant PNG/JPEG/WAV built per row).  Stands in
     for the object-store fetch stage of a production pipeline; being
@@ -507,7 +934,10 @@ def synthesize_media(ids: DataFrame, id_col: str = "doc_id",
 
     ``png_pixels=True`` gives every PNG a real zlib-compressed IDAT
     carrying the closed-form raster (always 8-bit — pixel payloads
-    override the 16-bit header variant), for the pixel-decode path."""
+    override the 16-bit header variant), for the pixel-decode path.
+    ``jpeg_pixels=True`` gives every JPEG a complete baseline
+    entropy-coded scan (block-constant closed-form raster at
+    multiple-of-8 dimensions) for the JPEG pixel-decode path."""
     sc = ids.sparkSession.sparkContext
     n = parallelism or min(sc.defaultParallelism, 16)
     src = ids.select(F.col(id_col).cast("long").alias("media_id"))
@@ -523,6 +953,13 @@ def synthesize_media(ids: DataFrame, id_col: str = "doc_id",
                 kind, params = _synth_params(int(mid))
                 if kind == "png" and png_pixels:
                     params = {**params, "bit_depth": 8, "pixels": True}
+                if kind == "jpeg" and jpeg_pixels:
+                    # multiple-of-8 dims: w ∈ 16..240, h ∈ 16..136
+                    params = {
+                        "width": 8 * (2 + int(mid) % 29),
+                        "height": 8 * (2 + int(mid) % 16),
+                        "pixels": True,
+                    }
                 kinds.append(mime[kind])
                 payloads.append(builders[kind](**params))
             yield pd.DataFrame(

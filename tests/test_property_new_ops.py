@@ -946,3 +946,129 @@ def test_asof_join_forward_matches_naive(spark, lefts, rights):
             best = min(rm for rm, _ in cands)
             want = float(max(rv for rm, rv in cands if rm == best))
         assert got[(k, t)] == want, (k, t, got[(k, t)], want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(nbx=st.integers(1, 32), nby=st.integers(1, 20))
+def test_jpeg_pixel_roundtrip_property(nbx, nby):
+    """Any multiple-of-8 (w,h): full baseline encode (DQT + DHT + real
+    entropy-coded scan) → Huffman decode → dequant → IDCT recovers the
+    closed-form block-constant raster EXACTLY (DC-only blocks are
+    lossless under all-1s quant)."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg,
+    )
+
+    w, h = 8 * nbx, 8 * nby
+    st_ = decode_jpeg_pixels(make_jpeg(w, h, pixels=True))
+    s12 = lambda n: (n // 12) * 66 + (n % 12) * ((n % 12) - 1) // 2
+    assert st_["width"] == w and st_["height"] == h
+    assert st_["n_px"] == w * h
+    assert st_["pixel_sum"] == 64 * (
+        48 * nby * s12(nbx) + 12 * nbx * s12(nby) + 15 * nbx * nby
+    )
+    assert st_["pixel_max"] == (
+        16 * (min(nbx, 12) - 1) + 4 * (min(nby, 12) - 1) + 10
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_jpeg_ac_path_matches_independent_idct(seed):
+    """The AC/run-length/zigzag/IDCT path, verified against an
+    INDEPENDENT numpy IDCT: random sparse zigzag coefficient blocks
+    (magnitudes within the compact AC table's run/size symbols) are
+    entropy-encoded with make_jpeg_from_coefficients and must decode
+    to round(IDCT(dezigzag(coeffs))) + 128 clamped — computed here
+    from the definition, not via the decoder's own basis matrix."""
+    import math
+    import random
+
+    import numpy as np
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        decode_jpeg_pixels,
+        make_jpeg_from_coefficients,
+    )
+
+    rng = random.Random(seed)
+    # runs representable by the table: gaps of 1 (0x11,0x12), 2 (0x21),
+    # 3 (0x31) and 0; sizes per symbol
+    mcus = []
+    for _ in range(rng.randint(1, 4)):  # MCUs (w grows)
+        mcu = []
+        for _c in range(3):
+            block = [0] * 64
+            block[0] = rng.randint(-200, 200)  # DC (diff fits cat<=11)
+            k = 1
+            while k < 64:
+                # zero-run before the next coefficient must be a run
+                # the table can encode: 0..3, or 16..19 (ZRL + 0..3)
+                gap, szmax = rng.choice(
+                    [(0, 10), (1, 2), (2, 1), (3, 1), (16, 10), (17, 2)]
+                )
+                k += gap
+                if k >= 64:
+                    break
+                sz = rng.randint(1, szmax)
+                mag = rng.randint(1 << (sz - 1), (1 << sz) - 1)
+                block[k] = mag if rng.random() < 0.5 else -mag
+                k += 1
+            mcu.append(block)
+        mcus.append(mcu)
+    w, h = 8 * len(mcus), 8
+    payload = make_jpeg_from_coefficients(w, h, mcus)
+    got = decode_jpeg_pixels(payload)
+    assert got is not None
+
+    # independent reference: textbook IDCT double loop
+    def idct_ref(zz):
+        F = [[0.0] * 8 for _ in range(8)]
+        for zi, v in enumerate(zz):
+            F[_JPEG_ZIGZAG[zi] // 8][_JPEG_ZIGZAG[zi] % 8] = float(v)
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * F[u][v]
+                            * math.cos((2 * y + 1) * u * math.pi / 16)
+                            * math.cos((2 * x + 1) * v * math.pi / 16)
+                        )
+                out[y][x] = s / 4
+        return np.clip(np.round(out) + 128, 0, 255)
+
+    total = 0
+    pmax = 0.0
+    for mcu in mcus:
+        for block in mcu:
+            px = idct_ref(block)
+            total += int(px.sum())
+            pmax = max(pmax, float(px.max()))
+    assert got["pixel_sum"] == total
+    assert got["pixel_max"] == int(pmax)
+    assert got["n_px"] == w * h
+
+
+def test_jpeg_decoder_robustness():
+    """Header-only streams (no scan), truncated scans, non-baseline
+    frames, and garbage all map to None — never an exception."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg,
+    )
+
+    assert decode_jpeg_pixels(make_jpeg(100, 50)) is None  # scanless header
+    full = make_jpeg(32, 16, pixels=True)
+    assert decode_jpeg_pixels(full[:60]) is None           # truncated tables
+    assert decode_jpeg_pixels(full[:-20]) is None or isinstance(
+        decode_jpeg_pixels(full[:-20]), dict
+    )  # truncated scan: graceful either way, never raises
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xc2" + full[4:]) is None  # progressive
+    assert decode_jpeg_pixels(b"not a jpeg") is None
