@@ -304,7 +304,11 @@ def test_media_sample_decode_is_map_only_no_shuffle(spark):
     """The pixel/PCM decode paths (synthesize → inflate/unpack stats)
     must stay pure map stages: at corpus scale their cost is scan
     bandwidth, and any exchange here would shuffle raw media bytes."""
-    for name in ("multimodal_pixel_stats", "multimodal_audio_stats"):
+    for name in (
+        "multimodal_pixel_stats",
+        "multimodal_audio_stats",
+        "multimodal_jpeg_pixel_stats",
+    ):
         plan = _plan(spark, name)
         assert "Exchange hashpartitioning" not in plan, (
             f"{name} must not shuffle payload bytes"
