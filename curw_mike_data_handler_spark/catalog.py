@@ -2588,6 +2588,54 @@ def multimodal_video_frames_q(spark, sf_dir):
     return frame_sample_plan(avi_meta(synthesize_avi(docs)), every_n=10)
 
 
+@query(
+    "multimodal_video_frame_pixels",
+    """
+    WITH p AS (
+        SELECT doc_id, 1 + doc_id % 12 AS nbx, 1 + doc_id % 8 AS nby,
+               doc_id % 24 AS nf
+        FROM documents
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(f.f AS BIGINT) AS frame_no,
+           CAST(8 * nbx AS BIGINT) AS width,
+           CAST(8 * nby AS BIGINT) AS height,
+           CAST(64 * (24 * nby * nbx * (nbx - 1) + 6 * nbx * nby * (nby - 1)
+                      + 15 * nbx * nby)
+                + 384 * nbx * nby * (f.f % 12) AS BIGINT) AS pixel_sum,
+           CAST(16 * (nbx - 1) + 4 * (nby - 1) + 10 + 2 * (f.f % 12)
+                AS BIGINT) AS pixel_max
+    FROM p JOIN range(0, 24, 10) f(f) ON f.f < p.nf
+    """,
+)
+def multimodal_video_frame_pixels_q(spark, sf_dir):
+    """REAL video frame PIXEL decode (the step multimodal_video_frames
+    left as the work-list): every doc gets a genuine Motion-JPEG AVI
+    (strl 'vids'/'MJPG' stream header; one '00dc' chunk per frame,
+    each a complete baseline JPEG), and the engine demuxes the movi
+    list and runs every 10th frame through the full baseline JPEG
+    decoder — Huffman, dequant, IDCT — inside Arrow-batched
+    mapInPandas (operators/multimodal.decode_avi_frame_pixels).  The
+    per-frame raster is the block-constant image formula shifted by
+    2·(frame mod 12), so the oracle recomputes every sampled frame's
+    exact pixel sum/max as a closed form of (doc_id, frame_no) — a
+    wrong chunk boundary, frame order, or any decoder bit error
+    hash-fails.
+
+    Scale shape: map-only (synthesize → demux → decode fused in one
+    Python-worker pass per split); no exchange anywhere; output rows
+    bounded by n_frames/every_n per video."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        avi_frame_pixel_stats,
+        synthesize_avi,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return avi_frame_pixel_stats(
+        synthesize_avi(docs, mjpeg_pixels=True), every_n=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Classic OLAP widening: pushdown-only agg, conditional-share agg,
 # group-HAVING join, disjunctive-predicate join

@@ -1003,12 +1003,40 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 # -- video: real AVI container header, frame decode stubbed ----------
 
-def make_avi(width: int, height: int, fps: int = 24, n_frames: int = 0) -> bytes:
+def _make_mjpeg_frame(width: int, height: int, fno: int) -> bytes:
+    """One MJPEG frame: a complete baseline JPEG whose block-constant
+    raster is the image formula shifted by 2·(fno mod 12) — per-frame
+    variation the oracle can recompute, still ≤ 236 < 256."""
+    nbx, nby = width // 8, height // 8
+    off = 2 * (fno % 12)
+    mcus = []
+    for by in range(nby):
+        for bx in range(nbx):
+            mcu = []
+            for c in range(3):
+                block = [0] * 64
+                block[0] = 8 * (_jpeg_block_value(bx, by, c) + off - 128)
+                mcu.append(block)
+            mcus.append(mcu)
+    return make_jpeg_from_coefficients(width, height, mcus)
+
+
+def make_avi(
+    width: int, height: int, fps: int = 24, n_frames: int = 0,
+    mjpeg: bool = False,
+) -> bytes:
     """Minimal RIFF/AVI: LIST hdrl holding a spec-layout avih main
     header (microseconds/frame, total frames, dimensions live exactly
-    where a real demuxer reads them) + an empty movi list.  Frame
-    payloads are absent by design — entropy/codec decode is the one
-    genuinely stubbed modality."""
+    where a real demuxer reads them) + a movi list.
+
+    ``mjpeg=False`` (default — byte-stable for the header oracles):
+    the movi list is empty; frame payloads absent.
+
+    ``mjpeg=True``: a REAL Motion-JPEG AVI — the hdrl gains a strl
+    LIST (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER) and the movi
+    list carries one '00dc' chunk per frame, each a complete baseline
+    JPEG (``_make_mjpeg_frame``; dimensions must be multiples of 8) —
+    so frame PIXEL decode is genuinely exercised end-to-end."""
     import struct
 
     avih = struct.pack(
@@ -1021,13 +1049,79 @@ def make_avi(width: int, height: int, fps: int = 24, n_frames: int = 0) -> bytes
         0, 0, 0, 0,
     )
     hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    if mjpeg:
+        strh = (
+            b"vids" + b"MJPG" + struct.pack("<IHHI", 0, 0, 0, 0)
+            + struct.pack("<IIIIIIII", 1, fps, 0, n_frames, 0, 0, 0, 0)
+        )
+        strf = struct.pack(
+            "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+            width * height * 3, 0, 0, 0, 0,
+        )
+        strl = (
+            b"strl"
+            + b"strh" + struct.pack("<I", len(strh)) + strh
+            + b"strf" + struct.pack("<I", len(strf)) + strf
+        )
+        hdrl += b"LIST" + struct.pack("<I", len(strl)) + strl
     movi = b"movi"
+    if mjpeg:
+        for fno in range(n_frames):
+            frame = _make_mjpeg_frame(width, height, fno)
+            movi += b"00dc" + struct.pack("<I", len(frame)) + frame
+            if len(frame) & 1:
+                movi += b"\x00"
     body = (
         b"AVI "
         + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
         + b"LIST" + struct.pack("<I", len(movi)) + movi
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frame_pixels(b: bytes, every_n: int = 10) -> list[dict] | None:
+    """REAL MJPEG frame pixel decode: RIFF walk → LIST movi → '00dc'
+    chunk collection in stream order → every_n-th frame through the
+    full baseline JPEG decoder (``decode_jpeg_pixels``).  Returns one
+    dict per decoded frame (frame_no, width, height, pixel_sum,
+    pixel_max); None for non-AVI payloads; frames that fail to decode
+    are skipped (one bad frame must not kill the video)."""
+    import struct
+
+    try:
+        if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+            return None
+        frames: list[bytes] = []
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+            if cid == b"LIST" and b[i + 8 : i + 12] == b"movi":
+                j = i + 12
+                end = i + 8 + size
+                while j + 8 <= end:
+                    sub = b[j : j + 4]
+                    (ssz,) = struct.unpack("<I", b[j + 4 : j + 8])
+                    if sub == b"00dc":
+                        frames.append(b[j + 8 : j + 8 + ssz])
+                    j += 8 + ssz + (ssz & 1)
+            i += 8 + size + (size & 1)
+        out = []
+        for fno in range(0, len(frames), max(1, int(every_n))):
+            st = decode_jpeg_pixels(frames[fno])
+            if st is not None:
+                out.append(
+                    {
+                        "frame_no": fno,
+                        "width": st["width"],
+                        "height": st["height"],
+                        "pixel_sum": st["pixel_sum"],
+                        "pixel_max": st["pixel_max"],
+                    }
+                )
+        return out
+    except (struct.error, IndexError):
+        return None
 
 
 def parse_avi_header(b: bytes) -> dict | None:
@@ -1075,11 +1169,17 @@ AVI_META_SCHEMA = StructType(
 
 
 def synthesize_avi(ids: DataFrame, id_col: str = "doc_id",
-                   parallelism: int | None = None) -> DataFrame:
+                   parallelism: int | None = None,
+                   mjpeg_pixels: bool = False) -> DataFrame:
     """id column → (media_id, media_type, payload) with real AVI
     container bytes, deterministic in the id (width 16+id%240, height
     16+id%135, fps 24/30, id%64 frames) so downstream header decode
-    and frame plans are oracle-able."""
+    and frame plans are oracle-able.
+
+    ``mjpeg_pixels=True``: REAL Motion-JPEG payloads at multiple-of-8
+    dimensions (width 8·(1+id%12), height 8·(1+id%8), id%24 frames) —
+    every frame a complete baseline JPEG, for the frame-pixel-decode
+    path."""
     sc = ids.sparkSession.sparkContext
     n = parallelism or min(sc.defaultParallelism, 16)
     src = ids.select(F.col(id_col).cast("long").alias("media_id"))
@@ -1088,15 +1188,27 @@ def synthesize_avi(ids: DataFrame, id_col: str = "doc_id",
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [
-                make_avi(
-                    16 + int(m) % 240,
-                    16 + int(m) % 135,
-                    fps=24 + 6 * (int(m) % 2),
-                    n_frames=int(m) % 64,
-                )
-                for m in pdf["media_id"]
-            ]
+            if mjpeg_pixels:
+                payloads = [
+                    make_avi(
+                        8 * (1 + int(m) % 12),
+                        8 * (1 + int(m) % 8),
+                        fps=24 + 6 * (int(m) % 2),
+                        n_frames=int(m) % 24,
+                        mjpeg=True,
+                    )
+                    for m in pdf["media_id"]
+                ]
+            else:
+                payloads = [
+                    make_avi(
+                        16 + int(m) % 240,
+                        16 + int(m) % 135,
+                        fps=24 + 6 * (int(m) % 2),
+                        n_frames=int(m) % 64,
+                    )
+                    for m in pdf["media_id"]
+                ]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"],
                  "media_type": ["video/avi"] * len(pdf),
@@ -1104,6 +1216,37 @@ def synthesize_avi(ids: DataFrame, id_col: str = "doc_id",
             )
 
     return src.mapInPandas(_build, schema=MEDIA_SCHEMA)
+
+
+FRAME_PIXEL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("pixel_max", LongType()),
+    ]
+)
+
+
+def avi_frame_pixel_stats(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Arrow-batched MJPEG frame pixel decode over the binary payload
+    column → one FRAME_PIXEL_SCHEMA row per sampled frame.  Map-only,
+    parallelism from input splits — the video twin of
+    jpeg_pixel_stats."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_PIXEL_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sts = decode_avi_frame_pixels(bytes(payload), every_n=every_n)
+                for st in sts or ():
+                    rows.append({"media_id": mid, **st})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_stats, schema=FRAME_PIXEL_SCHEMA)
 
 
 def avi_meta(media: DataFrame) -> DataFrame:

@@ -1072,3 +1072,46 @@ def test_jpeg_decoder_robustness():
     )  # truncated scan: graceful either way, never raises
     assert decode_jpeg_pixels(b"\xff\xd8\xff\xc2" + full[4:]) is None  # progressive
     assert decode_jpeg_pixels(b"not a jpeg") is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(mid=st.integers(0, 5000))
+def test_mjpeg_avi_frame_roundtrip_property(mid):
+    """Any synth id: MJPEG build (real '00dc' chunks of baseline
+    JPEGs) → movi demux → every-10th-frame full JPEG decode recovers
+    the closed-form per-frame sums exactly."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_avi_frame_pixels,
+        make_avi,
+    )
+
+    nbx, nby, nf = 1 + mid % 12, 1 + mid % 8, mid % 24
+    out = decode_avi_frame_pixels(
+        make_avi(8 * nbx, 8 * nby, n_frames=nf, mjpeg=True), every_n=10
+    )
+    assert [o["frame_no"] for o in out] == list(range(0, nf, 10))
+    for o in out:
+        f = o["frame_no"]
+        assert o["width"] == 8 * nbx and o["height"] == 8 * nby
+        assert o["pixel_sum"] == (
+            64 * (24 * nby * nbx * (nbx - 1) + 6 * nbx * nby * (nby - 1)
+                  + 15 * nbx * nby)
+            + 384 * nbx * nby * (f % 12)
+        )
+        assert o["pixel_max"] == 16 * (nbx - 1) + 4 * (nby - 1) + 10 + 2 * (f % 12)
+
+
+def test_mjpeg_avi_demux_robustness():
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_avi_frame_pixels,
+        make_avi,
+    )
+
+    # header-only AVI (empty movi) → empty list, not None
+    assert decode_avi_frame_pixels(make_avi(100, 50, n_frames=7)) == []
+    full = make_avi(16, 16, n_frames=3, mjpeg=True)
+    assert decode_avi_frame_pixels(b"RIFFxxxxAVI ") == []
+    assert decode_avi_frame_pixels(b"garbage") is None
+    # truncating inside the movi list loses frames, never raises
+    got = decode_avi_frame_pixels(full[: len(full) // 2])
+    assert got is None or isinstance(got, list)
