@@ -272,6 +272,11 @@ HEADLINE = [
 COMMON_100 = tuple(HEADLINE[:100])
 # recomputed from the r4 BENCH_local.json over the same 100 names
 COMMON_100_R4_WARM_TOTAL = 61.777
+# r5-tree isolated-mode baseline, measured in round 6 (git worktree at
+# e658acd + this harness, A/B/A interleaved with two r6 runs: r6 81.97
+# / r5 75.01 / r6 71.25 — r5 inside the r6 spread ⇒ no regression;
+# spread is the documented same-plan environment noise)
+COMMON_100_R5_ISOLATED_WARM = 75.009
 
 
 def run_common_isolated() -> None:
@@ -424,6 +429,7 @@ def main() -> None:
         # 100 plans without the other ~140 queries' cache cohabitation
         "common_cold_total_isolated": isolated.get("common_cold_total_isolated"),
         "common_warm_total_isolated": isolated.get("common_warm_total_isolated"),
+        "common_warm_total_isolated_r5": COMMON_100_R5_ISOLATED_WARM,
         "queries_warm_isolated": isolated.get("queries_warm_isolated"),
         "note": "cold then warm pass; full precision in BENCH_local.json",
         # measured on this box (round 5): IDENTICAL plans re-run in the
