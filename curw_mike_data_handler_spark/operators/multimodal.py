@@ -255,17 +255,24 @@ def _jpeg_category(v: int) -> tuple[int, int]:
     return t, (v if v > 0 else v + (1 << t) - 1)
 
 
-def _jpeg_entropy_encode(blocks_per_mcu: list[list[list[int]]]) -> bytes:
-    """Encode MCUs of zigzag-ordered 64-coefficient blocks (one inner
-    list per frame component, in scan order) with the compact tables.
-    Quantization is the caller's business (tables are all 1s here)."""
+def _jpeg_entropy_encode(
+    blocks_per_mcu: list[list[list[int]]],
+    comp_of: list[int] | None = None,
+) -> bytes:
+    """Encode MCUs of zigzag-ordered 64-coefficient blocks (inner list
+    = blocks in scan order within the MCU) with the compact tables.
+    ``comp_of[i]`` maps block position i to its frame component for DC
+    prediction (defaults to identity — one block per component, i.e.
+    4:4:4; a 4:2:0 MCU would pass [0,0,0,0,1,2]).  Quantization is the
+    caller's business (tables are all 1s here)."""
     dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     w = _JpegBitWriter()
-    n_comp = len(blocks_per_mcu[0])
-    pred = [0] * n_comp
+    comp_of = comp_of or list(range(len(blocks_per_mcu[0])))
+    pred = [0] * (max(comp_of) + 1)
     for mcu in blocks_per_mcu:
-        for c, block in enumerate(mcu):
+        for pos, block in enumerate(mcu):
+            c = comp_of[pos]
             diff = block[0] - pred[c]
             pred[c] = block[0]
             t, bits = _jpeg_category(diff)

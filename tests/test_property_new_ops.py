@@ -1115,3 +1115,53 @@ def test_mjpeg_avi_demux_robustness():
     # truncating inside the movi list loses frames, never raises
     got = decode_avi_frame_pixels(full[: len(full) // 2])
     assert got is None or isinstance(got, list)
+
+
+def test_jpeg_decoder_handles_420_subsampling():
+    """A handcrafted 4:2:0 stream (luma 2×2 sampling, chroma 1×1):
+    the decoder must run the replication-upsample branch and recover
+    the expected full-resolution component sums.  The stream is built
+    from raw parts (the public builders are 4:4:4-only), exercising
+    DC prediction across the 4 luma blocks of each MCU via comp_of."""
+    import struct
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _jpeg_entropy_encode,
+        decode_jpeg_pixels,
+    )
+
+    w, h = 16, 16  # one 4:2:0 MCU
+    # luma blocks constant 100,110,120,130 (TL,TR,BL,BR); chroma 60, 200
+    def dcblock(v):
+        b = [0] * 64
+        b[0] = 8 * (v - 128)
+        return b
+
+    mcu = [dcblock(100), dcblock(110), dcblock(120), dcblock(130),
+           dcblock(60), dcblock(200)]
+    scan = _jpeg_entropy_encode([mcu], comp_of=[0, 0, 0, 0, 1, 2])
+
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    dqt = b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([1] * 64)
+    sof0 = (b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+            + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dht = (b"\xff\xc4" + struct.pack(">HB", 19 + len(_JPEG_DC_VALS), 0x00)
+           + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+           + b"\xff\xc4" + struct.pack(">HB", 19 + len(_JPEG_AC_VALS), 0x10)
+           + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = (b"\xff\xda" + struct.pack(">HB", 12, 3)
+           + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0]))
+    payload = b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+
+    st = decode_jpeg_pixels(payload)
+    assert st is not None
+    assert st["width"] == w and st["height"] == h
+    # luma: 4 blocks × 64 px; chroma planes upsample 2× to 16×16 each
+    want = 64 * (100 + 110 + 120 + 130) + 256 * 60 + 256 * 200
+    assert st["pixel_sum"] == want, (st["pixel_sum"], want)
+    assert st["pixel_max"] == 200
