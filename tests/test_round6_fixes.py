@@ -157,3 +157,31 @@ def test_token_bucket_output_schema_follows_key_col(spark):
     rows = {r["device"]: r for r in out.collect()}
     assert rows["dev-a"].n_admitted == 1 and rows["dev-a"].n_throttled == 1
     assert rows["dev-b"].n_admitted == 1
+
+
+def test_batch_read_contradictory_station_filters_returns_zero_rows(spark, tmp_path):
+    """The intersect fix end-to-end: a self-contradictory conjunction
+    prunes to an EMPTY partition set and yields zero rows (last-wins
+    used to leak the other conjunct's rows)."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.sources.mike_datasource import register
+
+    d = tmp_path / "run"
+    d.mkdir()
+    _write_wide(str(d / "r.csv"), 2)
+    register(spark)
+    df = (
+        spark.read.format("mike_results").option("path", str(d)).load()
+        .filter((F.col("station") == "hanwella") & (F.col("station") == "glencourse"))
+    )
+    assert df.count() == 0
+    # and the sane narrowing conjunction keeps exactly the intersection
+    df2 = (
+        spark.read.format("mike_results").option("path", str(d)).load()
+        .filter(
+            F.col("station").isin("hanwella", "glencourse")
+            & (F.col("station") == "hanwella")
+        )
+    )
+    assert {r.station for r in df2.collect()} == {"hanwella"}
