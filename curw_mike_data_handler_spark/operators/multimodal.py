@@ -40,6 +40,7 @@ Decode comes in two layers:
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -535,6 +536,8 @@ def decode_jpeg_pixels(b: bytes) -> dict | None:
         u = np.arange(8)
         M = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
         M[0, :] /= np.sqrt(2.0)
+        zz_to_raster = np.array(_JPEG_ZIGZAG)
+        dq_arr = {tq: np.array(t, dtype=np.float64) for tq, t in qt.items()}
         planes = [
             np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.int32)
             for c in comps
@@ -577,9 +580,8 @@ def decode_jpeg_pixels(b: bytes) -> dict | None:
                                     return None
                                 zz[k] = _jpeg_extend(reader.bits(t), t)
                                 k += 1
-                            F8 = np.zeros(64, dtype=np.float64)
-                            for zi, coef in enumerate(zz):
-                                F8[_JPEG_ZIGZAG[zi]] = coef * dq[zi]
+                            F8 = np.empty(64, dtype=np.float64)
+                            F8[zz_to_raster] = np.asarray(zz, dtype=np.float64) * dq_arr[tq]
                             f = M.T @ F8.reshape(8, 8) @ M
                             px = np.clip(np.round(f) + 128, 0, 255).astype(np.int32)
                             y0 = (my * cv + byy) * 8
@@ -1013,9 +1015,16 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
 def _make_mjpeg_frame(width: int, height: int, fno: int) -> bytes:
     """One MJPEG frame: a complete baseline JPEG whose block-constant
     raster is the image formula shifted by 2·(fno mod 12) — per-frame
-    variation the oracle can recompute, still ≤ 236 < 256."""
+    variation the oracle can recompute, still ≤ 236 < 256.  The frame
+    bytes depend only on (width, height, fno mod 12), so the cached
+    builder collapses the corpus' ~10k frame encodes to ≤ ~1.2k
+    distinct bit-level encodes per worker."""
+    return _make_mjpeg_frame_cached(width, height, 2 * (fno % 12))
+
+
+@_functools.lru_cache(maxsize=4096)
+def _make_mjpeg_frame_cached(width: int, height: int, off: int) -> bytes:
     nbx, nby = width // 8, height // 8
-    off = 2 * (fno % 12)
     mcus = []
     for by in range(nby):
         for bx in range(nbx):

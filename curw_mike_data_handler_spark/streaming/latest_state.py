@@ -90,3 +90,47 @@ def latest_version_stream(events: DataFrame, *, key_col: str = "key") -> DataFra
         outputMode="Update",
         timeMode="None",
     )
+
+
+def latest_version_stream_apws(
+    events: DataFrame, *, key_col: str = "key"
+) -> DataFrame:
+    """The same keyed argmax-by-version change-log on the
+    ``applyInPandasWithState`` runtime — identical semantics to
+    ``latest_version_stream`` (one row per key per batch, only when
+    the maximum version advances; idempotent under at-least-once
+    replay), on the state API whose Python worker has no protobuf
+    dependency, so it EXECUTES in protobuf-less environments where the
+    TWS runtime is gated behind ``HAS_TWS``.  State is the same one
+    (version, value) tuple per key."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        best_v, best_x = None, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            i = pdf["version"].idxmax()
+            v, x = int(pdf["version"][i]), float(pdf["value"][i])
+            if best_v is None or v > best_v:
+                best_v, best_x = v, x
+        if best_v is None:
+            return
+        if state.exists:
+            (cur_v, _cur_x) = state.get
+            if best_v <= cur_v:
+                return
+        state.update((best_v, best_x))
+        yield pd.DataFrame(
+            {"key": [key[0]], "version": [best_v], "value": [best_x]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -587,3 +587,51 @@ def test_streaming_token_bucket_matches_batch_across_restarts(spark, tmp_path):
             want.n_throttled,
             want.final_level_cents,
         ), uid
+
+
+def test_apws_latest_version_store_advances_and_survives_restart(spark, tmp_path):
+    """The applyInPandasWithState latest-version twin (the runtime
+    that EXECUTES without protobuf): per key a row is emitted only
+    when the max version advances — newer versions shadow older ones
+    across micro-batches, stale/duplicate replays emit nothing, and
+    state survives a checkpointed restart (the TWS variant's skipped
+    e2e, on the runnable API)."""
+    from curw_mike_data_handler_spark.streaming.file_watch import (
+        run_available_now,
+    )
+    from curw_mike_data_handler_spark.streaming.latest_state import (
+        latest_version_stream_apws,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    emitted: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            emitted.append((r.key, r.version, r.value))
+
+    def run(rows, tag):
+        (inbox / f"{tag}.csv").write_text(
+            "".join(f"{k},{v},{x}\n" for k, v, x in rows)
+        )
+        stream = latest_version_stream_apws(
+            spark.readStream.schema("key string, version long, value double")
+            .csv(str(inbox))
+        )
+        run_available_now(stream, ckpt, sink, output_mode="update")
+
+    # batch 1: two keys, duplicate versions inside the batch
+    run([("a", 3, 1.5), ("a", 3, 1.5), ("b", 1, 9.0)], "t0")
+    assert sorted(emitted) == [("a", 3, 1.5), ("b", 1, 9.0)]
+
+    # batch 2 (fresh query, same checkpoint): stale + advance + new key
+    emitted.clear()
+    run([("a", 2, 7.7), ("b", 5, 4.0), ("c", 1, 0.5)], "t1")
+    assert sorted(emitted) == [("b", 5, 4.0), ("c", 1, 0.5)]
+
+    # batch 3: pure replay of stale versions → silence
+    emitted.clear()
+    run([("a", 3, 1.5), ("b", 5, 4.0)], "t2")
+    assert emitted == []
