@@ -315,7 +315,9 @@ def test_transform_with_state_latest_version(spark, tmp_path):
         pytest.skip(
             "transformWithStateInPandas runtime unavailable (its Python "
             "driver worker needs google.protobuf, absent in this env); "
-            "processor logic covered by test_latest_version_processor_logic"
+            "processor logic covered by test_latest_version_processor_logic "
+            "and the SAME semantics run e2e on applyInPandasWithState in "
+            "test_apws_latest_version_store_advances_and_survives_restart"
         )
 
     schema = StructType(
