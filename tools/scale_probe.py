@@ -439,6 +439,38 @@ def main() -> None:
             results,
         )
 
+    # ------------------------------------------------------------------
+    # Round-6 probe: the JPEG/MJPEG decode family is MAP-ONLY — at 10×
+    # the id count the wall must scale with rows/core and the shuffle
+    # stays ZERO (the claim the plan guard pins, here measured).
+    # ------------------------------------------------------------------
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        avi_frame_pixel_stats,
+        jpeg_pixel_stats,
+        synthesize_avi,
+        synthesize_media,
+    )
+
+    ids10 = spark.range(5_000).select(F.col("id").alias("doc_id"))
+    print("round-6 probes (decode family at 10x ids):")
+    measure(
+        spark,
+        "jpeg_pixel_decode_10x",
+        lambda: jpeg_pixel_stats(
+            synthesize_media(ids10.filter(F.col("doc_id") % 3 == 1),
+                             jpeg_pixels=True)
+        ),
+        results,
+    )
+    measure(
+        spark,
+        "mjpeg_frame_decode_10x",
+        lambda: avi_frame_pixel_stats(
+            synthesize_avi(ids10, mjpeg_pixels=True), every_n=10
+        ),
+        results,
+    )
+
     payload = {
         "sf": 1.0,
         "docs": docs_lin.count(),
