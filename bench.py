@@ -404,11 +404,17 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_ISOLATED") != "1":
         import subprocess
 
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--common-isolated"],
-            capture_output=True, text=True, timeout=1800,
-        )
-        for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--common-isolated"],
+                capture_output=True, text=True, timeout=1800,
+            )
+            out_lines = r.stdout.strip().splitlines()
+        except (subprocess.TimeoutExpired, OSError):
+            # a hung/failed isolated JVM must not destroy the main
+            # run's already-measured timings — report nulls instead
+            out_lines = []
+        for line in reversed(out_lines):
             try:
                 isolated = json.loads(line)
                 break

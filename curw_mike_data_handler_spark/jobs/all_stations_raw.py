@@ -20,6 +20,7 @@ import csv
 from datetime import datetime
 
 from curw_mike_data_handler_spark.jobs._cli import (
+    JobArgumentError,
     resolve_window,
     skip_if_exists,
     window_parser,
@@ -34,7 +35,9 @@ from curw_mike_data_handler_spark.session import get_spark
 
 def read_mike_stations(path: str):
     """Station CSV rows in FILE ORDER (stdlib reader, SURVEY S1) —
-    (rows, display-name order)."""
+    (rows, display-name order).  Duplicate display names are rejected:
+    the wide export pivots per NAME, so two stations sharing one would
+    silently merge their series into a single column."""
     with open(path, newline="", encoding="utf-8") as fh:
         rows = [
             (
@@ -46,7 +49,11 @@ def read_mike_stations(path: str):
             )
             for r in csv.DictReader(fh)
         ]
-    order = list(dict.fromkeys(name for _, _, name, _, _ in rows))
+    names = [name for _, _, name, _, _ in rows]
+    order = list(dict.fromkeys(names))
+    if len(order) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate station display names in {path}: {dupes}")
     return rows, order
 
 
@@ -65,9 +72,13 @@ def main(argv: list[str] | None = None) -> int:
     if skip_if_exists(a.output, "Mike rainfall input"):
         return 0
 
+    try:
+        st_rows, order = read_mike_stations(a.mike_stations)
+    except ValueError as exc:
+        raise JobArgumentError(str(exc)) from exc
+
     print(f"{datetime.now()} start preparing mike rainfall input")
     spark = get_spark("job-all-stations-raw")
-    st_rows, order = read_mike_stations(a.mike_stations)
     mike_stations = spark.createDataFrame(st_rows, MIKE_RAINFALL_STATIONS)
     result = prepare_all_stations_raw(
         spark,

@@ -20,6 +20,7 @@ from curw_mike_data_handler_spark.jobs._cli import (
 )
 from curw_mike_data_handler_spark.plans.rf_obs import (
     prepare_obs_rainfall_input,
+    validate_step,
     write_obs_rainfall_input,
 )
 from curw_mike_data_handler_spark.session import get_spark
@@ -39,8 +40,11 @@ def main(argv: list[str] | None = None) -> int:
     start, end = resolve_window(
         a.start_time, a.end_time, quarter_hours_only=False, hours_only=True
     )
-    if a.step <= 0 or a.step % 5 != 0:
-        raise JobArgumentError("Time step should be a multiple of 5.")  # rf_obs:254-256
+    try:
+        validate_step(a.step)  # the one home of the rf_obs:254-256 rule
+    except ValueError as exc:
+        # reference-exact CLI wording (rf_obs:256)
+        raise JobArgumentError("Time step should be a multiple of 5.") from exc
 
     if skip_if_exists(a.output, "Mike rainfall input"):
         return 0

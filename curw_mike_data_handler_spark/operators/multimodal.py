@@ -338,18 +338,9 @@ def make_jpeg(width: int, height: int, pixels: bool = False) -> bytes:
         ) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
         return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
-    nbx, nby = width // 8, height // 8
-    mcus = []
-    for by in range(nby):
-        for bx in range(nbx):
-            mcu = []
-            for c in range(3):
-                # constant block v ⇒ levelled DC = 8·(v−128), AC = 0
-                block = [0] * 64
-                block[0] = 8 * (_jpeg_block_value(bx, by, c) - 128)
-                mcu.append(block)
-            mcus.append(mcu)
-    return make_jpeg_from_coefficients(width, height, mcus)
+    # the off=0 frame of the MJPEG builder IS the still image — one
+    # MCU-construction site (and the LRU-cached encode) for both paths
+    return _make_mjpeg_frame_cached(width, height, 0)
 
 
 def make_jpeg_from_coefficients(
@@ -478,6 +469,10 @@ def decode_jpeg_pixels(b: bytes) -> dict | None:
         while i + 4 <= len(b):
             if b[i] != 0xFF:
                 return None
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+            # a marker — skip padding so m is the real marker byte
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
             m = b[i + 1]
             if m == 0xD9:
                 break
@@ -1066,9 +1061,11 @@ def make_avi(
     )
     hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
     if mjpeg:
+        # full 56-byte AVISTREAMHEADER incl. the trailing rcFrame rect
         strh = (
             b"vids" + b"MJPG" + struct.pack("<IHHI", 0, 0, 0, 0)
             + struct.pack("<IIIIIIII", 1, fps, 0, n_frames, 0, 0, 0, 0)
+            + struct.pack("<hhhh", 0, 0, width, height)
         )
         strf = struct.pack(
             "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",

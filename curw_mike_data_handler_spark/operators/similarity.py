@@ -549,6 +549,13 @@ def kmeans_assign(
     def _quant(m: float) -> float:
         import math
 
+        # beyond |m| ≈ 2^53/1e9 (~9.0e6) the product m*1e9 has ULP > 1
+        # and the snap is a silent no-op — pass such magnitudes through
+        # unchanged rather than pretend they were canonicalized (the
+        # determinism contract covers bounded feature domains —
+        # documented in SCALE.md round-6 notes)
+        if abs(m) >= 9.0e6:
+            return m
         return math.floor(m * 1e9 + 0.5) / 1e9
 
     for it in range(iterations - 1):

@@ -220,6 +220,20 @@ class MikeResultsStreamReader(DataSourceStreamReader):
         self.pattern = options.get("pattern", "*.csv")
         self.time_col = options.get("time_col", "Time Stamp")
         self.chunk = int(options.get("stations_per_partition", "8"))
+        self._high_water = ""  # monotonic guard for latestOffset
+
+    @staticmethod
+    def _name_of(offset: dict) -> str:
+        if "last" not in offset:
+            # a positional {"n": N} checkpoint from the pre-name-based
+            # reader: reinterpreting it as "nothing seen" would replay
+            # every file as duplicates — fail loudly instead.
+            raise ValueError(
+                "incompatible stream checkpoint: positional offset "
+                f"{offset!r} predates the name-based reader; start the "
+                "query with a fresh checkpoint location"
+            )
+        return offset["last"]
 
     def initialOffset(self) -> dict:
         return {"last": ""}
@@ -227,10 +241,15 @@ class MikeResultsStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         files = _list_files(self.path, self.pattern)
         names = sorted(os.path.basename(f) for f in files)
-        return {"last": names[-1] if names else ""}
+        # monotonic: a transient empty/truncated listing must not
+        # regress the high-water name (a smaller offset would make the
+        # next batch re-read — and duplicate — the whole directory)
+        if names and names[-1] > self._high_water:
+            self._high_water = names[-1]
+        return {"last": self._high_water}
 
     def partitions(self, start: dict, end: dict):
-        lo, hi = start.get("last", ""), end.get("last", "")
+        lo, hi = self._name_of(start), self._name_of(end)
         files = [
             f
             for f in _list_files(self.path, self.pattern)

@@ -185,3 +185,55 @@ def test_batch_read_contradictory_station_filters_returns_zero_rows(spark, tmp_p
         )
     )
     assert {r.station for r in df2.collect()} == {"hanwella"}
+
+
+def test_stream_reader_rejects_positional_checkpoints_and_is_monotonic(tmp_path):
+    """Review findings r6: (a) a pre-name-based {"n": N} checkpoint
+    must fail loudly, not silently replay the directory; (b) a
+    transient empty listing must not regress the high-water name."""
+    import pytest
+
+    d = tmp_path / "run"
+    d.mkdir()
+    r = MikeResultsStreamReader({"path": str(d), "pattern": "*.csv"})
+    with pytest.raises(ValueError, match="positional offset"):
+        r.partitions({"n": 3}, {"last": "x"})
+    _write_wide(str(d / "b.csv"), 1)
+    assert r.latestOffset() == {"last": "b.csv"}
+    (d / "b.csv").unlink()
+    assert r.latestOffset() == {"last": "b.csv"}  # no regression
+
+
+def test_jpeg_marker_walk_skips_fill_bytes():
+    """T.81 B.1.1.2 fill bytes (0xFF padding before a marker) must not
+    derail the segment walk."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg,
+    )
+
+    b = make_jpeg(24, 16, pixels=True)
+    i = b.index(b"\xff\xdb")
+    padded = b[:i] + b"\xff\xff" + b[i:]
+    assert decode_jpeg_pixels(padded) == decode_jpeg_pixels(b)
+
+
+def test_all_stations_raw_rejects_duplicate_display_names(tmp_path):
+    """Two stations sharing a display name would silently merge their
+    series in the per-name pivot — the CLI rejects the CSV instead."""
+    import csv as _csv
+
+    import pytest
+
+    from curw_mike_data_handler_spark.jobs.all_stations_raw import (
+        read_mike_stations,
+    )
+
+    p = tmp_path / "st.csv"
+    with open(p, "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["hash_id", "station_id", "station_name", "latitude", "longitude"])
+        w.writerow(["a" * 64, "100", "Colombo", "6.9", "79.8"])
+        w.writerow(["b" * 64, "101", "Colombo", "6.95", "79.85"])
+    with pytest.raises(ValueError, match="duplicate station display names"):
+        read_mike_stations(str(p))
