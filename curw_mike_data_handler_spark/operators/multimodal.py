@@ -31,11 +31,17 @@ Decode comes in two layers:
   IDCTs it; the block-constant raster makes the round-trip bit-exact
   (DC-only blocks), so the stats oracle is a closed form.  The
   AC/zigzag path is property-tested against an independent IDCT.
-* **Video frame pixel decode stays STUBBED** (``decode_image`` for
-  non-baseline JPEGs — progressive/arithmetic-coded streams — and
-  video codecs genuinely need native libraries, absent in this
-  container; baseline streams, including subsampled ones, decode via
-  ``decode_jpeg_pixels``).
+* **Progressive (SOF2) JPEG pixel decode is REAL, stdlib+numpy
+  only**: ``make_progressive_jpeg_from_coefficients`` writes genuine
+  T.81 Annex-G multi-scan streams (spectral selection + successive
+  approximation) and ``_decode_jpeg_progressive`` accumulates
+  coefficients across DC/AC first and refinement scans (EOB runs,
+  correction-bit sweeps) before one vectorized dequant + IDCT —
+  with Al=1 plus a full refinement pass the reconstruction is
+  bit-identical to baseline, so the same closed-form oracle applies.
+* **Only arithmetic-coded / hierarchical JPEG and non-MJPEG video
+  codecs stay STUBBED** (``decode_image``) — those genuinely need
+  native libraries, absent in this container.
 """
 
 from __future__ import annotations
@@ -88,15 +94,16 @@ MEDIA_META_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """STUB for NON-BASELINE images: progressive (SOF2) and
-    arithmetic-coded JPEGs need native codecs absent in this
-    container.  Baseline JPEG pixel decode IS implemented —
-    ``decode_jpeg_pixels`` below (Huffman + dequant + IDCT, stdlib +
-    numpy) — and PNG via ``decode_png_pixels`` (stdlib zlib)."""
+    """STUB for the image formats that genuinely need native codecs
+    absent in this container: arithmetic-coded (SOF9/SOF10) and
+    hierarchical JPEGs.  Baseline AND progressive (SOF2) Huffman JPEG
+    pixel decode ARE implemented — ``decode_jpeg_pixels`` below
+    (Huffman + dequant + IDCT, stdlib + numpy, multi-scan Annex-G for
+    SOF2) — and PNG via ``decode_png_pixels`` (stdlib zlib)."""
     raise NotImplementedError(
-        "progressive/arithmetic JPEG decode requires an imaging library "
-        "not present in this environment; baseline streams decode via "
-        "decode_jpeg_pixels"
+        "arithmetic-coded/hierarchical JPEG decode requires an imaging "
+        "library not present in this environment; baseline and "
+        "progressive Huffman streams decode via decode_jpeg_pixels"
     )
 
 
@@ -504,9 +511,11 @@ def decode_jpeg_pixels(b: bytes) -> dict | None:
                 for k in range(nc):
                     cid, hv, tq = data[6 + 3 * k : 9 + 3 * k]
                     comps.append((cid, hv >> 4, hv & 15, tq))
-            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif m == 0xC2:  # progressive frame: multi-scan decoder
+                return _decode_jpeg_progressive(b)
+            elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline frame
+                return None  # extended/arithmetic/hierarchical frame
             elif m == 0xDD:  # DRI
                 (restart,) = struct.unpack(">H", data[:2])
             elif m == 0xDA:  # SOS
@@ -620,6 +629,510 @@ def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(_stats, schema=PIXEL_STATS_SCHEMA)
+
+
+# -- progressive (SOF2) JPEG: REAL multi-scan Huffman codec ---------
+#
+# T.81 Annex G spectral-selection + successive-approximation coding,
+# the successive-approximation algorithms matching the public libjpeg
+# reference flow (jc/jdphuff.c): DC scans code diffs of dc >> Al then
+# one raw refinement bit per block; AC-first scans code band
+# coefficients at precision Al with EOBn run codes; AC-refinement
+# scans emit newly-nonzero (r<<4|1) codes plus buffered correction
+# bits for history-nonzero coefficients.  With Al=1 and one full
+# refinement pass the reconstruction is BIT-IDENTICAL to baseline
+# decode of the same quantized coefficients (arithmetic-shift
+# first pass + OR'd low bit is exact in two's complement), so the
+# block-constant closed-form oracle carries over unchanged.
+
+_PROG_AC_VALS = (
+    [r << 4 for r in range(15)]          # EOB0..EOB14 run-length codes
+    + [0xF0]                             # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+
+
+def _flat_huff(vals: list[int]) -> tuple[list[int], list[int]]:
+    """Canonical DHT spec giving every symbol the same code length L
+    with 2**L > len(vals) — valid prefix code with the all-ones code
+    unused, as T.81 requires."""
+    length = max(2, (len(vals) + 1).bit_length())
+    bits = [0] * 16
+    bits[length - 1] = len(vals)
+    return bits, list(vals)
+
+
+_PROG_AC_BITS, _ = _flat_huff(_PROG_AC_VALS)
+
+
+def _emit_eobrun(w: "_JpegBitWriter", ac: dict, eobrun: int,
+                 be_bits: list[int]) -> None:
+    """Flush a pending EOB run: EOBn symbol, its low-order length
+    bits, then the correction bits buffered across the run's blocks."""
+    if eobrun:
+        nb = eobrun.bit_length() - 1
+        code, ln = ac[nb << 4]
+        w.put(code, ln)
+        if nb:
+            w.put(eobrun & ((1 << nb) - 1), nb)
+        for bit in be_bits:
+            w.put(bit, 1)
+        be_bits.clear()
+
+
+def _enc_ac_first(w: "_JpegBitWriter", ac: dict,
+                  blocks: list[list[int]], ss: int, se: int, al: int) -> None:
+    eobrun = 0
+    none: list[int] = []
+    for block in blocks:
+        last = -1
+        for k in range(se, ss - 1, -1):
+            if abs(block[k]) >> al:
+                last = k
+                break
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(w, ac, eobrun, none)
+                eobrun = 0
+            continue
+        _emit_eobrun(w, ac, eobrun, none)
+        eobrun = 0
+        r = 0
+        for k in range(ss, last + 1):
+            mag = abs(block[k]) >> al
+            if mag == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = ac[0xF0]
+                w.put(code, ln)
+                r -= 16
+            nb = mag.bit_length()
+            code, ln = ac[(r << 4) | nb]
+            w.put(code, ln)
+            w.put(mag if block[k] > 0 else (1 << nb) - 1 - mag, nb)
+            r = 0
+        if last < se:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(w, ac, eobrun, none)
+                eobrun = 0
+    _emit_eobrun(w, ac, eobrun, none)
+
+
+def _enc_ac_refine(w: "_JpegBitWriter", ac: dict,
+                   blocks: list[list[int]], ss: int, se: int, al: int) -> None:
+    eobrun = 0
+    be_bits: list[int] = []
+    for block in blocks:
+        absv = [abs(block[k]) >> al for k in range(ss, se + 1)]
+        eob = -1
+        for idx, a in enumerate(absv):
+            if a == 1:
+                eob = idx
+        r = 0
+        br: list[int] = []
+        for idx, temp in enumerate(absv):
+            if temp == 0:
+                r += 1
+                continue
+            while r > 15 and idx <= eob:
+                _emit_eobrun(w, ac, eobrun, be_bits)
+                eobrun = 0
+                code, ln = ac[0xF0]
+                w.put(code, ln)
+                r -= 16
+                for bit in br:
+                    w.put(bit, 1)
+                br = []
+            if temp > 1:
+                br.append(temp & 1)  # history-nonzero: correction bit
+                continue
+            # newly nonzero at this precision
+            _emit_eobrun(w, ac, eobrun, be_bits)
+            eobrun = 0
+            code, ln = ac[(r << 4) | 1]
+            w.put(code, ln)
+            w.put(1 if block[ss + idx] > 0 else 0, 1)
+            for bit in br:
+                w.put(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be_bits.extend(br)
+            if eobrun == 0x7FFF:
+                _emit_eobrun(w, ac, eobrun, be_bits)
+                eobrun = 0
+    _emit_eobrun(w, ac, eobrun, be_bits)
+
+
+def make_progressive_jpeg_from_coefficients(
+    width: int,
+    height: int,
+    mcus: list[list[list[int]]],
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    al: int = 1,
+) -> bytes:
+    """Complete progressive (SOF2) 4:4:4 JFIF stream from quantized
+    zigzag coefficient blocks — same input contract as
+    ``make_jpeg_from_coefficients``.  Scan script: interleaved DC
+    first (point transform ``al``), per-band per-component AC first,
+    then successive DC/AC refinement passes down to full precision,
+    so every Annex-G decode path (EOB runs, ZRL, newly-nonzero codes,
+    buffered correction bits, band partitioning) is exercised.
+    Coefficient magnitudes must stay < 2**10 after shifting."""
+    import struct
+
+    if width % 8 or height % 8 or width == 0 or height == 0:
+        raise ValueError("pixel JPEGs are built at multiple-of-8 dimensions")
+    lo, hi = zip(*bands)
+    if min(lo) < 1 or max(hi) > 63 or sorted(lo) != list(lo):
+        raise ValueError("bands must partition 1..63 in order")
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00) + bytes([1] * 64)
+    sof2 = b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * 3, 8, height, width, 3
+    ) + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    dht = (
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_DC_VALS), 0x00)
+        + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_PROG_AC_VALS), 0x10)
+        + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
+    )
+    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_canonical(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, a_l: int) -> bytes:
+        return (
+            b"\xff\xda"
+            + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+            + b"".join(bytes([cid, 0x00]) for cid in comp_ids)
+            + bytes([ss, se, (ah << 4) | a_l])
+        )
+
+    out = bytearray(b"\xff\xd8" + app0 + dqt + sof2 + dht)
+
+    # scan 1: DC first, interleaved, point transform al
+    out += sos([1, 2, 3], 0, 0, 0, al)
+    w = _JpegBitWriter()
+    pred = [0, 0, 0]
+    for mcu in mcus:
+        for c, block in enumerate(mcu):
+            v = block[0] >> al  # arithmetic shift per G.1.2.1
+            diff = v - pred[c]
+            pred[c] = v
+            t, bits = _jpeg_category(diff)
+            code, ln = dc_codes[t]
+            w.put(code, ln)
+            if t:
+                w.put(bits, t)
+    w.flush()
+    out += w.buf
+
+    # AC first scans: one per (band, component), non-interleaved
+    for ss, se in bands:
+        for c in range(3):
+            out += sos([c + 1], ss, se, 0, al)
+            w = _JpegBitWriter()
+            _enc_ac_first(w, ac_codes, [m[c] for m in mcus], ss, se, al)
+            w.flush()
+            out += w.buf
+
+    # refinement passes down to full precision
+    for a in range(al, 0, -1):
+        out += sos([1, 2, 3], 0, 0, a, a - 1)
+        w = _JpegBitWriter()
+        for mcu in mcus:
+            for block in mcu:
+                w.put((block[0] >> (a - 1)) & 1, 1)
+        w.flush()
+        out += w.buf
+        for ss, se in bands:
+            for c in range(3):
+                out += sos([c + 1], ss, se, a, a - 1)
+                w = _JpegBitWriter()
+                _enc_ac_refine(w, ac_codes, [m[c] for m in mcus], ss, se, a - 1)
+                w.flush()
+                out += w.buf
+
+    return bytes(out + b"\xff\xd9")
+
+
+@_functools.lru_cache(maxsize=4096)
+def make_progressive_jpeg(width: int, height: int) -> bytes:
+    """Progressive twin of ``make_jpeg(pixels=True)``: the same
+    closed-form block-constant raster ``_jpeg_block_value`` carried by
+    a multi-scan SOF2 stream, so the baseline oracle's closed form is
+    reused verbatim by the progressive decode query."""
+    nbx, nby = width // 8, height // 8
+    mcus = []
+    for by in range(nby):
+        for bx in range(nbx):
+            mcu = []
+            for c in range(3):
+                block = [0] * 64
+                block[0] = 8 * (_jpeg_block_value(bx, by, c) - 128)
+                mcu.append(block)
+            mcus.append(mcu)
+    return make_progressive_jpeg_from_coefficients(width, height, mcus)
+
+
+def _decode_jpeg_progressive(b: bytes) -> dict | None:
+    """REAL progressive (SOF2) JPEG pixel decode, stdlib+numpy only:
+    marker walk with per-scan DHT/DQT state → coefficient accumulation
+    across DC/AC first and refinement scans (EOB-run bookkeeping,
+    correction-bit sweeps, restart handling) → one vectorized
+    dequant + IDCT + stats pass at EOI.  Same return contract as the
+    baseline path of ``decode_jpeg_pixels`` (None on any malformed
+    stream, never raises)."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if b[:2] != b"\xff\xd8":
+            return None
+        i = 2
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        comps: list[tuple[int, int, int, int]] = []
+        w = h = None
+        restart = 0
+        coefs: list | None = None
+        mcux = mcuy = hmax = vmax = 0
+        saw_scan = False
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            m = b[i + 1]
+            if m == 0xD9:
+                break
+            (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+            data = b[i + 4 : i + 2 + seglen]
+            if m == 0xDB:
+                j = 0
+                while j < len(data):
+                    pq, tq = data[j] >> 4, data[j] & 15
+                    if pq:
+                        return None
+                    qt[tq] = list(data[j + 1 : j + 65])
+                    j += 65
+            elif m == 0xC4:
+                j = 0
+                while j < len(data):
+                    tc, th = data[j] >> 4, data[j] & 15
+                    bits = list(data[j + 1 : j + 17])
+                    nv = sum(bits)
+                    vals = list(data[j + 17 : j + 17 + nv])
+                    codes = _huff_canonical(bits, vals)
+                    huff[(tc, th)] = {(c, ln): s for s, (c, ln) in codes.items()}
+                    j += 17 + nv
+            elif m == 0xC2:
+                if data[0] != 8 or comps:
+                    return None
+                h, w = struct.unpack(">HH", data[1:5])
+                for k in range(data[5]):
+                    cid, hv, tq = data[6 + 3 * k : 9 + 3 * k]
+                    comps.append((cid, hv >> 4, hv & 15, tq))
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coefs = [
+                    np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int32)
+                    for c in comps
+                ]
+            elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # mixed / non-progressive frame
+            elif m == 0xDD:
+                (restart,) = struct.unpack(">H", data[:2])
+            elif m == 0xDA:
+                if coefs is None:
+                    return None
+                ns = data[0]
+                scan_comps = []
+                for k in range(ns):
+                    cid, tda = data[1 + 2 * k : 3 + 2 * k]
+                    idx = next(ci for ci, c in enumerate(comps) if c[0] == cid)
+                    scan_comps.append((idx, tda >> 4, tda & 15))
+                ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+                ah, a_l = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 15
+                i = _prog_decode_scan(
+                    b, i + 2 + seglen, coefs, comps, huff, scan_comps,
+                    ss, se, ah, a_l, mcux, mcuy, hmax, vmax, w, h, restart,
+                )
+                saw_scan = True
+                continue
+            i += 2 + seglen
+        if coefs is None or not saw_scan:
+            return None
+
+        # one vectorized dequant + IDCT + stats pass over every block
+        u = np.arange(8)
+        M = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+        M[0, :] /= np.sqrt(2.0)
+        zz = np.array(_JPEG_ZIGZAG)
+        total = 0
+        pmax = 0
+        for ci, (_, ch, cv, tq) in enumerate(comps):
+            dq = np.array(qt[tq], dtype=np.float64)
+            by, bx = coefs[ci].shape[:2]
+            nat = np.empty((by, bx, 64), dtype=np.float64)
+            nat[..., zz] = coefs[ci].astype(np.float64) * dq
+            f = np.einsum("ab,ijbc,cd->ijad", M.T, nat.reshape(by, bx, 8, 8), M)
+            px = np.clip(np.round(f) + 128, 0, 255).astype(np.int64)
+            plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+            if ch < hmax or cv < vmax:
+                plane = np.repeat(
+                    np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+                )
+            crop = plane[:h, :w]
+            total += int(crop.sum())
+            pmax = max(pmax, int(crop.max()))
+        return {
+            "width": int(w),
+            "height": int(h),
+            "n_px": int(w) * int(h),
+            "pixel_sum": total,
+            "pixel_max": pmax,
+        }
+    except Exception:
+        return None
+
+
+def _prog_decode_scan(
+    b, pos, coefs, comps, huff, scan_comps, ss, se, ah, a_l,
+    mcux, mcuy, hmax, vmax, w, h, restart,
+):
+    """Decode one progressive scan's entropy data in place; returns the
+    byte position of the next marker.  Raises on malformed data (the
+    caller's except turns that into None)."""
+    reader = _JpegBitReader(b, pos)
+    ns = len(scan_comps)
+    if ss == 0 and se != 0:
+        raise ValueError("DC scan with Se != 0")
+    if ss > 0 and ns != 1:
+        raise ValueError("interleaved AC scan")
+
+    # unit list: per restart-countable step, the blocks it covers
+    if ns > 1:  # interleaved DC scan: unit = MCU
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = []
+                for ci, dc_id, ac_id in scan_comps:
+                    _, ch, cv, _ = comps[ci]
+                    for byy in range(cv):
+                        for bxx in range(ch):
+                            blocks.append(
+                                (ci, my * cv + byy, mx * ch + bxx, dc_id, ac_id)
+                            )
+                units.append(blocks)
+    else:  # non-interleaved: unit = one block over the comp's own grid
+        ci, dc_id, ac_id = scan_comps[0]
+        _, ch, cv, _ = comps[ci]
+        cw = -(-(w * ch) // hmax)  # component sample dims (T.81 A.1.1)
+        chh = -(-(h * cv) // vmax)
+        bxc = -(-cw // 8)
+        byc = -(-chh // 8)
+        units = [
+            [(ci, by, bx, dc_id, ac_id)]
+            for by in range(byc)
+            for bx in range(bxc)
+        ]
+
+    pred = [0] * len(comps)
+    eobrun = 0
+    for uno, blocks in enumerate(units):
+        if restart and uno and uno % restart == 0:
+            reader.align()
+            mk = reader.at_marker()
+            if mk is not None and 0xD0 <= mk <= 0xD7:
+                reader.i += 2
+                pred = [0] * len(comps)
+                eobrun = 0
+        for ci, row, col, dc_id, ac_id in blocks:
+            bl = coefs[ci][row, col]
+            if ss == 0:
+                if ah == 0:  # DC first
+                    tab = huff[(0, dc_id)]
+                    t = _huff_decode(reader, tab)
+                    pred[ci] += _jpeg_extend(reader.bits(t), t)
+                    bl[0] = pred[ci] << a_l
+                else:  # DC refinement: one raw bit
+                    if reader.bit():
+                        bl[0] |= 1 << a_l
+                continue
+            tab = huff[(1, ac_id)]
+            if ah == 0:  # AC first (G.1.2.2 / jdphuff decode_mcu_AC_first)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(reader, tab)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += 16
+                    else:
+                        k += r
+                        if k > se:
+                            raise ValueError("AC coefficient past band end")
+                        bl[k] = _jpeg_extend(reader.bits(s), s) << a_l
+                        k += 1
+            else:  # AC refinement (jdphuff decode_mcu_AC_refine)
+                p1, m1 = 1 << a_l, -1 << a_l
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_decode(reader, tab)
+                        r, s = rs >> 4, rs & 15
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                        else:
+                            newval = p1 if reader.bit() else m1
+                        while k <= se:
+                            if bl[k] != 0:
+                                if reader.bit() and not (bl[k] & p1):
+                                    bl[k] += p1 if bl[k] >= 0 else m1
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if s:
+                            if k > se:
+                                raise ValueError("refinement past band end")
+                            bl[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if bl[k] != 0:
+                            if reader.bit() and not (bl[k] & p1):
+                                bl[k] += p1 if bl[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+    reader.align()
+    return reader.i
 
 
 def _wav_sample_value(i, ch):
@@ -930,7 +1443,8 @@ def _synth_params(mid: int) -> tuple[str, dict]:
 def synthesize_media(ids: DataFrame, id_col: str = "doc_id",
                      parallelism: int | None = None,
                      png_pixels: bool = False,
-                     jpeg_pixels: bool = False) -> DataFrame:
+                     jpeg_pixels: bool = False,
+                     jpeg_progressive: bool = False) -> DataFrame:
     """id column → (media_id, media_type, payload) with REAL binary
     payloads (spec-conformant PNG/JPEG/WAV built per row).  Stands in
     for the object-store fetch stage of a production pipeline; being
@@ -941,7 +1455,9 @@ def synthesize_media(ids: DataFrame, id_col: str = "doc_id",
     override the 16-bit header variant), for the pixel-decode path.
     ``jpeg_pixels=True`` gives every JPEG a complete baseline
     entropy-coded scan (block-constant closed-form raster at
-    multiple-of-8 dimensions) for the JPEG pixel-decode path."""
+    multiple-of-8 dimensions) for the JPEG pixel-decode path;
+    ``jpeg_progressive=True`` additionally swaps those for multi-scan
+    SOF2 streams of the SAME raster (same closed-form oracle)."""
     sc = ids.sparkSession.sparkContext
     n = parallelism or min(sc.defaultParallelism, 16)
     src = ids.select(F.col(id_col).cast("long").alias("media_id"))
@@ -964,6 +1480,12 @@ def synthesize_media(ids: DataFrame, id_col: str = "doc_id",
                         "height": 8 * (2 + int(mid) % 16),
                         "pixels": True,
                     }
+                    if jpeg_progressive:
+                        kinds.append(mime[kind])
+                        payloads.append(
+                            make_progressive_jpeg(params["width"], params["height"])
+                        )
+                        continue
                 kinds.append(mime[kind])
                 payloads.append(builders[kind](**params))
             yield pd.DataFrame(

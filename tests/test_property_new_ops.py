@@ -1070,7 +1070,9 @@ def test_jpeg_decoder_robustness():
     assert decode_jpeg_pixels(full[:-20]) is None or isinstance(
         decode_jpeg_pixels(full[:-20]), dict
     )  # truncated scan: graceful either way, never raises
-    assert decode_jpeg_pixels(b"\xff\xd8\xff\xc2" + full[4:]) is None  # progressive
+    # a spliced SOF2 marker over non-frame bytes routes to the
+    # progressive decoder, which must reject the garbage frame header
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xc2" + full[4:]) is None
     assert decode_jpeg_pixels(b"not a jpeg") is None
 
 
@@ -1165,3 +1167,116 @@ def test_jpeg_decoder_handles_420_subsampling():
     want = 64 * (100 + 110 + 120 + 130) + 256 * 60 + 256 * 200
     assert st["pixel_sum"] == want, (st["pixel_sum"], want)
     assert st["pixel_max"] == 200
+
+
+@settings(max_examples=25, deadline=None)
+@given(nbx=st.integers(1, 30), nby=st.integers(1, 17))
+def test_progressive_jpeg_block_constant_matches_baseline(nbx, nby):
+    """make_progressive_jpeg carries the SAME closed-form raster as the
+    baseline builder through a genuine multi-scan SOF2 stream (DC first
+    + banded AC first + DC/AC refinement), and the progressive decode
+    path must reproduce the baseline decode EXACTLY — successive
+    approximation with Al=1 plus one refinement pass is lossless."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg,
+        make_progressive_jpeg,
+    )
+
+    w, h = 8 * nbx, 8 * nby
+    base = decode_jpeg_pixels(make_jpeg(w, h, pixels=True))
+    prog = decode_jpeg_pixels(make_progressive_jpeg(w, h))
+    assert base is not None and prog == base
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_progressive_jpeg_matches_independent_idct(seed):
+    """Full Annex-G surface against an INDEPENDENT numpy IDCT: random
+    zigzag coefficient blocks (EOB runs across blocks, ZRL runs,
+    newly-nonzero ±1s, band-end coefficients, |coef| up to 1023) are
+    progressive-encoded under a random band split and point transform
+    (Al ∈ {1,2} ⇒ one or two refinement passes) and must decode to
+    round(IDCT(dezigzag(coeffs))) + 128 clamped, computed here from
+    the definition — not via the decoder's own code paths."""
+    import random
+
+    import numpy as np
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        decode_jpeg_pixels,
+        make_progressive_jpeg_from_coefficients,
+    )
+
+    rng = random.Random(seed)
+    mcus = []
+    for _ in range(rng.randint(1, 6)):
+        mcu = []
+        for _c in range(3):
+            block = [0] * 64
+            block[0] = rng.randint(-1000, 1000)
+            style = rng.random()
+            if style < 0.2:
+                pass  # DC-only: whole-band EOB runs
+            elif style < 0.4:
+                # ±1s only: every AC is NEWLY nonzero in the refine pass
+                for k in rng.sample(range(1, 64), rng.randint(1, 6)):
+                    block[k] = rng.choice([-1, 1])
+            elif style < 0.7:
+                for k in rng.sample(range(1, 64), rng.randint(1, 20)):
+                    block[k] = rng.randint(-1000, 1000)
+            else:
+                # long zero runs to the band end (ZRL + EOB interplay)
+                block[63] = rng.choice([-1, 1, -7, 7])
+                block[40] = rng.choice([0, 1, -1, 255, -256])
+                block[1] = rng.choice([0, -1023, 1023])
+            mcu.append(block)
+        mcus.append(mcu)
+    bands = rng.choice(
+        [((1, 63),), ((1, 5), (6, 63)), ((1, 1), (2, 9), (10, 63))]
+    )
+    al = rng.choice([1, 1, 2])
+    w, h = 8 * len(mcus), 8
+    payload = make_progressive_jpeg_from_coefficients(
+        w, h, mcus, bands=bands, al=al
+    )
+    got = decode_jpeg_pixels(payload)
+    assert got is not None
+
+    u = np.arange(8)
+    M = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+    M[0, :] /= np.sqrt(2.0)
+    zz = np.array(_JPEG_ZIGZAG)
+    total, pmax = 0, 0
+    for mcu in mcus:
+        for block in mcu:
+            F8 = np.empty(64)
+            F8[zz] = np.asarray(block, dtype=float)
+            f = M.T @ F8.reshape(8, 8) @ M
+            px = np.clip(np.round(f) + 128, 0, 255)
+            total += int(px.sum())
+            pmax = max(pmax, int(px.max()))
+    assert got == {
+        "width": w, "height": h, "n_px": w * h,
+        "pixel_sum": total, "pixel_max": pmax,
+    }, (seed, bands, al)
+
+
+def test_progressive_jpeg_decoder_robustness():
+    """Truncated/garbled progressive streams map to None, never an
+    exception; the header scanner still reads SOF2 dimensions."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_progressive_jpeg,
+        parse_media_header,
+    )
+
+    full = make_progressive_jpeg(16, 16)
+    assert decode_jpeg_pixels(full) is not None
+    assert decode_jpeg_pixels(full[:40]) is None          # truncated tables
+    assert decode_jpeg_pixels(full[: len(full) // 2]) is None  # mid-scan cut
+    assert decode_jpeg_pixels(full[:2] + b"\x00" + full[3:]) is None
+    meta = parse_media_header(full)
+    assert meta["media_type"] == "image/jpeg"
+    assert (meta["width"], meta["height"]) == (16, 16)
