@@ -308,6 +308,8 @@ def test_media_sample_decode_is_map_only_no_shuffle(spark):
         "multimodal_pixel_stats",
         "multimodal_audio_stats",
         "multimodal_jpeg_pixel_stats",
+        "multimodal_jpeg_progressive_pixels",
+        "multimodal_video_frame_pixels",
     ):
         plan = _plan(spark, name)
         assert "Exchange hashpartitioning" not in plan, (

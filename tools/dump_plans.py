@@ -71,6 +71,7 @@ SHOWCASE = [
     ("multimodal_pixel_stats", "REAL zlib inflate + inverse PNG filters: two Arrow map stages, zero exchanges"),
     ("multimodal_jpeg_pixel_stats", "REAL baseline JPEG Huffman+IDCT decode: fused Arrow map stages, zero exchanges"),
     ("multimodal_video_frame_pixels", "MJPEG demux + per-frame JPEG decode: map-only, rows bounded by frames/every_n"),
+    ("multimodal_jpeg_progressive_pixels", "multi-scan SOF2 coefficient accumulation + one IDCT pass: map-only, zero exchanges"),
     ("w8_ntile_deciles", "oracle gate pins exact ntile; equidepth_bins DEFAULT is edges-broadcast map-only binning"),
     ("a14_winsorized_mean", "1-row quantile thresholds broadcast into one grouped agg (approx sketch at scale)"),
     ("graph_triangles", "node-ordered two-join enumeration; corners via ONE explode, no union re-execution"),

@@ -470,6 +470,15 @@ def main() -> None:
         ),
         results,
     )
+    measure(
+        spark,
+        "prog_jpeg_pixel_decode_10x",
+        lambda: jpeg_pixel_stats(
+            synthesize_media(ids10.filter(F.col("doc_id") % 6 == 4),
+                             jpeg_pixels=True, jpeg_progressive=True)
+        ),
+        results,
+    )
 
     payload = {
         "sf": 1.0,
