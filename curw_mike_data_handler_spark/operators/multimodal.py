@@ -266,13 +266,26 @@ def _jpeg_category(v: int) -> tuple[int, int]:
 def _jpeg_entropy_encode(
     blocks_per_mcu: list[list[list[int]]],
     comp_of: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode MCUs of zigzag-ordered 64-coefficient blocks (inner list
     = blocks in scan order within the MCU) with the compact tables.
     ``comp_of[i]`` maps block position i to its frame component for DC
     prediction (defaults to identity — one block per component, i.e.
     4:4:4; a 4:2:0 MCU would pass [0,0,0,0,1,2]).  Quantization is the
-    caller's business (tables are all 1s here)."""
+    caller's business (tables are all 1s here).  ``restart_interval``
+    > 0 segments the scan per T.81 E.1.4: byte-align (1-padded), emit
+    RSTn cycling mod 8, and reset every DC prediction after each
+    interval of MCUs."""
+    if restart_interval:
+        out = bytearray()
+        for n, gi in enumerate(range(0, len(blocks_per_mcu), restart_interval)):
+            if gi:
+                out += bytes([0xFF, 0xD0 + ((n - 1) % 8)])
+            out += _jpeg_entropy_encode(
+                blocks_per_mcu[gi : gi + restart_interval], comp_of
+            )
+        return bytes(out)
     dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     w = _JpegBitWriter()
@@ -351,14 +364,18 @@ def make_jpeg(width: int, height: int, pixels: bool = False) -> bytes:
 
 
 def make_jpeg_from_coefficients(
-    width: int, height: int, mcus: list[list[list[int]]]
+    width: int, height: int, mcus: list[list[list[int]]],
+    restart_interval: int = 0,
 ) -> bytes:
     """Complete baseline 4:4:4 JFIF stream from quantized zigzag
     coefficient blocks (one 64-list per component per MCU, row-major
     MCUs) — all-1s quant table, the compact canonical Huffman tables.
     Coefficient magnitudes must fit the tables (DC diff < 2^11, AC
-    run/size within _JPEG_AC_VALS).  Exists so tests can drive the
-    decoder's AC/zigzag/IDCT path against an independent reference."""
+    run/size within _JPEG_AC_VALS).  ``restart_interval`` > 0 emits a
+    DRI segment and segments the scan with RSTn markers (predictor
+    resets per T.81 E.1.4).  Exists so tests can drive the decoder's
+    AC/zigzag/IDCT and restart paths against an independent
+    reference."""
     import struct
 
     if width % 8 or height % 8 or width == 0 or height == 0:
@@ -378,11 +395,16 @@ def make_jpeg_from_coefficients(
         + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_AC_VALS), 0x10)
         + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
     )
+    dri = (
+        b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        if restart_interval
+        else b""
+    )
     sos = b"\xff\xda" + struct.pack(">HB", 6 + 2 * 3, 3) + bytes(
         [1, 0x00, 2, 0x00, 3, 0x00]
     ) + bytes([0, 63, 0])
-    scan = _jpeg_entropy_encode(mcus)
-    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+    scan = _jpeg_entropy_encode(mcus, restart_interval=restart_interval)
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + dri + sos + scan + b"\xff\xd9"
 
 
 class _JpegBitReader:
@@ -768,12 +790,35 @@ def _enc_ac_refine(w: "_JpegBitWriter", ac: dict,
     _emit_eobrun(w, ac, eobrun, be_bits)
 
 
+def _scan_with_restarts(encode_chunk, units: list, restart_interval: int) -> bytes:
+    """Emit one scan's entropy bytes, segmented per T.81 E.1.4 when
+    ``restart_interval`` > 0: each interval of restart-countable units
+    (MCUs for interleaved scans, blocks otherwise) is encoded with
+    fresh DC predictors / EOB-run state, byte-aligned with 1-padding,
+    and joined by RSTn markers cycling mod 8."""
+    if not restart_interval:
+        w = _JpegBitWriter()
+        encode_chunk(w, units)
+        w.flush()
+        return bytes(w.buf)
+    out = bytearray()
+    for n, gi in enumerate(range(0, len(units), restart_interval)):
+        if gi:
+            out += bytes([0xFF, 0xD0 + ((n - 1) % 8)])
+        w = _JpegBitWriter()
+        encode_chunk(w, units[gi : gi + restart_interval])
+        w.flush()
+        out += w.buf
+    return bytes(out)
+
+
 def make_progressive_jpeg_from_coefficients(
     width: int,
     height: int,
     mcus: list[list[list[int]]],
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
     al: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """Complete progressive (SOF2) 4:4:4 JFIF stream from quantized
     zigzag coefficient blocks — same input contract as
@@ -782,7 +827,11 @@ def make_progressive_jpeg_from_coefficients(
     then successive DC/AC refinement passes down to full precision,
     so every Annex-G decode path (EOB runs, ZRL, newly-nonzero codes,
     buffered correction bits, band partitioning) is exercised.
-    Coefficient magnitudes must stay < 2**10 after shifting."""
+    ``restart_interval`` > 0 adds a DRI segment and segments every
+    scan with RSTn markers (DC-predictor and EOB-run resets per
+    interval — MCU units in the interleaved DC scans, block units in
+    the non-interleaved AC scans).  Coefficient magnitudes must stay
+    < 2**10 after shifting."""
     import struct
 
     if width % 8 or height % 8 or width == 0 or height == 0:
@@ -816,50 +865,63 @@ def make_progressive_jpeg_from_coefficients(
             + bytes([ss, se, (ah << 4) | a_l])
         )
 
-    out = bytearray(b"\xff\xd8" + app0 + dqt + sof2 + dht)
+    dri = (
+        b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        if restart_interval
+        else b""
+    )
+    out = bytearray(b"\xff\xd8" + app0 + dqt + sof2 + dht + dri)
+    ri = restart_interval
 
     # scan 1: DC first, interleaved, point transform al
+    def _dc_first(w: "_JpegBitWriter", chunk: list) -> None:
+        pred = [0, 0, 0]
+        for mcu in chunk:
+            for c, block in enumerate(mcu):
+                v = block[0] >> al  # arithmetic shift per G.1.2.1
+                diff = v - pred[c]
+                pred[c] = v
+                t, bits = _jpeg_category(diff)
+                code, ln = dc_codes[t]
+                w.put(code, ln)
+                if t:
+                    w.put(bits, t)
+
     out += sos([1, 2, 3], 0, 0, 0, al)
-    w = _JpegBitWriter()
-    pred = [0, 0, 0]
-    for mcu in mcus:
-        for c, block in enumerate(mcu):
-            v = block[0] >> al  # arithmetic shift per G.1.2.1
-            diff = v - pred[c]
-            pred[c] = v
-            t, bits = _jpeg_category(diff)
-            code, ln = dc_codes[t]
-            w.put(code, ln)
-            if t:
-                w.put(bits, t)
-    w.flush()
-    out += w.buf
+    out += _scan_with_restarts(_dc_first, mcus, ri)
 
     # AC first scans: one per (band, component), non-interleaved
     for ss, se in bands:
         for c in range(3):
             out += sos([c + 1], ss, se, 0, al)
-            w = _JpegBitWriter()
-            _enc_ac_first(w, ac_codes, [m[c] for m in mcus], ss, se, al)
-            w.flush()
-            out += w.buf
+            out += _scan_with_restarts(
+                lambda w, chunk, ss=ss, se=se: _enc_ac_first(
+                    w, ac_codes, chunk, ss, se, al
+                ),
+                [m[c] for m in mcus],
+                ri,
+            )
 
     # refinement passes down to full precision
     for a in range(al, 0, -1):
+
+        def _dc_refine(w: "_JpegBitWriter", chunk: list, a=a) -> None:
+            for mcu in chunk:
+                for block in mcu:
+                    w.put((block[0] >> (a - 1)) & 1, 1)
+
         out += sos([1, 2, 3], 0, 0, a, a - 1)
-        w = _JpegBitWriter()
-        for mcu in mcus:
-            for block in mcu:
-                w.put((block[0] >> (a - 1)) & 1, 1)
-        w.flush()
-        out += w.buf
+        out += _scan_with_restarts(_dc_refine, mcus, ri)
         for ss, se in bands:
             for c in range(3):
                 out += sos([c + 1], ss, se, a, a - 1)
-                w = _JpegBitWriter()
-                _enc_ac_refine(w, ac_codes, [m[c] for m in mcus], ss, se, a - 1)
-                w.flush()
-                out += w.buf
+                out += _scan_with_restarts(
+                    lambda w, chunk, ss=ss, se=se, a=a: _enc_ac_refine(
+                        w, ac_codes, chunk, ss, se, a - 1
+                    ),
+                    [m[c] for m in mcus],
+                    ri,
+                )
 
     return bytes(out + b"\xff\xd9")
 
@@ -988,7 +1050,12 @@ def _decode_jpeg_progressive(b: bytes) -> dict | None:
             by, bx = coefs[ci].shape[:2]
             nat = np.empty((by, bx, 64), dtype=np.float64)
             nat[..., zz] = coefs[ci].astype(np.float64) * dq
-            f = np.einsum("ab,ijbc,cd->ijad", M.T, nat.reshape(by, bx, 8, 8), M)
+            # batched matmul, NOT einsum: einsum's own summation order
+            # can differ from the baseline decoder's per-block
+            # (M.T @ F @ M) by 1 ulp, which flips np.round at exact
+            # half-integer ties — progressive and baseline decode of
+            # the same coefficients must agree pixel-for-pixel
+            f = np.matmul(np.matmul(M.T, nat.reshape(by, bx, 8, 8)), M)
             px = np.clip(np.round(f) + 128, 0, 255).astype(np.int64)
             plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
             if ch < hmax or cv < vmax:

@@ -1280,3 +1280,94 @@ def test_progressive_jpeg_decoder_robustness():
     meta = parse_media_header(full)
     assert meta["media_type"] == "image/jpeg"
     assert (meta["width"], meta["height"]) == (16, 16)
+
+
+def _restricted_random_mcus(rng, n_mcus):
+    """Random zigzag coefficient MCUs whose zero-runs and magnitudes
+    stay within the compact baseline AC table's run/size symbols (the
+    progressive table is a superset, so the same blocks drive both
+    codecs)."""
+    mcus = []
+    for _ in range(n_mcus):
+        mcu = []
+        for _c in range(3):
+            block = [0] * 64
+            block[0] = rng.randint(-200, 200)
+            k = 1
+            while k < 64:
+                gap, szmax = rng.choice(
+                    [(0, 10), (1, 2), (2, 1), (3, 1), (16, 10), (17, 2)]
+                )
+                k += gap
+                if k >= 64:
+                    break
+                sz = rng.randint(1, szmax)
+                mag = rng.randint(1 << (sz - 1), (1 << sz) - 1)
+                block[k] = mag if rng.random() < 0.5 else -mag
+                k += 1
+            mcu.append(block)
+        mcus.append(mcu)
+    return mcus
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000), ri=st.integers(1, 12))
+def test_jpeg_restart_markers_match_unsegmented_decode(seed, ri):
+    """DRI/RSTn handling in BOTH decoders: the same coefficient blocks
+    encoded with restart interval ``ri`` (baseline scan segmentation
+    with DC-predictor resets; per-scan segmentation with EOB-run resets
+    in the progressive multi-scan stream) must decode identically to
+    the unsegmented stream — the restart path changes framing, never
+    values."""
+    import random
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg_from_coefficients,
+        make_progressive_jpeg_from_coefficients,
+    )
+
+    rng = random.Random(seed)
+    mcus = _restricted_random_mcus(rng, rng.randint(2, 8))
+    w = 8 * len(mcus)
+    base = decode_jpeg_pixels(make_jpeg_from_coefficients(w, 8, mcus))
+    assert base is not None
+    seg = decode_jpeg_pixels(
+        make_jpeg_from_coefficients(w, 8, mcus, restart_interval=ri)
+    )
+    assert seg == base, ("baseline", seed, ri)
+    bands = rng.choice(
+        [((1, 63),), ((1, 5), (6, 63)), ((1, 1), (2, 9), (10, 63))]
+    )
+    al = rng.choice([1, 2])
+    prog = decode_jpeg_pixels(
+        make_progressive_jpeg_from_coefficients(
+            w, 8, mcus, bands=bands, al=al, restart_interval=ri
+        )
+    )
+    assert prog == base, ("progressive", seed, ri, bands, al)
+
+
+def test_jpeg_restart_robustness():
+    """Streams cut at or around a restart marker decode to None (or a
+    dict for benign truncation), never raise."""
+    import random
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg_from_coefficients,
+    )
+
+    mcus = _restricted_random_mcus(random.Random(3), 6)
+    full = make_jpeg_from_coefficients(48, 8, mcus, restart_interval=2)
+    rst0 = full.index(b"\xff\xd0")
+    assert decode_jpeg_pixels(full) is not None
+    assert decode_jpeg_pixels(full[: rst0 + 2]) is None   # cut after RST0
+    assert decode_jpeg_pixels(full[:rst0]) is None        # cut before RST0
+    # RST where none was announced (no DRI): decoder must not consume
+    # it as entropy data silently succeeding with garbage — None is ok,
+    # a dict is ok only if it equals the well-formed decode
+    naked = make_jpeg_from_coefficients(48, 8, mcus)
+    spliced = naked[:-2] + b"\xff\xd0" + naked[-2:]
+    out = decode_jpeg_pixels(spliced)
+    assert out is None or out == decode_jpeg_pixels(naked)
