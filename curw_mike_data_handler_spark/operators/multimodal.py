@@ -812,30 +812,49 @@ def _scan_with_restarts(encode_chunk, units: list, restart_interval: int) -> byt
     return bytes(out)
 
 
-def make_progressive_jpeg_from_coefficients(
+def make_progressive_jpeg_from_planes(
     width: int,
     height: int,
-    mcus: list[list[list[int]]],
+    planes: list[list[list[list[int]]]],
+    sampling: tuple[tuple[int, int], ...] = ((1, 1), (1, 1), (1, 1)),
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
     al: int = 1,
     restart_interval: int = 0,
 ) -> bytes:
-    """Complete progressive (SOF2) 4:4:4 JFIF stream from quantized
-    zigzag coefficient blocks — same input contract as
-    ``make_jpeg_from_coefficients``.  Scan script: interleaved DC
-    first (point transform ``al``), per-band per-component AC first,
-    then successive DC/AC refinement passes down to full precision,
-    so every Annex-G decode path (EOB runs, ZRL, newly-nonzero codes,
-    buffered correction bits, band partitioning) is exercised.
-    ``restart_interval`` > 0 adds a DRI segment and segments every
-    scan with RSTn markers (DC-predictor and EOB-run resets per
-    interval — MCU units in the interleaved DC scans, block units in
-    the non-interleaved AC scans).  Coefficient magnitudes must stay
-    < 2**10 after shifting."""
+    """Complete progressive (SOF2) JFIF stream from per-component
+    coefficient planes: ``planes[c][by][bx]`` is a 64-list of quantized
+    zigzag coefficients on component c's OWN block grid, and
+    ``sampling[c] = (h, v)`` are its T.81 sampling factors (e.g.
+    ``((2, 2), (1, 1), (1, 1))`` is 4:2:0).  Dimensions must be
+    MCU-aligned (width % 8·hmax == 0, height % 8·vmax == 0) so the
+    component grids are exactly ``(mcuy·v) × (mcux·h)`` blocks.
+
+    Scan script: interleaved DC first (point transform ``al``, cv×ch
+    blocks per component per MCU), per-band per-component AC first
+    over the component's own grid, then successive DC/AC refinement
+    passes to full precision — every Annex-G decode path (EOB runs,
+    ZRL, newly-nonzero codes, correction bits, band partitioning,
+    subsampled grids) is exercised.  ``restart_interval`` > 0 adds a
+    DRI segment and segments every scan with RSTn markers (MCU units
+    in the interleaved DC scans, block units in the non-interleaved
+    AC scans).  Coefficient magnitudes must stay < 2**10 after
+    shifting."""
     import struct
 
-    if width % 8 or height % 8 or width == 0 or height == 0:
-        raise ValueError("pixel JPEGs are built at multiple-of-8 dimensions")
+    nc = len(planes)
+    if len(sampling) != nc:
+        raise ValueError("one (h, v) sampling factor per plane")
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    if (width % (8 * hmax) or height % (8 * vmax)
+            or width == 0 or height == 0):
+        raise ValueError("dimensions must be MCU-aligned multiples of 8")
+    mcux, mcuy = width // (8 * hmax), height // (8 * vmax)
+    for c, (ch, cv) in enumerate(sampling):
+        if len(planes[c]) != mcuy * cv or any(
+            len(row) != mcux * ch for row in planes[c]
+        ):
+            raise ValueError("plane grid must be (mcuy*v) x (mcux*h) blocks")
     lo, hi = zip(*bands)
     if min(lo) < 1 or max(hi) > 63 or sorted(lo) != list(lo):
         raise ValueError("bands must partition 1..63 in order")
@@ -844,8 +863,10 @@ def make_progressive_jpeg_from_coefficients(
     ) + b"\x00\x00"
     dqt = b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00) + bytes([1] * 64)
     sof2 = b"\xff\xc2" + struct.pack(
-        ">HBHHB", 8 + 3 * 3, 8, height, width, 3
-    ) + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+        ">HBHHB", 8 + 3 * nc, 8, height, width, nc
+    ) + b"".join(
+        bytes([c + 1, (ch << 4) | cv, 0]) for c, (ch, cv) in enumerate(sampling)
+    )
     dht = (
         b"\xff\xc4"
         + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_DC_VALS), 0x00)
@@ -872,12 +893,30 @@ def make_progressive_jpeg_from_coefficients(
     )
     out = bytearray(b"\xff\xd8" + app0 + dqt + sof2 + dht + dri)
     ri = restart_interval
+    all_ids = [c + 1 for c in range(nc)]
+
+    # interleaved MCU units: (component, block) in T.81 A.2.3 order
+    mcu_units = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            unit = []
+            for c, (ch, cv) in enumerate(sampling):
+                for byy in range(cv):
+                    for bxx in range(ch):
+                        unit.append(
+                            (c, planes[c][my * cv + byy][mx * ch + bxx])
+                        )
+            mcu_units.append(unit)
+    # non-interleaved per-component block lists, row-major own grid
+    comp_blocks = [
+        [block for row in planes[c] for block in row] for c in range(nc)
+    ]
 
     # scan 1: DC first, interleaved, point transform al
     def _dc_first(w: "_JpegBitWriter", chunk: list) -> None:
-        pred = [0, 0, 0]
-        for mcu in chunk:
-            for c, block in enumerate(mcu):
+        pred = [0] * nc
+        for unit in chunk:
+            for c, block in unit:
                 v = block[0] >> al  # arithmetic shift per G.1.2.1
                 diff = v - pred[c]
                 pred[c] = v
@@ -887,18 +926,18 @@ def make_progressive_jpeg_from_coefficients(
                 if t:
                     w.put(bits, t)
 
-    out += sos([1, 2, 3], 0, 0, 0, al)
-    out += _scan_with_restarts(_dc_first, mcus, ri)
+    out += sos(all_ids, 0, 0, 0, al)
+    out += _scan_with_restarts(_dc_first, mcu_units, ri)
 
     # AC first scans: one per (band, component), non-interleaved
     for ss, se in bands:
-        for c in range(3):
+        for c in range(nc):
             out += sos([c + 1], ss, se, 0, al)
             out += _scan_with_restarts(
                 lambda w, chunk, ss=ss, se=se: _enc_ac_first(
                     w, ac_codes, chunk, ss, se, al
                 ),
-                [m[c] for m in mcus],
+                comp_blocks[c],
                 ri,
             )
 
@@ -906,24 +945,52 @@ def make_progressive_jpeg_from_coefficients(
     for a in range(al, 0, -1):
 
         def _dc_refine(w: "_JpegBitWriter", chunk: list, a=a) -> None:
-            for mcu in chunk:
-                for block in mcu:
+            for unit in chunk:
+                for _c, block in unit:
                     w.put((block[0] >> (a - 1)) & 1, 1)
 
-        out += sos([1, 2, 3], 0, 0, a, a - 1)
-        out += _scan_with_restarts(_dc_refine, mcus, ri)
+        out += sos(all_ids, 0, 0, a, a - 1)
+        out += _scan_with_restarts(_dc_refine, mcu_units, ri)
         for ss, se in bands:
-            for c in range(3):
+            for c in range(nc):
                 out += sos([c + 1], ss, se, a, a - 1)
                 out += _scan_with_restarts(
                     lambda w, chunk, ss=ss, se=se, a=a: _enc_ac_refine(
                         w, ac_codes, chunk, ss, se, a - 1
                     ),
-                    [m[c] for m in mcus],
+                    comp_blocks[c],
                     ri,
                 )
 
     return bytes(out + b"\xff\xd9")
+
+
+def make_progressive_jpeg_from_coefficients(
+    width: int,
+    height: int,
+    mcus: list[list[list[int]]],
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    al: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) 4:4:4 stream from row-major MCUs of 3
+    zigzag blocks — same input contract as
+    ``make_jpeg_from_coefficients``; thin wrapper over
+    ``make_progressive_jpeg_from_planes`` with 1×1 sampling."""
+    if width % 8 or height % 8 or width == 0 or height == 0:
+        raise ValueError("pixel JPEGs are built at multiple-of-8 dimensions")
+    mcux = width // 8
+    planes = [
+        [
+            [mcus[by * mcux + bx][c] for bx in range(mcux)]
+            for by in range(height // 8)
+        ]
+        for c in range(3)
+    ]
+    return make_progressive_jpeg_from_planes(
+        width, height, planes, bands=bands, al=al,
+        restart_interval=restart_interval,
+    )
 
 
 @_functools.lru_cache(maxsize=4096)

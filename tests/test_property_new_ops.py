@@ -1371,3 +1371,84 @@ def test_jpeg_restart_robustness():
     spliced = naked[:-2] + b"\xff\xd0" + naked[-2:]
     out = decode_jpeg_pixels(spliced)
     assert out is None or out == decode_jpeg_pixels(naked)
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_progressive_jpeg_subsampled_matches_independent_reference(seed):
+    """The progressive decoder's SUBSAMPLED branches — interleaved DC
+    MCUs carrying cv×ch blocks per component, non-interleaved AC scans
+    over each component's own grid (T.81 A.1.1), and the replication
+    upsample at the IDCT pass — verified against an independent numpy
+    IDCT + upsample + crop computed from the definition, over random
+    sampling factors (4:2:0 / 4:2:2 / 4:4:0 / mixed), band splits,
+    Al ∈ {1,2}, and restart intervals."""
+    import random
+
+    import numpy as np
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        decode_jpeg_pixels,
+        make_progressive_jpeg_from_planes,
+    )
+
+    rng = random.Random(seed)
+
+    def rand_block():
+        b = [0] * 64
+        b[0] = rng.randint(-1000, 1000)
+        for k in rng.sample(range(1, 64), rng.randint(0, 15)):
+            b[k] = rng.randint(-1000, 1000)
+        return b
+
+    sampling = rng.choice(
+        [((2, 2), (1, 1), (1, 1)), ((2, 1), (1, 1), (1, 1)),
+         ((1, 2), (1, 1), (1, 1)), ((2, 2), (2, 1), (1, 1))]
+    )
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = rng.randint(1, 3), rng.randint(1, 2)
+    w, h = 8 * hmax * mcux, 8 * vmax * mcuy
+    planes = [
+        [[rand_block() for _ in range(mcux * ch)] for _ in range(mcuy * cv)]
+        for (ch, cv) in sampling
+    ]
+    bands = rng.choice(
+        [((1, 63),), ((1, 5), (6, 63)), ((1, 1), (2, 9), (10, 63))]
+    )
+    al = rng.choice([1, 2])
+    ri = rng.choice([0, 0, 1, 2, 3])
+    payload = make_progressive_jpeg_from_planes(
+        w, h, planes, sampling=sampling, bands=bands, al=al,
+        restart_interval=ri,
+    )
+    got = decode_jpeg_pixels(payload)
+    assert got is not None
+
+    u = np.arange(8)
+    M = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+    M[0, :] /= np.sqrt(2.0)
+    zz = np.array(_JPEG_ZIGZAG)
+    total, pmax = 0, 0
+    for c, (ch, cv) in enumerate(sampling):
+        nby, nbx = len(planes[c]), len(planes[c][0])
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.int64)
+        for yy in range(nby):
+            for xx in range(nbx):
+                F8 = np.empty(64)
+                F8[zz] = np.asarray(planes[c][yy][xx], float)
+                f = M.T @ F8.reshape(8, 8) @ M
+                plane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = np.clip(
+                    np.round(f) + 128, 0, 255
+                )
+        plane = np.repeat(
+            np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+        )
+        crop = plane[:h, :w]
+        total += int(crop.sum())
+        pmax = max(pmax, int(crop.max()))
+    assert got == {
+        "width": w, "height": h, "n_px": w * h,
+        "pixel_sum": total, "pixel_max": pmax,
+    }, (seed, sampling, bands, al, ri)
