@@ -1075,8 +1075,15 @@ def _decode_jpeg_progressive(b: bytes) -> dict | None:
                 vmax = max(c[2] for c in comps)
                 mcux = -(-w // (8 * hmax))
                 mcuy = -(-h // (8 * vmax))
+                # plain Python lists during scan decode: the per-block
+                # loops touch single cells, where ndarray view creation
+                # + item assignment cost ~10x a list's; numpy enters
+                # only at the one vectorized IDCT pass below
                 coefs = [
-                    np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int32)
+                    [
+                        [[0] * 64 for _ in range(mcux * c[1])]
+                        for _ in range(mcuy * c[2])
+                    ]
                     for c in comps
                 ]
             elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -1114,9 +1121,10 @@ def _decode_jpeg_progressive(b: bytes) -> dict | None:
         pmax = 0
         for ci, (_, ch, cv, tq) in enumerate(comps):
             dq = np.array(qt[tq], dtype=np.float64)
-            by, bx = coefs[ci].shape[:2]
+            arr = np.asarray(coefs[ci], dtype=np.float64)
+            by, bx = arr.shape[:2]
             nat = np.empty((by, bx, 64), dtype=np.float64)
-            nat[..., zz] = coefs[ci].astype(np.float64) * dq
+            nat[..., zz] = arr * dq
             # batched matmul, NOT einsum: einsum's own summation order
             # can differ from the baseline decoder's per-block
             # (M.T @ F @ M) by 1 ulp, which flips np.round at exact
@@ -1195,7 +1203,7 @@ def _prog_decode_scan(
                 pred = [0] * len(comps)
                 eobrun = 0
         for ci, row, col, dc_id, ac_id in blocks:
-            bl = coefs[ci][row, col]
+            bl = coefs[ci][row][col]
             if ss == 0:
                 if ah == 0:  # DC first
                     tab = huff[(0, dc_id)]
