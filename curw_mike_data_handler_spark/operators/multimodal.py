@@ -558,14 +558,10 @@ def decode_jpeg_pixels(b: bytes) -> dict | None:
         vmax = max(c[2] for c in comps)
         mcux = -(-w // (8 * hmax))
         mcuy = -(-h // (8 * vmax))
-        # IDCT basis M[u, x] = C(u)/2 · cos((2x+1)uπ/16); f = Mᵀ F M
-        u = np.arange(8)
-        M = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
-        M[0, :] /= np.sqrt(2.0)
-        zz_to_raster = np.array(_JPEG_ZIGZAG)
-        dq_arr = {tq: np.array(t, dtype=np.float64) for tq, t in qt.items()}
-        planes = [
-            np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.int32)
+        # plain Python list grids during entropy decode (per-cell numpy
+        # writes cost ~10x); one batched dequant+IDCT pass at the end
+        coefs = [
+            [[None] * (mcux * c[1]) for _ in range(mcuy * c[2])]
             for c in comps
         ]
         reader = _JpegBitReader(b, scan_at)
@@ -581,10 +577,9 @@ def decode_jpeg_pixels(b: bytes) -> dict | None:
                         pred = [0] * len(comps)
                 for ci, dc_id, ac_id in scan_comps:
                     _, ch, cv, tq = comps[ci]
-                    dq = qt.get(tq)
                     dc_tab = huff.get((0, dc_id))
                     ac_tab = huff.get((1, ac_id))
-                    if dq is None or dc_tab is None or ac_tab is None:
+                    if tq not in qt or dc_tab is None or ac_tab is None:
                         return None
                     for byy in range(cv):
                         for bxx in range(ch):
@@ -606,30 +601,12 @@ def decode_jpeg_pixels(b: bytes) -> dict | None:
                                     return None
                                 zz[k] = _jpeg_extend(reader.bits(t), t)
                                 k += 1
-                            F8 = np.empty(64, dtype=np.float64)
-                            F8[zz_to_raster] = np.asarray(zz, dtype=np.float64) * dq_arr[tq]
-                            f = M.T @ F8.reshape(8, 8) @ M
-                            px = np.clip(np.round(f) + 128, 0, 255).astype(np.int32)
-                            y0 = (my * cv + byy) * 8
-                            x0 = (mx * ch + bxx) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+                            coefs[ci][my * cv + byy][mx * ch + bxx] = zz
                 mcu_no += 1
-        total = 0
-        pmax = 0
-        for ci, (_, ch, cv, _) in enumerate(comps):
-            up = planes[ci]
-            if ch < hmax or cv < vmax:
-                up = np.repeat(np.repeat(up, vmax // cv, axis=0), hmax // ch, axis=1)
-            crop = up[:h, :w]
-            total += int(crop.sum())
-            pmax = max(pmax, int(crop.max()))
-        return {
-            "width": int(w),
-            "height": int(h),
-            "n_px": int(w) * int(h),
-            "pixel_sum": total,
-            "pixel_max": pmax,
-        }
+        # a single-scan baseline frame must cover every block; an
+        # unfilled cell means the scan script was short — reject like
+        # any other malformed stream (None via the except)
+        return _jpeg_idct_plane_stats(coefs, comps, qt, hmax, vmax, w, h)
     except Exception:
         return None
 
@@ -1111,44 +1088,49 @@ def _decode_jpeg_progressive(b: bytes) -> dict | None:
             i += 2 + seglen
         if coefs is None or not saw_scan:
             return None
-
-        # one vectorized dequant + IDCT + stats pass over every block
-        u = np.arange(8)
-        M = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
-        M[0, :] /= np.sqrt(2.0)
-        zz = np.array(_JPEG_ZIGZAG)
-        total = 0
-        pmax = 0
-        for ci, (_, ch, cv, tq) in enumerate(comps):
-            dq = np.array(qt[tq], dtype=np.float64)
-            arr = np.asarray(coefs[ci], dtype=np.float64)
-            by, bx = arr.shape[:2]
-            nat = np.empty((by, bx, 64), dtype=np.float64)
-            nat[..., zz] = arr * dq
-            # batched matmul, NOT einsum: einsum's own summation order
-            # can differ from the baseline decoder's per-block
-            # (M.T @ F @ M) by 1 ulp, which flips np.round at exact
-            # half-integer ties — progressive and baseline decode of
-            # the same coefficients must agree pixel-for-pixel
-            f = np.matmul(np.matmul(M.T, nat.reshape(by, bx, 8, 8)), M)
-            px = np.clip(np.round(f) + 128, 0, 255).astype(np.int64)
-            plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
-            if ch < hmax or cv < vmax:
-                plane = np.repeat(
-                    np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
-                )
-            crop = plane[:h, :w]
-            total += int(crop.sum())
-            pmax = max(pmax, int(crop.max()))
-        return {
-            "width": int(w),
-            "height": int(h),
-            "n_px": int(w) * int(h),
-            "pixel_sum": total,
-            "pixel_max": pmax,
-        }
+        return _jpeg_idct_plane_stats(coefs, comps, qt, hmax, vmax, w, h)
     except Exception:
         return None
+
+
+def _jpeg_idct_plane_stats(coefs, comps, qt, hmax, vmax, w, h) -> dict:
+    """One vectorized dequant + IDCT + upsample + crop + stats pass over
+    per-component grids of zigzag coefficient lists — the shared tail of
+    the baseline and progressive decoders.  Batched np.matmul, NOT
+    einsum: einsum's own summation order can differ from per-block
+    (M.T @ F @ M) by 1 ulp, which flips np.round at exact half-integer
+    ties — both decoders must agree pixel-for-pixel."""
+    import numpy as np
+
+    u = np.arange(8)
+    M = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+    M[0, :] /= np.sqrt(2.0)
+    zz = np.array(_JPEG_ZIGZAG)
+    total = 0
+    pmax = 0
+    for ci, (_, ch, cv, tq) in enumerate(comps):
+        dq = np.array(qt[tq], dtype=np.float64)
+        arr = np.asarray(coefs[ci], dtype=np.float64)
+        by, bx = arr.shape[:2]
+        nat = np.empty((by, bx, 64), dtype=np.float64)
+        nat[..., zz] = arr * dq
+        f = np.matmul(np.matmul(M.T, nat.reshape(by, bx, 8, 8)), M)
+        px = np.clip(np.round(f) + 128, 0, 255).astype(np.int64)
+        plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        if ch < hmax or cv < vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+            )
+        crop = plane[:h, :w]
+        total += int(crop.sum())
+        pmax = max(pmax, int(crop.max()))
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_px": int(w) * int(h),
+        "pixel_sum": total,
+        "pixel_max": pmax,
+    }
 
 
 def _prog_decode_scan(
