@@ -1110,6 +1110,11 @@ def _jpeg_idct_plane_stats(coefs, comps, qt, hmax, vmax, w, h) -> dict:
     pmax = 0
     for ci, (_, ch, cv, tq) in enumerate(comps):
         dq = np.array(qt[tq], dtype=np.float64)
+        # reject unfilled cells explicitly: np.asarray silently turns a
+        # shape-homogeneous all-None plane into NaNs (which astype(int)
+        # would launder into garbage stats) instead of raising
+        if any(blk is None for row in coefs[ci] for blk in row):
+            raise ValueError("scan left component blocks undecoded")
         arr = np.asarray(coefs[ci], dtype=np.float64)
         by, bx = arr.shape[:2]
         nat = np.empty((by, bx, 64), dtype=np.float64)

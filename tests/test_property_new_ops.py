@@ -1452,3 +1452,40 @@ def test_progressive_jpeg_subsampled_matches_independent_reference(seed):
         "width": w, "height": h, "n_px": w * h,
         "pixel_sum": total, "pixel_max": pmax,
     }, (seed, sampling, bands, al, ri)
+
+
+def test_jpeg_partial_scan_returns_none_not_garbage():
+    """A baseline stream whose single scan covers only a subset of the
+    frame's components must decode to None — np.asarray would silently
+    turn the never-scanned component's all-None grid into NaNs and
+    launder them into garbage stats via astype(int)."""
+    import struct
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _JPEG_AC_BITS, _JPEG_AC_VALS, _JPEG_DC_BITS, _JPEG_DC_VALS,
+        _jpeg_entropy_encode, decode_jpeg_pixels,
+    )
+
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    dqt = b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00) + bytes([1] * 64)
+    sof0 = (b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8, 8, 8, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dht = (
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_DC_VALS), 0x00)
+        + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_AC_VALS), 0x10)
+        + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    # scan covering components 1 and 2 only; entropy data encoded for
+    # exactly those two blocks, so the scan itself parses cleanly
+    sos = (b"\xff\xda" + struct.pack(">HB", 6 + 2 * 2, 2)
+           + bytes([1, 0x00, 2, 0x00]) + bytes([0, 63, 0]))
+    block = [0] * 64
+    block[0] = 64
+    scan = _jpeg_entropy_encode([[block, block]], comp_of=[0, 1])
+    payload = (b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan
+               + b"\xff\xd9")
+    assert decode_jpeg_pixels(payload) is None
