@@ -240,19 +240,22 @@ class _JpegBitWriter:
         self.n = 0
 
     def put(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.buf.append(self.acc)
-                if self.acc == 0xFF:
-                    self.buf.append(0x00)
-                self.acc = 0
-                self.n = 0
+        acc = (self.acc << length) | (code & ((1 << length) - 1))
+        n = self.n + length
+        buf = self.buf
+        while n >= 8:
+            n -= 8
+            byte = (acc >> n) & 0xFF
+            buf.append(byte)
+            if byte == 0xFF:
+                buf.append(0x00)
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
 
     def flush(self) -> None:
-        while self.n:
-            self.put(1, 1)  # pad with 1-bits to the byte boundary
+        if self.n:  # pad with 1-bits to the byte boundary
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
 
 
 def _jpeg_category(v: int) -> tuple[int, int]:
