@@ -142,18 +142,23 @@ def _row_filter_type(y: int) -> int:
     return y % 3
 
 
-def make_png(width: int, height: int, bit_depth: int = 8, pixels: bool = False) -> bytes:
+def make_png(width: int, height: int, bit_depth: int = 8, pixels: bool = False,
+             color_type: int = 2) -> bytes:
     """Valid PNG byte stream with real chunk CRCs.
 
     ``pixels=False``: signature + IHDR + empty IEND (45 bytes — the
     closed-form byte_len the multimodal_decode oracle pins).
     ``pixels=True`` (requires ``bit_depth=8``): adds a genuine IDAT —
-    the closed-form RGB raster ``_png_pixel_value``, filtered per
-    ``_row_filter_type`` and zlib-compressed — so a real decoder (ours
-    or any other) recovers exact pixel values."""
+    the closed-form raster ``_png_pixel_value`` over ``color_type``'s
+    sample channels (grayscale 0, RGB 2, palette 3 with a 256-entry
+    PLTE, gray+alpha 4, RGBA 6), filtered per ``_row_filter_type`` and
+    zlib-compressed — so a real decoder (ours or any other) recovers
+    exact sample values."""
     import struct
 
-    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 2, 0, 0, 0)
+    if color_type not in (0, 2, 3, 4, 6):
+        raise ValueError("unsupported PNG color type")
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
     out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     if pixels:
         import zlib
@@ -161,16 +166,29 @@ def make_png(width: int, height: int, bit_depth: int = 8, pixels: bool = False) 
         import numpy as np
 
         if bit_depth != 8:
-            raise ValueError("pixel PNGs are 8-bit RGB")
+            raise ValueError("pixel PNGs are 8-bit")
         x = np.arange(width)
         y = np.arange(height)
+        if color_type == 3:
+            # index raster = gray closed form; palette entry i holds
+            # ((7i) mod 256, (11i) mod 256, (13i) mod 256)
+            out += _png_chunk(
+                b"PLTE",
+                bytes(
+                    v for i in range(256)
+                    for v in (7 * i % 256, 11 * i % 256, 13 * i % 256)
+                ),
+            )
+            nch = 1
+        else:
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
         raw = (
             8 * (x % 16)[None, :, None]
             + (y % 16)[:, None, None]
-            + 3 * np.arange(3)[None, None, :]
-        ).astype(np.int16).reshape(height, width * 3)
-        bpp = 3
-        zeros = np.zeros(width * 3, dtype=np.int16)
+            + 3 * np.arange(nch)[None, None, :]
+        ).astype(np.int16).reshape(height, width * nch)
+        bpp = nch
+        zeros = np.zeros(width * nch, dtype=np.int16)
         lines = []
         for yy in range(height):
             cur = raw[yy]
@@ -1380,13 +1398,20 @@ def parse_media_header(b: bytes) -> dict:
     return out
 
 
+# samples per pixel for the 8-bit color types we decode (PNG 11.2.2)
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def decode_png_pixels(b: bytes) -> dict | None:
     """REAL PNG pixel decode, stdlib-only: chunk walk → IDAT concat →
     zlib inflate → inverse scanline filters (None/Sub/Up vectorized;
     Average/Paeth per-pixel, exactly as the spec defines them) → pixel
-    stats of the recovered 8-bit RGB raster.  Returns None for
-    non-PNG / non-8-bit-RGB / truncated payloads (one bad blob must
-    not kill a batch); raises nothing."""
+    stats of the recovered 8-bit raster.  All five 8-bit color types
+    decode: grayscale (0), RGB (2), palette (3, expanded through PLTE
+    so stats run over the RGB samples), gray+alpha (4) and RGBA (6);
+    stats cover every recovered sample channel.  Returns None for
+    non-PNG / non-8-bit / interlaced / truncated payloads (one bad
+    blob must not kill a batch); raises nothing."""
     import struct
     import zlib
 
@@ -1395,27 +1420,38 @@ def decode_png_pixels(b: bytes) -> dict | None:
     try:
         if b[:8] != b"\x89PNG\r\n\x1a\n":
             return None
-        i, w, h, depth, ctype, idat = 8, None, None, None, None, []
+        i, w, h, depth, ctype, interlace = 8, None, None, None, None, None
+        idat: list[bytes] = []
+        plte = None
         while i + 8 <= len(b):
             (size,) = struct.unpack(">I", b[i : i + 4])
             cid = b[i + 4 : i + 8]
             data = b[i + 8 : i + 8 + size]
             if cid == b"IHDR":
                 w, h = struct.unpack(">II", data[:8])
-                depth, ctype = data[8], data[9]
+                depth, ctype, interlace = data[8], data[9], data[12]
+            elif cid == b"PLTE":
+                if size % 3:
+                    return None
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
             elif cid == b"IDAT":
                 idat.append(data)
             elif cid == b"IEND":
                 break
             i += 12 + size
-        if not idat or depth != 8 or ctype != 2:
+        # Adam7 interlacing restructures the filtered stream into 7
+        # sub-images; reject explicitly rather than misparse
+        if (not idat or depth != 8 or ctype not in _PNG_BPP
+                or interlace != 0 or (ctype == 3 and plte is None)):
             return None
         raw = zlib.decompress(b"".join(idat))
-        bpp, stride = 3, w * 3
+        bpp = _PNG_BPP[ctype]
+        stride = w * bpp
         if len(raw) != h * (stride + 1):
             return None
         total = 0
         pmax = 0
+        plte32 = plte.astype(np.int64) if ctype == 3 else None
         prev = np.zeros(stride, dtype=np.int32)
         for yy in range(h):
             row = raw[yy * (stride + 1) : (yy + 1) * (stride + 1)]
@@ -1442,8 +1478,14 @@ def decode_png_pixels(b: bytes) -> dict | None:
                     cur[j] = (data[j] + pred) % 256
             else:
                 return None
-            total += int(cur.sum())
-            m = int(cur.max()) if stride else 0
+            if ctype == 3:  # palette indices -> RGB samples for stats
+                if int(cur.max() if stride else 0) >= len(plte32):
+                    return None
+                samples = plte32[cur]
+            else:
+                samples = cur
+            total += int(samples.sum())
+            m = int(samples.max()) if stride else 0
             pmax = m if m > pmax else pmax
             prev = cur
         return {"width": w, "height": h, "n_px": w * h,

@@ -1489,3 +1489,43 @@ def test_jpeg_partial_scan_returns_none_not_garbage():
     payload = (b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan
                + b"\xff\xd9")
     assert decode_jpeg_pixels(payload) is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 24),
+    ct=st.sampled_from([0, 2, 3, 4, 6]),
+)
+def test_png_all_color_types_roundtrip(w, h, ct):
+    """All five 8-bit PNG color types decode: grayscale, RGB, palette
+    (expanded through PLTE), gray+alpha and RGBA, each under the full
+    five-filter scanline schedule; expected stats recomputed here from
+    the closed form.  Interlaced streams must be rejected (None), not
+    misparsed."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _png_pixel_value,
+        decode_png_pixels,
+        make_png,
+    )
+
+    got = decode_png_pixels(make_png(w, h, pixels=True, color_type=ct))
+    total, pmax = 0, 0
+    for yy in range(h):
+        for xx in range(w):
+            if ct == 3:
+                i = _png_pixel_value(xx, yy, 0)
+                vals = (7 * i % 256, 11 * i % 256, 13 * i % 256)
+            else:
+                nch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+                vals = tuple(_png_pixel_value(xx, yy, c) for c in range(nch))
+            total += sum(vals)
+            pmax = max(pmax, *vals)
+    assert got == {
+        "width": w, "height": h, "n_px": w * h,
+        "pixel_sum": total, "pixel_max": pmax,
+    }, (w, h, ct)
+
+    interlaced = bytearray(make_png(w, h, pixels=True, color_type=ct))
+    interlaced[28] = 1  # IHDR interlace byte (decoder ignores the CRC)
+    assert decode_png_pixels(bytes(interlaced)) is None
