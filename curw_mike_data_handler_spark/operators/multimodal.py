@@ -142,8 +142,42 @@ def _row_filter_type(y: int) -> int:
     return y % 3
 
 
+def _png_filter_rows(raw, bpp) -> bytes:
+    """Forward-filter a 2D sample raster (rows × stride, int16) with
+    the ``_row_filter_type`` schedule — shared by the sequential image
+    and each Adam7 sub-image."""
+    import numpy as np
+
+    rows, stride = raw.shape
+    zeros = np.zeros(stride, dtype=np.int16)
+    lines = []
+    for yy in range(rows):
+        cur = raw[yy]
+        prior = raw[yy - 1] if yy > 0 else zeros
+        left = np.concatenate([zeros[:bpp], cur[:-bpp]])
+        ul = np.concatenate([zeros[:bpp], prior[:-bpp]])
+        ft = _row_filter_type(yy)
+        if ft == 0:
+            f = cur
+        elif ft == 1:
+            f = cur - left
+        elif ft == 2:
+            f = cur - prior
+        elif ft == 3:
+            f = cur - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            f = cur - pred
+        lines.append(bytes([ft]) + (f % 256).astype(np.uint8).tobytes())
+    return b"".join(lines)
+
+
 def make_png(width: int, height: int, bit_depth: int = 8, pixels: bool = False,
-             color_type: int = 2) -> bytes:
+             color_type: int = 2, interlace: bool = False) -> bytes:
     """Valid PNG byte stream with real chunk CRCs.
 
     ``pixels=False``: signature + IHDR + empty IEND (45 bytes — the
@@ -153,12 +187,17 @@ def make_png(width: int, height: int, bit_depth: int = 8, pixels: bool = False,
     sample channels (grayscale 0, RGB 2, palette 3 with a 256-entry
     PLTE, gray+alpha 4, RGBA 6), filtered per ``_row_filter_type`` and
     zlib-compressed — so a real decoder (ours or any other) recovers
-    exact sample values."""
+    exact sample values.  ``interlace=True`` emits the seven Adam7
+    sub-images (each independently filtered, empty passes omitted) of
+    the SAME raster."""
     import struct
 
     if color_type not in (0, 2, 3, 4, 6):
         raise ValueError("unsupported PNG color type")
-    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0,
+        1 if interlace else 0,
+    )
     out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     if pixels:
         import zlib
@@ -182,37 +221,23 @@ def make_png(width: int, height: int, bit_depth: int = 8, pixels: bool = False,
             nch = 1
         else:
             nch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-        raw = (
+        raster = (
             8 * (x % 16)[None, :, None]
             + (y % 16)[:, None, None]
             + 3 * np.arange(nch)[None, None, :]
-        ).astype(np.int16).reshape(height, width * nch)
-        bpp = nch
-        zeros = np.zeros(width * nch, dtype=np.int16)
-        lines = []
-        for yy in range(height):
-            cur = raw[yy]
-            prior = raw[yy - 1] if yy > 0 else zeros
-            left = np.concatenate([zeros[:bpp], cur[:-bpp]])
-            ul = np.concatenate([zeros[:bpp], prior[:-bpp]])
-            ft = _row_filter_type(yy)
-            if ft == 0:
-                f = cur
-            elif ft == 1:
-                f = cur - left
-            elif ft == 2:
-                f = cur - prior
-            elif ft == 3:
-                f = cur - (left + prior) // 2
-            else:  # Paeth
-                p = left + prior - ul
-                pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
-                pred = np.where(
-                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
-                )
-                f = cur - pred
-            lines.append(bytes([ft]) + (f % 256).astype(np.uint8).tobytes())
-        out += _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        ).astype(np.int16)  # (h, w, nch)
+        if interlace:
+            parts = []
+            for x0, y0, dx, dy in _PNG_ADAM7:
+                sub = raster[y0::dy, x0::dx, :]
+                if sub.size == 0:
+                    continue
+                ph, pw = sub.shape[:2]
+                parts.append(_png_filter_rows(sub.reshape(ph, pw * nch), nch))
+            body = b"".join(parts)
+        else:
+            body = _png_filter_rows(raster.reshape(height, width * nch), nch)
+        out += _png_chunk(b"IDAT", zlib.compress(body))
     return out + _png_chunk(b"IEND", b"")
 
 
@@ -1401,6 +1426,65 @@ def parse_media_header(b: bytes) -> dict:
 # samples per pixel for the 8-bit color types we decode (PNG 11.2.2)
 _PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 pass origins/steps (PNG 8.2): (x0, y0, dx, dy)
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter_stats(raw, off, nrows, width_px, bpp, plte32):
+    """Unfilter ``nrows`` scanlines of ``width_px`` pixels starting at
+    byte ``off`` of the inflated stream (one filter byte + stride
+    bytes per row), accumulating sample stats — shared by the
+    sequential image and each Adam7 sub-image.  Returns
+    (sample_sum, sample_max, next_off); raises on malformed data."""
+    import numpy as np
+
+    stride = width_px * bpp
+    total = 0
+    pmax = 0
+    prev = np.zeros(stride, dtype=np.int32)
+    for _yy in range(nrows):
+        row = raw[off : off + stride + 1]
+        if len(row) != stride + 1:
+            raise ValueError("truncated scanline")
+        off += stride + 1
+        ft = row[0]
+        data = np.frombuffer(row[1:], dtype=np.uint8).astype(np.int32)
+        if ft == 0:
+            cur = data
+        elif ft == 1:  # Sub: prefix sum with stride bpp
+            cur = np.cumsum(data.reshape(width_px, bpp), axis=0).reshape(stride) % 256
+        elif ft == 2:  # Up
+            cur = (data + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: left-dependent, per pixel
+            cur = np.empty(stride, dtype=np.int32)
+            for j in range(stride):
+                a = cur[j - bpp] if j >= bpp else 0
+                p = prev[j]
+                if ft == 3:
+                    pred = (a + p) >> 1
+                else:
+                    c = prev[j - bpp] if j >= bpp else 0
+                    q = a + p - c
+                    pa, pb, pc = abs(q - a), abs(q - p), abs(q - c)
+                    pred = a if pa <= pb and pa <= pc else (p if pb <= pc else c)
+                cur[j] = (data[j] + pred) % 256
+        else:
+            raise ValueError("unknown scanline filter")
+        if plte32 is not None:  # palette indices -> RGB samples
+            if stride and int(cur.max()) >= len(plte32):
+                raise ValueError("palette index out of range")
+            samples = plte32[cur]
+        else:
+            samples = cur
+        total += int(samples.sum())
+        m = int(samples.max()) if stride else 0
+        pmax = m if m > pmax else pmax
+        prev = cur
+    return total, pmax, off
+
 
 def decode_png_pixels(b: bytes) -> dict | None:
     """REAL PNG pixel decode, stdlib-only: chunk walk → IDAT concat →
@@ -1409,9 +1493,11 @@ def decode_png_pixels(b: bytes) -> dict | None:
     stats of the recovered 8-bit raster.  All five 8-bit color types
     decode: grayscale (0), RGB (2), palette (3, expanded through PLTE
     so stats run over the RGB samples), gray+alpha (4) and RGBA (6);
-    stats cover every recovered sample channel.  Returns None for
-    non-PNG / non-8-bit / interlaced / truncated payloads (one bad
-    blob must not kill a batch); raises nothing."""
+    stats cover every recovered sample channel.  Adam7-interlaced
+    streams decode too: the seven passes PARTITION the pixels, so
+    per-pass unfiltered sample stats sum to the image stats with no
+    scatter pass.  Returns None for non-PNG / non-8-bit / truncated
+    payloads (one bad blob must not kill a batch); raises nothing."""
     import struct
     import zlib
 
@@ -1439,55 +1525,31 @@ def decode_png_pixels(b: bytes) -> dict | None:
             elif cid == b"IEND":
                 break
             i += 12 + size
-        # Adam7 interlacing restructures the filtered stream into 7
-        # sub-images; reject explicitly rather than misparse
         if (not idat or depth != 8 or ctype not in _PNG_BPP
-                or interlace != 0 or (ctype == 3 and plte is None)):
+                or interlace not in (0, 1)
+                or (ctype == 3 and plte is None)):
             return None
         raw = zlib.decompress(b"".join(idat))
         bpp = _PNG_BPP[ctype]
-        stride = w * bpp
-        if len(raw) != h * (stride + 1):
-            return None
+        plte32 = plte.astype(np.int64) if ctype == 3 else None
         total = 0
         pmax = 0
-        plte32 = plte.astype(np.int64) if ctype == 3 else None
-        prev = np.zeros(stride, dtype=np.int32)
-        for yy in range(h):
-            row = raw[yy * (stride + 1) : (yy + 1) * (stride + 1)]
-            ft = row[0]
-            data = np.frombuffer(row[1:], dtype=np.uint8).astype(np.int32)
-            if ft == 0:
-                cur = data
-            elif ft == 1:  # Sub: prefix sum with stride bpp
-                cur = np.cumsum(data.reshape(w, bpp), axis=0).reshape(stride) % 256
-            elif ft == 2:  # Up
-                cur = (data + prev) % 256
-            elif ft in (3, 4):  # Average / Paeth: left-dependent, per pixel
-                cur = np.empty(stride, dtype=np.int32)
-                for j in range(stride):
-                    a = cur[j - bpp] if j >= bpp else 0
-                    p = prev[j]
-                    if ft == 3:
-                        pred = (a + p) >> 1
-                    else:
-                        c = prev[j - bpp] if j >= bpp else 0
-                        q = a + p - c
-                        pa, pb, pc = abs(q - a), abs(q - p), abs(q - c)
-                        pred = a if pa <= pb and pa <= pc else (p if pb <= pc else c)
-                    cur[j] = (data[j] + pred) % 256
-            else:
+        off = 0
+        if interlace == 0:
+            if len(raw) != h * (w * bpp + 1):
                 return None
-            if ctype == 3:  # palette indices -> RGB samples for stats
-                if int(cur.max() if stride else 0) >= len(plte32):
-                    return None
-                samples = plte32[cur]
-            else:
-                samples = cur
-            total += int(samples.sum())
-            m = int(samples.max()) if stride else 0
-            pmax = m if m > pmax else pmax
-            prev = cur
+            total, pmax, off = _png_unfilter_stats(raw, 0, h, w, bpp, plte32)
+        else:  # Adam7: seven sub-images, empty passes carry no bytes
+            for x0, y0, dx, dy in _PNG_ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                t, m, off = _png_unfilter_stats(raw, off, ph, pw, bpp, plte32)
+                total += t
+                pmax = m if m > pmax else pmax
+            if off != len(raw):
+                return None
         return {"width": w, "height": h, "n_px": w * h,
                 "pixel_sum": total, "pixel_max": pmax}
     except (struct.error, IndexError, ValueError, zlib.error):

@@ -1501,8 +1501,13 @@ def test_png_all_color_types_roundtrip(w, h, ct):
     """All five 8-bit PNG color types decode: grayscale, RGB, palette
     (expanded through PLTE), gray+alpha and RGBA, each under the full
     five-filter scanline schedule; expected stats recomputed here from
-    the closed form.  Interlaced streams must be rejected (None), not
-    misparsed."""
+    the closed form.  A genuine Adam7-interlaced encode of the same
+    raster must decode to identical stats (the passes partition the
+    pixels), and a sequential stream whose IHDR falsely claims
+    interlacing must never raise — a lying header is ordinary data
+    corruption, and for some shapes the Adam7 pass layout coincides
+    byte-for-byte with the sequential one, so a wrong-but-well-formed
+    decode is possible (like any flipped payload byte)."""
     from curw_mike_data_handler_spark.operators.multimodal import (
         _png_pixel_value,
         decode_png_pixels,
@@ -1521,11 +1526,18 @@ def test_png_all_color_types_roundtrip(w, h, ct):
                 vals = tuple(_png_pixel_value(xx, yy, c) for c in range(nch))
             total += sum(vals)
             pmax = max(pmax, *vals)
-    assert got == {
+    want = {
         "width": w, "height": h, "n_px": w * h,
         "pixel_sum": total, "pixel_max": pmax,
-    }, (w, h, ct)
+    }
+    assert got == want, (w, h, ct)
 
-    interlaced = bytearray(make_png(w, h, pixels=True, color_type=ct))
-    interlaced[28] = 1  # IHDR interlace byte (decoder ignores the CRC)
-    assert decode_png_pixels(bytes(interlaced)) is None
+    adam7 = decode_png_pixels(
+        make_png(w, h, pixels=True, color_type=ct, interlace=True)
+    )
+    assert adam7 == want, ("adam7", w, h, ct)
+
+    spliced = bytearray(make_png(w, h, pixels=True, color_type=ct))
+    spliced[28] = 1  # IHDR interlace byte (decoder ignores the CRC)
+    out = decode_png_pixels(bytes(spliced))
+    assert out is None or isinstance(out, dict), ("spliced", w, h, ct)
