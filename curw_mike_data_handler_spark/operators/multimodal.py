@@ -204,8 +204,8 @@ def make_png(width: int, height: int, bit_depth: int = 8, pixels: bool = False,
 
         import numpy as np
 
-        if bit_depth != 8:
-            raise ValueError("pixel PNGs are 8-bit")
+        if bit_depth not in (8, 16) or (color_type == 3 and bit_depth != 8):
+            raise ValueError("pixel PNGs are 8- or 16-bit (palette: 8)")
         x = np.arange(width)
         y = np.arange(height)
         if color_type == 3:
@@ -225,7 +225,16 @@ def make_png(width: int, height: int, bit_depth: int = 8, pixels: bool = False,
             8 * (x % 16)[None, :, None]
             + (y % 16)[:, None, None]
             + 3 * np.arange(nch)[None, None, :]
-        ).astype(np.int16)  # (h, w, nch)
+        ).astype(np.int32)  # (h, w, nch) 8-bit sample values
+        if bit_depth == 16:
+            # 16-bit sample = 257 * the 8-bit closed form, i.e. the
+            # big-endian byte pair (v, v); interleave to a byte raster
+            v = raster
+            raster = np.empty((height, width, nch * 2), dtype=np.int32)
+            raster[:, :, 0::2] = v
+            raster[:, :, 1::2] = v
+            nch *= 2  # bytes per pixel from here down
+        raster = raster.astype(np.int16)
         if interlace:
             parts = []
             for x0, y0, dx, dy in _PNG_ADAM7:
@@ -1433,12 +1442,16 @@ _PNG_ADAM7 = (
 )
 
 
-def _png_unfilter_stats(raw, off, nrows, width_px, bpp, plte32):
+def _png_unfilter_stats(raw, off, nrows, width_px, bpp, plte32,
+                        sixteen=False):
     """Unfilter ``nrows`` scanlines of ``width_px`` pixels starting at
     byte ``off`` of the inflated stream (one filter byte + stride
     bytes per row), accumulating sample stats — shared by the
-    sequential image and each Adam7 sub-image.  Returns
-    (sample_sum, sample_max, next_off); raises on malformed data."""
+    sequential image and each Adam7 sub-image.  ``bpp`` is BYTES per
+    pixel (PNG filters are byte-wise at every depth); ``sixteen``
+    recombines big-endian byte pairs into 16-bit samples for the
+    stats.  Returns (sample_sum, sample_max, next_off); raises on
+    malformed data."""
     import numpy as np
 
     stride = width_px * bpp
@@ -1477,6 +1490,8 @@ def _png_unfilter_stats(raw, off, nrows, width_px, bpp, plte32):
             if stride and int(cur.max()) >= len(plte32):
                 raise ValueError("palette index out of range")
             samples = plte32[cur]
+        elif sixteen:  # recombine big-endian byte pairs
+            samples = cur[0::2] * 256 + cur[1::2]
         else:
             samples = cur
         total += int(samples.sum())
@@ -1490,10 +1505,12 @@ def decode_png_pixels(b: bytes) -> dict | None:
     """REAL PNG pixel decode, stdlib-only: chunk walk → IDAT concat →
     zlib inflate → inverse scanline filters (None/Sub/Up vectorized;
     Average/Paeth per-pixel, exactly as the spec defines them) → pixel
-    stats of the recovered 8-bit raster.  All five 8-bit color types
-    decode: grayscale (0), RGB (2), palette (3, expanded through PLTE
-    so stats run over the RGB samples), gray+alpha (4) and RGBA (6);
-    stats cover every recovered sample channel.  Adam7-interlaced
+    stats of the recovered raster.  All five color types decode at
+    depth 8 — grayscale (0), RGB (2), palette (3, expanded through
+    PLTE so stats run over the RGB samples), gray+alpha (4), RGBA (6)
+    — and the non-palette types at depth 16 too (filters are
+    byte-wise per the spec; big-endian byte pairs recombine for the
+    stats); stats cover every recovered sample channel.  Adam7-interlaced
     streams decode too: the seven passes PARTITION the pixels, so
     per-pass unfiltered sample stats sum to the image stats with no
     scatter pass.  Returns None for non-PNG / non-8-bit / truncated
@@ -1525,12 +1542,13 @@ def decode_png_pixels(b: bytes) -> dict | None:
             elif cid == b"IEND":
                 break
             i += 12 + size
-        if (not idat or depth != 8 or ctype not in _PNG_BPP
+        if (not idat or depth not in (8, 16) or ctype not in _PNG_BPP
                 or interlace not in (0, 1)
-                or (ctype == 3 and plte is None)):
+                or (ctype == 3 and (plte is None or depth != 8))):
             return None
         raw = zlib.decompress(b"".join(idat))
-        bpp = _PNG_BPP[ctype]
+        sixteen = depth == 16
+        bpp = _PNG_BPP[ctype] * (2 if sixteen else 1)  # bytes per pixel
         plte32 = plte.astype(np.int64) if ctype == 3 else None
         total = 0
         pmax = 0
@@ -1538,14 +1556,18 @@ def decode_png_pixels(b: bytes) -> dict | None:
         if interlace == 0:
             if len(raw) != h * (w * bpp + 1):
                 return None
-            total, pmax, off = _png_unfilter_stats(raw, 0, h, w, bpp, plte32)
+            total, pmax, off = _png_unfilter_stats(
+                raw, 0, h, w, bpp, plte32, sixteen
+            )
         else:  # Adam7: seven sub-images, empty passes carry no bytes
             for x0, y0, dx, dy in _PNG_ADAM7:
                 pw = (w - x0 + dx - 1) // dx
                 ph = (h - y0 + dy - 1) // dy
                 if pw <= 0 or ph <= 0:
                     continue
-                t, m, off = _png_unfilter_stats(raw, off, ph, pw, bpp, plte32)
+                t, m, off = _png_unfilter_stats(
+                    raw, off, ph, pw, bpp, plte32, sixteen
+                )
                 total += t
                 pmax = m if m > pmax else pmax
             if off != len(raw):

@@ -1541,3 +1541,13 @@ def test_png_all_color_types_roundtrip(w, h, ct):
     spliced[28] = 1  # IHDR interlace byte (decoder ignores the CRC)
     out = decode_png_pixels(bytes(spliced))
     assert out is None or isinstance(out, dict), ("spliced", w, h, ct)
+
+    if ct != 3:  # 16-bit twin: sample = 257x the 8-bit closed form
+        got16 = decode_png_pixels(
+            make_png(w, h, bit_depth=16, pixels=True, color_type=ct,
+                     interlace=(ct in (0, 6)))
+        )
+        assert got16 == {
+            "width": w, "height": h, "n_px": w * h,
+            "pixel_sum": 257 * total, "pixel_max": 257 * pmax,
+        }, ("16-bit", w, h, ct)
