@@ -1328,18 +1328,29 @@ def _wav_sample_value(i, ch):
 
 def make_wav(sample_rate: int, channels: int, bits: int = 16, n_samples: int = 0) -> bytes:
     """Minimal RIFF/WAVE: fmt chunk (PCM) + a data chunk carrying the
-    closed-form int16 waveform ``_wav_sample_value`` (same byte LENGTH
-    as the former zero fill, so header-level oracles are unchanged;
-    the content gives the PCM decoder something real to verify)."""
+    closed-form waveform ``_wav_sample_value`` at the requested PCM
+    width — 8-bit unsigned (value+128 per the WAV convention), 16-bit
+    signed, and 24/32-bit signed scaled by 2^8/2^16 so the high bytes
+    and sign paths are exercised while the oracle stays a pure scale
+    of the 16-bit closed form."""
     import struct
 
     block_align = channels * (bits // 8)
-    if bits == 16:
+    frames = (
+        _wav_sample_value(i, ch)
+        for i in range(n_samples)
+        for ch in range(channels)
+    )
+    if bits == 8:
+        data = bytes(v + 128 for v in frames)
+    elif bits == 16:
+        data = b"".join(struct.pack("<h", v) for v in frames)
+    elif bits == 24:
         data = b"".join(
-            struct.pack("<h", _wav_sample_value(i, ch))
-            for i in range(n_samples)
-            for ch in range(channels)
+            (v * 256).to_bytes(3, "little", signed=True) for v in frames
         )
+    elif bits == 32:
+        data = b"".join(struct.pack("<i", v * 65536) for v in frames)
     else:
         data = b"\x00" * (n_samples * block_align)
     fmt = struct.pack(
@@ -1353,27 +1364,44 @@ def make_wav(sample_rate: int, channels: int, bits: int = 16, n_samples: int = 0
 
 def decode_wav_samples(b: bytes) -> dict | None:
     """REAL PCM sample decode, stdlib-only: RIFF chunk walk → fmt parse
-    → int16 frame decode → sample stats.  Returns None for non-WAV /
-    non-16-bit / truncated payloads (never raises)."""
+    → frame decode → sample stats.  All integer PCM widths decode:
+    8-bit unsigned (centered to signed, per the WAV convention),
+    16-bit, 24-bit and 32-bit signed little-endian.  Returns None for
+    non-WAV / non-integer-PCM / truncated payloads (never raises)."""
     import struct
 
     try:
         if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
             return None
-        i, channels, bits, data = 12, None, None, None
+        i, fmt, channels, bits, data = 12, None, None, None, None
         while i + 8 <= len(b):
             cid = b[i : i + 4]
             (size,) = struct.unpack("<I", b[i + 4 : i + 8])
             if cid == b"fmt ":
-                _, channels, _, _, _, bits = struct.unpack("<HHIIHH", b[i + 8 : i + 24])
+                fmt, channels, _, _, _, bits = struct.unpack(
+                    "<HHIIHH", b[i + 8 : i + 24]
+                )
             elif cid == b"data":
                 data = b[i + 8 : i + 8 + size]
                 if len(data) < size:
                     return None
             i += 8 + size + (size & 1)
-        if channels is None or data is None or bits != 16:
+        if channels is None or data is None or fmt != 1:
             return None
-        vals = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
+        if bits == 8:  # unsigned bytes, centered
+            vals = [v - 128 for v in data]
+        elif bits == 16:
+            vals = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
+        elif bits == 24:
+            n = len(data) // 3
+            vals = [
+                int.from_bytes(data[3 * j : 3 * j + 3], "little", signed=True)
+                for j in range(n)
+            ]
+        elif bits == 32:
+            vals = struct.unpack(f"<{len(data) // 4}i", data[: len(data) // 4 * 4])
+        else:
+            return None
         n_frames = len(vals) // channels
         return {
             "channels": channels,

@@ -1551,3 +1551,41 @@ def test_png_all_color_types_roundtrip(w, h, ct):
             "width": w, "height": h, "n_px": w * h,
             "pixel_sum": 257 * total, "pixel_max": 257 * pmax,
         }, ("16-bit", w, h, ct)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(0, 64),
+    c=st.integers(1, 4),
+    bits=st.sampled_from([8, 16, 24, 32]),
+)
+def test_wav_all_pcm_widths_roundtrip(n, c, bits):
+    """All integer PCM widths decode: 8-bit unsigned (centered), 16-bit,
+    24-bit and 32-bit signed little-endian — the encoder carries the
+    closed-form waveform scaled by 1/1/2^8/2^16 so the expected stats
+    are a pure scale of the 16-bit closed form.  Non-integer-PCM
+    format codes (e.g. IEEE float) are rejected."""
+    import struct
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _wav_sample_value,
+        decode_wav_samples,
+        make_wav,
+    )
+
+    scale = {8: 1, 16: 1, 24: 256, 32: 65536}[bits]
+    got = decode_wav_samples(make_wav(22050, c, bits, n))
+    vals = [
+        _wav_sample_value(i, ch) * scale
+        for i in range(n) for ch in range(c)
+    ]
+    assert got == {
+        "channels": c, "n_frames": n,
+        "sample_sum": sum(vals),
+        "sample_max": max(vals) if vals else None,
+    }, (n, c, bits)
+
+    w = bytearray(make_wav(22050, c, 16, max(n, 1)))
+    off = w.index(b"fmt ") + 8
+    w[off : off + 2] = struct.pack("<H", 3)  # IEEE-float format code
+    assert decode_wav_samples(bytes(w)) is None
