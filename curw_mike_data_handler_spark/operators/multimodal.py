@@ -182,14 +182,17 @@ def make_png(width: int, height: int, bit_depth: int = 8, pixels: bool = False,
 
     ``pixels=False``: signature + IHDR + empty IEND (45 bytes — the
     closed-form byte_len the multimodal_decode oracle pins).
-    ``pixels=True`` (requires ``bit_depth=8``): adds a genuine IDAT —
-    the closed-form raster ``_png_pixel_value`` over ``color_type``'s
-    sample channels (grayscale 0, RGB 2, palette 3 with a 256-entry
-    PLTE, gray+alpha 4, RGBA 6), filtered per ``_row_filter_type`` and
+    ``pixels=True``: adds a genuine IDAT — the closed-form raster
+    ``_png_pixel_value`` over ``color_type``'s sample channels
+    (grayscale 0, RGB 2, palette 3 with a 2^depth-entry PLTE,
+    gray+alpha 4, RGBA 6), at any legal depth (1/2/4 for gray and
+    palette, 8 everywhere, 16 for the non-palette types: sample =
+    257× the 8-bit closed form; sub-byte values are the closed form
+    mod 2^depth), filtered per ``_row_filter_type`` and
     zlib-compressed — so a real decoder (ours or any other) recovers
     exact sample values.  ``interlace=True`` emits the seven Adam7
-    sub-images (each independently filtered, empty passes omitted) of
-    the SAME raster."""
+    sub-images (each independently packed and filtered, empty passes
+    omitted) of the SAME raster."""
     import struct
 
     if color_type not in (0, 2, 3, 4, 6):
@@ -204,17 +207,20 @@ def make_png(width: int, height: int, bit_depth: int = 8, pixels: bool = False,
 
         import numpy as np
 
-        if bit_depth not in (8, 16) or (color_type == 3 and bit_depth != 8):
-            raise ValueError("pixel PNGs are 8- or 16-bit (palette: 8)")
+        ok_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                     4: (8, 16), 6: (8, 16)}
+        if bit_depth not in ok_depths[color_type]:
+            raise ValueError("illegal (depth, color type) pair")
         x = np.arange(width)
         y = np.arange(height)
         if color_type == 3:
-            # index raster = gray closed form; palette entry i holds
-            # ((7i) mod 256, (11i) mod 256, (13i) mod 256)
+            # index raster = gray closed form mod the palette size;
+            # palette entry i holds ((7i) mod 256, (11i) mod 256,
+            # (13i) mod 256)
             out += _png_chunk(
                 b"PLTE",
                 bytes(
-                    v for i in range(256)
+                    v for i in range(1 << bit_depth)
                     for v in (7 * i % 256, 11 * i % 256, 13 * i % 256)
                 ),
             )
@@ -226,26 +232,38 @@ def make_png(width: int, height: int, bit_depth: int = 8, pixels: bool = False,
             + (y % 16)[:, None, None]
             + 3 * np.arange(nch)[None, None, :]
         ).astype(np.int32)  # (h, w, nch) 8-bit sample values
-        if bit_depth == 16:
-            # 16-bit sample = 257 * the 8-bit closed form, i.e. the
-            # big-endian byte pair (v, v); interleave to a byte raster
-            v = raster
-            raster = np.empty((height, width, nch * 2), dtype=np.int32)
-            raster[:, :, 0::2] = v
-            raster[:, :, 1::2] = v
-            nch *= 2  # bytes per pixel from here down
-        raster = raster.astype(np.int16)
+        if bit_depth < 8:
+            raster %= 1 << bit_depth
+
+        def _pack(sub):  # (ph, pw, nch) samples -> (ph, stride) bytes
+            ph, pw = sub.shape[:2]
+            if bit_depth == 16:
+                # 16-bit sample = 257 * the 8-bit value: byte pair (v, v)
+                flat = sub.reshape(ph, pw * nch)
+                b2 = np.empty((ph, pw * nch * 2), dtype=np.int16)
+                b2[:, 0::2] = flat
+                b2[:, 1::2] = flat
+                return b2
+            if bit_depth == 8:
+                return sub.reshape(ph, pw * nch).astype(np.int16)
+            # sub-byte (nch == 1): MSB-first bit packing per scanline
+            d = bit_depth
+            bits = (
+                (sub.reshape(ph, pw, 1) >> np.arange(d - 1, -1, -1)) & 1
+            ).astype(np.uint8)
+            return np.packbits(bits.reshape(ph, pw * d), axis=1).astype(np.int16)
+
+        fbpp = max(1, nch * bit_depth // 8)  # filter displacement, bytes
         if interlace:
             parts = []
             for x0, y0, dx, dy in _PNG_ADAM7:
                 sub = raster[y0::dy, x0::dx, :]
                 if sub.size == 0:
                     continue
-                ph, pw = sub.shape[:2]
-                parts.append(_png_filter_rows(sub.reshape(ph, pw * nch), nch))
+                parts.append(_png_filter_rows(_pack(sub), fbpp))
             body = b"".join(parts)
         else:
-            body = _png_filter_rows(raster.reshape(height, width * nch), nch)
+            body = _png_filter_rows(_pack(raster), fbpp)
         out += _png_chunk(b"IDAT", zlib.compress(body))
     return out + _png_chunk(b"IEND", b"")
 
@@ -1470,19 +1488,20 @@ _PNG_ADAM7 = (
 )
 
 
-def _png_unfilter_stats(raw, off, nrows, width_px, bpp, plte32,
-                        sixteen=False):
+def _png_unfilter_stats(raw, off, nrows, width_px, nch, depth, plte32):
     """Unfilter ``nrows`` scanlines of ``width_px`` pixels starting at
     byte ``off`` of the inflated stream (one filter byte + stride
     bytes per row), accumulating sample stats — shared by the
-    sequential image and each Adam7 sub-image.  ``bpp`` is BYTES per
-    pixel (PNG filters are byte-wise at every depth); ``sixteen``
-    recombines big-endian byte pairs into 16-bit samples for the
-    stats.  Returns (sample_sum, sample_max, next_off); raises on
-    malformed data."""
+    sequential image and each Adam7 sub-image.  PNG filters are
+    byte-wise at every depth with the pixel span rounded UP to one
+    byte (PNG 9.2), so sub-byte depths unfilter over the packed bytes
+    and then bit-unpack; depth 16 recombines big-endian byte pairs.
+    Returns (sample_sum, sample_max, next_off); raises on malformed
+    data."""
     import numpy as np
 
-    stride = width_px * bpp
+    bpp = max(1, nch * depth // 8)  # filter displacement, bytes
+    stride = (width_px * nch * depth + 7) // 8
     total = 0
     pmax = 0
     prev = np.zeros(stride, dtype=np.int32)
@@ -1496,7 +1515,7 @@ def _png_unfilter_stats(raw, off, nrows, width_px, bpp, plte32,
         if ft == 0:
             cur = data
         elif ft == 1:  # Sub: prefix sum with stride bpp
-            cur = np.cumsum(data.reshape(width_px, bpp), axis=0).reshape(stride) % 256
+            cur = np.cumsum(data.reshape(-1, bpp), axis=0).reshape(stride) % 256
         elif ft == 2:  # Up
             cur = (data + prev) % 256
         elif ft in (3, 4):  # Average / Paeth: left-dependent, per pixel
@@ -1514,16 +1533,23 @@ def _png_unfilter_stats(raw, off, nrows, width_px, bpp, plte32,
                 cur[j] = (data[j] + pred) % 256
         else:
             raise ValueError("unknown scanline filter")
-        if plte32 is not None:  # palette indices -> RGB samples
-            if stride and int(cur.max()) >= len(plte32):
-                raise ValueError("palette index out of range")
-            samples = plte32[cur]
-        elif sixteen:  # recombine big-endian byte pairs
-            samples = cur[0::2] * 256 + cur[1::2]
+        if depth < 8:  # sub-byte: MSB-first packed, padding bits dropped
+            bits = np.unpackbits(cur.astype(np.uint8))[: width_px * depth]
+            vals = bits.reshape(width_px, depth).astype(np.int32) @ (
+                1 << np.arange(depth - 1, -1, -1)
+            )
+        elif depth == 16:  # recombine big-endian byte pairs
+            vals = cur[0::2] * 256 + cur[1::2]
         else:
-            samples = cur
+            vals = cur
+        if plte32 is not None:  # palette indices -> RGB samples
+            if len(vals) and int(vals.max()) >= len(plte32):
+                raise ValueError("palette index out of range")
+            samples = plte32[vals]
+        else:
+            samples = vals
         total += int(samples.sum())
-        m = int(samples.max()) if stride else 0
+        m = int(samples.max()) if samples.size else 0
         pmax = m if m > pmax else pmax
         prev = cur
     return total, pmax, off
@@ -1533,12 +1559,13 @@ def decode_png_pixels(b: bytes) -> dict | None:
     """REAL PNG pixel decode, stdlib-only: chunk walk → IDAT concat →
     zlib inflate → inverse scanline filters (None/Sub/Up vectorized;
     Average/Paeth per-pixel, exactly as the spec defines them) → pixel
-    stats of the recovered raster.  All five color types decode at
-    depth 8 — grayscale (0), RGB (2), palette (3, expanded through
-    PLTE so stats run over the RGB samples), gray+alpha (4), RGBA (6)
-    — and the non-palette types at depth 16 too (filters are
-    byte-wise per the spec; big-endian byte pairs recombine for the
-    stats); stats cover every recovered sample channel.  Adam7-interlaced
+    stats of the recovered raster.  Every legal (depth, color type)
+    pair of PNG 11.2.2 decodes: 1/2/4/8/16-bit grayscale (0), 8/16-bit
+    RGB (2) / gray+alpha (4) / RGBA (6), and 1/2/4/8-bit palette (3,
+    expanded through PLTE so stats run over the RGB samples).  Filters
+    are byte-wise per the spec (one-byte displacement below 8 bits);
+    sub-byte samples bit-unpack MSB-first, 16-bit samples recombine
+    big-endian byte pairs; stats cover every recovered sample channel.  Adam7-interlaced
     streams decode too: the seven passes PARTITION the pixels, so
     per-pass unfiltered sample stats sum to the image stats with no
     scatter pass.  Returns None for non-PNG / non-8-bit / truncated
@@ -1570,22 +1597,26 @@ def decode_png_pixels(b: bytes) -> dict | None:
             elif cid == b"IEND":
                 break
             i += 12 + size
-        if (not idat or depth not in (8, 16) or ctype not in _PNG_BPP
+        # legal (depth, color type) pairs per PNG 11.2.2: sub-byte
+        # depths only for grayscale and palette; no 16-bit palette
+        ok_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                     4: (8, 16), 6: (8, 16)}
+        if (not idat or ctype not in ok_depths
+                or depth not in ok_depths[ctype]
                 or interlace not in (0, 1)
-                or (ctype == 3 and (plte is None or depth != 8))):
+                or (ctype == 3 and plte is None)):
             return None
         raw = zlib.decompress(b"".join(idat))
-        sixteen = depth == 16
-        bpp = _PNG_BPP[ctype] * (2 if sixteen else 1)  # bytes per pixel
+        nch = _PNG_BPP[ctype]
         plte32 = plte.astype(np.int64) if ctype == 3 else None
         total = 0
         pmax = 0
         off = 0
         if interlace == 0:
-            if len(raw) != h * (w * bpp + 1):
+            if len(raw) != h * ((w * nch * depth + 7) // 8 + 1):
                 return None
             total, pmax, off = _png_unfilter_stats(
-                raw, 0, h, w, bpp, plte32, sixteen
+                raw, 0, h, w, nch, depth, plte32
             )
         else:  # Adam7: seven sub-images, empty passes carry no bytes
             for x0, y0, dx, dy in _PNG_ADAM7:
@@ -1594,7 +1625,7 @@ def decode_png_pixels(b: bytes) -> dict | None:
                 if pw <= 0 or ph <= 0:
                     continue
                 t, m, off = _png_unfilter_stats(
-                    raw, off, ph, pw, bpp, plte32, sixteen
+                    raw, off, ph, pw, nch, depth, plte32
                 )
                 total += t
                 pmax = m if m > pmax else pmax

@@ -1555,6 +1555,47 @@ def test_png_all_color_types_roundtrip(w, h, ct):
 
 @settings(max_examples=25, deadline=None)
 @given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 24),
+    ct=st.sampled_from([0, 3]),
+    d=st.sampled_from([1, 2, 4]),
+    interlace=st.booleans(),
+)
+def test_png_sub_byte_depths_roundtrip(w, h, ct, d, interlace):
+    """Sub-byte PNG depths (1/2/4-bit grayscale and palette): filters
+    run over the PACKED scanline bytes with a one-byte displacement
+    (PNG 9.2), samples bit-unpack MSB-first with row padding dropped,
+    and palette indices expand through the 2^depth-entry PLTE —
+    sequential and Adam7 (per-pass packing) both verified against the
+    closed form recomputed here."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _png_pixel_value,
+        decode_png_pixels,
+        make_png,
+    )
+
+    got = decode_png_pixels(
+        make_png(w, h, bit_depth=d, pixels=True, color_type=ct,
+                 interlace=interlace)
+    )
+    total, pmax = 0, 0
+    for yy in range(h):
+        for xx in range(w):
+            v = _png_pixel_value(xx, yy, 0) % (1 << d)
+            if ct == 3:
+                vals = (7 * v % 256, 11 * v % 256, 13 * v % 256)
+            else:
+                vals = (v,)
+            total += sum(vals)
+            pmax = max(pmax, *vals)
+    assert got == {
+        "width": w, "height": h, "n_px": w * h,
+        "pixel_sum": total, "pixel_max": pmax,
+    }, (w, h, ct, d, interlace)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
     n=st.integers(0, 64),
     c=st.integers(1, 4),
     bits=st.sampled_from([8, 16, 24, 32]),
