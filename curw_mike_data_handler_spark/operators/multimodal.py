@@ -15,15 +15,19 @@ Decode comes in two layers:
   streams deterministically from the row id, so the parse path is
   exercised on real bytes and oracle-checkable (the expected metadata
   is a closed form of the id).
-* **PNG pixel decode is REAL, stdlib-only**: ``make_png(pixels=True)``
-  writes a genuine zlib-compressed IDAT whose scanlines cycle all five
-  PNG filter types; ``decode_png_pixels`` inflates with stdlib zlib and
-  inverts None/Sub/Up/Average/Paeth to recover the raster, so the
-  pixel-stat oracle (a closed form of width/height) fails unless the
-  inflate+unfilter is bit-correct.
+* **PNG pixel decode is REAL, stdlib-only, and spec-complete**:
+  ``make_png(pixels=True)`` writes a genuine zlib-compressed IDAT
+  whose scanlines cycle all five PNG filter types; ``decode_png_pixels``
+  inflates with stdlib zlib and inverts None/Sub/Up/Average/Paeth to
+  recover the raster, covering every legal (depth, color type) pair of
+  PNG 11.2.2 — 1/2/4/8/16-bit grayscale, 8/16-bit RGB/gray+alpha/RGBA,
+  1/2/4/8-bit palette — in both sequential and Adam7-interlaced form,
+  so the pixel-stat oracle (a closed form of width/height) fails
+  unless the inflate+unfilter is bit-correct.
 * **WAV PCM sample decode is REAL, stdlib-only**: ``make_wav`` writes
-  a closed-form int16 waveform and ``decode_wav_samples`` walks the
-  RIFF chunks and unpacks the frames — the audio twin of the PNG path.
+  a closed-form waveform at every integer PCM width (8-bit unsigned,
+  16/24/32-bit signed) and ``decode_wav_samples`` walks the RIFF
+  chunks and unpacks the frames — the audio twin of the PNG path.
 * **Baseline JPEG pixel decode is REAL, stdlib+numpy only**:
   ``make_jpeg(pixels=True)`` writes a complete entropy-coded 4:4:4
   scan (canonical Huffman tables shipped in DHT, all-1s quant) and

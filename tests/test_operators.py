@@ -398,8 +398,14 @@ def test_wav_pcm_decode_roundtrip_and_robustness(spark):
         assert st["sample_max"] == (max(vals) if vals else None)
     assert decode_wav_samples(b"junk") is None
     assert decode_wav_samples(make_wav(8000, 1, 16, 9)[:20]) is None
-    # 8-bit payloads are not decoded (16-bit PCM only)
-    assert decode_wav_samples(make_wav(8000, 1, 8, 4)) is None
+    # 8-bit unsigned payloads decode too (centered to signed); the
+    # full width sweep lives in test_wav_all_pcm_widths_roundtrip
+    assert decode_wav_samples(make_wav(8000, 1, 8, 4)) == {
+        "channels": 1,
+        "n_frames": 4,
+        "sample_sum": sum(_wav_sample_value(i, 0) for i in range(4)),
+        "sample_max": max(_wav_sample_value(i, 0) for i in range(4)),
+    }
 
     media = spark.createDataFrame(
         [(1, "audio/wav", make_wav(8000, 2, 16, 7)), (2, "x", b"nope")],
