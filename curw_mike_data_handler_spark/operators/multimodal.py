@@ -486,7 +486,12 @@ def make_jpeg_from_coefficients(
 
 class _JpegBitReader:
     """MSB-first bit reader over the entropy-coded segment with 0xFF00
-    unstuffing; raises StopIteration at any non-stuffing marker."""
+    unstuffing; raises StopIteration at any non-stuffing marker.
+
+    Bytes are pulled into the accumulator ONLY on demand (never past
+    what a request needs), so after every request fewer than 8 bits
+    remain buffered — ``align``/``at_marker`` therefore keep the exact
+    current-byte semantics the restart handling relies on."""
 
     def __init__(self, buf: bytes, pos: int) -> None:
         self.b = buf
@@ -494,31 +499,33 @@ class _JpegBitReader:
         self.acc = 0
         self.n = 0
 
-    def bit(self) -> int:
-        if self.n == 0:
-            if self.i >= len(self.b):
+    def bits(self, n: int) -> int:
+        acc, have, b, i = self.acc, self.n, self.b, self.i
+        while have < n:
+            if i >= len(b):
                 raise StopIteration
-            byte = self.b[self.i]
+            byte = b[i]
             if byte == 0xFF:
-                nxt = self.b[self.i + 1] if self.i + 1 < len(self.b) else 0xD9
+                nxt = b[i + 1] if i + 1 < len(b) else 0xD9
                 if nxt != 0x00:
                     raise StopIteration  # real marker (EOI/RST handled above)
-                self.i += 2
+                i += 2
             else:
-                self.i += 1
-            self.acc = byte
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+                i += 1
+            acc = (acc << 8) | byte
+            have += 8
+        have -= n
+        self.acc = acc & ((1 << have) - 1)
+        self.n = have
+        self.i = i
+        return (acc >> have) & ((1 << n) - 1)
 
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+    def bit(self) -> int:
+        return self.bits(1)
 
     def align(self) -> None:
         self.n = 0
+        self.acc = 0
 
     def at_marker(self) -> int | None:
         """Byte-aligned peek: the marker byte if one is next, else None."""
@@ -534,14 +541,27 @@ def _jpeg_extend(bits: int, t: int) -> int:
     return bits if bits >= (1 << (t - 1)) else bits - (1 << t) + 1
 
 
-def _huff_decode(reader: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
+def _huff_dec_table(codes: dict[int, tuple[int, int]]) -> tuple[dict, int]:
+    """Decode-side table: ((code, length) -> symbol, min code length).
+    Reading the minimum length in one bulk request resolves most
+    symbols in a single lookup (T.81 F.16 reads MINCODE-many bits
+    first for the same reason); compact/flat tables resolve in one."""
+    inv = {(c, ln): s for s, (c, ln) in codes.items()}
+    return inv, min(ln for _c, ln in codes.values())
+
+
+def _huff_decode(reader: _JpegBitReader, table: tuple[dict, int]) -> int:
+    inv, length = table
+    code = reader.bits(length)
     while length < 16:
-        code = (code << 1) | reader.bit()
-        length += 1
-        sym = table.get((code, length))
+        sym = inv.get((code, length))
         if sym is not None:
             return sym
+        code = (code << 1) | reader.bits(1)
+        length += 1
+    sym = inv.get((code, 16))
+    if sym is not None:
+        return sym
     raise ValueError("invalid Huffman code")
 
 
@@ -566,7 +586,7 @@ def decode_jpeg_pixels(b: bytes) -> dict | None:
             return None
         i = 2
         qt: dict[int, list[int]] = {}
-        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        huff: dict[tuple[int, int], tuple[dict, int]] = {}
         comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
         w = h = None
         restart = 0
@@ -600,7 +620,7 @@ def decode_jpeg_pixels(b: bytes) -> dict | None:
                     nv = sum(bits)
                     vals = list(data[j + 17 : j + 17 + nv])
                     codes = _huff_canonical(bits, vals)
-                    huff[(tc, th)] = {(c, ln): s for s, (c, ln) in codes.items()}
+                    huff[(tc, th)] = _huff_dec_table(codes)
                     j += 17 + nv
             elif m == 0xC0:  # SOF0 baseline
                 if data[0] != 8:
@@ -1083,7 +1103,7 @@ def _decode_jpeg_progressive(b: bytes) -> dict | None:
             return None
         i = 2
         qt: dict[int, list[int]] = {}
-        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        huff: dict[tuple[int, int], tuple[dict, int]] = {}
         comps: list[tuple[int, int, int, int]] = []
         w = h = None
         restart = 0
@@ -1116,7 +1136,7 @@ def _decode_jpeg_progressive(b: bytes) -> dict | None:
                     nv = sum(bits)
                     vals = list(data[j + 17 : j + 17 + nv])
                     codes = _huff_canonical(bits, vals)
-                    huff[(tc, th)] = {(c, ln): s for s, (c, ln) in codes.items()}
+                    huff[(tc, th)] = _huff_dec_table(codes)
                     j += 17 + nv
             elif m == 0xC2:
                 if data[0] != 8 or comps:
