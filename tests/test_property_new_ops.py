@@ -1630,3 +1630,69 @@ def test_wav_all_pcm_widths_roundtrip(n, c, bits):
     off = w.index(b"fmt ") + 8
     w[off : off + 2] = struct.pack("<H", 3)  # IEEE-float format code
     assert decode_wav_samples(bytes(w)) is None
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 100_000))
+def test_decoders_never_raise_on_corrupted_streams(seed):
+    """The one-bad-blob contract, fuzzed: every decoder and the header
+    parser must survive arbitrary byte flips, truncations and splices
+    of valid streams without raising — a corrupted payload in a 100 TB
+    batch maps to None (or a wrong-but-well-formed dict), never to a
+    task failure."""
+    import random
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_avi_frame_pixels,
+        decode_jpeg_pixels,
+        decode_png_pixels,
+        decode_wav_samples,
+        make_avi,
+        make_jpeg,
+        make_png,
+        make_progressive_jpeg,
+        make_wav,
+        parse_avi_header,
+        parse_media_header,
+    )
+
+    rng = random.Random(seed)
+    # build a pool of valid streams (legal depth/type combos only)
+    pool = []
+    ct = rng.choice([0, 2, 3, 4, 6])
+    depth = rng.choice({0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                        4: (8, 16), 6: (8, 16)}[ct])
+    pool.append(make_png(rng.randint(1, 24), rng.randint(1, 16),
+                         bit_depth=depth, pixels=True, color_type=ct,
+                         interlace=rng.random() < 0.5))
+    pool.append(make_jpeg(8 * rng.randint(1, 8), 8 * rng.randint(1, 6),
+                          pixels=True))
+    pool.append(make_progressive_jpeg(8 * rng.randint(1, 8),
+                                      8 * rng.randint(1, 6)))
+    pool.append(make_wav(8000, rng.randint(1, 3),
+                         rng.choice([8, 16, 24, 32]), rng.randint(0, 40)))
+    pool.append(make_avi(16, 16, fps=10, n_frames=rng.randint(1, 12),
+                         mjpeg=True))
+
+    decoders = (
+        decode_png_pixels, decode_jpeg_pixels, decode_wav_samples,
+        lambda p: decode_avi_frame_pixels(p, every_n=3),
+        parse_avi_header, parse_media_header,
+    )
+    for payload in pool:
+        b = bytearray(payload)
+        mode = rng.random()
+        if mode < 0.4:  # flip 1-8 random bytes
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            b = bytes(b)
+        elif mode < 0.7:  # truncate anywhere
+            b = bytes(b[: rng.randrange(len(b) + 1)])
+        else:  # splice a random chunk of another stream into the middle
+            other = pool[rng.randrange(len(pool))]
+            at = rng.randrange(len(b) + 1)
+            piece = other[: rng.randrange(min(len(other), 64) + 1)]
+            b = bytes(b[:at]) + piece + bytes(b[at:])
+        for dec in decoders:
+            out = dec(b)  # must not raise
+            assert out is None or isinstance(out, (dict, list))
