@@ -5560,28 +5560,35 @@ def hll_mergeable_rollup(spark, sf_dir):
     """,
 )
 def w11_distribution_ranks(spark, sf_dir):
-    """Distribution-position windows: percent_rank (rank−1)/(n−1) and
-    cume_dist rows≤current/n over a TOTAL order (value + id tie-break),
-    plus the derived top-1% flag — the remaining §2.5 ranking family
-    beyond row_number/rank/ntile.  Both functions are exact rational
-    arithmetic on rank integers, identical across engines; 6 dp
-    rounding guards the division.
+    """Distribution-position windows through
+    operators.robust.distribution_ranks: percent_rank (rank−1)/(n−1)
+    and cume_dist rows≤current/n over a TOTAL order (value + id
+    tie-break), plus the derived top-1% flag — the remaining §2.5
+    ranking family beyond row_number/rank/ntile.
 
-    Scale shape: one hash(event_type) exchange + one sort feeds both
-    functions (same window spec)."""
-    from pyspark.sql import Window
+    The oracle gate pins ``exact=True`` (real window functions —
+    exact rational arithmetic on rank integers, identical across
+    engines; 6 dp rounding guards the division).  The operator's
+    DEFAULT is the scale path: a per-group quantile sketch broadcast
+    into a MAP-ONLY interpolated-CDF assignment — no percent_rank/
+    cume_dist window over the fact, no single-task sort per hot
+    event_type (guarded in test_plan_shapes.py; the w8 straggler
+    class, VERDICT r6 #2)."""
+    from curw_mike_data_handler_spark.operators.robust import distribution_ranks
 
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
     )
     v = ev.select("event_type", "event_id", _cents("value").alias("v100"))
-    w = Window.partitionBy("event_type").orderBy("v100", "event_id")
-    return v.select(
+    r = distribution_ranks(
+        v, "v100", by=["event_type"], tie_cols=["event_id"], exact=True
+    )
+    return r.select(
         "event_type",
         "event_id",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        (F.percent_rank().over(w) >= 0.99).alias("top_1pct"),
+        F.round(F.col("pct_rank"), 6).alias("pct_rank"),
+        F.round(F.col("cume"), 6).alias("cume"),
+        (F.col("pct_rank") >= 0.99).alias("top_1pct"),
     )
 
 

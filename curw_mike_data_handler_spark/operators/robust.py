@@ -141,11 +141,22 @@ def equidepth_bins(
 
     The bucket column is int on both paths; callers cast to match
     their oracle (DuckDB ntile returns BIGINT).
+
+    NULL handling: ``value_col`` is expected non-null (every catalog
+    caller feeds a cleaned column).  The exact path orders
+    ``asc_nulls_last`` so that if NULLs do appear they land in the TOP
+    bucket exactly as DuckDB's default ``ORDER BY`` (NULLS LAST for
+    ASC) deals them — Spark's bare ``asc`` is NULLS FIRST, which would
+    silently bucket NULLs opposite the oracle.  The approx path drops
+    NULLs from the sketch (``percentile_approx`` ignores them) and
+    pins NULL rows to bucket ``k`` for the same nulls-last semantics.
     """
     from pyspark.sql import Window
 
     if exact:
-        order = [value_col, *(tie_cols or [])]
+        order = [
+            F.asc_nulls_last(c) for c in [value_col, *(tie_cols or [])]
+        ]
         w = (
             Window.partitionBy(*by).orderBy(*order)
             if by
@@ -164,5 +175,110 @@ def equidepth_bins(
     v = F.col(value_col)
     return joined.withColumn(
         bin_col,
-        F.size(F.filter(F.col("__edges"), lambda e: e < v)) + F.lit(1),
+        F.when(v.isNull(), F.lit(k)).otherwise(
+            F.size(F.filter(F.col("__edges"), lambda e: e < v)) + F.lit(1)
+        ),
     ).drop("__edges")
+
+
+def distribution_ranks(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: list[str] | None = None,
+    tie_cols: list[str] | None = None,
+    pct_col: str = "pct_rank",
+    cume_col: str = "cume",
+    exact: bool = False,
+    resolution: int = 1_000,
+    accuracy: int = DEFAULT_ACCURACY,
+) -> DataFrame:
+    """Append distribution-position columns — ``pct_col`` ≈
+    ``percent_rank`` ((rank−1)/(n−1)) and ``cume_col`` ≈ ``cume_dist``
+    (rows ≤ current / n) of ``value_col`` within each ``by`` group.
+
+    ``exact=False`` (default — the at-scale path): estimate the
+    per-group CDF once with a mergeable quantile sketch — ``resolution``
+    +1 edges at probs 0, 1/m, …, 1 (``percentile_approx`` keeps exact
+    min/max at the endpoints) plus the group count, a one-row-per-group
+    relation broadcast back — then assign each row its interpolated CDF
+    position MAP-ONLY: locate the straddling edge pair with an array
+    scan and linearly interpolate inside it.  No window, no total sort,
+    no single-task-per-hot-key stage; error is bounded by sketch rank
+    error (≤ 1/accuracy) + interpolation width (≤ 1/resolution) + tie
+    mass.  Both output columns carry the same CDF estimate (the exact
+    definitions differ by strict-vs-nonstrict comparison and n−1 vs n —
+    O(ties + 1/n), inside the sketch error), except ``cume_col`` is
+    floored at 1/n (cume_dist's exact lower bound).
+
+    ``exact=True`` (gate-scale oracle attestation ONLY): the real
+    ``percent_rank``/``cume_dist`` window over the (value, *tie_cols)
+    ``asc_nulls_last`` total order — bit-identical to a SQL oracle
+    (DuckDB ASC is NULLS LAST), but each window partition is ONE task
+    sorting its whole group; nothing on the 100-TB path may pass it
+    (plan guard in tests/test_plan_shapes.py).
+
+    NULL handling: ``value_col`` is expected non-null; if NULLs appear
+    the exact path ranks them last (nulls-last order) and the approx
+    path pins them to CDF 1.0 for the same semantics.
+
+    This is the w8/w11 straggler-class fix (VERDICT r6 "What's wrong"
+    #2): percent_rank over a fact partitioned by a handful of enum
+    keys is a single-task sort of ~the whole corpus per key.
+    """
+    from pyspark.sql import Window
+
+    if exact:
+        order = [
+            F.asc_nulls_last(c) for c in [value_col, *(tie_cols or [])]
+        ]
+        w = (
+            Window.partitionBy(*by).orderBy(*order)
+            if by
+            else Window.orderBy(*order)
+        )
+        return df.withColumn(pct_col, F.percent_rank().over(w)).withColumn(
+            cume_col, F.cume_dist().over(w)
+        )
+
+    m = resolution
+    probs = [i / m for i in range(0, m + 1)]
+    agg = [
+        F.percentile_approx(
+            F.col(value_col), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+        ).alias("__edges"),
+        F.count(F.col(value_col)).alias("__n"),
+    ]
+    if by:
+        sketch = df.groupBy(*by).agg(*agg)
+        joined = df.join(F.broadcast(sketch), by)
+    else:
+        joined = df.crossJoin(F.broadcast(df.groupBy().agg(*agg)))
+
+    v = F.col(value_col).cast("double")
+    edges = F.transform(F.col("__edges"), lambda e: e.cast("double"))
+    # 0-based index of the edge interval [e_j, e_{j+1}) containing v:
+    # count of edges <= v, minus one, clamped into [0, m-1].
+    j = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(m - 1),
+            F.size(F.filter(edges, lambda e: e <= v)) - F.lit(1),
+        ),
+    )
+    e_lo = F.element_at(edges, j + F.lit(1))
+    e_hi = F.element_at(edges, j + F.lit(2))
+    frac = F.when(e_hi > e_lo, (v - e_lo) / (e_hi - e_lo)).otherwise(F.lit(0.5))
+    cdf = F.least(
+        F.lit(1.0),
+        F.greatest(F.lit(0.0), (j.cast("double") + frac) / F.lit(float(m))),
+    )
+    cdf = F.when(F.col(value_col).isNull(), F.lit(1.0)).otherwise(cdf)
+    return (
+        joined.withColumn(pct_col, cdf)
+        .withColumn(
+            cume_col,
+            F.greatest(F.col(pct_col), F.lit(1.0) / F.col("__n").cast("double")),
+        )
+        .drop("__edges", "__n")
+    )

@@ -723,3 +723,72 @@ def test_equidepth_approx_buckets_are_near_equal_depth(spark):
         assert abs(r["n"] - n / 10) <= max(10, 0.03 * n), rows
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] <= b["lo"]
+
+
+def test_distribution_ranks_default_path_is_map_only_no_window(spark):
+    """The 100-TB contract for operators/robust.distribution_ranks
+    (the device behind w11_distribution_ranks): the DEFAULT
+    (exact=False) path must plan a per-group quantile sketch broadcast
+    into a map-only interpolated-CDF assignment — no percent_rank/
+    cume_dist, no Window anywhere (a per-event_type window over the
+    fact is ONE task sorting its whole type's slice — the w8 straggler
+    class).  exact=True exists only for gate-scale oracle attestation
+    (the catalog query pins it)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.robust import distribution_ranks
+    from curw_mike_data_handler_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    for df in (
+        distribution_ranks(ev, "v100", by=["event_type"]),   # grouped
+        distribution_ranks(ev, "v100"),                      # global
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(True)
+        plan = buf.getvalue()
+        assert not re.search(r"\bpercent_rank\(", plan)
+        assert not re.search(r"\bcume_dist\(", plan)
+        phys = plan.split("== Physical Plan ==")[1]
+        assert "Window" not in phys
+        assert "BroadcastHashJoin" in phys or "BroadcastNestedLoopJoin" in phys
+        assert "SortMergeJoin" not in phys
+
+
+def test_distribution_ranks_approx_tracks_exact_cdf(spark):
+    """Value check for the default path: at high sketch accuracy the
+    interpolated CDF tracks the exact percent_rank/cume_dist within
+    interpolation + tie error, and both columns are properly bounded
+    and monotone in the value."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.robust import distribution_ranks
+    from curw_mike_data_handler_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    approx = distribution_ranks(
+        ev, "v100", by=["event_type"], resolution=1_000, accuracy=100_000
+    ).select("event_type", "event_id", "pct_rank", "cume")
+    exact = distribution_ranks(
+        ev, "v100", by=["event_type"], tie_cols=["event_id"], exact=True,
+        pct_col="pct_e", cume_col="cume_e",
+    ).select("event_type", "event_id", "pct_e", "cume_e")
+    j = approx.join(exact, ["event_type", "event_id"]).select(
+        F.max(F.abs(F.col("pct_rank") - F.col("pct_e"))).alias("d_pct"),
+        F.max(F.abs(F.col("cume") - F.col("cume_e"))).alias("d_cume"),
+        F.min("pct_rank").alias("lo"),
+        F.max("pct_rank").alias("hi"),
+        F.min("cume").alias("clo"),
+    ).collect()[0]
+    assert j["d_pct"] <= 0.02, j
+    assert j["d_cume"] <= 0.02, j
+    assert 0.0 <= j["lo"] and j["hi"] <= 1.0 and j["clo"] > 0.0
