@@ -25,6 +25,12 @@ from curw_mike_data_handler_spark.plans.rf_obs import (
 )
 from curw_mike_data_handler_spark.session import get_spark
 
+# The wide MIKE export materializes one CSV COLUMN per station, and the
+# CLI collects the distinct ids to pin the column order — both are only
+# sane for a dimension-scale registry.  A mis-pointed fact table (every
+# event id distinct) would otherwise OOM the driver collect.
+MAX_EXPORT_STATIONS = 10_000
+
 
 def main(argv: list[str] | None = None) -> int:
     p = window_parser("Prepare the MIKE observed-rainfall input file")
@@ -63,7 +69,15 @@ def main(argv: list[str] | None = None) -> int:
     # deterministic export order: sorted station ids (the reference's
     # order is its config-CSV file order; parquet registries carry no
     # row order, so the CLI pins the sorted order instead)
-    order = sorted(r["station_id"] for r in stations.select("station_id").distinct().collect())
+    ids = stations.select("station_id").distinct()
+    n_stations = ids.count()
+    if n_stations > MAX_EXPORT_STATIONS:
+        raise JobArgumentError(
+            f"--stations has {n_stations} distinct station_ids "
+            f"(> {MAX_EXPORT_STATIONS}); it must be a station REGISTRY, "
+            "not a fact table — refusing to collect the column order."
+        )
+    order = sorted(r["station_id"] for r in ids.collect())
     write_obs_rainfall_input(result, a.output, order)
     print(f"{datetime.now()} completed preparing mike rainfall input")
     print(f"Mike input rainfall file is available at {a.output}")

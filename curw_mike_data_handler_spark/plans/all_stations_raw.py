@@ -99,8 +99,13 @@ def prepare_all_stations_raw(
     imputed = row_mean_impute_long(
         filled.withColumn("value", F.col("value").cast("decimal(24,6)"))
     )
-    # all_raw:288; the 1-dp decimal → double cast is exact
-    return imputed.withColumn("value", F.round("value", 1).cast("double"))
+    # all_raw:288 — pandas float64 .round(1) is HALF_EVEN; F.round on
+    # the exact decimal would be HALF_UP, which diverges from the
+    # reference at the .x5 ties the decimal path now reaches
+    # deterministically, so use bround (half-even) to keep reference
+    # parity at representable ties.  The 1-dp decimal → double cast is
+    # exact.
+    return imputed.withColumn("value", F.bround("value", 1).cast("double"))
 
 
 def write_all_stations_raw(

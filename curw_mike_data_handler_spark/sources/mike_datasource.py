@@ -206,14 +206,21 @@ class _FileOffset(InputPartition):
 
 class MikeResultsStreamReader(DataSourceStreamReader):
     """Microbatch source over an append-only result directory: the
-    offset records the LAST FILE NAME seen (not a positional index),
-    so a replayed (start, end] range selects files by name comparison
-    — deletions or stragglers that sort before `start` cannot shift
-    the slice, keeping replay deterministic under the Structured
-    Streaming offset-log contract.  Producers are expected to write
-    lexicographically-increasing names (e.g. timestamped); a file
-    that appears sorting ≤ the committed high-water name is stale by
-    contract and is ignored."""
+    offset records the LAST FILE NAME seen (not a positional index)
+    PLUS the basenames actually listed for that batch, so a replayed
+    (start, end] range re-reads exactly the recorded files — a
+    straggler whose name lands inside an already-planned range after
+    the fact is invisible both in normal operation AND on checkpoint
+    replay (ADVICE r6 #2: name-range re-listing alone made replay
+    depend on the producers' monotonic-name contract holding at
+    listing time; the recorded list removes that dependence).  A
+    recorded file that has vanished by replay time is data loss and
+    fails loudly rather than silently shrinking the batch.  Producers
+    are expected to write lexicographically-increasing names (e.g.
+    timestamped); a file that appears sorting ≤ the committed
+    high-water name is stale by contract and is ignored.  Offsets
+    written by the older name-range-only reader (no ``batch`` field)
+    replay via the legacy name-comparison path."""
 
     def __init__(self, options: dict) -> None:
         self.path = options["path"]
@@ -244,17 +251,48 @@ class MikeResultsStreamReader(DataSourceStreamReader):
         # monotonic: a transient empty/truncated listing must not
         # regress the high-water name (a smaller offset would make the
         # next batch re-read — and duplicate — the whole directory)
-        if names and names[-1] > self._high_water:
+        prev = self._high_water
+        batch: list[str] = []
+        if names and names[-1] > prev:
             self._high_water = names[-1]
-        return {"last": self._high_water}
+            # the batch the engine will plan is (prev, new-high]; pin
+            # its exact file list NOW so replay can't see stragglers
+            batch = [n for n in names if prev < n <= self._high_water]
+        return {"last": self._high_water, "batch": batch, "base": prev}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = self._name_of(start), self._name_of(end)
-        files = [
-            f
-            for f in _list_files(self.path, self.pattern)
-            if lo < os.path.basename(f) <= hi
-        ]
+        listed = _list_files(self.path, self.pattern)
+        if "batch" in end:
+            # replay-deterministic path: exactly the files recorded at
+            # planning time (name-filtered against start for the
+            # restart case where the recorded list spans farther back)
+            wanted = [n for n in end["batch"] if lo < n <= hi]
+            base = end.get("base", "")
+            if lo < base:
+                # the recorded list only covers (base, hi]; a plan
+                # whose start sits below that (should not happen under
+                # one-plan-per-latestOffset sequencing, but defend)
+                # supplements the gap via legacy name-range listing
+                wanted += [
+                    os.path.basename(f)
+                    for f in listed
+                    if lo < os.path.basename(f) <= base
+                ]
+                wanted = sorted(set(wanted))
+            by_name = {os.path.basename(f): f for f in listed}
+            missing = [n for n in wanted if n not in by_name]
+            if missing:
+                raise ValueError(
+                    f"stream replay data loss: recorded batch files "
+                    f"{missing} no longer present under {self.path}"
+                )
+            files = [by_name[n] for n in wanted]
+        else:
+            # legacy offsets (pre-batch-list checkpoints): name-range
+            # re-listing — deterministic only under the producers'
+            # monotonic-name contract
+            files = [f for f in listed if lo < os.path.basename(f) <= hi]
         pruner = _StationPruner()
         parts = pruner.partitions_for(files, self.time_col, self.chunk)
         # a zero-file range still needs ≥1 partition per the API

@@ -116,8 +116,14 @@ def test_stream_offsets_are_name_based_and_replay_stable(tmp_path):
         _write_wide(str(d / name), 2)
     r = MikeResultsStreamReader({"path": str(d), "pattern": "*.csv"})
     assert r.initialOffset() == {"last": ""}
-    assert r.latestOffset() == {"last": "d.csv"}
+    off1 = r.latestOffset()
+    # r7 widening (ADVICE r6 #2): the offset now also records the
+    # exact batch file list + the base it was computed against
+    assert off1 == {
+        "last": "d.csv", "batch": ["b.csv", "c.csv", "d.csv"], "base": "",
+    }
 
+    # LEGACY checkpoints (no batch field) still replay name-based
     batch1 = {"last": ""}, {"last": "c.csv"}
     files1 = {p.file.split("/")[-1] for p in r.partitions(*batch1) if p.file}
     assert files1 == {"b.csv", "c.csv"}
@@ -133,6 +139,43 @@ def test_stream_offsets_are_name_based_and_replay_stable(tmp_path):
     batch2 = {"last": "c.csv"}, r.latestOffset()
     files2 = {p.file.split("/")[-1] for p in r.partitions(*batch2) if p.file}
     assert files2 == {"d.csv", "e.csv"}
+
+
+def test_stream_replay_with_recorded_batch_is_straggler_proof(tmp_path):
+    """ADVICE r6 #2: with the batch list recorded in the offset, a
+    straggler whose name falls INSIDE an already-planned range is
+    ignored on checkpoint replay too (name-range re-listing would have
+    resurrected it), and a recorded file deleted before replay is data
+    loss that fails loudly instead of silently shrinking the batch."""
+    import pytest
+
+    d = tmp_path / "run"
+    d.mkdir()
+    for name in ("b.csv", "d.csv"):
+        _write_wide(str(d / name), 2)
+    r = MikeResultsStreamReader({"path": str(d), "pattern": "*.csv"})
+    off1 = r.latestOffset()
+    assert off1["batch"] == ["b.csv", "d.csv"]
+
+    # straggler lands inside the committed (-inf, d.csv] name range
+    _write_wide(str(d / "c.csv"), 2)
+    replay = {
+        p.file.split("/")[-1]
+        for p in r.partitions({"last": ""}, off1)
+        if p.file
+    }
+    assert replay == {"b.csv", "d.csv"}  # c.csv invisible on replay
+
+    # the straggler never reappears later either: the next offset's
+    # batch only covers names above the high water
+    _write_wide(str(d / "e.csv"), 2)
+    off2 = r.latestOffset()
+    assert off2 == {"last": "e.csv", "batch": ["e.csv"], "base": "d.csv"}
+
+    # recorded-but-vanished file → loud failure, not a shrunken batch
+    (d / "b.csv").unlink()
+    with pytest.raises(ValueError, match="data loss"):
+        r.partitions({"last": ""}, off1)
 
 
 # -------------------------------------------- token bucket key_col
@@ -199,9 +242,10 @@ def test_stream_reader_rejects_positional_checkpoints_and_is_monotonic(tmp_path)
     with pytest.raises(ValueError, match="positional offset"):
         r.partitions({"n": 3}, {"last": "x"})
     _write_wide(str(d / "b.csv"), 1)
-    assert r.latestOffset() == {"last": "b.csv"}
+    assert r.latestOffset() == {"last": "b.csv", "batch": ["b.csv"], "base": ""}
     (d / "b.csv").unlink()
-    assert r.latestOffset() == {"last": "b.csv"}  # no regression
+    # no regression; empty batch (nothing new), base = current water
+    assert r.latestOffset() == {"last": "b.csv", "batch": [], "base": "b.csv"}
 
 
 def test_jpeg_marker_walk_skips_fill_bytes():
