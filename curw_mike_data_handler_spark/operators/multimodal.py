@@ -35,6 +35,10 @@ Decode comes in two layers:
   IDCTs it; the block-constant raster makes the round-trip bit-exact
   (DC-only blocks), so the stats oracle is a closed form.  The
   AC/zigzag path is property-tested against an independent IDCT.
+  Multi-scan SEQUENTIAL frames (one non-interleaved scan per
+  component, T.81 A.2.2 — ``make_multiscan_baseline_jpeg`` is the
+  encoder twin) decode too, including DHT/DRI updates between scans
+  and the MCU-padding blocks such scans legally never code.
 * **Progressive (SOF2) JPEG pixel decode is REAL, stdlib+numpy
   only**: ``make_progressive_jpeg_from_coefficients`` writes genuine
   T.81 Annex-G multi-scan streams (spectral selection + successive
@@ -484,6 +488,73 @@ def make_jpeg_from_coefficients(
     return b"\xff\xd8" + app0 + dqt + sof0 + dht + dri + sos + scan + b"\xff\xd9"
 
 
+def make_multiscan_baseline_jpeg(
+    width: int, height: int, comp_blocks: list[list[list[int]]],
+    hv: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Complete SEQUENTIAL (SOF0) JFIF stream with one NON-INTERLEAVED
+    scan per component — the spec-legal multi-scan baseline layout
+    (T.81 A.2.2) that a single-SOS decoder silently drops (ADVICE r6
+    #1's encoder twin).  ``comp_blocks[c]`` lists component c's
+    quantized zigzag blocks row-major over the component's OWN block
+    grid (ceil(ceil(width·h_c/hmax)/8) × ceil(ceil(height·v_c/vmax)/8));
+    ``hv`` gives per-component sampling factors (default 4:4:4).
+    All-1s quant table, the compact canonical Huffman tables, per-scan
+    DC predictors; ``restart_interval`` segments every scan with RSTn
+    (in non-interleaved scans the interval counts BLOCKS)."""
+    import struct
+
+    if width % 8 or height % 8 or width == 0 or height == 0:
+        raise ValueError("pixel JPEGs are built at multiple-of-8 dimensions")
+    hv = hv or [(1, 1)] * len(comp_blocks)
+    if len(hv) != len(comp_blocks):
+        raise ValueError("hv/comp_blocks length mismatch")
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+    for c, ((ch, cv), blocks) in enumerate(zip(hv, comp_blocks)):
+        bxc = -(-(-(-(width * ch) // hmax)) // 8)
+        byc = -(-(-(-(height * cv) // vmax)) // 8)
+        if len(blocks) != bxc * byc:
+            raise ValueError(
+                f"component {c}: {len(blocks)} blocks != grid {bxc}x{byc}"
+            )
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00) + bytes([1] * 64)
+    nc = len(comp_blocks)
+    sof0 = b"\xff\xc0" + struct.pack(
+        ">HBHHB", 8 + 3 * nc, 8, height, width, nc
+    ) + b"".join(
+        bytes([c + 1, (ch << 4) | cv, 0]) for c, (ch, cv) in enumerate(hv)
+    )
+    dht = (
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_DC_VALS), 0x00)
+        + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_AC_VALS), 0x10)
+        + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    dri = (
+        b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        if restart_interval
+        else b""
+    )
+    out = bytearray(b"\xff\xd8" + app0 + dqt + sof0 + dht + dri)
+    for c, blocks in enumerate(comp_blocks):
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1) + bytes(
+            [c + 1, 0x00]
+        ) + bytes([0, 63, 0])
+        out += _jpeg_entropy_encode(
+            [[blk] for blk in blocks],
+            comp_of=[0],
+            restart_interval=restart_interval,
+        )
+    return bytes(out + b"\xff\xd9")
+
+
 class _JpegBitReader:
     """MSB-first bit reader over the entropy-coded segment with 0xFF00
     unstuffing; raises StopIteration at any non-stuffing marker.
@@ -572,6 +643,15 @@ def decode_jpeg_pixels(b: bytes) -> dict | None:
     level shift + clamp → per-component planes (replication upsample
     for subsampled components), cropped to the frame dimensions.
 
+    Handles MULTI-SCAN sequential frames too (ADVICE r6 #1): T.81
+    allows a baseline frame to split its components over several SOS
+    segments (e.g. one non-interleaved scan per component, each over
+    the component's OWN block grid per A.2.2, with DHT/DRI updates
+    between scans); the walk keeps decoding scans until EOI and only
+    then runs the shared IDCT tail.  MCU-padding blocks that
+    non-interleaved scans legally never code are zero-filled; a block
+    INSIDE a component's grid left uncoded is malformed → None.
+
     Stats run over the decoded COMPONENT SAMPLES at full resolution
     (no colorspace conversion — the entropy/transform layers are what
     the oracle attests; a YCbCr→RGB matmul would only wrap them).
@@ -590,8 +670,9 @@ def decode_jpeg_pixels(b: bytes) -> dict | None:
         comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
         w = h = None
         restart = 0
-        scan_at = None
-        scan_comps: list[tuple[int, int, int]] = []  # (comp index, dc id, ac id)
+        coefs: list | None = None
+        mcux = mcuy = hmax = vmax = 0
+        saw_scan = False
         while i + 4 <= len(b):
             if b[i] != 0xFF:
                 return None
@@ -623,13 +704,24 @@ def decode_jpeg_pixels(b: bytes) -> dict | None:
                     huff[(tc, th)] = _huff_dec_table(codes)
                     j += 17 + nv
             elif m == 0xC0:  # SOF0 baseline
-                if data[0] != 8:
+                if data[0] != 8 or comps:
                     return None
                 h, w = struct.unpack(">HH", data[1:5])
                 nc = data[5]
                 for k in range(nc):
                     cid, hv, tq = data[6 + 3 * k : 9 + 3 * k]
                     comps.append((cid, hv >> 4, hv & 15, tq))
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                # plain Python list grids during entropy decode
+                # (per-cell numpy writes cost ~10x); one batched
+                # dequant+IDCT pass at the end
+                coefs = [
+                    [[None] * (mcux * c[1]) for _ in range(mcuy * c[2])]
+                    for c in comps
+                ]
             elif m == 0xC2:  # progressive frame: multi-scan decoder
                 return _decode_jpeg_progressive(b)
             elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -638,74 +730,115 @@ def decode_jpeg_pixels(b: bytes) -> dict | None:
             elif m == 0xDD:  # DRI
                 (restart,) = struct.unpack(">H", data[:2])
             elif m == 0xDA:  # SOS
+                if coefs is None:
+                    return None
                 ns = data[0]
+                scan_comps = []
                 for k in range(ns):
                     cid, tda = data[1 + 2 * k : 3 + 2 * k]
                     idx = next(
                         ci for ci, c in enumerate(comps) if c[0] == cid
                     )
                     scan_comps.append((idx, tda >> 4, tda & 15))
-                scan_at = i + 2 + seglen
-                break
+                i = _baseline_decode_scan(
+                    b, i + 2 + seglen, coefs, comps, huff, qt, scan_comps,
+                    mcux, mcuy, hmax, vmax, w, h, restart,
+                )
+                saw_scan = True
+                continue
             i += 2 + seglen
-        if scan_at is None or w is None or not comps:
+        if coefs is None or not saw_scan:
             return None
-
-        hmax = max(c[1] for c in comps)
-        vmax = max(c[2] for c in comps)
-        mcux = -(-w // (8 * hmax))
-        mcuy = -(-h // (8 * vmax))
-        # plain Python list grids during entropy decode (per-cell numpy
-        # writes cost ~10x); one batched dequant+IDCT pass at the end
-        coefs = [
-            [[None] * (mcux * c[1]) for _ in range(mcuy * c[2])]
-            for c in comps
-        ]
-        reader = _JpegBitReader(b, scan_at)
-        pred = [0] * len(comps)
-        mcu_no = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                if restart and mcu_no and mcu_no % restart == 0:
-                    reader.align()
-                    mk = reader.at_marker()
-                    if mk is not None and 0xD0 <= mk <= 0xD7:
-                        reader.i += 2
-                        pred = [0] * len(comps)
-                for ci, dc_id, ac_id in scan_comps:
-                    _, ch, cv, tq = comps[ci]
-                    dc_tab = huff.get((0, dc_id))
-                    ac_tab = huff.get((1, ac_id))
-                    if tq not in qt or dc_tab is None or ac_tab is None:
-                        return None
-                    for byy in range(cv):
-                        for bxx in range(ch):
-                            zz = [0] * 64
-                            t = _huff_decode(reader, dc_tab)
-                            pred[ci] += _jpeg_extend(reader.bits(t), t)
-                            zz[0] = pred[ci]
-                            k = 1
-                            while k < 64:
-                                rs = _huff_decode(reader, ac_tab)
-                                if rs == 0x00:  # EOB
-                                    break
-                                if rs == 0xF0:  # ZRL
-                                    k += 16
-                                    continue
-                                k += rs >> 4
-                                t = rs & 15
-                                if k > 63:
-                                    return None
-                                zz[k] = _jpeg_extend(reader.bits(t), t)
-                                k += 1
-                            coefs[ci][my * cv + byy][mx * ch + bxx] = zz
-                mcu_no += 1
-        # a single-scan baseline frame must cover every block; an
-        # unfilled cell means the scan script was short — reject like
-        # any other malformed stream (None via the except)
+        # MCU-padding blocks outside a component's own grid are never
+        # coded by non-interleaved scans (T.81 A.2.2) — zero-fill them;
+        # uncoded blocks INSIDE the grid stay None and the IDCT tail
+        # rejects the stream
+        zero = [0] * 64
+        for ci, (_, ch, cv, _) in enumerate(comps):
+            bxc = -(-(-(-(w * ch) // hmax)) // 8)
+            byc = -(-(-(-(h * cv) // vmax)) // 8)
+            grid = coefs[ci]
+            for by in range(len(grid)):
+                row = grid[by]
+                for bx in range(len(row)):
+                    if row[bx] is None and (bx >= bxc or by >= byc):
+                        row[bx] = zero
         return _jpeg_idct_plane_stats(coefs, comps, qt, hmax, vmax, w, h)
     except Exception:
         return None
+
+
+def _baseline_decode_scan(
+    b, pos, coefs, comps, huff, qt, scan_comps,
+    mcux, mcuy, hmax, vmax, w, h, restart,
+):
+    """Decode one SEQUENTIAL scan's entropy data in place; returns the
+    byte position of the next marker.  Interleaved scans (ns > 1) walk
+    the frame MCU grid with ch×cv blocks per component; a
+    non-interleaved scan (ns = 1) walks the single component's OWN
+    block grid (T.81 A.2.2) with MCU = one block — both with per-scan
+    DC predictors reset at RSTn.  Raises on malformed data (the
+    caller's except turns that into None)."""
+    reader = _JpegBitReader(b, pos)
+    if len(scan_comps) > 1:  # interleaved: unit = frame MCU
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = []
+                for ci, dc_id, ac_id in scan_comps:
+                    _, ch, cv, _ = comps[ci]
+                    for byy in range(cv):
+                        for bxx in range(ch):
+                            blocks.append(
+                                (ci, my * cv + byy, mx * ch + bxx, dc_id, ac_id)
+                            )
+                units.append(blocks)
+    else:  # non-interleaved: unit = one block over the comp's own grid
+        ci, dc_id, ac_id = scan_comps[0]
+        _, ch, cv, _ = comps[ci]
+        cw = -(-(w * ch) // hmax)  # component sample dims (T.81 A.1.1)
+        chh = -(-(h * cv) // vmax)
+        units = [
+            [(ci, by, bx, dc_id, ac_id)]
+            for by in range(-(-chh // 8))
+            for bx in range(-(-cw // 8))
+        ]
+
+    for ci, dc_id, ac_id in scan_comps:
+        tq = comps[ci][3]
+        if tq not in qt or (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("scan references missing table")
+    pred = [0] * len(comps)
+    for uno, blocks in enumerate(units):
+        if restart and uno and uno % restart == 0:
+            reader.align()
+            mk = reader.at_marker()
+            if mk is not None and 0xD0 <= mk <= 0xD7:
+                reader.i += 2
+                pred = [0] * len(comps)
+        for ci, row, col, dc_id, ac_id in blocks:
+            zz = [0] * 64
+            t = _huff_decode(reader, huff[(0, dc_id)])
+            pred[ci] += _jpeg_extend(reader.bits(t), t)
+            zz[0] = pred[ci]
+            ac_tab = huff[(1, ac_id)]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(reader, ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                t = rs & 15
+                if k > 63:
+                    raise ValueError("AC coefficient past block end")
+                zz[k] = _jpeg_extend(reader.bits(t), t)
+                k += 1
+            coefs[ci][row][col] = zz
+    reader.align()
+    return reader.i
 
 
 def jpeg_pixel_stats(media: DataFrame) -> DataFrame:

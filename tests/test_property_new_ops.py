@@ -1673,6 +1673,22 @@ def test_decoders_never_raise_on_corrupted_streams(seed):
                          rng.choice([8, 16, 24, 32]), rng.randint(0, 40)))
     pool.append(make_avi(16, 16, fps=10, n_frames=rng.randint(1, 12),
                          mjpeg=True))
+    # multi-scan sequential baseline (one non-interleaved scan/comp)
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        make_multiscan_baseline_jpeg,
+    )
+
+    msw, msh = 16 * rng.randint(1, 3), 16
+    ms_hv = rng.choice([[(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]])
+    ms_hmax = max(x for x, _ in ms_hv)
+    ms_blocks = []
+    for c, (ch, cv) in enumerate(ms_hv):
+        bxc = -(-(-(-(msw * ch) // ms_hmax)) // 8)
+        byc = -(-(-(-(msh * cv) // ms_hmax)) // 8)
+        ms_blocks.append(
+            [[rng.randint(-100, 100)] + [0] * 63 for _ in range(bxc * byc)]
+        )
+    pool.append(make_multiscan_baseline_jpeg(msw, msh, ms_blocks, hv=ms_hv))
 
     decoders = (
         decode_png_pixels, decode_jpeg_pixels, decode_wav_samples,
@@ -1696,3 +1712,113 @@ def test_decoders_never_raise_on_corrupted_streams(seed):
         for dec in decoders:
             out = dec(b)  # must not raise
             assert out is None or isinstance(out, (dict, list))
+
+
+# ---------------------------------------------------------------------------
+# multi-scan SEQUENTIAL baseline JPEG (ADVICE r6 #1)
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=40, deadline=None)
+def test_multiscan_baseline_matches_interleaved_decode(seed):
+    """T.81 A.2.2: a sequential frame split into one non-interleaved
+    scan per component must decode pixel-identically to the SAME
+    quantized coefficients in a single interleaved scan — per-scan DC
+    predictors and the component-own-grid walk must not change the
+    reconstruction.  Random sparse AC blocks within the compact
+    table's symbols."""
+    import random
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg_from_coefficients,
+        make_multiscan_baseline_jpeg,
+    )
+
+    rng = random.Random(seed)
+    nbx = rng.randint(1, 4)
+    mcus = []
+    for _ in range(nbx):
+        mcu = []
+        for _c in range(3):
+            block = [0] * 64
+            block[0] = rng.randint(-200, 200)
+            k = 1
+            while k < 64:
+                gap, szmax = rng.choice(
+                    [(0, 10), (1, 2), (2, 1), (3, 1), (16, 10), (17, 2)]
+                )
+                k += gap
+                if k >= 64:
+                    break
+                sz = rng.randint(1, szmax)
+                mag = rng.randint(1 << (sz - 1), (1 << sz) - 1)
+                block[k] = mag if rng.random() < 0.5 else -mag
+                k += 1
+            mcu.append(block)
+        mcus.append(mcu)
+    w, h = 8 * nbx, 8
+    single = decode_jpeg_pixels(make_jpeg_from_coefficients(w, h, mcus))
+    comp_blocks = [[mcu[c] for mcu in mcus] for c in range(3)]
+    ri = rng.choice([0, 0, 1, 2])
+    multi = decode_jpeg_pixels(
+        make_multiscan_baseline_jpeg(w, h, comp_blocks, restart_interval=ri)
+    )
+    assert single is not None and multi == single
+
+
+def test_multiscan_baseline_subsampled_pads_uncoded_blocks():
+    """A 4:2:0 multi-scan frame at 8x8: the luma scan codes only the
+    component's OWN 1x1 block grid, leaving 3 MCU-padding cells
+    legally uncoded — they must zero-fill, not reject the stream, and
+    the DC-only closed form fixes every pixel."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_multiscan_baseline_jpeg,
+    )
+
+    hv = [(2, 2), (1, 1), (1, 1)]
+    dcs = [24, -16, 40]
+    blocks = []
+    for dc in dcs:
+        zz = [0] * 64
+        zz[0] = dc
+        blocks.append([zz])
+    st_ = decode_jpeg_pixels(make_multiscan_baseline_jpeg(8, 8, blocks, hv=hv))
+    assert st_ is not None
+    exp = sum(
+        64 * min(255, max(0, round(dc / 8) + 128)) for dc in dcs
+    )
+    assert (st_["width"], st_["height"], st_["n_px"]) == (8, 8, 64)
+    assert st_["pixel_sum"] == exp
+
+
+def test_multiscan_baseline_tables_may_change_between_scans():
+    """T.81 B.2.4: DHT/DRI segments may appear between scans of one
+    frame — splicing a redundant DHT before the second SOS must not
+    perturb the decode (the walk keeps parsing segments mid-frame)."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _JPEG_AC_BITS, _JPEG_AC_VALS, _JPEG_DC_BITS, _JPEG_DC_VALS,
+        decode_jpeg_pixels,
+        make_multiscan_baseline_jpeg,
+    )
+    import struct
+
+    comp_blocks = []
+    for c in range(3):
+        zz = [0] * 64
+        zz[0] = 32 + 8 * c
+        zz[1] = 3 - c
+        comp_blocks.append([zz, list(zz)])
+    payload = make_multiscan_baseline_jpeg(16, 8, comp_blocks)
+    base = decode_jpeg_pixels(payload)
+    assert base is not None
+
+    dht = (
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_DC_VALS), 0x00)
+        + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    )
+    second_sos = payload.index(b"\xff\xda", payload.index(b"\xff\xda") + 2)
+    spliced = payload[:second_sos] + dht + payload[second_sos:]
+    assert decode_jpeg_pixels(spliced) == base
