@@ -640,14 +640,17 @@ def w3_last_row_patch(spark, sf_dir):
     series' max-time row, 0 when NULL/negative (tide:110-111,
     dis:105-106).  Explicit max-ts-row selection (not arg_max, whose
     NULL-skipping differs across engines)."""
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events")
     m = F.when(_dec("value") - 250 < 0, F.lit(None)).otherwise(_dec("value") - 250)
-    w = Window.partitionBy("event_type")
-    rows = ev.select(
-        "event_type", "ts", m.alias("v"), F.max("ts").over(w).alias("mt")
-    ).filter(F.col("ts") == F.col("mt"))
+    # per-type max-ts via map-side-combined groupBy broadcast back —
+    # not an unordered window by the enum key (whole-type single-task
+    # funnel, SCALE.md "Enum-key windows")
+    mt = ev.groupBy("event_type").agg(F.max("ts").alias("mt"))
+    rows = (
+        ev.select("event_type", "ts", m.alias("v"))
+        .join(F.broadcast(mt), "event_type")
+        .filter(F.col("ts") == F.col("mt"))
+    )
     patched = F.coalesce(F.when(F.col("v") < 0, F.lit(0)).otherwise(F.col("v")), F.lit(0))
     return rows.select(
         "event_type",
@@ -3329,28 +3332,30 @@ def pack_sequences_q(spark, sf_dir):
     """Training-sequence packing: assign documents to fixed token-
     budget packs (the pretraining-shard packing step) with a running
     token sum per source stream — pack_id = floor(tokens-before /
-    budget), the deterministic streaming-fill rule.  ONE shuffle on
-    source for the window; the pack aggregate reuses the same
-    partitioning (no second exchange).  Deterministic (doc_id order),
-    so packing is reproducible and resume-safe across reruns; at
-    corpus scale the stream order key would be the ingest sequence.
-    Docs longer than the budget take pack slots alone (spill rule
-    floor-based, same in both engines: integer division of the
-    token prefix sum)."""
-    from pyspark.sql import Window
+    budget), the deterministic streaming-fill rule.  The running sum
+    goes through operators.prefix.bucketed_running_agg (exact
+    two-phase scan: sketch-edge buckets → per-bucket partials →
+    broadcast offsets → window per (source, bucket)), so no single
+    task ever sorts a whole source's slice — the w8/w11 straggler
+    class, fixed at the operator (SCALE.md "Enum-key windows").
+    Deterministic (doc_id order), so packing is reproducible and
+    resume-safe across reruns; at corpus scale the stream order key
+    would be the ingest sequence.  Docs longer than the budget take
+    pack slots alone (spill rule floor-based, same in both engines:
+    integer division of the token prefix sum)."""
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_running_agg,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     tok = F.size(tokens("text")).cast("bigint")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = bucketed_running_agg(
+        docs.select("source", "doc_id", tok.alias("tok")),
+        "tok",
+        by=["source"],
+        order_cols=["doc_id"],
+        out_col="cum",
     )
-    c = docs.select(
-        "source",
-        "doc_id",
-        tok.alias("tok"),
-    ).withColumn("cum", F.sum("tok").over(w))
     return (
         c.withColumn(
             "pack_id",
@@ -3450,25 +3455,24 @@ def tfidf_top_terms(spark, sf_dir):
 )
 def zscore_outliers(spark, sf_dir):
     """Per-group z-score normalization + outlier census (the feature-
-    standardization step of a training pipeline).  Group moments come
-    from a window (Σv, Σv² as exact longs — same algebra as
-    t_profile_stats), the z expression is the byte-identical double
-    algebra in both engines (÷, ×, sqrt are all IEEE correctly rounded,
-    so |z| > 2 can't flip across engines), and the final census
-    aggregate reuses the window's event_type partitioning — ONE
-    exchange end-to-end.  Degenerate groups (var ≤ 0) yield NULL z and
-    drop out of the census rather than dividing by zero."""
-    from pyspark.sql import Window
-
+    standardization step of a training pipeline).  Group moments (Σv,
+    Σv² as exact longs — same algebra as t_profile_stats) come from a
+    map-side-combined groupBy broadcast back onto the fact — NOT an
+    unordered window partitioned by the enum key, which would funnel
+    each type's whole slice through one task (the w8/w11 straggler
+    class, SCALE.md "Enum-key windows").  The z expression is the
+    byte-identical double algebra in both engines (÷, ×, sqrt are all
+    IEEE correctly rounded, so |z| > 2 can't flip across engines).
+    Degenerate groups (var ≤ 0) yield NULL z and drop out of the
+    census rather than dividing by zero."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    m = ev.select("event_type", _cents("value").alias("v")).select(
-        "event_type",
-        "v",
-        F.sum("v").over(w).cast("double").alias("s1"),
-        F.sum(F.col("v") * F.col("v")).over(w).cast("double").alias("s2"),
-        F.count("*").over(w).alias("n"),
+    vals = ev.select("event_type", _cents("value").alias("v"))
+    mom = vals.groupBy("event_type").agg(
+        F.sum("v").cast("double").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
+        F.count("*").alias("n"),
     )
+    m = vals.join(F.broadcast(mom), "event_type")
     mean = F.col("s1") / 100.0 / F.col("n")
     var = F.col("s2") / 10000.0 / F.col("n") - mean * mean
     z = F.when(
@@ -8124,23 +8128,30 @@ def compaction_bins(spark, sf_dir):
     rewrite, this query decides the file boundaries
     deterministically, driver-free).
 
-    Scale shape: one window (partitioned by source, ordered by id —
-    the same partitioning the write uses) + one hash agg.  The
-    cumulative sum is per-source, so no global sort; bins are a
-    pure function of the running total, so the plan is
-    embarrassingly parallel across sources.  Exact integer
+    Scale shape: the exclusive running sum goes through
+    operators.prefix.bucketed_running_agg (exact two-phase scan —
+    sketch-edge buckets, per-bucket partials, broadcast offsets,
+    window per (source, bucket)), so no single task sorts a whole
+    source's slice; bins are a pure function of the running total,
+    so the plan stays embarrassingly parallel across sources AND
+    within one (SCALE.md "Enum-key windows").  Exact integer
     arithmetic end-to-end."""
-    from pyspark.sql import Window
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_running_agg,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    c = bucketed_running_agg(
+        d.select("source", "doc_id", "n_chars"),
+        "n_chars",
+        by=["source"],
+        order_cols=["doc_id"],
+        out_col="prior_raw",
+        inclusive=False,
     )
-    prior = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    prior = F.coalesce(F.col("prior_raw"), F.lit(0))
     return (
-        d.select(
+        c.select(
             "source",
             "n_chars",
             F.floor(prior / 2000).cast("long").alias("bin"),
@@ -11274,13 +11285,18 @@ def cusum_changepoint(spark, sf_dir):
     per-row FP mean subtraction whose summation order could perturb
     the argmax near ties; the tie itself breaks on (ts, event_id) so
     the winner is a total-order pick.  Scale shape: one tiny
-    per-series aggregate (broadcast back by AQE), one running-sum
-    window per series partition, one top-1 pick that
-    WindowGroupLimit prunes to a per-partition streaming min — the
-    fact is never shuffled more than once on the series key.  Peak
-    magnitude is reported de-scaled (|S|/n/100) with one identical
-    double divide in both engines."""
+    per-series aggregate (broadcast back by AQE); the running sum
+    goes through operators.prefix.bucketed_running_agg (exact
+    two-phase scan partitioned on (series, time-bucket) — no single
+    task scans a whole series, SCALE.md "Enum-key windows"); the
+    top-1 pick WindowGroupLimit-prunes to a per-partition streaming
+    min.  Peak magnitude is reported de-scaled (|S|/n/100) with one
+    identical double divide in both engines."""
     from pyspark.sql import Window
+
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_running_agg,
+    )
 
     ev = _t(spark, sf_dir, "events").select(
         "event_type", "ts", "event_id", _cents("value").alias("v")
@@ -11288,18 +11304,19 @@ def cusum_changepoint(spark, sf_dir):
     g = ev.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("v").alias("tot")
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    s = ev.join(g, "event_type").select(
-        "event_type",
-        "ts",
-        "event_id",
-        "n",
-        F.sum(F.col("v") * F.col("n") - F.col("tot")).over(w).alias("cusum"),
-    )
+    s = bucketed_running_agg(
+        ev.join(g, "event_type").select(
+            "event_type",
+            "ts",
+            "event_id",
+            "n",
+            (F.col("v") * F.col("n") - F.col("tot")).alias("dev"),
+        ),
+        "dev",
+        by=["event_type"],
+        order_cols=["ts", "event_id"],
+        out_col="cusum",
+    ).drop("dev")
     wr = Window.partitionBy("event_type").orderBy(
         F.abs(F.col("cusum")).desc(), F.col("ts").asc(), F.col("event_id").asc()
     )
@@ -13593,11 +13610,18 @@ def max_concurrency_sweep(spark, sf_dir):
     The delta-ascending tie rule realizes half-open semantics (an
     interval ending at t frees its slot before one starting at t
     takes it), and the argmax is integer + total-order tie-broken, so
-    the peak row is engine-pinned.  One hash(series) exchange serves
-    the sweep window and the top-1 pick (WindowGroupLimit); the
-    union doubles rows but stays narrow.  Capacity planning's
-    'peak simultaneous sessions' in one pass."""
+    the peak row is engine-pinned.  The sweep's running sum goes
+    through operators.prefix.bucketed_running_agg (exact two-phase
+    scan partitioned on (series, time-bucket) — no single task scans
+    a whole series' sweep points, SCALE.md "Enum-key windows"); the
+    top-1 pick WindowGroupLimit-prunes; the union doubles rows but
+    stays narrow.  Capacity planning's 'peak simultaneous sessions'
+    in one pass."""
     from pyspark.sql import Window
+
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_running_agg,
+    )
 
     ev = _t(spark, sf_dir, "events")
     start = ev.select(
@@ -13613,12 +13637,13 @@ def max_concurrency_sweep(spark, sf_dir):
         "event_id",
     )
     pts = start.unionAll(end)
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("t_us", "delta", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sw = bucketed_running_agg(
+        pts,
+        "delta",
+        by=["event_type"],
+        order_cols=["t_us", "delta", "event_id"],
+        out_col="conc",
     )
-    sw = pts.withColumn("conc", F.sum("delta").over(w))
     wr = Window.partitionBy("event_type").orderBy(
         F.col("conc").desc(),
         F.col("t_us").asc(),
@@ -13914,20 +13939,27 @@ def running_records_census(spark, sf_dir):
     mean-shift view).  The prior running max uses an UNBOUNDED-TO-1-
     PRECEDING frame so the first row is a record by definition
     (NULL prior) and ties do NOT break records (strict >) — both
-    conventions pinned by the oracle.  One series exchange, one
-    window sort, one rollup; exact integer compares so a record can
-    never flap on FP."""
-    from pyspark.sql import Window
+    conventions pinned by the oracle.  The exclusive running max goes
+    through operators.prefix.bucketed_running_agg (agg="max" —
+    exact two-phase scan partitioned on (series, time-bucket), no
+    single task sorts a whole series, SCALE.md "Enum-key windows");
+    exact integer compares so a record can never flap on FP."""
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_running_agg,
+    )
 
     c = _t(spark, sf_dir, "events").select(
         "event_type", "ts", "event_id", _cents("value").alias("v")
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    r = bucketed_running_agg(
+        c,
+        "v",
+        by=["event_type"],
+        order_cols=["ts", "event_id"],
+        out_col="prior_max",
+        agg="max",
+        inclusive=False,
     )
-    r = c.withColumn("prior_max", F.max("v").over(w))
     recs = r.filter(
         F.col("prior_max").isNull() | (F.col("v") > F.col("prior_max"))
     )

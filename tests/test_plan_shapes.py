@@ -255,11 +255,15 @@ def test_a11_cube_expands_once_single_exchange(spark):
     assert plan.count("Exchange") == 1
 
 
-def test_pack_sequences_single_exchange_reuses_window_partitioning(spark):
+def test_pack_sequences_running_sum_is_bucket_partitioned(spark):
+    """r7: the packing prefix sum runs through bucketed_running_agg —
+    the fact-scale window partitions on (source, bucket), never on the
+    enum source key alone (whole-source single-task funnel)."""
     plan = _plan(spark, "pack_sequences")
-    assert plan.count("Exchange") == 1, (
-        "pack aggregate must reuse the window's source partitioning"
-    )
+    assert "Window" in plan
+    spec = plan.split("Window")[1][:400]
+    assert "source" in spec and "__b" in spec
+    assert "SortMergeJoin" not in plan
 
 
 def test_tfidf_ranks_with_group_limit_no_vocab_broadcast_join(spark):
@@ -270,11 +274,14 @@ def test_tfidf_ranks_with_group_limit_no_vocab_broadcast_join(spark):
     assert plan.count("Window") >= 2
 
 
-def test_zscore_single_exchange_reuses_window_partitioning(spark):
+def test_zscore_moments_are_grouped_and_broadcast_no_enum_window(spark):
+    """r7: group moments come from a map-side-combined groupBy
+    broadcast back onto the fact — no unordered window partitioned by
+    the enum event_type key (whole-type single-task funnel)."""
     plan = _plan(spark, "zscore_outliers")
-    assert plan.count("Exchange") == 1, (
-        "census aggregate must reuse the moment window's event_type partitioning"
-    )
+    assert "Window" not in plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan or "partial" in plan.lower()
 
 
 def test_pii_redaction_is_map_only_no_shuffle(spark):
@@ -649,14 +656,37 @@ def test_incremental_dedup_probes_corpus_no_full_rescan_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_compaction_bins_windows_per_source_only(spark):
-    """The packing window must be partitioned by source (parallel
-    across sources) — a global, unpartitioned window would serialize
-    the whole corpus through one task."""
+def test_compaction_bins_running_sum_is_bucket_partitioned(spark):
+    """r7: the compaction prefix sum runs through bucketed_running_agg
+    — the fact-scale window partitions on (source, bucket), never on
+    the enum source key alone (whole-source single-task funnel); the
+    bucket edges and offsets arrive by broadcast."""
     plan = _plan(spark, "compaction_bins")
     assert "Window" in plan
-    # the window spec carries the partition key
-    assert "source" in plan.split("Window")[1][:400]
+    spec = plan.split("Window")[1][:400]
+    assert "source" in spec and "__b" in spec
+    assert "SortMergeJoin" not in plan
+
+
+def test_prefix_family_fact_windows_carry_bucket_key(spark):
+    """r7 enum-key window audit (SCALE.md "Enum-key windows"): every
+    fact-scale running aggregate in the prefix family partitions its
+    window on (series, bucket); the only series-only windows left are
+    the WindowGroupLimit-pruned top-1 picks."""
+    for name in ("cusum_changepoint", "max_concurrency_sweep"):
+        plan = _plan(spark, name)
+        assert "__b" in plan, name
+        assert "WindowGroupLimit" in plan, name
+    plan = _plan(spark, "running_records_census")
+    assert "__b" in plan
+    # no window partitioned by event_type alone anywhere in the
+    # physical plan: every windowspec mentioning event_type also
+    # carries the bucket key
+    phys = plan.split("== Physical Plan ==")[-1]
+    for frag in phys.split("Window")[1:]:
+        head = frag[:300]
+        if "event_type" in head and "windowspecdefinition" in head:
+            assert "__b" in head, head
 
 
 def test_equidepth_default_path_is_map_only_binning_no_ntile(spark):

@@ -1822,3 +1822,58 @@ def test_multiscan_baseline_tables_may_change_between_scans():
     second_sos = payload.index(b"\xff\xda", payload.index(b"\xff\xda") + 2)
     spliced = payload[:second_sos] + dht + payload[second_sos:]
     assert decode_jpeg_pixels(spliced) == base
+
+
+# ---------------------------------------------------------------------------
+# bucketed_running_agg: exact distributed prefix aggregation (r7)
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=10, deadline=None)
+def test_bucketed_running_agg_matches_plain_window(spark, seed):
+    """The two-phase scan must be EXACT: identical to the plain
+    enum-key window on every (agg, frame, grouping, order-key-type)
+    combination — sketch-edge placement may move rows between buckets
+    but never a result.  Includes duplicate order keys straddling
+    bucket edges and negative values."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_running_agg,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            rng.choice("ab"),
+            f"doc_{rng.randrange(50):04d}",  # heavy duplicate order keys
+            i,
+            rng.randrange(-50, 100),
+        )
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, ["k", "oid", "uid", "v"])
+    cases = [
+        (["k"], ["oid", "uid"], "sum", True),
+        (["k"], ["oid", "uid"], "sum", False),
+        (["k"], ["uid"], "max", False),
+        ([], ["oid", "uid"], "sum", True),
+    ]
+    by, order, agg, inclusive = cases[seed % len(cases)]
+    got = bucketed_running_agg(
+        df, "v", by=by, order_cols=order, out_col="r",
+        agg=agg, inclusive=inclusive, n_buckets=rng.choice([2, 7, 16]),
+    )
+    w = (
+        Window.partitionBy(*by).orderBy(*order)
+        if by
+        else Window.orderBy(*order)
+    ).rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    fn = F.sum if agg == "sum" else F.max
+    ref = df.withColumn("r", fn("v").over(w))
+    a = {(r["k"], r["uid"]): r["r"] for r in got.collect()}
+    b = {(r["k"], r["uid"]): r["r"] for r in ref.collect()}
+    assert a == b
