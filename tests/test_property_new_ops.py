@@ -1673,6 +1673,8 @@ def test_decoders_never_raise_on_corrupted_streams(seed):
                          rng.choice([8, 16, 24, 32]), rng.randint(0, 40)))
     pool.append(make_avi(16, 16, fps=10, n_frames=rng.randint(1, 12),
                          mjpeg=True))
+    pool.append(make_avi(16 * rng.randint(1, 4), 8 * rng.randint(1, 4),
+                         fps=10, n_frames=rng.randint(1, 12), rgb=True))
     # multi-scan sequential baseline (one non-interleaved scan/comp)
     from curw_mike_data_handler_spark.operators.multimodal import (
         make_multiscan_baseline_jpeg,
@@ -1877,3 +1879,64 @@ def test_bucketed_running_agg_matches_plain_window(spark, seed):
     a = {(r["k"], r["uid"]): r["r"] for r in got.collect()}
     b = {(r["k"], r["uid"]): r["r"] for r in ref.collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# uncompressed (BI_RGB) AVI frame decode (r6 verdict #6)
+
+
+@given(st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=40, deadline=None)
+def test_rgb_avi_frame_roundtrip_matches_closed_form(mid):
+    """Every sampled '00db' frame must reduce to the _dib_pixel_value
+    closed form — a wrong stride, padding byte, bottom-up flip, or
+    chunk id would shift the sum."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_avi_frame_pixels,
+        make_avi,
+    )
+
+    w, h, nf = 16 * (1 + mid % 6), 8 * (1 + mid % 5), mid % 24
+    payload = make_avi(w, h, n_frames=nf, rgb=True)
+    got = decode_avi_frame_pixels(payload, every_n=10)
+    exp = [
+        {
+            "frame_no": f,
+            "width": w,
+            "height": h,
+            "pixel_sum": 3 * h * (w // 16) * 120 + 3 * w * (h // 8) * 56
+            + 111 * w * h + 33 * w * h * (f % 4),
+            "pixel_max": 103 + 11 * (f % 4),
+        }
+        for f in range(0, nf, 10)
+    ]
+    assert got == exp
+
+
+def test_rgb_avi_respects_row_padding_and_exact_samples():
+    """A width whose 3-byte rows need real padding (w=20 → 60-byte
+    rows, stride 60; w=17 is impossible at our multiple-of-16 synth,
+    so build a frame directly): padding bytes must NOT leak into the
+    stats, and a short frame buffer must be skipped, not mis-read."""
+    import struct
+
+    import numpy as np
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _decode_dib_frame,
+    )
+
+    w, h = 6, 2  # 18-byte rows → stride 20: two real padding bytes
+    stride = (w * 3 + 3) & ~3
+    assert stride == 20
+    rows = np.full((h, stride), 255, dtype=np.uint8)  # poison padding
+    vals = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w * 3)
+    rows[:, : w * 3] = vals
+    st_ = _decode_dib_frame(rows.tobytes(), w, h, 24)
+    assert st_ is not None
+    assert st_["pixel_sum"] == int(vals.astype(np.int64).sum())
+    assert st_["pixel_max"] == int(vals.max())  # 255 padding invisible
+    # short buffer → None, never a mis-shaped read
+    assert _decode_dib_frame(rows.tobytes()[:-1], w, h, 24) is None
+    # non-24-bpp refused (spec surface we don't claim)
+    assert _decode_dib_frame(rows.tobytes(), w, h, 32) is None
