@@ -449,6 +449,15 @@ def main() -> None:
         "common_warm deltas under ~1.5x are environment noise",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # r6 verdict #5: interleaved A/B/A isolated comparison vs the
+    # prior-round tree (run out-of-band, serialized — never concurrent
+    # with this bench) so cross-round drift can't hide in one sample
+    aba_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_ABA_r07.json"
+    )
+    if os.path.exists(aba_path):
+        with open(aba_path) as fh:
+            payload["ab_comparison"] = json.load(fh)
     # Full-precision copy on disk: the driver keeps only a bounded tail
     # of stdout, which truncated the cold numbers in round 2 — the file
     # is the durable, diffable artifact.
@@ -480,6 +489,8 @@ def compact_line(payload: dict, budget: int = 1800) -> str:
         "sf": payload["sf"],
         "note": "slowest-first subset; all cold+warm in BENCH_local.json",
     }
+    if "ab_comparison" in payload:
+        head["ab_comparison"] = payload["ab_comparison"]
     compact_q: dict[str, float] = {}
     base_len = len(json.dumps({**head, "queries": {}, "omitted": len(timings)},
                               separators=(",", ":")))

@@ -479,6 +479,41 @@ def main() -> None:
         ),
         results,
     )
+    measure(
+        spark,
+        "rgb_frame_decode_10x",
+        lambda: avi_frame_pixel_stats(
+            synthesize_avi(ids10, rgb_pixels=True), every_n=10
+        ),
+        results,
+    )
+
+    # ------------------------------------------------------------------
+    # Round-7 probe: bucketed_running_agg — the exact two-phase prefix
+    # scan behind pack_sequences/compaction_bins/cusum/sweep/records.
+    # At 10× rows the shuffle must stay LINEAR (edges broadcast, one
+    # groupBy of |keys|×buckets partials, one (key,bucket) exchange)
+    # and the max task must be ~slice/n_buckets, not a whole key.
+    # ------------------------------------------------------------------
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_running_agg,
+    )
+
+    prefix_rows = spark.range(2_000_000).select(
+        (F.col("id") % 4).cast("string").alias("k"),
+        F.col("id").alias("uid"),
+        (F.col("id") % 997).alias("v"),
+    )
+    print("round-7 probe (bucketed prefix scan, 2M rows / 4 enum keys):")
+    measure(
+        spark,
+        "bucketed_prefix_sum_2m",
+        lambda: bucketed_running_agg(
+            prefix_rows, "v", by=["k"], order_cols=["uid"],
+            out_col="r", n_buckets=64,
+        ).groupBy("k").agg(F.max("r").alias("mx")),
+        results,
+    )
 
     payload = {
         "sf": 1.0,
