@@ -8668,25 +8668,35 @@ def w13_trailing_range_frame(spark, sf_dir):
     timestamp enter each other's frames in both engines by the SQL
     standard, so no tie-break is needed for determinism.
 
-    Scale shape: one hash(event_type) exchange + one sort; the
-    running frame is maintained incrementally by the window operator
-    (two pointers over the sorted run — no per-row rescan of the
-    horizon, no self-join on the time inequality, which is the naive
-    O(n·k) plan w4's grid join replaces in bucket form).  Sums are
+    Scale shape: the bounded lookback goes through
+    operators.prefix.bucketed_range_agg (r7) — rows bucket by sketch
+    edges over the time domain with carry-in copies completing the
+    frames that cross a boundary, so the window partitions on
+    (event_type, bucket) and no single task sorts a whole type's
+    slice (SCALE.md "Enum-key windows"; the frame itself is still the
+    incremental two-pointer run, never a time-inequality self-join).
+    EXACT — same results as the plain window, gate-shared.  Sums are
     exact integer cents."""
-    from pyspark.sql import Window
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_range_agg,
+    )
 
     ev = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-1_800_000_000, Window.currentRow)
-    )
     v = F.round(F.col("value") * 100).cast("long")
-    return ev.select(
+    r = bucketed_range_agg(
+        ev.select("event_type", "event_id", v.alias("v100"),
+                  F.unix_micros("ts").alias("t_us")),
+        "v100",
+        by=["event_type"],
+        order_col="t_us",
+        lookback=1_800_000_000,
+        out_col="__tsum",
+        count_col="__tn",
+    )
+    return r.select(
         "event_id",
-        (F.sum(v).over(w).cast("double") / 100).alias("trailing_sum_30m"),
-        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_30m"),
+        (F.col("__tsum").cast("double") / 100).alias("trailing_sum_30m"),
+        F.col("__tn").cast("long").alias("n_trailing_30m"),
     )
 
 

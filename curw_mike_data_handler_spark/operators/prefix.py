@@ -140,3 +140,90 @@ def bucketed_running_agg(
         # the empty-frame/running-max composition semantics
         combined = F.greatest(local, off)
     return j2.withColumn(out_col, combined).drop("__b", "__off")
+
+
+def bucketed_range_agg(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: list[str] | None,
+    order_col: str,
+    lookback: int,
+    out_col: str,
+    agg: str = "sum",
+    count_col: str | None = None,
+    n_buckets: int = 32,
+    accuracy: int = DEFAULT_ACCURACY,
+) -> DataFrame:
+    """Append ``out_col`` = ``agg`` of ``value_col`` over the trailing
+    RANGE frame [order_col − lookback, order_col] within each ``by``
+    group — result identical to ``F.{sum,max}(value_col).over(
+    Window.partitionBy(*by).orderBy(order_col)
+    .rangeBetween(-lookback, 0))`` but partitioned on (by…, bucket):
+    the bounded lookback admits the classic bucket + overlap carry-in
+    rewrite, so no single task ever sorts a whole enum key's slice.
+
+    ``order_col`` must be numeric (epoch micros for time frames).
+    Mechanics: rows bucket by sketch edges over the order domain; each
+    row is additionally COPIED into every later bucket whose edge
+    falls inside (t, t + lookback] — those carry rows complete the
+    trailing frames that cross a bucket boundary, and only base rows
+    are emitted.  Carry volume is #edges within ``lookback`` of each
+    row: pick ``n_buckets`` so the typical bucket spans ≫ lookback
+    (copies ≈ rows × lookback / bucket_span).  EXACT like
+    ``bucketed_running_agg`` — edge placement moves work, never
+    results — so the same plan serves the oracle gate and the 100-TB
+    path.  ``count_col`` optionally emits the frame row count too
+    (the same frame, one window pass)."""
+    from pyspark.sql import Window
+
+    if agg not in ("sum", "max"):
+        raise ValueError(f"unsupported range agg {agg!r}")
+    fn = F.sum if agg == "sum" else F.max
+    by = by or []
+
+    d = df.withColumn("__ok", F.col(order_col).cast("double"))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    eagg = F.percentile_approx(
+        F.col("__ok"), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+    ).alias("__edges")
+    if by:
+        edges = d.groupBy(*by).agg(eagg)
+        j = d.join(F.broadcast(edges), by)
+    else:
+        j = d.crossJoin(F.broadcast(d.groupBy().agg(eagg)))
+    ok = F.col("__ok")
+    lb = F.lit(float(lookback))
+    # home bucket, plus one carry copy per edge inside (t, t+lookback]
+    # — F.filter gives those edges' indices via their own bucket rank
+    home = F.size(F.filter(F.col("__edges"), lambda e: e < ok))
+    carry_to = F.filter(
+        F.col("__edges"), lambda e: (e >= ok) & (e < ok + lb)
+    )
+    j = j.withColumn("__home", home).withColumn(
+        "__carries",
+        F.transform(
+            carry_to,
+            lambda e: F.size(F.filter(F.col("__edges"), lambda e2: e2 < e))
+            + F.lit(1),
+        ),
+    )
+    expanded = j.select(
+        *df.columns,
+        "__home",
+        F.explode(
+            F.array_union(F.array(F.col("__home")), F.col("__carries"))
+        ).alias("__b"),
+    )
+    w = (
+        Window.partitionBy(*by, "__b")
+        .orderBy(order_col)
+        .rangeBetween(-int(lookback), 0)
+    )
+    out = expanded.withColumn(out_col, fn(value_col).over(w))
+    if count_col is not None:
+        out = out.withColumn(count_col, F.count("*").over(w))
+    return (
+        out.filter(F.col("__b") == F.col("__home"))
+        .drop("__home", "__b")
+    )

@@ -822,3 +822,14 @@ def test_distribution_ranks_approx_tracks_exact_cdf(spark):
     assert j["d_pct"] <= 0.02, j
     assert j["d_cume"] <= 0.02, j
     assert 0.0 <= j["lo"] and j["hi"] <= 1.0 and j["clo"] > 0.0
+
+
+def test_w13_trailing_range_frame_is_bucket_partitioned(spark):
+    """r7: the trailing-30-min frame runs through bucketed_range_agg —
+    the fact-scale range window partitions on (event_type, bucket)
+    with broadcast sketch edges, never on the enum key alone."""
+    plan = _plan(spark, "w13_trailing_range_frame")
+    assert "Window" in plan
+    spec = plan.split("Window")[1][:400]
+    assert "event_type" in spec and "__b" in spec
+    assert "SortMergeJoin" not in plan

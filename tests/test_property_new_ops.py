@@ -1940,3 +1940,44 @@ def test_rgb_avi_respects_row_padding_and_exact_samples():
     assert _decode_dib_frame(rows.tobytes()[:-1], w, h, 24) is None
     # non-24-bpp refused (spec surface we don't claim)
     assert _decode_dib_frame(rows.tobytes(), w, h, 32) is None
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=10, deadline=None)
+def test_bucketed_range_agg_matches_plain_window(spark, seed):
+    """The bucket + overlap carry-in rewrite of a trailing RANGE frame
+    must be EXACT — identical to the plain enum-key range window,
+    including timestamp ties (peers), lookbacks wider than a bucket
+    (multi-bucket carries), and the frame row count."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_range_agg,
+    )
+
+    rng = random.Random(seed)
+    lookback = rng.choice([3, 10, 50])   # 50 ≫ bucket span → multi-carry
+    rows = [
+        (rng.choice("ab"), i, rng.randrange(0, 100), rng.randrange(-9, 10))
+        for i in range(500)
+    ]
+    # duplicate timestamps: peers must enter each other's frames
+    rows += [(k, 1000 + i, t, v) for i, (k, _, t, v) in enumerate(rows[:50])]
+    df = spark.createDataFrame(rows, ["k", "uid", "t", "v"])
+    got = bucketed_range_agg(
+        df, "v", by=["k"], order_col="t", lookback=lookback,
+        out_col="s", count_col="n", n_buckets=rng.choice([4, 16]),
+    )
+    w = (
+        Window.partitionBy("k").orderBy("t")
+        .rangeBetween(-lookback, 0)
+    )
+    ref = df.withColumn("s", F.sum("v").over(w)).withColumn(
+        "n", F.count("*").over(w)
+    )
+    a = {(r["k"], r["uid"]): (r["s"], r["n"]) for r in got.collect()}
+    b = {(r["k"], r["uid"]): (r["s"], r["n"]) for r in ref.collect()}
+    assert a == b
