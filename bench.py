@@ -323,6 +323,33 @@ def run_common_isolated() -> None:
 
 
 def main() -> None:
+    # Isolated common-100 (r5 verdict #6) runs FIRST, on a fresh box
+    # (r7 ordering fix): running it after the main bench measured the
+    # OS state the 48g JVM's teardown left behind — 128-162 s for the
+    # same plans a fresh-box pass runs in 71-78 s.  A FRESH subprocess
+    # JVM so the pinned line is free of cross-query cache cohabitation
+    # and session aging.  Skippable for quick local runs.
+    isolated: dict = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_ISOLATED") != "1":
+        import subprocess
+
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--common-isolated"],
+                capture_output=True, text=True, timeout=1800,
+            )
+            out_lines = r.stdout.strip().splitlines()
+        except (subprocess.TimeoutExpired, OSError):
+            # a hung/failed isolated JVM must not destroy the main
+            # run's timings — report nulls instead
+            out_lines = []
+        for line in reversed(out_lines):
+            try:
+                isolated = json.loads(line)
+                break
+            except ValueError:
+                continue
+
     # right-size the single local JVM: the default 1g driver heap GC-
     # thrashes by the warm pass once ~120 queries' leaked caches and
     # checkpoints accumulate (measured: warm_total grew ~40% purely
@@ -399,29 +426,7 @@ def main() -> None:
     # benches ran with that reuse, so clearing would break
     # round-over-round comparability (measured: +20% warm_total)
 
-    # Isolated common-100 (r5 verdict #6): a FRESH subprocess JVM so
-    # the pinned line can also be read free of cross-query cache
-    # cohabitation and session aging.  Skippable for quick local runs.
-    isolated: dict = {}
-    if os.environ.get("SPARK_GRAFT_SKIP_ISOLATED") != "1":
-        import subprocess
-
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--common-isolated"],
-                capture_output=True, text=True, timeout=1800,
-            )
-            out_lines = r.stdout.strip().splitlines()
-        except (subprocess.TimeoutExpired, OSError):
-            # a hung/failed isolated JVM must not destroy the main
-            # run's already-measured timings — report nulls instead
-            out_lines = []
-        for line in reversed(out_lines):
-            try:
-                isolated = json.loads(line)
-                break
-            except ValueError:
-                continue
+    spark.stop()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
@@ -466,7 +471,6 @@ def main() -> None:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
     print(compact_line(payload))
-    spark.stop()
 
 
 def compact_line(payload: dict, budget: int = 1800) -> str:
