@@ -257,6 +257,7 @@ HEADLINE = [
     "multimodal_video_frame_pixels",
     "multimodal_jpeg_progressive_pixels",
     "multimodal_video_rgb_frames",
+    "multimodal_audio_float_stats",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

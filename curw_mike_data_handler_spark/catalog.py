@@ -2601,6 +2601,51 @@ def multimodal_audio_stats_q(spark, sf_dir):
 
 
 @query(
+    "multimodal_audio_float_stats",
+    """
+    WITH w AS (
+        SELECT doc_id, doc_id % 32 AS n, 1 + doc_id % 2 AS c
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    grid AS (
+        SELECT i.i AS i, ch.ch AS ch FROM range(0, 32) i(i), range(0, 2) ch(ch)
+    )
+    SELECT w.doc_id AS media_id,
+           CAST(w.c AS BIGINT) AS channels,
+           CAST(w.n AS BIGINT) AS n_frames,
+           CAST(coalesce(sum((7 * g.i + 3 * g.ch) % 199 - 99), 0) AS DOUBLE) / 4
+               AS sample_sum,
+           CAST(max((7 * g.i + 3 * g.ch) % 199 - 99) AS DOUBLE) / 4 AS sample_max
+    FROM w LEFT JOIN grid g ON g.i < w.n AND g.ch < w.c
+    GROUP BY w.doc_id, w.c, w.n
+    """,
+)
+def multimodal_audio_float_stats_q(spark, sf_dir):
+    """REAL IEEE-float WAV decode (r7 — the non-PCM audio format a
+    real corpus carries): every audio doc gets an fmt-3 32-bit float
+    stream whose frames are the integer closed form divided by 4 —
+    dyadic quarters, exactly representable in float32 and summed
+    exactly in float64 under ANY association, so the double-valued
+    stats hash-match the oracle with no FP tolerance.  The decoder
+    walks RIFF, reads fmt code 3, unpacks '<f' frames
+    (operators/multimodal.decode_wav_samples), and the double-schema
+    stats run in Arrow-batched mapInPandas
+    (wav_float_sample_stats) — integer-PCM rows drop here and
+    float rows drop in the integer twin, so one mixed corpus feeds
+    both paths without schema corruption.
+
+    Scale shape: map-only, parallelism from input splits, no
+    exchange."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        synthesize_media,
+        wav_float_sample_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    return wav_float_sample_stats(synthesize_media(docs, wav_float=True))
+
+
+@query(
     "multimodal_video_frames",
     """
     WITH p AS (

@@ -63,6 +63,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -446,7 +447,7 @@ def make_jpeg(width: int, height: int, pixels: bool = False) -> bytes:
 
 def make_jpeg_from_coefficients(
     width: int, height: int, mcus: list[list[list[int]]],
-    restart_interval: int = 0,
+    restart_interval: int = 0, extended: bool = False,
 ) -> bytes:
     """Complete baseline 4:4:4 JFIF stream from quantized zigzag
     coefficient blocks (one 64-list per component per MCU, row-major
@@ -454,7 +455,9 @@ def make_jpeg_from_coefficients(
     Coefficient magnitudes must fit the tables (DC diff < 2^11, AC
     run/size within _JPEG_AC_VALS).  ``restart_interval`` > 0 emits a
     DRI segment and segments the scan with RSTn markers (predictor
-    resets per T.81 E.1.4).  Exists so tests can drive the decoder's
+    resets per T.81 E.1.4).  ``extended=True`` stamps the frame SOF1
+    (extended sequential — entropy-coded identically at 8-bit
+    precision).  Exists so tests can drive the decoder's
     AC/zigzag/IDCT and restart paths against an independent
     reference."""
     import struct
@@ -465,7 +468,7 @@ def make_jpeg_from_coefficients(
         ">HH", 1, 1
     ) + b"\x00\x00"
     dqt = b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00) + bytes([1] * 64)
-    sof0 = b"\xff\xc0" + struct.pack(
+    sof0 = (b"\xff\xc1" if extended else b"\xff\xc0") + struct.pack(
         ">HBHHB", 8 + 3 * 3, 8, height, width, 3
     ) + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
     dht = (
@@ -703,7 +706,11 @@ def decode_jpeg_pixels(b: bytes) -> dict | None:
                     codes = _huff_canonical(bits, vals)
                     huff[(tc, th)] = _huff_dec_table(codes)
                     j += 17 + nv
-            elif m == 0xC0:  # SOF0 baseline
+            elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+                # SOF1 (extended sequential, Huffman) is bit-identical
+                # to baseline at 8-bit precision — it only lifts table-
+                # count limits our dict-keyed tables never had; 12-bit
+                # precision stays rejected below
                 if data[0] != 8 or comps:
                     return None
                 h, w = struct.unpack(">HH", data[1:5])
@@ -724,9 +731,9 @@ def decode_jpeg_pixels(b: bytes) -> dict | None:
                 ]
             elif m == 0xC2:  # progressive frame: multi-scan decoder
                 return _decode_jpeg_progressive(b)
-            elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7,
                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # extended/arithmetic/hierarchical frame
+                return None  # lossless/arithmetic/hierarchical frame
             elif m == 0xDD:  # DRI
                 (restart,) = struct.unpack(">H", data[:2])
             elif m == 0xDA:  # SOS
@@ -1501,22 +1508,32 @@ def _wav_sample_value(i, ch):
     return (7 * i + 3 * ch) % 199 - 99
 
 
-def make_wav(sample_rate: int, channels: int, bits: int = 16, n_samples: int = 0) -> bytes:
+def make_wav(sample_rate: int, channels: int, bits: int = 16, n_samples: int = 0,
+             ieee_float: bool = False) -> bytes:
     """Minimal RIFF/WAVE: fmt chunk (PCM) + a data chunk carrying the
     closed-form waveform ``_wav_sample_value`` at the requested PCM
     width — 8-bit unsigned (value+128 per the WAV convention), 16-bit
     signed, and 24/32-bit signed scaled by 2^8/2^16 so the high bytes
     and sign paths are exercised while the oracle stays a pure scale
-    of the 16-bit closed form."""
+    of the 16-bit closed form.
+
+    ``ieee_float=True``: fmt code 3, 32-bit IEEE float frames carrying
+    the closed form divided by 4 — dyadic quarters, exactly
+    representable in float32 and summed exactly in float64 by any
+    association, so the float oracle is the integer closed form / 4."""
     import struct
 
+    if ieee_float:
+        bits = 32
     block_align = channels * (bits // 8)
     frames = (
         _wav_sample_value(i, ch)
         for i in range(n_samples)
         for ch in range(channels)
     )
-    if bits == 8:
+    if ieee_float:
+        data = b"".join(struct.pack("<f", v / 4.0) for v in frames)
+    elif bits == 8:
         data = bytes(v + 128 for v in frames)
     elif bits == 16:
         data = b"".join(struct.pack("<h", v) for v in frames)
@@ -1529,7 +1546,8 @@ def make_wav(sample_rate: int, channels: int, bits: int = 16, n_samples: int = 0
     else:
         data = b"\x00" * (n_samples * block_align)
     fmt = struct.pack(
-        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
+        "<HHIIHH", 3 if ieee_float else 1, channels, sample_rate,
+        sample_rate * block_align, block_align, bits
     )
     body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack(
         "<I", len(data)
@@ -1538,11 +1556,16 @@ def make_wav(sample_rate: int, channels: int, bits: int = 16, n_samples: int = 0
 
 
 def decode_wav_samples(b: bytes) -> dict | None:
-    """REAL PCM sample decode, stdlib-only: RIFF chunk walk → fmt parse
-    → frame decode → sample stats.  All integer PCM widths decode:
+    """REAL sample decode, stdlib-only: RIFF chunk walk → fmt parse →
+    frame decode → sample stats.  All integer PCM widths decode:
     8-bit unsigned (centered to signed, per the WAV convention),
-    16-bit, 24-bit and 32-bit signed little-endian.  Returns None for
-    non-WAV / non-integer-PCM / truncated payloads (never raises)."""
+    16-bit, 24-bit and 32-bit signed little-endian — integer stats.
+    IEEE-float (fmt 3, 32-bit) decodes too (r7), with FLOAT-valued
+    ``sample_sum``/``sample_max`` (Python doubles); callers that
+    promise an integer schema must skip float results
+    (``wav_sample_stats`` does; ``wav_float_sample_stats`` is the
+    double-schema twin).  Returns None for non-WAV / unsupported
+    formats / truncated payloads (never raises)."""
     import struct
 
     try:
@@ -1561,8 +1584,19 @@ def decode_wav_samples(b: bytes) -> dict | None:
                 if len(data) < size:
                     return None
             i += 8 + size + (size & 1)
-        if channels is None or data is None or fmt != 1:
+        if channels is None or data is None or fmt not in (1, 3):
             return None
+        if fmt == 3:
+            if bits != 32:
+                return None  # float64 WAV exists but is vanishingly rare
+            vals = struct.unpack(f"<{len(data) // 4}f", data[: len(data) // 4 * 4])
+            n_frames = len(vals) // channels
+            return {
+                "channels": channels,
+                "n_frames": n_frames,
+                "sample_sum": float(sum(vals)),
+                "sample_max": float(max(vals)) if vals else None,
+            }
         if bits == 8:  # unsigned bytes, centered
             vals = [v - 128 for v in data]
         elif bits == 16:
@@ -1840,7 +1874,9 @@ WAV_STATS_SCHEMA = StructType(
 def wav_sample_stats(media: DataFrame) -> DataFrame:
     """Arrow-batched PCM sample-stat extraction over the binary payload
     column → (media_id, channels, n_frames, sample_sum, sample_max).
-    Non-WAV rows are dropped.  Map-only, like png_pixel_stats."""
+    Non-WAV rows are dropped, as are IEEE-FLOAT WAVs (their stats are
+    doubles — the long schema here would corrupt them; the float twin
+    below carries them).  Map-only, like png_pixel_stats."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WAV_STATS_SCHEMA.fields]
@@ -1848,7 +1884,7 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 st = decode_wav_samples(bytes(payload))
-                if st is not None:
+                if st is not None and not isinstance(st["sample_sum"], float):
                     rows.append({"media_id": mid, **st})
             out = pd.DataFrame(rows, columns=cols)
             for c in ("sample_max",):
@@ -1856,6 +1892,35 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(_stats, schema=WAV_STATS_SCHEMA)
+
+
+WAV_FLOAT_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("sample_sum", DoubleType()),
+        StructField("sample_max", DoubleType()),
+    ]
+)
+
+
+def wav_float_sample_stats(media: DataFrame) -> DataFrame:
+    """The IEEE-float twin of ``wav_sample_stats`` (r7): double-valued
+    sample stats; integer-PCM and non-WAV rows are dropped.
+    Map-only."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WAV_FLOAT_STATS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                st = decode_wav_samples(bytes(payload))
+                if st is not None and isinstance(st["sample_sum"], float):
+                    rows.append({"media_id": mid, **st})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_stats, schema=WAV_FLOAT_STATS_SCHEMA)
 
 
 def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -1918,7 +1983,8 @@ def synthesize_media(ids: DataFrame, id_col: str = "doc_id",
                      parallelism: int | None = None,
                      png_pixels: bool = False,
                      jpeg_pixels: bool = False,
-                     jpeg_progressive: bool = False) -> DataFrame:
+                     jpeg_progressive: bool = False,
+                     wav_float: bool = False) -> DataFrame:
     """id column → (media_id, media_type, payload) with REAL binary
     payloads (spec-conformant PNG/JPEG/WAV built per row).  Stands in
     for the object-store fetch stage of a production pipeline; being
@@ -1931,7 +1997,9 @@ def synthesize_media(ids: DataFrame, id_col: str = "doc_id",
     entropy-coded scan (block-constant closed-form raster at
     multiple-of-8 dimensions) for the JPEG pixel-decode path;
     ``jpeg_progressive=True`` additionally swaps those for multi-scan
-    SOF2 streams of the SAME raster (same closed-form oracle)."""
+    SOF2 streams of the SAME raster (same closed-form oracle).
+    ``wav_float=True`` swaps the WAV kind's payloads for IEEE-float
+    (fmt 3) streams carrying the closed form / 4 (r7)."""
     sc = ids.sparkSession.sparkContext
     n = parallelism or min(sc.defaultParallelism, 16)
     src = ids.select(F.col(id_col).cast("long").alias("media_id"))
@@ -1945,6 +2013,8 @@ def synthesize_media(ids: DataFrame, id_col: str = "doc_id",
             kinds, payloads = [], []
             for mid in pdf["media_id"]:
                 kind, params = _synth_params(int(mid))
+                if kind == "wav" and wav_float:
+                    params = {**params, "ieee_float": True}
                 if kind == "png" and png_pixels:
                     params = {**params, "bit_depth": 8, "pixels": True}
                 if kind == "jpeg" and jpeg_pixels:

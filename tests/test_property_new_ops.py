@@ -1671,6 +1671,8 @@ def test_decoders_never_raise_on_corrupted_streams(seed):
                                       8 * rng.randint(1, 6)))
     pool.append(make_wav(8000, rng.randint(1, 3),
                          rng.choice([8, 16, 24, 32]), rng.randint(0, 40)))
+    pool.append(make_wav(8000, rng.randint(1, 2), n_samples=rng.randint(0, 30),
+                         ieee_float=True))
     pool.append(make_avi(16, 16, fps=10, n_frames=rng.randint(1, 12),
                          mjpeg=True))
     pool.append(make_avi(16 * rng.randint(1, 4), 8 * rng.randint(1, 4),
@@ -1691,6 +1693,15 @@ def test_decoders_never_raise_on_corrupted_streams(seed):
             [[rng.randint(-100, 100)] + [0] * 63 for _ in range(bxc * byc)]
         )
     pool.append(make_multiscan_baseline_jpeg(msw, msh, ms_blocks, hv=ms_hv))
+    # SOF1 extended-sequential twin of the baseline stream
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        make_jpeg_from_coefficients,
+    )
+
+    sof1_mcus = [[[rng.randint(-80, 80)] + [0] * 63 for _ in range(3)]
+                 for _ in range(rng.randint(1, 3))]
+    pool.append(make_jpeg_from_coefficients(8 * len(sof1_mcus), 8, sof1_mcus,
+                                            extended=True))
 
     decoders = (
         decode_png_pixels, decode_jpeg_pixels, decode_wav_samples,
@@ -1981,3 +1992,93 @@ def test_bucketed_range_agg_matches_plain_window(spark, seed):
     a = {(r["k"], r["uid"]): (r["s"], r["n"]) for r in got.collect()}
     b = {(r["k"], r["uid"]): (r["s"], r["n"]) for r in ref.collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# SOF1 extended-sequential JPEG + IEEE-float WAV (r7 widenings)
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=25, deadline=None)
+def test_sof1_extended_sequential_decodes_like_baseline(seed):
+    """SOF1 (extended sequential, Huffman) at 8-bit precision is
+    entropy-coded identically to SOF0 — the same random coefficients
+    must decode pixel-identically under either frame marker; a 12-bit
+    SOF1 stream stays rejected."""
+    import random
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg_from_coefficients,
+    )
+
+    rng = random.Random(seed)
+    mcus = []
+    for _ in range(rng.randint(1, 3)):
+        mcu = []
+        for _c in range(3):
+            block = [0] * 64
+            block[0] = rng.randint(-200, 200)
+            if rng.random() < 0.7:
+                block[1] = rng.choice([-3, -1, 1, 3])
+            mcu.append(block)
+        mcus.append(mcu)
+    w = 8 * len(mcus)
+    base = decode_jpeg_pixels(make_jpeg_from_coefficients(w, 8, mcus))
+    ext = make_jpeg_from_coefficients(w, 8, mcus, extended=True)
+    assert decode_jpeg_pixels(ext) == base and base is not None
+    i = ext.index(b"\xff\xc1")
+    assert decode_jpeg_pixels(ext[: i + 4] + bytes([12]) + ext[i + 5 :]) is None
+
+
+@given(st.integers(min_value=0, max_value=40), st.integers(min_value=1, max_value=3))
+@settings(max_examples=25, deadline=None)
+def test_float_wav_roundtrip_exact_quarters(n, c):
+    """fmt-3 float32 frames carrying dyadic quarters must decode to
+    EXACT double stats (quarters sum exactly in float64 under any
+    association); the integer-schema stats path must drop float WAVs
+    and the float path must drop integer ones."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _wav_sample_value,
+        decode_wav_samples,
+        make_wav,
+    )
+
+    payload = make_wav(8000, c, n_samples=n, ieee_float=True)
+    st_ = decode_wav_samples(payload)
+    vals = [_wav_sample_value(i, ch) / 4.0 for i in range(n) for ch in range(c)]
+    assert st_["channels"] == c and st_["n_frames"] == n
+    assert st_["sample_sum"] == (sum(vals) if vals else 0.0)
+    assert st_["sample_max"] == (max(vals) if vals else None)
+    if n:
+        assert isinstance(st_["sample_sum"], float)
+    # float64 WAV (fmt 3, bits 64) refused — unclaimed surface
+    import struct
+
+    i = payload.index(b"fmt ")
+    bad = bytearray(payload)
+    bad[i + 8 + 14 : i + 8 + 16] = struct.pack("<H", 64)
+    assert decode_wav_samples(bytes(bad)) is None
+
+
+def test_wav_stats_paths_partition_mixed_corpus(spark):
+    """One corpus mixing integer-PCM and float WAVs: the long-schema
+    stats see only the integer rows, the double-schema stats only the
+    float rows — no coercion, no dropped batch."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        make_wav,
+        wav_float_sample_stats,
+        wav_sample_stats,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio/wav", make_wav(8000, 1, 16, 5)),
+            (2, "audio/wav", make_wav(8000, 2, n_samples=7, ieee_float=True)),
+            (3, "x", b"junk"),
+        ],
+        "media_id long, media_type string, payload binary",
+    )
+    ints = {r["media_id"] for r in wav_sample_stats(media).collect()}
+    floats = {r["media_id"] for r in wav_float_sample_stats(media).collect()}
+    assert ints == {1} and floats == {2}
