@@ -8422,31 +8422,46 @@ def events_anomaly_episodes(spark, sf_dir):
 
     Scale shape: the threshold filter lands on the scan (pushed
     predicate prunes the fact FIRST — episodes only ever see the
-    anomalous sliver), then one hash(event_type) exchange feeds the
-    lag/cumsum/rollup chain, all three sharing the SAME window sort.
-    Episode ids are per-type cumulative break counts — deterministic
-    with the (ts, event_id) tie-break, no global numbering."""
-    from pyspark.sql import Window
+    anomalous sliver), then the lag and the episode cumsum both run
+    bucket-partitioned (operators.prefix.bucketed_lag /
+    bucketed_running_agg, r7): even if the anomaly rate approaches
+    O(1) of the corpus, no single task sorts a whole type's slice
+    (SCALE.md "Enum-key windows").  Episode ids are per-type
+    cumulative break counts — deterministic with the (ts, event_id)
+    tie-break, no global numbering."""
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_lag,
+        bucketed_running_agg,
+    )
 
     ev = _t(spark, sf_dir, "events").filter(F.col("value") > 90)
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
-    brk = F.when(
-        prev.isNull() | ((F.unix_micros(F.col("ts")) - prev) > 600_000_000), 1
-    ).otherwise(0)
-    cum = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    epi = (
+    lagged = bucketed_lag(
         ev.select(
             "event_type",
             "ts",
             "event_id",
+            F.unix_micros(F.col("ts")).alias("t_us"),
             F.round(F.col("value") * 100).cast("long").alias("v"),
-            brk.alias("brk"),
+        ),
+        ["t_us"],
+        by=["event_type"],
+        order_cols=["ts", "event_id"],
+    )
+    brk = F.when(
+        F.col("lag_t_us").isNull()
+        | ((F.col("t_us") - F.col("lag_t_us")) > 600_000_000),
+        1,
+    ).otherwise(0)
+    epi = (
+        bucketed_running_agg(
+            lagged.select("event_type", "ts", "event_id", "v", brk.alias("brk")),
+            "brk",
+            by=["event_type"],
+            order_cols=["ts", "event_id"],
+            out_col="episode",
         )
-        .withColumn("episode", F.sum("brk").over(cum).cast("long"))
-        .drop("event_id")
+        .withColumn("episode", F.col("episode").cast("long"))
+        .drop("event_id", "brk")
     )
     return epi.groupBy("event_type", "episode").agg(
         _fmt(F.min("ts")).alias("episode_start"),

@@ -65,6 +65,37 @@ def _order_surrogate(df: DataFrame, order_col: str) -> Column:
     return c
 
 
+def _bucketize(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    n_buckets: int,
+    accuracy: int,
+    bucket_key: Column | None = None,
+) -> DataFrame:
+    """Shared first phase of every operator here: append ``__b`` —
+    the row's order-domain bucket from per-group approx-quantile
+    edges over the order surrogate, broadcast back.  Equal leading
+    order keys always share a bucket; bucket boundaries respect the
+    order, so per-(by, __b) windows compose into the global order."""
+    key = (bucket_key if bucket_key is not None
+           else _order_surrogate(df, order_cols[0])).cast("double")
+    d = df.withColumn("__ok", key)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    eagg = F.percentile_approx(
+        F.col("__ok"), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+    ).alias("__edges")
+    if by:
+        edges = d.groupBy(*by).agg(eagg)
+        j = d.join(F.broadcast(edges), by)
+    else:
+        j = d.crossJoin(F.broadcast(d.groupBy().agg(eagg)))
+    ok = F.col("__ok")
+    return j.withColumn(
+        "__b", F.size(F.filter(F.col("__edges"), lambda e: e < ok))
+    ).drop("__ok", "__edges")
+
+
 def bucketed_running_agg(
     df: DataFrame,
     value_col: str,
@@ -94,23 +125,7 @@ def bucketed_running_agg(
         raise ValueError(f"unsupported running agg {agg!r}")
     fn = F.sum if agg == "sum" else F.max
     by = by or []
-
-    key = (bucket_key if bucket_key is not None
-           else _order_surrogate(df, order_cols[0])).cast("double")
-    d = df.withColumn("__ok", key)
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    eagg = F.percentile_approx(
-        F.col("__ok"), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
-    ).alias("__edges")
-    if by:
-        edges = d.groupBy(*by).agg(eagg)
-        j = d.join(F.broadcast(edges), by)
-    else:
-        j = d.crossJoin(F.broadcast(d.groupBy().agg(eagg)))
-    ok = F.col("__ok")
-    j = j.withColumn(
-        "__b", F.size(F.filter(F.col("__edges"), lambda e: e < ok))
-    ).drop("__ok", "__edges")
+    j = _bucketize(df, by, order_cols, n_buckets, accuracy, bucket_key)
 
     # tiny relation: ≤ |by| × n_buckets rows — windows over it are safe
     totals = j.groupBy(*by, "__b").agg(fn(value_col).alias("__t"))
@@ -227,3 +242,57 @@ def bucketed_range_agg(
         out.filter(F.col("__b") == F.col("__home"))
         .drop("__home", "__b")
     )
+
+
+def bucketed_lag(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    by: list[str] | None,
+    order_cols: list[str],
+    prefix: str = "lag_",
+    n_buckets: int = 64,
+    bucket_key: Column | None = None,
+    accuracy: int = DEFAULT_ACCURACY,
+) -> DataFrame:
+    """Append ``{prefix}{c}`` = ``lag(c, 1)`` over the (by…,
+    order_cols) total order for each c in ``cols`` — identical to the
+    plain window lag, but the fact-scale window partitions on (by…,
+    bucket): within a bucket the ordinary lag applies, and each
+    bucket's FIRST row takes its predecessor from a tiny per-bucket
+    boundary relation (the last row of every non-empty bucket,
+    lag-chained across buckets and broadcast back).  The first row of
+    a group's first non-empty bucket lags to NULL, exactly as the
+    plain window does.  EXACT; same plan for the oracle gate and the
+    100-TB path."""
+    from pyspark.sql import Window
+
+    by = by or []
+    j = _bucketize(df, by, order_cols, n_buckets, accuracy, bucket_key)
+
+    okey = F.struct(*[F.col(c) for c in order_cols])
+    last = j.groupBy(*by, "__b").agg(
+        F.max_by(F.struct(*[F.col(c) for c in cols]), okey).alias("__last")
+    )
+    wb = (
+        Window.partitionBy(*by).orderBy("__b")
+        if by
+        else Window.orderBy("__b")
+    )
+    # previous NON-EMPTY bucket's last row (the relation only has
+    # non-empty buckets, so lag(1) over it skips empties for free)
+    bounds = last.select(
+        *by, "__b", F.lag("__last").over(wb).alias("__prev_last")
+    )
+    j2 = j.join(F.broadcast(bounds), [*by, "__b"])
+    w = Window.partitionBy(*by, "__b").orderBy(*order_cols)
+    rn = F.row_number().over(w)
+    out = j2.withColumn("__rn1", rn == 1)
+    for c in cols:
+        out = out.withColumn(
+            prefix + c,
+            F.when(F.col("__rn1"), F.col("__prev_last")[c]).otherwise(
+                F.lag(c).over(w)
+            ),
+        )
+    return out.drop("__b", "__prev_last", "__rn1")

@@ -833,3 +833,17 @@ def test_w13_trailing_range_frame_is_bucket_partitioned(spark):
     spec = plan.split("Window")[1][:400]
     assert "event_type" in spec and "__b" in spec
     assert "SortMergeJoin" not in plan
+
+
+def test_anomaly_episodes_lag_and_cumsum_are_bucket_partitioned(spark):
+    """r7: the episode chain's lag and cumulative break count both run
+    through the bucketed operators — every fact-scale windowspec over
+    event_type carries the bucket key (the filtered-sliver defense no
+    longer carries the scale argument alone)."""
+    plan = _plan(spark, "events_anomaly_episodes")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "__b" in phys
+    for frag in phys.split("Window")[1:]:
+        head = frag[:300]
+        if "event_type" in head and "windowspecdefinition" in head:
+            assert "__b" in head, head

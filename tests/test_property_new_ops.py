@@ -2082,3 +2082,37 @@ def test_wav_stats_paths_partition_mixed_corpus(spark):
     ints = {r["media_id"] for r in wav_sample_stats(media).collect()}
     floats = {r["media_id"] for r in wav_float_sample_stats(media).collect()}
     assert ints == {1} and floats == {2}
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=8, deadline=None)
+def test_bucketed_lag_matches_plain_window(spark, seed):
+    """bucketed_lag must equal the plain window lag exactly: within-
+    bucket rows take the ordinary lag, each bucket's first row takes
+    the previous non-empty bucket's last row, and the global first row
+    lags to NULL — across groupings and duplicate order keys."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.prefix import bucketed_lag
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.choice("ab"), rng.randrange(40), i, rng.randrange(-50, 100))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "uid", "v"])
+    by = [["k"], []][seed % 2]
+    got = bucketed_lag(
+        df, ["v", "t"], by=by, order_cols=["t", "uid"],
+        n_buckets=rng.choice([3, 8, 16]),
+    )
+    w = Window.partitionBy(*by).orderBy("t", "uid") if by else Window.orderBy("t", "uid")
+    ref = df.withColumn("lag_v", F.lag("v").over(w)).withColumn(
+        "lag_t", F.lag("t").over(w)
+    )
+    a = {(r["k"], r["uid"]): (r["lag_v"], r["lag_t"]) for r in got.collect()}
+    b = {(r["k"], r["uid"]): (r["lag_v"], r["lag_t"]) for r in ref.collect()}
+    assert a == b
