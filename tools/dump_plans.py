@@ -38,7 +38,7 @@ SHOWCASE = [
     ("q17_small_qty_revenue", "correlated avg as ONE window over the broadcast-semi-filtered slice"),
     ("q22_idle_rich_customers", "broadcast 1-row threshold; LeftAnti on date-pruned orders scan"),
     ("a11_cube", "CUBE = one Expand + one exchange; grouping() flags disambiguate subtotals"),
-    ("pack_sequences", "running token sum + floor buckets; agg reuses window partitioning (1 exchange)"),
+    ("pack_sequences", "bucketed prefix scan (r7): edges broadcast, (source,bucket) window + offset join — no whole-source task"),
     ("q2_min_cost_supplier", "correlated MIN as window-over-slice; distinct reuses the window clustering"),
     ("q13_order_distribution", "outer join with join-condition predicate; double aggregation"),
     ("q21_sole_late_shipper", "double EXISTS/NOT EXISTS as stacked windows over ONE hash(orderkey) exchange"),
@@ -92,11 +92,17 @@ SHOWCASE = [
     ("events_ohlc_bars", "all four OHLC prices from ONE min_by/max_by hash aggregate — no window, one exchange"),
     ("weighted_median_price", "cumulative-weight window over the value-distinct pre-aggregate, not the raw fact"),
     ("dedup_incremental_batch", "batch probes the corpus fingerprint index on one hash join — corpus never rescanned"),
-    ("compaction_bins", "per-source packing window + rollup — parallel across sources, driver-free planning"),
+    ("compaction_bins", "bucketed exclusive prefix scan (r7): (source,bucket) window; parallel across AND within sources"),
     ("entity_canonicalize", "fuzzy pairs → min-label components → canonical map, string node ids on the doc-id plan"),
-    ("events_anomaly_episodes", "pushed threshold filter; lag/cumsum/rollup share ONE window sort on the sliver"),
+    ("events_anomaly_episodes", "pushed threshold filter; bucketed lag + bucketed episode cumsum (r7) — no whole-type sort"),
     ("skew_key_census", "partial-aggregated key counts → bit-length buckets (≤64 rows) → share window"),
     ("customer_rfm_segments", "fact collapses to customers first; ntile windows on the dimension-scale aggregate"),
+    ("w11_distribution_ranks", "oracle gate pins exact window; distribution_ranks DEFAULT is sketch-CDF map-only assignment (r7)"),
+    ("w13_trailing_range_frame", "bucket+overlap carry-in range frame (r7): (type,bucket) window, carries complete cross-edge frames"),
+    ("running_records_census", "bucketed exclusive running max (r7): bucket partials + broadcast offsets, no whole-type task"),
+    ("max_concurrency_sweep", "sweep-line cumsum bucket-partitioned (r7); WindowGroupLimit top-1 pick"),
+    ("multimodal_video_rgb_frames", "BI_RGB DIB demux + padded-row unpack (r7): map-only, zero exchanges"),
+    ("multimodal_audio_float_stats", "IEEE-float WAV decode, double-schema stats (r7): map-only, zero exchanges"),
     ("survival_km_curve", "KM estimator: per-duration census, reverse-cumsum risk set, log-sum windows on census rows only"),
     ("stats_ks_two_sample", "integer sup-norm: grouped value census, bounded cumulative window, 1-row broadcast totals"),
     ("w14_max_drawdown", "three stacked running windows + rollup share ONE hash(user) exchange and sort"),
