@@ -2780,6 +2780,47 @@ def multimodal_video_rgb_frames_q(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_gif_pixels",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16 * (1 + doc_id % 8) AS BIGINT) AS width,
+           CAST(1 + doc_id % 37 AS BIGINT) AS height,
+           CAST(16 * (1 + doc_id % 8) * (1 + doc_id % 37) AS BIGINT) AS n_px,
+           CAST((255 * 16 + 840) * (1 + doc_id % 8) * (1 + doc_id % 37)
+                AS BIGINT) AS pixel_sum,
+           CAST(255 AS BIGINT) AS pixel_max
+    FROM documents
+    """,
+)
+def multimodal_gif_pixels_q(spark, sf_dir):
+    """REAL GIF pixel decode (r7 — the last ubiquitous web-image
+    format the engine was missing): every doc gets a genuine GIF89a
+    (global color table, graphic-control extension, odd ids
+    Adam-style 4-pass interlaced) whose index raster is the closed
+    form (x + 3y) mod 16, LZW-compressed by a real dictionary encoder
+    (variable-width LSB-first codes, Clear/EOI, 4096-entry resets);
+    the engine walks the container, inflates the LZW stream, honors
+    interlacing, maps indices through the palette and reduces the RGB
+    samples inside Arrow-batched mapInPandas
+    (operators/multimodal.decode_gif_pixels).  Widths are multiples
+    of the 16-entry palette, so each index appears width/16 times per
+    row and the per-image sum collapses to (255·16 + 840)·(w/16)·h —
+    a wrong LZW width bump, KwKwK branch, sub-block walk, palette
+    map, or interlace pass hash-fails.
+
+    Scale shape: map-only (synthesize → decode fused in one
+    Python-worker pass per split); zero shuffle; one output row per
+    document."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        gif_pixel_stats,
+        synthesize_gif,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return gif_pixel_stats(synthesize_gif(docs))
+
+
 # ---------------------------------------------------------------------------
 # Classic OLAP widening: pushdown-only agg, conditional-share agg,
 # group-HAVING join, disjunctive-predicate join

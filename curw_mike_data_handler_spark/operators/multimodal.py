@@ -1627,7 +1627,8 @@ _SOF_MARKERS = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
 def parse_media_header(b: bytes) -> dict:
     """REAL header decode, pure Python: PNG IHDR chunk walk, JPEG SOF
-    marker scan, RIFF/WAVE fmt chunk walk.  Unknown/truncated payloads
+    marker scan, GIF logical-screen-descriptor read, RIFF/WAVE fmt
+    chunk walk.  Unknown/truncated payloads
     → media_type 'unknown' with NULL metadata (never raises: one bad
     blob must not kill a 100 TB batch)."""
     import struct
@@ -1653,6 +1654,11 @@ def parse_media_header(b: bytes) -> dict:
                     continue
                 (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
                 i += 2 + seg_len
+        elif b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", b[6:10])
+            packed = b[10]
+            out.update(media_type="image/gif", width=w, height=h,
+                       bit_depth=((packed >> 4) & 0x07) + 1)
         elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             i = 12
             while i + 8 <= len(b):
@@ -2468,3 +2474,368 @@ def frame_sample_plan(meta: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_no"),
     )
+
+
+# -- GIF: real LZW codec (GIF87a/89a) --------------------------------
+#
+# The last ubiquitous web-corpus image format the engine was missing
+# (baseline/progressive/extended JPEG, the full PNG matrix, WAV and
+# both AVI frame formats are real above).  Unlike arithmetic-coded
+# JPEG (whose Qe state table cannot be reproduced safely), GIF's LZW
+# is a handful of rules: variable-width codes starting at
+# min_code_size+1 bits packed LSB-first, a Clear and an EOI code, the
+# table capped at 4096 entries, width growing when the table reaches
+# the current code limit, and the KwKwK special case (code == next
+# free slot).  Encoder and decoder below are independent
+# implementations of those rules; the width-growth convention is
+# additionally pinned by a hand-derived code-level test vector in
+# tests/test_property_new_ops.py so a shared-wrong-convention pair
+# cannot silently self-validate.
+
+
+def _gif_pixel_index(x: int, y: int, ncolors: int = 16) -> int:
+    """Closed-form palette index raster: (x + 3y) mod ncolors.  At
+    widths that are multiples of ncolors every index appears exactly
+    width/ncolors times per row, so per-image stats collapse to a pure
+    (w, h) formula the DuckDB oracle recomputes — while consecutive
+    rows differ (shift by 3), so a misplaced interlace row changes the
+    raster and is caught by the exact-raster property tests."""
+    return (x + 3 * y) % ncolors
+
+
+def _gif_palette(ncolors: int) -> list[tuple[int, int, int]]:
+    """Deterministic palette: index i -> (17i mod 256, (255-17i) mod
+    256, 7i mod 256).  For the 16-color raster the per-pixel RGB sum
+    is 255 + 7i (no wraparound), keeping the oracle closed-form."""
+    return [(17 * i % 256, (255 - 17 * i) % 256, 7 * i % 256)
+            for i in range(ncolors)]
+
+
+def _lzw_encode(indices, m: int) -> bytes:
+    """GIF-flavor LZW compress (real dictionary compression, not the
+    uncompressed-GIF trick): emit Clear, then variable-width codes
+    LSB-first; after emitting a code and adding its table entry the
+    code width grows when next_code == 2^width + 1 (the encoder runs
+    one table entry ahead of the decoder, whose width grows at
+    next_code == 2^width); at 4096 entries emit Clear and reset.
+
+    The terminal flush needs one extra rule: the decoder adds a table
+    entry when it processes the flushed code (the encoder does not),
+    so when that entry lands exactly on the 2^width boundary the EOI
+    must be emitted at the bumped width — without this the EOI only
+    round-trips by luck of the zero final-byte padding."""
+    clear, eoi = 1 << m, (1 << m) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = m + 1
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    prev = None
+    for k in indices:
+        k = int(k)
+        if prev is None:
+            prev = k
+            continue
+        if (prev, k) in table:
+            prev = table[(prev, k)]
+            continue
+        emit(prev, width)
+        table[(prev, k)] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table.clear()
+            next_code = eoi + 1
+            width = m + 1
+        prev = k
+    if prev is not None:
+        emit(prev, width)
+        # decoder-side virtual add for the flushed code (see docstring)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, m: int, limit: int) -> bytearray:
+    """GIF LZW decompress: codes read LSB-first at width m+1, Clear
+    resets the table, EOI (or stream end) stops, code == len(table)
+    is the KwKwK case, width grows when the table reaches 2^width,
+    the table stops growing at 4096.  Raises ValueError on
+    out-of-range codes or output beyond `limit` indices (LZW can
+    expand, so a fuzzer-supplied stream must not OOM a task)."""
+    clear, eoi = 1 << m, (1 << m) + 1
+    width = m + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    out = bytearray()
+    roots = [bytes([i]) for i in range(1 << m)] + [b"", b""]
+    table = list(roots)
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return out  # truncated stream: best-effort prefix
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(roots)
+            width = m + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= clear:
+                raise ValueError("first code after clear must be a root")
+            out += table[code]
+            prev = code
+            continue
+        if code < len(table):
+            seq = table[code]
+        elif code == len(table) and len(table) < 4096:
+            seq = table[prev] + table[prev][:1]
+        else:
+            raise ValueError("code beyond table")
+        out += seq
+        if len(out) > limit:
+            raise ValueError("LZW output beyond pixel count")
+        if len(table) < 4096:
+            table.append(table[prev] + seq[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    return out
+
+
+# GIF interlace passes (GIF89a spec Appendix E): (first row, step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def make_gif(width: int, height: int, interlace: bool = False,
+             min_code_size: int = 4, indices=None) -> bytes:
+    """Spec-conformant single-frame GIF89a: logical screen descriptor
+    with a 2^min_code_size-entry global color table (_gif_palette), a
+    Graphic Control Extension (exercising the decoder's extension
+    skip), one image descriptor (interlaced when asked), the
+    LZW-compressed index raster in <=255-byte sub-blocks, trailer.
+    `indices` (row-major display order) overrides the closed-form
+    raster for property tests."""
+    import struct
+
+    m = int(min_code_size)
+    if not 2 <= m <= 8:
+        raise ValueError("min_code_size must be in 2..8")
+    ncolors = 1 << m
+    if indices is None:
+        indices = bytearray(
+            _gif_pixel_index(x, y, ncolors)
+            for y in range(height) for x in range(width)
+        )
+    else:
+        indices = bytearray(int(i) for i in indices)
+        if len(indices) != width * height:
+            raise ValueError("indices must be width*height")
+        if any(i >= ncolors for i in indices):
+            raise ValueError("index beyond palette")
+    if interlace:
+        rows = bytearray()
+        for start, step in _GIF_INTERLACE:
+            for y in range(start, height, step):
+                rows += indices[y * width:(y + 1) * width]
+        stream = rows
+    else:
+        stream = indices
+    # header + logical screen descriptor (GCT flag, size bits m-1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height,
+                       0x80 | ((m - 1) & 0x07) | ((m - 1) << 4), 0, 0)
+    for r, g, b in _gif_palette(ncolors):
+        out += bytes((r, g, b))
+    # graphic control extension (no transparency, zero delay)
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    # image descriptor at origin, no local color table
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height,
+                                 0x40 if interlace else 0x00)
+    out.append(m)
+    lzw = _lzw_encode(stream, m)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off:off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_decode_raster(b: bytes):
+    """Full GIF decode of the FIRST image: returns (width, height,
+    display-order index bytearray, palette list) or None for non-GIF /
+    corrupt payloads.  Walks extensions, honors a local color table
+    over the global one, de-interlaces.  Raises nothing upward —
+    callers wrap; internal errors are ValueError/IndexError."""
+    import struct
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = [(b[pos + 3 * i], b[pos + 3 * i + 1], b[pos + 3 * i + 2])
+               for i in range(n)]
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            return None
+        if block == 0x21:  # extension: label, then sub-blocks
+            pos += 1
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError("unknown block")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", b[pos:pos + 9])
+        pos += 9
+        if w <= 0 or h <= 0 or w * h > (1 << 26):
+            return None  # absurd dims from a fuzzed header: refuse, don't OOM
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = [(b[pos + 3 * i], b[pos + 3 * i + 1], b[pos + 3 * i + 2])
+                  for i in range(n)]
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("no color table")
+        m = b[pos]
+        pos += 1
+        if not 2 <= m <= 8:
+            raise ValueError("bad min code size")
+        data = bytearray()
+        while pos < len(b) and b[pos]:
+            size = b[pos]
+            data += b[pos + 1:pos + 1 + size]
+            pos += 1 + size
+        idx = _lzw_decode(bytes(data), m, w * h)
+        if len(idx) < w * h:
+            raise ValueError("short pixel stream")
+        idx = idx[:w * h]
+        if any(i >= len(ct) for i in idx):
+            raise ValueError("index beyond color table")
+        if ipacked & 0x40:  # de-interlace: stream rows -> display rows
+            disp = bytearray(w * h)
+            j = 0
+            for start, step in _GIF_INTERLACE:
+                for y in range(start, h, step):
+                    disp[y * w:(y + 1) * w] = idx[j * w:(j + 1) * w]
+                    j += 1
+            idx = disp
+        return w, h, idx, ct
+    return None
+
+
+def decode_gif_pixels(b: bytes) -> dict | None:
+    """REAL GIF pixel decode: header + LSD + color tables + extension
+    walk + LZW (variable-width LSB-first codes, Clear/EOI, KwKwK,
+    4096-entry cap) + de-interlace, then sum/max over the
+    palette-mapped RGB samples of the first image.  None for
+    non-GIF/corrupt payloads (never raises: one bad blob must not
+    kill a 100 TB batch)."""
+    import struct
+
+    try:
+        dec = _gif_decode_raster(bytes(b))
+        if dec is None:
+            return None
+        w, h, idx, ct = dec
+        # C-speed histogram: palettes are <=256 entries, rasters are
+        # w*h bytes — count() beats a per-pixel Python loop
+        counts = [idx.count(i) for i in range(len(ct))]
+        pixel_sum = sum(c * (r + g + bl) for c, (r, g, bl) in zip(counts, ct))
+        pixel_max = max(max(r, g, bl) for c, (r, g, bl) in zip(counts, ct)
+                        if c) if idx else 0
+        return {
+            "width": w,
+            "height": h,
+            "n_px": w * h,
+            "pixel_sum": int(pixel_sum),
+            "pixel_max": int(pixel_max),
+        }
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def synthesize_gif(ids: DataFrame, id_col: str = "doc_id",
+                   parallelism: int | None = None) -> DataFrame:
+    """id column → (media_id, media_type, payload) with real GIF89a
+    bytes, deterministic in the id (width 16·(1+id%8) — a multiple of
+    the 16-color palette so stats collapse closed-form, height
+    1+id%37, odd ids interlaced) for the oracle-able pixel-decode
+    path.  Same map-only scale shape as synthesize_media."""
+    sc = ids.sparkSession.sparkContext
+    n = parallelism or min(sc.defaultParallelism, 16)
+    src = ids.select(F.col(id_col).cast("long").alias("media_id"))
+    if src.rdd.getNumPartitions() < n:
+        src = src.repartition(n)
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                make_gif(
+                    16 * (1 + int(mid) % 8),
+                    1 + int(mid) % 37,
+                    interlace=bool(int(mid) % 2),
+                )
+                for mid in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "media_type": ["image/gif"] * len(pdf),
+                 "payload": payloads}
+            )
+
+    return src.mapInPandas(_build, schema=MEDIA_SCHEMA)
+
+
+def gif_pixel_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched GIF pixel-stat extraction over the binary payload
+    column → PIXEL_STATS_SCHEMA rows; non-GIF rows are dropped.
+    Map-only, parallelism from input splits, zero shuffle — the same
+    100 TB scan shape as png_pixel_stats."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                st = decode_gif_pixels(bytes(payload))
+                if st is not None:
+                    rows.append({"media_id": mid, **st})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_stats, schema=PIXEL_STATS_SCHEMA)

@@ -1644,10 +1644,12 @@ def test_decoders_never_raise_on_corrupted_streams(seed):
 
     from curw_mike_data_handler_spark.operators.multimodal import (
         decode_avi_frame_pixels,
+        decode_gif_pixels,
         decode_jpeg_pixels,
         decode_png_pixels,
         decode_wav_samples,
         make_avi,
+        make_gif,
         make_jpeg,
         make_png,
         make_progressive_jpeg,
@@ -1669,6 +1671,9 @@ def test_decoders_never_raise_on_corrupted_streams(seed):
                           pixels=True))
     pool.append(make_progressive_jpeg(8 * rng.randint(1, 8),
                                       8 * rng.randint(1, 6)))
+    pool.append(make_gif(rng.randint(1, 40), rng.randint(1, 30),
+                         interlace=rng.random() < 0.5,
+                         min_code_size=rng.choice([2, 4, 8])))
     pool.append(make_wav(8000, rng.randint(1, 3),
                          rng.choice([8, 16, 24, 32]), rng.randint(0, 40)))
     pool.append(make_wav(8000, rng.randint(1, 2), n_samples=rng.randint(0, 30),
@@ -1705,6 +1710,7 @@ def test_decoders_never_raise_on_corrupted_streams(seed):
 
     decoders = (
         decode_png_pixels, decode_jpeg_pixels, decode_wav_samples,
+        decode_gif_pixels,
         lambda p: decode_avi_frame_pixels(p, every_n=3),
         parse_avi_header, parse_media_header,
     )
@@ -2116,3 +2122,115 @@ def test_bucketed_lag_matches_plain_window(spark, seed):
     a = {(r["k"], r["uid"]): (r["lag_v"], r["lag_t"]) for r in got.collect()}
     b = {(r["k"], r["uid"]): (r["lag_v"], r["lag_t"]) for r in ref.collect()}
     assert a == b
+
+
+def test_gif_lzw_hand_derived_vectors():
+    """Pin the LZW width-growth convention with byte streams derived by
+    hand from the GIF89a spec (variable-width LSB-first codes, width
+    grows when the DECODER's table reaches 2^width — one entry behind
+    the encoder; the terminal flush adds a decoder-side entry too).  A
+    shared-wrong-convention encoder/decoder pair would round-trip
+    happily; these vectors catch exactly that failure mode."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    # m=2, input 11111 -> codes 4@3,1@3,6@3,6@3 then EOI; the flush
+    # code lands the decoder table on 8 = 2^3, so EOI is 5@4.
+    assert _lzw_encode([1, 1, 1, 1, 1], 2) == bytes([140, 93])
+    assert list(_lzw_decode(bytes([140, 93]), 2, 5)) == [1, 1, 1, 1, 1]
+
+    # m=2, input 012300112: a MID-stream bump with non-zero data after
+    # it (codes 4@3,0@3,1@3,2@3 then 3,0,6,7,5 all @4).
+    bits = []
+    for code, w in [(4, 3), (0, 3), (1, 3), (2, 3),
+                    (3, 4), (0, 4), (6, 4), (7, 4), (5, 4)]:
+        bits += [(code >> i) & 1 for i in range(w)]
+    by = bytearray()
+    for i in range(0, len(bits), 8):
+        chunk = bits[i:i + 8] + [0] * (8 - len(bits[i:i + 8]))
+        by.append(sum(b << j for j, b in enumerate(chunk)))
+    expect = [0, 1, 2, 3, 0, 0, 1, 1, 2]
+    assert _lzw_encode(expect, 2) == bytes(by)
+    assert list(_lzw_decode(bytes(by), 2, 9)) == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    m=st.integers(2, 8),
+    w=st.integers(1, 48),
+    h=st.integers(1, 32),
+    interlace=st.booleans(),
+    kind=st.sampled_from(["random", "run", "binary"]),
+    seed=st.integers(0, 2**31),
+)
+def test_gif_roundtrip_property(m, w, h, interlace, kind, seed):
+    """Any raster, any min-code-size, both interlace modes: encode →
+    LZW inflate → de-interlace recovers the EXACT index raster (runs
+    exercise the KwKwK branch; display-order equality catches a
+    misplaced interlace pass, which aggregate stats cannot)."""
+    import random
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _gif_decode_raster,
+        make_gif,
+    )
+
+    rng = random.Random(seed)
+    nc = 1 << m
+    if kind == "random":
+        ind = [rng.randrange(nc) for _ in range(w * h)]
+    elif kind == "run":
+        ind = [rng.randrange(nc)] * (w * h)
+    else:
+        ind = [rng.randrange(min(nc, 2)) for _ in range(w * h)]
+    got = _gif_decode_raster(
+        make_gif(w, h, interlace=interlace, min_code_size=m, indices=ind)
+    )
+    assert got is not None
+    dw, dh, idx, ct = got
+    assert (dw, dh) == (w, h) and list(idx) == ind and len(ct) == nc
+
+
+def test_gif_table_full_clear_roundtrip():
+    """A raster large enough to fill the 4096-entry LZW table forces
+    mid-stream Clear/reset cycles; the raster must still round-trip
+    exactly and the closed-form stats formula must hold."""
+    import random
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _gif_decode_raster,
+        decode_gif_pixels,
+        make_gif,
+    )
+
+    rng = random.Random(3)
+    w, h = 250, 120
+    ind = [rng.randrange(256) for _ in range(w * h)]
+    assert list(_gif_decode_raster(make_gif(w, h, min_code_size=8,
+                                            indices=ind))[2]) == ind
+
+    # default closed-form raster at a multiple-of-16 width: exact stats
+    st_ = decode_gif_pixels(make_gif(128, 36, interlace=True))
+    assert st_ == {"width": 128, "height": 36, "n_px": 128 * 36,
+                   "pixel_sum": (255 * 16 + 840) * 8 * 36,
+                   "pixel_max": 255}
+
+
+def test_gif_header_parse_and_corruption():
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_gif_pixels,
+        make_gif,
+        parse_media_header,
+    )
+
+    full = make_gif(48, 20)
+    meta = parse_media_header(full)
+    assert meta["media_type"] == "image/gif"
+    assert (meta["width"], meta["height"]) == (48, 20)
+    assert decode_gif_pixels(b"not a gif") is None
+    assert decode_gif_pixels(b"GIF89a") is None
+    for cut in range(0, len(full), 17):
+        r = decode_gif_pixels(full[:cut])
+        assert r is None or isinstance(r, dict)

@@ -487,6 +487,17 @@ def main() -> None:
         ),
         results,
     )
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        gif_pixel_stats,
+        synthesize_gif,
+    )
+
+    measure(
+        spark,
+        "gif_pixel_decode_10x",
+        lambda: gif_pixel_stats(synthesize_gif(ids10)),
+        results,
+    )
 
     # ------------------------------------------------------------------
     # Round-7 probe: bucketed_running_agg — the exact two-phase prefix
