@@ -2781,6 +2781,45 @@ def multimodal_video_rgb_frames_q(spark, sf_dir):
 
 
 @query(
+    "multimodal_bmp_pixels",
+    """
+    WITH p AS (
+        SELECT doc_id, 16 * (1 + doc_id % 6) AS w, 8 * (1 + doc_id % 5) AS h,
+               doc_id % 4 AS f
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(3 * h * (w // 16) * 120 + 3 * w * (h // 8) * 56
+                + 111 * w * h + 33 * w * h * f AS BIGINT) AS pixel_sum,
+           CAST(103 + 11 * f AS BIGINT) AS pixel_max
+    FROM p
+    """,
+)
+def multimodal_bmp_pixels_q(spark, sf_dir):
+    """REAL BMP pixel decode (r7): every doc gets a genuine 24-bit
+    BI_RGB Windows bitmap — BITMAPFILEHEADER with a stored pixel-array
+    offset the decoder must honor, BITMAPINFOHEADER, bottom-up
+    4-byte-padded BGR rows — decoded by the SAME `_decode_dib_frame`
+    unpack the uncompressed-AVI path uses (operators/multimodal.
+    decode_bmp_pixels via bmp_pixel_stats, Arrow-batched mapInPandas).
+    The raster is the `_dib_pixel_value` closed form phased by
+    doc_id%4, so the oracle recomputes each image's exact sum/max —
+    a wrong offset, stride, or row padding hash-fails.
+
+    Scale shape: map-only, zero shuffle, one row per document."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        bmp_pixel_stats,
+        synthesize_bmp,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bmp_pixel_stats(synthesize_bmp(docs))
+
+
+@query(
     "multimodal_gif_pixels",
     """
     SELECT doc_id AS media_id,

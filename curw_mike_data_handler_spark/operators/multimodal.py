@@ -2839,3 +2839,99 @@ def gif_pixel_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(_stats, schema=PIXEL_STATS_SCHEMA)
+
+
+# -- BMP: Windows bitmap files (reuses the AVI BI_RGB DIB path) ------
+
+
+def make_bmp(width: int, height: int, fno: int = 0) -> bytes:
+    """Spec-layout 24-bit BI_RGB Windows bitmap: BITMAPFILEHEADER
+    ('BM', file size, pixel-array offset) + BITMAPINFOHEADER
+    (biCompression=0) + the same bottom-up 4-byte-padded BGR rows the
+    AVI '00db' chunks carry (`_make_dib_frame` — so the closed-form
+    `_dib_pixel_value` raster and its oracle algebra are shared)."""
+    import struct
+
+    pixels = _make_dib_frame(width, height, fno)
+    info = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"\x00\x00\x00\x00",
+        len(pixels), 0, 0, 0, 0,
+    )
+    off = 14 + len(info)
+    header = b"BM" + struct.pack("<IHHI", off + len(pixels), 0, 0, off)
+    return header + info + pixels
+
+
+def decode_bmp_pixels(b: bytes) -> dict | None:
+    """REAL BMP pixel decode: BITMAPFILEHEADER walk (honoring the
+    stored pixel-array offset, so palettes/gap bytes are skipped
+    correctly) + BITMAPINFOHEADER parse, then the shared BI_RGB
+    padded-row unpack (`_decode_dib_frame`).  24-bit uncompressed
+    only — the format's overwhelmingly common shape; compressed
+    (RLE4/RLE8) or other depths return None, as do non-BMP/corrupt
+    payloads (never raises)."""
+    import struct
+
+    try:
+        if b[:2] != b"BM":
+            return None
+        (off,) = struct.unpack("<I", b[10:14])
+        (hsize,) = struct.unpack("<I", b[14:18])
+        if hsize < 40:
+            return None  # BITMAPCOREHEADER not supported
+        w, h = struct.unpack("<ii", b[18:26])
+        bits, = struct.unpack("<H", b[28:30])
+        (compression,) = struct.unpack("<I", b[30:34])
+        if compression != 0 or w <= 0 or abs(h) == 0 or w * abs(h) > (1 << 26):
+            return None
+        return _decode_dib_frame(b[off:], w, abs(h), bits)
+    except (struct.error, IndexError):
+        return None
+
+
+def synthesize_bmp(ids: DataFrame, id_col: str = "doc_id",
+                   parallelism: int | None = None) -> DataFrame:
+    """id column → (media_id, media_type, payload) with real 24-bit
+    BMP bytes, deterministic in the id (width 16·(1+id%6), height
+    8·(1+id%5), raster phase id%4 — the `_dib_pixel_value` closed
+    form, shared with the RGB-AVI oracle algebra).  Map-only."""
+    sc = ids.sparkSession.sparkContext
+    n = parallelism or min(sc.defaultParallelism, 16)
+    src = ids.select(F.col(id_col).cast("long").alias("media_id"))
+    if src.rdd.getNumPartitions() < n:
+        src = src.repartition(n)
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                make_bmp(16 * (1 + int(m) % 6), 8 * (1 + int(m) % 5),
+                         fno=int(m) % 4)
+                for m in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "media_type": ["image/bmp"] * len(pdf),
+                 "payload": payloads}
+            )
+
+    return src.mapInPandas(_build, schema=MEDIA_SCHEMA)
+
+
+def bmp_pixel_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched BMP pixel-stat extraction → PIXEL_STATS_SCHEMA
+    rows; non-BMP rows are dropped.  Map-only, zero shuffle."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                st = decode_bmp_pixels(bytes(payload))
+                if st is not None:
+                    rows.append({"media_id": mid, "width": st["width"],
+                                 "height": st["height"], "n_px": st["n_px"],
+                                 "pixel_sum": st["pixel_sum"],
+                                 "pixel_max": st["pixel_max"]})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_stats, schema=PIXEL_STATS_SCHEMA)

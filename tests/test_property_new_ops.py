@@ -1644,11 +1644,13 @@ def test_decoders_never_raise_on_corrupted_streams(seed):
 
     from curw_mike_data_handler_spark.operators.multimodal import (
         decode_avi_frame_pixels,
+        decode_bmp_pixels,
         decode_gif_pixels,
         decode_jpeg_pixels,
         decode_png_pixels,
         decode_wav_samples,
         make_avi,
+        make_bmp,
         make_gif,
         make_jpeg,
         make_png,
@@ -1674,6 +1676,8 @@ def test_decoders_never_raise_on_corrupted_streams(seed):
     pool.append(make_gif(rng.randint(1, 40), rng.randint(1, 30),
                          interlace=rng.random() < 0.5,
                          min_code_size=rng.choice([2, 4, 8])))
+    pool.append(make_bmp(rng.randint(1, 40), rng.randint(1, 30),
+                         fno=rng.randint(0, 3)))
     pool.append(make_wav(8000, rng.randint(1, 3),
                          rng.choice([8, 16, 24, 32]), rng.randint(0, 40)))
     pool.append(make_wav(8000, rng.randint(1, 2), n_samples=rng.randint(0, 30),
@@ -1710,7 +1714,7 @@ def test_decoders_never_raise_on_corrupted_streams(seed):
 
     decoders = (
         decode_png_pixels, decode_jpeg_pixels, decode_wav_samples,
-        decode_gif_pixels,
+        decode_gif_pixels, decode_bmp_pixels,
         lambda p: decode_avi_frame_pixels(p, every_n=3),
         parse_avi_header, parse_media_header,
     )
@@ -2234,3 +2238,41 @@ def test_gif_header_parse_and_corruption():
     for cut in range(0, len(full), 17):
         r = decode_gif_pixels(full[:cut])
         assert r is None or isinstance(r, dict)
+
+
+@settings(max_examples=30, deadline=None)
+@given(w=st.integers(1, 64), h=st.integers(1, 48), f=st.integers(0, 7))
+def test_bmp_roundtrip_matches_dib_closed_form(w, h, f):
+    """BMP files reuse the AVI BI_RGB row layout: decode must honor the
+    stored pixel-array offset and recover the exact `_dib_pixel_value`
+    sums at any (w, h), padded or not."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _dib_pixel_value,
+        decode_bmp_pixels,
+        make_bmp,
+    )
+
+    st_ = decode_bmp_pixels(make_bmp(w, h, f))
+    assert st_ is not None
+    assert (st_["width"], st_["height"], st_["n_px"]) == (w, h, w * h)
+    assert st_["pixel_sum"] == sum(
+        _dib_pixel_value(x, y, c, f)
+        for x in range(w) for y in range(h) for c in range(3)
+    )
+    assert st_["pixel_max"] == max(
+        _dib_pixel_value(x, y, c, f)
+        for x in range(min(w, 16)) for y in range(min(h, 8)) for c in range(3)
+    )
+
+
+def test_bmp_rejects_unsupported_shapes():
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        make_bmp,
+    )
+
+    assert decode_bmp_pixels(b"BM") is None
+    assert decode_bmp_pixels(b"PNG...") is None
+    full = bytearray(make_bmp(32, 16))
+    full[30] = 1  # biCompression=BI_RLE8
+    assert decode_bmp_pixels(bytes(full)) is None
