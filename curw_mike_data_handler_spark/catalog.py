@@ -2860,6 +2860,48 @@ def multimodal_gif_pixels_q(spark, sf_dir):
     return gif_pixel_stats(synthesize_gif(docs))
 
 
+@query(
+    "multimodal_gif_anim_frames",
+    """
+    WITH p AS (
+        SELECT doc_id, 16 * (1 + doc_id % 6) AS w, 1 + doc_id % 12 AS nf
+        FROM documents
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(f.f AS BIGINT) AS frame_no,
+           CAST(w AS BIGINT) AS width,
+           CAST(1 + (p.doc_id + 2 * f.f) % 23 AS BIGINT) AS height,
+           CAST((255 * 16 + 840) * (w // 16) * (1 + (p.doc_id + 2 * f.f) % 23)
+                AS BIGINT) AS pixel_sum,
+           CAST(255 AS BIGINT) AS pixel_max
+    FROM p JOIN range(0, 12) f(f) ON f.f < p.nf
+    """,
+)
+def multimodal_gif_anim_frames_q(spark, sf_dir):
+    """REAL animated-GIF frame decode (r7): every doc gets a genuine
+    multi-image GIF89a — NETSCAPE2.0 looping extension, a Graphic
+    Control Extension per frame, 1+doc_id%12 image descriptors with
+    per-frame heights 1+((doc_id+2f)%23), odd frames interlaced AND
+    carrying a LOCAL color table (the global palette rotated by one)
+    — and the engine walks every descriptor through the full LZW /
+    de-interlace / palette path inside Arrow-batched mapInPandas
+    (operators/multimodal.decode_gif_frame_pixels).  Heights are
+    distinct per frame, so the oracle's closed form
+    (255·16+840)·(w/16)·h_f pins the frame ORDER, not just the set —
+    a swapped descriptor, mis-sized LCT, or broken inter-frame LZW
+    reset hash-fails.
+
+    Scale shape: map-only (synthesize → decode fused per split);
+    zero shuffle; ≤12 output rows per document."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        gif_frame_pixel_stats,
+        synthesize_gif,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return gif_frame_pixel_stats(synthesize_gif(docs, animated=True))
+
+
 # ---------------------------------------------------------------------------
 # Classic OLAP widening: pushdown-only agg, conditional-share agg,
 # group-HAVING join, disjunctive-predicate join

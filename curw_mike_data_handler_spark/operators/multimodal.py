@@ -2689,12 +2689,73 @@ def make_gif(width: int, height: int, interlace: bool = False,
     return bytes(out)
 
 
-def _gif_decode_raster(b: bytes):
-    """Full GIF decode of the FIRST image: returns (width, height,
-    display-order index bytearray, palette list) or None for non-GIF /
-    corrupt payloads.  Walks extensions, honors a local color table
-    over the global one, de-interlaces.  Raises nothing upward —
-    callers wrap; internal errors are ValueError/IndexError."""
+def make_animated_gif(width: int, heights: list[int],
+                      min_code_size: int = 4) -> bytes:
+    """Spec-conformant ANIMATED GIF89a: one image per entry of
+    ``heights`` (all ``width`` wide — per-frame dimensions are legal
+    and exercise the per-descriptor parse), a NETSCAPE2.0 looping
+    application extension, a Graphic Control Extension before every
+    frame.  Odd frames are interlaced AND carry a LOCAL color table
+    (the global palette rotated by one — same multiset of colors, so
+    uniform-raster stats stay closed-form while the LCT path is
+    genuinely exercised)."""
+    import struct
+
+    m = int(min_code_size)
+    if not 2 <= m <= 8:
+        raise ValueError("min_code_size must be in 2..8")
+    ncolors = 1 << m
+    pal = _gif_palette(ncolors)
+    sh = max(heights) if heights else 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, sh,
+                       0x80 | ((m - 1) & 0x07) | ((m - 1) << 4), 0, 0)
+    for r, g, bl in pal:
+        out += bytes((r, g, bl))
+    # NETSCAPE2.0 looping application extension (loop forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f, h in enumerate(heights):
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"  # GCE: 4cs delay
+        interlace = bool(f % 2)
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, width, h,
+            (0x40 if interlace else 0)
+            | (0x80 | ((m - 1) & 0x07) if f % 2 else 0),
+        )
+        if f % 2:  # local color table: global rotated by one
+            for i in range(ncolors):
+                r, g, bl = pal[(i + 1) % ncolors]
+                out += bytes((r, g, bl))
+        indices = bytearray(
+            _gif_pixel_index(x, y, ncolors)
+            for y in range(h) for x in range(width)
+        )
+        if interlace:
+            rows = bytearray()
+            for start, step in _GIF_INTERLACE:
+                for y in range(start, h, step):
+                    rows += indices[y * width:(y + 1) * width]
+            indices = rows
+        out.append(m)
+        lzw = _lzw_encode(indices, m)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off:off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_decode_frames(b: bytes, max_frames: int | None = None):
+    """Full GIF decode of EVERY image in the stream (animated GIFs are
+    a sequence of image descriptors): returns a list of (width,
+    height, display-order index bytearray, palette list) tuples — one
+    per frame, stream order — or None for non-GIF payloads.  Walks
+    extensions (GCE, application/NETSCAPE, comment), honors per-frame
+    local color tables over the global one, de-interlaces each frame
+    independently.  Raises nothing upward — callers wrap; internal
+    errors are ValueError/IndexError."""
     import struct
 
     if b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -2707,11 +2768,13 @@ def _gif_decode_raster(b: bytes):
         gct = [(b[pos + 3 * i], b[pos + 3 * i + 1], b[pos + 3 * i + 2])
                for i in range(n)]
         pos += 3 * n
+    frames = []
+    total_px = 0
     while pos < len(b):
         block = b[pos]
         pos += 1
-        if block == 0x3B:  # trailer before any image
-            return None
+        if block == 0x3B:  # trailer
+            break
         if block == 0x21:  # extension: label, then sub-blocks
             pos += 1
             while pos < len(b) and b[pos]:
@@ -2722,7 +2785,8 @@ def _gif_decode_raster(b: bytes):
             raise ValueError("unknown block")
         left, top, w, h, ipacked = struct.unpack("<HHHHB", b[pos:pos + 9])
         pos += 9
-        if w <= 0 or h <= 0 or w * h > (1 << 26):
+        total_px += max(0, w) * max(0, h)
+        if w <= 0 or h <= 0 or total_px > (1 << 26):
             return None  # absurd dims from a fuzzed header: refuse, don't OOM
         ct = gct
         if ipacked & 0x80:
@@ -2741,6 +2805,7 @@ def _gif_decode_raster(b: bytes):
             size = b[pos]
             data += b[pos + 1:pos + 1 + size]
             pos += 1 + size
+        pos += 1  # the 0x00 block terminator
         idx = _lzw_decode(bytes(data), m, w * h)
         if len(idx) < w * h:
             raise ValueError("short pixel stream")
@@ -2755,8 +2820,17 @@ def _gif_decode_raster(b: bytes):
                     disp[y * w:(y + 1) * w] = idx[j * w:(j + 1) * w]
                     j += 1
             idx = disp
-        return w, h, idx, ct
-    return None
+        frames.append((w, h, idx, ct))
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    return frames or None
+
+
+def _gif_decode_raster(b: bytes):
+    """First frame of ``_gif_decode_frames`` (the single-image common
+    case): (width, height, display-order indices, palette) or None."""
+    frames = _gif_decode_frames(b, max_frames=1)
+    return frames[0] if frames else None
 
 
 def decode_gif_pixels(b: bytes) -> dict | None:
@@ -2790,13 +2864,70 @@ def decode_gif_pixels(b: bytes) -> dict | None:
         return None
 
 
+def decode_gif_frame_pixels(b: bytes) -> list[dict] | None:
+    """REAL animated-GIF frame decode: every image in the stream
+    through the full LZW/de-interlace/palette path, one stats dict per
+    frame (frame_no, width, height, pixel_sum, pixel_max) — the same
+    shape as ``decode_avi_frame_pixels``.  None for non-GIF/corrupt
+    payloads (never raises)."""
+    import struct
+
+    try:
+        frames = _gif_decode_frames(bytes(b))
+        if frames is None:
+            return None
+        out = []
+        for fno, (w, h, idx, ct) in enumerate(frames):
+            counts = [idx.count(i) for i in range(len(ct))]
+            out.append({
+                "frame_no": fno,
+                "width": w,
+                "height": h,
+                "pixel_sum": int(sum(
+                    c * (r + g + bl) for c, (r, g, bl) in zip(counts, ct)
+                )),
+                "pixel_max": int(max(
+                    max(r, g, bl)
+                    for c, (r, g, bl) in zip(counts, ct) if c
+                )) if idx else 0,
+            })
+        return out
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def gif_frame_pixel_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched animated-GIF frame-stat extraction → one
+    FRAME_PIXEL_SCHEMA row per frame; non-GIF rows are dropped.
+    Map-only, zero shuffle — frames of one payload never leave their
+    input split."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_PIXEL_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sts = decode_gif_frame_pixels(bytes(payload))
+                for st in sts or []:
+                    rows.append({"media_id": mid, **st})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_stats, schema=FRAME_PIXEL_SCHEMA)
+
+
 def synthesize_gif(ids: DataFrame, id_col: str = "doc_id",
-                   parallelism: int | None = None) -> DataFrame:
+                   parallelism: int | None = None,
+                   animated: bool = False) -> DataFrame:
     """id column → (media_id, media_type, payload) with real GIF89a
     bytes, deterministic in the id (width 16·(1+id%8) — a multiple of
     the 16-color palette so stats collapse closed-form, height
     1+id%37, odd ids interlaced) for the oracle-able pixel-decode
-    path.  Same map-only scale shape as synthesize_media."""
+    path.  Same map-only scale shape as synthesize_media.
+
+    ``animated=True``: multi-image streams instead (width
+    16·(1+id%6), 1+id%12 frames, frame f of height 1+((id+2f)%23) —
+    distinct per frame so a frame-order mixup changes the stats),
+    odd frames interlaced with a rotated LOCAL color table."""
     sc = ids.sparkSession.sparkContext
     n = parallelism or min(sc.defaultParallelism, 16)
     src = ids.select(F.col(id_col).cast("long").alias("media_id"))
@@ -2805,14 +2936,24 @@ def synthesize_gif(ids: DataFrame, id_col: str = "doc_id",
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [
-                make_gif(
-                    16 * (1 + int(mid) % 8),
-                    1 + int(mid) % 37,
-                    interlace=bool(int(mid) % 2),
-                )
-                for mid in pdf["media_id"]
-            ]
+            if animated:
+                payloads = [
+                    make_animated_gif(
+                        16 * (1 + int(mid) % 6),
+                        [1 + (int(mid) + 2 * f) % 23
+                         for f in range(1 + int(mid) % 12)],
+                    )
+                    for mid in pdf["media_id"]
+                ]
+            else:
+                payloads = [
+                    make_gif(
+                        16 * (1 + int(mid) % 8),
+                        1 + int(mid) % 37,
+                        interlace=bool(int(mid) % 2),
+                    )
+                    for mid in pdf["media_id"]
+                ]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"],
                  "media_type": ["image/gif"] * len(pdf),

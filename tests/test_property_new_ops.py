@@ -1678,6 +1678,14 @@ def test_decoders_never_raise_on_corrupted_streams(seed):
                          min_code_size=rng.choice([2, 4, 8])))
     pool.append(make_bmp(rng.randint(1, 40), rng.randint(1, 30),
                          fno=rng.randint(0, 3)))
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_gif_frame_pixels,
+        make_animated_gif,
+    )
+
+    pool.append(make_animated_gif(rng.randint(1, 32),
+                                  [rng.randint(1, 20)
+                                   for _ in range(rng.randint(1, 6))]))
     pool.append(make_wav(8000, rng.randint(1, 3),
                          rng.choice([8, 16, 24, 32]), rng.randint(0, 40)))
     pool.append(make_wav(8000, rng.randint(1, 2), n_samples=rng.randint(0, 30),
@@ -1714,7 +1722,7 @@ def test_decoders_never_raise_on_corrupted_streams(seed):
 
     decoders = (
         decode_png_pixels, decode_jpeg_pixels, decode_wav_samples,
-        decode_gif_pixels, decode_bmp_pixels,
+        decode_gif_pixels, decode_bmp_pixels, decode_gif_frame_pixels,
         lambda p: decode_avi_frame_pixels(p, every_n=3),
         parse_avi_header, parse_media_header,
     )
@@ -2276,3 +2284,33 @@ def test_bmp_rejects_unsupported_shapes():
     full = bytearray(make_bmp(32, 16))
     full[30] = 1  # biCompression=BI_RLE8
     assert decode_bmp_pixels(bytes(full)) is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(d=st.integers(0, 10_000))
+def test_animated_gif_frames_roundtrip(d):
+    """Any doc-id parameterization: every frame of the multi-image
+    stream decodes to the exact closed-form raster with its OWN
+    height, in descriptor order; odd frames prove the interlace + LCT
+    paths (rotated palette keeps the stats closed-form)."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _gif_decode_frames,
+        _gif_pixel_index,
+        decode_gif_frame_pixels,
+        make_animated_gif,
+    )
+
+    w = 16 * (1 + d % 6)
+    hs = [1 + (d + 2 * f) % 23 for f in range(1 + d % 12)]
+    g = make_animated_gif(w, hs)
+    sts = decode_gif_frame_pixels(g)
+    assert sts is not None and len(sts) == len(hs)
+    for f, (st_, h) in enumerate(zip(sts, hs)):
+        assert (st_["frame_no"], st_["width"], st_["height"]) == (f, w, h)
+        assert st_["pixel_sum"] == (255 * 16 + 840) * (w // 16) * h
+        assert st_["pixel_max"] == 255
+    for f, (fw, fh, idx, ct) in enumerate(_gif_decode_frames(g)):
+        assert idx == bytearray(
+            _gif_pixel_index(x, y) for y in range(fh) for x in range(fw)
+        )
+        assert ct[0] == ((17, 238, 7) if f % 2 else (0, 255, 0))

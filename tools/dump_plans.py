@@ -104,6 +104,7 @@ SHOWCASE = [
     ("multimodal_video_rgb_frames", "BI_RGB DIB demux + padded-row unpack (r7): map-only, zero exchanges"),
     ("multimodal_gif_pixels", "full GIF89a LZW inflate + de-interlace + palette map (r7): map-only, zero exchanges"),
     ("multimodal_bmp_pixels", "BMP file-header offset walk into the shared DIB unpack (r7): map-only, zero exchanges"),
+    ("multimodal_gif_anim_frames", "animated GIF: every descriptor through LZW+LCT+de-interlace (r7): map-only, zero exchanges"),
     ("multimodal_audio_float_stats", "IEEE-float WAV decode, double-schema stats (r7): map-only, zero exchanges"),
     ("survival_km_curve", "KM estimator: per-duration census, reverse-cumsum risk set, log-sum windows on census rows only"),
     ("stats_ks_two_sample", "integer sup-norm: grouped value census, bounded cumulative window, 1-row broadcast totals"),
