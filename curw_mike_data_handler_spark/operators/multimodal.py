@@ -3076,3 +3076,37 @@ def bmp_pixel_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(_stats, schema=PIXEL_STATS_SCHEMA)
+
+
+def media_pixel_stats(media: DataFrame) -> DataFrame:
+    """Mixed-corpus image-stat extraction: route every payload to its
+    decoder by MAGIC BYTES (PNG signature / JPEG SOI / GIF87a+89a /
+    BMP 'BM') inside ONE Arrow-batched pass → PIXEL_STATS_SCHEMA rows.
+    A real 100 TB media table is heterogeneous; this is the single-scan
+    alternative to unioning four per-format pipelines (which would
+    read the payload column four times).  Non-image / undecodable
+    rows are dropped.  Map-only, zero shuffle."""
+
+    def _route(payload: bytes):
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png_pixels(payload)
+        if payload[:2] == b"\xff\xd8":
+            return decode_jpeg_pixels(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif_pixels(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp_pixels(payload)
+        return None
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                st = _route(bytes(payload))
+                if st is not None:
+                    rows.append({"media_id": mid,
+                                 **{k: st[k] for k in cols if k != "media_id"}})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_stats, schema=PIXEL_STATS_SCHEMA)

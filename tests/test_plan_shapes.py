@@ -317,6 +317,11 @@ def test_media_sample_decode_is_map_only_no_shuffle(spark):
         "multimodal_jpeg_pixel_stats",
         "multimodal_jpeg_progressive_pixels",
         "multimodal_video_frame_pixels",
+        "multimodal_video_rgb_frames",
+        "multimodal_audio_float_stats",
+        "multimodal_gif_pixels",
+        "multimodal_gif_anim_frames",
+        "multimodal_bmp_pixels",
     ):
         plan = _plan(spark, name)
         assert "Exchange hashpartitioning" not in plan, (

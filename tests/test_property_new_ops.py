@@ -2314,3 +2314,47 @@ def test_animated_gif_frames_roundtrip(d):
             _gif_pixel_index(x, y) for y in range(fh) for x in range(fw)
         )
         assert ct[0] == ((17, 238, 7) if f % 2 else (0, 255, 0))
+
+
+def test_media_pixel_stats_routes_mixed_corpus(spark):
+    """One Arrow pass over a heterogeneous payload column: each format
+    reaches its own decoder by magic bytes, undecodable rows drop."""
+    import pandas as pd
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_bmp_pixels,
+        decode_gif_pixels,
+        decode_jpeg_pixels,
+        decode_png_pixels,
+        make_bmp,
+        make_gif,
+        make_jpeg,
+        make_png,
+        make_wav,
+        media_pixel_stats,
+    )
+
+    payloads = {
+        1: make_png(20, 12, pixels=True),
+        2: make_jpeg(16, 16, pixels=True),
+        3: make_gif(32, 9),
+        4: make_bmp(32, 16, 2),
+        5: make_wav(8000, 1, 16, 10),   # not an image: dropped
+        6: b"opaque junk payload",      # undecodable: dropped
+    }
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": list(payloads),
+            "media_type": ["x"] * len(payloads),
+            "payload": [bytearray(v) for v in payloads.values()],
+        }),
+        schema=MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r.asDict() for r in media_pixel_stats(media).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    exp = {1: decode_png_pixels(payloads[1]), 2: decode_jpeg_pixels(payloads[2]),
+           3: decode_gif_pixels(payloads[3]), 4: decode_bmp_pixels(payloads[4])}
+    for mid, st in exp.items():
+        for k, v in st.items():
+            assert got[mid][k] == v, (mid, k)
