@@ -8568,6 +8568,7 @@ def events_anomaly_episodes(spark, sf_dir):
         ["t_us"],
         by=["event_type"],
         order_cols=["ts", "event_id"],
+        keep_bucket_col="__bk",
     )
     brk = F.when(
         F.col("lag_t_us").isNull()
@@ -8576,11 +8577,13 @@ def events_anomaly_episodes(spark, sf_dir):
     ).otherwise(0)
     epi = (
         bucketed_running_agg(
-            lagged.select("event_type", "ts", "event_id", "v", brk.alias("brk")),
+            lagged.select("event_type", "ts", "event_id", "v", "__bk",
+                          brk.alias("brk")),
             "brk",
             by=["event_type"],
             order_cols=["ts", "event_id"],
             out_col="episode",
+            bucket_col="__bk",  # reuse the lag pass's bucketing: ONE sketch
         )
         .withColumn("episode", F.col("episode").cast("long"))
         .drop("event_id", "brk")

@@ -70,14 +70,17 @@ def main(argv: list[str] | None = None) -> int:
     # order is its config-CSV file order; parquet registries carry no
     # row order, so the CLI pins the sorted order instead)
     ids = stations.select("station_id").distinct()
-    n_stations = ids.count()
-    if n_stations > MAX_EXPORT_STATIONS:
+    # ONE bounded job: limit(MAX+1) caps what the driver can ever hold,
+    # and an over-limit registry shows up as the extra row — no
+    # separate count() pass over the distinct
+    rows = ids.limit(MAX_EXPORT_STATIONS + 1).collect()
+    if len(rows) > MAX_EXPORT_STATIONS:
         raise JobArgumentError(
-            f"--stations has {n_stations} distinct station_ids "
-            f"(> {MAX_EXPORT_STATIONS}); it must be a station REGISTRY, "
-            "not a fact table — refusing to collect the column order."
+            f"--stations has more than {MAX_EXPORT_STATIONS} distinct "
+            "station_ids; it must be a station REGISTRY, not a fact "
+            "table — refusing to collect the column order."
         )
-    order = sorted(r["station_id"] for r in ids.collect())
+    order = sorted(r["station_id"] for r in rows)
     write_obs_rainfall_input(result, a.output, order)
     print(f"{datetime.now()} completed preparing mike rainfall input")
     print(f"Mike input rainfall file is available at {a.output}")

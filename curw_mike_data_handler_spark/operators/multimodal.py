@@ -1586,6 +1586,8 @@ def decode_wav_samples(b: bytes) -> dict | None:
             i += 8 + size + (size & 1)
         if channels is None or data is None or fmt not in (1, 3):
             return None
+        if channels < 1:
+            return None  # hostile fmt chunk: channels=0 would divide by zero
         if fmt == 3:
             if bits != 32:
                 return None  # float64 WAV exists but is vanishingly rare
@@ -2259,10 +2261,18 @@ def decode_avi_frame_pixels(b: bytes, every_n: int = 10) -> list[dict] | None:
                     if sub == b"LIST" and b[j + 8 : j + 12] == b"strl":
                         k = j + 12
                         send = j + 8 + ssz
+                        is_vids = False
                         while k + 8 <= min(send, len(b)):
                             sk = b[k : k + 4]
                             (kz,) = struct.unpack("<I", b[k + 4 : k + 8])
-                            if sk == b"strf" and kz >= 20 and not bi_bits:
+                            if sk == b"strh":
+                                # only this strl's strf is a BITMAP-
+                                # INFOHEADER if the stream is video —
+                                # an audio strl's strf is WAVEFORMATEX
+                                # and would parse as garbage dims
+                                is_vids = b[k + 8 : k + 12] == b"vids"
+                            if (sk == b"strf" and kz >= 20 and is_vids
+                                    and not bi_bits):
                                 d = b[k + 8 : k + 8 + kz]
                                 bi_w, bi_h = struct.unpack("<ii", d[4:12])
                                 (bi_bits,) = struct.unpack("<H", d[14:16])
@@ -2627,11 +2637,44 @@ def _lzw_decode(data: bytes, m: int, limit: int) -> bytearray:
             if len(table) == (1 << width) and width < 12:
                 width += 1
         prev = code
-    return out
 
 
 # GIF interlace passes (GIF89a spec Appendix E): (first row, step)
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_emit_image_data(out: bytearray, indices, width: int, height: int,
+                         interlace: bool, m: int) -> None:
+    """Shared image-data writer for both GIF builders: interlace row
+    reorder (when asked) → min-code-size byte → LZW stream in
+    <=255-byte sub-blocks → 0x00 terminator, appended to ``out``."""
+    if interlace:
+        rows = bytearray()
+        for start, step in _GIF_INTERLACE:
+            for y in range(start, height, step):
+                rows += indices[y * width:(y + 1) * width]
+        stream = rows
+    else:
+        stream = indices
+    out.append(m)
+    lzw = _lzw_encode(stream, m)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off:off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+
+
+def _gif_frame_stats(idx, ct) -> tuple[int, int]:
+    """Shared (pixel_sum, pixel_max) reduction over one decoded frame:
+    C-speed palette histogram (palettes are <=256 entries, rasters are
+    w*h bytes — count() beats a per-pixel Python loop)."""
+    counts = [idx.count(i) for i in range(len(ct))]
+    pixel_sum = sum(c * (r + g + bl) for c, (r, g, bl) in zip(counts, ct))
+    pixel_max = max(
+        max(r, g, bl) for c, (r, g, bl) in zip(counts, ct) if c
+    ) if idx else 0
+    return int(pixel_sum), int(pixel_max)
 
 
 def make_gif(width: int, height: int, interlace: bool = False,
@@ -2660,14 +2703,6 @@ def make_gif(width: int, height: int, interlace: bool = False,
             raise ValueError("indices must be width*height")
         if any(i >= ncolors for i in indices):
             raise ValueError("index beyond palette")
-    if interlace:
-        rows = bytearray()
-        for start, step in _GIF_INTERLACE:
-            for y in range(start, height, step):
-                rows += indices[y * width:(y + 1) * width]
-        stream = rows
-    else:
-        stream = indices
     # header + logical screen descriptor (GCT flag, size bits m-1)
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", width, height,
@@ -2679,13 +2714,8 @@ def make_gif(width: int, height: int, interlace: bool = False,
     # image descriptor at origin, no local color table
     out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height,
                                  0x40 if interlace else 0x00)
-    out.append(m)
-    lzw = _lzw_encode(stream, m)
-    for off in range(0, len(lzw), 255):
-        chunk = lzw[off:off + 255]
-        out.append(len(chunk))
-        out += chunk
-    out += b"\x00\x3b"
+    _gif_emit_image_data(out, indices, width, height, interlace, m)
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -2730,19 +2760,7 @@ def make_animated_gif(width: int, heights: list[int],
             _gif_pixel_index(x, y, ncolors)
             for y in range(h) for x in range(width)
         )
-        if interlace:
-            rows = bytearray()
-            for start, step in _GIF_INTERLACE:
-                for y in range(start, h, step):
-                    rows += indices[y * width:(y + 1) * width]
-            indices = rows
-        out.append(m)
-        lzw = _lzw_encode(indices, m)
-        for off in range(0, len(lzw), 255):
-            chunk = lzw[off:off + 255]
-            out.append(len(chunk))
-            out += chunk
-        out += b"\x00"
+        _gif_emit_image_data(out, indices, width, h, interlace, m)
     out += b"\x3b"
     return bytes(out)
 
@@ -2847,12 +2865,7 @@ def decode_gif_pixels(b: bytes) -> dict | None:
         if dec is None:
             return None
         w, h, idx, ct = dec
-        # C-speed histogram: palettes are <=256 entries, rasters are
-        # w*h bytes — count() beats a per-pixel Python loop
-        counts = [idx.count(i) for i in range(len(ct))]
-        pixel_sum = sum(c * (r + g + bl) for c, (r, g, bl) in zip(counts, ct))
-        pixel_max = max(max(r, g, bl) for c, (r, g, bl) in zip(counts, ct)
-                        if c) if idx else 0
+        pixel_sum, pixel_max = _gif_frame_stats(idx, ct)
         return {
             "width": w,
             "height": h,
@@ -2878,18 +2891,13 @@ def decode_gif_frame_pixels(b: bytes) -> list[dict] | None:
             return None
         out = []
         for fno, (w, h, idx, ct) in enumerate(frames):
-            counts = [idx.count(i) for i in range(len(ct))]
+            pixel_sum, pixel_max = _gif_frame_stats(idx, ct)
             out.append({
                 "frame_no": fno,
                 "width": w,
                 "height": h,
-                "pixel_sum": int(sum(
-                    c * (r + g + bl) for c, (r, g, bl) in zip(counts, ct)
-                )),
-                "pixel_max": int(max(
-                    max(r, g, bl)
-                    for c, (r, g, bl) in zip(counts, ct) if c
-                )) if idx else 0,
+                "pixel_sum": pixel_sum,
+                "pixel_max": pixel_max,
             })
         return out
     except (struct.error, IndexError, ValueError):

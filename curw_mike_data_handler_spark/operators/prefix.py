@@ -44,8 +44,8 @@ DEFAULT_ACCURACY = 10_000
 def _order_surrogate(df: DataFrame, order_col: str) -> Column:
     """Order-preserving numeric surrogate of the leading order column:
     numerics pass through, timestamps become epoch micros, strings map
-    to their first 15 UTF-8 bytes as a big-endian integer (monotone in
-    the string order; ties beyond 15 bytes merely share a bucket and
+    to their first 14 UTF-8 bytes as a big-endian integer (monotone in
+    the string order; ties beyond 14 bytes merely share a bucket and
     are re-ordered by the full composite inside it)."""
     dt = df.schema[order_col].dataType
     c = F.col(order_col)
@@ -108,6 +108,7 @@ def bucketed_running_agg(
     n_buckets: int = 64,
     bucket_key: Column | None = None,
     accuracy: int = DEFAULT_ACCURACY,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = running ``agg`` (``"sum"`` or ``"max"``) of
     ``value_col`` over rows ordered by ``order_cols`` within each
@@ -118,14 +119,22 @@ def bucketed_running_agg(
     partitioned on (by…, bucket) instead of the possibly-tiny ``by``
     key alone.  ``bucket_key`` overrides the order surrogate (any
     numeric Column monotone non-decreasing in the leading order
-    column)."""
+    column).  ``bucket_col`` names an EXISTING bucket-id column (e.g.
+    from ``bucketed_lag(keep_bucket_col=...)`` over the same
+    (by, order) domain) — the sketch/broadcast pass is skipped
+    entirely and that column is consumed instead; it must respect the
+    order (equal leading order keys share a bucket, boundaries
+    non-decreasing in the order), which any _bucketize output does."""
     from pyspark.sql import Window
 
     if agg not in ("sum", "max"):
         raise ValueError(f"unsupported running agg {agg!r}")
     fn = F.sum if agg == "sum" else F.max
     by = by or []
-    j = _bucketize(df, by, order_cols, n_buckets, accuracy, bucket_key)
+    if bucket_col is not None:
+        j = df.withColumnRenamed(bucket_col, "__b")
+    else:
+        j = _bucketize(df, by, order_cols, n_buckets, accuracy, bucket_key)
 
     # tiny relation: ≤ |by| × n_buckets rows — windows over it are safe
     totals = j.groupBy(*by, "__b").agg(fn(value_col).alias("__t"))
@@ -197,7 +206,20 @@ def bucketed_range_agg(
     fn = F.sum if agg == "sum" else F.max
     by = by or []
 
-    d = df.withColumn("__ok", F.col(order_col).cast("double"))
+    # sketch + carry comparisons in the ORDER column's own arithmetic
+    # when it is integral (percentile_approx returns observed values,
+    # so edges stay long and e < ok + lookback is exact); double only
+    # for fractional order columns, where values beyond 2^53 would
+    # round — there the carry test could miss an edge inside the
+    # rounding gap, so fractional callers must keep |order| < 2^53
+    # (every catalog caller passes unix_micros longs: exact path)
+    dt = df.schema[order_col].dataType
+    integral = isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    d = df.withColumn(
+        "__ok", F.col(order_col).cast("long" if integral else "double")
+    )
     probs = [i / n_buckets for i in range(1, n_buckets)]
     eagg = F.percentile_approx(
         F.col("__ok"), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
@@ -208,7 +230,7 @@ def bucketed_range_agg(
     else:
         j = d.crossJoin(F.broadcast(d.groupBy().agg(eagg)))
     ok = F.col("__ok")
-    lb = F.lit(float(lookback))
+    lb = F.lit(int(lookback)) if integral else F.lit(float(lookback))
     # home bucket, plus one carry copy per edge inside (t, t+lookback]
     # — F.filter gives those edges' indices via their own bucket rank
     home = F.size(F.filter(F.col("__edges"), lambda e: e < ok))
@@ -254,6 +276,7 @@ def bucketed_lag(
     n_buckets: int = 64,
     bucket_key: Column | None = None,
     accuracy: int = DEFAULT_ACCURACY,
+    keep_bucket_col: str | None = None,
 ) -> DataFrame:
     """Append ``{prefix}{c}`` = ``lag(c, 1)`` over the (by…,
     order_cols) total order for each c in ``cols`` — identical to the
@@ -264,7 +287,12 @@ def bucketed_lag(
     lag-chained across buckets and broadcast back).  The first row of
     a group's first non-empty bucket lags to NULL, exactly as the
     plain window does.  EXACT; same plan for the oracle gate and the
-    100-TB path."""
+    100-TB path.
+
+    ``keep_bucket_col``: expose the row's bucket id under that name so
+    a downstream ``bucketed_running_agg(bucket_col=...)`` over the
+    SAME (by, order) domain reuses this pass's bucketing instead of
+    re-sketching edges and re-broadcasting them."""
     from pyspark.sql import Window
 
     by = by or []
@@ -295,4 +323,7 @@ def bucketed_lag(
                 F.lag(c).over(w)
             ),
         )
-    return out.drop("__b", "__prev_last", "__rn1")
+    out = out.drop("__prev_last", "__rn1")
+    if keep_bucket_col is not None:
+        return out.withColumnRenamed("__b", keep_bucket_col)
+    return out.drop("__b")

@@ -2358,3 +2358,162 @@ def test_media_pixel_stats_routes_mixed_corpus(spark):
     for mid, st in exp.items():
         for k, v in st.items():
             assert got[mid][k] == v, (mid, k)
+
+
+def test_gif87a_and_deferred_clear_lzw():
+    """Real-corpus GIF edge cases the encoder twin never produces:
+    (a) GIF87a version headers must decode like 89a; (b) 'deferred
+    clear' LZW — a stream that fills the 4096-entry table and keeps
+    emitting existing codes WITHOUT a Clear (spec-legal; several real
+    encoders do this) — must keep decoding with the frozen table."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _lzw_decode,
+        decode_gif_pixels,
+        make_gif,
+    )
+
+    g = bytearray(make_gif(32, 5))
+    g[0:6] = b"GIF87a"
+    st_ = decode_gif_pixels(bytes(g))
+    assert st_ is not None and st_["width"] == 32
+
+    # hand-packed deferred-clear stream (m=8): alternating root codes
+    # 0,1 — each pair adds an entry until the table freezes at 4096;
+    # the width schedule mirrors the decoder's (bump at 2^width).
+    m, clear, eoi = 8, 256, 257
+    data = [0, 1] * 2500
+    out = bytearray()
+    acc = nbits = 0
+    width = m + 1
+    table_len, first = 258, True
+    for c in [clear] + data + [eoi]:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            table_len, first, width = 258, True, m + 1
+        elif c != eoi and not first:
+            if table_len < 4096:
+                table_len += 1
+                if table_len == (1 << width) and width < 12:
+                    width += 1
+        elif c != eoi:
+            first = False
+    if nbits:
+        out.append(acc & 0xFF)
+    assert list(_lzw_decode(bytes(out), m, 10_000)) == data
+
+
+def test_wav_zero_channels_returns_none():
+    """A hostile fmt chunk declaring channels=0 must map to None (the
+    never-raise contract), not ZeroDivisionError — both the integer
+    and the IEEE-float branch divide by the channel count."""
+    import struct
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_wav_samples,
+        make_wav,
+    )
+
+    for float_ in (False, True):
+        w = bytearray(make_wav(8000, 1, 32 if float_ else 16, 10,
+                               ieee_float=float_))
+        off = w.index(b"fmt ") + 8 + 2
+        w[off:off + 2] = struct.pack("<H", 0)
+        assert decode_wav_samples(bytes(w)) is None
+
+
+def test_avi_audio_stream_first_still_finds_video_strf():
+    """Real-corpus AVIs often list the AUDIO strl before the video
+    one; its strf is a WAVEFORMATEX, not a BITMAPINFOHEADER — the
+    demuxer must skip it (strh fccType != 'vids') and read the video
+    stream's dims, or every DIB frame decodes with garbage stride."""
+    import struct
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _dib_pixel_value,
+        _make_dib_frame,
+        decode_avi_frame_pixels,
+    )
+
+    w, h = 32, 16
+    # audio strl: strh 'auds' + 20-byte fake WAVEFORMATEX strf whose
+    # leading ints would parse as absurd dims if taken as BITMAPINFO
+    a_strh = b"auds" + b"\x00" * 52
+    a_strf = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16) + b"\x00" * 4
+    a_strl = (b"strl" + b"strh" + struct.pack("<I", len(a_strh)) + a_strh
+              + b"strf" + struct.pack("<I", len(a_strf)) + a_strf)
+    v_strh = (b"vids" + b"DIB " + struct.pack("<IHHI", 0, 0, 0, 0)
+              + struct.pack("<IIIIIIII", 1, 10, 0, 2, 0, 0, 0, 0)
+              + struct.pack("<hhhh", 0, 0, w, h))
+    v_strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24,
+                         b"\x00\x00\x00\x00", w * h * 3, 0, 0, 0, 0)
+    v_strl = (b"strl" + b"strh" + struct.pack("<I", len(v_strh)) + v_strh
+              + b"strf" + struct.pack("<I", len(v_strf)) + v_strf)
+    avih = struct.pack("<14I", 100_000, 0, 0, 0, 2, 0, 1, 0, w, h,
+                       0, 0, 0, 0)
+    hdrl = (b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+            + b"LIST" + struct.pack("<I", len(a_strl)) + a_strl
+            + b"LIST" + struct.pack("<I", len(v_strl)) + v_strl)
+    movi = b"movi"
+    for fno in range(2):
+        frame = _make_dib_frame(w, h, fno)
+        movi += b"00db" + struct.pack("<I", len(frame)) + frame
+    body = (b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+            + b"LIST" + struct.pack("<I", len(movi)) + movi)
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    out = decode_avi_frame_pixels(avi, every_n=1)
+    assert out is not None and len(out) == 2
+    for fno, st in enumerate(out):
+        assert (st["width"], st["height"]) == (w, h)
+        assert st["pixel_sum"] == sum(
+            _dib_pixel_value(x, y, c, fno)
+            for x in range(w) for y in range(h) for c in range(3)
+        )
+
+
+def test_running_agg_reuses_lag_bucketing(spark):
+    """bucketed_lag(keep_bucket_col=) + bucketed_running_agg(
+    bucket_col=) must equal the plain lag+cumsum window chain — one
+    shared sketch pass instead of two."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_lag,
+        bucketed_running_agg,
+    )
+
+    rng = random.Random(17)
+    rows = [("k%d" % (i % 3), i * 7 % 1000, i, rng.randint(0, 5))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, t long, uid long, v long")
+    lagged = bucketed_lag(df, ["t"], by=["k"], order_cols=["t", "uid"],
+                          n_buckets=8, keep_bucket_col="__bk")
+    brk = (F.col("lag_t").isNull() | ((F.col("t") - F.col("lag_t")) > 50))
+    got = bucketed_running_agg(
+        lagged.select("k", "t", "uid", "v", "__bk",
+                      brk.cast("long").alias("brk")),
+        "brk", by=["k"], order_cols=["t", "uid"], out_col="ep",
+        bucket_col="__bk",
+    ).select("k", "t", "uid", "ep")
+
+    w = Window.partitionBy("k").orderBy("t", "uid")
+    exp = (
+        df.withColumn("lag_t", F.lag("t").over(w))
+        .withColumn(
+            "ep",
+            F.sum(
+                (F.col("lag_t").isNull()
+                 | ((F.col("t") - F.col("lag_t")) > 50)).cast("long")
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("k", "t", "uid", "ep")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
