@@ -2517,3 +2517,40 @@ def test_running_agg_reuses_lag_bucketing(spark):
         .select("k", "t", "uid", "ep")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_decoders_survive_hostile_single_fields():
+    """The channels=0 lesson generalized: a VALID container with one
+    pathological field (which random corruption rarely synthesizes)
+    must map to None, never raise — zero JPEG sampling factors, zero
+    JPEG component count, zero/absurd PNG width, sub-spec GIF min
+    code size."""
+    import struct
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_jpeg_pixels,
+        decode_png_pixels,
+        make_gif,
+        make_jpeg,
+        make_png,
+    )
+
+    j = bytearray(make_jpeg(16, 16, pixels=True))
+    i = j.find(b"\xff\xc0")
+    hv_off = i + 10  # first component's (h<<4|v) byte in SOF0
+    k = bytearray(j); k[hv_off] = 0x00
+    assert decode_jpeg_pixels(bytes(k)) is None
+    k = bytearray(j); k[i + 9] = 0  # Nf = 0 components
+    assert decode_jpeg_pixels(bytes(k)) is None
+
+    p = bytearray(make_png(16, 8, pixels=True))
+    k = bytearray(p); k[16:20] = struct.pack(">I", 0)
+    assert decode_png_pixels(bytes(k)) is None
+    k = bytearray(p); k[16:20] = struct.pack(">I", 0x7FFFFFFF)
+    assert decode_png_pixels(bytes(k)) is None
+
+    g = bytearray(make_gif(16, 4))
+    i = g.find(b"\x2c")
+    k = bytearray(g); k[i + 10] = 1  # LZW min code size below spec
+    assert decode_gif_pixels(bytes(k)) is None

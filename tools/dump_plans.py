@@ -94,7 +94,7 @@ SHOWCASE = [
     ("dedup_incremental_batch", "batch probes the corpus fingerprint index on one hash join — corpus never rescanned"),
     ("compaction_bins", "bucketed exclusive prefix scan (r7): (source,bucket) window; parallel across AND within sources"),
     ("entity_canonicalize", "fuzzy pairs → min-label components → canonical map, string node ids on the doc-id plan"),
-    ("events_anomaly_episodes", "pushed threshold filter; bucketed lag + bucketed episode cumsum (r7) — no whole-type sort"),
+    ("events_anomaly_episodes", "pushed threshold filter; bucketed lag + episode cumsum share ONE sketch pass (r7) — no whole-type sort"),
     ("skew_key_census", "partial-aggregated key counts → bit-length buckets (≤64 rows) → share window"),
     ("customer_rfm_segments", "fact collapses to customers first; ntile windows on the dimension-scale aggregate"),
     ("w11_distribution_ranks", "oracle gate pins exact window; distribution_ranks DEFAULT is sketch-CDF map-only assignment (r7)"),
