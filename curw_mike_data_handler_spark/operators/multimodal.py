@@ -2803,7 +2803,11 @@ def _gif_decode_frames(b: bytes, max_frames: int | None = None):
             raise ValueError("unknown block")
         left, top, w, h, ipacked = struct.unpack("<HHHHB", b[pos:pos + 9])
         pos += 9
-        total_px += max(0, w) * max(0, h)
+        # charge real pixels PLUS a fixed per-frame overhead against
+        # one budget: a hostile stream of millions of 1x1 descriptors
+        # would otherwise stay under a pixels-only cap while ballooning
+        # into per-frame Python objects (capped here at ~16k frames)
+        total_px += max(0, w) * max(0, h) + 4096
         if w <= 0 or h <= 0 or total_px > (1 << 26):
             return None  # absurd dims from a fuzzed header: refuse, don't OOM
         ct = gct

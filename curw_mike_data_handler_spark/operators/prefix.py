@@ -132,6 +132,10 @@ def bucketed_running_agg(
     fn = F.sum if agg == "sum" else F.max
     by = by or []
     if bucket_col is not None:
+        if bucket_col not in df.columns:
+            raise ValueError(
+                f"bucket_col {bucket_col!r} not in {df.columns}"
+            )
         j = df.withColumnRenamed(bucket_col, "__b")
     else:
         j = _bucketize(df, by, order_cols, n_buckets, accuracy, bucket_key)
@@ -232,10 +236,16 @@ def bucketed_range_agg(
     ok = F.col("__ok")
     lb = F.lit(int(lookback)) if integral else F.lit(float(lookback))
     # home bucket, plus one carry copy per edge inside (t, t+lookback]
-    # — F.filter gives those edges' indices via their own bucket rank
+    # — F.filter gives those edges' indices via their own bucket rank.
+    # try_add keeps the long path total: ok + lb overflows only when
+    # ok > MAX - lb, and then every edge e >= ok is certainly inside
+    # the lookback — so NULL (overflow) means carry, never an ANSI
+    # ARITHMETIC_OVERFLOW task failure or a wrapped-negative dropped
+    # carry.
     home = F.size(F.filter(F.col("__edges"), lambda e: e < ok))
+    ub = F.try_add(ok, lb)
     carry_to = F.filter(
-        F.col("__edges"), lambda e: (e >= ok) & (e < ok + lb)
+        F.col("__edges"), lambda e: (e >= ok) & (ub.isNull() | (e < ub))
     )
     j = j.withColumn("__home", home).withColumn(
         "__carries",

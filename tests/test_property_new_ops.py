@@ -2554,3 +2554,50 @@ def test_decoders_survive_hostile_single_fields():
     i = g.find(b"\x2c")
     k = bytearray(g); k[i + 10] = 1  # LZW min code size below spec
     assert decode_gif_pixels(bytes(k)) is None
+
+
+def test_range_agg_exact_at_long_max_boundary(spark):
+    """Order values hugging Long.MAX: ok + lookback overflows for every
+    row — try_add must treat the overflow as 'edge certainly inside
+    the lookback' (carry) instead of an ANSI ARITHMETIC_OVERFLOW task
+    failure or a wrapped-negative dropped carry."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_range_agg,
+    )
+
+    mx = (1 << 63) - 1
+    df = spark.createDataFrame(
+        [("k", mx - i, 1) for i in range(20)], "k string, t long, v long"
+    )
+    got = bucketed_range_agg(df, "v", by=["k"], order_col="t", lookback=5,
+                             out_col="s", n_buckets=4)
+    exp = df.withColumn(
+        "s",
+        F.sum("v").over(
+            Window.partitionBy("k").orderBy("t").rangeBetween(-5, 0)
+        ),
+    )
+    assert sorted((r["t"], r["s"]) for r in got.collect()) == sorted(
+        (r["t"], r["s"]) for r in exp.collect()
+    )
+
+
+def test_gif_frame_flood_refused():
+    """A hostile stream of thousands of 1x1 image descriptors must hit
+    the shared pixels+per-frame budget and map to None, not balloon
+    into per-frame Python objects."""
+    import struct
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_gif_frame_pixels,
+        make_gif,
+    )
+
+    base = bytearray(make_gif(1, 1, min_code_size=2))
+    i = base.find(b"\x2c")
+    frame = bytes(base[i:-1])  # descriptor + data, sans trailer
+    flood = bytes(base[:i]) + frame * 20_000 + b"\x3b"
+    assert decode_gif_frame_pixels(flood) is None
