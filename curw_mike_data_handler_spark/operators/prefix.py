@@ -51,6 +51,12 @@ def _order_surrogate(df: DataFrame, order_col: str) -> Column:
     c = F.col(order_col)
     if isinstance(dt, T.TimestampType):
         return F.unix_micros(c)
+    if isinstance(dt, T.TimestampNTZType):
+        # cast interprets in the session zone — an order-preserving
+        # shift, which is all a bucketing surrogate needs
+        return F.unix_micros(c.cast("timestamp"))
+    if isinstance(dt, T.DateType):
+        return F.unix_date(c)
     if isinstance(dt, (T.StringType,)):
         # first 14 UTF-8 bytes as a big-endian integer, assembled from
         # two 7-byte conv() chunks (conv is 64-bit; 7 bytes < 2^56) —
@@ -62,7 +68,16 @@ def _order_surrogate(df: DataFrame, order_col: str) -> Column:
         hi = F.conv(F.substring(hx, 1, 14), 16, 10).cast("double")
         lo = F.conv(F.substring(hx, 15, 14), 16, 10).cast("double")
         return hi * F.lit(72057594037927936.0) + lo  # 2^56
-    return c
+    if isinstance(dt, T.NumericType):
+        return c
+    # anything else would fall through to an opaque cast('double')
+    # AnalysisException (or NULL buckets under non-ANSI) far from the
+    # call site — fail here with the actual offender (ADVICE r7)
+    raise ValueError(
+        f"unsupported order column type {dt.simpleString()} for "
+        f"{order_col!r}: expected numeric, timestamp, date, or string "
+        "(pass bucket_key= for anything else)"
+    )
 
 
 def _bucketize(
@@ -207,6 +222,11 @@ def bucketed_range_agg(
 
     if agg not in ("sum", "max"):
         raise ValueError(f"unsupported range agg {agg!r}")
+    if int(lookback) != lookback:
+        # rangeBetween takes longs: a fractional lookback would frame
+        # on int(lookback) while the carry test used the full value —
+        # two silently different frames (ADVICE r7)
+        raise ValueError(f"lookback must be integral, got {lookback!r}")
     fn = F.sum if agg == "sum" else F.max
     by = by or []
 
@@ -235,8 +255,14 @@ def bucketed_range_agg(
         j = d.crossJoin(F.broadcast(d.groupBy().agg(eagg)))
     ok = F.col("__ok")
     lb = F.lit(int(lookback)) if integral else F.lit(float(lookback))
-    # home bucket, plus one carry copy per edge inside (t, t+lookback]
-    # — F.filter gives those edges' indices via their own bucket rank.
+    # home bucket, plus one carry copy per edge e_i in [t, t+lookback):
+    # edge POSITION i separates bucket i from i+1, so the copy goes to
+    # bucket i+1.  Mapping by the edge's VALUE rank instead breaks on
+    # duplicate sketch edges (a point mass holding ≥ 2/n_buckets of a
+    # group makes percentile_approx repeat the value): every duplicate
+    # shares one rank, so the buckets above the mass silently lost
+    # their carries and trailing frames there under-counted (ADVICE r7
+    # high — repro: 300 rows at t=50, lookback 10).
     # try_add keeps the long path total: ok + lb overflows only when
     # ok > MAX - lb, and then every edge e >= ok is certainly inside
     # the lookback — so NULL (overflow) means carry, never an ANSI
@@ -244,15 +270,16 @@ def bucketed_range_agg(
     # carry.
     home = F.size(F.filter(F.col("__edges"), lambda e: e < ok))
     ub = F.try_add(ok, lb)
-    carry_to = F.filter(
-        F.col("__edges"), lambda e: (e >= ok) & (ub.isNull() | (e < ub))
-    )
     j = j.withColumn("__home", home).withColumn(
         "__carries",
-        F.transform(
-            carry_to,
-            lambda e: F.size(F.filter(F.col("__edges"), lambda e2: e2 < e))
-            + F.lit(1),
+        F.filter(
+            F.transform(
+                F.col("__edges"),
+                lambda e, i: F.when(
+                    (e >= ok) & (ub.isNull() | (e < ub)), i + F.lit(1)
+                ),
+            ),
+            lambda b: b.isNotNull(),
         ),
     )
     expanded = j.select(

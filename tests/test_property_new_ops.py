@@ -2601,3 +2601,110 @@ def test_gif_frame_flood_refused():
     frame = bytes(base[i:-1])  # descriptor + data, sans trailer
     flood = bytes(base[:i]) + frame * 20_000 + b"\x3b"
     assert decode_gif_frame_pixels(flood) is None
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=10, deadline=None)
+def test_range_agg_exact_under_duplicate_sketch_edges(spark, seed):
+    """A dominant point mass (≥ 2/n_buckets of a group at one order
+    value) makes percentile_approx repeat that value across edges.
+    Carries mapped by edge VALUE rank all collapsed onto the first
+    duplicate's (empty) bucket, so trailing frames in the buckets
+    above the mass silently under-counted (ADVICE r7 high — repro:
+    300 rows at t=50, lookback 10 → count 1 instead of 311).
+    Position-mapped carries must match the plain window exactly."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_range_agg,
+    )
+
+    rng = random.Random(seed)
+    lookback = rng.choice([3, 10])
+    rows = [("a", i, 50, 1) for i in range(300)]        # the point mass
+    rows += [
+        ("a", 300 + i, rng.randrange(0, 100), 1) for i in range(100)
+    ]
+    # a second group without a mass keeps the per-group sketch honest
+    rows += [("b", 400 + i, rng.randrange(0, 100), 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, uid long, t long, v long")
+    got = bucketed_range_agg(
+        df, "v", by=["k"], order_col="t", lookback=lookback,
+        out_col="s", count_col="n", n_buckets=rng.choice([8, 32]),
+    )
+    w = Window.partitionBy("k").orderBy("t").rangeBetween(-lookback, 0)
+    ref = df.withColumn("s", F.sum("v").over(w)).withColumn(
+        "n", F.count("*").over(w)
+    )
+    a = {(r["k"], r["uid"]): (r["s"], r["n"]) for r in got.collect()}
+    b = {(r["k"], r["uid"]): (r["s"], r["n"]) for r in ref.collect()}
+    assert a == b
+    # the headline repro: every row just above the mass must see it
+    mass_view = [
+        v for (k, _), v in a.items()
+        if k == "a"
+    ]
+    assert all(n >= 1 for _, n in mass_view)
+
+
+def test_range_agg_rejects_fractional_lookback(spark):
+    """rangeBetween frames on int(lookback) while the carry test would
+    use the full value — two silently different frames; reject."""
+    import pytest as _pytest
+
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_range_agg,
+    )
+
+    df = spark.createDataFrame([("a", 1.0, 1)], "k string, t double, v long")
+    with _pytest.raises(ValueError, match="integral"):
+        bucketed_range_agg(df, "v", by=["k"], order_col="t", lookback=2.5,
+                           out_col="s")
+    # integral-valued floats are fine
+    out = bucketed_range_agg(df, "v", by=["k"], order_col="t", lookback=2.0,
+                             out_col="s", n_buckets=2)
+    assert out.collect()[0]["s"] == 1
+
+
+def test_order_surrogate_date_and_unsupported_types(spark):
+    """DateType order columns bucket via unix_date (order-preserving);
+    an unsupported order type (e.g. array) raises a clear ValueError at
+    the call site instead of an opaque cast failure at execution
+    (ADVICE r7)."""
+    import datetime
+
+    import pytest as _pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_running_agg,
+    )
+
+    rows = [
+        ("a", datetime.date(2024, 1, 1) + datetime.timedelta(days=i), i)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k string, d date, v long")
+    got = bucketed_running_agg(
+        df, "v", by=["k"], order_cols=["d"], out_col="s", n_buckets=4
+    )
+    exp = df.withColumn(
+        "s",
+        F.sum("v").over(
+            Window.partitionBy("k").orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert sorted((r["d"], r["s"]) for r in got.collect()) == sorted(
+        (r["d"], r["s"]) for r in exp.collect()
+    )
+
+    arr = df.withColumn("bad", F.array("v"))
+    with _pytest.raises(ValueError, match="unsupported order column"):
+        bucketed_running_agg(
+            arr, "v", by=["k"], order_cols=["bad"], out_col="s"
+        )
