@@ -261,6 +261,7 @@ HEADLINE = [
     "multimodal_gif_pixels",
     "multimodal_bmp_pixels",
     "multimodal_gif_anim_frames",
+    "media_mixed_pixel_stats",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -859,7 +859,8 @@ def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                st = decode_jpeg_pixels(bytes(payload))
+                st = (decode_jpeg_pixels(bytes(payload))
+                      if payload is not None else None)
                 if st is not None:
                     rows.append({"media_id": mid, **st})
             yield pd.DataFrame(rows, columns=cols)
@@ -1860,7 +1861,8 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                st = decode_png_pixels(bytes(payload))
+                st = (decode_png_pixels(bytes(payload))
+                      if payload is not None else None)
                 if st is not None:
                     rows.append({"media_id": mid, **st})
             yield pd.DataFrame(rows, columns=cols)
@@ -1891,7 +1893,8 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                st = decode_wav_samples(bytes(payload))
+                st = (decode_wav_samples(bytes(payload))
+                      if payload is not None else None)
                 if st is not None and not isinstance(st["sample_sum"], float):
                     rows.append({"media_id": mid, **st})
             out = pd.DataFrame(rows, columns=cols)
@@ -1923,7 +1926,8 @@ def wav_float_sample_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                st = decode_wav_samples(bytes(payload))
+                st = (decode_wav_samples(bytes(payload))
+                      if payload is not None else None)
                 if st is not None and isinstance(st["sample_sum"], float):
                     rows.append({"media_id": mid, **st})
             yield pd.DataFrame(rows, columns=cols)
@@ -2057,12 +2061,21 @@ def decode_media(media: DataFrame) -> DataFrame:
         meta_cols = [f.name for f in MEDIA_META_SCHEMA.fields if f.name not in
                      ("media_id", "byte_len")]
         for pdf in batches:
-            metas = [parse_media_header(bytes(p)) for p in pdf["payload"]]
+            # NULL payloads keep their row (metadata decode is 1:1)
+            # with all-NULL metadata and NULL byte_len
+            metas = [
+                parse_media_header(bytes(p)) if p is not None
+                else dict.fromkeys(meta_cols)
+                for p in pdf["payload"]
+            ]
             # explicit columns: a zero-row batch must still yield an
             # empty TYPED frame, not a column-less one
             out = pd.DataFrame(metas, columns=meta_cols)
             out.insert(0, "media_id", pdf["media_id"].values)
-            out["byte_len"] = pdf["payload"].map(len).astype("int64")
+            out["byte_len"] = pd.array(
+                [len(p) if p is not None else None for p in pdf["payload"]],
+                dtype="Int64",
+            )
             for c in ("width", "height", "sample_rate", "channels", "bit_depth"):
                 out[c] = out[c].astype("Int64")
             yield out[[f.name for f in MEDIA_META_SCHEMA.fields]]
@@ -2444,7 +2457,8 @@ def avi_frame_pixel_stats(media: DataFrame, every_n: int = 10) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                sts = decode_avi_frame_pixels(bytes(payload), every_n=every_n)
+                sts = (decode_avi_frame_pixels(bytes(payload), every_n=every_n)
+                       if payload is not None else None)
                 for st in sts or ():
                     rows.append({"media_id": mid, **st})
             yield pd.DataFrame(rows, columns=cols)
@@ -2461,7 +2475,8 @@ def avi_meta(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                st = parse_avi_header(bytes(payload))
+                st = (parse_avi_header(bytes(payload))
+                      if payload is not None else None)
                 if st is not None:
                     rows.append({"media_id": mid, **st})
             yield pd.DataFrame(rows, columns=cols)
@@ -2919,7 +2934,8 @@ def gif_frame_pixel_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                sts = decode_gif_frame_pixels(bytes(payload))
+                sts = (decode_gif_frame_pixels(bytes(payload))
+                       if payload is not None else None)
                 for st in sts or []:
                     rows.append({"media_id": mid, **st})
             yield pd.DataFrame(rows, columns=cols)
@@ -2986,7 +3002,8 @@ def gif_pixel_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                st = decode_gif_pixels(bytes(payload))
+                st = (decode_gif_pixels(bytes(payload))
+                      if payload is not None else None)
                 if st is not None:
                     rows.append({"media_id": mid, **st})
             yield pd.DataFrame(rows, columns=cols)
@@ -3079,7 +3096,8 @@ def bmp_pixel_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                st = decode_bmp_pixels(bytes(payload))
+                st = (decode_bmp_pixels(bytes(payload))
+                      if payload is not None else None)
                 if st is not None:
                     rows.append({"media_id": mid, "width": st["width"],
                                  "height": st["height"], "n_px": st["n_px"],
@@ -3088,6 +3106,60 @@ def bmp_pixel_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(_stats, schema=PIXEL_STATS_SCHEMA)
+
+
+def synthesize_mixed_corpus(ids: DataFrame, id_col: str = "doc_id",
+                            parallelism: int | None = None) -> DataFrame:
+    """id column → (media_id, media_type, payload) with a HETEROGENEOUS
+    real-byte corpus — the shape `media_pixel_stats` exists for:
+    id%5 = 0 → PNG (the pixel-decode raster of `synthesize_media
+    (png_pixels=True)`), 1 → baseline JPEG (ditto jpeg_pixels), 2 →
+    GIF89a (ditto synthesize_gif), 3 → BMP (ditto synthesize_bmp),
+    4 → a NULL payload (routine in a real 100 TB media table; the
+    router must drop it, never raise).  Each format keeps its
+    existing closed-form raster so one oracle covers the mix.
+    Map-only, like every synthesizer here."""
+    sc = ids.sparkSession.sparkContext
+    n = parallelism or min(sc.defaultParallelism, 16)
+    src = ids.select(F.col(id_col).cast("long").alias("media_id"))
+    if src.rdd.getNumPartitions() < n:
+        src = src.repartition(n)
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds: list[str | None] = []
+            payloads: list[bytes | None] = []
+            for mid_ in pdf["media_id"]:
+                mid = int(mid_)
+                r = mid % 5
+                if r == 0:
+                    kinds.append("image/png")
+                    payloads.append(make_png(16 + mid % 240, 16 + mid % 135,
+                                             bit_depth=8, pixels=True))
+                elif r == 1:
+                    kinds.append("image/jpeg")
+                    payloads.append(make_jpeg(8 * (2 + mid % 29),
+                                              8 * (2 + mid % 16),
+                                              pixels=True))
+                elif r == 2:
+                    kinds.append("image/gif")
+                    payloads.append(make_gif(16 * (1 + mid % 8),
+                                             1 + mid % 37,
+                                             interlace=bool(mid % 2)))
+                elif r == 3:
+                    kinds.append("image/bmp")
+                    payloads.append(make_bmp(16 * (1 + mid % 6),
+                                             8 * (1 + mid % 5),
+                                             fno=mid % 4))
+                else:
+                    kinds.append(None)
+                    payloads.append(None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "media_type": kinds,
+                 "payload": payloads}
+            )
+
+    return src.mapInPandas(_build, schema=MEDIA_SCHEMA)
 
 
 def media_pixel_stats(media: DataFrame) -> DataFrame:
@@ -3115,7 +3187,9 @@ def media_pixel_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                st = _route(bytes(payload))
+                # NULL binary cells arrive as None; bytes(None) raises
+                # — one bad row must never kill a 100 TB batch
+                st = _route(bytes(payload)) if payload is not None else None
                 if st is not None:
                     rows.append({"media_id": mid,
                                  **{k: st[k] for k in cols if k != "media_id"}})
