@@ -242,6 +242,16 @@ class MikeResultsStreamReader(DataSourceStreamReader):
             )
         return offset["last"]
 
+    # largest per-batch file list inlined into the offset log: the
+    # recorded-list replay guarantee is worth ~a few hundred KB per
+    # batch at most, not an offset blob that grows with a pre-populated
+    # directory (ADVICE r7: the FIRST offset over an N-file backlog
+    # recorded all N basenames, and Structured Streaming persists every
+    # offset — unbounded checkpoint/driver growth).  Above the cap the
+    # batch falls back to the legacy name-range replay (deterministic
+    # under the producers' monotonic-name contract), loudly.
+    MAX_RECORDED_BATCH = 10_000
+
     def initialOffset(self) -> dict:
         return {"last": ""}
 
@@ -258,6 +268,17 @@ class MikeResultsStreamReader(DataSourceStreamReader):
             # the batch the engine will plan is (prev, new-high]; pin
             # its exact file list NOW so replay can't see stragglers
             batch = [n for n in names if prev < n <= self._high_water]
+        if len(batch) > self.MAX_RECORDED_BATCH:
+            import warnings
+
+            warnings.warn(
+                f"mike_results stream batch of {len(batch)} files exceeds "
+                f"the {self.MAX_RECORDED_BATCH}-name offset-log cap; "
+                "recording the name range only — replay of THIS batch "
+                "relies on the producers' monotonic-name contract",
+                stacklevel=2,
+            )
+            return {"last": self._high_water}
         return {"last": self._high_water, "batch": batch, "base": prev}
 
     def partitions(self, start: dict, end: dict):

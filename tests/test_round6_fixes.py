@@ -281,3 +281,34 @@ def test_all_stations_raw_rejects_duplicate_display_names(tmp_path):
         w.writerow(["b" * 64, "101", "Colombo", "6.95", "79.85"])
     with pytest.raises(ValueError, match="duplicate station display names"):
         read_mike_stations(str(p))
+
+
+def test_stream_offset_file_list_is_capped(tmp_path):
+    """ADVICE r7: the first offset over a pre-populated directory (or
+    any huge catch-up batch) must not inline every basename into the
+    offset log — Structured Streaming persists each offset, so an
+    unbounded list grows the checkpoint without bound.  Above the cap
+    the offset falls back to the legacy name-range form, with a
+    warning; the planned batch itself is unchanged."""
+    import warnings
+
+    d = tmp_path / "run"
+    d.mkdir()
+    names = [f"r_{i:02d}.csv" for i in range(8)]
+    for name in names:
+        _write_wide(str(d / name), 1)
+    r = MikeResultsStreamReader({"path": str(d), "pattern": "*.csv"})
+    r.MAX_RECORDED_BATCH = 5
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        off = r.latestOffset()
+    assert off == {"last": names[-1]}         # no inlined list
+    assert any("offset-log cap" in str(x.message) for x in w)
+    files = {p.file.split("/")[-1] for p in r.partitions({"last": ""}, off)
+             if p.file}
+    assert files == set(names)               # legacy range plans them all
+
+    # under the cap the recorded-list contract is untouched
+    r2 = MikeResultsStreamReader({"path": str(d), "pattern": "*.csv"})
+    off2 = r2.latestOffset()
+    assert off2["batch"] == names and off2["base"] == ""
