@@ -8976,6 +8976,68 @@ def w13_trailing_range_frame(spark, sf_dir):
 
 
 @query(
+    "w16_trailing_range_point_mass",
+    """
+    SELECT event_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY event_type
+               ORDER BY epoch_us(ts) // 86400000000
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+               AS trailing_sum_2d,
+           CAST(count(*) OVER (
+               PARTITION BY event_type
+               ORDER BY epoch_us(ts) // 86400000000
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_trailing_2d
+    FROM events
+    """,
+)
+def w16_trailing_range_point_mass(spark, sf_dir):
+    """Trailing RANGE frame over a COARSE order domain (day-truncated
+    timestamps): ~30 distinct order values per group, each holding far
+    more than 2/n_buckets of the mass, so the per-group
+    percentile_approx sketch returns DUPLICATE edges — the exact
+    condition under which r7's value-rank carry mapping silently lost
+    the carries above every point mass (ADVICE r8 high, fixed by
+    position-mapped carries in operators/prefix.bucketed_range_agg).
+    This query pins that fix at the driver gate: w13 exercises the
+    dense micro-timestamp domain, this one the bursty/coarse domain a
+    real event table degrades to after time truncation.  Ties are
+    peers per the SQL standard in both engines; sums are exact integer
+    cents.
+
+    Scale shape: same (key, bucket)-partitioned exact rewrite as w13;
+    on a coarse domain the carry volume is edges-within-lookback per
+    row (~lookback × n_buckets / distinct-values copies), so callers
+    size n_buckets to the distinct order values — 64 here keeps the
+    largest task ~1/64 of a type's slice while forcing the duplicate-
+    edge regime this query exists to attest."""
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_range_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+    r = bucketed_range_agg(
+        ev.select("event_type", "event_id", v.alias("v100"),
+                  day.alias("t_day")),
+        "v100",
+        by=["event_type"],
+        order_col="t_day",
+        lookback=2,
+        out_col="__tsum",
+        count_col="__tn",
+        n_buckets=64,
+    )
+    return r.select(
+        "event_id",
+        (F.col("__tsum").cast("double") / 100).alias("trailing_sum_2d"),
+        F.col("__tn").cast("long").alias("n_trailing_2d"),
+    )
+
+
+@query(
     "dedup_substring_spans",
     """
     WITH d AS (
