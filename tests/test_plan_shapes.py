@@ -322,6 +322,7 @@ def test_media_sample_decode_is_map_only_no_shuffle(spark):
         "multimodal_gif_pixels",
         "multimodal_gif_anim_frames",
         "multimodal_bmp_pixels",
+        "media_mixed_pixel_stats",
     ):
         plan = _plan(spark, name)
         assert "Exchange hashpartitioning" not in plan, (
@@ -852,3 +853,14 @@ def test_anomaly_episodes_lag_and_cumsum_are_bucket_partitioned(spark):
         head = frag[:300]
         if "event_type" in head and "windowspecdefinition" in head:
             assert "__b" in head, head
+
+
+def test_w16_point_mass_range_frame_is_bucket_partitioned(spark):
+    """r8: the coarse-domain trailing frame shares w13's rewrite — the
+    fact-scale range window partitions on (event_type, bucket) even
+    when the order domain is a handful of point masses."""
+    plan = _plan(spark, "w16_trailing_range_point_mass")
+    assert "Window" in plan
+    spec = plan.split("Window")[1][:400]
+    assert "event_type" in spec and "__b" in spec
+    assert "SortMergeJoin" not in plan
