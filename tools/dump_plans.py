@@ -99,6 +99,8 @@ SHOWCASE = [
     ("customer_rfm_segments", "fact collapses to customers first; ntile windows on the dimension-scale aggregate"),
     ("w11_distribution_ranks", "oracle gate pins exact window; distribution_ranks DEFAULT is sketch-CDF map-only assignment (r7)"),
     ("w13_trailing_range_frame", "bucket+overlap carry-in range frame (r7): (type,bucket) window, carries complete cross-edge frames"),
+    ("w16_trailing_range_point_mass", "coarse-domain range frame (r8): duplicate sketch edges, position-mapped carries, (type,bucket) window"),
+    ("media_mixed_pixel_stats", "magic-byte mixed-corpus router (r8): four decoders + NULL drop in ONE Arrow pass, map-only, zero exchanges"),
     ("running_records_census", "bucketed exclusive running max (r7): bucket partials + broadcast offsets, no whole-type task"),
     ("max_concurrency_sweep", "sweep-line cumsum bucket-partitioned (r7); WindowGroupLimit top-1 pick"),
     ("multimodal_video_rgb_frames", "BI_RGB DIB demux + padded-row unpack (r7): map-only, zero exchanges"),
