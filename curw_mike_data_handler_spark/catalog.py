@@ -9004,7 +9004,11 @@ def w16_trailing_range_point_mass(spark, sf_dir):
     dense micro-timestamp domain, this one the bursty/coarse domain a
     real event table degrades to after time truncation.  Ties are
     peers per the SQL standard in both engines; sums are exact integer
-    cents.
+    cents.  Day bucketing assumes POST-1970 timestamps (the events
+    contract): DuckDB's ``//`` truncates toward zero while Spark's
+    ``floor`` floors, so the conventions agree only on non-negative
+    epochs — same positive-epoch assumption as the other epoch-day
+    oracles here.
 
     Scale shape: same (key, bucket)-partitioned exact rewrite as w13;
     on a coarse domain the carry volume is edges-within-lookback per

@@ -660,6 +660,10 @@ def decode_jpeg_pixels(b: bytes) -> dict | None:
     the oracle attests; a YCbCr→RGB matmul would only wrap them).
     Returns None for non-JPEG / non-baseline / scanless / truncated
     payloads (one bad blob must not kill a batch); raises nothing."""
+    if b is None:
+        # NULL binary cells reach decoders as None; NULL-safety is a
+        # property of the decode layer, not of each caller (r8 review)
+        return None
     import struct
 
     import numpy as np
@@ -1567,6 +1571,10 @@ def decode_wav_samples(b: bytes) -> dict | None:
     (``wav_sample_stats`` does; ``wav_float_sample_stats`` is the
     double-schema twin).  Returns None for non-WAV / unsupported
     formats / truncated payloads (never raises)."""
+    if b is None:
+        # NULL binary cells reach decoders as None; NULL-safety is a
+        # property of the decode layer, not of each caller (r8 review)
+        return None
     import struct
 
     try:
@@ -1634,6 +1642,10 @@ def parse_media_header(b: bytes) -> dict:
     chunk walk.  Unknown/truncated payloads
     → media_type 'unknown' with NULL metadata (never raises: one bad
     blob must not kill a 100 TB batch)."""
+    if b is None:
+        # NULL payload: same 'unknown' row as any unparseable blob
+        return {"media_type": None, "width": None, "height": None,
+                "sample_rate": None, "channels": None, "bit_depth": None}
     import struct
 
     out = {"media_type": "unknown", "width": None, "height": None,
@@ -1770,6 +1782,10 @@ def decode_png_pixels(b: bytes) -> dict | None:
     per-pass unfiltered sample stats sum to the image stats with no
     scatter pass.  Returns None for non-PNG / non-8-bit / truncated
     payloads (one bad blob must not kill a batch); raises nothing."""
+    if b is None:
+        # NULL binary cells reach decoders as None; NULL-safety is a
+        # property of the decode layer, not of each caller (r8 review)
+        return None
     import struct
     import zlib
 
@@ -2253,6 +2269,10 @@ def decode_avi_frame_pixels(b: bytes, every_n: int = 10) -> list[dict] | None:
     width, height, pixel_sum, pixel_max); None for non-AVI payloads;
     frames that fail to decode are skipped (one bad frame must not
     kill the video)."""
+    if b is None:
+        # NULL binary cells reach decoders as None; NULL-safety is a
+        # property of the decode layer, not of each caller (r8 review)
+        return None
     import struct
 
     try:
@@ -2327,6 +2347,10 @@ def parse_avi_header(b: bytes) -> dict | None:
     """REAL RIFF/AVI header walk: LIST traversal → avih main header →
     (width, height, fps_micros, n_frames).  None for non-AVI/truncated
     payloads (never raises)."""
+    if b is None:
+        # NULL binary cells reach decoders as None; NULL-safety is a
+        # property of the decode layer, not of each caller (r8 review)
+        return None
     import struct
 
     try:
@@ -2877,6 +2901,10 @@ def decode_gif_pixels(b: bytes) -> dict | None:
     palette-mapped RGB samples of the first image.  None for
     non-GIF/corrupt payloads (never raises: one bad blob must not
     kill a 100 TB batch)."""
+    if b is None:
+        # NULL binary cells reach decoders as None; NULL-safety is a
+        # property of the decode layer, not of each caller (r8 review)
+        return None
     import struct
 
     try:
@@ -2902,6 +2930,10 @@ def decode_gif_frame_pixels(b: bytes) -> list[dict] | None:
     frame (frame_no, width, height, pixel_sum, pixel_max) — the same
     shape as ``decode_avi_frame_pixels``.  None for non-GIF/corrupt
     payloads (never raises)."""
+    if b is None:
+        # NULL binary cells reach decoders as None; NULL-safety is a
+        # property of the decode layer, not of each caller (r8 review)
+        return None
     import struct
 
     try:
@@ -3040,6 +3072,10 @@ def decode_bmp_pixels(b: bytes) -> dict | None:
     only — the format's overwhelmingly common shape; compressed
     (RLE4/RLE8) or other depths return None, as do non-BMP/corrupt
     payloads (never raises)."""
+    if b is None:
+        # NULL binary cells reach decoders as None; NULL-safety is a
+        # property of the decode layer, not of each caller (r8 review)
+        return None
     import struct
 
     try:

@@ -52,9 +52,19 @@ def _order_surrogate(df: DataFrame, order_col: str) -> Column:
     if isinstance(dt, T.TimestampType):
         return F.unix_micros(c)
     if isinstance(dt, T.TimestampNTZType):
-        # cast interprets in the session zone — an order-preserving
-        # shift, which is all a bucketing surrogate needs
-        return F.unix_micros(c.cast("timestamp"))
+        # zone-INDEPENDENT wall-time seconds: casting to timestamp and
+        # taking unix_micros is NOT order-preserving across a DST
+        # spring-forward gap (the session-zone interpretation maps the
+        # skipped wall hour above the following one).  Field extraction
+        # on NTZ is pure, and the surrogate only needs monotone
+        # NON-decreasing — sub-second ties just share a bucket and
+        # re-order inside it by the full composite.
+        return (
+            F.unix_date(F.to_date(c)) * F.lit(86_400)
+            + F.hour(c) * F.lit(3_600)
+            + F.minute(c) * F.lit(60)
+            + F.second(c)
+        )
     if isinstance(dt, T.DateType):
         return F.unix_date(c)
     if isinstance(dt, (T.StringType,)):
@@ -208,10 +218,10 @@ def bucketed_range_agg(
 
     ``order_col`` must be numeric (epoch micros for time frames).
     Mechanics: rows bucket by sketch edges over the order domain; each
-    row is additionally COPIED into every later bucket whose edge
-    falls inside (t, t + lookback] — those carry rows complete the
-    trailing frames that cross a bucket boundary, and only base rows
-    are emitted.  Carry volume is #edges within ``lookback`` of each
+    row is additionally COPIED into every later bucket whose boundary
+    edge falls inside [t, t + lookback) — those carry rows complete
+    the trailing frames that cross a bucket boundary, and only base
+    rows are emitted.  Carry volume is #edges within ``lookback`` of each
     row: pick ``n_buckets`` so the typical bucket spans ≫ lookback
     (copies ≈ rows × lookback / bucket_span).  EXACT like
     ``bucketed_running_agg`` — edge placement moves work, never
