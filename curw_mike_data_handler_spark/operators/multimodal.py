@@ -1640,10 +1640,14 @@ def parse_media_header(b: bytes) -> dict:
     """REAL header decode, pure Python: PNG IHDR chunk walk, JPEG SOF
     marker scan, GIF logical-screen-descriptor read, RIFF/WAVE fmt
     chunk walk.  Unknown/truncated payloads
-    → media_type 'unknown' with NULL metadata (never raises: one bad
-    blob must not kill a 100 TB batch)."""
+    → media_type 'unknown' with NULL metadata; a NULL payload → an
+    all-NULL row including media_type, since absent data and
+    unparseable data are different facts (never raises: one bad blob
+    must not kill a 100 TB batch)."""
     if b is None:
-        # NULL payload: same 'unknown' row as any unparseable blob
+        # NULL payload: all-NULL row INCLUDING media_type — distinct
+        # from garbage bytes, which parse to media_type 'unknown'
+        # (absent data and unparseable data are different facts)
         return {"media_type": None, "width": None, "height": None,
                 "sample_rate": None, "channels": None, "bit_depth": None}
     import struct

@@ -43,10 +43,12 @@ DEFAULT_ACCURACY = 10_000
 
 def _order_surrogate(df: DataFrame, order_col: str) -> Column:
     """Order-preserving numeric surrogate of the leading order column:
-    numerics pass through, timestamps become epoch micros, strings map
-    to their first 14 UTF-8 bytes as a big-endian integer (monotone in
-    the string order; ties beyond 14 bytes merely share a bucket and
-    are re-ordered by the full composite inside it)."""
+    numerics pass through, zoned timestamps become epoch micros, NTZ
+    timestamps become zone-independent wall SECONDS (sub-second rows
+    share a bucket), dates become epoch days, strings map to their
+    first 14 UTF-8 bytes as a big-endian integer (monotone in the
+    string order; ties beyond 14 bytes merely share a bucket and are
+    re-ordered by the full composite inside it)."""
     dt = df.schema[order_col].dataType
     c = F.col(order_col)
     if isinstance(dt, T.TimestampType):
@@ -58,9 +60,12 @@ def _order_surrogate(df: DataFrame, order_col: str) -> Column:
         # skipped wall hour above the following one).  Field extraction
         # on NTZ is pure, and the surrogate only needs monotone
         # NON-decreasing — sub-second ties just share a bucket and
-        # re-order inside it by the full composite.
+        # re-order inside it by the full composite.  The day term must
+        # be LONG before the multiply: unix_date is IntegerType and a
+        # 32-bit product overflows past 2038 (ANSI crash / non-ANSI
+        # wraparound breaking monotonicity).
         return (
-            F.unix_date(F.to_date(c)) * F.lit(86_400)
+            F.unix_date(F.to_date(c)).cast("long") * F.lit(86_400)
             + F.hour(c) * F.lit(3_600)
             + F.minute(c) * F.lit(60)
             + F.second(c)

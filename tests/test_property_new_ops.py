@@ -2625,6 +2625,9 @@ def test_range_agg_exact_under_duplicate_sketch_edges(spark, seed):
     rng = random.Random(seed)
     lookback = rng.choice([3, 10])
     rows = [("a", i, 50, 1) for i in range(300)]        # the point mass
+    rows += [("a", 999, 51, 1)]   # deterministic row just above it —
+    # keeps the mass-visibility assertion below non-vacuous for every
+    # seed (the random rows may all miss (50, 50+lookback])
     rows += [
         ("a", 300 + i, rng.randrange(0, 100), 1) for i in range(100)
     ]
@@ -2651,7 +2654,7 @@ def test_range_agg_exact_under_duplicate_sketch_edges(spark, seed):
         n for (key, (_, n)) in a.items()
         if key[0] == "a" and 50 < tmap[key] <= 50 + lookback
     ]
-    assert all(n >= 301 for n in above), sorted(above)[:5]
+    assert above and all(n >= 301 for n in above), sorted(above)[:5]
 
 
 def test_range_agg_rejects_fractional_lookback(spark):
@@ -2796,6 +2799,15 @@ def test_order_surrogate_ntz_is_monotone_across_dst_gap(spark):
             .collect()
         ]
         assert got == sorted(got), "surrogate inverted across the DST gap"
+
+        # post-2038 wall dates must survive too: the day term is LONG
+        # (an int32 unix_date * 86400 product overflows under ANSI)
+        far = spark.createDataFrame(
+            [("a", datetime.datetime(2040, 1, 1, 12, 0), 1)],
+            "k string, t timestamp_ntz, v long",
+        )
+        (fv,) = far.select(_order_surrogate(far, "t").alias("s")).collect()
+        assert fv["s"] > 2**31
 
         out = bucketed_running_agg(
             df, "v", by=["k"], order_cols=["t"], out_col="rs", n_buckets=6
