@@ -526,6 +526,50 @@ def main() -> None:
         results,
     )
 
+    # ------------------------------------------------------------------
+    # Round-8 probes:
+    # (a) bucketed_range_agg on a COARSE order domain — every distinct
+    #     order value a point mass (duplicate sketch edges, the ADVICE
+    #     r8 regime): carry copies ≈ rows × lookback × buckets/values;
+    #     wall and shuffle must stay linear, never |rows|².
+    # (b) the mixed-corpus media router: one Arrow pass over 4 formats
+    #     + NULLs at 10× docs — map-only, zero shuffle, like its
+    #     per-format siblings.
+    # ------------------------------------------------------------------
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_range_agg,
+    )
+
+    coarse_rows = spark.range(2_000_000).select(
+        (F.col("id") % 4).cast("string").alias("k"),
+        F.col("id").alias("uid"),
+        (F.col("id") % 30).alias("day"),   # 30 point masses per key
+        (F.col("id") % 997).alias("v"),
+    )
+    print("round-8 probe (coarse-domain range agg, 2M rows / 30 masses):")
+    measure(
+        spark,
+        "bucketed_range_pointmass_2m",
+        lambda: bucketed_range_agg(
+            coarse_rows, "v", by=["k"], order_col="day", lookback=2,
+            out_col="r", count_col="n", n_buckets=64,
+        ).groupBy("k").agg(F.max("r").alias("mx"), F.sum("n").alias("sn")),
+        results,
+    )
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        media_pixel_stats,
+        synthesize_mixed_corpus,
+    )
+
+    print("round-8 probe (mixed-corpus media router, 10× docs):")
+    measure(
+        spark,
+        "media_mixed_router_10x",
+        lambda: media_pixel_stats(synthesize_mixed_corpus(ids10)),
+        results,
+    )
+
     payload = {
         "sf": 1.0,
         "docs": docs_lin.count(),
