@@ -8998,7 +8998,7 @@ def w16_trailing_range_point_mass(spark, sf_dir):
     more than 2/n_buckets of the mass, so the per-group
     percentile_approx sketch returns DUPLICATE edges — the exact
     condition under which r7's value-rank carry mapping silently lost
-    the carries above every point mass (ADVICE r8 high, fixed by
+    the carries above every point mass (ADVICE r7 high, fixed by
     position-mapped carries in operators/prefix.bucketed_range_agg).
     This query pins that fix at the driver gate: w13 exercises the
     dense micro-timestamp domain, this one the bursty/coarse domain a

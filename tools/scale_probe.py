@@ -543,10 +543,14 @@ def main() -> None:
     coarse_rows = spark.range(2_000_000).select(
         (F.col("id") % 4).cast("string").alias("k"),
         F.col("id").alias("uid"),
-        (F.col("id") % 30).alias("day"),   # 30 point masses per key
+        # id%4 and id%30 share factor 2: each key sees 15 distinct
+        # days (even or odd residues) — still far above 2/n_buckets
+        # per mass, the duplicate-edge regime this probe exists for
+        (F.col("id") % 30).alias("day"),
         (F.col("id") % 997).alias("v"),
     )
-    print("round-8 probe (coarse-domain range agg, 2M rows / 30 masses):")
+    print("round-8 probe (coarse-domain range agg, 2M rows / "
+          "15 masses per key):")
     measure(
         spark,
         "bucketed_range_pointmass_2m",
