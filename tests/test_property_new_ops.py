@@ -2850,3 +2850,41 @@ def test_decoders_accept_none_at_the_decode_layer():
         assert fn(None) is None, fn.__name__
     meta = parse_media_header(None)
     assert meta["media_type"] is None and meta["width"] is None
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=8, deadline=None)
+def test_range_agg_matches_plain_window_on_double_order(spark, seed):
+    """The non-integral order path (carry test in double, frame on the
+    same integral lookback) must equal the plain range window too —
+    including fractional order values whose [t, t+lookback) carry
+    windows straddle bucket edges, and value ties as peers."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.prefix import (
+        bucketed_range_agg,
+    )
+
+    rng = random.Random(seed)
+    lookback = rng.choice([2, 7])
+    rows = [
+        ("a" if rng.random() < 0.7 else "b", i,
+         round(rng.uniform(0.0, 60.0) * 4) / 4,    # quarter-step ties
+         rng.randrange(-9, 10))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k string, uid long, t double, v long")
+    got = bucketed_range_agg(
+        df, "v", by=["k"], order_col="t", lookback=lookback,
+        out_col="s", count_col="n", n_buckets=rng.choice([4, 16]),
+    )
+    w = Window.partitionBy("k").orderBy("t").rangeBetween(-lookback, 0)
+    ref = df.withColumn("s", F.sum("v").over(w)).withColumn(
+        "n", F.count("*").over(w)
+    )
+    a = {(r["k"], r["uid"]): (r["s"], r["n"]) for r in got.collect()}
+    b = {(r["k"], r["uid"]): (r["s"], r["n"]) for r in ref.collect()}
+    assert a == b
