@@ -1998,15 +1998,46 @@ def extract_features(media: DataFrame, parallelism: int | None = None) -> DataFr
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+def _img_synth_dims(mid: int) -> tuple[int, int]:
+    """id → (width, height) for the PNG/JPEG header-synthesis family —
+    the ONE definition shared by _synth_params and
+    synthesize_mixed_corpus so the mixed corpus can never silently
+    desynchronize from the single-format synthesizers (ADVICE r8)."""
+    return 16 + mid % 240, 16 + mid % 135
+
+
+def _jpeg_pixel_synth_dims(mid: int) -> tuple[int, int]:
+    """id → multiple-of-8 (width, height) for pixel-carrying JPEGs:
+    w ∈ 16..240, h ∈ 16..136.  Shared by synthesize_media
+    (jpeg_pixels=True) and synthesize_mixed_corpus."""
+    return 8 * (2 + mid % 29), 8 * (2 + mid % 16)
+
+
+def _gif_synth_args(mid: int) -> tuple[int, int, bool]:
+    """id → (width, height, interlace) for single-image GIFs: width a
+    multiple of the 16-color palette (closed-form stats), height
+    1+id%37, odd ids interlaced.  Shared by synthesize_gif and
+    synthesize_mixed_corpus."""
+    return 16 * (1 + mid % 8), 1 + mid % 37, bool(mid % 2)
+
+
+def _bmp_synth_args(mid: int) -> tuple[int, int, int]:
+    """id → (width, height, raster phase) for 24-bit BMPs.  Shared by
+    synthesize_bmp and synthesize_mixed_corpus."""
+    return 16 * (1 + mid % 6), 8 * (1 + mid % 5), mid % 4
+
+
 def _synth_params(mid: int) -> tuple[str, dict]:
     """Deterministic id → media parameters (the closed form the DuckDB
     oracle recomputes in SQL — keep the two in lockstep)."""
     kind = mid % 3
     if kind == 0:
-        return "png", {"width": 16 + mid % 240, "height": 16 + mid % 135,
+        w, h = _img_synth_dims(mid)
+        return "png", {"width": w, "height": h,
                        "bit_depth": 8 + 8 * (mid % 2)}
     if kind == 1:
-        return "jpeg", {"width": 16 + mid % 240, "height": 16 + mid % 135}
+        w, h = _img_synth_dims(mid)
+        return "jpeg", {"width": w, "height": h}
     return "wav", {"sample_rate": 8000 + (mid % 5) * 4000,
                    "channels": 1 + mid % 2, "n_samples": mid % 32}
 
@@ -2050,12 +2081,8 @@ def synthesize_media(ids: DataFrame, id_col: str = "doc_id",
                 if kind == "png" and png_pixels:
                     params = {**params, "bit_depth": 8, "pixels": True}
                 if kind == "jpeg" and jpeg_pixels:
-                    # multiple-of-8 dims: w ∈ 16..240, h ∈ 16..136
-                    params = {
-                        "width": 8 * (2 + int(mid) % 29),
-                        "height": 8 * (2 + int(mid) % 16),
-                        "pixels": True,
-                    }
+                    jw, jh = _jpeg_pixel_synth_dims(int(mid))
+                    params = {"width": jw, "height": jh, "pixels": True}
                     if jpeg_progressive:
                         kinds.append(mime[kind])
                         payloads.append(
@@ -3010,12 +3037,9 @@ def synthesize_gif(ids: DataFrame, id_col: str = "doc_id",
                     for mid in pdf["media_id"]
                 ]
             else:
+                # (width, height, interlace) — make_gif's leading args
                 payloads = [
-                    make_gif(
-                        16 * (1 + int(mid) % 8),
-                        1 + int(mid) % 37,
-                        interlace=bool(int(mid) % 2),
-                    )
+                    make_gif(*_gif_synth_args(int(mid)))
                     for mid in pdf["media_id"]
                 ]
             yield pd.DataFrame(
@@ -3113,10 +3137,9 @@ def synthesize_bmp(ids: DataFrame, id_col: str = "doc_id",
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # (width, height, fno) — make_bmp's positional args
             payloads = [
-                make_bmp(16 * (1 + int(m) % 6), 8 * (1 + int(m) % 5),
-                         fno=int(m) % 4)
-                for m in pdf["media_id"]
+                make_bmp(*_bmp_synth_args(int(m))) for m in pdf["media_id"]
             ]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"],
@@ -3174,23 +3197,18 @@ def synthesize_mixed_corpus(ids: DataFrame, id_col: str = "doc_id",
                 r = mid % 5
                 if r == 0:
                     kinds.append("image/png")
-                    payloads.append(make_png(16 + mid % 240, 16 + mid % 135,
-                                             bit_depth=8, pixels=True))
+                    pw, ph = _img_synth_dims(mid)
+                    payloads.append(make_png(pw, ph, bit_depth=8, pixels=True))
                 elif r == 1:
                     kinds.append("image/jpeg")
-                    payloads.append(make_jpeg(8 * (2 + mid % 29),
-                                              8 * (2 + mid % 16),
-                                              pixels=True))
+                    jw, jh = _jpeg_pixel_synth_dims(mid)
+                    payloads.append(make_jpeg(jw, jh, pixels=True))
                 elif r == 2:
                     kinds.append("image/gif")
-                    payloads.append(make_gif(16 * (1 + mid % 8),
-                                             1 + mid % 37,
-                                             interlace=bool(mid % 2)))
+                    payloads.append(make_gif(*_gif_synth_args(mid)))
                 elif r == 3:
                     kinds.append("image/bmp")
-                    payloads.append(make_bmp(16 * (1 + mid % 6),
-                                             8 * (1 + mid % 5),
-                                             fno=mid % 4))
+                    payloads.append(make_bmp(*_bmp_synth_args(mid)))
                 else:
                     kinds.append(None)
                     payloads.append(None)

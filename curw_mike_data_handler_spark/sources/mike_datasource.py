@@ -53,8 +53,10 @@ Spark-first design notes:
 from __future__ import annotations
 
 import csv
+import hashlib
 import io
 import json
+import logging
 import os
 import uuid
 from dataclasses import dataclass
@@ -74,6 +76,15 @@ from pyspark.sql.datasource import (
 
 SCHEMA = "ts timestamp, station string, value double, src_file string"
 _TIME_FMT = "%Y-%m-%d %H:%M:%S"
+_log = logging.getLogger(__name__)
+
+
+def _batch_sig(names: list[str]) -> str:
+    """Order-stable 16-hex signature of a planned file list — small
+    enough to live in every capped offset, strong enough that a replay
+    re-listing a different set (stragglers arrived late, files lost)
+    cannot silently masquerade as the original batch."""
+    return hashlib.md5("\n".join(names).encode()).hexdigest()[:16]
 
 
 def _list_files(path: str, pattern: str) -> list[str]:
@@ -269,16 +280,24 @@ class MikeResultsStreamReader(DataSourceStreamReader):
             # its exact file list NOW so replay can't see stragglers
             batch = [n for n in names if prev < n <= self._high_water]
         if len(batch) > self.MAX_RECORDED_BATCH:
-            import warnings
-
-            warnings.warn(
-                f"mike_results stream batch of {len(batch)} files exceeds "
-                f"the {self.MAX_RECORDED_BATCH}-name offset-log cap; "
-                "recording the name range only — replay of THIS batch "
-                "relies on the producers' monotonic-name contract",
-                stacklevel=2,
+            # a logger, not warnings.warn: the default warnings filter
+            # is once-per-location, which would silence every capped
+            # batch after the first in a long-lived driver (ADVICE r8)
+            _log.warning(
+                "mike_results stream batch of %d files exceeds the "
+                "%d-name offset-log cap; recording name range + "
+                "count/signature only — replay of THIS batch relies on "
+                "the producers' monotonic-name contract (divergence is "
+                "detected at plan time via the signature)",
+                len(batch),
+                self.MAX_RECORDED_BATCH,
             )
-            return {"last": self._high_water}
+            return {
+                "last": self._high_water,
+                "base": prev,
+                "capped_n": len(batch),
+                "capped_sig": _batch_sig(batch),
+            }
         return {"last": self._high_water, "batch": batch, "base": prev}
 
     def partitions(self, start: dict, end: dict):
@@ -310,10 +329,33 @@ class MikeResultsStreamReader(DataSourceStreamReader):
                 )
             files = [by_name[n] for n in wanted]
         else:
-            # legacy offsets (pre-batch-list checkpoints): name-range
-            # re-listing — deterministic only under the producers'
-            # monotonic-name contract
+            # legacy offsets (pre-batch-list checkpoints) and capped
+            # batches: name-range re-listing — deterministic only under
+            # the producers' monotonic-name contract
             files = [f for f in listed if lo < os.path.basename(f) <= hi]
+            if "capped_n" in end:
+                # capped batches carry a count+signature of the list
+                # planned at latestOffset time, so a divergent replay
+                # (stragglers arrived after planning, or files lost)
+                # is DETECTED instead of silently weakening the
+                # exactly-once contract (ADVICE r8)
+                names = sorted(os.path.basename(f) for f in files)
+                got_n, got_sig = len(names), _batch_sig(names)
+                if got_n != end["capped_n"] or got_sig != end.get("capped_sig"):
+                    _log.warning(
+                        "mike_results capped-batch replay divergence: "
+                        "offset recorded %d files (sig %s) but "
+                        "re-listing (%s, %s] found %d (sig %s) — "
+                        "stragglers arrived after planning or recorded "
+                        "files were lost; this batch may read rows the "
+                        "original run never planned",
+                        end["capped_n"],
+                        end.get("capped_sig"),
+                        lo,
+                        hi,
+                        got_n,
+                        got_sig,
+                    )
         pruner = _StationPruner()
         parts = pruner.partitions_for(files, self.time_col, self.chunk)
         # a zero-file range still needs ≥1 partition per the API

@@ -119,15 +119,25 @@ def test_documented_counts_match_catalog():
 
     n = len(catalog.QUERIES)
     root = os.path.join(os.path.dirname(__file__), "..")
-    readme = open(os.path.join(root, "README.md")).read()
-    coverage = open(os.path.join(root, "COVERAGE.md")).read()
+    with open(os.path.join(root, "README.md")) as fh:
+        readme = fh.read()
+    with open(os.path.join(root, "COVERAGE.md")) as fh:
+        coverage = fh.read()
 
     m = re.search(r"\*\*(\d+) catalog queries", readme)
-    assert m, "README.md lost its catalog-count headline"
+    assert m, (
+        "README.md has no '**N catalog queries' phrase — this exact "
+        "markdown is load-bearing (this test regex-anchors on it); if "
+        "you rephrased the headline, update the regex here in lockstep"
+    )
     assert int(m.group(1)) == n, f"README says {m.group(1)}, catalog has {n}"
 
     m = re.search(r"\*\*(\d+)/(\d+) catalog queries", coverage)
-    assert m, "COVERAGE.md lost its sweep headline"
+    assert m, (
+        "COVERAGE.md has no '**N/N catalog queries' phrase — this exact "
+        "markdown is load-bearing (this test regex-anchors on it); if "
+        "you rephrased the headline, update the regex here in lockstep"
+    )
     assert int(m.group(1)) == n and int(m.group(2)) == n, (
         f"COVERAGE.md says {m.group(0)}, catalog has {n}"
     )

@@ -288,9 +288,11 @@ def test_stream_offset_file_list_is_capped(tmp_path):
     any huge catch-up batch) must not inline every basename into the
     offset log — Structured Streaming persists each offset, so an
     unbounded list grows the checkpoint without bound.  Above the cap
-    the offset falls back to the legacy name-range form, with a
-    warning; the planned batch itself is unchanged."""
-    import warnings
+    the offset falls back to the name-range form plus a count/signature
+    fingerprint, with a log warning EVERY time (not warnings.warn's
+    once-per-location default, ADVICE r8); the planned batch itself is
+    unchanged and a faithful replay raises no divergence warning."""
+    import logging
 
     d = tmp_path / "run"
     d.mkdir()
@@ -299,16 +301,36 @@ def test_stream_offset_file_list_is_capped(tmp_path):
         _write_wide(str(d / name), 1)
     r = MikeResultsStreamReader({"path": str(d), "pattern": "*.csv"})
     r.MAX_RECORDED_BATCH = 5
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
+    logger = logging.getLogger("curw_mike_data_handler_spark.sources.mike_datasource")
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    logger.addHandler(handler)
+    try:
         off = r.latestOffset()
-    assert off == {"last": names[-1]}         # no inlined list
-    assert any("offset-log cap" in str(x.message) for x in w)
-    files = {p.file.split("/")[-1] for p in r.partitions({"last": ""}, off)
-             if p.file}
-    assert files == set(names)               # legacy range plans them all
+        off2_capped = r.latestOffset()  # no new files: no second batch
+        assert "batch" not in off                 # no inlined list
+        assert off["last"] == names[-1]
+        assert off["capped_n"] == 8 and len(off["capped_sig"]) == 16
+        assert off2_capped == {"last": names[-1], "batch": [], "base": names[-1]}
+        assert sum("offset-log cap" in rec.getMessage() for rec in records) == 1
+        records.clear()
+        files = {p.file.split("/")[-1] for p in r.partitions({"last": ""}, off)
+                 if p.file}
+        assert files == set(names)           # name range plans them all
+        assert not records                   # faithful replay: silent
 
-    # under the cap the recorded-list contract is untouched
+        # a straggler arriving AFTER planning (name <= high water) makes
+        # a replay diverge from the recorded batch — detected via the
+        # count/signature, loudly
+        _write_wide(str(d / "r_03b.csv"), 1)
+        r.partitions({"last": ""}, off)
+        assert any("replay divergence" in rec.getMessage() for rec in records)
+    finally:
+        logger.removeHandler(handler)
+
+    # under the cap the recorded-list contract is untouched (the
+    # straggler written above is a real file now, so it's in the list)
     r2 = MikeResultsStreamReader({"path": str(d), "pattern": "*.csv"})
     off2 = r2.latestOffset()
-    assert off2["batch"] == names and off2["base"] == ""
+    assert off2["batch"] == sorted(names + ["r_03b.csv"]) and off2["base"] == ""
