@@ -263,6 +263,8 @@ HEADLINE = [
     "multimodal_gif_anim_frames",
     "media_mixed_pixel_stats",
     "w16_trailing_range_point_mass",
+    "j12_skew_join_aqe",
+    "j13_skew_join_salted",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -9010,12 +9010,14 @@ def w16_trailing_range_point_mass(spark, sf_dir):
     epochs — same positive-epoch assumption as the other epoch-day
     oracles here.
 
-    Scale shape: same (key, bucket)-partitioned exact rewrite as w13;
-    on a coarse domain the carry volume is edges-within-lookback per
-    row (~lookback × n_buckets / distinct-values copies), so callers
-    size n_buckets to the distinct order values — 64 here keeps the
-    largest task ~1/64 of a type's slice while forcing the duplicate-
-    edge regime this query exists to attest."""
+    Scale shape: same (key, bucket)-partitioned exact rewrite as w13.
+    Since r9 the operator THINS the sketch edges to a minimum spacing
+    of 2·lookback before bucketing, so even at n_buckets=64 over ~30
+    distinct day values (which previously paid ~4.3 carry copies/row,
+    r8 verdict #5) every row carries into AT MOST one extra bucket —
+    a hard ≤1 copy/row bound with results unchanged; n_buckets is now
+    only the parallelism UPPER bound, not a knob callers must size to
+    the domain."""
     from curw_mike_data_handler_spark.operators.prefix import (
         bucketed_range_agg,
     )
@@ -15234,6 +15236,112 @@ def cohort_ltv_matrix(spark, sf_dir):
         F.round(F.sum("rev_c").over(wc).cast("double") / 100.0, 2).alias(
             "cum_ltv"
         ),
+    )
+
+
+_SKEW_SQL = """
+    WITH f AS (
+        SELECT CASE WHEN user_id % 3 <> 0 THEN 0 ELSE user_id END AS hot_key,
+               user_id, value
+        FROM events
+    )
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(f.value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users
+    FROM f JOIN customer c ON f.hot_key = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """
+
+
+def _skewed_fact(spark, sf_dir):
+    """events with a deliberately zipfian join key: every user_id not
+    divisible by 3 collapses onto key 0 (~2/3 of all rows on ONE key —
+    the hot-partition regime AQE's skew split and salting exist for).
+    The surviving user_ids keep their identity so the join still has a
+    real key distribution tail."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.when(F.col("user_id") % 3 != 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("hot_key"),
+        "user_id",
+        "value",
+    )
+
+
+def _skew_join_agg(fact, dim):
+    """The j12 join+rollup shape, factored so the plan guard can feed
+    it a MULTI-FILE copy of the same fact: AQE's skew split works at
+    mapper-block granularity, and the sf0.01 gate's single-row-group
+    parquet gives the hot partition exactly one source block — correct
+    but unsplittable at that size.  The guard rewrites the fact as
+    multiple files (what a production scan looks like) and asserts the
+    split fires on this exact shape."""
+    j = fact.join(dim.hint("merge"), fact["hot_key"] == dim["c_custkey"])
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).alias("value_cents"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    ).select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        "n_rows",
+        "value_cents",
+        "n_users",
+    )
+
+
+@query("j12_skew_join_aqe", _SKEW_SQL)
+def j12_skew_join_aqe(spark, sf_dir):
+    """AQE skew-join demonstration as a first-class query (r8 verdict
+    #2): the zipfian hot_key fact joins customer through a FORCED
+    shuffle join (`hint("merge")` — without it Catalyst would broadcast
+    the dim and there'd be no skewed exchange to split).  With
+    adaptive skew handling on (session default; re-asserted here), the
+    oversized hash(hot_key=0) partition is split into sub-partitions
+    at runtime — `skew=true` on the SortMergeJoin node, guarded by
+    tests/test_skew_aqe.py::test_catalog_skew_query_plan_splits (which
+    feeds the same shape a multi-file fact; see _skew_join_agg on why
+    the gate's single-block scan can't split).  The semantics are
+    identical with or without the split, which is exactly the AQE
+    contract (runtime re-plan, same result)."""
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    fact = _skewed_fact(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return _skew_join_agg(fact, dim)
+
+
+@query("j13_skew_join_salted", _SKEW_SQL)
+def j13_skew_join_salted(spark, sf_dir):
+    """The non-AQE fallback on the SAME data as j12: explicit salting
+    (operators/skewjoin.salted_equi_join).  The fact side appends a
+    deterministic salt in [0, 8), the dim side replicates ×8, and the
+    join runs on (key, salt) — the hot key's rows spread over 8
+    partitions BY CONSTRUCTION, no runtime re-plan needed.  Same
+    oracle as j12: salting must be bit-invisible in the result.  Use
+    when AQE is vetoed (downstream partitioning reuse) or a single key
+    exceeds even the split budget."""
+    from curw_mike_data_handler_spark.operators.skewjoin import salted_equi_join
+
+    fact = _skewed_fact(spark, sf_dir)
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .hint("merge")
+    )
+    j = salted_equi_join(
+        fact, dim, "hot_key", "c_custkey", n_salts=8, salt_source="user_id"
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).alias("value_cents"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    ).select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        "n_rows",
+        "value_cents",
+        "n_users",
     )
 
 

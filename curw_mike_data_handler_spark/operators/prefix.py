@@ -200,6 +200,35 @@ def bucketed_running_agg(
     return j2.withColumn(out_col, combined).drop("__b", "__off")
 
 
+def _thin_edges(edges: Column, spacing: int, integral: bool) -> Column:
+    """Keep a subset of the (already ascending) sketch-edge array with
+    pairwise gaps >= ``spacing``, duplicates dropped (``spacing=0`` is
+    pure deduplication).  The per-group edge array is <= n_buckets-1
+    elements and lives on the broadcast side, so this fold is
+    O(n_buckets) per group — no extra pass over the data.
+
+    Why: ``bucketed_range_agg`` copies a row into every later bucket
+    whose edge falls inside [t, t + lookback); with surviving edges at
+    least ``2·lookback`` apart, any such half-open window holds at
+    most ONE edge — a hard ≤1 carry copy per row bound on every order
+    domain, including coarse/point-mass ones where the raw sketch
+    repeats values.  Dropping an edge only merges two buckets (exact;
+    it moves work, never results).
+
+    try_add: last + spacing overflowing long means no further edge can
+    qualify — NULL upper bound ⟹ don't append."""
+    sp = F.lit(int(spacing)) if integral else F.lit(float(spacing))
+    empty = F.array().cast("array<long>" if integral else "array<double>")
+
+    def step(acc: Column, e: Column) -> Column:
+        last = F.get(acc, F.size(acc) - F.lit(1))  # NULL when empty
+        ub = F.try_add(last, sp)
+        keep = last.isNull() | ((e > last) & ub.isNotNull() & (e >= ub))
+        return F.when(keep, F.array_append(acc, e)).otherwise(acc)
+
+    return F.aggregate(edges, empty, step)
+
+
 def bucketed_range_agg(
     df: DataFrame,
     value_col: str,
@@ -212,6 +241,7 @@ def bucketed_range_agg(
     count_col: str | None = None,
     n_buckets: int = 32,
     accuracy: int = DEFAULT_ACCURACY,
+    edge_spacing: int | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = ``agg`` of ``value_col`` over the trailing
     RANGE frame [order_col − lookback, order_col] within each ``by``
@@ -226,13 +256,24 @@ def bucketed_range_agg(
     row is additionally COPIED into every later bucket whose boundary
     edge falls inside [t, t + lookback) — those carry rows complete
     the trailing frames that cross a bucket boundary, and only base
-    rows are emitted.  Carry volume is #edges within ``lookback`` of each
-    row: pick ``n_buckets`` so the typical bucket spans ≫ lookback
-    (copies ≈ rows × lookback / bucket_span).  EXACT like
-    ``bucketed_running_agg`` — edge placement moves work, never
-    results — so the same plan serves the oracle gate and the 100-TB
-    path.  ``count_col`` optionally emits the frame row count too
-    (the same frame, one window pass)."""
+    rows are emitted.  EXACT like ``bucketed_running_agg`` — edge
+    placement moves work, never results — so the same plan serves the
+    oracle gate and the 100-TB path.  ``count_col`` optionally emits
+    the frame row count too (the same frame, one window pass).
+
+    Carry volume is #edges within ``lookback`` of each row, so the
+    per-group edge set is THINNED to a minimum spacing of
+    ``edge_spacing`` (default ``2·lookback``) before bucketing: any
+    half-open window of length ``lookback`` then holds at most ONE
+    surviving edge — a hard ≤ 1 carry copy per row on every domain,
+    including the coarse/point-mass regime where the raw sketch
+    repeats values and n_buckets=64 over ~30 distinct days paid ~4.3
+    copies/row (r8 verdict #5).  Thinning only merges buckets (fewer,
+    wider), never changes results; ``n_buckets`` remains the UPPER
+    bound on parallelism.  Pass a smaller ``edge_spacing`` (≥ 1) to
+    trade carry copies for finer buckets when groups are extremely
+    dense per lookback-span; ``lookback = 0`` degrades to plain
+    deduplication of the sketch edges."""
     from pyspark.sql import Window
 
     if agg not in ("sum", "max"):
@@ -263,11 +304,29 @@ def bucketed_range_agg(
     eagg = F.percentile_approx(
         F.col("__ok"), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
     ).alias("__edges")
+
+    if edge_spacing is None:
+        edge_spacing = 2 * int(lookback)
+    elif int(edge_spacing) != edge_spacing or edge_spacing < 0:
+        raise ValueError(
+            f"edge_spacing must be a non-negative integer, got {edge_spacing!r}"
+        )
     if by:
-        edges = d.groupBy(*by).agg(eagg)
+        edges = d.groupBy(*by).agg(eagg).withColumn(
+            "__edges", _thin_edges(F.col("__edges"), edge_spacing, integral)
+        )
         j = d.join(F.broadcast(edges), by)
     else:
-        j = d.crossJoin(F.broadcast(d.groupBy().agg(eagg)))
+        j = d.crossJoin(
+            F.broadcast(
+                d.groupBy()
+                .agg(eagg)
+                .withColumn(
+                    "__edges",
+                    _thin_edges(F.col("__edges"), edge_spacing, integral),
+                )
+            )
+        )
     ok = F.col("__ok")
     lb = F.lit(int(lookback)) if integral else F.lit(float(lookback))
     # home bucket, plus one carry copy per edge e_i in [t, t+lookback):

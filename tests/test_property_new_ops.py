@@ -2888,3 +2888,99 @@ def test_range_agg_matches_plain_window_on_double_order(spark, seed):
     a = {(r["k"], r["uid"]): (r["s"], r["n"]) for r in got.collect()}
     b = {(r["k"], r["uid"]): (r["s"], r["n"]) for r in ref.collect()}
     assert a == b
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=4, deadline=None)
+def test_range_agg_edge_thinning_bounds_carries(spark, seed):
+    """r8 verdict #5: on a coarse domain (30 distinct days, n_buckets
+    64) the raw sketch's duplicate edges cost ~4.3 carry copies/row.
+    The operator now thins edges to a minimum spacing of 2·lookback
+    first, so (a) results stay exactly the plain window's, and (b) no
+    row can carry into more than ONE extra bucket — verified here by
+    recomputing the operator's own carry expression against the
+    thinned edges."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.prefix import (
+        _thin_edges,
+        bucketed_range_agg,
+    )
+
+    rng = random.Random(seed)
+    lookback = rng.choice([2, 5])
+    rows = [
+        ("k" + str(i % 3), i, rng.randrange(0, 30), rng.randrange(1, 9))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "k string, uid long, t long, v long")
+    got = bucketed_range_agg(
+        df, "v", by=["k"], order_col="t", lookback=lookback,
+        out_col="s", count_col="n", n_buckets=64,
+    )
+    w = Window.partitionBy("k").orderBy("t").rangeBetween(-lookback, 0)
+    ref = df.withColumn("s", F.sum("v").over(w)).withColumn(
+        "n", F.count("*").over(w)
+    )
+    a = {(r["k"], r["uid"]): (r["s"], r["n"]) for r in got.collect()}
+    b = {(r["k"], r["uid"]): (r["s"], r["n"]) for r in ref.collect()}
+    assert a == b
+
+    # carry bound: for every group's thinned edge set, no length-
+    # lookback half-open window may contain two edges (spacing>=2·lb)
+    probs = [i / 64 for i in range(1, 64)]
+    edges = (
+        df.withColumn("__ok", F.col("t").cast("long"))
+        .groupBy("k")
+        .agg(
+            F.percentile_approx(
+                "__ok", F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+            ).alias("e")
+        )
+        .withColumn("e", _thin_edges(F.col("e"), 2 * lookback, True))
+        .collect()
+    )
+    assert edges
+    for r in edges:
+        es = r["e"]
+        assert es == sorted(set(es)), "thinned edges must be ascending+distinct"
+        assert all(b_ - a_ >= 2 * lookback for a_, b_ in zip(es, es[1:])), (
+            r["k"], es
+        )
+
+
+def test_thin_edges_unit_semantics(spark):
+    """_thin_edges keeps the first edge, enforces the spacing, drops
+    duplicates at spacing 0, and survives Long.MAX (try_add overflow ⟹
+    stop appending instead of raising under ANSI)."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.prefix import _thin_edges
+
+    LMAX = (1 << 63) - 1
+    cases = [
+        ([5, 5, 5, 10, 11, 12, 20], 4, [5, 10, 20]),
+        ([5, 5, 5, 10, 11, 12, 20], 0, [5, 10, 11, 12, 20]),
+        ([], 4, []),
+        ([7], 100, [7]),
+        # last kept edge near Long.MAX: last+spacing overflows → the
+        # remaining edges are silently (and exactly) dropped
+        ([LMAX - 1, LMAX], 4, [LMAX - 1]),
+    ]
+    df = spark.createDataFrame(
+        [(i, xs) for i, (xs, _, _) in enumerate(cases)],
+        "i long, xs array<long>",
+    )
+    got = {}
+    for i, (_, spacing, _) in enumerate(cases):
+        row = (
+            df.filter(F.col("i") == i)
+            .select(_thin_edges(F.col("xs"), spacing, True).alias("o"))
+            .collect()[0]
+        )
+        got[i] = row["o"]
+    for i, (_, _, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
