@@ -265,6 +265,7 @@ HEADLINE = [
     "w16_trailing_range_point_mass",
     "j12_skew_join_aqe",
     "j13_skew_join_salted",
+    "multimodal_tiff_pixels",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

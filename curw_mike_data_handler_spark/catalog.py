@@ -2907,7 +2907,7 @@ def multimodal_gif_anim_frames_q(spark, sf_dir):
     """
     WITH png AS (
         SELECT doc_id, 16 + doc_id % 240 AS w, 16 + doc_id % 135 AS h
-        FROM documents WHERE doc_id % 5 = 0
+        FROM documents WHERE doc_id % 6 = 0
     ),
     pngs AS (
         SELECT doc_id, w, h,
@@ -2917,7 +2917,7 @@ def multimodal_gif_anim_frames_q(spark, sf_dir):
     ),
     jp AS (
         SELECT doc_id, 2 + doc_id % 29 AS nbx, 2 + doc_id % 16 AS nby
-        FROM documents WHERE doc_id % 5 = 1
+        FROM documents WHERE doc_id % 6 = 1
     ),
     jps AS (
         SELECT doc_id, nbx, nby,
@@ -2951,7 +2951,7 @@ def multimodal_gif_anim_frames_q(spark, sf_dir):
            CAST((255 * 16 + 840) * (1 + doc_id % 8) * (1 + doc_id % 37)
                 AS BIGINT),
            CAST(255 AS BIGINT)
-    FROM documents WHERE doc_id % 5 = 2
+    FROM documents WHERE doc_id % 6 = 2
     UNION ALL
     SELECT doc_id,
            CAST(16 * (1 + doc_id % 6) AS BIGINT),
@@ -2963,23 +2963,35 @@ def multimodal_gif_anim_frames_q(spark, sf_dir):
                 + 33 * 16 * (1 + doc_id % 6) * 8 * (1 + doc_id % 5)
                   * (doc_id % 4) AS BIGINT),
            CAST(103 + 11 * (doc_id % 4) AS BIGINT)
-    FROM documents WHERE doc_id % 5 = 3
+    FROM documents WHERE doc_id % 6 = 3
+    UNION ALL
+    SELECT doc_id,
+           CAST(16 * (1 + doc_id % 5) AS BIGINT),
+           CAST(8 * (1 + doc_id % 7) AS BIGINT),
+           CAST(16 * (1 + doc_id % 5) * 8 * (1 + doc_id % 7) AS BIGINT),
+           CAST(3 * 8 * (1 + doc_id % 7) * (1 + doc_id % 5) * 120
+                + 3 * 16 * (1 + doc_id % 5) * (1 + doc_id % 7) * 56
+                + 111 * 16 * (1 + doc_id % 5) * 8 * (1 + doc_id % 7)
+                + 33 * 16 * (1 + doc_id % 5) * 8 * (1 + doc_id % 7)
+                  * (doc_id % 4) AS BIGINT),
+           CAST(103 + 11 * (doc_id % 4) AS BIGINT)
+    FROM documents WHERE doc_id % 6 = 4
     """,
 )
 def media_mixed_pixel_stats_q(spark, sf_dir):
     """Mixed-corpus media router, oracle-paired (r8 — the r7 verdict's
-    one `weak` promoted): every doc gets a REAL payload routed by
-    doc_id%5 — PNG / baseline JPEG / GIF89a / BMP, each carrying its
-    existing closed-form raster, and every 5th doc a NULL payload
-    (routine in a production media table) — and
-    `operators/multimodal.media_pixel_stats` dispatches each blob to
-    its decoder by MAGIC BYTES inside ONE Arrow-batched pass: the
-    single-scan alternative to unioning four per-format pipelines
-    (which would read the 100 TB payload column four times).  The
-    oracle recomputes each format's closed form and emits nothing for
-    the NULL fifth — a router that misdispatches, any decoder bit
-    error, or a NULL-payload crash (the r7 `bytes(None)` TypeError)
-    hash-fails or task-fails.
+    one `weak` promoted; TIFF added r9): every doc gets a REAL payload
+    routed by doc_id%6 — PNG / baseline JPEG / GIF89a / BMP / TIFF
+    (odd ids big-endian), each carrying its existing closed-form
+    raster, and every 6th doc a NULL payload (routine in a production
+    media table) — and `operators/multimodal.media_pixel_stats`
+    dispatches each blob to its decoder by MAGIC BYTES inside ONE
+    Arrow-batched pass: the single-scan alternative to unioning five
+    per-format pipelines (which would read the 100 TB payload column
+    five times).  The oracle recomputes each format's closed form and
+    emits nothing for the NULL sixth — a router that misdispatches,
+    any decoder bit error, or a NULL-payload crash (the r7
+    `bytes(None)` TypeError) hash-fails or task-fails.
 
     Scale shape: map-only (synthesize → route → decode fused in one
     Python-worker pass per split); zero shuffle; ≤1 row per doc."""
@@ -2990,6 +3002,49 @@ def media_mixed_pixel_stats_q(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return media_pixel_stats(synthesize_mixed_corpus(docs))
+
+
+@query(
+    "multimodal_tiff_pixels",
+    """
+    WITH p AS (
+        SELECT doc_id, 16 * (1 + doc_id % 5) AS w, 8 * (1 + doc_id % 7) AS h,
+               doc_id % 4 AS f
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(3 * h * (w // 16) * 120 + 3 * w * (h // 8) * 56
+                + 111 * w * h + 33 * w * h * f AS BIGINT) AS pixel_sum,
+           CAST(103 + 11 * f AS BIGINT) AS pixel_max
+    FROM p
+    """,
+)
+def multimodal_tiff_pixels_q(spark, sf_dir):
+    """REAL TIFF pixel decode (r9 — the last common still-image
+    container the router was missing): every doc gets a genuine
+    strip-organized TIFF 6.0 — header, multi-strip 8-bit RGB raster
+    (RowsPerStrip 8), IFD with inline AND out-of-line values, odd ids
+    in the MM (big-endian) byte order — decoded by
+    `operators/multimodal.decode_tiff_pixels` via `tiff_pixel_stats`
+    (Arrow-batched mapInPandas).  The raster is the `_dib_pixel_value`
+    closed form phased by doc_id%4, so the oracle recomputes each
+    image's exact sum/max — a wrong byte order, IFD walk, strip
+    offset, or inline-value justification hash-fails.  Hand-derived
+    header vectors additionally pin the encoder/decoder pair against
+    a shared-wrong convention
+    (tests/test_property_new_ops.py::test_tiff_hand_derived_vectors).
+
+    Scale shape: map-only, zero shuffle, one row per document."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        synthesize_tiff,
+        tiff_pixel_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return tiff_pixel_stats(synthesize_tiff(docs))
 
 
 # ---------------------------------------------------------------------------

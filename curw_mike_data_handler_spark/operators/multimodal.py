@@ -3171,17 +3171,283 @@ def bmp_pixel_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_stats, schema=PIXEL_STATS_SCHEMA)
 
 
+# -- TIFF: baseline 6.0, uncompressed strips (r9) ---------------------
+#
+# The last common still-image container absent from the router (r8
+# verdict #4).  Scope: TIFF 6.0 Baseline, Compression=1 (none),
+# 8-bit-per-sample RGB or grayscale, strip-organized (no tiles), first
+# IFD only — the overwhelmingly common archival/scan shape.  LZW/JPEG
+# -in-TIFF, tiles, planar configuration 2 and multi-IFD pyramids are
+# refused with None (documented non-goals, same policy as RLE BMP).
+
+_TIFF_II = b"II\x2a\x00"
+_TIFF_MM = b"MM\x00\x2a"
+
+
+def make_tiff(width: int, height: int, phase: int = 0,
+              big_endian: bool = False, rows_per_strip: int = 8) -> bytes:
+    """Real strip-organized TIFF 6.0: header, pixel strips, then the
+    IFD (ImageWidth/Length, BitsPerSample [8,8,8], Compression=1,
+    Photometric=2 RGB, StripOffsets/ByteCounts, SamplesPerPixel=3,
+    RowsPerStrip) with out-of-line arrays where the spec requires
+    them.  The raster is the `_dib_pixel_value` closed form (top-down
+    here, no row padding — TIFF strips are tightly packed), so the
+    per-image sum/max collapse to the same (w, h, phase) formula the
+    BMP oracle uses.  ``big_endian=True`` emits the MM byte order —
+    the decoder must honor both."""
+    import struct
+
+    import numpy as np
+
+    bo = ">" if big_endian else "<"
+    x = np.arange(width)
+    y = np.arange(height)
+    ch = np.arange(3)
+    vals = (
+        (x[None, :, None] % 16)
+        + 2 * (y[:, None, None] % 8)
+        + 37 * ch[None, None, :]
+        + 11 * (phase % 4)
+    ).astype(np.uint8)  # (h, w, 3) RGB, row 0 at top
+    raster = vals.reshape(height, width * 3)
+
+    rps = max(1, min(rows_per_strip, height))
+    strips = [
+        raster[y0 : y0 + rps].tobytes() for y0 in range(0, height, rps)
+    ]
+    n = len(strips)
+
+    data = b"".join(strips)
+    strip_offsets = []
+    pos = 8
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    # out-of-line value area sits between the strips and the IFD
+    bps_off = pos
+    pos += 6  # three SHORTs
+    if n > 1:
+        so_off = pos
+        pos += 4 * n
+        sc_off = pos
+        pos += 4 * n
+    ifd_off = pos
+
+    def entry(tag: int, typ: int, count: int, value4: bytes) -> bytes:
+        return struct.pack(bo + "HHI", tag, typ, count) + value4
+
+    def short1(v: int) -> bytes:
+        # values shorter than 4 bytes are LEFT-justified in the field
+        return struct.pack(bo + "HH", v, 0)
+
+    def long1(v: int) -> bytes:
+        return struct.pack(bo + "I", v)
+
+    entries = [
+        entry(256, 4, 1, long1(width)),
+        entry(257, 4, 1, long1(height)),
+        entry(258, 3, 3, long1(bps_off)),
+        entry(259, 3, 1, short1(1)),       # Compression = none
+        entry(262, 3, 1, short1(2)),       # Photometric = RGB
+        entry(
+            273, 4, n,
+            long1(strip_offsets[0]) if n == 1 else long1(so_off),
+        ),
+        entry(277, 3, 1, short1(3)),       # SamplesPerPixel
+        entry(278, 4, 1, long1(rps)),
+        entry(
+            279, 4, n,
+            long1(len(strips[0])) if n == 1 else long1(sc_off),
+        ),
+    ]
+    ifd = (
+        struct.pack(bo + "H", len(entries))
+        + b"".join(entries)
+        + struct.pack(bo + "I", 0)  # no next IFD
+    )
+    extra = struct.pack(bo + "HHH", 8, 8, 8)
+    if n > 1:
+        extra += struct.pack(bo + f"{n}I", *strip_offsets)
+        extra += struct.pack(bo + f"{n}I", *[len(s) for s in strips])
+    header = (_TIFF_MM if big_endian else _TIFF_II) + struct.pack(
+        bo + "I", ifd_off
+    )
+    return header + data + extra + ifd
+
+
+def decode_tiff_pixels(b: bytes) -> dict | None:
+    """REAL TIFF pixel decode: byte-order + magic-42 check, first-IFD
+    walk (SHORT/LONG entries, inline vs out-of-line values per the
+    left-justified 4-byte field rule), strip gather, tight-row unpack,
+    sum/max reduce.  Baseline uncompressed 8-bit RGB/grayscale only;
+    anything else (LZW/JPEG compression, tiles, 16-bit, planar=2,
+    short strips) returns None — never raises (one bad blob must not
+    kill a 100 TB batch)."""
+    if b is None:
+        return None
+    import struct
+
+    import numpy as np
+
+    try:
+        if b[:4] == _TIFF_II:
+            bo = "<"
+        elif b[:4] == _TIFF_MM:
+            bo = ">"
+        else:
+            return None
+        (ifd_off,) = struct.unpack(bo + "I", b[4:8])
+        if ifd_off + 2 > len(b):
+            return None
+        (n_entries,) = struct.unpack(bo + "H", b[ifd_off : ifd_off + 2])
+        if n_entries == 0 or ifd_off + 2 + 12 * n_entries + 4 > len(b):
+            return None
+
+        type_size = {3: 2, 4: 4}
+
+        def values(tag_type: int, count: int, field: bytes) -> list[int]:
+            sz = type_size.get(tag_type)
+            if sz is None or count == 0:
+                return []
+            fmt = "H" if tag_type == 3 else "I"
+            if sz * count <= 4:
+                return list(
+                    struct.unpack(bo + fmt * count, field[: sz * count])
+                )
+            (off,) = struct.unpack(bo + "I", field)
+            end = off + sz * count
+            if end > len(b):
+                return []
+            return list(struct.unpack(bo + fmt * count, b[off:end]))
+
+        tags: dict[int, list[int]] = {}
+        for i in range(n_entries):
+            e = ifd_off + 2 + 12 * i
+            tag, typ, count = struct.unpack(bo + "HHI", b[e : e + 8])
+            tags[tag] = values(typ, count, b[e + 8 : e + 12])
+
+        def one(tag: int, default: int | None = None) -> int | None:
+            v = tags.get(tag)
+            return v[0] if v else default
+
+        w, h = one(256), one(257)
+        if not w or not h or w <= 0 or h <= 0 or w * h > (1 << 26):
+            return None
+        if one(259, 1) != 1:       # compression
+            return None
+        if one(284, 1) != 1:       # planar configuration: chunky only
+            return None
+        spp = one(277, 1)
+        photometric = one(262)
+        if spp == 3:
+            if photometric != 2:
+                return None
+        elif spp == 1:
+            if photometric not in (0, 1):
+                return None
+        else:
+            return None
+        bps = tags.get(258, [1])
+        if len(bps) not in (1, spp) or any(x != 8 for x in bps):
+            return None
+        offs = tags.get(273, [])
+        counts = tags.get(279, [])
+        if not offs or len(offs) != len(counts):
+            return None
+        rps = one(278, h)
+        if not rps or rps <= 0:
+            return None
+        import math
+
+        if len(offs) != math.ceil(h / rps):
+            return None
+        total = w * h * spp
+        if sum(counts) != total:
+            return None
+        parts = []
+        for off, cnt in zip(offs, counts):
+            if off + cnt > len(b):
+                return None
+            parts.append(b[off : off + cnt])
+        px = np.frombuffer(b"".join(parts), dtype=np.uint8)
+        return {
+            "width": w,
+            "height": h,
+            "n_px": w * h,
+            "pixel_sum": int(px.sum(dtype=np.int64)),
+            "pixel_max": int(px.max()),
+        }
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _tiff_synth_args(mid: int) -> tuple[int, int, int, bool]:
+    """id → (width, height, phase, big_endian) for synthetic TIFFs:
+    width a multiple of 16 and height a multiple of 8 (closed-form
+    stats), odd ids big-endian so BOTH byte orders hit the driver
+    gate.  Shared by synthesize_tiff and synthesize_mixed_corpus."""
+    return 16 * (1 + mid % 5), 8 * (1 + mid % 7), mid % 4, bool(mid % 2)
+
+
+def synthesize_tiff(ids: DataFrame, id_col: str = "doc_id",
+                    parallelism: int | None = None) -> DataFrame:
+    """id column → (media_id, media_type, payload) with real TIFF
+    bytes, deterministic in the id (`_tiff_synth_args`), RowsPerStrip
+    8 so every image with height > 8 is genuinely multi-strip.
+    Map-only, like every synthesizer here."""
+    sc = ids.sparkSession.sparkContext
+    n = parallelism or min(sc.defaultParallelism, 16)
+    src = ids.select(F.col(id_col).cast("long").alias("media_id"))
+    if src.rdd.getNumPartitions() < n:
+        src = src.repartition(n)
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                make_tiff(*_tiff_synth_args(int(m))[:3],
+                          big_endian=_tiff_synth_args(int(m))[3])
+                for m in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "media_type": ["image/tiff"] * len(pdf),
+                 "payload": payloads}
+            )
+
+    return src.mapInPandas(_build, schema=MEDIA_SCHEMA)
+
+
+def tiff_pixel_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched TIFF pixel-stat extraction → PIXEL_STATS_SCHEMA
+    rows; non-TIFF rows are dropped.  Map-only, zero shuffle — the
+    same 100 TB scan shape as the other *_pixel_stats."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                st = (decode_tiff_pixels(bytes(payload))
+                      if payload is not None else None)
+                if st is not None:
+                    rows.append({"media_id": mid, **st})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_stats, schema=PIXEL_STATS_SCHEMA)
+
+
 def synthesize_mixed_corpus(ids: DataFrame, id_col: str = "doc_id",
                             parallelism: int | None = None) -> DataFrame:
     """id column → (media_id, media_type, payload) with a HETEROGENEOUS
     real-byte corpus — the shape `media_pixel_stats` exists for:
-    id%5 = 0 → PNG (the pixel-decode raster of `synthesize_media
+    id%6 = 0 → PNG (the pixel-decode raster of `synthesize_media
     (png_pixels=True)`), 1 → baseline JPEG (ditto jpeg_pixels), 2 →
     GIF89a (ditto synthesize_gif), 3 → BMP (ditto synthesize_bmp),
-    4 → a NULL payload (routine in a real 100 TB media table; the
-    router must drop it, never raise).  Each format keeps its
-    existing closed-form raster so one oracle covers the mix.
-    Map-only, like every synthesizer here."""
+    4 → TIFF (ditto synthesize_tiff, r9 — odd ids big-endian), 5 →
+    a NULL payload (routine in a real 100 TB media table; the router
+    must drop it, never raise).  Each format keeps its existing
+    closed-form raster so one oracle covers the mix.  Map-only, like
+    every synthesizer here."""
     sc = ids.sparkSession.sparkContext
     n = parallelism or min(sc.defaultParallelism, 16)
     src = ids.select(F.col(id_col).cast("long").alias("media_id"))
@@ -3194,7 +3460,7 @@ def synthesize_mixed_corpus(ids: DataFrame, id_col: str = "doc_id",
             payloads: list[bytes | None] = []
             for mid_ in pdf["media_id"]:
                 mid = int(mid_)
-                r = mid % 5
+                r = mid % 6
                 if r == 0:
                     kinds.append("image/png")
                     pw, ph = _img_synth_dims(mid)
@@ -3209,6 +3475,10 @@ def synthesize_mixed_corpus(ids: DataFrame, id_col: str = "doc_id",
                 elif r == 3:
                     kinds.append("image/bmp")
                     payloads.append(make_bmp(*_bmp_synth_args(mid)))
+                elif r == 4:
+                    kinds.append("image/tiff")
+                    tw, th, tf, tbe = _tiff_synth_args(mid)
+                    payloads.append(make_tiff(tw, th, tf, big_endian=tbe))
                 else:
                     kinds.append(None)
                     payloads.append(None)
@@ -3223,11 +3493,12 @@ def synthesize_mixed_corpus(ids: DataFrame, id_col: str = "doc_id",
 def media_pixel_stats(media: DataFrame) -> DataFrame:
     """Mixed-corpus image-stat extraction: route every payload to its
     decoder by MAGIC BYTES (PNG signature / JPEG SOI / GIF87a+89a /
-    BMP 'BM') inside ONE Arrow-batched pass → PIXEL_STATS_SCHEMA rows.
-    A real 100 TB media table is heterogeneous; this is the single-scan
-    alternative to unioning four per-format pipelines (which would
-    read the payload column four times).  Non-image / undecodable
-    rows are dropped.  Map-only, zero shuffle."""
+    BMP 'BM' / TIFF II*+MM*) inside ONE Arrow-batched pass →
+    PIXEL_STATS_SCHEMA rows.  A real 100 TB media table is
+    heterogeneous; this is the single-scan alternative to unioning
+    five per-format pipelines (which would read the payload column
+    five times).  Non-image / undecodable rows are dropped.
+    Map-only, zero shuffle."""
 
     def _route(payload: bytes):
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -3238,6 +3509,8 @@ def media_pixel_stats(media: DataFrame) -> DataFrame:
             return decode_gif_pixels(payload)
         if payload[:2] == b"BM":
             return decode_bmp_pixels(payload)
+        if payload[:4] in (_TIFF_II, _TIFF_MM):
+            return decode_tiff_pixels(payload)
         return None
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1719,10 +1719,20 @@ def test_decoders_never_raise_on_corrupted_streams(seed):
                  for _ in range(rng.randint(1, 3))]
     pool.append(make_jpeg_from_coefficients(8 * len(sof1_mcus), 8, sof1_mcus,
                                             extended=True))
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        make_tiff,
+    )
+
+    pool.append(make_tiff(rng.randint(1, 40), rng.randint(1, 30),
+                          phase=rng.randint(0, 3),
+                          big_endian=rng.random() < 0.5,
+                          rows_per_strip=rng.randint(1, 12)))
 
     decoders = (
         decode_png_pixels, decode_jpeg_pixels, decode_wav_samples,
         decode_gif_pixels, decode_bmp_pixels, decode_gif_frame_pixels,
+        decode_tiff_pixels,
         lambda p: decode_avi_frame_pixels(p, every_n=3),
         parse_avi_header, parse_media_header,
     )
@@ -3045,3 +3055,191 @@ def test_bmp_and_avi_survive_hostile_single_fields():
         # return None or an empty/filtered frame list, but never raise
         # and never fabricate pixel stats from impossible dims
         assert not out, (off, val, out)
+
+
+# ---------------------------------------------------------------------------
+# TIFF: baseline uncompressed strips (r9)
+
+
+def test_tiff_hand_derived_vectors():
+    """Codec twins must be pinned by HAND-PACKED byte vectors, not just
+    round-trip (the GIF LZW lesson: a shared-wrong convention
+    self-validates).  Two 2x1 images written out field by field from
+    the TIFF 6.0 spec — II with out-of-line BitsPerSample, MM with a
+    grayscale single sample (a shape make_tiff never emits) — must
+    decode to the exact pixels."""
+    import struct
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_tiff_pixels,
+    )
+
+    # --- little-endian 2x1 RGB, pixels (R,G,B) = (1,2,3),(4,5,6) ----
+    # layout: header(8) strip(6) bps(6) IFD
+    strip = bytes([1, 2, 3, 4, 5, 6])
+    bps_off = 8 + 6            # = 14
+    ifd_off = 14 + 6           # = 20
+    ent = lambda t, ty, c, v4: struct.pack("<HHI", t, ty, c) + v4
+    s2 = lambda v: struct.pack("<HH", v, 0)   # SHORT left-justified
+    l4 = lambda v: struct.pack("<I", v)
+    ifd = struct.pack("<H", 8) + b"".join([
+        ent(256, 3, 1, s2(2)),         # ImageWidth SHORT (inline)
+        ent(257, 4, 1, l4(1)),         # ImageLength LONG
+        ent(258, 3, 3, l4(bps_off)),   # BitsPerSample -> offset
+        ent(259, 3, 1, s2(1)),         # Compression = none
+        ent(262, 3, 1, s2(2)),         # Photometric = RGB
+        ent(273, 4, 1, l4(8)),         # StripOffsets (single, inline)
+        ent(277, 3, 1, s2(3)),         # SamplesPerPixel
+        ent(279, 4, 1, l4(6)),         # StripByteCounts
+    ]) + struct.pack("<I", 0)
+    ii = b"II\x2a\x00" + struct.pack("<I", ifd_off) + strip \
+        + struct.pack("<HHH", 8, 8, 8) + ifd
+    got = decode_tiff_pixels(ii)
+    assert got == {"width": 2, "height": 1, "n_px": 2,
+                   "pixel_sum": 21, "pixel_max": 6}, got
+
+    # --- big-endian 2x2 GRAYSCALE (BlackIsZero), two strips ---------
+    # pixels rows: [7, 9], [11, 250]; RowsPerStrip = 1
+    s1, s2b = bytes([7, 9]), bytes([11, 250])
+    # header(8) strips(2+2) offs(8) cnts(8) IFD
+    so_off, sc_off = 12, 20
+    ifd_off = 28
+    entb = lambda t, ty, c, v4: struct.pack(">HHI", t, ty, c) + v4
+    s2e = lambda v: struct.pack(">HH", v, 0)
+    l4e = lambda v: struct.pack(">I", v)
+    ifdb = struct.pack(">H", 9) + b"".join([
+        entb(256, 4, 1, l4e(2)),
+        entb(257, 4, 1, l4e(2)),
+        entb(258, 3, 1, s2e(8)),        # single SHORT, inline
+        entb(259, 3, 1, s2e(1)),
+        entb(262, 3, 1, s2e(1)),        # BlackIsZero grayscale
+        entb(273, 4, 2, l4e(so_off)),
+        entb(277, 3, 1, s2e(1)),
+        entb(278, 4, 1, l4e(1)),        # RowsPerStrip = 1
+    ]) + b"\x01\x17" + struct.pack(">HI", 4, 2) \
+        + struct.pack(">I", sc_off)     # 279 StripByteCounts LONG 2
+    # NOTE: entry above packed manually: tag 0x0117 (279), type 4,
+    # count 2, offset sc_off — spelled byte-for-byte on purpose
+    mm = b"MM\x00\x2a" + struct.pack(">I", ifd_off) + s1 + s2b \
+        + struct.pack(">II", 8, 10) + struct.pack(">II", 2, 2) \
+        + ifdb + struct.pack(">I", 0)
+    got = decode_tiff_pixels(mm)
+    assert got == {"width": 2, "height": 2, "n_px": 4,
+                   "pixel_sum": 277, "pixel_max": 250}, got
+
+
+def test_tiff_survives_hostile_single_fields():
+    """One pathological field in an otherwise-valid TIFF must map to
+    None, never raise or fabricate stats: unsupported compression,
+    16-bit samples, zero/absurd dims, short strips, zero RowsPerStrip,
+    planar configuration 2, IFD offset past EOF."""
+    import struct
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        make_tiff,
+    )
+
+    b = make_tiff(16, 16, rows_per_strip=8)  # II, 2 strips
+    assert decode_tiff_pixels(b) is not None
+
+    (ifd_off,) = struct.unpack("<I", b[4:8])
+    (n,) = struct.unpack("<H", b[ifd_off:ifd_off + 2])
+    field_off = {}
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        tag, = struct.unpack("<H", b[e:e + 2])
+        field_off[tag] = e
+
+    def flip(tag, typ, count, value4):
+        k = bytearray(b)
+        e = field_off[tag]
+        k[e:e + 12] = struct.pack("<HHI", tag, typ, count) + value4
+        return decode_tiff_pixels(bytes(k))
+
+    s2 = lambda v: struct.pack("<HH", v, 0)
+    l4 = lambda v: struct.pack("<I", v)
+    assert flip(259, 3, 1, s2(5)) is None          # LZW compression
+    assert flip(258, 3, 3, l4(10**6)) is None      # bps offset OOB
+    assert flip(256, 4, 1, l4(0)) is None          # width 0
+    assert flip(256, 4, 1, l4(1 << 25)) is None    # w*h over cap
+    assert flip(257, 4, 1, l4(0)) is None          # height 0
+    assert flip(277, 3, 1, s2(2)) is None          # 2 samples/px
+    assert flip(278, 4, 1, l4(0)) is None          # RowsPerStrip 0
+    assert flip(278, 4, 1, l4(3)) is None          # strip count mismatch
+
+    # planar configuration 2: make_tiff never writes tag 284, so build
+    # a 2x1 RGB II vector with an explicit planar entry — planar=1
+    # must decode (guard not vacuous), planar=2 must refuse
+    def planar_tiff(planar):
+        strip = bytes([1, 2, 3, 4, 5, 6])
+        bps_off, ifd_off = 14, 20
+        ent = lambda t, ty, c, v4: struct.pack("<HHI", t, ty, c) + v4
+        sv = lambda v: struct.pack("<HH", v, 0)
+        lv = lambda v: struct.pack("<I", v)
+        ifd = struct.pack("<H", 9) + b"".join([
+            ent(256, 3, 1, sv(2)),
+            ent(257, 4, 1, lv(1)),
+            ent(258, 3, 3, lv(bps_off)),
+            ent(259, 3, 1, sv(1)),
+            ent(262, 3, 1, sv(2)),
+            ent(273, 4, 1, lv(8)),
+            ent(277, 3, 1, sv(3)),
+            ent(279, 4, 1, lv(6)),
+            ent(284, 3, 1, sv(planar)),
+        ]) + struct.pack("<I", 0)
+        return (b"II\x2a\x00" + struct.pack("<I", ifd_off) + strip
+                + struct.pack("<HHH", 8, 8, 8) + ifd)
+
+    assert decode_tiff_pixels(planar_tiff(1)) is not None
+    assert decode_tiff_pixels(planar_tiff(2)) is None
+    # 16-bit samples: patch the out-of-line bps array instead
+    (bps_ptr,) = struct.unpack("<I", b[field_off[258] + 8:field_off[258] + 12])
+    k = bytearray(b)
+    k[bps_ptr:bps_ptr + 6] = struct.pack("<HHH", 16, 16, 16)
+    assert decode_tiff_pixels(bytes(k)) is None
+    # IFD offset past EOF
+    k = bytearray(b)
+    k[4:8] = struct.pack("<I", len(b) + 100)
+    assert decode_tiff_pixels(bytes(k)) is None
+    # truncated final strip (shrink the last byte count)
+    e279 = field_off[279]
+    typ, cnt = struct.unpack("<HI", b[e279 + 2:e279 + 8])
+    (ptr,) = struct.unpack("<I", b[e279 + 8:e279 + 12])
+    k = bytearray(b)
+    (last,) = struct.unpack("<I", b[ptr + 4 * (cnt - 1):ptr + 4 * cnt])
+    k[ptr + 4 * (cnt - 1):ptr + 4 * cnt] = struct.pack("<I", last - 3)
+    assert decode_tiff_pixels(bytes(k)) is None
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=25, deadline=None)
+def test_tiff_roundtrip_matches_independent_raster(seed):
+    """make_tiff → decode_tiff_pixels equals an independent numpy
+    recomputation of the closed form for random dims / phase / byte
+    order / strip heights (incl. single-strip and strip-per-row)."""
+    import random
+
+    import numpy as np
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        make_tiff,
+    )
+
+    rng = random.Random(seed)
+    w, h = rng.randint(1, 50), rng.randint(1, 40)
+    f = rng.randint(0, 3)
+    be = rng.random() < 0.5
+    rps = rng.choice([1, 3, 8, h, 10**6])
+    got = decode_tiff_pixels(make_tiff(w, h, f, big_endian=be,
+                                       rows_per_strip=rps))
+    x = np.arange(w)
+    y = np.arange(h)
+    ch = np.arange(3)
+    vals = ((x[None, :, None] % 16) + 2 * (y[:, None, None] % 8)
+            + 37 * ch[None, None, :] + 11 * (f % 4))
+    assert got == {
+        "width": w, "height": h, "n_px": w * h,
+        "pixel_sum": int(vals.sum()), "pixel_max": int(vals.max()),
+    }, (w, h, f, be, rps, got)
