@@ -266,6 +266,9 @@ HEADLINE = [
     "j12_skew_join_aqe",
     "j13_skew_join_salted",
     "multimodal_tiff_pixels",
+    "stream_interval_join_replay",
+    "stream_dedup_watermark_replay",
+    "stream_asof_spine_replay",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -15400,6 +15400,200 @@ def j13_skew_join_salted(spark, sf_dir):
     )
 
 
+# -- streaming semantics, driver-gated via micro-batch replay (r9) ---
+#
+# Each query below runs a REAL Structured Streaming job inside the
+# gate: the input table is re-written as several parquet files,
+# re-read one file per trigger (availableNow), pushed through the
+# streaming plan, and sunk to memory (streaming/replay.py) — then
+# value-compared against the plain-SQL batch formulation by the
+# driver's DuckDB oracle.  Watermarks at the gate exceed the replayed
+# span (determinism: no row is ever late, state never evicts early);
+# the tight-watermark bounded-state regime is exercised by the
+# checkpoint-restart e2e tests in tests/test_streaming.py.
+
+
+@query(
+    "stream_interval_join_replay",
+    """
+    WITH v AS (
+        SELECT user_id, event_id AS v_id, ts AS v_ts
+        FROM events WHERE event_type = 'view'
+    ), b AS (
+        SELECT user_id, event_id AS b_id, ts AS b_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, v.v_id, b.b_id,
+           CAST((epoch_us(b.b_ts) - epoch_us(v.v_ts)) // 1000000
+                AS BIGINT) AS lag_sec
+    FROM v JOIN b
+      ON v.user_id = b.user_id
+     AND b.b_ts >= v.v_ts
+     AND b.b_ts <= v.v_ts + INTERVAL 720 MINUTE
+    """,
+)
+def stream_interval_join_replay(spark, sf_dir):
+    """Stream-stream interval join, driver-gated (r8 verdict #1): two
+    live branches of the events feed (views, purchases) join directly
+    on user_id + a bounded time range — the reference only ever joins
+    its observation streams after landing them in MySQL
+    (extract_water_level.py re-reads rainfall context from the DB);
+    here the two streams match in flight, and the range bound plus
+    two-sided watermarks (streaming/joins.stream_interval_join) keep
+    the join state finite on an unbounded feed.  The replay harness
+    runs the real streaming job (4 files, 1 per trigger — purchases
+    routinely arrive in earlier/later micro-batches than the views
+    they match, so cross-batch state is genuinely exercised) and the
+    oracle is the plain batch join over the full input.
+
+    Scale shape: both sides shuffle once on hash(user_id); state per
+    key is bounded by (arrival rate × watermark horizon)."""
+    from curw_mike_data_handler_spark.streaming.joins import (
+        stream_interval_join,
+    )
+    from curw_mike_data_handler_spark.streaming.replay import (
+        replay_file_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    ).filter(F.col("event_type").isin("view", "purchase"))
+
+    def plan(stream):
+        v = stream.filter(F.col("event_type") == "view").select(
+            "user_id",
+            F.col("event_id").alias("v_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        b = stream.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("b_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        j = stream_interval_join(
+            v, b, ["user_id"], "v_ts", "b_ts",
+            max_lag_minutes=720, watermark="90 days",
+        )
+        return j.select(
+            "user_id", "v_id", "b_id",
+            ((F.unix_micros("b_ts") - F.unix_micros("v_ts"))
+             / F.lit(1_000_000)).cast("long").alias("lag_sec"),
+        )
+
+    return replay_file_stream(spark, ev, plan)
+
+
+@query(
+    "stream_dedup_watermark_replay",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_watermark_replay(spark, sf_dir):
+    """dropDuplicatesWithinWatermark, driver-gated (r8 verdict #1):
+    the events feed is replayed with every third event DUPLICATED into
+    a different file (an at-least-once source retrying — the
+    reference's cron re-runs produce exactly this, absorbed there by
+    MySQL upsert keys, extract_water_level.py:88-96), and the stream
+    stage admits each event_id exactly once with state that a
+    production watermark frees after the late-data horizon
+    (streaming/dedupe.dedup_stream).  The oracle is the per-type
+    rollup of the ORIGINAL table: if the stream failed to drop the
+    injected replays (or dropped too much), counts and exact cent
+    sums diverge.  The rollup itself runs as a batch aggregate over
+    the sink table — the attested semantics are the dedup's."""
+    from curw_mike_data_handler_spark.streaming.dedupe import dedup_stream
+    from curw_mike_data_handler_spark.streaming.replay import (
+        replay_file_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    fed = ev.unionAll(ev.filter(F.col("event_id") % 3 == 0))
+
+    def plan(stream):
+        return dedup_stream(
+            stream, key_cols=["event_id"], time_col="ts",
+            watermark="90 days",
+        )
+
+    admitted = replay_file_stream(spark, fed, plan, n_files=6)
+    return admitted.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).alias("value_cents"),
+    )
+
+
+@query(
+    "stream_asof_spine_replay",
+    """
+    WITH e AS (
+        SELECT user_id, ts, value, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'view'
+    ), x AS (
+        SELECT user_id, ts, value, t,
+               ((t + 21600000000 - 1) // 21600000000 + unnest(range(0, 2)))
+                   * 21600000000 AS slot_us
+        FROM e
+    ), r AS (
+        SELECT user_id, slot_us, value, ts,
+               row_number() OVER (PARTITION BY user_id, slot_us
+                                  ORDER BY t DESC, value DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id, slot_us) AS n_obs
+        FROM x
+    )
+    SELECT user_id,
+           strftime(make_timestamp(slot_us), '%Y-%m-%d %H:%M:%S') AS slot,
+           value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS obs_time,
+           CAST(n_obs AS BIGINT) AS n_obs
+    FROM r WHERE rn = 1
+    """,
+)
+def stream_asof_spine_replay(spark, sf_dir):
+    """Stream-side as-of spine join, driver-gated (r8 verdict #1): per
+    (user, 6-hour grid point), the latest view at or before the point
+    within 2 grid steps — the reference's model-input spine fill
+    (latest DB row at each 15-min grid slot, re-done per cron tick)
+    as a CONTINUOUS query.  The as-of inverts into a narrow slot
+    expansion + a windowed max_by (streaming/asof_spine.py): no
+    streaming join at all, ONE shuffle on (key, window), append-able
+    under a watermark.  The replay runs it in complete mode with a
+    span-exceeding watermark; the oracle recomputes the argmax per
+    slot over the full input (ties broken (time, value) — identical
+    composite in both engines)."""
+    from curw_mike_data_handler_spark.streaming.asof_spine import (
+        stream_asof_spine,
+    )
+    from curw_mike_data_handler_spark.streaming.replay import (
+        replay_file_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    ).select("user_id", "ts", "value")
+
+    def plan(stream):
+        return stream_asof_spine(
+            stream, key_cols=["user_id"], time_col="ts",
+            value_col="value", step_minutes=360, tolerance_steps=2,
+        )
+
+    out = replay_file_stream(spark, ev, plan, output_mode="complete")
+    return out.select(
+        "user_id",
+        _fmt("slot").alias("slot"),
+        "value",
+        _fmt("obs_time").alias("obs_time"),
+        "n_obs",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -124,3 +124,94 @@ def test_static_overwrite_truncates_whole_table(spark, sf_dir, tmp_path):
         for r in read_pruned(spark, path).select("event_date").distinct().collect()
     )
     assert left == [days[0]]
+
+
+def test_append_bucketed_keeps_zero_exchange_join_and_bounds_files(spark):
+    """Incremental bucketed maintenance (r9 roadmap #7): N appends keep
+    the SAME exchange-free join plan as a fresh write, file count per
+    bucket stays bounded by the compaction threshold, and compaction
+    preserves every row."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.sources.bucketed import (
+        _bucket_spec,
+        _files_per_bucket,
+        append_bucketed,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    def join_plan():
+        joined = read_bucketed(spark, "bk_fact").join(
+            read_bucketed(spark, "bk_dim"), "k"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        return joined, buf.getvalue()
+
+    base = spark.range(0, 2_000).selectExpr("id AS k", "id * 2 AS v")
+    dim = spark.range(0, 2_000).selectExpr("id AS k", "id * 3 AS w")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(base, "bk_fact", bucket_cols="k", num_buckets=4,
+                       sort_cols="k")
+        write_bucketed(dim, "bk_dim", bucket_cols="k", num_buckets=4,
+                       sort_cols="k")
+
+        # 3 appends under the threshold: no compaction, plan unchanged
+        for i in range(1, 4):
+            batch = spark.range(2_000 * i, 2_000 * (i + 1)).selectExpr(
+                "id AS k", "id * 2 AS v"
+            )
+            compacted = append_bucketed(
+                spark, batch, "bk_fact", compact_files_per_bucket=8
+            )
+            assert compacted is False
+        joined, plan = join_plan()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == 2_000  # dim only covers the base range
+        assert read_bucketed(spark, "bk_fact").count() == 8_000
+
+        _, _, _, loc = _bucket_spec(spark, "bk_fact")
+        per = _files_per_bucket(loc)
+        assert per and max(per.values()) >= 4  # 1 initial + 3 appends
+
+        # one more append with a tight threshold triggers compaction
+        batch = spark.range(8_000, 9_000).selectExpr("id AS k", "id * 2 AS v")
+        assert append_bucketed(
+            spark, batch, "bk_fact", compact_files_per_bucket=3
+        ) is True
+        _, _, _, loc = _bucket_spec(spark, "bk_fact")
+        per = _files_per_bucket(loc)
+        assert per and max(per.values()) == 1, per  # fully compacted
+        # every row survived, bucketing metadata intact, plan unchanged
+        assert read_bucketed(spark, "bk_fact").count() == 9_000
+        got = {r["k"] for r in read_bucketed(spark, "bk_fact").collect()}
+        assert got == set(range(9_000))
+        joined, plan = join_plan()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == 2_000
+
+        # sort-within-bucket metadata survived the swap
+        cols, n, sort, _ = _bucket_spec(spark, "bk_fact")
+        assert (cols, n, sort) == (["k"], 4, ["k"])
+
+        # a mismatched-schema append is refused loudly
+        bad = spark.range(0, 10).selectExpr("id AS not_k", "id AS v")
+        try:
+            append_bucketed(spark, bad, "bk_fact")
+            raise AssertionError("mismatched append must raise")
+        except ValueError as e:
+            assert "bucket/sort columns" in str(e)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_fact")
+        spark.sql("DROP TABLE IF EXISTS bk_dim")
+        spark.sql("DROP TABLE IF EXISTS bk_fact__compacting")

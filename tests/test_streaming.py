@@ -637,3 +637,84 @@ def test_apws_latest_version_store_advances_and_survives_restart(spark, tmp_path
     emitted.clear()
     run([("a", 3, 1.5), ("b", 5, 4.0)], "t2")
     assert emitted == []
+
+
+def test_stream_asof_spine_append_mode_across_restarts(spark, tmp_path):
+    """Stream-side as-of spine (r9): in APPEND mode with a tight
+    watermark, each (key, grid point) emits exactly once when the
+    watermark passes it, late observations beyond the horizon are
+    dropped, and a restart from the checkpoint resumes without
+    re-emitting finalized slots."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.streaming.asof_spine import (
+        stream_asof_spine,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = []
+
+    def sink(batch_df, batch_id):
+        out.extend(
+            (r["tms_id"], str(r["slot"]), r["value"], str(r["obs_time"]))
+            for r in batch_df.collect()
+        )
+
+    def tick():
+        stream = stream_asof_spine(
+            stream_csv_dir(spark, str(inbox), SCHEMA, header=False),
+            key_cols=["tms_id"],
+            time_col="time",
+            value_col="value",
+            step_minutes=15,
+            tolerance_steps=2,
+            watermark="20 minutes",
+        )
+        run_available_now(stream, ckpt, sink)
+
+    # slot 00:15 gets obs 00:05 and 00:14 (latest wins); slot 00:30 is
+    # served by 00:14 via tolerance_steps=2; 02:00 pushes the watermark
+    # past both
+    _write(inbox / "a.csv", [("s1", "2020-05-22 00:05:00", 1.0),
+                             ("s1", "2020-05-22 00:14:00", 2.0),
+                             ("s1", "2020-05-22 02:00:00", 9.0)])
+    tick()
+    got = {(k, s): (v, t) for k, s, v, t in out}
+    assert got[("s1", "2020-05-22 00:15:00")] == (2.0, "2020-05-22 00:14:00")
+    assert got[("s1", "2020-05-22 00:30:00")] == (2.0, "2020-05-22 00:14:00")
+    n_first = len(out)
+
+    # restart (same checkpoint): a late row for the finalized 00:15
+    # slot is beyond the watermark → dropped; a fresh row advances the
+    # watermark and finalizes its own slots; nothing re-emits
+    _write(inbox / "b.csv", [("s1", "2020-05-22 00:10:00", 99.0),
+                             ("s1", "2020-05-22 04:00:00", 7.0)])
+    tick()
+    keys = [(k, s) for k, s, _, _ in out]
+    assert len(keys) == len(set(keys)), f"slot re-emitted: {out}"
+    got = {(k, s): (v, t) for k, s, v, t in out}
+    assert got[("s1", "2020-05-22 00:15:00")] == (2.0, "2020-05-22 00:14:00")
+    # 02:00's slots finalized by the 04:00 watermark push
+    assert got[("s1", "2020-05-22 02:00:00")] == (9.0, "2020-05-22 02:00:00")
+    assert len(out) > n_first
+
+    # batch equivalence on the finalized prefix: the same operator run
+    # as a plain batch over the non-late rows agrees on every emitted slot
+    batch_rows = [("s1", "2020-05-22 00:05:00", 1.0),
+                  ("s1", "2020-05-22 00:14:00", 2.0),
+                  ("s1", "2020-05-22 02:00:00", 9.0),
+                  ("s1", "2020-05-22 04:00:00", 7.0)]
+    bdf = spark.createDataFrame(
+        batch_rows, "tms_id string, time string, value double"
+    ).withColumn("time", F.to_timestamp("time"))
+    batch = {
+        (r["tms_id"], str(r["slot"])): (r["value"], str(r["obs_time"]))
+        for r in stream_asof_spine(
+            bdf, key_cols=["tms_id"], time_col="time", value_col="value",
+            step_minutes=15, tolerance_steps=2,
+        ).collect()
+    }
+    for k, v in got.items():
+        assert batch[k] == v, (k, v, batch[k])
