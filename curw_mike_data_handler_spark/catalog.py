@@ -2982,7 +2982,8 @@ def media_mixed_pixel_stats_q(spark, sf_dir):
     """Mixed-corpus media router, oracle-paired (r8 — the r7 verdict's
     one `weak` promoted; TIFF added r9): every doc gets a REAL payload
     routed by doc_id%6 — PNG / baseline JPEG / GIF89a / BMP / TIFF
-    (odd ids big-endian), each carrying its existing closed-form
+    (every other one big-endian, via doc_id//6 since the residue pins
+    parity), each carrying its existing closed-form
     raster, and every 6th doc a NULL payload (routine in a production
     media table) — and `operators/multimodal.media_pixel_stats`
     dispatches each blob to its decoder by MAGIC BYTES inside ONE
@@ -15326,16 +15327,11 @@ def _skewed_fact(spark, sf_dir):
     )
 
 
-def _skew_join_agg(fact, dim):
-    """The j12 join+rollup shape, factored so the plan guard can feed
-    it a MULTI-FILE copy of the same fact: AQE's skew split works at
-    mapper-block granularity, and the sf0.01 gate's single-row-group
-    parquet gives the hot partition exactly one source block — correct
-    but unsplittable at that size.  The guard rewrites the fact as
-    multiple files (what a production scan looks like) and asserts the
-    split fires on this exact shape."""
-    j = fact.join(dim.hint("merge"), fact["hot_key"] == dim["c_custkey"])
-    return j.groupBy("c_mktsegment").agg(
+def _skew_rollup(joined):
+    """The shared per-segment rollup over the (fact x customer) join —
+    ONE definition for both skew queries so their results can never
+    drift from the shared _SKEW_SQL oracle."""
+    return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_rows"),
         F.sum(_cents("value")).alias("value_cents"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
@@ -15344,6 +15340,19 @@ def _skew_join_agg(fact, dim):
         "n_rows",
         "value_cents",
         "n_users",
+    )
+
+
+def _skew_join_agg(fact, dim):
+    """The j12 join+rollup shape, factored so the plan guard can feed
+    it a MULTI-FILE copy of the same fact: AQE's skew split works at
+    mapper-block granularity, and the sf0.01 gate's single-row-group
+    parquet gives the hot partition exactly one source block — correct
+    but unsplittable at that size.  The guard rewrites the fact as
+    multiple files (what a production scan looks like) and asserts the
+    split fires on this exact shape."""
+    return _skew_rollup(
+        fact.join(dim.hint("merge"), fact["hot_key"] == dim["c_custkey"])
     )
 
 
@@ -15360,8 +15369,10 @@ def j12_skew_join_aqe(spark, sf_dir):
     feeds the same shape a multi-file fact; see _skew_join_agg on why
     the gate's single-block scan can't split).  The semantics are
     identical with or without the split, which is exactly the AQE
-    contract (runtime re-plan, same result)."""
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    contract (runtime re-plan, same result).  Skew handling is ON by
+    default in Spark 3.x/4.x sessions with AQE (which _prep asserts);
+    the query deliberately does NOT flip the conf itself — a catalog
+    query must not mutate session state other queries then inherit."""
     fact = _skewed_fact(spark, sf_dir)
     dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return _skew_join_agg(fact, dim)
@@ -15385,18 +15396,11 @@ def j13_skew_join_salted(spark, sf_dir):
         .select("c_custkey", "c_mktsegment")
         .hint("merge")
     )
-    j = salted_equi_join(
-        fact, dim, "hot_key", "c_custkey", n_salts=8, salt_source="user_id"
-    )
-    return j.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_rows"),
-        F.sum(_cents("value")).alias("value_cents"),
-        F.countDistinct("user_id").cast("long").alias("n_users"),
-    ).select(
-        F.col("c_mktsegment").alias("mktsegment"),
-        "n_rows",
-        "value_cents",
-        "n_users",
+    return _skew_rollup(
+        salted_equi_join(
+            fact, dim, "hot_key", "c_custkey", n_salts=8,
+            salt_source="user_id",
+        )
     )
 
 

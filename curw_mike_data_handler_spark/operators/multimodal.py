@@ -3404,8 +3404,9 @@ def synthesize_tiff(ids: DataFrame, id_col: str = "doc_id",
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
-                make_tiff(*_tiff_synth_args(int(m))[:3],
-                          big_endian=_tiff_synth_args(int(m))[3])
+                # (width, height, phase, big_endian) — make_tiff's
+                # leading positional args
+                make_tiff(*_tiff_synth_args(int(m)))
                 for m in pdf["media_id"]
             ]
             yield pd.DataFrame(
@@ -3443,11 +3444,15 @@ def synthesize_mixed_corpus(ids: DataFrame, id_col: str = "doc_id",
     id%6 = 0 → PNG (the pixel-decode raster of `synthesize_media
     (png_pixels=True)`), 1 → baseline JPEG (ditto jpeg_pixels), 2 →
     GIF89a (ditto synthesize_gif), 3 → BMP (ditto synthesize_bmp),
-    4 → TIFF (ditto synthesize_tiff, r9 — odd ids big-endian), 5 →
-    a NULL payload (routine in a real 100 TB media table; the router
-    must drop it, never raise).  Each format keeps its existing
-    closed-form raster so one oracle covers the mix.  Map-only, like
-    every synthesizer here."""
+    4 → TIFF (ditto synthesize_tiff, r9), 5 → a NULL payload (routine
+    in a real 100 TB media table; the router must drop it, never
+    raise).  Each arm's residue pins id parity, so the parity-derived
+    variation bits (GIF interlace, TIFF byte order) are taken from
+    id//6 instead — every other GIF in the mix interlaced, every other
+    TIFF big-endian; the stats are variation-invariant so the oracle
+    is unchanged.  Each format keeps its existing closed-form raster
+    so one oracle covers the mix.  Map-only, like every synthesizer
+    here."""
     sc = ids.sparkSession.sparkContext
     n = parallelism or min(sc.defaultParallelism, 16)
     src = ids.select(F.col(id_col).cast("long").alias("media_id"))
@@ -3471,14 +3476,25 @@ def synthesize_mixed_corpus(ids: DataFrame, id_col: str = "doc_id",
                     payloads.append(make_jpeg(jw, jh, pixels=True))
                 elif r == 2:
                     kinds.append("image/gif")
-                    payloads.append(make_gif(*_gif_synth_args(mid)))
+                    gw, gh, _ = _gif_synth_args(mid)
+                    # mid % 6 == 2 pins mid's parity, so the
+                    # parity-derived variation bits must come from
+                    # mid // 6 here or the mixed corpus would never
+                    # exercise interlaced GIFs / big-endian TIFFs
+                    # (stats are variation-invariant: oracle unchanged)
+                    payloads.append(
+                        make_gif(gw, gh, interlace=bool((mid // 6) % 2))
+                    )
                 elif r == 3:
                     kinds.append("image/bmp")
                     payloads.append(make_bmp(*_bmp_synth_args(mid)))
                 elif r == 4:
                     kinds.append("image/tiff")
-                    tw, th, tf, tbe = _tiff_synth_args(mid)
-                    payloads.append(make_tiff(tw, th, tf, big_endian=tbe))
+                    tw, th, tf, _ = _tiff_synth_args(mid)
+                    payloads.append(
+                        make_tiff(tw, th, tf,
+                                  big_endian=bool((mid // 6) % 2))
+                    )
                 else:
                     kinds.append(None)
                     payloads.append(None)

@@ -56,7 +56,13 @@ def salted_equi_join(
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     seed = F.col(salt_source) if salt_source else F.xxhash64(*fact.columns)
-    f = fact.withColumn("_salt", F.pmod(seed.cast("long"), F.lit(n_salts)).cast("int"))
+    # NULL seed → salt 0, NOT a NULL salt: pmod(NULL) is NULL and a
+    # NULL salt never equals the dim side's, silently dropping the row
+    # from an inner join the plain equi join would keep
+    salt = F.coalesce(
+        F.pmod(seed.cast("long"), F.lit(n_salts)), F.lit(0)
+    ).cast("int")
+    f = fact.withColumn("_salt", salt)
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))

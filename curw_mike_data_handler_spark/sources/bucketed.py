@@ -69,7 +69,10 @@ def _bucket_spec(spark: SparkSession, table: str) -> tuple[list[str], int, list[
 
     rows = {r["col_name"]: r["data_type"]
             for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()}
-    n = int(rows["Num Buckets"])
+    # a non-bucketed table has no 'Num Buckets' row at all — report
+    # that as the empty spec so append_bucketed can raise its explicit
+    # error instead of an opaque KeyError
+    n = int(rows["Num Buckets"]) if "Num Buckets" in rows else 0
     cols = re.findall(r"`([^`]+)`", rows.get("Bucket Columns", ""))
     sort = re.findall(r"`([^`]+)`", rows.get("Sort Columns", ""))
     loc = rows["Location"]
@@ -78,10 +81,25 @@ def _bucket_spec(spark: SparkSession, table: str) -> tuple[list[str], int, list[
 
 def _files_per_bucket(location: str) -> dict[int, int]:
     """Bucket id → file count, from the bucket id Spark embeds in every
-    bucketed file name (``part-...._NNNNN.c000...``)."""
+    bucketed file name (``part-...._NNNNN.c000...``).
+
+    Driver-local filesystems only: for a remote location (hdfs://,
+    s3a://, …) this returns {} and logs a warning — the caller's
+    compaction trigger then never fires, which must be VISIBLE, not
+    silent (run compaction on a schedule there, or move the table to a
+    lakehouse format whose maintenance is native)."""
+    import logging
     import os
     import re
 
+    if "://" in location and not location.startswith("file://"):
+        logging.getLogger(__name__).warning(
+            "append_bucketed file-count maintenance needs a local table "
+            "location; %s is remote — compaction will never "
+            "auto-trigger, schedule it explicitly",
+            location,
+        )
+        return {}
     path = location.removeprefix("file://") if location.startswith("file://") \
         else location.removeprefix("file:")
     out: dict[int, int] = {}

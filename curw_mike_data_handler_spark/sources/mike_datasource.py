@@ -333,12 +333,17 @@ class MikeResultsStreamReader(DataSourceStreamReader):
             # batches: name-range re-listing — deterministic only under
             # the producers' monotonic-name contract
             files = [f for f in listed if lo < os.path.basename(f) <= hi]
-            if "capped_n" in end:
+            if "capped_n" in end and lo == end.get("base", ""):
                 # capped batches carry a count+signature of the list
                 # planned at latestOffset time, so a divergent replay
                 # (stragglers arrived after planning, or files lost)
                 # is DETECTED instead of silently weakening the
-                # exactly-once contract (ADVICE r8)
+                # exactly-once contract (ADVICE r8).  The recorded
+                # fingerprint covers exactly (base, hi]; a plan whose
+                # start differs (restart resequencing) re-lists a
+                # different range, so the check would false-alarm —
+                # skip it there, like the recorded-list path's
+                # lo < base supplement
                 names = sorted(os.path.basename(f) for f in files)
                 got_n, got_sig = len(names), _batch_sig(names)
                 if got_n != end["capped_n"] or got_sig != end.get("capped_sig"):

@@ -43,8 +43,14 @@ def slot_ends(time_col: Column, step_minutes: int, tolerance_steps: int) -> Colu
     step_us = step_minutes * 60_000_000
     t = F.unix_micros(time_col)
     # right-closed ceil: grid point g serves observations in
-    # (g - step, g], so the first served slot is ceil(t / step) * step
-    first = -F.floor(-t / F.lit(step_us)) * step_us
+    # (g - step, g], so the first served slot is ceil(t / step) * step.
+    # EXACT long arithmetic — a double division (floor(t/step)) can
+    # round across an integer at large epochs and assign a row one
+    # slot early (the FP-ceil hazard prefix.py documents).  t + step
+    # cannot overflow for any real timestamp (epoch micros ≈ 1.7e15
+    # ≪ 2^63).
+    biased = t + F.lit(step_us - 1)
+    first = biased - F.pmod(biased, F.lit(step_us))
     return F.transform(
         F.sequence(F.lit(0), F.lit(tolerance_steps - 1)),
         lambda i: F.timestamp_micros(

@@ -54,7 +54,12 @@ def replay_file_stream(
 
     The memory sink is driver-resident by design — callers aggregate or
     bound their streaming output; an unbounded result belongs in a file
-    sink, not a gate query."""
+    sink, not a gate query.  Both the temp parquet copy and the memory
+    sink are released before returning (the result is re-materialized
+    as a local DataFrame) so repeated invocations — the bench runs each
+    replay query twice per pass — don't grow disk or driver heap."""
+    import shutil
+
     base = tempfile.mkdtemp(prefix="cm_replay_")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
@@ -78,4 +83,8 @@ def replay_file_stream(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    sink = spark.table(name)
+    result = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(base, ignore_errors=True)
+    return result

@@ -334,3 +334,39 @@ def test_stream_offset_file_list_is_capped(tmp_path):
     r2 = MikeResultsStreamReader({"path": str(d), "pattern": "*.csv"})
     off2 = r2.latestOffset()
     assert off2["batch"] == sorted(names + ["r_03b.csv"]) and off2["base"] == ""
+
+
+def test_capped_offset_divergence_check_skips_foreign_start(tmp_path):
+    """The capped fingerprint covers exactly (base, hi]; planning the
+    same end offset from a DIFFERENT start (restart resequencing)
+    re-lists a different range and must NOT false-alarm."""
+    import logging
+
+    d = tmp_path / "run"
+    d.mkdir()
+    names = [f"r_{i:02d}.csv" for i in range(8)]
+    for name in names:
+        _write_wide(str(d / name), 1)
+    r = MikeResultsStreamReader({"path": str(d), "pattern": "*.csv"})
+    r.MAX_RECORDED_BATCH = 5
+    off = r.latestOffset()
+    assert off["base"] == "" and off["capped_n"] == 8
+
+    logger = logging.getLogger(
+        "curw_mike_data_handler_spark.sources.mike_datasource"
+    )
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    logger.addHandler(handler)
+    try:
+        # start != base: only (r_03.csv, hi] is planned — 4 files, not
+        # the recorded 8; the fingerprint doesn't cover this range
+        parts = r.partitions({"last": "r_03.csv"}, off)
+        planned = {p.file.split("/")[-1] for p in parts if p.file}
+        assert planned == set(names[4:])
+        assert not any(
+            "replay divergence" in rec.getMessage() for rec in records
+        ), [rec.getMessage() for rec in records]
+    finally:
+        logger.removeHandler(handler)

@@ -176,3 +176,32 @@ def test_catalog_salted_join_spreads_hot_key(spark):
     assert total > 0
     assert len(per_part) >= 4, f"hot key landed in only {len(per_part)} partitions"
     assert max(r["count"] for r in per_part) <= total * 2 / 8 + 1
+
+
+def test_salted_join_keeps_null_seed_rows(spark):
+    """A NULL in the salt_source column must not drop the row: pmod of
+    NULL is NULL, and a NULL salt matches nothing in an inner join —
+    the operator coalesces it to salt 0 so the salted join stays
+    bit-identical to the plain equi join (its documented contract)."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.skewjoin import (
+        salted_equi_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, None, 10.0), (1, 7, 20.0), (2, None, 30.0), (3, 5, 40.0)],
+        "k long, seed long, v double",
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k2 long, tag string")
+    got = {
+        (r["k"], r["v"], r["tag"])
+        for r in salted_equi_join(
+            fact, dim, "k", "k2", n_salts=4, salt_source="seed"
+        ).collect()
+    }
+    want = {
+        (r["k"], r["v"], r["tag"])
+        for r in fact.join(dim, fact["k"] == dim["k2"]).collect()
+    }
+    assert got == want and (1, 10.0, "a") in got

@@ -574,6 +574,80 @@ def main() -> None:
         results,
     )
 
+    # ------------------------------------------------------------------
+    # Round-9 probes:
+    # (a) TIFF decode at 10× ids — map-only zero shuffle, like its
+    #     per-format siblings (and re-measuring the r8
+    #     bucketed_range_pointmass_2m above shows the edge-thinning
+    #     carry bound: shuffle should drop ~4× vs the r8 record).
+    # (b) skew joins on a 2M-row zipfian fact (2/3 of rows on one key):
+    #     the salted rewrite and the AQE path must both stay linear —
+    #     the salted plan spreads the hot key by construction, the AQE
+    #     plan splits it at runtime.
+    # (c) the streaming replay queries over events ×10 (1M rows):
+    #     real Structured Streaming jobs; state bounded by key/window,
+    #     shuffle one pass per side.
+    # ------------------------------------------------------------------
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        synthesize_tiff,
+        tiff_pixel_stats,
+    )
+
+    print("round-9 probes (tiff decode, skew joins, streaming replay):")
+    measure(
+        spark,
+        "tiff_decode_10x",
+        lambda: tiff_pixel_stats(synthesize_tiff(ids10)),
+        results,
+    )
+
+    from curw_mike_data_handler_spark.operators.skewjoin import (
+        salted_equi_join,
+    )
+
+    skew_fact = spark.range(2_000_000).select(
+        F.when(F.col("id") % 3 != 0, F.lit(0))
+        .otherwise(F.col("id") % 1500)
+        .alias("hot_key"),
+        F.col("id").alias("uid"),
+        (F.col("id") % 997).alias("v"),
+    )
+    skew_dim = spark.range(1500).select(
+        F.col("id").alias("dk"), (F.col("id") % 5).alias("seg")
+    )
+    measure(
+        spark,
+        "salted_skew_join_2m",
+        lambda: salted_equi_join(
+            skew_fact, skew_dim.hint("merge"), "hot_key", "dk",
+            n_salts=8, salt_source="uid",
+        ).groupBy("seg").agg(F.count("*").alias("n")),
+        results,
+    )
+    measure(
+        spark,
+        "aqe_skew_join_2m",
+        lambda: skew_fact.join(
+            skew_dim.hint("merge"),
+            skew_fact["hot_key"] == skew_dim["dk"],
+        ).groupBy("seg").agg(F.count("*").alias("n")),
+        results,
+    )
+
+    print("round-9 probes (streaming replay at events ×10):")
+    measure(
+        spark,
+        "stream_interval_join_1m",
+        lambda: catalog.QUERIES["stream_interval_join_replay"](spark, ev10_dir),
+        results,
+    )
+    measure(
+        spark,
+        "stream_asof_spine_1m",
+        lambda: catalog.QUERIES["stream_asof_spine_replay"](spark, ev10_dir),
+        results,
+    )
+
     payload = {
         "sf": 1.0,
         "docs": docs_lin.count(),
