@@ -5744,6 +5744,103 @@ def ann_topk_pq(spark, sf_dir):
     ).withColumnRenamed("cos_sim", "pq_sim")
 
 
+def _ann_topk_opq_sql() -> str:
+    """DuckDB mirror of ann_topk_opq, generated so the seeded rotation
+    matrix is inlined as the IDENTICAL ±1 literal the Spark plan uses
+    (opq_signed_rows is a pure function of (seed, dim))."""
+    from curw_mike_data_handler_spark.operators.similarity import (
+        _matrix_literal,
+        opq_signed_rows,
+    )
+
+    mat = _matrix_literal(opq_signed_rows(), dialect="duckdb")
+    ones8 = "[" + ",".join(["1.0"] * 8) + "]::DOUBLE[]"
+    sub_idx = "[" + ",".join(str(i) for i in range(8)) + "]"
+    dim_idx = "[" + ",".join(str(i) for i in range(64)) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    rot AS (
+        SELECT vec_id, label,
+               list_transform({mat}, row -> 0.125 * list_dot_product(v, row)) AS rv
+        FROM e
+    ),
+    rec AS (
+        SELECT vec_id, label, rv,
+               list_transform({sub_idx}, s ->
+                   floor((list_dot_product(
+                              list_transform(list_slice(rv, s*8 + 1, s*8 + 8),
+                                             x -> abs(x)),
+                              {ones8}) / 8.0) * 16.0 + 0.5) / 16.0) AS gains
+        FROM rot
+    ),
+    c AS (
+        SELECT vec_id, label,
+               list_transform({dim_idx}, i ->
+                   gains[i // 8 + 1] *
+                   (CASE WHEN rv[i + 1] >= 0 THEN 1.0 ELSE -1.0 END)) AS cv
+        FROM rec
+    ),
+    q AS (SELECT vec_id, label, rv FROM rot WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.rv, c.cv), 6) AS opq_sim
+        FROM q JOIN c ON q.label = c.label AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, opq_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY opq_sim DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, opq_sim, rank::INTEGER AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@query("ann_topk_opq", _ann_topk_opq_sql())
+def ann_topk_opq(spark, sf_dir):
+    """OPQ-style rotated product quantization (post-drain roadmap #1):
+    the corpus is coded by a GENUINE per-subspace product codebook —
+    gain-shape VQ over 8 subspaces of the HD-ROTATED embedding (sign
+    pattern + 4-bit gain per subspace, 96 bits/vector ≈ 21× smaller
+    than the raw floats) — and candidates rank by the asymmetric
+    similarity between the exact rotated query and the reconstruction
+    (ADC; Ge et al. CVPR 2013, Jégou et al. TPAMI 2011).  The rotation
+    R = (1/8)·P·H·D is seed-deterministic and exactly representable
+    (±0.125 entries), so the oracle inlines the identical matrix and
+    the comparison is exact, not approximate.
+
+    Rotation is what makes the closed-form codebook work: HD spreads
+    energy across coordinates (near-iid marginals — the ITQ argument),
+    which lifts recall over the same quantizer on raw embeddings
+    (measured: tests/test_round5_ops.py::test_opq_rotation_lifts_recall).
+
+    Scale shape: inherited unchanged from ann_topk_bucketed — the
+    rotation/reconstruction are map-side expressions fused into the
+    scan; the only shuffle is the bucket equi join.  At 100 TB the
+    corpus scan reads codes, not floats."""
+    from curw_mike_data_handler_spark.operators.similarity import (
+        opq_rotate,
+        opq_signed_rows,
+        pq_gain_shape_reconstruct,
+    )
+
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
+    rows = opq_signed_rows()
+    rotated = emb.withColumn("embedding", opq_rotate(F.col("embedding"), rows))
+    corpus = rotated.withColumn(
+        "embedding", pq_gain_shape_reconstruct(F.col("embedding"))
+    )
+    queries = rotated.filter(F.col("vec_id") % 100 == 0)
+    return ann_topk_bucketed(
+        queries,
+        corpus,
+        k=5,
+        corpus_partitions=spark.sparkContext.defaultParallelism,
+    ).withColumnRenamed("cos_sim", "opq_sim")
+
+
 @query(
     "f_scalar_suite2",
     """

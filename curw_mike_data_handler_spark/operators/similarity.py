@@ -583,3 +583,133 @@ def kmeans_assign(
     final = assign(centroids).select("id", "cluster").localCheckpoint()
     vecs.unpersist()
     return final
+
+
+# -- OPQ-style rotated product quantization (post-drain roadmap #1) ---
+#
+# The rotation is the structured HD transform used as the random-
+# rotation baseline/initializer of OPQ (Ge et al., "Optimized Product
+# Quantization", CVPR 2013 §4; Jégou et al. TPAMI 2011 use the same
+# R·x preconditioning): R = (1/√d)·P·H·D with H the Sylvester
+# Walsh-Hadamard matrix, D a ±1 diagonal and P a row permutation, both
+# derived from a SEED (md5 of (seed, index) — no RNG state), so the
+# whole matrix is a pure function of (seed, dim) and the DuckDB oracle
+# can inline the identical literal.  With d = 64 the scale 1/√d = 1/8
+# is a power of two, so every matrix entry (±0.125 after scaling) and
+# every intermediate product is exactly representable — the rotated
+# vector is bit-identical across engines as long as both fold the dot
+# product sequentially (the established parity contract of every ANN
+# query here).
+#
+# The product quantizer on top is gain-shape VQ per subspace (Gersho &
+# Gray ch. 10): split the rotated vector into m subspaces, code each
+# subvector as (sign pattern, quantized mean magnitude).  The sign
+# pattern is the argmax over the full ±1 codebook — closed form, no
+# learned centroids, hence exactly mirrorable in SQL — and the HD
+# rotation is what makes that codebook fit: it spreads energy so
+# rotated coordinates are near-iid (the ITQ/Fast-JL argument), which
+# measurably lifts recall over quantizing the raw embedding (probed in
+# tests/scripts at sf0.01/sf1).  Storage: m·(sub_dim sign bits +
+# 4-bit gain) = 96 bits/vector at (m=8, sub_dim=8) vs 2048 bits raw —
+# the 100 TB lever is a ~21× smaller corpus scan, same as ann_topk_pq
+# but with a genuine per-subspace product codebook.
+
+
+def opq_signed_rows(seed: int = 9, dim: int = 64) -> list[list[float]]:
+    """±1 rows of P·H·D for the OPQ rotation — deterministic in
+    ``seed``; ``dim`` must be a power of two (Hadamard), and callers
+    that need exact cross-engine floats should keep √dim a power of
+    two as well (dim 16/64/256...)."""
+    import hashlib
+
+    if dim & (dim - 1):
+        raise ValueError(f"Hadamard rotation needs power-of-two dim, got {dim}")
+
+    def h(tag: str, k: int) -> int:
+        dig = hashlib.md5(f"opq-{seed}-{tag}-{k}".encode()).digest()
+        return int.from_bytes(dig[:8], "big")
+
+    d = [1.0 if h("d", i) % 2 == 0 else -1.0 for i in range(dim)]
+    perm = sorted(range(dim), key=lambda j: (h("p", j), j))
+    return [
+        [(-1.0 if (j & i).bit_count() % 2 else 1.0) * d[i] for i in range(dim)]
+        for j in perm
+    ]
+
+
+def _matrix_literal(rows: list[list[float]], dialect: str = "spark") -> str:
+    """±1 matrix → nested-array literal text.  Spark spells nested
+    arrays ``array(array(...))``; DuckDB has no ``array()`` function,
+    so it gets ``[[...]]::DOUBLE[][]`` (the cast matters — bare 1.0
+    literals land as DECIMAL and would leak into downstream types)."""
+    if dialect == "spark":
+        return (
+            "array(" + ",".join(
+                "array(" + ",".join("1.0" if e > 0 else "-1.0" for e in r) + ")"
+                for r in rows
+            ) + ")"
+        )
+    return (
+        "[" + ",".join(
+            "[" + ",".join("1.0" if e > 0 else "-1.0" for e in r) + "]"
+            for r in rows
+        ) + "]::DOUBLE[][]"
+    )
+
+
+def opq_rotate(vec: Column | str, rows: list[list[float]]) -> Column:
+    """Exact HD rotation: element j = (1/√dim)·⟨vec, rows[j]⟩, folded
+    sequentially (parity with DuckDB list_dot_product)."""
+    import math
+
+    dim = len(rows)
+    scale = 1.0 / math.sqrt(dim)
+    if scale != 2.0 ** round(math.log2(scale)):
+        raise ValueError(f"1/√{dim} is not a power of two — rotation would not be exact")
+    v = as_double_array(vec)
+    mat = F.expr(_matrix_literal(rows))
+    return F.transform(
+        mat,
+        lambda row: F.lit(scale)
+        * F.aggregate(
+            F.zip_with(v, row, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def pq_gain_shape_reconstruct(
+    rv: Column | str, *, n_subspaces: int = 8, sub_dim: int = 8
+) -> Column:
+    """Decode-after-encode of the gain-shape product quantizer, in one
+    expression (the code words never materialize — ADC ranks against
+    the reconstruction, exactly like ann_topk_pq's scalar path):
+
+    per subspace s: gain_s = snap16(Σ|x_i| / sub_dim)  (4-bit-ish grid,
+    exact sixteenths), shape_i = sign(x_i); x̂_i = gain_s · shape_i.
+
+    snap16(x) = floor(x·16 + 0.5)/16 — floor+½ rather than a banker's
+    round so both engines agree at grid boundaries."""
+    c = F.col(rv) if isinstance(rv, str) else rv
+    gains = F.transform(
+        F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+        lambda s: F.floor(
+            (
+                F.aggregate(
+                    F.slice(c, s * sub_dim + F.lit(1), sub_dim),
+                    F.lit(0.0),
+                    lambda acc, x: acc + F.abs(x),
+                )
+                / F.lit(float(sub_dim))
+            )
+            * F.lit(16.0)
+            + F.lit(0.5)
+        )
+        / F.lit(16.0),
+    )
+    return F.transform(
+        c,
+        lambda x, i: F.element_at(gains, F.floor(i / F.lit(sub_dim)).cast("int") + F.lit(1))
+        * F.when(x >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+    )

@@ -865,3 +865,20 @@ def test_w16_point_mass_range_frame_is_bucket_partitioned(spark):
     spec = plan.split("Window")[1][:400]
     assert "event_type" in spec and "__b" in spec
     assert "SortMergeJoin" not in plan
+
+
+def test_opq_rotation_fuses_into_broadcast_join_plan(spark):
+    """ann_topk_opq must inherit ann_topk_bucketed's shape: rotation
+    and PQ reconstruction are map-side expressions (no exchange of
+    their own), the query side broadcasts, and the only wide ops are
+    the bucket join's inputs and the per-query top-k window — a plan
+    where a 100 TB corpus is scanned once as codes, never shuffled as
+    raw floats."""
+    plan = _plan(spark, "ann_topk_opq")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in phys, "query side must broadcast"
+    assert "CartesianProduct" not in phys and "SortMergeJoin" not in phys
+    assert "WindowGroupLimit" in phys, "top-k must prune before the full sort"
+    # the ONLY wide hash exchange is the per-query top-k window; the
+    # rotation/reconstruction fuse into map-side projections
+    assert phys.count("Exchange hashpartitioning") == 1, phys

@@ -207,3 +207,132 @@ def test_observe_metrics_ride_the_write_action(spark, tmp_path):
     assert got["n_negative_value"] == 1
     assert got["min_value"] == -2.0 and got["max_value"] == 4.0
     assert str(got["max_time"]) == "2020-05-22 01:00:00"
+
+
+# -- OPQ rotated product quantization (post-drain roadmap #1) ---------
+
+
+def _seq_rotate(rows, v):
+    """Reference rotation with an explicitly SEQUENTIAL fold (numpy's
+    pairwise-summed dot is NOT the parity contract — Spark's
+    F.aggregate and DuckDB's list_dot_product both fold left)."""
+    out = []
+    for r in rows:
+        acc = 0.0
+        for a, b in zip(v, r):
+            acc += a * b
+        out.append(0.125 * acc)
+    return out
+
+
+def _seq_gain_shape(rv, m=8, sub=8):
+    import math
+
+    out = []
+    for s in range(m):
+        acc = 0.0
+        for x in rv[s * sub : (s + 1) * sub]:
+            acc += abs(x)
+        g = math.floor((acc / sub) * 16.0 + 0.5) / 16.0
+        out.extend(g * (1.0 if x >= 0 else -1.0) for x in rv[s * sub : (s + 1) * sub])
+    return out
+
+
+def test_opq_rotation_orthonormal_and_bit_exact(spark):
+    import numpy as np
+
+    from curw_mike_data_handler_spark.operators.similarity import (
+        opq_rotate,
+        opq_signed_rows,
+        pq_gain_shape_reconstruct,
+    )
+
+    rows = opq_signed_rows()
+    M = np.array(rows) / 8.0
+    # genuine rotation: orthonormal, so norms (hence cosines) survive
+    assert np.allclose(M @ M.T, np.eye(64), atol=1e-12)
+
+    # bit-exactness of the Spark expression against the sequential fold
+    vecs = [
+        [float((i * 37 + j * j) % 101) / 101.0 - 0.33 for j in range(64)]
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id int, embedding array<double>"
+    )
+    got = {
+        r["id"]: r["rv"]
+        for r in df.select(
+            "id", opq_rotate(F.col("embedding"), rows).alias("rv")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == _seq_rotate(rows, v)  # == on floats: bit-exact
+
+    # reconstruction: bit-exact vs reference, gains on the 1/16 grid
+    rec = {
+        r["id"]: r["rec"]
+        for r in df.select(
+            "id",
+            pq_gain_shape_reconstruct(
+                opq_rotate(F.col("embedding"), rows)
+            ).alias("rec"),
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        ref = _seq_gain_shape(_seq_rotate(rows, v))
+        assert rec[i] == ref
+        assert all(abs(x) * 16 == round(abs(x) * 16) for x in ref)
+
+
+def test_opq_rotation_lifts_recall(spark, sf001_dir):
+    """The HD rotation's reason to exist: spreading energy across
+    coordinates before the closed-form gain-shape codebook lifts
+    recall@5 vs quantizing the RAW embedding (the ITQ/Fast-JL
+    argument).  Ground truth and the unrotated strawman are computed
+    in numpy; the rotated path is the REAL catalog query through
+    Spark, so this also exercises the operator end to end."""
+    import numpy as np
+    import pandas as pd
+
+    from curw_mike_data_handler_spark import catalog
+    from curw_mike_data_handler_spark.operators.similarity import opq_signed_rows
+
+    emb = pd.read_parquet(f"{sf001_dir}/embeddings.parquet")
+    V = np.array([np.asarray(e, dtype=np.float64) for e in emb.embedding])
+    ids, labels = emb.vec_id.values, emb.label.values
+
+    def topk(Q, C, k=5):
+        res = {}
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        for qi in np.where(ids % 100 == 0)[0]:
+            mask = (labels == labels[qi]) & (ids != ids[qi])
+            sims = Cn[mask] @ Qn[qi]
+            cand = ids[mask]
+            order = np.lexsort((cand, -np.round(sims, 6)))
+            res[ids[qi]] = set(cand[order[:k]])
+        return res
+
+    def gain_shape(X):
+        out = np.empty_like(X)
+        for s in range(8):
+            sub = X[:, s * 8 : (s + 1) * 8]
+            g = np.floor((np.abs(sub).sum(axis=1) / 8.0) * 16.0 + 0.5) / 16.0
+            out[:, s * 8 : (s + 1) * 8] = g[:, None] * np.where(sub >= 0, 1.0, -1.0)
+        return out
+
+    exact = topk(V, V)
+    raw_q = topk(V, gain_shape(V))
+    spark_rows = catalog.QUERIES["ann_topk_opq"](spark, sf001_dir).collect()
+    opq_q: dict[int, set] = {}
+    for r in spark_rows:
+        opq_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(approx):
+        return sum(len(exact[q] & approx[q]) for q in exact) / (5 * len(exact))
+
+    r_opq, r_raw = recall(opq_q), recall(raw_q)
+    # deterministic data + seed: sf0.01 measures 0.64 vs 0.56
+    assert r_opq >= r_raw
+    assert r_opq >= 0.6
