@@ -270,6 +270,7 @@ HEADLINE = [
     "stream_dedup_watermark_replay",
     "stream_asof_spine_replay",
     "ann_topk_opq",
+    "multimodal_tiff_packbits",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

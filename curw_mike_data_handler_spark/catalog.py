@@ -3048,6 +3048,49 @@ def multimodal_tiff_pixels_q(spark, sf_dir):
     return tiff_pixel_stats(synthesize_tiff(docs))
 
 
+@query(
+    "multimodal_tiff_packbits",
+    """
+    WITH p AS (
+        SELECT doc_id, 16 * (1 + doc_id % 5) AS w, 8 * (1 + doc_id % 7) AS h,
+               doc_id % 4 AS f
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(3 * h * (w // 16) * 120 + 3 * w * (h // 8) * 56
+                + 111 * w * h + 33 * w * h * f AS BIGINT) AS pixel_sum,
+           CAST(103 + 11 * f AS BIGINT) AS pixel_max
+    FROM p
+    """,
+)
+def multimodal_tiff_packbits_q(spark, sf_dir):
+    """PackBits-compressed TIFF decode (r9 roadmap #5 — the one common
+    TIFF compression that is safely spec-derivable): every doc gets a
+    real Compression=32773 TIFF whose strips are independently
+    RLE-packed (TIFF 6.0 §9) and, with RowsPerStrip 6 under 8·k
+    heights, every image ends in a SHORT final strip — so the gate
+    exercises per-strip expected-size decoding, both byte orders, and
+    the same closed-form raster as the uncompressed twin (one oracle
+    covers both).  A wrong control-byte convention (the 0x80 no-op,
+    the 257−n replicate count), a strip-boundary leak, or a byte-count
+    mismatch hash-fails; the decoder is additionally pinned by the
+    spec's own worked example
+    (tests/test_property_new_ops.py::test_packbits_hand_derived_vectors).
+
+    Scale shape: map-only, zero shuffle, one row per document — RLE
+    inflate is fused into the same Arrow pass as the header walk."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        synthesize_tiff_packbits,
+        tiff_pixel_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return tiff_pixel_stats(synthesize_tiff_packbits(docs))
+
+
 # ---------------------------------------------------------------------------
 # Classic OLAP widening: pushdown-only agg, conditional-share agg,
 # group-HAVING join, disjunctive-predicate join

@@ -3174,18 +3174,87 @@ def bmp_pixel_stats(media: DataFrame) -> DataFrame:
 # -- TIFF: baseline 6.0, uncompressed strips (r9) ---------------------
 #
 # The last common still-image container absent from the router (r8
-# verdict #4).  Scope: TIFF 6.0 Baseline, Compression=1 (none),
-# 8-bit-per-sample RGB or grayscale, strip-organized (no tiles), first
-# IFD only — the overwhelmingly common archival/scan shape.  LZW/JPEG
-# -in-TIFF, tiles, planar configuration 2 and multi-IFD pyramids are
-# refused with None (documented non-goals, same policy as RLE BMP).
+# verdict #4).  Scope: TIFF 6.0 Baseline, Compression=1 (none) or
+# 32773 (PackBits RLE, r9 roadmap #5), 8-bit-per-sample RGB or
+# grayscale, strip-organized (no tiles), first IFD only — the
+# overwhelmingly common archival/scan shapes.  LZW/JPEG-in-TIFF,
+# tiles, planar configuration 2 and multi-IFD pyramids are refused
+# with None (documented non-goals, same policy as RLE BMP).
 
 _TIFF_II = b"II\x2a\x00"
 _TIFF_MM = b"MM\x00\x2a"
 
+# TIFF 6.0 §9 PackBits: the one common TIFF compression that is safely
+# spec-derivable (byte-oriented RLE — no entropy tables to
+# mis-remember, unlike LZW-in-TIFF whose early-change flag is a
+# classic shared-wrong-convention trap).  Control byte n (signed):
+# 0..127 → copy the next n+1 bytes literally; -1..-127 → repeat the
+# next byte 1-n times; -128 → no-op.
+
+
+def _packbits_encode(raw: bytes) -> bytes:
+    """Real PackBits encoder: maximal runs (≥3 repeats, or ≥2 when not
+    breaking a literal) become replicate packets, the rest literal
+    packets of ≤128.  Output obeys the spec's worst-case bound
+    (len(raw) + ceil(len(raw)/128))."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        # measure the run starting at i
+        j = i + 1
+        while j < n and j - i < 128 and raw[j] == raw[i]:
+            j += 1
+        if j - i >= 2:
+            out.append(257 - (j - i))  # -(run-1) as unsigned
+            out.append(raw[i])
+            i = j
+            continue
+        # literal: until the next ≥3-run (a 2-run is cheaper kept
+        # literal than splitting the packet) or 128 bytes
+        lit = i
+        while i < n and i - lit < 128:
+            j = i + 1
+            while j < n and j - i < 128 and raw[j] == raw[i]:
+                j += 1
+            if j - i >= 3:
+                break
+            i = j
+        out.append(i - lit - 1)
+        out.extend(raw[lit:i])
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes | None:
+    """PackBits decode with a STRICT output contract: exactly
+    ``expected`` bytes or None (truncated packet, overrun, or short
+    stream — one bad strip must not kill a batch).  Trailing bytes
+    after the expected length are tolerated per spec practice (pads
+    to word boundaries exist in the wild) but never decoded."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while len(out) < expected:
+        if i >= n:
+            return None
+        c = data[i]
+        i += 1
+        if c == 128:  # no-op
+            continue
+        if c < 128:  # literal of c+1 bytes
+            if i + c + 1 > n or len(out) + c + 1 > expected:
+                return None
+            out += data[i : i + c + 1]
+            i += c + 1
+        else:  # replicate next byte 257-c times
+            if i >= n or len(out) + (257 - c) > expected:
+                return None
+            out += data[i : i + 1] * (257 - c)
+            i += 1
+    return bytes(out)
+
 
 def make_tiff(width: int, height: int, phase: int = 0,
-              big_endian: bool = False, rows_per_strip: int = 8) -> bytes:
+              big_endian: bool = False, rows_per_strip: int = 8,
+              compression: str = "none") -> bytes:
     """Real strip-organized TIFF 6.0: header, pixel strips, then the
     IFD (ImageWidth/Length, BitsPerSample [8,8,8], Compression=1,
     Photometric=2 RGB, StripOffsets/ByteCounts, SamplesPerPixel=3,
@@ -3194,11 +3263,15 @@ def make_tiff(width: int, height: int, phase: int = 0,
     here, no row padding — TIFF strips are tightly packed), so the
     per-image sum/max collapse to the same (w, h, phase) formula the
     BMP oracle uses.  ``big_endian=True`` emits the MM byte order —
-    the decoder must honor both."""
+    the decoder must honor both.  ``compression='packbits'`` RLE-packs
+    each strip independently (TIFF 6.0 §9: strips are separate
+    compression units) and writes Compression=32773."""
     import struct
 
     import numpy as np
 
+    if compression not in ("none", "packbits"):
+        raise ValueError(f"unsupported TIFF compression {compression!r}")
     bo = ">" if big_endian else "<"
     x = np.arange(width)
     y = np.arange(height)
@@ -3215,6 +3288,8 @@ def make_tiff(width: int, height: int, phase: int = 0,
     strips = [
         raster[y0 : y0 + rps].tobytes() for y0 in range(0, height, rps)
     ]
+    if compression == "packbits":
+        strips = [_packbits_encode(s) for s in strips]
     n = len(strips)
 
     data = b"".join(strips)
@@ -3243,11 +3318,12 @@ def make_tiff(width: int, height: int, phase: int = 0,
     def long1(v: int) -> bytes:
         return struct.pack(bo + "I", v)
 
+    comp_tag = 1 if compression == "none" else 32773
     entries = [
         entry(256, 4, 1, long1(width)),
         entry(257, 4, 1, long1(height)),
         entry(258, 3, 3, long1(bps_off)),
-        entry(259, 3, 1, short1(1)),       # Compression = none
+        entry(259, 3, 1, short1(comp_tag)),  # none / PackBits
         entry(262, 3, 1, short1(2)),       # Photometric = RGB
         entry(
             273, 4, n,
@@ -3278,11 +3354,12 @@ def make_tiff(width: int, height: int, phase: int = 0,
 def decode_tiff_pixels(b: bytes) -> dict | None:
     """REAL TIFF pixel decode: byte-order + magic-42 check, first-IFD
     walk (SHORT/LONG entries, inline vs out-of-line values per the
-    left-justified 4-byte field rule), strip gather, tight-row unpack,
-    sum/max reduce.  Baseline uncompressed 8-bit RGB/grayscale only;
-    anything else (LZW/JPEG compression, tiles, 16-bit, planar=2,
-    short strips) returns None — never raises (one bad blob must not
-    kill a 100 TB batch)."""
+    left-justified 4-byte field rule), strip gather (PackBits strips
+    RLE-decoded independently, r9), tight-row unpack, sum/max reduce.
+    Baseline 8-bit RGB/grayscale, Compression 1 (none) or 32773
+    (PackBits) only; anything else (LZW/JPEG compression, tiles,
+    16-bit, planar=2, short strips) returns None — never raises (one
+    bad blob must not kill a 100 TB batch)."""
     if b is None:
         return None
     import struct
@@ -3333,7 +3410,8 @@ def decode_tiff_pixels(b: bytes) -> dict | None:
         w, h = one(256), one(257)
         if not w or not h or w <= 0 or h <= 0 or w * h > (1 << 26):
             return None
-        if one(259, 1) != 1:       # compression
+        comp = one(259, 1)
+        if comp not in (1, 32773):  # none / PackBits (r9)
             return None
         if one(284, 1) != 1:       # planar configuration: chunky only
             return None
@@ -3362,14 +3440,24 @@ def decode_tiff_pixels(b: bytes) -> dict | None:
         if len(offs) != math.ceil(h / rps):
             return None
         total = w * h * spp
-        if sum(counts) != total:
+        if comp == 1 and sum(counts) != total:
             return None
         parts = []
-        for off, cnt in zip(offs, counts):
+        for k, (off, cnt) in enumerate(zip(offs, counts)):
             if off + cnt > len(b):
                 return None
-            parts.append(b[off : off + cnt])
+            raw = b[off : off + cnt]
+            if comp == 32773:
+                # strips are independent compression units; the last
+                # strip may cover fewer than RowsPerStrip rows
+                strip_rows = min(rps, h - k * rps)
+                raw = _packbits_decode(raw, strip_rows * w * spp)
+                if raw is None:
+                    return None
+            parts.append(raw)
         px = np.frombuffer(b"".join(parts), dtype=np.uint8)
+        if px.size != total:
+            return None
         return {
             "width": w,
             "height": h,
@@ -3407,6 +3495,37 @@ def synthesize_tiff(ids: DataFrame, id_col: str = "doc_id",
                 # (width, height, phase, big_endian) — make_tiff's
                 # leading positional args
                 make_tiff(*_tiff_synth_args(int(m)))
+                for m in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "media_type": ["image/tiff"] * len(pdf),
+                 "payload": payloads}
+            )
+
+    return src.mapInPandas(_build, schema=MEDIA_SCHEMA)
+
+
+def synthesize_tiff_packbits(ids: DataFrame, id_col: str = "doc_id",
+                             parallelism: int | None = None) -> DataFrame:
+    """id column → real PackBits-compressed TIFFs over the SAME
+    (width, height, phase, byte order) parameterization as
+    synthesize_tiff (`_tiff_synth_args` — one formula, one oracle),
+    but RowsPerStrip 6: heights are multiples of 8, so the final strip
+    of every image is SHORT (8·k rows split 6+2, 6+6+4, ...), pinning
+    the partial-last-strip expected-size path of the RLE decode at the
+    driver gate.  Map-only."""
+    sc = ids.sparkSession.sparkContext
+    n = parallelism or min(sc.defaultParallelism, 16)
+    src = ids.select(F.col(id_col).cast("long").alias("media_id"))
+    if src.rdd.getNumPartitions() < n:
+        src = src.repartition(n)
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                make_tiff(*_tiff_synth_args(int(m)), rows_per_strip=6,
+                          compression="packbits")
                 for m in pdf["media_id"]
             ]
             yield pd.DataFrame(

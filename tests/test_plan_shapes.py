@@ -323,6 +323,7 @@ def test_media_sample_decode_is_map_only_no_shuffle(spark):
         "multimodal_gif_anim_frames",
         "multimodal_bmp_pixels",
         "multimodal_tiff_pixels",
+        "multimodal_tiff_packbits",
         "media_mixed_pixel_stats",
     ):
         plan = _plan(spark, name)

@@ -1728,6 +1728,11 @@ def test_decoders_never_raise_on_corrupted_streams(seed):
                           phase=rng.randint(0, 3),
                           big_endian=rng.random() < 0.5,
                           rows_per_strip=rng.randint(1, 12)))
+    pool.append(make_tiff(rng.randint(1, 40), rng.randint(1, 30),
+                          phase=rng.randint(0, 3),
+                          big_endian=rng.random() < 0.5,
+                          rows_per_strip=rng.randint(1, 12),
+                          compression="packbits"))
 
     decoders = (
         decode_png_pixels, decode_jpeg_pixels, decode_wav_samples,
@@ -3243,3 +3248,149 @@ def test_tiff_roundtrip_matches_independent_raster(seed):
         "width": w, "height": h, "n_px": w * h,
         "pixel_sum": int(vals.sum()), "pixel_max": int(vals.max()),
     }, (w, h, f, be, rps, got)
+
+
+# ---------------------------------------------------------------------------
+# TIFF PackBits (r9 roadmap #5)
+# ---------------------------------------------------------------------------
+
+
+def test_packbits_hand_derived_vectors():
+    """The decoder is pinned by the TIFF 6.0 spec's OWN worked example
+    (§9, the Apple PackBits sample) — a shared-wrong control-byte
+    convention between encoder and decoder would round-trip but cannot
+    reproduce the spec's packed bytes.  Plus the two semantic corners
+    the example doesn't cover: the 0x80 no-op and a maximal 128-byte
+    replicate (control 0x81)."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    unpacked = bytes.fromhex(
+        "AAAAAA80002AAAAAAAAA80002A22AAAAAAAAAAAAAAAAAAAA"
+    )
+    assert _packbits_decode(packed, len(unpacked)) == unpacked
+    # encoder must round-trip the same data within the spec's
+    # worst-case bound (it may legally pack differently)
+    enc = _packbits_encode(unpacked)
+    assert _packbits_decode(enc, len(unpacked)) == unpacked
+    assert len(enc) <= len(unpacked) + (len(unpacked) + 127) // 128
+
+    assert _packbits_decode(b"\x80\x80\xfe\x41", 3) == b"AAA"  # no-ops skipped
+    assert _packbits_decode(b"\x81\x5a", 128) == b"Z" * 128    # max replicate
+    assert _packbits_decode(b"\x7f" + bytes(range(128)), 128) == bytes(range(128))
+
+
+def test_packbits_decode_strict_contract():
+    """None on truncation/overrun/short stream; trailing pad bytes
+    after the expected length are tolerated but never decoded."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _packbits_decode,
+    )
+
+    assert _packbits_decode(b"", 1) is None                   # empty
+    assert _packbits_decode(b"\x05ab", 6) is None             # truncated literal
+    assert _packbits_decode(b"\xfe", 3) is None               # replicate w/o byte
+    assert _packbits_decode(b"\xf0\x41", 3) is None           # overrun (17 > 3)
+    assert _packbits_decode(b"\x02abc", 2) is None            # literal overrun
+    assert _packbits_decode(b"\x80\x80", 1) is None           # only no-ops
+    assert _packbits_decode(b"\x00a" + b"\xffPAD", 1) == b"a"  # trailing pad ok
+    assert _packbits_decode(b"\x00a", 0) == b""               # zero expected
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=40, deadline=None)
+def test_packbits_roundtrip_and_bound(seed):
+    """Round-trip over run-heavy + literal-heavy mixtures, and the
+    §9 worst-case size bound (no pathological expansion)."""
+    import random
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    rng = random.Random(seed)
+    raw = bytearray()
+    target = rng.randrange(0, 900)
+    while len(raw) < target:
+        if rng.random() < 0.5:
+            raw += bytes([rng.randrange(256)]) * rng.randrange(1, 300)
+        else:
+            raw += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 50)))
+    raw = bytes(raw[:target])
+    enc = _packbits_encode(raw)
+    assert _packbits_decode(enc, len(raw)) == raw
+    assert len(enc) <= len(raw) + (len(raw) + 127) // 128 + 1
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=25, deadline=None)
+def test_tiff_packbits_twin_matches_uncompressed(seed):
+    """A PackBits TIFF must decode to the identical stats as its
+    uncompressed twin for random dims / phase / byte order / strip
+    heights — including strip layouts whose FINAL strip is short
+    (the per-strip expected-size path)."""
+    import random
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        make_tiff,
+    )
+
+    rng = random.Random(seed)
+    w, h = rng.randint(1, 50), rng.randint(1, 40)
+    f = rng.randint(0, 3)
+    be = rng.random() < 0.5
+    rps = rng.choice([1, 3, 6, 8, h, 10**6])
+    plain = decode_tiff_pixels(make_tiff(w, h, f, big_endian=be,
+                                         rows_per_strip=rps))
+    packed = decode_tiff_pixels(make_tiff(w, h, f, big_endian=be,
+                                          rows_per_strip=rps,
+                                          compression="packbits"))
+    assert plain is not None and packed == plain, (w, h, f, be, rps)
+
+
+def test_tiff_packbits_hostile_fields():
+    """Hostile single fields specific to the compressed path: a
+    PackBits stream whose Compression tag claims 'none' must fail the
+    byte-count check (never decode garbage); truncating the packed
+    payload maps to None; LZW (5) and old-JPEG (6) stay refused."""
+    import struct
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        make_tiff,
+    )
+
+    b = make_tiff(16, 16, rows_per_strip=6, compression="packbits")
+    assert decode_tiff_pixels(b) is not None
+
+    (ifd_off,) = struct.unpack("<I", b[4:8])
+    (n,) = struct.unpack("<H", b[ifd_off:ifd_off + 2])
+    field_off = {}
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        tag, = struct.unpack("<H", b[e:e + 2])
+        field_off[tag] = e
+
+    def flip_comp(v):
+        k = bytearray(b)
+        e = field_off[259]
+        k[e:e + 12] = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", v, 0)
+        return decode_tiff_pixels(bytes(k))
+
+    assert flip_comp(1) is None   # packed bytes can't pass the raw count
+    assert flip_comp(5) is None   # LZW refused
+    assert flip_comp(6) is None   # old-style JPEG refused
+    # corrupt the first strip's first control byte to a 128-literal:
+    # the RLE cursor overruns the strip's byte count → None (and the
+    # never-raise contract holds either way)
+    k = bytearray(b)
+    k[8] = 0x7F
+    out = decode_tiff_pixels(bytes(k))
+    assert out is None or isinstance(out, dict)
+    # hard truncation of the whole stream mid-strip
+    assert decode_tiff_pixels(b[:12]) is None
