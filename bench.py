@@ -271,6 +271,8 @@ HEADLINE = [
     "stream_asof_spine_replay",
     "ann_topk_opq",
     "multimodal_tiff_packbits",
+    "sql_window_tvf_tumble_hop",
+    "sql_session_window_tvf",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -6505,6 +6505,143 @@ def events_session_window_native(spark, sf_dir):
     )
 
 
+# -- window TVF SQL surface (post-drain roadmap #3): the streaming-
+# grade grouping windows reachable from PURE SQL text, no DataFrame
+# API — `window(ts, ...)` / `session_window(ts, ...)` as grouping
+# expressions are the batch twins of the Structured Streaming
+# aggregations (identical operator, identical semantics), so a SQL-
+# only user gets the same tumble/hop/session rollups the streaming
+# plans produce.
+
+
+@query(
+    "sql_window_tvf_tumble_hop",
+    """
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) AS t,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    tum AS (
+        SELECT 'tumble' AS kind, event_type,
+               (t // 21600000000) * 21600000000 AS ws
+        , v FROM e
+    ),
+    hop AS (
+        SELECT 'hop' AS kind, event_type,
+               (t // 10800000000) * 10800000000 - k * 10800000000 AS ws
+        , v FROM e, (SELECT unnest([0, 1]) AS k)
+    ),
+    u AS (SELECT * FROM tum UNION ALL SELECT * FROM hop)
+    SELECT kind, event_type,
+           strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start,
+           -- both grids use 6 h windows; hop differs only in slide
+           strftime(make_timestamp(ws + 21600000000),
+                    '%Y-%m-%d %H:%M:%S') AS w_end,
+           count(*) AS n,
+           CAST(sum(v) AS DOUBLE) / 100.0 AS sum_v
+    FROM u GROUP BY kind, event_type, ws
+    """,
+)
+def sql_window_tvf_tumble_hop(spark, sf_dir):
+    """Tumbling AND hopping windows from pure SQL: `GROUP BY
+    window(ts, '6 hours')` and `GROUP BY window(ts, '6 hours',
+    '3 hours')` in one UNION ALL statement — the exact grouping
+    expressions a `readStream`-fed `spark.sql` plan would use, proving
+    the streaming rollups need no Python/DataFrame layer.  The oracle
+    rebuilds both grids arithmetically: tumble = floor to the 6 h
+    grid; hop = each row expanded to its two 3 h-aligned containing
+    windows (unnest [0,1] — windows are length/slide = 2 per row).
+
+    Scale shape: Spark's window() is a map-side expand (hop emits 2
+    rows/event) + ONE hash aggregate — no grid join, no self-join;
+    partial aggregation absorbs the expansion before the exchange."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("cm_sql_events")
+    return spark.sql(
+        """
+        SELECT 'tumble' AS kind, event_type,
+               date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS w_start,
+               date_format(window.end, 'yyyy-MM-dd HH:mm:ss') AS w_end,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS sum_v
+        FROM cm_sql_events
+        GROUP BY window(ts, '6 hours'), event_type
+        UNION ALL
+        SELECT 'hop' AS kind, event_type,
+               date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS w_start,
+               date_format(window.end, 'yyyy-MM-dd HH:mm:ss') AS w_end,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS sum_v
+        FROM cm_sql_events
+        GROUP BY window(ts, '6 hours', '3 hours'), event_type
+        """
+    )
+
+
+@query(
+    "sql_session_window_tvf",
+    """
+    WITH o AS (
+        SELECT user_id, ts, epoch_us(ts) AS t, event_type FROM events
+    ),
+    m AS (
+        SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                         OR t - lag(t) OVER w >= 1800000000
+                       THEN 1 ELSE 0 END AS brk
+        FROM o
+        WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    i AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    ),
+    s AS (
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE,
+                        '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_events,
+               count(DISTINCT event_type) AS n_types
+        FROM i GROUP BY user_id, sid
+    )
+    SELECT * FROM s WHERE n_events >= 3
+    """,
+)
+def sql_session_window_tvf(spark, sf_dir):
+    """Session windows from pure SQL: `GROUP BY user_id,
+    session_window(ts, '30 minutes')` with a HAVING over the merged
+    sessions — no DataFrame API, no Python.  Complements
+    events_session_window_native (the F.session_window form) by
+    pinning that the SQL surface exposes the same merging-window
+    operator with a different gap and a post-aggregate filter.  The
+    oracle is gaps-and-islands at the 30-min gap; session bounds
+    depend only on timestamp values, so tie order cannot move them.
+
+    Scale shape: one hash(user_id) exchange; the merge happens inside
+    the session-window aggregate, and the HAVING prunes after the
+    final aggregation — no second shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("cm_sql_events")
+    return spark.sql(
+        """
+        SELECT user_id,
+               date_format(session_window(ts, '30 minutes').start,
+                           'yyyy-MM-dd HH:mm:ss') AS session_start,
+               date_format(session_window(ts, '30 minutes').end,
+                           'yyyy-MM-dd HH:mm:ss') AS session_end,
+               count(*) AS n_events,
+               count(DISTINCT event_type) AS n_types
+        FROM cm_sql_events
+        GROUP BY user_id, session_window(ts, '30 minutes')
+        HAVING count(*) >= 3
+        """
+    )
+
+
 @query(
     "split_assignment_census",
     """

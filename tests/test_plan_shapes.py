@@ -883,3 +883,18 @@ def test_opq_rotation_fuses_into_broadcast_join_plan(spark):
     # the ONLY wide hash exchange is the per-query top-k window; the
     # rotation/reconstruction fuse into map-side projections
     assert phys.count("Exchange hashpartitioning") == 1, phys
+
+
+def test_sql_tvf_windows_expand_without_grid_join(spark):
+    """The pure-SQL window()/session_window() queries must plan as
+    map-side expands + hash aggregates: no grid join, no self-join —
+    the property that makes the same text viable under readStream."""
+    plan = _plan(spark, "sql_window_tvf_tumble_hop")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in phys, "window grids must come from expand, not a join"
+    assert "Expand" in phys or "explode" in phys  # the hop branch
+    sess = _plan(spark, "sql_session_window_tvf").split("== Physical Plan ==")[-1]
+    assert "Join" not in sess
+    assert sess.count("Exchange hashpartitioning") == 1, (
+        "session merge + HAVING must ride ONE user_id exchange"
+    )
