@@ -15765,6 +15765,94 @@ def stream_interval_join_replay(spark, sf_dir):
 
 
 @query(
+    "stream_outer_interval_join_replay",
+    """
+    WITH v AS (
+        SELECT user_id, event_id AS v_id, ts AS v_ts
+        FROM events WHERE event_type = 'view'
+    ), b AS (
+        SELECT user_id, event_id AS b_id, ts AS b_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, v.v_id, b.b_id,
+           CAST((epoch_us(b.b_ts) - epoch_us(v.v_ts)) // 1000000
+                AS BIGINT) AS lag_sec
+    FROM v LEFT JOIN b
+      ON v.user_id = b.user_id
+     AND b.b_ts >= v.v_ts
+     AND b.b_ts <= v.v_ts + INTERVAL 720 MINUTE
+    """,
+)
+def stream_outer_interval_join_replay(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join (post-drain roadmap #2):
+    like stream_interval_join_replay, but every view with NO purchase
+    inside its 12 h window ALSO emits — with NULL purchase columns —
+    once the two-sided watermark proves no match can still arrive.
+    That proof is the hard part on a bounded replay: a stream that
+    merely ends never advances its watermark, so the unmatched rows
+    would die silently in state.  The replay harness's trailing files
+    supply the production-shaped fix — a far-future row on BOTH
+    branches advances the global watermark past every real view's
+    deadline, and one further trigger gives the join the batch in
+    which to emit its evictions.  Sentinel rows carry user_id -1 and
+    are filtered from the output; the oracle is the plain batch LEFT
+    JOIN over the real rows.
+
+    Scale shape: identical to the inner variant — one hash(user_id)
+    shuffle per side, state bounded by rate × watermark horizon; the
+    outer semantics add only the eviction-time emission."""
+    import datetime
+
+    from curw_mike_data_handler_spark.streaming.joins import (
+        stream_interval_join,
+    )
+    from curw_mike_data_handler_spark.streaming.replay import (
+        replay_file_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    ).filter(F.col("event_type").isin("view", "purchase"))
+
+    def sentinel(day: int):
+        ts = datetime.datetime(2024, day, 1)  # 2024-04-01 / 2024-05-01
+        return spark.createDataFrame(
+            [(-1, -1, ts, "view"), (-1, -1, ts, "purchase")], ev.schema
+        )
+
+    def plan(stream):
+        v = stream.filter(F.col("event_type") == "view").select(
+            "user_id",
+            F.col("event_id").alias("v_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        b = stream.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("b_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        j = stream_interval_join(
+            v, b, ["user_id"], "v_ts", "b_ts",
+            max_lag_minutes=720, watermark="45 days", how="left_outer",
+        )
+        # NO sentinel filter inside the streaming plan: a predicate on
+        # the left key pushes below the join INTO the left branch, the
+        # sentinel views then never reach the watermark node, the
+        # global watermark stays put, and not one NULL row ever evicts
+        # (observed, not hypothetical).  Sentinels are dropped from the
+        # materialized batch result below instead.
+        return j.select(
+            "user_id", "v_id", "b_id",
+            ((F.unix_micros("b_ts") - F.unix_micros("v_ts"))
+             / F.lit(1_000_000)).cast("long").alias("lag_sec"),
+        )
+
+    return replay_file_stream(
+        spark, ev, plan, trailing_files=[sentinel(4), sentinel(5)]
+    ).filter(F.col("user_id") >= 0)
+
+
+@query(
     "stream_dedup_watermark_replay",
     """
     SELECT event_type,

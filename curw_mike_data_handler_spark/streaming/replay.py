@@ -45,6 +45,7 @@ def replay_file_stream(
     output_mode: str = "append",
     n_files: int = 4,
     max_files_per_trigger: int = 1,
+    trailing_files: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Materialize ``df`` as ``n_files`` parquet files, stream them back
     ``max_files_per_trigger`` per micro-batch through ``transform``,
@@ -57,7 +58,18 @@ def replay_file_stream(
     sink, not a gate query.  Both the temp parquet copy and the memory
     sink are released before returning (the result is re-materialized
     as a local DataFrame) so repeated invocations — the bench runs each
-    replay query twice per pass — don't grow disk or driver heap."""
+    replay query twice per pass — don't grow disk or driver heap.
+
+    ``trailing_files``: extra single-file batches guaranteed to arrive
+    in LATER triggers than the main files, in list order (the file
+    source picks files oldest-mtime-first; each trailing file's mtime
+    is bumped strictly above everything before it).  This is the
+    watermark-flush device outer joins and eviction-dependent plans
+    need on a BOUNDED replay: a far-future row advances the watermark,
+    and one more trailing batch after it gives the stateful operator
+    the trigger in which to emit its evictions (emission happens a
+    batch after the watermark moves, and a stream with no further
+    batches would otherwise end holding its state)."""
     import shutil
 
     base = tempfile.mkdtemp(prefix="cm_replay_")
@@ -67,6 +79,23 @@ def replay_file_stream(
     # interleave event time, which is exactly the out-of-order arrival
     # a streaming plan must tolerate
     df.repartition(n_files).write.parquet(src)
+    if trailing_files:
+        # pin the ordering contract: main files at mtime T, trailing
+        # file i at T + 10·(i+1) seconds (utime, no sleeping)
+        parts = [
+            os.path.join(src, f) for f in os.listdir(src)
+            if f.startswith("part-")
+        ]
+        t0 = max(os.stat(p).st_mtime for p in parts)
+        for p in parts:
+            os.utime(p, (t0, t0))
+        for i, extra in enumerate(trailing_files):
+            before = set(os.listdir(src))
+            extra.coalesce(1).write.mode("append").parquet(src)
+            t_i = t0 + 10.0 * (i + 1)
+            for f in set(os.listdir(src)) - before:
+                if f.startswith("part-"):
+                    os.utime(os.path.join(src, f), (t_i, t_i))
     stream = (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

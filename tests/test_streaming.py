@@ -718,3 +718,72 @@ def test_stream_asof_spine_append_mode_across_restarts(spark, tmp_path):
     }
     for k, v in got.items():
         assert batch[k] == v, (k, v, batch[k])
+
+
+def test_stream_outer_interval_join_null_emission_across_restarts(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join under a TIGHT watermark
+    (the regime the replay gate can't exercise): the unmatched left
+    row's NULL emission (a) waits until the watermark proves no match
+    can arrive, (b) survives a checkpoint restart — the watermark and
+    join state resume from the commit log, and the eviction happens in
+    a post-restart batch — and (c) happens exactly once: further
+    restarts and further data must not re-emit it."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.streaming.joins import stream_interval_join
+
+    views_dir = tmp_path / "views"
+    buys_dir = tmp_path / "buys"
+    views_dir.mkdir()
+    buys_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = []
+
+    def sink(batch_df, batch_id):
+        out.extend(
+            (r["tms_id"], str(r["view_time"]),
+             None if r["buy_time"] is None else str(r["buy_time"]))
+            for r in batch_df.collect()
+        )
+
+    def tick():
+        # every call rebuilds the query from the checkpoint — a restart
+        views = stream_csv_dir(spark, str(views_dir), SCHEMA, header=False).select(
+            "tms_id", F.col("time").alias("view_time"), F.col("value").alias("view_value")
+        )
+        buys = stream_csv_dir(spark, str(buys_dir), SCHEMA, header=False).select(
+            "tms_id", F.col("time").alias("buy_time"), F.col("value").alias("buy_value")
+        )
+        joined = stream_interval_join(
+            views, buys, ("tms_id",), "view_time", "buy_time",
+            max_lag_minutes=30, watermark="1 hours", how="left_outer",
+        ).select("tms_id", "view_time", "buy_time")
+        run_available_now(joined, ckpt, sink)
+
+    _write(views_dir / "v1.csv", [("s1", "2020-05-22 00:00:00", 1.0),
+                                  ("s2", "2020-05-22 00:05:00", 2.0)])
+    _write(buys_dir / "b1.csv", [("s1", "2020-05-22 00:10:00", 10.0)])
+    tick()
+    # the match emits immediately; s2's fate is still open (its 30-min
+    # window could yet be matched by a later buy), so no NULL row
+    assert ("s1", "2020-05-22 00:00:00", "2020-05-22 00:10:00") in set(out)
+    assert not [r for r in out if r[2] is None]
+
+    # advance BOTH watermarks past s2's deadline (00:35 + 1 h delay)
+    _write(views_dir / "v2.csv", [("s9", "2020-05-22 03:00:00", 0.0)])
+    _write(buys_dir / "b2.csv", [("s9", "2020-05-22 03:00:30", 0.0)])
+    tick()
+    # watermark moved at the END of that run; the eviction needs a
+    # subsequent batch — which arrives after a RESTART, from new data
+    _write(buys_dir / "b3.csv", [("s9", "2020-05-22 03:30:00", 0.0)])
+    tick()
+    nulls = [r for r in out if r[2] is None]
+    assert ("s2", "2020-05-22 00:05:00", None) in nulls, out
+
+    # exactly-once: another restart with and without new data must not
+    # re-emit the NULL row (state was cleaned, offsets committed)
+    tick()
+    _write(buys_dir / "b4.csv", [("s9", "2020-05-22 04:00:00", 0.0)])
+    tick()
+    nulls = [r for r in out if r[2] is None and r[0] == "s2"]
+    assert len(nulls) == 1, out
