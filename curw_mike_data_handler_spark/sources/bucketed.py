@@ -131,8 +131,10 @@ def append_bucketed(
     table is compacted — rewritten through one shuffle into fresh
     single-file-per-bucket form and swapped in (write-to-side +
     rename; the swap is not atomic across readers, which is the
-    documented trade of a filesystem catalog — a lakehouse table
-    format would make it so).  Returns True when a compaction ran.
+    documented trade of a filesystem catalog — for snapshot-isolated
+    appends and an atomic pointer-swap compaction use the manifest
+    twin, sources/manifest_bucketed.py).  Returns True when a
+    compaction ran.
 
     Scale shape: the append itself is ONE shuffle of just the new
     batch (cluster-by into the bucket spec); compaction is a full

@@ -1,0 +1,361 @@
+"""Manifest-published bucketed tables: snapshot-isolated appends and
+an ATOMIC compaction swap on top of the plain bucketed layout
+(post-drain roadmap #4 — the lakehouse-grade upgrade of
+``sources/bucketed.append_bucketed``, whose DROP+RENAME swap is
+documented as non-atomic for concurrent readers).
+
+The design is the minimal Iceberg-shaped core, built from three
+primitives the local filesystem already gives us:
+
+* **immutable generation directories** — every snapshot is ONE
+  directory of bucketed parquet files.  An append creates the next
+  directory by HARD-LINKING the previous generation's files (O(files),
+  zero data copy) and inserting the new batch beside them; a
+  compaction writes a fresh single-file-per-bucket directory.  No
+  published directory is ever mutated, so a reader that planned
+  against generation k keeps a consistent snapshot for as long as k is
+  retained — there is no window where its files change or vanish
+  mid-scan.
+* **manifests** — ``manifests/manifest-K.json`` records the bucket
+  spec, the generation directory, and the exact file list.  Readers
+  resolve files only through manifests, never by listing directories,
+  so a half-written next generation is INVISIBLE until published.
+* **an atomically swapped pointer** — ``LATEST`` names the current
+  manifest and is replaced via write-temp + ``os.replace`` (atomic on
+  POSIX): every reader sees either the old snapshot or the new one,
+  never a mixture and never a missing table (the failure mode of the
+  DROP TABLE + RENAME swap).
+
+Time travel falls out for free: ``read(version=k)`` resolves
+``manifest-K`` instead of ``LATEST``; ``expire`` bounds retention.
+
+Spark integration: each generation is registered once as an EXTERNAL
+bucketed table (``.option("path", gen_dir)`` + ``bucketBy``), so scans
+keep the bucketed output partitioning and same-spec joins stay
+exchange-free — the whole point of the layout (plan-guarded in
+tests/test_partitioned_layout.py).
+
+Local/POSIX scope (same policy as bucketed._files_per_bucket): hard
+links and atomic replace need one local filesystem.  On an object
+store this module's job is done natively by a table format
+(Iceberg/Delta); the manifest/pointer/expire shape here is exactly
+that contract scaled down.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_BUCKET_RE = re.compile(r"_(\d{5})(?:\.|$)")
+
+
+def _table_dir(root: str, table: str) -> str:
+    return os.path.join(root, table)
+
+
+def _manifest_path(root: str, table: str, version: int) -> str:
+    return os.path.join(_table_dir(root, table), "manifests", f"manifest-{version}.json")
+
+
+def _latest_path(root: str, table: str) -> str:
+    return os.path.join(_table_dir(root, table), "LATEST")
+
+
+def _catalog_name(root: str, table: str, version: int) -> str:
+    # a generation's catalog entry must be unique per (root, table):
+    # two roots may host the same table name
+    tag = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:8]
+    return f"cm_mf_{table}_{tag}_g{version}"
+
+
+def current_version(root: str, table: str) -> int:
+    """The published snapshot version (the LATEST pointer)."""
+    with open(_latest_path(root, table)) as fh:
+        return int(fh.read().strip())
+
+
+def read_manifest(root: str, table: str, version: int | None = None) -> dict:
+    """Resolve a manifest — LATEST by default, a pinned ``version`` for
+    time travel.  Expired versions raise FileNotFoundError with the
+    retention hint."""
+    v = current_version(root, table) if version is None else version
+    path = _manifest_path(root, table, v)
+    try:
+        with open(path) as fh:
+            m = json.load(fh)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"{table} has no manifest-{v} — the version was never "
+            f"published or has been expired (see expire_generations)"
+        ) from None
+    return m
+
+
+def _publish(root: str, table: str, manifest: dict) -> None:
+    """Write the manifest, then swap LATEST atomically (os.replace) —
+    the single linearization point of every commit."""
+    mpath = _manifest_path(root, table, manifest["version"])
+    os.makedirs(os.path.dirname(mpath), exist_ok=True)
+    with open(mpath, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    lpath = _latest_path(root, table)
+    tmp = lpath + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(manifest["version"]))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, lpath)
+
+
+def _data_files(gen_dir: str) -> list[str]:
+    return sorted(
+        f for f in os.listdir(gen_dir)
+        if f.startswith("part-") and _BUCKET_RE.search(f)
+    )
+
+
+def files_per_bucket(manifest: dict) -> dict[int, int]:
+    """Bucket id → file count, from the manifest's file list (the
+    bucket id Spark embeds in every bucketed file name)."""
+    out: dict[int, int] = {}
+    for f in manifest["files"]:
+        m = _BUCKET_RE.search(f)
+        if m:
+            b = int(m.group(1))
+            out[b] = out.get(b, 0) + 1
+    return out
+
+
+def _write_generation(
+    spark: SparkSession,
+    df: DataFrame | None,
+    root: str,
+    table: str,
+    version: int,
+    spec: dict,
+    *,
+    link_from: dict | None = None,
+    mode: str = "append",
+) -> dict:
+    """Materialize generation ``version``: hard-link the parent
+    snapshot's files (if any), register the external bucketed table,
+    insert ``df`` (if any), and return the UNPUBLISHED manifest."""
+    gen_rel = f"gen-{version:05d}"
+    gen_dir = os.path.join(_table_dir(root, table), gen_rel)
+    os.makedirs(gen_dir, exist_ok=False)  # generations are immutable
+    if link_from is not None:
+        src_dir = os.path.join(_table_dir(root, table), link_from["generation"])
+        for f in link_from["files"]:
+            try:
+                os.link(os.path.join(src_dir, f), os.path.join(gen_dir, f))
+            except OSError:
+                import shutil  # cross-device fallback: copy
+
+                shutil.copy2(os.path.join(src_dir, f), os.path.join(gen_dir, f))
+
+    name = _catalog_name(root, table, version)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if df is not None:
+        n, cols, sort = spec["num_buckets"], spec["bucket_cols"], spec["sort_cols"]
+        # cluster INTO the bucket spec: one file per bucket per insert
+        # (see bucketed.write_bucketed for why)
+        writer = (
+            df.repartition(n, *cols)
+            .write.format("parquet")
+            .bucketBy(n, *cols)
+        )
+        if sort:
+            writer = writer.sortBy(*sort)
+        if link_from is None:
+            # fresh generation: CTAS-style external create at the dir
+            writer.option("path", gen_dir).mode(mode).saveAsTable(name)
+        else:
+            # linked generation: REGISTER the external table over the
+            # hard-linked files first, then append the batch into the
+            # existing table — a create-with-path here would run CTAS
+            # and clobber the linked snapshot (observed, not
+            # hypothetical: the appends silently became replacements)
+            _register(spark, root, table, version, spec)
+            writer.mode("append").saveAsTable(name)
+    else:
+        _register(spark, root, table, version, spec)
+    return {
+        "table": table,
+        "version": version,
+        "generation": gen_rel,
+        "parent": None if link_from is None else link_from["version"],
+        "bucket_cols": spec["bucket_cols"],
+        "num_buckets": spec["num_buckets"],
+        "sort_cols": spec["sort_cols"],
+        "schema_ddl": spec["schema_ddl"],
+        "files": _data_files(gen_dir),
+    }
+
+
+def _register(spark: SparkSession, root: str, table: str, version: int,
+              spec: dict) -> str:
+    """Idempotently register generation ``version`` as an external
+    bucketed catalog table (readers on another SparkSession arrive
+    here; the writer's saveAsTable already registered its own)."""
+    name = _catalog_name(root, table, version)
+    if spark.catalog.tableExists(name):
+        return name
+    gen_dir = os.path.join(_table_dir(root, table), f"gen-{version:05d}")
+    cols = ", ".join(f"`{c}`" for c in spec["bucket_cols"])
+    sorted_by = (
+        ("SORTED BY (" + ", ".join(f"`{c}`" for c in spec["sort_cols"]) + ") ")
+        if spec["sort_cols"]
+        else ""
+    )
+    spark.sql(
+        f"CREATE TABLE {name} ({spec['schema_ddl']}) USING parquet "
+        f"CLUSTERED BY ({cols}) {sorted_by}"
+        f"INTO {spec['num_buckets']} BUCKETS "
+        f"LOCATION '{gen_dir}'"
+    )
+    return name
+
+
+def _schema_ddl(df: DataFrame) -> str:
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+def create_manifest_table(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    table: str,
+    *,
+    bucket_cols: str | list[str],
+    num_buckets: int,
+    sort_cols: str | list[str] | None = None,
+) -> int:
+    """Write generation 0 and publish manifest 0.  Returns the
+    version (0)."""
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    if sort_cols is None:
+        sort_cols = []
+    elif isinstance(sort_cols, str):
+        sort_cols = [sort_cols]
+    spec = {
+        "bucket_cols": bucket_cols,
+        "num_buckets": num_buckets,
+        "sort_cols": list(sort_cols),
+        "schema_ddl": _schema_ddl(df),
+    }
+    manifest = _write_generation(
+        spark, df, root, table, 0, spec, mode="errorifexists"
+    )
+    _publish(root, table, manifest)
+    return 0
+
+
+def append_manifest_table(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    table: str,
+    *,
+    compact_files_per_bucket: int = 8,
+) -> int:
+    """Append ``df`` as a NEW snapshot (previous files hard-linked, the
+    batch inserted beside them, manifest + LATEST swapped atomically),
+    then compact into a further generation when any bucket exceeds
+    ``compact_files_per_bucket`` files.  Readers holding older
+    versions are never disturbed — their directories are immutable
+    until expired.  Returns the published version.
+
+    Scale shape: the append shuffles ONLY the new batch (one clustered
+    exchange); linking is O(existing files) metadata work; compaction
+    is the amortized full rewrite, exactly as in append_bucketed — but
+    the swap is now a pointer replace, not a catalog rename."""
+    prev = read_manifest(root, table)
+    missing = [c for c in prev["bucket_cols"] + prev["sort_cols"]
+               if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"append to {table} is missing bucket/sort columns {missing}"
+        )
+    spec = {k: prev[k] for k in
+            ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl")}
+    v = prev["version"] + 1
+    manifest = _write_generation(spark, df, root, table, v, spec, link_from=prev)
+    _publish(root, table, manifest)
+
+    per_bucket = files_per_bucket(manifest)
+    if per_bucket and max(per_bucket.values()) > compact_files_per_bucket:
+        # compaction = next generation: read the RAW snapshot files (a
+        # catalog read would claim the bucket partitioning and let the
+        # optimizer elide the re-clustering shuffle — the
+        # autoBucketedScan trap documented in bucketed.append_bucketed)
+        gen_dir = os.path.join(_table_dir(root, table), manifest["generation"])
+        full = (
+            spark.read.schema(spark.table(_catalog_name(root, table, v)).schema)
+            .parquet(*[os.path.join(gen_dir, f) for f in manifest["files"]])
+        )
+        v2 = v + 1
+        compacted = _write_generation(
+            spark, full, root, table, v2, spec, mode="errorifexists"
+        )
+        compacted["parent"] = v
+        compacted["compacted_from"] = v
+        # re-publish with the corrected parent chain
+        _publish(root, table, compacted)
+        return v2
+    return v
+
+
+def read_manifest_table(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read — LATEST by default, ``version`` for time travel.
+    Goes through the generation's external bucketed catalog entry so
+    the scan keeps the bucketed output partitioning (zero-exchange
+    same-spec joins)."""
+    m = read_manifest(root, table, version)
+    spec = {k: m[k] for k in
+            ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl")}
+    return spark.table(_register(spark, root, table, m["version"], spec))
+
+
+def expire_generations(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    *,
+    keep: int = 2,
+) -> list[int]:
+    """Drop all but the newest ``keep`` generations: delete their
+    directories and manifests and their catalog entries.  The LATEST
+    snapshot is always retained (keep >= 1).  Returns the expired
+    versions — readers still holding them will fail their NEXT plan,
+    which is the retention contract, not a torn read (files vanish
+    only after the snapshot is unpublished)."""
+    import shutil
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1 (LATEST is always retained)")
+    latest = current_version(root, table)
+    mdir = os.path.join(_table_dir(root, table), "manifests")
+    versions = sorted(
+        int(m.group(1))
+        for f in os.listdir(mdir)
+        if (m := re.fullmatch(r"manifest-(\d+)\.json", f))
+    )
+    expired = [v for v in versions if v <= latest - keep]
+    for v in expired:
+        spark.sql(f"DROP TABLE IF EXISTS {_catalog_name(root, table, v)}")
+        gen = os.path.join(_table_dir(root, table), f"gen-{v:05d}")
+        shutil.rmtree(gen, ignore_errors=True)
+        os.unlink(_manifest_path(root, table, v))
+    return expired

@@ -215,3 +215,146 @@ def test_append_bucketed_keeps_zero_exchange_join_and_bounds_files(spark):
         spark.sql("DROP TABLE IF EXISTS bk_fact")
         spark.sql("DROP TABLE IF EXISTS bk_dim")
         spark.sql("DROP TABLE IF EXISTS bk_fact__compacting")
+
+
+# -- manifest-published bucketed tables (post-drain roadmap #4) -------
+
+
+def _mk_batch(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id AS k", "id * 2 AS v")
+
+
+def test_manifest_table_append_compact_and_zero_exchange_join(spark, tmp_path):
+    """The lakehouse-grade upgrade of append_bucketed: appends
+    accumulate snapshots, compaction auto-fires on the file bound, and
+    same-spec manifest tables still join with ZERO exchanges (the
+    reason the layout exists)."""
+    import contextlib
+    import io
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _mk_batch(spark, 0, 100), root, "facts",
+        bucket_cols="k", num_buckets=4, sort_cols="k",
+    )
+    for i in range(1, 4):
+        v = mb.append_manifest_table(
+            spark, _mk_batch(spark, 100 * i, 100 * (i + 1)), root, "facts",
+            compact_files_per_bucket=3,
+        )
+        m = mb.read_manifest(root, "facts")
+        assert max(mb.files_per_bucket(m).values()) <= 3, (
+            "file bound must hold after every published append"
+        )
+    # the 3rd append crossed the bound: compaction published a further
+    # generation with exactly one file per bucket
+    assert v == 4 and m.get("compacted_from") == 3
+    assert len(m["files"]) == 4
+    cur = mb.read_manifest_table(spark, root, "facts")
+    assert cur.count() == 400
+
+    mb.create_manifest_table(
+        spark, spark.range(0, 400).selectExpr("id AS k", "id * 3 AS w"),
+        root, "dims", bucket_cols="k", num_buckets=4, sort_cols="k",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = cur.join(mb.read_manifest_table(spark, root, "dims"), "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain()
+        assert "Exchange hashpartitioning" not in buf.getvalue(), (
+            "same-spec manifest tables must join without a shuffle"
+        )
+        assert j.count() == 400
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_manifest_table_snapshot_isolation_and_time_travel(spark, tmp_path):
+    """A reader that resolved version k keeps a consistent snapshot
+    through appends AND the compaction swap (its directory is
+    immutable); time travel reads any retained version; hard links
+    make the snapshot copies metadata-only."""
+    import os
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _mk_batch(spark, 0, 100), root, "facts",
+        bucket_cols="k", num_buckets=4,
+    )
+    snap0 = mb.read_manifest_table(spark, root, "facts", version=0)
+    mb.append_manifest_table(spark, _mk_batch(spark, 100, 200), root, "facts",
+                             compact_files_per_bucket=1)  # forces compaction
+    # the old reader still sees its snapshot after append + compaction
+    assert snap0.count() == 100
+    assert mb.read_manifest_table(spark, root, "facts").count() == 200
+    # time travel: the pre-compaction append (v1) is readable
+    assert mb.read_manifest_table(spark, root, "facts", version=1).count() == 200
+
+    # hard-link economy: gen-1 shares inodes with gen-0's files
+    g0 = os.path.join(root, "facts", "gen-00000")
+    g1 = os.path.join(root, "facts", "gen-00001")
+    shared = sum(
+        1 for f in os.listdir(g0)
+        if f.startswith("part-") and os.path.exists(os.path.join(g1, f))
+        and os.stat(os.path.join(g0, f)).st_ino == os.stat(os.path.join(g1, f)).st_ino
+    )
+    assert shared == len([f for f in os.listdir(g0) if f.startswith("part-")])
+
+
+def test_manifest_table_unpublished_generation_is_invisible(spark, tmp_path):
+    """The atomicity contract: readers resolve files ONLY through the
+    LATEST pointer, so a half-written next generation (data dir
+    present, manifest/pointer not yet swapped) is invisible — unlike
+    append_bucketed's DROP+RENAME window, there is no moment where the
+    table is missing or mixed."""
+    import os
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _mk_batch(spark, 0, 50), root, "facts",
+        bucket_cols="k", num_buckets=2,
+    )
+    # simulate a writer that crashed mid-append: gen dir + files exist,
+    # nothing published
+    gen1 = os.path.join(root, "facts", "gen-00001")
+    os.makedirs(gen1)
+    _mk_batch(spark, 50, 100).write.parquet(os.path.join(gen1, "torn"))
+    assert mb.current_version(root, "facts") == 0
+    assert mb.read_manifest_table(spark, root, "facts").count() == 50
+
+
+def test_manifest_table_expire_bounds_retention(spark, tmp_path):
+    """expire keeps the newest K generations; expired versions raise a
+    clear retention error instead of a torn read; LATEST always
+    survives."""
+    import pytest as _pytest
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _mk_batch(spark, 0, 50), root, "facts",
+        bucket_cols="k", num_buckets=2,
+    )
+    for i in range(1, 4):
+        mb.append_manifest_table(
+            spark, _mk_batch(spark, 50 * i, 50 * (i + 1)), root, "facts",
+            compact_files_per_bucket=100,
+        )
+    expired = mb.expire_generations(spark, root, "facts", keep=2)
+    assert expired == [0, 1]
+    with _pytest.raises(FileNotFoundError, match="expired"):
+        mb.read_manifest_table(spark, root, "facts", version=0)
+    assert mb.read_manifest_table(spark, root, "facts", version=2).count() == 150
+    assert mb.read_manifest_table(spark, root, "facts").count() == 200
+    with _pytest.raises(ValueError):
+        mb.expire_generations(spark, root, "facts", keep=0)
