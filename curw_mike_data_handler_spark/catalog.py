@@ -15814,8 +15814,8 @@ def stream_outer_interval_join_replay(spark, sf_dir):
         "user_id", "event_id", "ts", "event_type"
     ).filter(F.col("event_type").isin("view", "purchase"))
 
-    def sentinel(day: int):
-        ts = datetime.datetime(2024, day, 1)  # 2024-04-01 / 2024-05-01
+    def sentinel(month: int):
+        ts = datetime.datetime(2024, month, 1)  # 2024-04-01 / 2024-05-01
         return spark.createDataFrame(
             [(-1, -1, ts, "view"), (-1, -1, ts, "purchase")], ev.schema
         )

@@ -3210,7 +3210,12 @@ def _packbits_encode(raw: bytes) -> bytes:
             i = j
             continue
         # literal: until the next ≥3-run (a 2-run is cheaper kept
-        # literal than splitting the packet) or 128 bytes
+        # literal than splitting the packet) or 128 bytes.  The cap is
+        # clamped INSIDE the absorb step too: absorbing a 2-run at
+        # offset 127 would otherwise grow the packet to 129 bytes,
+        # whose control byte (128) is the spec's NO-OP code — an
+        # undecodable stream (found by review, pinned in
+        # test_packbits_literal_cap_at_pseudo_run)
         lit = i
         while i < n and i - lit < 128:
             j = i + 1
@@ -3218,7 +3223,7 @@ def _packbits_encode(raw: bytes) -> bytes:
                 j += 1
             if j - i >= 3:
                 break
-            i = j
+            i = min(j, lit + 128)
         out.append(i - lit - 1)
         out.extend(raw[lit:i])
     return bytes(out)
@@ -3478,11 +3483,16 @@ def _tiff_synth_args(mid: int) -> tuple[int, int, int, bool]:
 
 
 def synthesize_tiff(ids: DataFrame, id_col: str = "doc_id",
-                    parallelism: int | None = None) -> DataFrame:
+                    parallelism: int | None = None,
+                    rows_per_strip: int = 8,
+                    compression: str = "none") -> DataFrame:
     """id column → (media_id, media_type, payload) with real TIFF
     bytes, deterministic in the id (`_tiff_synth_args`), RowsPerStrip
     8 so every image with height > 8 is genuinely multi-strip.
-    Map-only, like every synthesizer here."""
+    Map-only, like every synthesizer here.  ``rows_per_strip`` /
+    ``compression`` pass through to make_tiff (one builder serves the
+    uncompressed and PackBits twins — the dims/phase/byte-order
+    formula, hence the oracle, is shared)."""
     sc = ids.sparkSession.sparkContext
     n = parallelism or min(sc.defaultParallelism, 16)
     src = ids.select(F.col(id_col).cast("long").alias("media_id"))
@@ -3494,7 +3504,9 @@ def synthesize_tiff(ids: DataFrame, id_col: str = "doc_id",
             payloads = [
                 # (width, height, phase, big_endian) — make_tiff's
                 # leading positional args
-                make_tiff(*_tiff_synth_args(int(m)))
+                make_tiff(*_tiff_synth_args(int(m)),
+                          rows_per_strip=rows_per_strip,
+                          compression=compression)
                 for m in pdf["media_id"]
             ]
             yield pd.DataFrame(
@@ -3508,33 +3520,13 @@ def synthesize_tiff(ids: DataFrame, id_col: str = "doc_id",
 
 def synthesize_tiff_packbits(ids: DataFrame, id_col: str = "doc_id",
                              parallelism: int | None = None) -> DataFrame:
-    """id column → real PackBits-compressed TIFFs over the SAME
-    (width, height, phase, byte order) parameterization as
-    synthesize_tiff (`_tiff_synth_args` — one formula, one oracle),
-    but RowsPerStrip 6: heights are multiples of 8, so the final strip
-    of every image is SHORT (8·k rows split 6+2, 6+6+4, ...), pinning
-    the partial-last-strip expected-size path of the RLE decode at the
-    driver gate.  Map-only."""
-    sc = ids.sparkSession.sparkContext
-    n = parallelism or min(sc.defaultParallelism, 16)
-    src = ids.select(F.col(id_col).cast("long").alias("media_id"))
-    if src.rdd.getNumPartitions() < n:
-        src = src.repartition(n)
-
-    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [
-                make_tiff(*_tiff_synth_args(int(m)), rows_per_strip=6,
-                          compression="packbits")
-                for m in pdf["media_id"]
-            ]
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"],
-                 "media_type": ["image/tiff"] * len(pdf),
-                 "payload": payloads}
-            )
-
-    return src.mapInPandas(_build, schema=MEDIA_SCHEMA)
+    """PackBits twin of synthesize_tiff — same (width, height, phase,
+    byte order) parameterization, so one closed-form oracle covers
+    both; RowsPerStrip 6 under the 8·k heights makes every image end
+    in a SHORT final strip (the partial-last-strip expected-size path
+    of the RLE decode) at the driver gate."""
+    return synthesize_tiff(ids, id_col=id_col, parallelism=parallelism,
+                           rows_per_strip=6, compression="packbits")
 
 
 def tiff_pixel_stats(media: DataFrame) -> DataFrame:

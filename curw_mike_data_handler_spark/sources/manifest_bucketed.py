@@ -98,18 +98,23 @@ def read_manifest(root: str, table: str, version: int | None = None) -> dict:
 
 def _publish(root: str, table: str, manifest: dict) -> None:
     """Write the manifest, then swap LATEST atomically (os.replace) —
-    the single linearization point of every commit."""
+    the single linearization point of every commit.  BOTH files go
+    through temp + fsync + replace: a durable LATEST pointing at a
+    manifest whose blocks never reached disk would be a torn publish,
+    exactly what the pointer design exists to rule out."""
+
+    def _durable_write(path: str, text: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+
     mpath = _manifest_path(root, table, manifest["version"])
     os.makedirs(os.path.dirname(mpath), exist_ok=True)
-    with open(mpath, "w") as fh:
-        json.dump(manifest, fh, indent=1)
-    lpath = _latest_path(root, table)
-    tmp = lpath + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(str(manifest["version"]))
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, lpath)
+    _durable_write(mpath, json.dumps(manifest, indent=1))
+    _durable_write(_latest_path(root, table), str(manifest["version"]))
 
 
 def _data_files(gen_dir: str) -> list[str]:
@@ -133,7 +138,7 @@ def files_per_bucket(manifest: dict) -> dict[int, int]:
 
 def _write_generation(
     spark: SparkSession,
-    df: DataFrame | None,
+    df: DataFrame,
     root: str,
     table: str,
     version: int,
@@ -144,9 +149,29 @@ def _write_generation(
 ) -> dict:
     """Materialize generation ``version``: hard-link the parent
     snapshot's files (if any), register the external bucketed table,
-    insert ``df`` (if any), and return the UNPUBLISHED manifest."""
+    insert ``df``, and return the UNPUBLISHED manifest.
+
+    Crash recovery (single-writer contract): a generation dir whose
+    version was never published is the debris of a failed append or
+    compaction — it is invisible to every reader (resolution goes
+    through manifests only), so the retry DELETES and rebuilds it
+    instead of wedging the table forever on makedirs(exist_ok=False)."""
     gen_rel = f"gen-{version:05d}"
     gen_dir = os.path.join(_table_dir(root, table), gen_rel)
+    if os.path.exists(gen_dir):
+        import shutil
+
+        published = (
+            os.path.exists(_latest_path(root, table))
+            and os.path.exists(_manifest_path(root, table, version))
+        )
+        if published:
+            raise FileExistsError(
+                f"{table} generation {version} is already published — "
+                f"generations are immutable"
+            )
+        spark.sql(f"DROP TABLE IF EXISTS {_catalog_name(root, table, version)}")
+        shutil.rmtree(gen_dir)
     os.makedirs(gen_dir, exist_ok=False)  # generations are immutable
     if link_from is not None:
         src_dir = os.path.join(_table_dir(root, table), link_from["generation"])
@@ -160,30 +185,27 @@ def _write_generation(
 
     name = _catalog_name(root, table, version)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    if df is not None:
-        n, cols, sort = spec["num_buckets"], spec["bucket_cols"], spec["sort_cols"]
-        # cluster INTO the bucket spec: one file per bucket per insert
-        # (see bucketed.write_bucketed for why)
-        writer = (
-            df.repartition(n, *cols)
-            .write.format("parquet")
-            .bucketBy(n, *cols)
-        )
-        if sort:
-            writer = writer.sortBy(*sort)
-        if link_from is None:
-            # fresh generation: CTAS-style external create at the dir
-            writer.option("path", gen_dir).mode(mode).saveAsTable(name)
-        else:
-            # linked generation: REGISTER the external table over the
-            # hard-linked files first, then append the batch into the
-            # existing table — a create-with-path here would run CTAS
-            # and clobber the linked snapshot (observed, not
-            # hypothetical: the appends silently became replacements)
-            _register(spark, root, table, version, spec)
-            writer.mode("append").saveAsTable(name)
+    n, cols, sort = spec["num_buckets"], spec["bucket_cols"], spec["sort_cols"]
+    # cluster INTO the bucket spec: one file per bucket per insert
+    # (see bucketed.write_bucketed for why)
+    writer = (
+        df.repartition(n, *cols)
+        .write.format("parquet")
+        .bucketBy(n, *cols)
+    )
+    if sort:
+        writer = writer.sortBy(*sort)
+    if link_from is None:
+        # fresh generation: CTAS-style external create at the dir
+        writer.option("path", gen_dir).mode(mode).saveAsTable(name)
     else:
+        # linked generation: REGISTER the external table over the
+        # hard-linked files first, then append the batch into the
+        # existing table — a create-with-path here would run CTAS
+        # and clobber the linked snapshot (observed, not
+        # hypothetical: the appends silently became replacements)
         _register(spark, root, table, version, spec)
+        writer.mode("append").saveAsTable(name)
     return {
         "table": table,
         "version": version,

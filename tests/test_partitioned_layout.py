@@ -331,6 +331,23 @@ def test_manifest_table_unpublished_generation_is_invisible(spark, tmp_path):
     assert mb.current_version(root, "facts") == 0
     assert mb.read_manifest_table(spark, root, "facts").count() == 50
 
+    # crash recovery (review finding): a RETRY of the append must not
+    # wedge on the leftover unpublished dir — it deletes the debris,
+    # rebuilds generation 1, and publishes it
+    v = mb.append_manifest_table(spark, _mk_batch(spark, 50, 100), root, "facts")
+    assert v == 1
+    assert mb.read_manifest_table(spark, root, "facts").count() == 100
+    # but a PUBLISHED generation stays immutable: attempting to rebuild
+    # it is an error, not a silent overwrite
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError, match="immutable"):
+        mb._write_generation(
+            spark, _mk_batch(spark, 0, 10), root, "facts", 1,
+            {k: mb.read_manifest(root, "facts")[k]
+             for k in ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl")},
+        )
+
 
 def test_manifest_table_expire_bounds_retention(spark, tmp_path):
     """expire keeps the newest K generations; expired versions raise a

@@ -3300,6 +3300,27 @@ def test_packbits_decode_strict_contract():
     assert _packbits_decode(b"\x00a", 0) == b""               # zero expected
 
 
+def test_packbits_literal_cap_at_pseudo_run():
+    """Review-found encoder bug, pinned: absorbing a 2-byte pseudo-run
+    at literal offset 127 must NOT grow the packet to 129 bytes —
+    control byte 128 is the spec's no-op, so the stream would be
+    undecodable.  The clamp splits the pseudo-run across packets."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    raw = bytes(range(127)) + b"\xc8\xc8" + b"\x01\x02\x03"
+    enc = _packbits_encode(raw)
+    assert enc[0] != 128  # first control byte must be a real packet
+    assert _packbits_decode(enc, len(raw)) == raw
+    # sweep every literal-prefix length around the cap
+    for pre in range(120, 135):
+        raw = bytes(i % 251 for i in range(pre)) + b"\xc8\xc8" + b"\x07"
+        enc = _packbits_encode(raw)
+        assert _packbits_decode(enc, len(raw)) == raw, pre
+
+
 @given(st.integers(min_value=0, max_value=10**9))
 @settings(max_examples=40, deadline=None)
 def test_packbits_roundtrip_and_bound(seed):

@@ -648,6 +648,145 @@ def main() -> None:
         results,
     )
 
+    # ------------------------------------------------------------------
+    # Round-9b probes (the post-drain roadmap additions):
+    # (a) PackBits TIFF decode at 10× ids — must stay map-only like
+    #     its uncompressed twin; the delta vs tiff_decode_10x is the
+    #     RLE inflate cost.
+    # (b) OPQ over a 10× embedding corpus (20k vectors) — rotation +
+    #     reconstruction are scan-fused map work; the only shuffle is
+    #     the per-query top-k window.  recall@5 vs the exact top-k is
+    #     recorded alongside (the quantizer's quality number at scale).
+    # (c) the LEFT OUTER interval-join replay at events ×10 — the NULL
+    #     eviction path through a real streaming job at 1M rows.
+    # (d) manifest-table maintenance at 2M rows: per-append cost
+    #     (hard-link + one clustered shuffle of the batch) vs the
+    #     amortized compaction rewrite.
+    # ------------------------------------------------------------------
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        synthesize_tiff_packbits,
+    )
+
+    print("round-9b probes (packbits, OPQ, outer join, manifest):")
+    measure(
+        spark,
+        "tiff_packbits_decode_10x",
+        lambda: tiff_pixel_stats(synthesize_tiff_packbits(ids10)),
+        results,
+    )
+
+    from curw_mike_data_handler_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_bucketed,
+        opq_rotate,
+        opq_signed_rows,
+        pq_gain_shape_reconstruct,
+    )
+
+    emb1 = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    copies = spark.range(10).select(F.col("id").alias("copy"))
+    # 10 copies with distinct ids; labels offset per copy so bucket
+    # sizes stay realistic instead of 10× denser
+    emb10 = emb1.crossJoin(copies).select(
+        (F.col("vec_id") + F.col("copy") * 10_000_000).alias("vec_id"),
+        "embedding",
+        ((F.col("label") * 10 + F.col("copy")) % 50).alias("label"),
+    ).localCheckpoint()
+    rows_hd = opq_signed_rows()
+    rotated10 = emb10.withColumn("embedding", opq_rotate(F.col("embedding"), rows_hd))
+    corpus10 = rotated10.withColumn(
+        "embedding", pq_gain_shape_reconstruct(F.col("embedding"))
+    )
+    queries10 = rotated10.filter(F.col("vec_id") % 1000 == 0)
+    measure(
+        spark,
+        "ann_topk_opq_20k",
+        lambda: ann_topk_bucketed(
+            queries10, corpus10, k=5,
+            corpus_partitions=spark.sparkContext.defaultParallelism,
+        ),
+        results,
+    )
+    exact10 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_bruteforce(
+            emb10.filter(F.col("vec_id") % 1000 == 0), emb10, k=5,
+            corpus_partitions=spark.sparkContext.defaultParallelism,
+        ).collect()
+    }
+    opq10 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_bucketed(
+            queries10, corpus10, k=5,
+            corpus_partitions=spark.sparkContext.defaultParallelism,
+        ).collect()
+    }
+    results["ann_topk_opq_20k"]["recall_at_5_vs_exact"] = round(
+        len(exact10 & opq10) / max(len(exact10), 1), 3
+    )
+    print(f"  OPQ recall@5 vs exact at 20k: "
+          f"{results['ann_topk_opq_20k']['recall_at_5_vs_exact']}")
+
+    measure(
+        spark,
+        "stream_outer_interval_join_1m",
+        lambda: catalog.QUERIES["stream_outer_interval_join_replay"](
+            spark, ev10_dir
+        ),
+        results,
+    )
+
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    mroot = tempfile.mkdtemp(prefix="cm_probe_manifest_")
+    try:
+        base_rows = spark.range(2_000_000).selectExpr(
+            "id % 100000 AS k", "id AS v"
+        )
+        t_create = time.time()
+        mb.create_manifest_table(
+            spark, base_rows, mroot, "probe_facts",
+            bucket_cols="k", num_buckets=32, sort_cols="k",
+        )
+        create_s = round(time.time() - t_create, 2)
+        append_s = []
+        compacted_at = None
+        for i in range(1, 5):
+            batch = spark.range(200_000).selectExpr(
+                f"(id + {i} * 1000000) % 100000 AS k", "id AS v"
+            )
+            t_a = time.time()
+            v = mb.append_manifest_table(
+                spark, batch, mroot, "probe_facts",
+                compact_files_per_bucket=3,
+            )
+            append_s.append(round(time.time() - t_a, 2))
+            m = mb.read_manifest(mroot, "probe_facts")
+            if "compacted_from" in m and compacted_at is None:
+                compacted_at = i
+        final = mb.read_manifest(mroot, "probe_facts")
+        results["manifest_append_compact_2m"] = {
+            "create_s": create_s,
+            "append_s": append_s,
+            "compacted_at_append": compacted_at,
+            "final_files": len(final["files"]),
+            "rows": mb.read_manifest_table(spark, mroot, "probe_facts").count(),
+        }
+        print(f"  manifest 2M: create {create_s}s, appends {append_s}, "
+              f"compaction at append {compacted_at}, "
+              f"final files {len(final['files'])}")
+        mb.expire_generations(spark, mroot, "probe_facts", keep=1)
+    finally:
+        for vv in range(0, 8):
+            spark.sql(
+                "DROP TABLE IF EXISTS "
+                + mb._catalog_name(mroot, "probe_facts", vv)
+            )
+        shutil.rmtree(mroot, ignore_errors=True)
+
     payload = {
         "sf": 1.0,
         "docs": docs_lin.count(),
