@@ -48,10 +48,24 @@ import hashlib
 import json
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 _BUCKET_RE = re.compile(r"_(\d{5})(?:\.|$)")
+_TABLE_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _check_table_name(table: str) -> str:
+    """Table names double as directory names AND catalog identifiers —
+    a dash or space would be a fine directory but a ParseException in
+    every generated DROP/CREATE statement, so reject it up front."""
+    if not _TABLE_NAME_RE.fullmatch(table):
+        raise ValueError(
+            f"table name {table!r} must match [A-Za-z_][A-Za-z0-9_]* "
+            f"(it is interpolated into catalog identifiers)"
+        )
+    return table
 
 
 def _table_dir(root: str, table: str) -> str:
@@ -110,6 +124,14 @@ def _publish(root: str, table: str, manifest: dict) -> None:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, path)
+        # fsync the DIRECTORY too: without it POSIX gives no ordering
+        # between the two renames' metadata, and a power loss could
+        # durably keep LATEST=v while manifest-v's rename is lost
+        dfd = os.open(os.path.dirname(path), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     mpath = _manifest_path(root, table, manifest["version"])
     os.makedirs(os.path.dirname(mpath), exist_ok=True)
@@ -159,18 +181,20 @@ def _write_generation(
     gen_rel = f"gen-{version:05d}"
     gen_dir = os.path.join(_table_dir(root, table), gen_rel)
     if os.path.exists(gen_dir):
-        import shutil
-
-        published = (
-            os.path.exists(_latest_path(root, table))
-            and os.path.exists(_manifest_path(root, table, version))
-        )
+        # published means LATEST REACHED this version — NOT "a
+        # manifest file exists": a crash between the manifest write
+        # and the LATEST swap leaves manifest-v on disk with LATEST
+        # still at v-1, and that generation must be rebuildable or the
+        # table wedges forever (review finding)
+        try:
+            published = current_version(root, table) >= version
+        except FileNotFoundError:
+            published = False
         if published:
             raise FileExistsError(
                 f"{table} generation {version} is already published — "
                 f"generations are immutable"
             )
-        spark.sql(f"DROP TABLE IF EXISTS {_catalog_name(root, table, version)}")
         shutil.rmtree(gen_dir)
     os.makedirs(gen_dir, exist_ok=False)  # generations are immutable
     if link_from is not None:
@@ -179,8 +203,7 @@ def _write_generation(
             try:
                 os.link(os.path.join(src_dir, f), os.path.join(gen_dir, f))
             except OSError:
-                import shutil  # cross-device fallback: copy
-
+                # cross-device fallback: copy
                 shutil.copy2(os.path.join(src_dir, f), os.path.join(gen_dir, f))
 
     name = _catalog_name(root, table, version)
@@ -261,6 +284,7 @@ def create_manifest_table(
 ) -> int:
     """Write generation 0 and publish manifest 0.  Returns the
     version (0)."""
+    _check_table_name(table)
     bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     if sort_cols is None:
         sort_cols = []
@@ -286,6 +310,7 @@ def append_manifest_table(
     table: str,
     *,
     compact_files_per_bucket: int = 8,
+    batch_id: str | None = None,
 ) -> int:
     """Append ``df`` as a NEW snapshot (previous files hard-linked, the
     batch inserted beside them, manifest + LATEST swapped atomically),
@@ -294,11 +319,22 @@ def append_manifest_table(
     versions are never disturbed — their directories are immutable
     until expired.  Returns the published version.
 
+    ``batch_id`` makes the retry-after-crash loop safe END TO END: the
+    id is recorded in the published manifest (and carried through a
+    compaction of the same commit), and an append whose batch_id
+    matches the CURRENT manifest's is a no-op returning the published
+    version.  Without it, a crash in the post-publish compaction
+    window followed by the documented retry would append the batch a
+    second time — exactly-once callers (e.g. a foreachBatch sink)
+    should always pass their batch identifier.
+
     Scale shape: the append shuffles ONLY the new batch (one clustered
     exchange); linking is O(existing files) metadata work; compaction
     is the amortized full rewrite, exactly as in append_bucketed — but
     the swap is now a pointer replace, not a catalog rename."""
     prev = read_manifest(root, table)
+    if batch_id is not None and prev.get("batch_id") == batch_id:
+        return prev["version"]
     missing = [c for c in prev["bucket_cols"] + prev["sort_cols"]
                if c not in df.columns]
     if missing:
@@ -309,6 +345,8 @@ def append_manifest_table(
             ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl")}
     v = prev["version"] + 1
     manifest = _write_generation(spark, df, root, table, v, spec, link_from=prev)
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
     _publish(root, table, manifest)
 
     per_bucket = files_per_bucket(manifest)
@@ -328,6 +366,10 @@ def append_manifest_table(
         )
         compacted["parent"] = v
         compacted["compacted_from"] = v
+        if batch_id is not None:
+            # the compaction is part of the same logical commit: keep
+            # the batch id visible so a retry still short-circuits
+            compacted["batch_id"] = batch_id
         # re-publish with the corrected parent chain
         _publish(root, table, compacted)
         return v2
@@ -363,8 +405,6 @@ def expire_generations(
     versions — readers still holding them will fail their NEXT plan,
     which is the retention contract, not a torn read (files vanish
     only after the snapshot is unpublished)."""
-    import shutil
-
     if keep < 1:
         raise ValueError("keep must be >= 1 (LATEST is always retained)")
     latest = current_version(root, table)

@@ -375,3 +375,59 @@ def test_manifest_table_expire_bounds_retention(spark, tmp_path):
     assert mb.read_manifest_table(spark, root, "facts").count() == 200
     with _pytest.raises(ValueError):
         mb.expire_generations(spark, root, "facts", keep=0)
+
+
+def test_manifest_table_append_is_idempotent_with_batch_id(spark, tmp_path):
+    """The retry contract end to end: (a) re-appending the same
+    batch_id is a no-op returning the published version — covering
+    the post-publish compaction-crash window where a blind retry
+    would duplicate the batch; (b) a crash BETWEEN the manifest write
+    and the LATEST swap (manifest-v on disk, LATEST still v-1) must
+    not wedge the retry (review finding: 'published' is defined by
+    the pointer, not by manifest-file existence)."""
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _mk_batch(spark, 0, 50), root, "facts",
+        bucket_cols="k", num_buckets=2,
+    )
+    v1 = mb.append_manifest_table(
+        spark, _mk_batch(spark, 50, 100), root, "facts", batch_id="b-1"
+    )
+    assert mb.read_manifest_table(spark, root, "facts").count() == 100
+    # duplicate delivery of the same commit: no-op, same version
+    v1b = mb.append_manifest_table(
+        spark, _mk_batch(spark, 50, 100), root, "facts", batch_id="b-1"
+    )
+    assert v1b == v1
+    assert mb.read_manifest_table(spark, root, "facts").count() == 100
+
+    # torn publish: manifest-2 written, LATEST never swapped
+    import json
+    import os
+
+    m = dict(mb.read_manifest(root, "facts"))
+    m["version"] = 2
+    m["generation"] = "gen-00002"
+    with open(os.path.join(root, "facts", "manifests", "manifest-2.json"), "w") as fh:
+        json.dump(m, fh)
+    os.makedirs(os.path.join(root, "facts", "gen-00002"))
+    assert mb.current_version(root, "facts") == v1
+    v2 = mb.append_manifest_table(
+        spark, _mk_batch(spark, 100, 150), root, "facts", batch_id="b-2"
+    )
+    assert v2 == 2
+    assert mb.read_manifest_table(spark, root, "facts").count() == 150
+
+
+def test_manifest_table_rejects_hostile_table_name(spark, tmp_path):
+    import pytest as _pytest
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    with _pytest.raises(ValueError, match="table name"):
+        mb.create_manifest_table(
+            spark, _mk_batch(spark, 0, 10), str(tmp_path), "probe-facts",
+            bucket_cols="k", num_buckets=2,
+        )

@@ -685,12 +685,25 @@ def main() -> None:
 
     emb1 = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
     copies = spark.range(10).select(F.col("id").alias("copy"))
-    # 10 copies with distinct ids; labels offset per copy so bucket
-    # sizes stay realistic instead of 10× denser
+    # 10 copies with distinct ids, SAME label (a 10× corpus is 10×
+    # denser buckets — that's the scale being probed), and a small
+    # deterministic per-(copy, dim) perturbation: exact duplicates
+    # would make the exact top-5 all cos=1.0 ties (recall trivially 1)
+    # — or, with per-copy label remapping, structurally 0 (every
+    # duplicate lands in a different bucket than its query; review
+    # finding).  Perturbed copies give the metric meaning: near but
+    # not identical neighbors, rankable by both paths.
     emb10 = emb1.crossJoin(copies).select(
         (F.col("vec_id") + F.col("copy") * 10_000_000).alias("vec_id"),
-        "embedding",
-        ((F.col("label") * 10 + F.col("copy")) % 50).alias("label"),
+        F.zip_with(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: ((F.col("copy") * 7 + i) % 11 - 5).cast("double") * 0.01,
+            ),
+            lambda x, d: x.cast("double") + d,
+        ).alias("embedding"),
+        "label",
     ).localCheckpoint()
     rows_hd = opq_signed_rows()
     rotated10 = emb10.withColumn("embedding", opq_rotate(F.col("embedding"), rows_hd))
