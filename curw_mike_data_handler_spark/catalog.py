@@ -5862,7 +5862,12 @@ def ann_topk_opq(spark, sf_dir):
     Scale shape: inherited unchanged from ann_topk_bucketed — the
     rotation/reconstruction are map-side expressions fused into the
     scan; the only shuffle is the bucket equi join.  At 100 TB the
-    corpus scan reads codes, not floats."""
+    corpus scan reads codes, not floats — and the map math runs the
+    Arrow engine (opq_rotate/pq_gain_shape_reconstruct
+    engine='arrow': one numpy matmul per batch, measured 10-30×
+    faster at 20k rows, float-noise-identical, sf1 probe records
+    recall parity); the fold engine used HERE exists for the DuckDB
+    bit-parity gate."""
     from curw_mike_data_handler_spark.operators.similarity import (
         opq_rotate,
         opq_signed_rows,

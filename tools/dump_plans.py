@@ -139,6 +139,10 @@ SHOWCASE = [
     ("activity_streaks", "islands via day−rank key: distinct-collapse + window + two rollups on one user exchange"),
     ("token_bucket_throttle", "the sanctioned sequential tier: ONE exchange into Arrow FlatMapGroupsInPandas, O(1) fold state"),
     ("wavelet_energy_levels", "three chained signed-sum aggregates over geometrically shrinking bucket relations"),
+    ("ann_topk_opq", "OPQ (r9): HD rotation + gain-shape PQ fused into the scan; broadcast bucket join, one top-k exchange"),
+    ("multimodal_tiff_packbits", "PackBits TIFF (r9): per-strip RLE inflate in the same Arrow pass as the IFD walk — map-only"),
+    ("sql_window_tvf_tumble_hop", "pure-SQL tumble+hop (r9): window() grouping = map-side expand + hash agg, no grid join"),
+    ("sql_session_window_tvf", "pure-SQL session_window + HAVING (r9): gap-merge in ONE aggregate on one user exchange"),
 ]
 
 

@@ -740,6 +740,40 @@ def main() -> None:
     print(f"  OPQ recall@5 vs exact at 20k: "
           f"{results['ann_topk_opq_20k']['recall_at_5_vs_exact']}")
 
+    # the SCALE engine: same math through one Arrow numpy matmul per
+    # batch instead of the oracle-exact interpreted fold — this is the
+    # form a 100 TB corpus would run (the fold exists for the DuckDB
+    # bit-parity gate)
+    rot_arrow = emb10.withColumn(
+        "embedding", opq_rotate(F.col("embedding"), rows_hd, engine="arrow")
+    )
+    corpus_arrow = rot_arrow.withColumn(
+        "embedding",
+        pq_gain_shape_reconstruct(F.col("embedding"), engine="arrow"),
+    )
+    queries_arrow = rot_arrow.filter(F.col("vec_id") % 1000 == 0)
+    measure(
+        spark,
+        "ann_topk_opq_20k_arrow",
+        lambda: ann_topk_bucketed(
+            queries_arrow, corpus_arrow, k=5,
+            corpus_partitions=spark.sparkContext.defaultParallelism,
+        ),
+        results,
+    )
+    arrow10 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_bucketed(
+            queries_arrow, corpus_arrow, k=5,
+            corpus_partitions=spark.sparkContext.defaultParallelism,
+        ).collect()
+    }
+    results["ann_topk_opq_20k_arrow"]["recall_at_5_vs_exact"] = round(
+        len(exact10 & arrow10) / max(len(exact10), 1), 3
+    )
+    print(f"  OPQ(arrow) recall@5 vs exact at 20k: "
+          f"{results['ann_topk_opq_20k_arrow']['recall_at_5_vs_exact']}")
+
     measure(
         spark,
         "stream_outer_interval_join_1m",
