@@ -5890,6 +5890,57 @@ def ann_topk_opq(spark, sf_dir):
 
 
 @query(
+    "heavy_hitters_mg",
+    """
+    WITH e AS (
+        SELECT CASE WHEN event_id % 5 < 2
+                    THEN 'hot_' || CAST(event_id % 7 AS VARCHAR)
+                    ELSE 'cold_' || CAST(event_id % 9973 AS VARCHAR)
+               END AS key
+        FROM events
+    ),
+    t AS (SELECT count(*) AS n FROM e)
+    SELECT key, count(*) AS n_occurrences
+    FROM e, t
+    GROUP BY key, n
+    HAVING count(*) > n / 32.0
+    """,
+)
+def heavy_hitters_mg(spark, sf_dir):
+    """Exact heavy hitters with bounded memory (post-drain roadmap:
+    the mergeable heavy-hitters construction): per-partition
+    Misra-Gries summaries (k=32 counters, O(k) state per task) union
+    into a candidate set that provably contains every key above the
+    n/k frequency threshold; a verification pass counts JUST those
+    candidates exactly.  The sketch bounds memory; the output is the
+    same rows a plain GROUP BY/HAVING produces — which is exactly what
+    the oracle runs.  The key is a synthetic zipf-ish split of the
+    event stream (40% of rows over 7 hot keys, 60% over ~10k cold
+    keys) so both the surviving and the pruned populations are real.
+
+    Scale shape: phase 1 is a map-only scan (no shuffle); phase 2
+    broadcasts the ≤ k·P candidates, filters map-side, and
+    partial-aggregates so the only exchange carries ≤ candidates ×
+    partitions rows — the raw key domain never shuffles, which is the
+    whole point at 100 TB key cardinalities."""
+    from curw_mike_data_handler_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 5 < 2,
+            F.concat(F.lit("hot_"), (F.col("event_id") % 7).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("cold_"), (F.col("event_id") % 9973).cast("string"))
+        )
+        .alias("key")
+    )
+    return heavy_hitters_exact(ev, "key", k=32)
+
+
+@query(
     "f_scalar_suite2",
     """
     SELECT s_suppkey,
@@ -15846,6 +15897,86 @@ def stream_outer_interval_join_replay(spark, sf_dir):
         # global watermark stays put, and not one NULL row ever evicts
         # (observed, not hypothetical).  Sentinels are dropped from the
         # materialized batch result below instead.
+        return j.select(
+            "user_id", "v_id", "b_id",
+            ((F.unix_micros("b_ts") - F.unix_micros("v_ts"))
+             / F.lit(1_000_000)).cast("long").alias("lag_sec"),
+        )
+
+    return replay_file_stream(
+        spark, ev, plan, trailing_files=[sentinel(4), sentinel(5)]
+    ).filter(F.col("user_id") >= 0)
+
+
+@query(
+    "stream_full_outer_interval_join_replay",
+    """
+    WITH v AS (
+        SELECT user_id, event_id AS v_id, ts AS v_ts
+        FROM events WHERE event_type = 'view'
+    ), b AS (
+        SELECT user_id, event_id AS b_id, ts AS b_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(v.user_id, b.user_id) AS user_id, v.v_id, b.b_id,
+           CAST((epoch_us(b.b_ts) - epoch_us(v.v_ts)) // 1000000
+                AS BIGINT) AS lag_sec
+    FROM v FULL JOIN b
+      ON v.user_id = b.user_id
+     AND b.b_ts >= v.v_ts
+     AND b.b_ts <= v.v_ts + INTERVAL 720 MINUTE
+    """,
+)
+def stream_full_outer_interval_join_replay(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join (the family-completing
+    variant over the same two-sided-watermark machinery as
+    stream_outer_interval_join_replay): unmatched views AND unmatched
+    purchases both emit with NULL other-side columns once the global
+    watermark proves their windows closed — a view's window closes at
+    v_ts + 12 h, a purchase's at b_ts (it can only match EARLIER
+    views), and Spark derives both eviction clocks from the range
+    condition.  Same trailing-file watermark flush; sentinels (user
+    -1, matching each other so neither side leaves residue) dropped
+    from the batch result; the oracle is the plain batch FULL JOIN.
+
+    Scale shape: identical to the inner/left variants — one
+    hash(user_id) shuffle per side, state bounded by rate × horizon."""
+    import datetime
+
+    from curw_mike_data_handler_spark.streaming.joins import (
+        stream_interval_join,
+    )
+    from curw_mike_data_handler_spark.streaming.replay import (
+        replay_file_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    ).filter(F.col("event_type").isin("view", "purchase"))
+
+    def sentinel(month: int):
+        ts = datetime.datetime(2024, month, 1)
+        return spark.createDataFrame(
+            [(-1, -1, ts, "view"), (-1, -1, ts, "purchase")], ev.schema
+        )
+
+    def plan(stream):
+        v = stream.filter(F.col("event_type") == "view").select(
+            "user_id",
+            F.col("event_id").alias("v_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        b = stream.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("b_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        j = stream_interval_join(
+            v, b, ["user_id"], "v_ts", "b_ts",
+            max_lag_minutes=720, watermark="45 days", how="full_outer",
+        )
+        # sentinel filter stays OUT of the streaming plan — see the
+        # left-outer twin for why (pushdown freezes the watermark)
         return j.select(
             "user_id", "v_id", "b_id",
             ((F.unix_micros("b_ts") - F.unix_micros("v_ts"))

@@ -50,21 +50,39 @@ def stream_interval_join(
     watermark past its last row, so the final unmatched rows stay in
     state — production feeds tick forever, but bounded replays must
     append a watermark-advancing row (see replay_file_stream's
-    ``trailing_files``)."""
-    if how not in ("inner", "left_outer"):
+    ``trailing_files``).
+
+    ``how='right_outer'`` / ``how='full_outer'`` complete the family
+    over the same machinery: unmatched RIGHT rows expire once the
+    watermark passes ``right_time`` (their window looks backward —
+    a right row at t can only match left rows in [t − max_lag, t]).
+    On the outer sides the key columns are taken from whichever side
+    is present (coalesce for full outer)."""
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
         raise ValueError(f"unsupported stream interval join type {how!r}")
     l = left.withWatermark(left_time, watermark)
-    r = right.withWatermark(right_time, watermark)
-    conds: list[Column] = [l[k] == r[k] for k in key_cols]
+    # rename the right side's key columns up front: both branches
+    # usually derive from the SAME source stream (a self-join), and
+    # dataset-qualified references (l[k]/r[k]) inside a coalesce are
+    # ambiguous to the analyzer there — distinct names never are
+    r = right.withWatermark(right_time, watermark).withColumnsRenamed(
+        {k: f"__r_{k}" for k in key_cols}
+    )
+    conds: list[Column] = [l[k] == r[f"__r_{k}"] for k in key_cols]
     conds.append(r[right_time] >= l[left_time])
     conds.append(
         r[right_time] <= l[left_time] + F.expr(f"INTERVAL {int(max_lag_minutes)} MINUTES")
     )
     joined = l.join(r, reduce(lambda a, b: a & b, conds), how)
-    # drop the duplicate key columns from the right side (on an outer
-    # join the right copy is NULL for unmatched rows — the left copy is
-    # the one that is always present)
-    keep = [l[k] for k in key_cols]
+    # collapse the key columns: take the side that is always present —
+    # left for inner/left_outer, right for right_outer, and whichever
+    # side matched for full_outer
+    if how == "right_outer":
+        keep = [F.col(f"__r_{k}").alias(k) for k in key_cols]
+    elif how == "full_outer":
+        keep = [F.coalesce(F.col(k), F.col(f"__r_{k}")).alias(k) for k in key_cols]
+    else:
+        keep = [F.col(k) for k in key_cols]
     keep += [l[c] for c in left.columns if c not in key_cols]
     keep += [r[c] for c in right.columns if c not in key_cols]
     return joined.select(*keep)

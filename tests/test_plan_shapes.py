@@ -898,3 +898,16 @@ def test_sql_tvf_windows_expand_without_grid_join(spark):
     assert sess.count("Exchange hashpartitioning") == 1, (
         "session merge + HAVING must ride ONE user_id exchange"
     )
+
+
+def test_heavy_hitters_candidates_broadcast_and_partial_agg(spark):
+    """The two-pass heavy-hitters plan: candidate generation is a
+    map-only Python stage (no shuffle of its own), the candidate set
+    broadcasts into a semi filter, and the verification count partial-
+    aggregates — the raw key domain never shuffles."""
+    plan = _plan(spark, "heavy_hitters_mg")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "MapInPandas" in phys
+    assert "BroadcastHashJoin" in phys and "LeftSemi" in phys
+    assert "partial_count" in phys, "verification must combine map-side"
+    assert "SortMergeJoin" not in phys

@@ -390,3 +390,88 @@ def test_opq_arrow_engine_matches_fold(spark, sf001_dir):
     # so the reconstructions must agree exactly unless a dot product
     # lands on a snapping boundary (none in this data)
     assert worst < 1e-9, worst
+
+
+# -- exact heavy hitters via Misra-Gries candidates -------------------
+
+
+def test_misra_gries_fold_invariants():
+    """The counter dict never exceeds k entries and never undercounts
+    by more than the total decrement bound n/k (the MG guarantee the
+    candidate-completeness argument rests on)."""
+    import random
+
+    from curw_mike_data_handler_spark.operators.heavyhitters import (
+        misra_gries_fold,
+    )
+
+    rng = random.Random(11)
+    for _ in range(50):
+        k = rng.randint(2, 16)
+        n = rng.randint(1, 2000)
+        stream = [rng.randint(0, rng.randint(1, 40)) for _ in range(n)]
+        counters: dict = {}
+        # fold in random batch sizes (the Arrow-batch shape)
+        i = 0
+        while i < n:
+            j = min(n, i + rng.randint(1, 64))
+            from collections import Counter
+
+            for key, c in Counter(stream[i:j]).items():
+                misra_gries_fold(counters, key, c, k)
+            i = j
+        assert len(counters) <= k
+        from collections import Counter
+
+        true = Counter(stream)
+        for key, cnt in counters.items():
+            assert cnt <= true[key]
+        for key, cnt in true.items():
+            got = counters.get(key, 0)
+            assert got >= cnt - n / k - 1e-9, (key, cnt, got, n, k)
+        # completeness: every key above n/k must be present
+        for key, cnt in true.items():
+            if cnt > n / k:
+                assert key in counters, (key, cnt, n, k)
+
+
+def test_heavy_hitters_exact_matches_groupby(spark):
+    """End-to-end: the two-pass operator returns exactly the keys a
+    plain GROUP BY/HAVING keeps, with exact counts, independent of
+    partitioning (MG summaries differ per split; the verification
+    pass erases that)."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+    )
+
+    df = spark.range(20_000).select(
+        # 50% of rows over 5 hot keys (10% each, above the 1/16
+        # threshold); the rest spread over ~3000 cold keys
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 5).cast("string"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 3000).cast("string")))
+        .alias("k")
+    )
+    expected = {
+        (r["k"], r["c"])
+        for r in df.groupBy("k").agg(F.count("*").alias("c"))
+        .crossJoin(df.agg(F.count("*").alias("n")))
+        .filter(F.col("c") > F.col("n") / 16.0)
+        .select("k", "c").collect()
+    }
+    assert expected, "threshold must keep a nonempty hot set"
+    for parts in (3, 17):
+        got = {
+            (r["key"], r["n_occurrences"])
+            for r in heavy_hitters_exact(
+                df.repartition(parts), "k", k=16
+            ).collect()
+        }
+        assert got == expected, parts
+
+    # guarantee guard: a threshold below 1/k must be rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MG guarantee"):
+        heavy_hitters_exact(df, "k", k=16, threshold_ratio=0.01)
