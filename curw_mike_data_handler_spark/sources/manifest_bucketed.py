@@ -146,6 +146,78 @@ def _data_files(gen_dir: str) -> list[str]:
     )
 
 
+def _file_stats(
+    gen_dir: str,
+    files: list[str],
+    sort_cols: list[str],
+    carry: dict | None = None,
+) -> dict:
+    """Per-file [min, max] of the FIRST sort column, straight from the
+    parquet footers (row-group statistics — O(files) metadata reads,
+    no data scan).  Hard-linked files inherit their stats from the
+    parent manifest via ``carry`` (same inode, same footer).  Only
+    JSON-clean scalar types (int/float/str) are recorded; a file whose
+    stats are absent or exotic simply gets no entry — the pruner then
+    always keeps it (skipping is an optimization, never a filter)."""
+    if not sort_cols:
+        return {}
+    import pyarrow.parquet as pq
+
+    col = sort_cols[0]
+    out: dict[str, list] = {}
+    for f in files:
+        if carry and f in carry:
+            out[f] = carry[f]
+            continue
+        try:
+            md = pq.ParquetFile(os.path.join(gen_dir, f)).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.schema.column(i).name == col
+            )
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no row-group stats")
+                mn = st.min if mn is None or st.min < mn else mn
+                mx = st.max if mx is None or st.max > mx else mx
+            if (
+                mn is not None
+                and type(mn) in (int, float, str)
+                and type(mx) in (int, float, str)
+            ):
+                out[f] = [mn, mx]
+        except (OSError, ValueError, StopIteration):
+            continue
+    return out
+
+
+def pruned_files(
+    manifest: dict, *, lower=None, upper=None
+) -> list[str]:
+    """The manifest's file names whose [min, max] range on the first
+    sort column can intersect [lower, upper] (None = unbounded); files
+    without stats are always kept.  This is the data-skipping the
+    manifest records at publish time — the planner-side twin of
+    parquet row-group skipping, pruning whole files before any footer
+    is even opened."""
+    stats = manifest.get("file_stats", {})
+
+    def keep(f: str) -> bool:
+        s = stats.get(f)
+        if s is None:
+            return True
+        mn, mx = s
+        if lower is not None and mx < lower:
+            return False
+        if upper is not None and mn > upper:
+            return False
+        return True
+
+    return [f for f in manifest["files"] if keep(f)]
+
+
 def files_per_bucket(manifest: dict) -> dict[int, int]:
     """Bucket id → file count, from the manifest's file list (the
     bucket id Spark embeds in every bucketed file name)."""
@@ -229,6 +301,7 @@ def _write_generation(
         # hypothetical: the appends silently became replacements)
         _register(spark, root, table, version, spec)
         writer.mode("append").saveAsTable(name)
+    files = _data_files(gen_dir)
     return {
         "table": table,
         "version": version,
@@ -238,7 +311,11 @@ def _write_generation(
         "num_buckets": spec["num_buckets"],
         "sort_cols": spec["sort_cols"],
         "schema_ddl": spec["schema_ddl"],
-        "files": _data_files(gen_dir),
+        "files": files,
+        "file_stats": _file_stats(
+            gen_dir, files, spec["sort_cols"],
+            carry=link_from.get("file_stats") if link_from else None,
+        ),
     }
 
 
@@ -390,6 +467,40 @@ def read_manifest_table(
     spec = {k: m[k] for k in
             ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl")}
     return spark.table(_register(spark, root, table, m["version"], spec))
+
+
+def read_manifest_table_pruned(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    *,
+    lower=None,
+    upper=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read restricted to the files whose sort-column range
+    can intersect [lower, upper] — the manifest's data-skipping stats
+    prune whole files at PLANNING time, before Spark lists or opens
+    anything.  The bounds are inclusive and compared against min/max
+    of the FIRST sort column; pass values of that column's type.
+
+    Trade documented: the pruned read goes by explicit file list, so
+    it does NOT carry bucketing metadata (a downstream same-spec join
+    would shuffle) — use it for range-predicate scans, and the plain
+    read_manifest_table for exchange-free joins.  Rows outside
+    [lower, upper] can still appear (stats prune files, not rows):
+    compose with a real filter, which parquet then pushes down
+    row-group-level inside the surviving files."""
+    m = read_manifest(root, table, version)
+    spec = {k: m[k] for k in
+            ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl")}
+    schema = spark.table(_register(spark, root, table, m["version"], spec)).schema
+    gen_dir = os.path.join(_table_dir(root, table), m["generation"])
+    files = [os.path.join(gen_dir, f)
+             for f in pruned_files(m, lower=lower, upper=upper)]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
 
 
 def expire_generations(

@@ -431,3 +431,73 @@ def test_manifest_table_rejects_hostile_table_name(spark, tmp_path):
             spark, _mk_batch(spark, 0, 10), str(tmp_path), "probe-facts",
             bucket_cols="k", num_buckets=2,
         )
+
+
+def test_manifest_file_stats_prune_correctly(spark, tmp_path):
+    """Data-skipping stats: per-file sort-column min/max recorded at
+    publish time prune whole files for range reads — never dropping a
+    matching row (pruned read + filter ≡ full read + filter), actually
+    skipping files on a sorted layout, inherited by hard-linked files
+    across appends, and degrading to keep-everything when the sort
+    column has no clean stats."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    root = str(tmp_path)
+    # bucket by k, sort by v: each bucket file is v-ordered, and v is
+    # range-correlated with nothing — but row-group min/max still
+    # bound each FILE's v span
+    base = spark.range(10_000).selectExpr("id % 8 AS k", "id AS v")
+    mb.create_manifest_table(
+        spark, base, root, "facts", bucket_cols="k", num_buckets=4,
+        sort_cols="v",
+    )
+    mb.append_manifest_table(
+        spark,
+        spark.range(10_000, 20_000).selectExpr("id % 8 AS k", "id AS v"),
+        root, "facts", compact_files_per_bucket=100,
+    )
+    m = mb.read_manifest(root, "facts")
+    assert m["file_stats"], "stats must be recorded"
+    assert set(m["file_stats"]) == set(m["files"])
+
+    # the second generation's linked files carry the SAME stats objects
+    m0 = mb.read_manifest(root, "facts", version=0)
+    for f in m0["files"]:
+        assert m["file_stats"][f] == m0["file_stats"][f]
+
+    # a range inside the first batch prunes the append's files
+    kept = mb.pruned_files(m, lower=2_000, upper=3_000)
+    assert len(kept) < len(m["files"])
+    assert set(kept) <= set(m["files"])
+
+    full = mb.read_manifest_table(spark, root, "facts")
+    pruned = mb.read_manifest_table_pruned(
+        spark, root, "facts", lower=2_000, upper=3_000
+    )
+    want = sorted(
+        (r["k"], r["v"])
+        for r in full.filter((F.col("v") >= 2_000) & (F.col("v") <= 3_000)).collect()
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in pruned.filter((F.col("v") >= 2_000) & (F.col("v") <= 3_000)).collect()
+    )
+    assert got == want and len(got) == 1_001
+
+    # disjoint range → zero files, empty frame with the right schema
+    none = mb.read_manifest_table_pruned(spark, root, "facts", lower=10**9)
+    assert none.count() == 0
+    assert none.schema == full.schema
+
+    # unbounded prune keeps everything
+    assert len(mb.pruned_files(m)) == len(m["files"])
+
+    # a table with NO sort cols records no stats and never prunes
+    mb.create_manifest_table(
+        spark, base, root, "nosort", bucket_cols="k", num_buckets=2,
+    )
+    m2 = mb.read_manifest(root, "nosort")
+    assert m2["file_stats"] == {}
+    assert len(mb.pruned_files(m2, lower=0, upper=1)) == len(m2["files"])
