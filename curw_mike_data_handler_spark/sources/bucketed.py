@@ -62,6 +62,28 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def enable_sorted_scan_ordering(spark: SparkSession, on: bool = True) -> None:
+    """Opt into storage-partitioned MERGE reads (post-drain roadmap):
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` makes a
+    bucketed scan report its ``sortBy`` order, so a same-spec
+    SortMergeJoin elides BOTH the Exchange and the Sort — the join
+    degenerates to a pure per-bucket merge of pre-sorted files
+    (plan-guarded in tests/test_partitioned_layout.py).
+
+    Spark turned this off by default in 3.0 because the ordering claim
+    only holds for ONE file per bucket — with more, the scan would
+    need a task-side merge that can cost more than re-sorting.  The
+    layouts here qualify by construction: write_bucketed clusters to
+    one file per bucket, and append_bucketed/manifest compaction
+    restore that shape on cadence (between compactions Spark simply
+    stops claiming the order and plans the Sort again — correctness
+    never depends on the flag)."""
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering",
+        "true" if on else "false",
+    )
+
+
 def _bucket_spec(spark: SparkSession, table: str) -> tuple[list[str], int, list[str], str]:
     """(bucket_cols, num_buckets, sort_cols, location) from the catalog
     — the source of truth an append must match."""

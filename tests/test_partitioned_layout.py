@@ -501,3 +501,59 @@ def test_manifest_file_stats_prune_correctly(spark, tmp_path):
     m2 = mb.read_manifest(root, "nosort")
     assert m2["file_stats"] == {}
     assert len(mb.pruned_files(m2, lower=0, upper=1)) == len(m2["files"])
+
+
+def test_sorted_bucket_merge_join_elides_exchange_and_sort(spark):
+    """Storage-partitioned merge reads: both sides bucketed AND sorted
+    by the join key, one file per bucket, ordering opt-in enabled — a
+    SortMergeJoin must plan with NEITHER an Exchange NOR a Sort (pure
+    per-bucket merge of pre-sorted files).  With the opt-in off, the
+    same join keeps its Sorts (the default Spark trade)."""
+    import contextlib
+    import io
+
+    from curw_mike_data_handler_spark.sources.bucketed import (
+        enable_sorted_scan_ordering,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    def plan_of():
+        j = read_bucketed(spark, "smj_a").hint("merge").join(
+            read_bucketed(spark, "smj_b"), "k"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain()
+        return j, buf.getvalue()
+
+    def sort_nodes(plan):
+        return sum(
+            1 for line in plan.splitlines()
+            if line.strip().lstrip(":+- ").startswith("Sort [")
+        )
+
+    a = spark.range(0, 20_000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 20_000).selectExpr("id AS k", "id * 3 AS vb")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(a, "smj_a", bucket_cols="k", num_buckets=8, sort_cols="k")
+        write_bucketed(b, "smj_b", bucket_cols="k", num_buckets=8, sort_cols="k")
+
+        _, plan = plan_of()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert sort_nodes(plan) == 2, "default: scan claims no order, Sorts stay"
+
+        enable_sorted_scan_ordering(spark)
+        j, plan = plan_of()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert sort_nodes(plan) == 0, f"merge read must skip the sorts:\n{plan}"
+        assert j.count() == 20_000
+    finally:
+        enable_sorted_scan_ordering(spark, on=False)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS smj_a")
+        spark.sql("DROP TABLE IF EXISTS smj_b")
