@@ -86,23 +86,36 @@ def heavy_hitters_exact(
             f"threshold_ratio {ratio} below the MG guarantee 1/k = {1.0 / k}"
             f" — raise k or the threshold"
         )
-    spark = df.sparkSession
     keyed = df.select(F.col(key_col).alias("key")).filter(F.col("key").isNotNull())
 
     out_type = keyed.schema["key"].dataType.simpleString()
 
+    # the candidate pass also carries each partition's row count (one
+    # NULL-keyed tally row per partition), so the total n needs no
+    # second scan of the fact — two scans total, as advertised; the
+    # tiny summary (≤ (k+1)·P rows) is localCheckpoint-ed because two
+    # branches (candidates, total) consume it
     def _candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             for key, c in pdf["key"].value_counts().items():
                 misra_gries_fold(counters, key, int(c), k)
-        yield pd.DataFrame({"key": list(counters.keys())})
+        keys = list(counters.keys())
+        yield pd.DataFrame(
+            {
+                "key": pd.Series(keys + [None], dtype=object),
+                "part_rows": pd.Series([None] * len(keys) + [n_rows],
+                                       dtype="Int64"),
+            }
+        )
 
-    cand = (
-        keyed.mapInPandas(_candidates, schema=f"key {out_type}")
-        .distinct()
-    )
-    total = keyed.agg(F.count("*").alias("__n"))
+    summary = keyed.mapInPandas(
+        _candidates, schema=f"key {out_type}, part_rows long"
+    ).localCheckpoint()
+    cand = summary.filter(F.col("key").isNotNull()).select("key").distinct()
+    total = summary.agg(F.sum("part_rows").alias("__n"))
     counts = (
         keyed.join(F.broadcast(cand), "key", "left_semi")
         .groupBy("key")

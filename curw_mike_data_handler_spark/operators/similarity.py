@@ -735,6 +735,13 @@ def pq_gain_shape_reconstruct(
         @pandas_udf(ArrayType(DoubleType()))
         def _rec(s: pd.Series) -> pd.Series:
             x = np.stack(s.to_numpy()).astype(np.float64)
+            if x.shape[1] != m * sub:
+                # the fold engine yields NULLs past m·sub; silently
+                # returning np.empty garbage there would be far worse —
+                # reject the mismatch outright
+                raise ValueError(
+                    f"gain-shape expects dim {m * sub}, got {x.shape[1]}"
+                )
             out = np.empty_like(x)
             for k in range(m):
                 sl = x[:, k * sub : (k + 1) * sub]

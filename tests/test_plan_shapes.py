@@ -907,7 +907,11 @@ def test_heavy_hitters_candidates_broadcast_and_partial_agg(spark):
     aggregates — the raw key domain never shuffles."""
     plan = _plan(spark, "heavy_hitters_mg")
     phys = plan.split("== Physical Plan ==")[-1]
-    assert "MapInPandas" in phys
+    # the candidate pass (MapInPandas) is localCheckpoint-ed — two
+    # consumers (candidates, total) reuse its ≤(k+1)·P rows instead of
+    # rescanning the fact — so the final plan sees the materialized
+    # summary, not the Python stage
+    assert "Scan ExistingRDD" in phys, "summary must be checkpointed, not recomputed"
     assert "BroadcastHashJoin" in phys and "LeftSemi" in phys
     assert "partial_count" in phys, "verification must combine map-side"
     assert "SortMergeJoin" not in phys

@@ -787,3 +787,61 @@ def test_stream_outer_interval_join_null_emission_across_restarts(spark, tmp_pat
     tick()
     nulls = [r for r in out if r[2] is None and r[0] == "s2"]
     assert len(nulls) == 1, out
+
+
+def test_stream_right_outer_interval_join_emits_unmatched_buys(spark, tmp_path):
+    """The right_outer branch (untested API surface flagged in
+    review): an unmatched BUY emits with NULL view columns once the
+    watermark passes ITS event time (a right row's window looks
+    backward — it can only match earlier views), the key column
+    survives from the right side, and emission is exactly once."""
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.streaming.joins import stream_interval_join
+
+    views_dir = tmp_path / "views"
+    buys_dir = tmp_path / "buys"
+    views_dir.mkdir()
+    buys_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = []
+
+    def sink(batch_df, batch_id):
+        out.extend(
+            (r["tms_id"],
+             None if r["view_time"] is None else str(r["view_time"]),
+             str(r["buy_time"]))
+            for r in batch_df.collect()
+        )
+
+    def tick():
+        views = stream_csv_dir(spark, str(views_dir), SCHEMA, header=False).select(
+            "tms_id", F.col("time").alias("view_time"), F.col("value").alias("view_value")
+        )
+        buys = stream_csv_dir(spark, str(buys_dir), SCHEMA, header=False).select(
+            "tms_id", F.col("time").alias("buy_time"), F.col("value").alias("buy_value")
+        )
+        joined = stream_interval_join(
+            views, buys, ("tms_id",), "view_time", "buy_time",
+            max_lag_minutes=30, watermark="1 hours", how="right_outer",
+        ).select("tms_id", "view_time", "buy_time")
+        run_available_now(joined, ckpt, sink)
+
+    _write(views_dir / "v1.csv", [("s1", "2020-05-22 00:00:00", 1.0)])
+    _write(buys_dir / "b1.csv", [("s1", "2020-05-22 00:10:00", 10.0),   # matched
+                                 ("s2", "2020-05-22 00:05:00", 20.0)])  # never matched
+    tick()
+    assert ("s1", "2020-05-22 00:00:00", "2020-05-22 00:10:00") in set(out)
+    assert not [r for r in out if r[1] is None]
+
+    # advance both watermarks past the unmatched buy's event time,
+    # then give the join a post-restart batch to evict into
+    _write(views_dir / "v2.csv", [("s9", "2020-05-22 03:00:00", 0.0)])
+    _write(buys_dir / "b2.csv", [("s9", "2020-05-22 03:00:30", 0.0)])
+    tick()
+    _write(views_dir / "v3.csv", [("s9", "2020-05-22 03:30:00", 0.0)])
+    tick()
+    nulls = [r for r in out if r[1] is None]
+    assert ("s2", None, "2020-05-22 00:05:00") in nulls, out
+    tick()
+    assert len([r for r in out if r[1] is None and r[0] == "s2"]) == 1, out

@@ -782,6 +782,35 @@ def main() -> None:
         ),
         results,
     )
+    measure(
+        spark,
+        "stream_full_outer_interval_join_1m",
+        lambda: catalog.QUERIES["stream_full_outer_interval_join_replay"](
+            spark, ev10_dir
+        ),
+        results,
+    )
+
+    from curw_mike_data_handler_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+    )
+
+    hh_fact = spark.range(4_000_000).select(
+        F.when(
+            F.col("id") % 5 < 2,
+            F.concat(F.lit("hot_"), (F.col("id") % 7).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("cold_"), (F.col("id") % 999983).cast("string"))
+        )
+        .alias("key")
+    )
+    measure(
+        spark,
+        "heavy_hitters_mg_4m_1m_keys",
+        lambda: heavy_hitters_exact(hh_fact, "key", k=32),
+        results,
+    )
 
     import shutil
     import tempfile
