@@ -143,6 +143,7 @@ SHOWCASE = [
     ("multimodal_tiff_packbits", "PackBits TIFF (r9): per-strip RLE inflate in the same Arrow pass as the IFD walk — map-only"),
     ("sql_window_tvf_tumble_hop", "pure-SQL tumble+hop (r9): window() grouping = map-side expand + hash agg, no grid join"),
     ("sql_session_window_tvf", "pure-SQL session_window + HAVING (r9): gap-merge in ONE aggregate on one user exchange"),
+    ("heavy_hitters_mg", "exact heavy hitters (r9): checkpointed MG candidate summary, broadcast LeftSemi + partial-agg verify — raw key domain never shuffles"),
 ]
 
 
