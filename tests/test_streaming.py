@@ -845,3 +845,74 @@ def test_stream_right_outer_interval_join_emits_unmatched_buys(spark, tmp_path):
     assert ("s2", None, "2020-05-22 00:05:00") in nulls, out
     tick()
     assert len([r for r in out if r[1] is None and r[0] == "s2"]) == 1, out
+
+
+def test_streaming_heavy_hitter_candidates_across_restarts(spark, tmp_path):
+    """The MG candidate set survives checkpointed restarts and keeps
+    its completeness guarantee over the WHOLE history: after three
+    separate availableNow runs, every key whose total count exceeds
+    n/k must be in the final emission of its bucket, emitted counts
+    are lower bounds within the n_b/k envelope, and the per-bucket row
+    tallies sum to every row ever fed."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.streaming.heavyhitters import (
+        heavy_hitter_candidates_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    latest: dict = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            latest.setdefault(r["bucket"], {})
+            # update-mode semantics: newest emission per bucket wins
+            latest[r["bucket"]][r["key"]] = (r["lower_count"], r["bucket_rows"])
+
+    schema = "key string"
+
+    def tick():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .csv(str(src))
+        )
+        out = heavy_hitter_candidates_stream(stream, "key", k=8, n_buckets=4)
+        (out.writeStream.foreachBatch(sink).outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start().awaitTermination())
+
+    fed: list[str] = []
+
+    def write_batch(name, keys):
+        (src / name).write_text("".join(f"{k}\n" for k in keys))
+        fed.extend(keys)
+
+    write_batch("a.csv", ["h1"] * 30 + ["h2"] * 20 + [f"c{i}" for i in range(40)])
+    tick()
+    write_batch("b.csv", ["h1"] * 25 + [f"c{i}" for i in range(40, 80)])
+    tick()
+    write_batch("c.csv", ["h2"] * 35 + ["h3"] * 40 + [f"c{i}" for i in range(80, 110)])
+    tick()
+
+    true = Counter(fed)
+    n = len(fed)
+    emitted = {k: v for b in latest.values() for k, v in b.items()}
+    # completeness: every global heavy hitter present after restarts
+    for key, cnt in true.items():
+        if cnt > n / 8:
+            assert key in emitted, (key, cnt, n, emitted)
+    # lower bounds: never overcount; never undercount past the envelope
+    for key, (lc, _) in emitted.items():
+        assert lc <= true[key]
+    for key in ("h1", "h2", "h3"):
+        lc, bucket_rows = emitted[key]
+        assert lc >= true[key] - bucket_rows / 8 - 1e-9
+    # per-bucket tallies account for every row ever fed (state — and
+    # hence the running n_b — survived the two restarts)
+    total_rows = sum(max(rows for _, rows in b.values()) for b in latest.values())
+    assert total_rows == n
