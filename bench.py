@@ -276,6 +276,7 @@ HEADLINE = [
     "stream_outer_interval_join_replay",
     "heavy_hitters_mg",
     "stream_full_outer_interval_join_replay",
+    "multimodal_tiff_multipage",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -5890,6 +5890,50 @@ def ann_topk_opq(spark, sf_dir):
 
 
 @query(
+    "multimodal_tiff_multipage",
+    """
+    WITH p AS (SELECT doc_id, 1 + doc_id % 5 AS np FROM documents),
+    d AS (
+        SELECT p.doc_id, f.f,
+               16 * (1 + (p.doc_id + f.f) % 4) AS w,
+               8 * (1 + (p.doc_id + 2 * f.f) % 5) AS h,
+               (p.doc_id + f.f) % 4 AS ph
+        FROM p JOIN range(0, 5) f(f) ON f.f < p.np
+    )
+    SELECT doc_id AS media_id,
+           CAST(f AS BIGINT) AS frame_no,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 * h * (w // 16) * 120 + 3 * w * (h // 8) * 56
+                + 111 * w * h + 33 * w * h * ph AS BIGINT) AS pixel_sum,
+           CAST(103 + 11 * ph AS BIGINT) AS pixel_max
+    FROM d
+    """,
+)
+def multimodal_tiff_multipage_q(spark, sf_dir):
+    """Multi-IFD TIFF decode (the last spec-derivable still-image
+    shape on the roadmap): every doc gets a REAL chained-IFD TIFF —
+    1 + doc_id%5 pages, each page its own strips/out-of-line
+    values/IFD linked through the next-IFD pointer (TIFF 6.0 §2), odd
+    ids big-endian AND PackBits-compressed — and decode_tiff_pages
+    walks the chain with a cycle guard and a page-cap budget (a
+    malformed link maps the whole payload to None, never a silently
+    shorter document).  Per-page dims/phase are distinct
+    (`_tiff_page_args`), so the oracle pins page ORDER; a broken
+    next-pointer walk, cross-page offset leak, or per-page decode
+    error hash-fails.
+
+    Scale shape: map-only, zero shuffle, ≤5 rows per document."""
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        synthesize_tiff_multipage,
+        tiff_page_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return tiff_page_stats(synthesize_tiff_multipage(docs))
+
+
+@query(
     "heavy_hitters_mg",
     """
     WITH e AS (

@@ -3257,27 +3257,47 @@ def _packbits_decode(data: bytes, expected: int) -> bytes | None:
     return bytes(out)
 
 
-def make_tiff(width: int, height: int, phase: int = 0,
-              big_endian: bool = False, rows_per_strip: int = 8,
-              compression: str = "none") -> bytes:
-    """Real strip-organized TIFF 6.0: header, pixel strips, then the
-    IFD (ImageWidth/Length, BitsPerSample [8,8,8], Compression=1,
-    Photometric=2 RGB, StripOffsets/ByteCounts, SamplesPerPixel=3,
-    RowsPerStrip) with out-of-line arrays where the spec requires
-    them.  The raster is the `_dib_pixel_value` closed form (top-down
-    here, no row padding — TIFF strips are tightly packed), so the
-    per-image sum/max collapse to the same (w, h, phase) formula the
-    BMP oracle uses.  ``big_endian=True`` emits the MM byte order —
-    the decoder must honor both.  ``compression='packbits'`` RLE-packs
-    each strip independently (TIFF 6.0 §9: strips are separate
-    compression units) and writes Compression=32773."""
+def make_multipage_tiff(pages: list[tuple[int, int, int]],
+                        big_endian: bool = False, rows_per_strip: int = 8,
+                        compression: str = "none") -> bytes:
+    """Real multi-IFD TIFF: ``pages`` is a list of (width, height,
+    phase); each page gets its own strips + out-of-line values + IFD,
+    and the IFDs chain through the next-IFD pointer (TIFF 6.0 §2:
+    "TIFF files may contain more than one IFD") — the multi-page
+    scan/fax/pyramid shape.  Page 0's layout is byte-compatible with
+    the single-page builder; see make_tiff."""
+    import struct
+
+    if not pages:
+        raise ValueError("a TIFF needs at least one IFD")
+    bo = ">" if big_endian else "<"
+    out = bytearray()
+    out += (_TIFF_MM if big_endian else _TIFF_II) + b"\x00\x00\x00\x00"
+    next_ptr_pos = 4  # header's first-IFD pointer
+    for width, height, phase in pages:
+        body, ifd_rel = _tiff_page(width, height, phase, bo,
+                                   rows_per_strip, compression,
+                                   base=len(out))
+        struct.pack_into(bo + "I", out, next_ptr_pos, len(out) + ifd_rel)
+        out += body
+        # each page's IFD ends with its next-IFD field (currently 0);
+        # remember where so the following page can link itself in
+        next_ptr_pos = len(out) - 4
+    return bytes(out)
+
+
+def _tiff_page(width: int, height: int, phase: int, bo: str,
+               rows_per_strip: int, compression: str,
+               base: int) -> tuple[bytes, int]:
+    """One page's [strips][out-of-line values][IFD] block, with all
+    offsets absolute against ``base`` (the block's position in the
+    file).  Returns (block bytes, IFD offset within the block)."""
     import struct
 
     import numpy as np
 
     if compression not in ("none", "packbits"):
         raise ValueError(f"unsupported TIFF compression {compression!r}")
-    bo = ">" if big_endian else "<"
     x = np.arange(width)
     y = np.arange(height)
     ch = np.arange(3)
@@ -3299,7 +3319,7 @@ def make_tiff(width: int, height: int, phase: int = 0,
 
     data = b"".join(strips)
     strip_offsets = []
-    pos = 8
+    pos = base  # absolute file offsets (base = 8 for a lone page)
     for s in strips:
         strip_offsets.append(pos)
         pos += len(s)
@@ -3350,10 +3370,38 @@ def make_tiff(width: int, height: int, phase: int = 0,
     if n > 1:
         extra += struct.pack(bo + f"{n}I", *strip_offsets)
         extra += struct.pack(bo + f"{n}I", *[len(s) for s in strips])
-    header = (_TIFF_MM if big_endian else _TIFF_II) + struct.pack(
-        bo + "I", ifd_off
-    )
-    return header + data + extra + ifd
+    return data + extra + ifd, ifd_off - base
+
+
+def make_tiff(width: int, height: int, phase: int = 0,
+              big_endian: bool = False, rows_per_strip: int = 8,
+              compression: str = "none") -> bytes:
+    """Real strip-organized TIFF 6.0: header, pixel strips, then the
+    IFD (ImageWidth/Length, BitsPerSample [8,8,8], Compression,
+    Photometric=2 RGB, StripOffsets/ByteCounts, SamplesPerPixel=3,
+    RowsPerStrip) with out-of-line arrays where the spec requires
+    them.  The raster is the `_dib_pixel_value` closed form (top-down
+    here, no row padding — TIFF strips are tightly packed), so the
+    per-image sum/max collapse to the same (w, h, phase) formula the
+    BMP oracle uses.  ``big_endian=True`` emits the MM byte order —
+    the decoder must honor both.  ``compression='packbits'`` RLE-packs
+    each strip independently (TIFF 6.0 §9: strips are separate
+    compression units) and writes Compression=32773.
+
+    Defined as the one-page case of make_multipage_tiff (r9: the
+    builders share every byte of layout logic)."""
+    return make_multipage_tiff([(width, height, phase)],
+                               big_endian=big_endian,
+                               rows_per_strip=rows_per_strip,
+                               compression=compression)
+
+
+def _tiff_byte_order(b: bytes) -> str | None:
+    if b[:4] == _TIFF_II:
+        return "<"
+    if b[:4] == _TIFF_MM:
+        return ">"
+    return None
 
 
 def decode_tiff_pixels(b: bytes) -> dict | None:
@@ -3364,21 +3412,61 @@ def decode_tiff_pixels(b: bytes) -> dict | None:
     Baseline 8-bit RGB/grayscale, Compression 1 (none) or 32773
     (PackBits) only; anything else (LZW/JPEG compression, tiles,
     16-bit, planar=2, short strips) returns None — never raises (one
-    bad blob must not kill a 100 TB batch)."""
+    bad blob must not kill a 100 TB batch).  FIRST IFD only — the
+    multi-page chain walk is decode_tiff_pages."""
     if b is None:
         return None
+    import struct
+
+    bo = _tiff_byte_order(b[:4]) if len(b) >= 8 else None
+    if bo is None:
+        return None
+    (ifd_off,) = struct.unpack(bo + "I", b[4:8])
+    got = _decode_tiff_ifd(b, bo, ifd_off)
+    return None if got is None else got[0]
+
+
+def decode_tiff_pages(b: bytes, max_pages: int = 16) -> list[dict] | None:
+    """Multi-IFD walk (TIFF 6.0 §2 — page/fax/pyramid files): decode
+    every IFD in the chain to its pixel stats, in chain order.  A
+    malformed link (cycle, offset already visited, offset out of
+    bounds, or an undecodable page) maps the WHOLE payload to None —
+    a half-walked chain would silently look like a shorter document.
+    ``max_pages`` is the anti-zip-bomb budget the frame decoders also
+    carry: chains longer than the cap are refused, not truncated."""
+    if b is None:
+        return None
+    import struct
+
+    bo = _tiff_byte_order(b[:4]) if len(b) >= 8 else None
+    if bo is None:
+        return None
+    try:
+        (off,) = struct.unpack(bo + "I", b[4:8])
+    except struct.error:
+        return None
+    pages: list[dict] = []
+    seen: set[int] = set()
+    while off:
+        if off in seen or len(pages) >= max_pages:
+            return None
+        seen.add(off)
+        got = _decode_tiff_ifd(b, bo, off)
+        if got is None:
+            return None
+        stats, off = got
+        pages.append(stats)
+    return pages or None
+
+
+def _decode_tiff_ifd(b: bytes, bo: str, ifd_off: int) -> tuple[dict, int] | None:
+    """One IFD → (pixel stats, next-IFD offset); None on anything
+    outside the supported baseline (never raises)."""
     import struct
 
     import numpy as np
 
     try:
-        if b[:4] == _TIFF_II:
-            bo = "<"
-        elif b[:4] == _TIFF_MM:
-            bo = ">"
-        else:
-            return None
-        (ifd_off,) = struct.unpack(bo + "I", b[4:8])
         if ifd_off + 2 > len(b):
             return None
         (n_entries,) = struct.unpack(bo + "H", b[ifd_off : ifd_off + 2])
@@ -3463,13 +3551,16 @@ def decode_tiff_pixels(b: bytes) -> dict | None:
         px = np.frombuffer(b"".join(parts), dtype=np.uint8)
         if px.size != total:
             return None
+        (next_off,) = struct.unpack(
+            bo + "I", b[ifd_off + 2 + 12 * n_entries : ifd_off + 6 + 12 * n_entries]
+        )
         return {
             "width": w,
             "height": h,
             "n_px": w * h,
             "pixel_sum": int(px.sum(dtype=np.int64)),
             "pixel_max": int(px.max()),
-        }
+        }, next_off
     except (struct.error, IndexError, ValueError):
         return None
 
@@ -3516,6 +3607,78 @@ def synthesize_tiff(ids: DataFrame, id_col: str = "doc_id",
             )
 
     return src.mapInPandas(_build, schema=MEDIA_SCHEMA)
+
+
+def _tiff_page_args(mid: int, p: int) -> tuple[int, int, int]:
+    """(doc_id, page) → (width, height, phase): width a multiple of 16
+    and height a multiple of 8 (closed-form stats), distinct per page
+    so the oracle pins page ORDER, not just the set.  Shared by
+    synthesize_tiff_multipage and the oracle formula."""
+    return (
+        16 * (1 + (mid + p) % 4),
+        8 * (1 + (mid + 2 * p) % 5),
+        (mid + p) % 4,
+    )
+
+
+def synthesize_tiff_multipage(ids: DataFrame, id_col: str = "doc_id",
+                              parallelism: int | None = None) -> DataFrame:
+    """id column → real multi-IFD TIFFs: 1 + id%5 chained pages per
+    doc (`_tiff_page_args` per page), odd ids big-endian AND
+    PackBits-compressed so both byte orders and both compressions ride
+    the chain walk at the gate; RowsPerStrip 6 keeps short final
+    strips in play.  Map-only."""
+    sc = ids.sparkSession.sparkContext
+    n = parallelism or min(sc.defaultParallelism, 16)
+    src = ids.select(F.col(id_col).cast("long").alias("media_id"))
+    if src.rdd.getNumPartitions() < n:
+        src = src.repartition(n)
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                make_multipage_tiff(
+                    [_tiff_page_args(int(m), p)
+                     for p in range(1 + int(m) % 5)],
+                    big_endian=bool(m % 2),
+                    rows_per_strip=6,
+                    compression="packbits" if m % 2 else "none",
+                )
+                for m in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "media_type": ["image/tiff"] * len(pdf),
+                 "payload": payloads}
+            )
+
+    return src.mapInPandas(_build, schema=MEDIA_SCHEMA)
+
+
+def tiff_page_stats(media: DataFrame, max_pages: int = 16) -> DataFrame:
+    """Arrow-batched multi-page TIFF stats → one FRAME_PIXEL_SCHEMA
+    row per page (frame_no = page index, chain order); non-TIFF and
+    malformed-chain rows are dropped.  Map-only, zero shuffle."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_PIXEL_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pages = (decode_tiff_pages(bytes(payload), max_pages=max_pages)
+                         if payload is not None else None)
+                for i, st in enumerate(pages or []):
+                    rows.append({
+                        "media_id": mid,
+                        "frame_no": i,
+                        "width": st["width"],
+                        "height": st["height"],
+                        "pixel_sum": st["pixel_sum"],
+                        "pixel_max": st["pixel_max"],
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_stats, schema=FRAME_PIXEL_SCHEMA)
 
 
 def synthesize_tiff_packbits(ids: DataFrame, id_col: str = "doc_id",

@@ -324,6 +324,7 @@ def test_media_sample_decode_is_map_only_no_shuffle(spark):
         "multimodal_bmp_pixels",
         "multimodal_tiff_pixels",
         "multimodal_tiff_packbits",
+        "multimodal_tiff_multipage",
         "media_mixed_pixel_stats",
     ):
         plan = _plan(spark, name)

@@ -1733,11 +1733,23 @@ def test_decoders_never_raise_on_corrupted_streams(seed):
                           big_endian=rng.random() < 0.5,
                           rows_per_strip=rng.randint(1, 12),
                           compression="packbits"))
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_tiff_pages,
+        make_multipage_tiff,
+    )
+
+    pool.append(make_multipage_tiff(
+        [(rng.randint(1, 30), rng.randint(1, 20), rng.randint(0, 3))
+         for _ in range(rng.randint(1, 5))],
+        big_endian=rng.random() < 0.5,
+        rows_per_strip=rng.randint(1, 8),
+        compression=rng.choice(["none", "packbits"])))
 
     decoders = (
         decode_png_pixels, decode_jpeg_pixels, decode_wav_samples,
         decode_gif_pixels, decode_bmp_pixels, decode_gif_frame_pixels,
         decode_tiff_pixels,
+        decode_tiff_pages,
         lambda p: decode_avi_frame_pixels(p, every_n=3),
         parse_avi_header, parse_media_header,
     )
@@ -3415,3 +3427,81 @@ def test_tiff_packbits_hostile_fields():
     assert out is None or isinstance(out, dict)
     # hard truncation of the whole stream mid-strip
     assert decode_tiff_pixels(b[:12]) is None
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=25, deadline=None)
+def test_tiff_multipage_chain_matches_independent_raster(seed):
+    """Multi-IFD chain walk: every page decodes to the independent
+    numpy recomputation, in chain order, for random page counts /
+    dims / byte order / compression — and the single-page builder is
+    literally the one-page case of the multipage one."""
+    import random
+
+    import numpy as np
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_tiff_pages,
+        decode_tiff_pixels,
+        make_multipage_tiff,
+    )
+
+    rng = random.Random(seed)
+    pages = [
+        (rng.randint(1, 40), rng.randint(1, 30), rng.randint(0, 3))
+        for _ in range(rng.randint(1, 6))
+    ]
+    be = rng.random() < 0.5
+    comp = rng.choice(["none", "packbits"])
+    rps = rng.choice([1, 3, 6, 8, 10**6])
+    b = make_multipage_tiff(pages, big_endian=be, rows_per_strip=rps,
+                            compression=comp)
+
+    def expect(w, h, f):
+        x = np.arange(w)
+        y = np.arange(h)
+        ch = np.arange(3)
+        v = ((x[None, :, None] % 16) + 2 * (y[:, None, None] % 8)
+             + 37 * ch[None, None, :] + 11 * (f % 4))
+        return {"width": w, "height": h, "n_px": w * h,
+                "pixel_sum": int(v.sum()), "pixel_max": int(v.max())}
+
+    assert decode_tiff_pages(b) == [expect(*p) for p in pages]
+    assert decode_tiff_pixels(b) == expect(*pages[0])
+
+
+def test_tiff_multipage_hostile_chain():
+    """Chain-specific hostility: a cycle, an over-budget chain, a
+    truncated tail page, and a next-pointer into the weeds all map the
+    whole payload to None (half-walked chains must not masquerade as
+    shorter documents)."""
+    import struct
+
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        decode_tiff_pages,
+        make_multipage_tiff,
+    )
+
+    pages = [(16, 8, 0), (32, 16, 1)]
+    b = make_multipage_tiff(pages)
+    assert len(decode_tiff_pages(b)) == 2
+
+    # cycle: final next pointer back at the first IFD
+    (first_ifd,) = struct.unpack("<I", b[4:8])
+    k = bytearray(b)
+    k[-4:] = struct.pack("<I", first_ifd)
+    assert decode_tiff_pages(bytes(k)) is None
+    # self-loop on the first page
+    k = bytearray(b)
+    k[-4:] = struct.pack("<I", len(b) - 4)  # next -> inside own IFD
+    assert decode_tiff_pages(bytes(k)) is None
+    # pointer past EOF
+    k = bytearray(b)
+    k[-4:] = struct.pack("<I", len(b) + 99)
+    assert decode_tiff_pages(bytes(k)) is None
+    # over the page budget: refused, not truncated
+    many = make_multipage_tiff([(16, 8, p % 4) for p in range(20)])
+    assert decode_tiff_pages(many, max_pages=16) is None
+    assert len(decode_tiff_pages(many, max_pages=20)) == 20
+    # truncation inside the second page
+    assert decode_tiff_pages(b[: len(b) - 10]) is None

@@ -675,6 +675,18 @@ def main() -> None:
         results,
     )
 
+    from curw_mike_data_handler_spark.operators.multimodal import (
+        synthesize_tiff_multipage,
+        tiff_page_stats,
+    )
+
+    measure(
+        spark,
+        "tiff_multipage_decode_10x",
+        lambda: tiff_page_stats(synthesize_tiff_multipage(ids10)),
+        results,
+    )
+
     from curw_mike_data_handler_spark.operators.similarity import (
         ann_topk_bruteforce,
         ann_topk_bucketed,
