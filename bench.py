@@ -277,6 +277,8 @@ HEADLINE = [
     "heavy_hitters_mg",
     "stream_full_outer_interval_join_replay",
     "multimodal_tiff_multipage",
+    "variant_shred_pruned_read",
+    "variant_shred_raw_fallback",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -16143,6 +16143,153 @@ def stream_asof_spine_replay(spark, sf_dir):
     )
 
 
+@query(
+    "variant_shred_pruned_read",
+    """
+    WITH s AS (
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    )
+    SELECT k % 7 AS k_mod,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c) AS BIGINT) AS sum_cents,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM s WHERE k BETWEEN 40 AND 60 GROUP BY 1
+    """,
+)
+def variant_shred_pruned_read(spark, sf_dir):
+    """Variant shredding in the manifest layout (r9 verdict #1): the
+    events feed's JSON payload is published into a manifest-bucketed
+    table with fields k and c SHREDDED — materialized as typed parquet
+    columns beside the raw JSON (sources/manifest_bucketed.apply_shred;
+    the columnar layout Delta/Iceberg v3 variant shredding targets,
+    lineage: the reference's config JSON, rf_linux:249) — in three
+    appends split by k range, so each generation's files carry tight
+    per-file [min, max, null_count] shred stats in the manifest.  The
+    read routes through those stats: files whose k range cannot meet
+    [40, 60] are pruned at PLANNING time (only the middle append's
+    files survive — plan-guarded in tests/test_variant_shred.py along
+    with the raw column staying OUT of ReadSchema), then the residual
+    filter pushes down on the typed column inside the survivors —
+    something a get_json_object predicate can never do.
+
+    Scale shape: at 100 TB the raw JSON blob is the widest column in
+    the table; an all-shredded projection never reads it, and file-
+    level shred-stat pruning beats row-group skipping by never opening
+    the file.  The oracle recomputes the same rollup from the raw
+    table via json_extract — shred-at-write and parse-at-read are the
+    same expression, so results are identical by construction."""
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    payload = F.to_json(
+        F.struct(
+            k.alias("k"),
+            F.col("event_type").alias("t"),
+            _cents("value").alias("c"),
+        )
+    )
+    base = ev.select(
+        "event_id", "user_id", payload.alias("payload"), k.alias("_k")
+    )
+    root = tempfile.mkdtemp(prefix="cm_shred_")
+    try:
+        shred = {"column": "payload", "fields": {"k": "bigint", "c": "bigint"}}
+        mb.create_manifest_table(
+            spark, base.filter(F.col("_k") < 33).drop("_k"), root, "ev_shred",
+            bucket_cols="user_id", num_buckets=4, shred=shred,
+        )
+        mb.append_manifest_table(
+            spark, base.filter((F.col("_k") >= 33) & (F.col("_k") < 66)).drop("_k"),
+            root, "ev_shred",
+        )
+        mb.append_manifest_table(
+            spark, base.filter(F.col("_k") >= 66).drop("_k"), root, "ev_shred"
+        )
+        r = mb.read_manifest_table_shred_pruned(
+            spark, root, "ev_shred", {"k": "bigint", "c": "bigint"},
+            prune_field="k", lower=40, upper=60,
+        )
+        out = (
+            r.filter(F.col("k").between(40, 60))
+            .groupBy((F.col("k") % 7).alias("k_mod"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("c").alias("sum_cents"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k"),
+            )
+        )
+        # re-materialize before the temp table is torn down (bounded:
+        # ≤7 rows) — same contract as the streaming replay queries
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        mb.drop_catalog_entries(spark, root, "ev_shred")
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+@query(
+    "variant_shred_raw_fallback",
+    """
+    SELECT event_type AS t,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k
+    FROM events GROUP BY 1
+    """,
+)
+def variant_shred_raw_fallback(spark, sf_dir):
+    """The shredding router's OTHER leg: a read that asks for one
+    shredded field (k → stored typed column) and one field the spec
+    never shredded (t → parse-at-read fallback over the raw JSON, the
+    same parse_json + variant_get expression the write path would have
+    evaluated).  Shredding must be an optimization, never a semantic
+    fork: the rollup over the mixed projection matches the oracle's
+    plain json_extract over the original table exactly.
+
+    Scale shape: the fallback leg reads the raw column (necessarily),
+    but only the requested fields are in the projection, and the
+    shredded leg still avoids the parse entirely — a query that drifts
+    to 90% shredded fields pays the blob scan only for the tail."""
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    payload = F.to_json(
+        F.struct(k.alias("k"), F.col("event_type").alias("t"))
+    )
+    base = ev.select("event_id", "user_id", payload.alias("payload"))
+    root = tempfile.mkdtemp(prefix="cm_shredfb_")
+    try:
+        mb.create_manifest_table(
+            spark, base, root, "ev_fb",
+            bucket_cols="user_id", num_buckets=4,
+            shred={"column": "payload", "fields": {"k": "bigint"}},
+        )
+        r = mb.read_manifest_table_shredded(
+            spark, root, "ev_fb", {"k": "bigint", "t": "string"}
+        )
+        out = r.groupBy("t").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("k").alias("sum_k"),
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        mb.drop_catalog_entries(spark, root, "ev_fb")
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

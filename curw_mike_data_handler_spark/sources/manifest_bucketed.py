@@ -51,9 +51,11 @@ import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _BUCKET_RE = re.compile(r"_(\d{5})(?:\.|$)")
 _TABLE_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_FIELD_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
 def _check_table_name(table: str) -> str:
@@ -144,6 +146,294 @@ def _data_files(gen_dir: str) -> list[str]:
         f for f in os.listdir(gen_dir)
         if f.startswith("part-") and _BUCKET_RE.search(f)
     )
+
+
+# ---------------------------------------------------------------------------
+# Variant/JSON shredding (round-10 roadmap #1)
+#
+# A shred spec names ONE semi-structured string column and the typed
+# fields to materialize beside it at write time:
+#
+#     shred = {"column": "payload", "fields": {"k": "bigint", "t": "string"}}
+#
+# Every generation then stores, next to the raw JSON bytes, one real
+# parquet column per shredded field (``_shred_payload_k`` ...), computed
+# once at publish via parse_json + variant_get — the columnar-variant
+# layout Spark 4's VARIANT/Delta-Iceberg-v3 shredding targets, scaled
+# down to this manifest format.  The payoff is read-side:
+#
+# * a routed read that asks only for shredded fields projects the
+#   materialized columns and NEVER touches the raw JSON (column pruning
+#   reaches the scan: at 100 TB the raw blob column — usually the
+#   widest in the table — is not read at all);
+# * a field that was never shredded falls back transparently to the
+#   same parse_json + variant_get expression over the raw column, so
+#   shredding is an optimization, never a semantic fork (both paths are
+#   THE SAME expression, evaluated at write time vs read time);
+# * the manifest records per-file [min, max, null_count] for every
+#   shredded field straight from the parquet footers, so a range
+#   predicate on a shredded field prunes whole FILES at planning time
+#   (shred_pruned_files), before parquet row-group skipping sees the
+#   survivors.
+# ---------------------------------------------------------------------------
+
+
+def _check_shred(shred: dict) -> dict:
+    """Validate a shred spec: field names are interpolated into column
+    names and '$.field' paths, so restrict them like table names."""
+    if set(shred) != {"column", "fields"} or not isinstance(shred["fields"], dict):
+        raise ValueError(
+            'shred spec must be {"column": <name>, "fields": {name: type}}'
+        )
+    for f in shred["fields"]:
+        if not _FIELD_NAME_RE.fullmatch(f):
+            raise ValueError(
+                f"shredded field {f!r} must match [A-Za-z_][A-Za-z0-9_]*"
+            )
+    return shred
+
+
+def shred_col_name(column: str, field: str) -> str:
+    return f"_shred_{column}_{field}"
+
+
+def shred_expr(column: str, field: str, dtype: str):
+    """The ONE extraction expression both the write-time shred and the
+    read-time raw fallback evaluate: parse the JSON string into the
+    VARIANT encoding, extract the typed field.  try_parse_json keeps a
+    malformed row a NULL field instead of a failed job (matching SQL
+    json_extract semantics)."""
+    return F.variant_get(F.try_parse_json(F.col(column)), f"$.{field}", dtype)
+
+
+def apply_shred(df: DataFrame, shred: dict) -> DataFrame:
+    """Materialize the shredded columns beside the raw column (write
+    path).  Idempotent per field name; the raw column is kept verbatim
+    so un-shredded fields stay readable forever."""
+    col = shred["column"]
+    if col not in df.columns:
+        raise ValueError(f"shred column {col!r} not in DataFrame")
+    for field, dtype in shred["fields"].items():
+        df = df.withColumn(
+            shred_col_name(col, field), shred_expr(col, field, dtype)
+        )
+    return df
+
+
+def _shred_file_stats(
+    gen_dir: str,
+    files: list[str],
+    shred: dict | None,
+    carry: dict | None = None,
+) -> dict:
+    """Per-file footer stats for every shredded column:
+    ``{file: {field: [min, max, null_count]}}`` — O(files) metadata
+    reads, no data scan.  Hard-linked files inherit via ``carry`` (same
+    inode, same footer).  Same JSON-clean-scalars-only policy as
+    _file_stats; a field without clean stats gets min/max None (its
+    null_count is still recorded when available) and the pruner then
+    always keeps the file."""
+    if not shred:
+        return {}
+    import pyarrow.parquet as pq
+
+    cols = {shred_col_name(shred["column"], f): f for f in shred["fields"]}
+    out: dict[str, dict] = {}
+    for fn in files:
+        if carry and fn in carry:
+            out[fn] = carry[fn]
+            continue
+        try:
+            md = pq.ParquetFile(os.path.join(gen_dir, fn)).metadata
+        except OSError:
+            continue
+        idx = {
+            md.schema.column(i).name: i
+            for i in range(md.num_columns)
+            if md.schema.column(i).name in cols
+        }
+        per_field: dict[str, list] = {}
+        for cname, field in cols.items():
+            if cname not in idx:
+                continue
+            mn = mx = None
+            nnull = 0
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[cname]).statistics
+                if st is None:
+                    ok = False
+                    break
+                nnull += st.null_count if st.null_count is not None else 0
+                if st.has_min_max:
+                    if mn is None or st.min < mn:
+                        mn = st.min
+                    if mx is None or st.max > mx:
+                        mx = st.max
+            clean = (
+                ok
+                and type(mn) in (int, float, str)
+                and type(mx) in (int, float, str)
+            )
+            per_field[field] = [mn if clean else None,
+                                mx if clean else None,
+                                int(nnull) if ok else None]
+        if per_field:
+            out[fn] = per_field
+    return out
+
+
+def _shred_field_summary(shred_stats: dict, shred: dict | None) -> dict:
+    """Manifest-level rollup of the per-file shred stats:
+    ``{field: {"min": m, "max": M, "n_nulls": N}}`` (n_nulls is None
+    when any file lacked a null count — a partial sum would lie)."""
+    if not shred:
+        return {}
+    out: dict[str, dict] = {}
+    for field in shred["fields"]:
+        mn = mx = None
+        nn: int | None = 0
+        for per_field in shred_stats.values():
+            s = per_field.get(field)
+            if s is None:
+                nn = None
+                continue
+            fmn, fmx, fnn = s
+            if fmn is not None and (mn is None or fmn < mn):
+                mn = fmn
+            if fmx is not None and (mx is None or fmx > mx):
+                mx = fmx
+            if nn is not None:
+                nn = None if fnn is None else nn + fnn
+        out[field] = {"min": mn, "max": mx, "n_nulls": nn}
+    return out
+
+
+def shred_pruned_files(
+    manifest: dict, field: str, *, lower=None, upper=None
+) -> list[str]:
+    """Manifest file names whose [min, max] on the SHREDDED ``field``
+    can intersect [lower, upper]; files without stats for the field are
+    always kept (skipping is an optimization, never a filter).  NULL
+    field values carry no min/max, so a file of matches-plus-nulls is
+    kept by its non-null range and an all-null file by the no-stats
+    rule — compose with a real filter, which also settles the rows."""
+    stats = manifest.get("shred_stats", {})
+
+    def keep(fn: str) -> bool:
+        s = stats.get(fn, {}).get(field)
+        if s is None:
+            return True
+        mn, mx, _ = s
+        if mn is None or mx is None:
+            return True
+        if lower is not None and mx < lower:
+            return False
+        if upper is not None and mn > upper:
+            return False
+        return True
+
+    return [fn for fn in manifest["files"] if keep(fn)]
+
+
+def _routed_projection(
+    df: DataFrame, shred: dict | None, fields: dict[str, str],
+    base_cols: list[str],
+) -> DataFrame:
+    """The read router: each requested field resolves to its stored
+    shredded column when the spec covers it WITH the same type, else to
+    the raw-fallback expression over the JSON column.  Identical
+    semantics either way (same expression, different evaluation time)."""
+    shredded = (shred or {}).get("fields", {})
+    col = (shred or {}).get("column")
+    out = list(base_cols)
+    for field, dtype in fields.items():
+        if col is not None and shredded.get(field) == dtype:
+            out.append(F.col(shred_col_name(col, field)).alias(field))
+        else:
+            src = col if col is not None else None
+            if src is None:
+                raise ValueError(
+                    f"field {field!r} is not shredded and the table has "
+                    f"no shred column to fall back to"
+                )
+            out.append(shred_expr(src, field, dtype).alias(field))
+    return df.select(*out)
+
+
+def read_manifest_table_shredded(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    fields: dict[str, str],
+    *,
+    base_cols: str | list[str] | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Routed snapshot read: ``fields`` maps requested JSON field names
+    to their types; shredded fields come from the materialized columns
+    (the raw JSON column is NOT in the projection — column pruning
+    keeps it out of the scan entirely, plan-guarded), un-shredded
+    fields fall back to parse-at-read over the raw column.  Goes
+    through the generation's catalog entry, so an all-shredded
+    projection keeps the bucketed output partitioning."""
+    m = read_manifest(root, table, version)
+    base = [base_cols] if isinstance(base_cols, str) else list(base_cols or [])
+    return _routed_projection(
+        read_manifest_table(spark, root, table, version),
+        m.get("shred"), fields, base,
+    )
+
+
+def read_manifest_table_shred_pruned(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    fields: dict[str, str],
+    *,
+    prune_field: str,
+    lower=None,
+    upper=None,
+    base_cols: str | list[str] | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Routed read restricted to files whose shredded ``prune_field``
+    range can intersect [lower, upper] — the shred stats prune whole
+    files at PLANNING time, then the routed projection keeps the raw
+    JSON out of the scan when every requested field is shredded.  Same
+    contract as read_manifest_table_pruned: stats prune files, not
+    rows; compose with a real filter (which parquet pushes down into
+    the surviving files' row groups — the shredded column is a plain
+    typed column, so the filter reaches the scan, unlike a
+    get_json_object predicate)."""
+    m = read_manifest(root, table, version)
+    if prune_field not in (m.get("shred") or {}).get("fields", {}):
+        raise ValueError(
+            f"prune_field {prune_field!r} is not a shredded field of {table}"
+        )
+    spec = {k: m[k] for k in
+            ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl")}
+    schema = spark.table(_register(spark, root, table, m["version"], spec)).schema
+    gen_dir = os.path.join(_table_dir(root, table), m["generation"])
+    files = [os.path.join(gen_dir, f)
+             for f in shred_pruned_files(m, prune_field, lower=lower, upper=upper)]
+    base = [base_cols] if isinstance(base_cols, str) else list(base_cols or [])
+    if not files:
+        empty = spark.createDataFrame([], schema)
+        return _routed_projection(empty, m.get("shred"), fields, base)
+    raw = spark.read.schema(schema).parquet(*files)
+    return _routed_projection(raw, m.get("shred"), fields, base)
+
+
+def drop_catalog_entries(spark: SparkSession, root: str, table: str) -> None:
+    """Drop every catalog entry this (root, table) registered in the
+    session — cleanup for ephemeral tables built in temp dirs (the
+    data dirs are the caller's to remove)."""
+    tag = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:8]
+    prefix = f"cm_mf_{table}_{tag}_g"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
 
 def _file_stats(
@@ -302,6 +592,11 @@ def _write_generation(
         _register(spark, root, table, version, spec)
         writer.mode("append").saveAsTable(name)
     files = _data_files(gen_dir)
+    shred = spec.get("shred")
+    shred_stats = _shred_file_stats(
+        gen_dir, files, shred,
+        carry=link_from.get("shred_stats") if link_from else None,
+    )
     return {
         "table": table,
         "version": version,
@@ -311,11 +606,14 @@ def _write_generation(
         "num_buckets": spec["num_buckets"],
         "sort_cols": spec["sort_cols"],
         "schema_ddl": spec["schema_ddl"],
+        "shred": shred,
         "files": files,
         "file_stats": _file_stats(
             gen_dir, files, spec["sort_cols"],
             carry=link_from.get("file_stats") if link_from else None,
         ),
+        "shred_stats": shred_stats,
+        "shred_field_stats": _shred_field_summary(shred_stats, shred),
     }
 
 
@@ -358,10 +656,15 @@ def create_manifest_table(
     bucket_cols: str | list[str],
     num_buckets: int,
     sort_cols: str | list[str] | None = None,
+    shred: dict | None = None,
 ) -> int:
     """Write generation 0 and publish manifest 0.  Returns the
-    version (0)."""
+    version (0).  ``shred`` materializes typed JSON fields beside the
+    raw column (see the shredding section above); the spec is recorded
+    in every manifest and re-applied to appended batches."""
     _check_table_name(table)
+    if shred is not None:
+        df = apply_shred(df, _check_shred(shred))
     bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     if sort_cols is None:
         sort_cols = []
@@ -372,6 +675,7 @@ def create_manifest_table(
         "num_buckets": num_buckets,
         "sort_cols": list(sort_cols),
         "schema_ddl": _schema_ddl(df),
+        "shred": shred,
     }
     manifest = _write_generation(
         spark, df, root, table, 0, spec, mode="errorifexists"
@@ -412,14 +716,23 @@ def append_manifest_table(
     prev = read_manifest(root, table)
     if batch_id is not None and prev.get("batch_id") == batch_id:
         return prev["version"]
+    shred = prev.get("shred")
+    if shred is not None and not all(
+        shred_col_name(shred["column"], f) in df.columns for f in shred["fields"]
+    ):
+        # the appended batch arrives in LOGICAL shape — re-apply the
+        # recorded shred so every generation's files carry the
+        # materialized columns (a batch that already carries them, e.g.
+        # the compaction rewrite, passes through untouched)
+        df = apply_shred(df, shred)
     missing = [c for c in prev["bucket_cols"] + prev["sort_cols"]
                if c not in df.columns]
     if missing:
         raise ValueError(
             f"append to {table} is missing bucket/sort columns {missing}"
         )
-    spec = {k: prev[k] for k in
-            ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl")}
+    spec = {k: prev.get(k) for k in
+            ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl", "shred")}
     v = prev["version"] + 1
     manifest = _write_generation(spark, df, root, table, v, spec, link_from=prev)
     if batch_id is not None:
