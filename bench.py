@@ -279,6 +279,8 @@ HEADLINE = [
     "multimodal_tiff_multipage",
     "variant_shred_pruned_read",
     "variant_shred_raw_fallback",
+    "quantile_sketch_merge_batch",
+    "stream_quantile_drift_replay",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

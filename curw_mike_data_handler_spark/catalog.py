@@ -16290,6 +16290,202 @@ def variant_shred_raw_fallback(spark, sf_dir):
     return result
 
 
+@query(
+    "quantile_sketch_merge_batch",
+    """
+    WITH c AS (
+        SELECT event_type AS key,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), r AS (
+        SELECT key, cents,
+               row_number() OVER (PARTITION BY key ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY key) AS n
+        FROM c
+    )
+    SELECT key,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+               AS p50_cents,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS BIGINT)
+               AS p90_cents,
+           CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END)
+                AS BIGINT) AS p99_cents,
+           CAST(0 AS BIGINT) AS err_bound
+    FROM r GROUP BY key
+    """,
+)
+def quantile_sketch_merge_batch(spark, sf_dir):
+    """Distributed quantiles via the mergeable merge-prune summary
+    (operators/quantiles.py — deterministic Munro-Paterson/KLL
+    compactor hierarchy; r9 verdict #2's batch half): mapInPandas
+    builds one summary per (key, partition) MAP-SIDE — the raw value
+    stream never shuffles — then the tiny summaries (O(capacity·log n)
+    ints each) take the ONE hash(key) exchange and merge per key.
+    This is the 100 TB quantile shape: shuffle bytes are summary-sized,
+    not data-sized, exactly like a partial+final aggregate.
+
+    At this capacity nothing compacts, so every emitted value is the
+    EXACT order statistic at rank ceil(p·n) (integer rank formulas
+    shared token-for-token with the oracle) and the summary's
+    self-reported rank-error bound is 0 — emitted as a column, so the
+    gate hash also attests the exact regime.  The approximate regime
+    (tight capacity, nonzero bound) is property-tested in
+    tests/test_quantile_sketch.py against the same bound."""
+    from curw_mike_data_handler_spark.operators.quantiles import (
+        MergePruneSummary,
+        rank_for,
+    )
+
+    CAP = 1 << 18
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.select(
+        F.col("event_type").alias("key"), _cents("value").alias("cents")
+    )
+
+    partial_schema = (
+        "key string, sizes array<int>, items array<bigint>, "
+        "par array<int>, n bigint, err2 bigint"
+    )
+
+    def build_partials(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            rows = []
+            for key, grp in pdf.groupby("key", sort=False):
+                s = MergePruneSummary(CAP)
+                s.insert_many(grp["cents"].to_numpy())
+                sizes, items, par, n, err2 = s.to_state()
+                rows.append(
+                    {"key": key, "sizes": sizes, "items": items,
+                     "par": par, "n": n, "err2": err2}
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    def merge_finalize(pdf):
+        import pandas as pd
+
+        merged = None
+        for _, row in pdf.iterrows():
+            s = MergePruneSummary.from_state(
+                CAP, list(row["sizes"]), list(row["items"]),
+                list(row["par"]), row["n"], row["err2"],
+            )
+            merged = s if merged is None else merged.merge(s)
+        out = {"key": pdf["key"].iloc[0], "n_rows": merged.n}
+        for lbl, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+            out[f"{lbl}_cents"] = merged.quantile_at_rank(
+                rank_for(num, den, merged.n)
+            )
+        out["err_bound"] = merged.rank_error_bound()
+        return pd.DataFrame([out])
+
+    partials = vals.mapInPandas(build_partials, schema=partial_schema)
+    return partials.groupBy("key").applyInPandas(
+        merge_finalize,
+        schema=(
+            "key string, n_rows bigint, p50_cents bigint, "
+            "p90_cents bigint, p99_cents bigint, err_bound bigint"
+        ),
+    )
+
+
+@query(
+    "stream_quantile_drift_replay",
+    """
+    WITH c AS (
+        SELECT event_type AS key,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               epoch_us(ts) AS t
+        FROM events
+    ), b AS (
+        SELECT min(t) + (max(t) - min(t)) // 2 AS bd FROM c
+    ), r AS (
+        SELECT key, cents, t < (SELECT bd FROM b) AS is_ref,
+               row_number() OVER (PARTITION BY key, t < (SELECT bd FROM b)
+                                  ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY key, t < (SELECT bd FROM b)) AS n
+        FROM c
+    ), q AS (
+        SELECT key, is_ref, max(n) AS n,
+               max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50,
+               max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS p90,
+               max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS p99
+        FROM r GROUP BY key, is_ref
+    )
+    SELECT ref.key AS key,
+           CAST(ref.n AS BIGINT) AS n_ref,
+           CAST(cur.n AS BIGINT) AS n_cur,
+           CAST(ref.p50 AS BIGINT) AS p50_ref,
+           CAST(cur.p50 AS BIGINT) AS p50_cur,
+           CAST(cur.p50 - ref.p50 AS BIGINT) AS drift_p50,
+           CAST(ref.p90 AS BIGINT) AS p90_ref,
+           CAST(cur.p90 AS BIGINT) AS p90_cur,
+           CAST(cur.p90 - ref.p90 AS BIGINT) AS drift_p90,
+           CAST(ref.p99 AS BIGINT) AS p99_ref,
+           CAST(cur.p99 AS BIGINT) AS p99_cur,
+           CAST(cur.p99 - ref.p99 AS BIGINT) AS drift_p99,
+           CAST(0 AS BIGINT) AS err_bound
+    FROM q ref JOIN q cur
+      ON ref.key = cur.key AND ref.is_ref AND NOT cur.is_ref
+    """,
+)
+def stream_quantile_drift_replay(spark, sf_dir):
+    """Streaming quantile-drift monitor, driver-gated (r9 verdict #2):
+    per event type, TWO merge-prune summaries live in the state store —
+    reference (events before the corpus midpoint) and current (after)
+    — and every trigger re-emits the quantile snapshot plus drift at
+    p50/p90/p99 (streaming/quantiles.py; the fold is the SAME shared
+    summary the batch operator uses).  The replay feeds the events
+    table through the micro-batch harness; the gate keeps each key's
+    LAST emission (maximal n_ref+n_cur — totals are strictly
+    increasing per emission), which by construction summarizes the
+    full corpus; the oracle recomputes both halves' exact order
+    statistics.  err_bound is part of the hashed row set: a 0 proves
+    the gate ran in the exact no-compaction regime (the tight-capacity
+    approximate regime and checkpoint-restart are e2e-tested in
+    tests/test_streaming_quantiles.py).
+
+    Scale shape: one hash(key) exchange per trigger; state is
+    2·O(capacity·log(n/capacity)) ints per key no matter the
+    throughput; the boundary is an O(1) batch scalar."""
+    from curw_mike_data_handler_spark.streaming.quantiles import (
+        quantile_drift_stream,
+    )
+    from curw_mike_data_handler_spark.streaming.replay import (
+        replay_file_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", _cents("value").alias("cents")
+    )
+    row = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).first()
+    boundary = row["mn"] + (row["mx"] - row["mn"]) // 2
+
+    def plan(stream):
+        return quantile_drift_stream(
+            stream, "event_type", "cents", "ts", boundary_us=boundary
+        )
+
+    snaps = replay_file_stream(spark, ev, plan, output_mode="update")
+    total = (F.col("n_ref") + F.col("n_cur")).alias("_tot")
+    cols = [c for c in snaps.columns if c != "state_items"]
+    last = (
+        snaps.select(*cols, total)
+        .groupBy("key")
+        .agg(F.max_by(F.struct(*cols), F.col("_tot")).alias("s"))
+        .select("s.*")
+    )
+    return last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

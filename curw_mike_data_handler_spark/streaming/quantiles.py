@@ -1,0 +1,155 @@
+"""Streaming quantile-drift monitor — the stateful-stream twin of
+``operators.quantiles.MergePruneSummary`` (r9 verdict #2).
+
+Per group key, TWO merge-prune summaries live in the streaming state
+store: a REFERENCE summary folding values whose event time falls
+before a fixed boundary, and a CURRENT summary for everything after.
+Every trigger the operator re-emits the group's quantile snapshot plus
+the drift (current − reference) at each tracked rank — the
+distribution-shift alarm the reference's operators eyeball by hand on
+their single-VM series (tidal/rainfall summary prep), restated as an
+always-current continuous query.
+
+Contract mirrors streaming heavy hitters (streaming/heavyhitters.py):
+
+* the fold is the SAME code the batch operator runs
+  (``MergePruneSummary`` — shared module, not a re-implementation), so
+  a periodic batch reconciliation over the stored corpus reproduces the
+  stream's numbers exactly in the exact regime;
+* state per key is bounded by construction: ``O(capacity · log(n /
+  capacity))`` items per summary regardless of how many rows flow
+  through (property-tested via ``state_items()``), and each emitted
+  row carries the summary's own hard rank-error bound so a consumer
+  can see estimate quality instead of trusting folklore;
+* checkpointed ``availableNow`` runs resume the summaries from the
+  state store — the snapshot is identical whether history arrives in
+  one batch or across restarts (e2e-tested with a kill/restart).
+
+Quantile ranks use the same integer formula as the SQL oracle
+(``rank_for``): with ``capacity ≥ n`` nothing compacts and every
+emitted value is the exact order statistic — the regime the driver
+gate pins; tight-capacity state bounds are exercised in tests, exactly
+like the replay harness's loose-vs-tight watermark split.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from curw_mike_data_handler_spark.operators.quantiles import (
+    MergePruneSummary,
+    rank_for,
+)
+
+# tracked ranks: (label, numerator, denominator) → ceil(num/den · n)
+TRACKED = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+OUTPUT_SCHEMA = (
+    "key string, n_ref bigint, n_cur bigint, "
+    + ", ".join(f"{lbl}_ref bigint, {lbl}_cur bigint, drift_{lbl} bigint"
+                for lbl, _, _ in TRACKED)
+    + ", err_bound bigint, state_items bigint"
+)
+
+# two summaries flattened side by side
+STATE_SCHEMA = (
+    "ref_sizes array<int>, ref_items array<bigint>, ref_par array<int>, "
+    "ref_n bigint, ref_err2 bigint, "
+    "cur_sizes array<int>, cur_items array<bigint>, cur_par array<int>, "
+    "cur_n bigint, cur_err2 bigint"
+)
+
+
+def _load(state: GroupState, capacity: int):
+    if state.exists:
+        (rs, ri, rp, rn, re2, cs, ci, cp, cn, ce2) = state.get
+        ref = MergePruneSummary.from_state(capacity, rs, ri, rp, rn, re2)
+        cur = MergePruneSummary.from_state(capacity, cs, ci, cp, cn, ce2)
+    else:
+        ref, cur = MergePruneSummary(capacity), MergePruneSummary(capacity)
+    return ref, cur
+
+
+def _store(state: GroupState, ref: MergePruneSummary, cur: MergePruneSummary):
+    state.update(tuple(ref.to_state()) + tuple(cur.to_state()))
+
+
+def _snapshot_row(key, ref: MergePruneSummary, cur: MergePruneSummary) -> dict:
+    row: dict[str, Any] = {"key": key, "n_ref": ref.n, "n_cur": cur.n}
+    for lbl, num, den in TRACKED:
+        qr = ref.quantile_at_rank(rank_for(num, den, ref.n)) if ref.n else None
+        qc = cur.quantile_at_rank(rank_for(num, den, cur.n)) if cur.n else None
+        row[f"{lbl}_ref"] = qr
+        row[f"{lbl}_cur"] = qc
+        row[f"drift_{lbl}"] = (
+            qc - qr if qr is not None and qc is not None else None
+        )
+    row["err_bound"] = ref.rank_error_bound() + cur.rank_error_bound()
+    row["state_items"] = ref.state_items() + cur.state_items()
+    return row
+
+
+def _make_fn(capacity: int, boundary_us: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        ref, cur = _load(state, capacity)
+        pdf = pd.concat(list(pdfs))
+        before = pdf["t_us"] < boundary_us
+        if before.any():
+            ref.insert_many(pdf.loc[before, "cents"].to_numpy())
+        if (~before).any():
+            cur.insert_many(pdf.loc[~before, "cents"].to_numpy())
+        _store(state, ref, cur)
+        yield pd.DataFrame([_snapshot_row(k, ref, cur)])
+
+    return fn
+
+
+def quantile_drift_stream(
+    events: DataFrame,
+    key_col: str,
+    value_cents_col: str,
+    time_col: str,
+    *,
+    boundary_us: int,
+    capacity: int = 1 << 18,
+) -> DataFrame:
+    """Streaming drift monitor: → one snapshot row per (key, trigger)
+    in ``update`` output mode — reference/current quantiles at the
+    tracked ranks, their drift, the summary's own rank-error bound,
+    and the live state size.  NULL keys/values are dropped (same
+    policy as the heavy-hitter twin).
+
+    ``boundary_us`` splits event time (unix micros) into the reference
+    and current distributions; compute it batch-side from the stored
+    corpus (an O(1) scalar), or pin a deployment date.
+
+    Scale shape: one hash(key) exchange per trigger; state is
+    2·O(capacity · log(n/capacity)) integers per key regardless of
+    throughput — the summary never holds the raw value stream."""
+    keyed = (
+        events.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(value_cents_col).cast("bigint").alias("cents"),
+            F.unix_micros(F.col(time_col)).alias("t_us"),
+        )
+        .filter(F.col("key").isNotNull() & F.col("cents").isNotNull())
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _make_fn(capacity, boundary_us),
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -29,6 +29,7 @@ tight-watermark regime where the gate cannot.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 import uuid
@@ -46,6 +47,7 @@ def replay_file_stream(
     n_files: int = 4,
     max_files_per_trigger: int = 1,
     trailing_files: list[DataFrame] | None = None,
+    progress_out: dict | None = None,
 ) -> DataFrame:
     """Materialize ``df`` as ``n_files`` parquet files, stream them back
     ``max_files_per_trigger`` per micro-batch through ``transform``,
@@ -69,7 +71,16 @@ def replay_file_stream(
     and one more trailing batch after it gives the stateful operator
     the trigger in which to emit its evictions (emission happens a
     batch after the watermark moves, and a stream with no further
-    batches would otherwise end holding its state)."""
+    batches would otherwise end holding its state).
+
+    ``progress_out``: a dict the harness fills with MEASURED streaming
+    metrics (r9 verdict #6 — state bounds must be measured, not
+    asserted in prose): ``state_operators`` is the final progress
+    report's stateOperators list (rows/bytes per stateful operator),
+    ``num_triggers`` the count of progress events, and
+    ``max_state_rows`` / ``max_state_bytes`` the peak across ALL
+    triggers (the bound that matters — final-trigger state can be
+    post-eviction)."""
     import shutil
 
     base = tempfile.mkdtemp(prefix="cm_replay_")
@@ -112,6 +123,26 @@ def replay_file_stream(
         .start()
     )
     q.awaitTermination()
+    if progress_out is not None:
+        # recentProgress items are dicts in some pyspark versions,
+        # StreamingQueryProgress objects (with .json) in others
+        progs = [
+            p if isinstance(p, dict)
+            else json.loads(p if isinstance(p, str) else p.json)
+            for p in q.recentProgress
+        ]
+        ops = [p.get("stateOperators") or [] for p in progs]
+        progress_out["num_triggers"] = len(progs)
+        progress_out["state_operators"] = ops[-1] if ops else []
+        progress_out["max_state_rows"] = max(
+            (op.get("numRowsTotal", 0) for trig in ops for op in trig),
+            default=0,
+        )
+        progress_out["max_state_bytes"] = max(
+            (op.get("stateMemory", op.get("memoryUsedBytes", 0))
+             for trig in ops for op in trig),
+            default=0,
+        )
     sink = spark.table(name)
     result = spark.createDataFrame(sink.collect(), sink.schema)
     spark.catalog.dropTempView(name)
