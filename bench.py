@@ -290,6 +290,14 @@ HEADLINE = [
     # correctness gate instead)
 ]
 
+# Streaming replay gate queries (r9 verdict #3): their wall time is
+# dominated by the micro-batch HARNESS — availableNow trigger
+# scheduling and per-trigger checkpoint commits — not by plan cost, so
+# they are summed separately (replay_harness_total) and the headline
+# metric stays ENGINE-only.  Membership is by the stream_ prefix, which
+# is reserved for replay-gated streaming queries.
+REPLAY_QUERIES = frozenset(n for n in HEADLINE if n.startswith("stream_"))
+
 # Round-over-round comparability (r4 verdict #7): the first 100
 # HEADLINE entries are PINNED — new queries append at the end, so
 # "common_warm_total" sums the same 100 queries every round and
@@ -453,13 +461,24 @@ def main() -> None:
     spark.stop()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    replay_cold = sum(timings[n] for n in REPLAY_QUERIES)
+    replay_warm = sum(warm[n] for n in REPLAY_QUERIES)
+    engine_cold = total - replay_cold
+    engine_warm = sum(warm.values()) - replay_warm
     payload = {
         "metric": "headline_queries_total_wall",
-        "value": round(total, 3),
+        # ENGINE-only total (r9 verdict #3): the replay gate queries'
+        # micro-batch scheduling wall is reported separately so
+        # round-over-round comparisons measure plans, not gate devices
+        "value": round(engine_cold, 3),
         "unit": "sec",
+        "replay_harness_total": round(replay_cold, 3),
+        "replay_harness_total_warm": round(replay_warm, 3),
+        "total_with_replay": round(total, 3),
         "queries": timings,
         "queries_warm": warm,
-        "warm_total": round(sum(warm.values()), 3),
+        "warm_total": round(engine_warm, 3),
+        "warm_total_with_replay": round(sum(warm.values()), 3),
         "common_warm_total": round(sum(warm[n] for n in COMMON_100), 3),
         "common_warm_total_r4": COMMON_100_R4_WARM_TOTAL,
         # fresh-JVM isolation pass (r5 verdict #6): measures the pinned
@@ -511,11 +530,13 @@ def compact_line(payload: dict, budget: int = 1800) -> str:
         "metric": payload["metric"],
         "value": payload["value"],
         "unit": "sec",
+        "replay_harness_total": payload.get("replay_harness_total"),
         "warm_total": payload["warm_total"],
         "common_warm_total": payload["common_warm_total"],
         "common_warm_total_isolated": payload.get("common_warm_total_isolated"),
         "sf": payload["sf"],
-        "note": "slowest-first subset; all cold+warm in BENCH_local.json",
+        "note": "engine-only totals; replay gate wall separate; "
+        "all cold+warm in BENCH_local.json",
     }
     if "ab_comparison" in payload:
         head["ab_comparison"] = payload["ab_comparison"]

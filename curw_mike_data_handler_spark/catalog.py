@@ -15861,7 +15861,11 @@ def stream_interval_join_replay(spark, sf_dir):
              / F.lit(1_000_000)).cast("long").alias("lag_sec"),
         )
 
-    return replay_file_stream(spark, ev, plan)
+    # n_files=2 (r9 verdict #7): the inner join's semantics need only
+    # multi-trigger arrival, not a long trigger chain — half the
+    # micro-batch scheduling wall for the same oracle coverage (the
+    # full-outer variant keeps the full 6-trigger chain)
+    return replay_file_stream(spark, ev, plan, n_files=2)
 
 
 @query(
@@ -15947,8 +15951,12 @@ def stream_outer_interval_join_replay(spark, sf_dir):
              / F.lit(1_000_000)).cast("long").alias("lag_sec"),
         )
 
+    # n_files=2 (r9 verdict #7): eviction needs the two trailing
+    # watermark-flush triggers, not a long main chain; the FULL OUTER
+    # twin keeps the full 6-trigger replay for multi-batch coverage
     return replay_file_stream(
-        spark, ev, plan, trailing_files=[sentinel(4), sentinel(5)]
+        spark, ev, plan, n_files=2,
+        trailing_files=[sentinel(4), sentinel(5)]
     ).filter(F.col("user_id") >= 0)
 
 
@@ -16071,7 +16079,10 @@ def stream_dedup_watermark_replay(spark, sf_dir):
             watermark="90 days",
         )
 
-    admitted = replay_file_stream(spark, fed, plan, n_files=6)
+    # n_files=3 (r9 verdict #7): replayed duplicates still arrive in
+    # separate triggers often enough to exercise cross-batch dedup,
+    # at half the scheduling wall
+    admitted = replay_file_stream(spark, fed, plan, n_files=3)
     return admitted.groupBy("event_type").agg(
         F.count("*").alias("n_rows"),
         F.sum(_cents("value")).alias("value_cents"),
@@ -16133,7 +16144,10 @@ def stream_asof_spine_replay(spark, sf_dir):
             value_col="value", step_minutes=360, tolerance_steps=2,
         )
 
-    out = replay_file_stream(spark, ev, plan, output_mode="complete")
+    # n_files=2 (r9 verdict #7): complete-mode re-emission makes every
+    # trigger a full snapshot — two triggers prove the incremental fold
+    out = replay_file_stream(spark, ev, plan, output_mode="complete",
+                             n_files=2)
     return out.select(
         "user_id",
         _fmt("slot").alias("slot"),
