@@ -112,6 +112,81 @@ def read_manifest(root: str, table: str, version: int | None = None) -> dict:
     return m
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another live writer holds the claim for the generation this
+    writer wanted to publish.  Callers retry on top of the competitor's
+    snapshot once it lands (append_manifest_table does so itself)."""
+
+
+def _claim_path(root: str, table: str, version: int) -> str:
+    return os.path.join(_table_dir(root, table), "manifests",
+                        f"claim-{version}")
+
+
+def _acquire_claim(root: str, table: str, version: int) -> None:
+    """Serialize writers per generation: the O_CREAT|O_EXCL create of
+    ``claim-K`` is the commit-intent CAS — exactly one writer owns
+    generation K.  A claim whose recorded pid is DEAD is the debris of
+    a crashed writer (kill -9 between claim and publish): it is
+    unlinked and the O_EXCL create retried, which again admits at most
+    one winner.  A LIVE claim (including another thread of this
+    process) raises ConcurrentWriteError for the caller to retry after
+    the competing publish lands.  Same single-host/POSIX scope as the
+    rest of the module — on an object store this is the table format's
+    conditional-put commit."""
+    path = _claim_path(root, table, version)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    for _ in range(2):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, str(os.getpid()).encode())
+            finally:
+                os.close(fd)
+            return
+        except FileExistsError:
+            pass
+        try:
+            with open(path) as fh:
+                pid = int(fh.read().strip() or "-1")
+        except (OSError, ValueError):
+            pid = -1
+        alive = False
+        if pid > 0:
+            if pid == os.getpid():
+                alive = True  # another thread of this process
+            else:
+                try:
+                    os.kill(pid, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True  # exists, owned by someone else
+        if alive:
+            raise ConcurrentWriteError(
+                f"{table} generation {version} is being written by "
+                f"pid {pid}"
+            )
+        # dead owner: remove the stale claim and re-race the O_EXCL
+        # create (at most one of the racing recoverers wins it)
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+    raise ConcurrentWriteError(
+        f"{table} generation {version}: claim could not be acquired "
+        f"after stale-owner recovery"
+    )
+
+
+def _release_claim(root: str, table: str, version: int) -> None:
+    try:
+        os.unlink(_claim_path(root, table, version))
+    except FileNotFoundError:
+        pass
+
+
 def _publish(root: str, table: str, manifest: dict) -> None:
     """Write the manifest, then swap LATEST atomically (os.replace) —
     the single linearization point of every commit.  BOTH files go
@@ -677,10 +752,14 @@ def create_manifest_table(
         "schema_ddl": _schema_ddl(df),
         "shred": shred,
     }
-    manifest = _write_generation(
-        spark, df, root, table, 0, spec, mode="errorifexists"
-    )
-    _publish(root, table, manifest)
+    _acquire_claim(root, table, 0)
+    try:
+        manifest = _write_generation(
+            spark, df, root, table, 0, spec, mode="errorifexists"
+        )
+        _publish(root, table, manifest)
+    finally:
+        _release_claim(root, table, 0)
     return 0
 
 
@@ -692,6 +771,8 @@ def append_manifest_table(
     *,
     compact_files_per_bucket: int = 8,
     batch_id: str | None = None,
+    max_retries: int = 20,
+    retry_wait_s: float = 0.5,
 ) -> int:
     """Append ``df`` as a NEW snapshot (previous files hard-linked, the
     batch inserted beside them, manifest + LATEST swapped atomically),
@@ -709,35 +790,77 @@ def append_manifest_table(
     second time — exactly-once callers (e.g. a foreachBatch sink)
     should always pass their batch identifier.
 
+    CONCURRENT writers serialize (round 10): each generation is owned
+    by exactly one writer via an O_EXCL claim file; a writer that loses
+    the claim (or whose parent goes stale between read and claim) waits
+    ``retry_wait_s`` and retries on top of the competitor's published
+    snapshot, up to ``max_retries`` times — both batches always land,
+    in some serial order, and a reader never sees a mixture (every
+    published manifest's parent chain is a real snapshot).  Claims with
+    a dead owner pid are crashed-writer debris and are taken over.
+
     Scale shape: the append shuffles ONLY the new batch (one clustered
     exchange); linking is O(existing files) metadata work; compaction
     is the amortized full rewrite, exactly as in append_bucketed — but
     the swap is now a pointer replace, not a catalog rename."""
-    prev = read_manifest(root, table)
-    if batch_id is not None and prev.get("batch_id") == batch_id:
-        return prev["version"]
-    shred = prev.get("shred")
-    if shred is not None and not all(
-        shred_col_name(shred["column"], f) in df.columns for f in shred["fields"]
-    ):
-        # the appended batch arrives in LOGICAL shape — re-apply the
-        # recorded shred so every generation's files carry the
-        # materialized columns (a batch that already carries them, e.g.
-        # the compaction rewrite, passes through untouched)
-        df = apply_shred(df, shred)
-    missing = [c for c in prev["bucket_cols"] + prev["sort_cols"]
-               if c not in df.columns]
-    if missing:
-        raise ValueError(
-            f"append to {table} is missing bucket/sort columns {missing}"
+    import time
+
+    for attempt in range(max_retries + 1):
+        prev = read_manifest(root, table)
+        if batch_id is not None and prev.get("batch_id") == batch_id:
+            return prev["version"]
+        base = df
+        shred = prev.get("shred")
+        if shred is not None and not all(
+            shred_col_name(shred["column"], f) in base.columns
+            for f in shred["fields"]
+        ):
+            # the appended batch arrives in LOGICAL shape — re-apply the
+            # recorded shred so every generation's files carry the
+            # materialized columns (a batch that already carries them,
+            # e.g. the compaction rewrite, passes through untouched)
+            base = apply_shred(base, shred)
+        missing = [c for c in prev["bucket_cols"] + prev["sort_cols"]
+                   if c not in base.columns]
+        if missing:
+            raise ValueError(
+                f"append to {table} is missing bucket/sort columns {missing}"
+            )
+        spec = {k: prev.get(k) for k in
+                ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl",
+                 "shred")}
+        v = prev["version"] + 1
+        try:
+            _acquire_claim(root, table, v)
+        except ConcurrentWriteError:
+            # a live competitor owns generation v: wait for its publish
+            # to land, then retry ON TOP of it (both batches land; the
+            # loser is serialized behind the winner — never lost)
+            if attempt == max_retries:
+                raise
+            time.sleep(retry_wait_s)
+            continue
+        try:
+            # the claim admits exactly one writer per version, but the
+            # competitor we lost to may have published BETWEEN our
+            # read_manifest and our claim — re-check the parent still
+            # is LATEST, else retry with a fresh parent
+            if current_version(root, table) != prev["version"]:
+                continue
+            manifest = _write_generation(
+                spark, base, root, table, v, spec, link_from=prev
+            )
+            if batch_id is not None:
+                manifest["batch_id"] = batch_id
+            _publish(root, table, manifest)
+            break
+        finally:
+            _release_claim(root, table, v)
+    else:
+        raise ConcurrentWriteError(
+            f"append to {table} lost the publish race {max_retries + 1} "
+            f"times (competing writer holding the claim throughout?)"
         )
-    spec = {k: prev.get(k) for k in
-            ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl", "shred")}
-    v = prev["version"] + 1
-    manifest = _write_generation(spark, df, root, table, v, spec, link_from=prev)
-    if batch_id is not None:
-        manifest["batch_id"] = batch_id
-    _publish(root, table, manifest)
 
     per_bucket = files_per_bucket(manifest)
     if per_bucket and max(per_bucket.values()) > compact_files_per_bucket:
@@ -751,17 +874,30 @@ def append_manifest_table(
             .parquet(*[os.path.join(gen_dir, f) for f in manifest["files"]])
         )
         v2 = v + 1
-        compacted = _write_generation(
-            spark, full, root, table, v2, spec, mode="errorifexists"
-        )
-        compacted["parent"] = v
-        compacted["compacted_from"] = v
-        if batch_id is not None:
-            # the compaction is part of the same logical commit: keep
-            # the batch id visible so a retry still short-circuits
-            compacted["batch_id"] = batch_id
-        # re-publish with the corrected parent chain
-        _publish(root, table, compacted)
+        try:
+            _acquire_claim(root, table, v2)
+        except ConcurrentWriteError:
+            # a competitor is already appending on top of our snapshot:
+            # skip the compaction — the file bound re-fires on a later
+            # append and compacts then (amortization only deferred)
+            return v
+        try:
+            if current_version(root, table) != v:
+                return v
+            compacted = _write_generation(
+                spark, full, root, table, v2, spec, mode="errorifexists"
+            )
+            compacted["parent"] = v
+            compacted["compacted_from"] = v
+            if batch_id is not None:
+                # the compaction is part of the same logical commit:
+                # keep the batch id visible so a retry still
+                # short-circuits
+                compacted["batch_id"] = batch_id
+            # re-publish with the corrected parent chain
+            _publish(root, table, compacted)
+        finally:
+            _release_claim(root, table, v2)
         return v2
     return v
 

@@ -557,3 +557,132 @@ def test_sorted_bucket_merge_join_elides_exchange_and_sort(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.sql("DROP TABLE IF EXISTS smj_a")
         spark.sql("DROP TABLE IF EXISTS smj_b")
+
+
+# ---------------------------------------------------------------------------
+# Concurrent-writer serialization (r9 verdict #5)
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_concurrent_appends_serialize_both_batches_land(spark, tmp_path):
+    """Two interleaved appenders racing the same table: the claim CAS
+    serializes them, the loser retries on top of the winner, BOTH
+    batches land exactly once, and every published manifest's parent
+    chain is a real snapshot (reader never sees a mixture)."""
+    import threading
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    root = str(tmp_path)
+    BATCH = 50
+    mb.create_manifest_table(
+        spark, _mk_batch(spark, 0, BATCH), root, "cc",
+        bucket_cols="k", num_buckets=2,
+    )
+    errors: list = []
+
+    def appender(writer: int, n_batches: int):
+        try:
+            for j in range(n_batches):
+                lo = (1 + writer * 10 + j) * 1000
+                mb.append_manifest_table(
+                    spark, _mk_batch(spark, lo, lo + BATCH), root, "cc",
+                    compact_files_per_bucket=100,
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(w, 3)) for w in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    final = mb.read_manifest(root, "cc")
+    assert final["version"] == 6  # 1 create + 6 appends, no version lost
+    # every batch's rows present exactly once
+    rows = mb.read_manifest_table(spark, root, "cc")
+    assert rows.count() == 7 * BATCH
+    assert rows.select("k").distinct().count() == 7 * BATCH
+    # the parent chain is a contiguous serialization
+    for v in range(6, 0, -1):
+        m = mb.read_manifest(root, "cc", version=v)
+        assert m["parent"] == v - 1
+    # every intermediate snapshot is a whole number of batches
+    for v in range(7):
+        n = mb.read_manifest_table(spark, root, "cc", version=v).count()
+        assert n == (v + 1) * BATCH
+    # all claims were released
+    mdir = os.path.join(root, "cc", "manifests")
+    assert not [f for f in os.listdir(mdir) if f.startswith("claim-")]
+
+
+def test_manifest_live_claim_blocks_and_dead_claim_is_taken_over(spark, tmp_path):
+    """A claim held by a LIVE process blocks (ConcurrentWriteError once
+    retries are exhausted); a claim whose owner pid is dead is crashed-
+    writer debris and is taken over transparently."""
+    import subprocess
+    import sys
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _mk_batch(spark, 0, 20), root, "cl",
+        bucket_cols="k", num_buckets=2,
+    )
+    claim = mb._claim_path(root, "cl", 1)
+    os.makedirs(os.path.dirname(claim), exist_ok=True)
+
+    # live claim (our own pid stands in for another live writer/thread)
+    with open(claim, "w") as fh:
+        fh.write(str(os.getpid()))
+    with pytest.raises(mb.ConcurrentWriteError):
+        mb.append_manifest_table(
+            spark, _mk_batch(spark, 100, 120), root, "cl",
+            max_retries=1, retry_wait_s=0.05,
+        )
+    assert mb.current_version(root, "cl") == 0  # nothing half-published
+
+    # dead claim: a real pid that no longer exists
+    proc = subprocess.Popen([sys.executable, "-c", "pass"])
+    proc.wait()
+    with open(claim, "w") as fh:
+        fh.write(str(proc.pid))
+    v = mb.append_manifest_table(
+        spark, _mk_batch(spark, 100, 120), root, "cl", retry_wait_s=0.05
+    )
+    assert v == 1
+    assert mb.read_manifest_table(spark, root, "cl").count() == 40
+
+
+def test_manifest_expire_keeps_pinned_reader_window_resolvable(spark, tmp_path):
+    """expire(keep=k) must never remove a generation inside the keep
+    window: a reader pinned to any retained version still resolves and
+    reads the exact snapshot (hard links keep shared inodes alive even
+    though older generation DIRECTORIES are gone), while expired
+    versions fail with the retention hint."""
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _mk_batch(spark, 0, 30), root, "ex",
+        bucket_cols="k", num_buckets=2,
+    )
+    for i in range(1, 4):
+        mb.append_manifest_table(
+            spark, _mk_batch(spark, 30 * i, 30 * (i + 1)), root, "ex",
+            compact_files_per_bucket=100,
+        )
+    expired = mb.expire_generations(spark, root, "ex", keep=2)
+    assert expired == [0, 1]
+    # pinned readers inside the keep window: exact snapshots survive
+    assert mb.read_manifest_table(spark, root, "ex", version=2).count() == 90
+    assert mb.read_manifest_table(spark, root, "ex", version=3).count() == 120
+    # outside the window: the retention contract, not a torn read
+    with pytest.raises(FileNotFoundError, match="expired"):
+        mb.read_manifest(root, "ex", version=1)
+    # claims directory hygiene: expire left no claim debris behind
+    mdir = os.path.join(root, "ex", "manifests")
+    assert not [f for f in os.listdir(mdir) if f.startswith("claim-")]
