@@ -16500,6 +16500,166 @@ def stream_quantile_drift_replay(spark, sf_dir):
     return last
 
 
+@query(
+    "variant_shred_evolution_read",
+    """
+    WITH s AS (
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    )
+    SELECT k % 5 AS k_mod,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c) AS BIGINT) AS sum_cents,
+           count(*) FILTER (WHERE c IS NULL) AS n_null_c
+    FROM s GROUP BY 1
+    """,
+)
+def variant_shred_evolution_read(spark, sf_dir):
+    """Shred-spec EVOLUTION (round-10 roadmap item, built this round):
+    the table is created with only ``k`` shredded and half the data
+    loaded; ``evolve_shred`` then adds ``c`` as a METADATA-ONLY
+    generation (no file written — the manifest shares its parent's
+    directory), and the second half is appended.  The routed read now
+    spans mixed coverage: post-evolution files carry the materialized
+    ``c`` column, pre-evolution files lack it — the router repairs
+    those with coalesce(stored, parse-raw) (manifest_bucketed.
+    covered_fields / _routed_projection), so the answer is identical
+    to a full shred-at-create, which is what the oracle checks.
+    n_null_c rides along to prove the repair distinguishes
+    missing-column NULLs (repaired) from genuine NULLs (kept).
+
+    Scale shape: evolution is O(1) publish — no rewrite of a 100 TB
+    table to start shredding a new field; the coalesce tax is paid
+    only by pre-evolution files and only until the next compaction
+    materializes the column everywhere (tested in
+    tests/test_shred_evolution.py)."""
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    payload = F.to_json(
+        F.struct(k.alias("k"), _cents("value").alias("c"))
+    )
+    base = ev.select(
+        "event_id", "user_id", payload.alias("payload"), k.alias("_k")
+    )
+    root = tempfile.mkdtemp(prefix="cm_shredev_")
+    try:
+        mb.create_manifest_table(
+            spark, base.filter(F.col("_k") < 50).drop("_k"), root, "ev_evo",
+            bucket_cols="user_id", num_buckets=4,
+            shred={"column": "payload", "fields": {"k": "bigint"}},
+        )
+        mb.evolve_shred(spark, root, "ev_evo", add={"c": "bigint"})
+        mb.append_manifest_table(
+            spark, base.filter(F.col("_k") >= 50).drop("_k"), root, "ev_evo"
+        )
+        r = mb.read_manifest_table_shredded(
+            spark, root, "ev_evo", {"k": "bigint", "c": "bigint"}
+        )
+        out = (
+            r.groupBy((F.col("k") % 5).alias("k_mod"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("c").alias("sum_cents"),
+                F.count(F.when(F.col("c").isNull(), 1)).alias("n_null_c"),
+            )
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        mb.drop_catalog_entries(spark, root, "ev_evo")
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+@query(
+    "stream_shred_ingest_replay",
+    """
+    SELECT user_id % 8 AS user_mod,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY 1
+    """,
+)
+def stream_shred_ingest_replay(spark, sf_dir):
+    """Streaming ingestion INTO the shredded manifest layout (round-10
+    roadmap item, built this round): the events feed replays as a file
+    stream whose micro-batches land through the exactly-once
+    ``foreach_batch_append`` sink — each epoch appends a snapshot with
+    the table's shred spec re-applied, so the stream's JSON payload
+    arrives as typed columns + file stats with no extra wiring.  The
+    gate reads the final snapshot via the ROUTED projection and checks
+    the rollup against the original table: a batch lost, doubled, or
+    left unshredded diverges.
+
+    Scale shape: per micro-batch one clustered exchange of just that
+    batch + O(files) hard links; the claim CAS serializes the stream
+    against any concurrent batch writer; epoch-id batch_ids make
+    foreachBatch's at-least-once replays idempotent (restart-tested in
+    tests/test_shred_evolution.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    payload = F.to_json(
+        F.struct(k.alias("k"), _cents("value").alias("c"))
+    )
+    feed = ev.select("event_id", "user_id", payload.alias("payload"))
+    base = tempfile.mkdtemp(prefix="cm_shredstream_")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    root = os.path.join(base, "tbl")
+    try:
+        feed.repartition(3).write.parquet(src)
+        mb.create_manifest_table(
+            spark, spark.createDataFrame([], feed.schema), root, "ev_ing",
+            bucket_cols="user_id", num_buckets=4,
+            shred={"column": "payload", "fields": {"k": "bigint",
+                                                   "c": "bigint"}},
+        )
+        stream = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        (
+            stream.writeStream
+            .foreachBatch(mb.foreach_batch_append(root, "ev_ing"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        r = mb.read_manifest_table_shredded(
+            spark, root, "ev_ing", {"k": "bigint", "c": "bigint"},
+            base_cols="user_id",
+        )
+        out = (
+            r.groupBy((F.col("user_id") % 8).alias("user_mod"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("k").alias("sum_k"),
+                F.sum("c").alias("sum_cents"),
+            )
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        mb.drop_catalog_entries(spark, root, "ev_ing")
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -29,6 +29,21 @@ primitives the local filesystem already gives us:
 Time travel falls out for free: ``read(version=k)`` resolves
 ``manifest-K`` instead of ``LATEST``; ``expire`` bounds retention.
 
+Round-10 extensions on the same three primitives:
+
+* **variant/JSON shredding** — typed field columns materialized beside
+  the raw JSON at publish, per-file/per-field footer stats in the
+  manifest, routed reads with raw fallback and shred-stat file pruning
+  (see the shredding section below);
+* **shred evolution** — ``evolve_shred`` publishes a METADATA-ONLY
+  generation (shares the parent's data directory) adding/removing
+  fields; new fields materialize lazily via coalesce repair until a
+  compaction rewrites every file;
+* **concurrent writers** — O_EXCL claim files serialize one writer per
+  generation with dead-owner takeover and retry-on-contention;
+* **streaming ingestion** — ``foreach_batch_append`` lands micro-
+  batches exactly-once (epoch batch_ids, manifest-chain dedupe).
+
 Spark integration: each generation is registered once as an EXTERNAL
 bucketed table (``.option("path", gen_dir)`` + ``bucketBy``), so scans
 keep the bucketed output partitioning and same-spec joins stay
@@ -411,20 +426,52 @@ def shred_pruned_files(
     return [fn for fn in manifest["files"] if keep(fn)]
 
 
+def covered_fields(manifest: dict, files: list[str] | None = None) -> set[str]:
+    """Shredded fields whose materialized column exists in EVERY file
+    of the read set (shred_stats records a per-file entry exactly when
+    the column is physically present in that file's schema).  A field
+    added by evolve_shred is uncovered until a compaction rewrites the
+    old files — reads use the coalesce repair path until then."""
+    shred = manifest.get("shred") or {}
+    stats = manifest.get("shred_stats", {})
+    fns = manifest["files"] if files is None else files
+    return {
+        f for f in shred.get("fields", {})
+        if all(fn in stats and f in stats[fn] for fn in fns)
+    }
+
+
 def _routed_projection(
     df: DataFrame, shred: dict | None, fields: dict[str, str],
     base_cols: list[str],
+    covered: set[str] | None = None,
 ) -> DataFrame:
     """The read router: each requested field resolves to its stored
     shredded column when the spec covers it WITH the same type, else to
     the raw-fallback expression over the JSON column.  Identical
-    semantics either way (same expression, different evaluation time)."""
+    semantics either way (same expression, different evaluation time).
+
+    ``covered`` (from covered_fields): a spec'd field whose column is
+    MISSING from some files of the read set — the lazy window after an
+    evolve_shred, before compaction materializes it everywhere — takes
+    ``coalesce(stored, fallback)``: files with the column read it (a
+    parquet reader returns NULL for a column absent from a file, never
+    an error), files without it re-parse the raw JSON.  Correct in
+    every case: a genuinely-NULL field falls through to the fallback,
+    which parses the raw payload and returns the same NULL."""
     shredded = (shred or {}).get("fields", {})
     col = (shred or {}).get("column")
     out = list(base_cols)
     for field, dtype in fields.items():
         if col is not None and shredded.get(field) == dtype:
-            out.append(F.col(shred_col_name(col, field)).alias(field))
+            stored = F.col(shred_col_name(col, field))
+            if covered is None or field in covered:
+                out.append(stored.alias(field))
+            else:
+                out.append(
+                    F.coalesce(stored, shred_expr(col, field, dtype))
+                    .alias(field)
+                )
         else:
             src = col if col is not None else None
             if src is None:
@@ -457,6 +504,7 @@ def read_manifest_table_shredded(
     return _routed_projection(
         read_manifest_table(spark, root, table, version),
         m.get("shred"), fields, base,
+        covered=covered_fields(m),
     )
 
 
@@ -488,16 +536,20 @@ def read_manifest_table_shred_pruned(
         )
     spec = {k: m[k] for k in
             ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl")}
-    schema = spark.table(_register(spark, root, table, m["version"], spec)).schema
+    schema = spark.table(
+        _register(spark, root, table, m["version"], spec, m["generation"])
+    ).schema
     gen_dir = os.path.join(_table_dir(root, table), m["generation"])
-    files = [os.path.join(gen_dir, f)
-             for f in shred_pruned_files(m, prune_field, lower=lower, upper=upper)]
+    kept = shred_pruned_files(m, prune_field, lower=lower, upper=upper)
+    files = [os.path.join(gen_dir, f) for f in kept]
     base = [base_cols] if isinstance(base_cols, str) else list(base_cols or [])
+    cov = covered_fields(m, kept)
     if not files:
         empty = spark.createDataFrame([], schema)
-        return _routed_projection(empty, m.get("shred"), fields, base)
+        return _routed_projection(empty, m.get("shred"), fields, base,
+                                  covered=cov)
     raw = spark.read.schema(schema).parquet(*files)
-    return _routed_projection(raw, m.get("shred"), fields, base)
+    return _routed_projection(raw, m.get("shred"), fields, base, covered=cov)
 
 
 def drop_catalog_entries(spark: SparkSession, root: str, table: str) -> None:
@@ -693,14 +745,19 @@ def _write_generation(
 
 
 def _register(spark: SparkSession, root: str, table: str, version: int,
-              spec: dict) -> str:
+              spec: dict, generation: str | None = None) -> str:
     """Idempotently register generation ``version`` as an external
     bucketed catalog table (readers on another SparkSession arrive
-    here; the writer's saveAsTable already registered its own)."""
+    here; the writer's saveAsTable already registered its own).
+    ``generation`` names the data directory — a metadata-only
+    generation (evolve_shred) SHARES its parent's directory, so the
+    dir name cannot be derived from the version."""
     name = _catalog_name(root, table, version)
     if spark.catalog.tableExists(name):
         return name
-    gen_dir = os.path.join(_table_dir(root, table), f"gen-{version:05d}")
+    gen_dir = os.path.join(
+        _table_dir(root, table), generation or f"gen-{version:05d}"
+    )
     cols = ", ".join(f"`{c}`" for c in spec["bucket_cols"])
     sorted_by = (
         ("SORTED BY (" + ", ".join(f"`{c}`" for c in spec["sort_cols"]) + ") ")
@@ -805,9 +862,30 @@ def append_manifest_table(
     the swap is now a pointer replace, not a catalog rename."""
     import time
 
+    def _find_batch_id(limit: int = 32) -> int | None:
+        """Walk the retained manifest chain head-first looking for a
+        prior publish of this batch_id — so the idempotence check
+        survives OTHER writers landing between a crash and the retry
+        (head-only comparison would miss it and double-append)."""
+        try:
+            v = current_version(root, table)
+        except FileNotFoundError:
+            return None
+        for _ in range(limit):
+            try:
+                m = read_manifest(root, table, v)
+            except FileNotFoundError:
+                return None
+            if m.get("batch_id") == batch_id:
+                return m["version"]
+            if m.get("parent") is None:
+                return None
+            v = m["parent"]
+        return None
+
     for attempt in range(max_retries + 1):
         prev = read_manifest(root, table)
-        if batch_id is not None and prev.get("batch_id") == batch_id:
+        if batch_id is not None and _find_batch_id() is not None:
             return prev["version"]
         base = df
         shred = prev.get("shred")
@@ -873,6 +951,19 @@ def append_manifest_table(
             spark.read.schema(spark.table(_catalog_name(root, table, v)).schema)
             .parquet(*[os.path.join(gen_dir, f) for f in manifest["files"]])
         )
+        if spec.get("shred"):
+            # materialize lazily-evolved fields during the rewrite: a
+            # field added by evolve_shred is NULL in pre-evolution
+            # files (parquet missing-column read) — repair it from the
+            # raw JSON so the compacted generation is fully covered
+            # and routed reads drop the coalesce path
+            scol = spec["shred"]["column"]
+            for fname, ftype in spec["shred"]["fields"].items():
+                cname = shred_col_name(scol, fname)
+                full = full.withColumn(
+                    cname,
+                    F.coalesce(F.col(cname), shred_expr(scol, fname, ftype)),
+                )
         v2 = v + 1
         try:
             _acquire_claim(root, table, v2)
@@ -902,6 +993,142 @@ def append_manifest_table(
     return v
 
 
+def evolve_shred(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    *,
+    add: dict[str, str] | None = None,
+    remove: list[str] | None = None,
+    column: str | None = None,
+) -> int:
+    """Evolve the shred spec as a METADATA-ONLY generation (round-10
+    roadmap #1): the new manifest shares its parent's data directory —
+    no file is written, the publish is O(1) — and only the spec (plus
+    the schema DDL for newly added fields) changes.
+
+    * ``add``: new fields materialize LAZILY — appended batches carry
+      them immediately; pre-evolution files lack the column, so routed
+      reads repair with ``coalesce(stored, parse_raw)`` until the next
+      compaction rewrites every file (at which point covered_fields
+      reports full coverage and reads drop both the coalesce AND the
+      raw-column scan).
+    * ``remove``: spec-level retirement — reads fall back to
+      parse-at-read; the physical column lingers in existing files
+      (harmless, pruned from every projection) until compactions cycle
+      it out.
+    * ``column`` names the JSON column when the table has no shred
+      spec yet; otherwise it must match (one shred column per table).
+
+    Re-adding a previously materialized field with a DIFFERENT type is
+    rejected: the physical column's parquet type is fixed, and a
+    type-changing read belongs in the fallback path (request the field
+    with the new type against a spec that does not shred it)."""
+    add = dict(add or {})
+    remove = list(remove or [])
+    if not add and not remove:
+        raise ValueError("evolve_shred: nothing to add or remove")
+    prev = read_manifest(root, table)
+    shred = prev.get("shred")
+    if shred is None:
+        if not add:
+            raise ValueError("cannot remove fields: table has no shred spec")
+        if column is None:
+            raise ValueError(
+                "column is required when the table has no shred spec yet"
+            )
+        shred = {"column": column, "fields": {}}
+    elif column is not None and column != shred["column"]:
+        raise ValueError(
+            f"table {table} shreds column {shred['column']!r}; "
+            f"one shred column per table"
+        )
+    fields = dict(shred["fields"])
+    for f in remove:
+        fields.pop(f, None)
+    ddl = prev["schema_ddl"]
+    for f, t in add.items():
+        cname = shred_col_name(shred["column"], f)
+        m_ddl = re.search(rf"`{re.escape(cname)}` (\S+?)(?:,|$)", ddl)
+        if m_ddl and m_ddl.group(1) != t:
+            raise ValueError(
+                f"field {f!r} was materialized as {m_ddl.group(1)}; "
+                f"re-adding it as {t} would mistype the stored column"
+            )
+        if f in fields and fields[f] != t:
+            raise ValueError(
+                f"field {f!r} already shredded as {fields[f]}; remove it "
+                f"first (or keep the type)"
+            )
+    fields.update(add)
+    new_shred = _check_shred({"column": shred["column"], "fields": fields})
+    for f, t in fields.items():
+        cname = shred_col_name(shred["column"], f)
+        if f"`{cname}`" not in ddl:
+            ddl = f"{ddl}, `{cname}` {t}"
+
+    v = prev["version"] + 1
+    _acquire_claim(root, table, v)
+    try:
+        if current_version(root, table) != prev["version"]:
+            raise ConcurrentWriteError(
+                f"{table}: snapshot advanced past {prev['version']} during "
+                f"evolve_shred — re-read and retry"
+            )
+        manifest = dict(prev)
+        manifest.pop("batch_id", None)
+        manifest.pop("compacted_from", None)
+        manifest.update(
+            version=v,
+            parent=prev["version"],
+            shred=new_shred,
+            schema_ddl=ddl,
+            shred_field_stats=_shred_field_summary(
+                prev.get("shred_stats", {}), new_shred
+            ),
+        )
+        _publish(root, table, manifest)
+    finally:
+        _release_claim(root, table, v)
+    return v
+
+
+def foreach_batch_append(
+    root: str,
+    table: str,
+    *,
+    compact_files_per_bucket: int = 8,
+    batch_id_prefix: str = "epoch",
+):
+    """Streaming ingestion into a manifest table (round-10 roadmap #2):
+    a ``foreachBatch`` sink that appends each micro-batch as a new
+    snapshot with EXACTLY-ONCE semantics — the epoch id becomes the
+    append's ``batch_id``, so a batch replayed after a failure (the
+    foreachBatch at-least-once contract) short-circuits against the
+    current manifest instead of landing twice.  The table's shred spec
+    (if any) is re-applied to every batch by append_manifest_table, so
+    a streaming feed lands SHREDDED — typed columns + file stats — with
+    no extra wiring.
+
+    Use: ``df.writeStream.foreachBatch(foreach_batch_append(root, t))``
+    against a table pre-created with create_manifest_table (the schema
+    and bucket spec are the table's, not the stream's).
+
+    Scale shape: per micro-batch, ONE clustered exchange of the batch
+    plus O(existing files) hard links; compaction amortizes exactly as
+    in the batch path.  The claim CAS also serializes a concurrent
+    batch writer against the stream."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        append_manifest_table(
+            batch_df.sparkSession, batch_df, root, table,
+            batch_id=f"{batch_id_prefix}-{epoch_id}",
+            compact_files_per_bucket=compact_files_per_bucket,
+        )
+
+    return sink
+
+
 def read_manifest_table(
     spark: SparkSession,
     root: str,
@@ -915,7 +1142,9 @@ def read_manifest_table(
     m = read_manifest(root, table, version)
     spec = {k: m[k] for k in
             ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl")}
-    return spark.table(_register(spark, root, table, m["version"], spec))
+    return spark.table(
+        _register(spark, root, table, m["version"], spec, m["generation"])
+    )
 
 
 def read_manifest_table_pruned(
@@ -943,7 +1172,9 @@ def read_manifest_table_pruned(
     m = read_manifest(root, table, version)
     spec = {k: m[k] for k in
             ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl")}
-    schema = spark.table(_register(spark, root, table, m["version"], spec)).schema
+    schema = spark.table(
+        _register(spark, root, table, m["version"], spec, m["generation"])
+    ).schema
     gen_dir = os.path.join(_table_dir(root, table), m["generation"])
     files = [os.path.join(gen_dir, f)
              for f in pruned_files(m, lower=lower, upper=upper)]
@@ -975,9 +1206,21 @@ def expire_generations(
         if (m := re.fullmatch(r"manifest-(\d+)\.json", f))
     )
     expired = [v for v in versions if v <= latest - keep]
+    # a metadata-only generation (evolve_shred) SHARES its parent's
+    # directory: a data directory may be deleted only when NO retained
+    # manifest still references it
+    retained_dirs = {
+        read_manifest(root, table, v)["generation"]
+        for v in versions
+        if v > latest - keep
+    }
     for v in expired:
+        gen_rel = read_manifest(root, table, v)["generation"]
         spark.sql(f"DROP TABLE IF EXISTS {_catalog_name(root, table, v)}")
-        gen = os.path.join(_table_dir(root, table), f"gen-{v:05d}")
-        shutil.rmtree(gen, ignore_errors=True)
+        if gen_rel not in retained_dirs:
+            shutil.rmtree(
+                os.path.join(_table_dir(root, table), gen_rel),
+                ignore_errors=True,
+            )
         os.unlink(_manifest_path(root, table, v))
     return expired

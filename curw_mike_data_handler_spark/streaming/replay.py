@@ -48,6 +48,7 @@ def replay_file_stream(
     max_files_per_trigger: int = 1,
     trailing_files: list[DataFrame] | None = None,
     progress_out: dict | None = None,
+    order_by: str | None = None,
 ) -> DataFrame:
     """Materialize ``df`` as ``n_files`` parquet files, stream them back
     ``max_files_per_trigger`` per micro-batch through ``transform``,
@@ -86,20 +87,43 @@ def replay_file_stream(
     base = tempfile.mkdtemp(prefix="cm_replay_")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
-    # repartition (round-robin) rather than range-split: files then
-    # interleave event time, which is exactly the out-of-order arrival
-    # a streaming plan must tolerate
-    df.repartition(n_files).write.parquet(src)
+    if order_by is None:
+        # repartition (round-robin) rather than range-split: files then
+        # interleave event time, which is exactly the out-of-order
+        # arrival a streaming plan must tolerate
+        df.repartition(n_files).write.parquet(src)
+    else:
+        # time-ordered arrival (``order_by`` = event-time column): each
+        # trigger covers one time slice, so a TIGHT watermark advances
+        # progressively and state eviction actually happens — the
+        # production-shaped regime the state probes measure (a round-
+        # robin split makes every file span the whole time range: the
+        # watermark jumps to the end after trigger 1 and the rest of
+        # the replay is late-data drops, a degenerate eviction test).
+        # repartitionByRange partition i = i-th range, and the file
+        # writer names files part-0000i by partition — pin the file
+        # source's oldest-first pickup to that order via mtimes.
+        df.repartitionByRange(n_files, order_by).write.parquet(src)
+        parts = sorted(
+            f for f in os.listdir(src) if f.startswith("part-")
+        )
+        t_base = max(
+            os.stat(os.path.join(src, f)).st_mtime for f in parts
+        )
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(src, f), (t_base + i, t_base + i))
     if trailing_files:
-        # pin the ordering contract: main files at mtime T, trailing
-        # file i at T + 10·(i+1) seconds (utime, no sleeping)
+        # pin the ordering contract: main files at mtime T (or their
+        # range order when order_by set), trailing file i at
+        # T + 10·(i+1) seconds (utime, no sleeping)
         parts = [
             os.path.join(src, f) for f in os.listdir(src)
             if f.startswith("part-")
         ]
         t0 = max(os.stat(p).st_mtime for p in parts)
-        for p in parts:
-            os.utime(p, (t0, t0))
+        if order_by is None:
+            for p in parts:
+                os.utime(p, (t0, t0))
         for i, extra in enumerate(trailing_files):
             before = set(os.listdir(src))
             extra.coalesce(1).write.mode("append").parquet(src)

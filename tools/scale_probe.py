@@ -875,6 +875,210 @@ def main() -> None:
             )
         shutil.rmtree(mroot, ignore_errors=True)
 
+    # ---- round-10 probes: MEASURED streaming state + shred at scale ----
+    # (r9 verdict #6: "state bounded by rate × horizon" must be a
+    # number from lastProgress.stateOperators, not prose)
+    from curw_mike_data_handler_spark.streaming.joins import (
+        stream_interval_join,
+    )
+    from curw_mike_data_handler_spark.streaming.replay import (
+        replay_file_stream,
+    )
+
+    ev1m = spark.read.parquet(os.path.join(ev10_dir, "events.parquet"))
+    sides = ev1m.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+
+    def ij_plan(watermark):
+        def plan(stream):
+            v = stream.filter(F.col("event_type") == "view").select(
+                "user_id", F.col("event_id").alias("v_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            b = stream.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("event_id").alias("b_id"),
+                F.col("ts").alias("b_ts"),
+            )
+            return stream_interval_join(
+                v, b, ["user_id"], "v_ts", "b_ts",
+                max_lag_minutes=720, watermark=watermark,
+            )
+        return plan
+
+    for label, wm, nf, order in (
+        ("stream_interval_join_state_loose_wm", "365 days", 4, None),
+        # tight: the 12 h join horizon + 1 day late-data slack, with
+        # TIME-ORDERED arrival (order_by) so the watermark advances
+        # per trigger — the production regime where eviction must CAP
+        # state while the feed keeps flowing
+        ("stream_interval_join_state_tight_wm", "1 day", 8, "ts"),
+    ):
+        prog: dict = {}
+        t0 = time.perf_counter()
+        out = replay_file_stream(
+            spark, sides, ij_plan(wm), n_files=nf, progress_out=prog,
+            order_by=order,
+        )
+        results[label] = {
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "rows_out": out.count(),
+            "num_triggers": prog["num_triggers"],
+            "max_state_rows": prog["max_state_rows"],
+            "max_state_bytes": prog["max_state_bytes"],
+        }
+        print(f"  {label}: {results[label]}")
+    feed_rows = sides.count()
+    loose = results["stream_interval_join_state_loose_wm"]
+    tight = results["stream_interval_join_state_tight_wm"]
+    results["stream_interval_join_state_tight_wm"]["feed_rows"] = feed_rows
+    results["stream_interval_join_state_tight_wm"]["state_rows_over_feed"] = (
+        round(tight["max_state_rows"] / feed_rows, 4)
+    )
+    # the loose run holds everything (gate regime); the tight run must
+    # hold a small fraction — the measured eviction bound
+    assert tight["max_state_rows"] < loose["max_state_rows"] / 2, (
+        "tight watermark failed to cap interval-join state",
+        tight["max_state_rows"], loose["max_state_rows"],
+    )
+
+    from curw_mike_data_handler_spark.streaming.heavyhitters import (
+        heavy_hitter_candidates_stream,
+    )
+
+    mg_feed = hh_fact.limit(1_000_000)
+    prog_mg: dict = {}
+    t0 = time.perf_counter()
+    out_mg = replay_file_stream(
+        spark, mg_feed,
+        lambda s: heavy_hitter_candidates_stream(s, "key", k=32, n_buckets=8),
+        output_mode="update", n_files=4, progress_out=prog_mg,
+    )
+    results["stream_heavy_hitters_state_1m"] = {
+        "wall_s": round(time.perf_counter() - t0, 2),
+        "rows_out": out_mg.count(),
+        "num_triggers": prog_mg["num_triggers"],
+        "max_state_rows": prog_mg["max_state_rows"],
+        "max_state_bytes": prog_mg["max_state_bytes"],
+    }
+    print(f"  stream_heavy_hitters_state_1m: "
+          f"{results['stream_heavy_hitters_state_1m']}")
+    # MG state = one state-store row per hash bucket, O(k) ints inside,
+    # for 1M rows over ~400k distinct keys
+    assert prog_mg["max_state_rows"] <= 8
+
+    from curw_mike_data_handler_spark.streaming.quantiles import (
+        quantile_drift_stream,
+    )
+
+    ts_minmax = ev1m.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).collect()[0]
+    bd = ts_minmax["mn"] + (ts_minmax["mx"] - ts_minmax["mn"]) // 2
+    qfeed = ev1m.select(
+        "event_type", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    prog_q: dict = {}
+    t0 = time.perf_counter()
+    out_q = replay_file_stream(
+        spark, qfeed,
+        lambda s: quantile_drift_stream(
+            s, "event_type", "cents", "ts", boundary_us=bd, capacity=128,
+        ),
+        output_mode="update", n_files=4, progress_out=prog_q,
+    )
+    final_snaps = (
+        out_q.groupBy("key")
+        .agg(
+            F.max(F.col("n_ref") + F.col("n_cur")).alias("n"),
+            F.max_by("state_items", F.col("n_ref") + F.col("n_cur"))
+            .alias("state_items"),
+            F.max_by("err_bound", F.col("n_ref") + F.col("n_cur"))
+            .alias("err_bound"),
+        )
+        .collect()
+    )
+    results["stream_quantile_drift_state_1m_cap128"] = {
+        "wall_s": round(time.perf_counter() - t0, 2),
+        "num_triggers": prog_q["num_triggers"],
+        "max_state_bytes": prog_q["max_state_bytes"],
+        "per_key": {
+            r["key"]: {
+                "n": r["n"],
+                "state_items": r["state_items"],
+                "err_bound": r["err_bound"],
+            }
+            for r in final_snaps
+        },
+    }
+    print(f"  stream_quantile_drift_state_1m_cap128: "
+          f"{results['stream_quantile_drift_state_1m_cap128']}")
+    # 2 summaries × capacity 128 × ≤14 levels, vs ~200k values per key
+    for r in final_snaps:
+        assert r["state_items"] <= 2 * 128 * 14, r
+
+    # shredded manifest at 2M rows: routed all-shredded read + file
+    # pruning vs parse-at-read over the raw JSON — the scan-cost win
+    # shredding exists for
+    shroot = tempfile.mkdtemp(prefix="cm_probe_shred_")
+    try:
+        payload_col = F.to_json(
+            F.struct(
+                (F.col("id") % 100_000).alias("k"),
+                F.md5(F.col("id").cast("string")).alias("tag"),
+                (F.col("id") * 3).alias("c"),
+            )
+        )
+        srows = spark.range(2_000_000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 4096).alias("uid"),
+            payload_col.alias("payload"),
+            (F.col("id") % 100_000).alias("_k"),
+        )
+        t0 = time.perf_counter()
+        mb.create_manifest_table(
+            spark, srows.filter(F.col("_k") < 50_000).drop("_k"),
+            shroot, "probe_shred", bucket_cols="uid", num_buckets=32,
+            shred={"column": "payload", "fields": {"k": "bigint", "c": "bigint"}},
+        )
+        mb.append_manifest_table(
+            spark, srows.filter(F.col("_k") >= 50_000).drop("_k"),
+            shroot, "probe_shred", compact_files_per_bucket=100,
+        )
+        create_s = round(time.perf_counter() - t0, 2)
+        m = mb.read_manifest(shroot, "probe_shred")
+        kept = mb.shred_pruned_files(m, "k", lower=60_000, upper=70_000)
+        measure(
+            spark, "shred_routed_pruned_read_2m",
+            lambda: mb.read_manifest_table_shred_pruned(
+                spark, shroot, "probe_shred", {"k": "bigint", "c": "bigint"},
+                prune_field="k", lower=60_000, upper=70_000,
+            ).filter(F.col("k").between(60_000, 70_000))
+            .groupBy((F.col("k") % 7).alias("m")).agg(F.sum("c").alias("s")),
+            results,
+        )
+        measure(
+            spark, "shred_raw_parse_read_2m",
+            lambda: mb.read_manifest_table(spark, shroot, "probe_shred")
+            .select(
+                mb.shred_expr("payload", "k", "bigint").alias("k"),
+                mb.shred_expr("payload", "c", "bigint").alias("c"),
+            )
+            .filter(F.col("k").between(60_000, 70_000))
+            .groupBy((F.col("k") % 7).alias("m")).agg(F.sum("c").alias("s")),
+            results,
+        )
+        results["shred_routed_pruned_read_2m"]["publish_s"] = create_s
+        results["shred_routed_pruned_read_2m"]["files_kept"] = len(kept)
+        results["shred_routed_pruned_read_2m"]["files_total"] = len(m["files"])
+        print(f"  shred 2M: publish {create_s}s, pruned files "
+              f"{len(kept)}/{len(m['files'])}")
+    finally:
+        mb.drop_catalog_entries(spark, shroot, "probe_shred")
+        shutil.rmtree(shroot, ignore_errors=True)
+
     payload = {
         "sf": 1.0,
         "docs": docs_lin.count(),
@@ -908,8 +1112,10 @@ def main() -> None:
             corpus = corpus_of.get(
                 k, "events-10x" if k.endswith("_10x") else "10x"
             )
-            print(f"| {k} | {corpus} | {v['wall_s']} | {v['rows_out']:,} "
-                  f"| {v['shuffle_write_mb']} | {v['shuffle_read_mb']} |")
+            print(f"| {k} | {corpus} | {v['wall_s']} "
+                  f"| {v.get('rows_out', '—')} "
+                  f"| {v.get('shuffle_write_mb', '—')} "
+                  f"| {v.get('shuffle_read_mb', '—')} |")
     spark.stop()
 
 
