@@ -149,55 +149,81 @@ def _acquire_claim(root: str, table: str, version: int) -> None:
     the competing publish lands.  Same single-host/POSIX scope as the
     rest of the module — on an object store this is the table format's
     conditional-put commit."""
+    import uuid as _uuid
+
     path = _claim_path(root, table, version)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    for _ in range(2):
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    # the claim is created by os.link of a PRE-WRITTEN temp file, never
+    # by open(O_EXCL)+write: a reader can then never observe an empty
+    # claim and misjudge a live writer as dead (review finding)
+    tmp = f"{path}.tmp-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(str(os.getpid()))
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        for _ in range(2):
             try:
-                os.write(fd, str(os.getpid()).encode())
-            finally:
-                os.close(fd)
-            return
-        except FileExistsError:
-            pass
-        try:
-            with open(path) as fh:
-                pid = int(fh.read().strip() or "-1")
-        except (OSError, ValueError):
-            pid = -1
-        alive = False
-        if pid > 0:
-            if pid == os.getpid():
-                alive = True  # another thread of this process
-            else:
+                os.link(tmp, path)
+                return
+            except FileExistsError:
+                pass
+            try:
+                with open(path) as fh:
+                    pid = int(fh.read().strip() or "-1")
+            except FileNotFoundError:
+                continue  # holder released between link and read: re-race
+            except (OSError, ValueError):
+                pid = -1
+            alive = True  # unreadable/garbled content ⇒ assume LIVE
+            if pid > 0 and pid != os.getpid():
                 try:
                     os.kill(pid, 0)
-                    alive = True
                 except ProcessLookupError:
                     alive = False
                 except PermissionError:
-                    alive = True  # exists, owned by someone else
-        if alive:
-            raise ConcurrentWriteError(
-                f"{table} generation {version} is being written by "
-                f"pid {pid}"
-            )
-        # dead owner: remove the stale claim and re-race the O_EXCL
-        # create (at most one of the racing recoverers wins it)
+                    pass  # exists, owned by someone else ⇒ live
+            if alive:
+                raise ConcurrentWriteError(
+                    f"{table} generation {version} is being written by "
+                    f"pid {pid}"
+                )
+            # dead owner: RENAME the stale claim aside — rename of one
+            # source admits exactly one winner among racing recoverers
+            # (the loser's rename raises FileNotFoundError and it
+            # re-races the link, losing to the winner's fresh claim) —
+            # then re-race the link create.  An unlink here could
+            # delete a COMPETITOR's freshly-won claim (review finding).
+            try:
+                os.rename(path, f"{path}.dead-{_uuid.uuid4().hex[:8]}")
+            except FileNotFoundError:
+                pass
+        raise ConcurrentWriteError(
+            f"{table} generation {version}: claim could not be acquired "
+            f"after stale-owner recovery"
+        )
+    finally:
         try:
-            os.unlink(path)
+            os.unlink(tmp)
         except FileNotFoundError:
             pass
-    raise ConcurrentWriteError(
-        f"{table} generation {version}: claim could not be acquired "
-        f"after stale-owner recovery"
-    )
 
 
 def _release_claim(root: str, table: str, version: int) -> None:
+    path = _claim_path(root, table, version)
     try:
-        os.unlink(_claim_path(root, table, version))
+        os.unlink(path)
+    except FileNotFoundError:
+        pass
+    # sweep rename-aside debris from dead-owner takeovers
+    d, base = os.path.split(path)
+    try:
+        for f in os.listdir(d):
+            if f.startswith(base + ".dead-"):
+                try:
+                    os.unlink(os.path.join(d, f))
+                except FileNotFoundError:
+                    pass
     except FileNotFoundError:
         pass
 
@@ -268,19 +294,52 @@ def _data_files(gen_dir: str) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
+# simple-or-parameterized SQL type names (bigint, string, decimal(10,2),
+# array<int>, map<string,int> ...) — NO backticks/newlines, because the
+# type string is interpolated into generated CREATE TABLE DDL
+_TYPE_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_<>(), ]*")
+
+
 def _check_shred(shred: dict) -> dict:
     """Validate a shred spec: field names are interpolated into column
-    names and '$.field' paths, so restrict them like table names."""
+    names and '$.field' paths, the COLUMN name into column names, and
+    the TYPE strings into generated CREATE TABLE DDL — restrict all
+    three (a backtick or comma-smuggling type would mangle every later
+    _register)."""
     if set(shred) != {"column", "fields"} or not isinstance(shred["fields"], dict):
         raise ValueError(
             'shred spec must be {"column": <name>, "fields": {name: type}}'
         )
-    for f in shred["fields"]:
+    if not isinstance(shred["column"], str) or not _FIELD_NAME_RE.fullmatch(
+        shred["column"]
+    ):
+        raise ValueError(
+            f"shred column {shred['column']!r} must match "
+            f"[A-Za-z_][A-Za-z0-9_]*"
+        )
+    for f, t in shred["fields"].items():
         if not _FIELD_NAME_RE.fullmatch(f):
             raise ValueError(
                 f"shredded field {f!r} must match [A-Za-z_][A-Za-z0-9_]*"
             )
+        if not isinstance(t, str) or not _TYPE_RE.fullmatch(t):
+            raise ValueError(
+                f"shredded field {f!r} type {t!r} is not a plain SQL type "
+                f"(it is interpolated into generated DDL)"
+            )
     return shred
+
+
+def _ddl_columns(ddl: str) -> dict[str, str]:
+    """Parse a schema_ddl string this module GENERATED back into
+    ``{name: type}``.  Split on commas that precede a backticked name —
+    commas inside parameterized types (decimal(10,2)) don't."""
+    out: dict[str, str] = {}
+    for part in re.split(r",\s*(?=`)", ddl):
+        m = re.fullmatch(r"`([^`]+)`\s+(.+)", part.strip())
+        if m:
+            out[m.group(1)] = m.group(2).strip()
+    return out
 
 
 def shred_col_name(column: str, field: str) -> str:
@@ -326,6 +385,7 @@ def _shred_file_stats(
     if not shred:
         return {}
     import pyarrow.parquet as pq
+    from pyarrow.lib import ArrowNotImplementedError
 
     cols = {shred_col_name(shred["column"], f): f for f in shred["fields"]}
     out: dict[str, dict] = {}
@@ -347,19 +407,30 @@ def _shred_file_stats(
             if cname not in idx:
                 continue
             mn = mx = None
-            nnull = 0
+            nnull: int | None = 0
             ok = True
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx[cname]).statistics
                 if st is None:
                     ok = False
                     break
-                nnull += st.null_count if st.null_count is not None else 0
-                if st.has_min_max:
-                    if mn is None or st.min < mn:
-                        mn = st.min
-                    if mx is None or st.max > mx:
-                        mx = st.max
+                if st.null_count is None:
+                    # a partial sum would lie: one statless row group
+                    # makes the whole file's null count unknown
+                    nnull = None
+                elif nnull is not None:
+                    nnull += st.null_count
+                try:
+                    if st.has_min_max:
+                        if mn is None or st.min < mn:
+                            mn = st.min
+                        if mx is None or st.max > mx:
+                            mx = st.max
+                except (NotImplementedError, ArrowNotImplementedError):
+                    # pyarrow cannot extract min/max for some logical
+                    # types (decimal): degrade to no-range — the file
+                    # is then never pruned, null counts still count
+                    mn = mx = None
             clean = (
                 ok
                 and type(mn) in (int, float, str)
@@ -367,7 +438,8 @@ def _shred_file_stats(
             )
             per_field[field] = [mn if clean else None,
                                 mx if clean else None,
-                                int(nnull) if ok else None]
+                                int(nnull) if ok and nnull is not None
+                                else None]
         if per_field:
             out[fn] = per_field
     return out
@@ -557,9 +629,12 @@ def drop_catalog_entries(spark: SparkSession, root: str, table: str) -> None:
     session — cleanup for ephemeral tables built in temp dirs (the
     data dirs are the caller's to remove)."""
     tag = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:8]
-    prefix = f"cm_mf_{table}_{tag}_g"
+    # the catalog stores identifiers lowercased — compare lowercased or
+    # a mixed-case table name's entries are never matched (review
+    # finding)
+    prefix = f"cm_mf_{table}_{tag}_g".lower()
     for t in spark.catalog.listTables():
-        if t.name.startswith(prefix):
+        if t.name.lower().startswith(prefix):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
 
@@ -862,11 +937,15 @@ def append_manifest_table(
     the swap is now a pointer replace, not a catalog rename."""
     import time
 
-    def _find_batch_id(limit: int = 32) -> int | None:
+    def _find_batch_id(limit: int = 256) -> int | None:
         """Walk the retained manifest chain head-first looking for a
         prior publish of this batch_id — so the idempotence check
         survives OTHER writers landing between a crash and the retry
-        (head-only comparison would miss it and double-append)."""
+        (head-only comparison would miss it and double-append).  The
+        walk is bounded by retention anyway (expired manifests end it);
+        hitting the explicit cap is logged because a truncated search
+        weakens exactly-once — size retention/limit to the worst-case
+        number of publishes between a crash and its replay."""
         try:
             v = current_version(root, table)
         except FileNotFoundError:
@@ -881,6 +960,12 @@ def append_manifest_table(
             if m.get("parent") is None:
                 return None
             v = m["parent"]
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: batch_id search truncated at %d manifests — a replayed "
+            "batch older than that could double-append", table, limit,
+        )
         return None
 
     for attempt in range(max_retries + 1):
@@ -898,6 +983,13 @@ def append_manifest_table(
             # materialized columns (a batch that already carries them,
             # e.g. the compaction rewrite, passes through untouched)
             base = apply_shred(base, shred)
+        # RETIRED shred columns: evolve_shred(remove=...) keeps the
+        # physical column in the table schema but apply_shred no longer
+        # materializes it — pad with typed NULLs or the by-name insert
+        # fails on column-count mismatch (review finding, reproduced)
+        for cname, ctype in _ddl_columns(prev["schema_ddl"]).items():
+            if cname.startswith("_shred_") and cname not in base.columns:
+                base = base.withColumn(cname, F.lit(None).cast(ctype))
         missing = [c for c in prev["bucket_cols"] + prev["sort_cols"]
                    if c not in base.columns]
         if missing:
@@ -1047,12 +1139,13 @@ def evolve_shred(
     for f in remove:
         fields.pop(f, None)
     ddl = prev["schema_ddl"]
+    ddl_cols = _ddl_columns(ddl)
     for f, t in add.items():
         cname = shred_col_name(shred["column"], f)
-        m_ddl = re.search(rf"`{re.escape(cname)}` (\S+?)(?:,|$)", ddl)
-        if m_ddl and m_ddl.group(1) != t:
+        prior = ddl_cols.get(cname)
+        if prior is not None and prior != t:
             raise ValueError(
-                f"field {f!r} was materialized as {m_ddl.group(1)}; "
+                f"field {f!r} was materialized as {prior}; "
                 f"re-adding it as {t} would mistype the stored column"
             )
         if f in fields and fields[f] != t:
@@ -1064,8 +1157,9 @@ def evolve_shred(
     new_shred = _check_shred({"column": shred["column"], "fields": fields})
     for f, t in fields.items():
         cname = shred_col_name(shred["column"], f)
-        if f"`{cname}`" not in ddl:
+        if cname not in ddl_cols:
             ddl = f"{ddl}, `{cname}` {t}"
+            ddl_cols[cname] = t
 
     v = prev["version"] + 1
     _acquire_claim(root, table, v)

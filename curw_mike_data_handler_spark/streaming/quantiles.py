@@ -144,7 +144,15 @@ def quantile_drift_stream(
             F.col(value_cents_col).cast("bigint").alias("cents"),
             F.unix_micros(F.col(time_col)).alias("t_us"),
         )
-        .filter(F.col("key").isNotNull() & F.col("cents").isNotNull())
+        # NULL time is dropped too: a NULL belongs to NEITHER half
+        # (matching the SQL twin, where `t < bd` is NULL and the row
+        # joins into no side) — NaN-in-pandas would otherwise fold it
+        # into `current` and break batch reconciliation
+        .filter(
+            F.col("key").isNotNull()
+            & F.col("cents").isNotNull()
+            & F.col("t_us").isNotNull()
+        )
     )
     return keyed.groupBy("key").applyInPandasWithState(
         _make_fn(capacity, boundary_us),

@@ -138,15 +138,40 @@ def replay_file_stream(
     )
     out = transform(stream)
     name = "cm_replay_" + uuid.uuid4().hex
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prog_cap_prev: str | None = None
+    if progress_out is not None:
+        # recentProgress is a ring buffer (default 100 entries): a
+        # replay with more triggers than that would silently truncate
+        # the "peak across ALL triggers" metrics — raise the cap for
+        # the measured run and restore it after
+        try:
+            prog_cap_prev = spark.conf.get(
+                "spark.sql.streaming.numRecentProgressUpdates"
+            )
+        except Exception:
+            prog_cap_prev = None
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "4096")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if progress_out is not None:
+            if prog_cap_prev is not None:
+                spark.conf.set(
+                    "spark.sql.streaming.numRecentProgressUpdates",
+                    prog_cap_prev,
+                )
+            else:
+                spark.conf.unset(
+                    "spark.sql.streaming.numRecentProgressUpdates"
+                )
     if progress_out is not None:
         # recentProgress items are dicts in some pyspark versions,
         # StreamingQueryProgress objects (with .json) in others

@@ -916,3 +916,19 @@ def test_heavy_hitters_candidates_broadcast_and_partial_agg(spark):
     assert "BroadcastHashJoin" in phys and "LeftSemi" in phys
     assert "partial_count" in phys, "verification must combine map-side"
     assert "SortMergeJoin" not in phys
+
+
+def test_quantile_sketch_partials_are_map_side_single_exchange(spark):
+    """The mergeable-summary quantile (round 10): partial summaries
+    build MAP-SIDE (mapInPandas before any exchange — the raw value
+    stream must never shuffle) and only the summary rows take the one
+    hash(key) exchange into the merge stage."""
+    plan = _plan(spark, "quantile_sketch_merge_batch")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # explain prints root-first: merge (FlatMapGroupsInPandas) above
+    # the exchange, partial build (MapInPandas) below it — i.e. the
+    # exchange carries summaries, not raw values
+    i_merge = plan.index("FlatMapGroupsInPandas")
+    i_ex = plan.index("Exchange hashpartitioning")
+    i_partial = plan.index("MapInPandas")
+    assert i_merge < i_ex < i_partial, plan

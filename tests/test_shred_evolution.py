@@ -266,3 +266,69 @@ def test_foreach_batch_append_exactly_once_and_restart(spark, tmp_path):
         assert m["shred_field_stats"]["k"]["max"] == 309
     finally:
         mb.drop_catalog_entries(spark, root, "ing")
+
+
+def test_append_after_remove_pads_retired_column(spark, tmp_path):
+    """Review regression (reproduced live): after evolve_shred(remove),
+    the retired physical column stays in the table schema — appends
+    must pad it with typed NULLs instead of failing the by-name insert
+    on column-count mismatch."""
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _mk(spark, 0, 40), root, "t",
+        bucket_cols="uid", num_buckets=2,
+        shred={"column": "payload", "fields": {"k": "bigint", "c": "bigint"}},
+    )
+    try:
+        mb.evolve_shred(spark, root, "t", remove=["k"])
+        mb.append_manifest_table(spark, _mk(spark, 40, 80), root, "t")
+        r = mb.read_manifest_table_shredded(
+            spark, root, "t", {"k": "bigint", "c": "bigint"}
+        )
+        # k answers via fallback everywhere; c stays stored
+        got = r.agg(F.count("*"), F.sum("k"), F.sum("c")).first()
+        assert tuple(got) == (80, sum(range(80)), sum(10 * x for x in range(80)))
+        # the padded column really is NULL in the new files (it is no
+        # longer maintained) — visible through the raw table
+        raw = mb.read_manifest_table(spark, root, "t")
+        assert raw.filter(
+            (F.col("event_id") >= 40) & F.col("_shred_payload_k").isNotNull()
+        ).count() == 0
+    finally:
+        mb.drop_catalog_entries(spark, root, "t")
+
+
+def test_parameterized_type_readd_and_ddl_parse(spark, tmp_path):
+    """Review regression: the DDL type lookup must parse parameterized
+    types (decimal(10,2)) — re-adding with the IDENTICAL type is legal,
+    a different type is rejected."""
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _mk(spark, 0, 20), root, "t",
+        bucket_cols="uid", num_buckets=2,
+        shred={"column": "payload", "fields": {"c": "decimal(10,2)"}},
+    )
+    try:
+        mb.evolve_shred(spark, root, "t", remove=["c"])
+        v = mb.evolve_shred(spark, root, "t", add={"c": "decimal(10,2)"})
+        assert mb.read_manifest(root, "t")["version"] == v
+        mb.evolve_shred(spark, root, "t", remove=["c"])
+        # a DIFFERENT parameterization is a different type — rejected
+        with pytest.raises(ValueError, match="mistype"):
+            mb.evolve_shred(spark, root, "t", add={"c": "decimal(12,4)"})
+    finally:
+        mb.drop_catalog_entries(spark, root, "t")
+
+
+def test_hostile_type_strings_rejected(spark, tmp_path):
+    """Review regression: type strings are interpolated into generated
+    DDL — backtick/injection shapes must be rejected up front."""
+    df = _mk(spark, 0, 10)
+    for bad_type in ("bigint, `y` string", "big`int", "bigint\n--x"):
+        with pytest.raises(ValueError, match="not a plain SQL type"):
+            mb.create_manifest_table(
+                spark, df, str(tmp_path), "t",
+                bucket_cols="uid", num_buckets=2,
+                shred={"column": "payload", "fields": {"x": bad_type}},
+            )
+

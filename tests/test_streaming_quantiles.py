@@ -188,3 +188,22 @@ def test_replay_harness_captures_state_metrics(spark):
     assert progress["max_state_rows"] >= 1
     assert progress["max_state_bytes"] > 0
     assert isinstance(progress["state_operators"], list)
+
+
+def test_null_timestamps_belong_to_neither_half(spark, tmp_path):
+    """Review regression: a NULL event time belongs to NEITHER drift
+    half (SQL-twin semantics: `t < bd` is NULL → the row joins into no
+    side) — it must not fold into `current` via NaN comparison."""
+    rng = random.Random(1)
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = _mk_rows(rng, 100, key="n")
+    _write_csv(src / "a.csv", rows)
+    # append rows with an EMPTY timestamp field (csv → null)
+    with open(src / "a.csv", "a") as fh:
+        for _ in range(50):
+            fh.write("n,999999,\n")
+    latest: dict = {}
+    _run_stream(spark, src, tmp_path / "ckpt", 1 << 16, latest)
+    snap = latest["n"]
+    assert snap["n_ref"] + snap["n_cur"] == 100  # null-t rows excluded
