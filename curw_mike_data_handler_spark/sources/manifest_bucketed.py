@@ -39,7 +39,7 @@ Round-10 extensions on the same three primitives:
   generation (shares the parent's data directory) adding/removing
   fields; new fields materialize lazily via coalesce repair until a
   compaction rewrites every file;
-* **concurrent writers** — O_EXCL claim files serialize one writer per
+* **concurrent writers** — link-CAS claim files serialize one writer per
   generation with dead-owner takeover and retry-on-contention;
 * **streaming ingestion** — ``foreach_batch_append`` lands micro-
   batches exactly-once (epoch batch_ids, manifest-chain dedupe).
@@ -139,15 +139,18 @@ def _claim_path(root: str, table: str, version: int) -> str:
 
 
 def _acquire_claim(root: str, table: str, version: int) -> None:
-    """Serialize writers per generation: the O_CREAT|O_EXCL create of
-    ``claim-K`` is the commit-intent CAS — exactly one writer owns
-    generation K.  A claim whose recorded pid is DEAD is the debris of
+    """Serialize writers per generation: an ``os.link`` of a
+    pre-written temp file onto ``claim-K`` is the commit-intent CAS —
+    exactly one writer owns generation K, and the claim's pid content
+    is atomic with its existence (no empty-content window for a reader
+    to misjudge).  A claim whose recorded pid is DEAD is the debris of
     a crashed writer (kill -9 between claim and publish): it is
-    unlinked and the O_EXCL create retried, which again admits at most
-    one winner.  A LIVE claim (including another thread of this
-    process) raises ConcurrentWriteError for the caller to retry after
-    the competing publish lands.  Same single-host/POSIX scope as the
-    rest of the module — on an object store this is the table format's
+    RENAMED aside — rename of one source admits exactly one recoverer —
+    and the link create re-raced.  A LIVE claim (including another
+    thread of this process, or unreadable content) raises
+    ConcurrentWriteError for the caller to retry after the competing
+    publish lands.  Same single-host/POSIX scope as the rest of the
+    module — on an object store this is the table format's
     conditional-put commit."""
     import uuid as _uuid
 
@@ -923,7 +926,7 @@ def append_manifest_table(
     should always pass their batch identifier.
 
     CONCURRENT writers serialize (round 10): each generation is owned
-    by exactly one writer via an O_EXCL claim file; a writer that loses
+    by exactly one writer via a link-CAS claim file; a writer that loses
     the claim (or whose parent goes stale between read and claim) waits
     ``retry_wait_s`` and retries on top of the competitor's published
     snapshot, up to ``max_retries`` times — both batches always land,
