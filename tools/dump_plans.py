@@ -144,6 +144,8 @@ SHOWCASE = [
     ("sql_window_tvf_tumble_hop", "pure-SQL tumble+hop (r9): window() grouping = map-side expand + hash agg, no grid join"),
     ("sql_session_window_tvf", "pure-SQL session_window + HAVING (r9): gap-merge in ONE aggregate on one user exchange"),
     ("heavy_hitters_mg", "exact heavy hitters (r9): checkpointed MG candidate summary, broadcast LeftSemi + partial-agg verify — raw key domain never shuffles"),
+    ("variant_shred_pruned_read", "variant shredding (r10): shred-stat file pruning + all-shredded projection — raw JSON column absent from ReadSchema, residual filter pushed on the typed column"),
+    ("quantile_sketch_merge_batch", "mergeable quantile summary (r10): map-side partial sketches (MapInPandas below the exchange), ONE hash(key) exchange carrying summary rows, FlatMapGroupsInPandas merge"),
 ]
 
 
