@@ -283,6 +283,7 @@ HEADLINE = [
     "stream_quantile_drift_replay",
     "variant_shred_evolution_read",
     "stream_shred_ingest_replay",
+    "manifest_merge_cow_read",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

@@ -16660,6 +16660,102 @@ def stream_shred_ingest_replay(spark, sf_dir):
     return result
 
 
+@query(
+    "manifest_merge_cow_read",
+    """
+    WITH b AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+               substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS nib
+        FROM orders
+    ),
+    merged AS (
+        SELECT o_orderkey, o_orderstatus,
+               pc + CASE WHEN nib = '1' THEN 100 ELSE 0 END AS pc
+        FROM b WHERE nib <> '0'
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_orderstatus, pc
+        FROM b WHERE nib = '2'
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(pc) AS BIGINT) AS sum_cents
+    FROM merged GROUP BY 1
+    """,
+)
+def manifest_merge_cow_read(spark, sf_dir):
+    """Row-level MERGE + DELETE on a manifest table (round 10): orders
+    publish as a bucketed snapshot; an upsert REPLACES the md5-nibble-1
+    keys with repriced rows and INSERTS shifted new keys
+    (nibble 2), then a key-set DELETE erases the nibble-0 keys — the
+    reference's hash-keyed MySQL upsert (SURVEY S8) restated as
+    copy-on-write snapshots.  Both rewrites touch ONLY the buckets the
+    affected keys hash to (exact bucket pruning via pmod(hash, n), the
+    same expression the writer clusters by) and hard-link every other
+    file; the final snapshot is read back and rolled up, and the
+    oracle recomputes the same CASE/UNION algebra over the original
+    table — a lost row, double insert, or resurrection diverges.
+
+    Scale shape: at 100 TB an upsert of one customer rewrites a
+    handful of bucket files, not the table; snapshot isolation and the
+    claim CAS come free from the manifest machinery
+    (tests/test_manifest_cow.py pins the rewrite ratio and isolation)."""
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        _cents("o_totalprice").alias("pc"),
+    )
+    nib = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    root = tempfile.mkdtemp(prefix="cm_cow_")
+    try:
+        mb.create_manifest_table(
+            spark, base, root, "orders_cow",
+            bucket_cols="o_orderkey", num_buckets=8,
+            sort_cols="o_orderkey",
+        )
+        b = base.withColumn("nib", nib)
+        updates = (
+            b.filter(F.col("nib") == "1")
+            .select(
+                "o_orderkey", "o_orderstatus",
+                (F.col("pc") + F.lit(100)).alias("pc"),
+            )
+            .unionAll(
+                b.filter(F.col("nib") == "2").select(
+                    (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                    "o_orderstatus",
+                    "pc",
+                )
+            )
+        )
+        mb.merge_manifest_table(
+            spark, updates, root, "orders_cow", key_cols="o_orderkey"
+        )
+        doomed = b.filter(F.col("nib") == "0").select("o_orderkey")
+        mb.delete_manifest_rows(
+            spark, doomed, root, "orders_cow", key_cols="o_orderkey"
+        )
+        out = (
+            mb.read_manifest_table(spark, root, "orders_cow")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("pc").alias("sum_cents"),
+            )
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        mb.drop_catalog_entries(spark, root, "orders_cow")
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

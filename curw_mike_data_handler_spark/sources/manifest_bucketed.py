@@ -735,10 +735,13 @@ def _write_generation(
     *,
     link_from: dict | None = None,
     mode: str = "append",
+    link_files: list[str] | None = None,
 ) -> dict:
     """Materialize generation ``version``: hard-link the parent
-    snapshot's files (if any), register the external bucketed table,
-    insert ``df``, and return the UNPUBLISHED manifest.
+    snapshot's files (if any; ``link_files`` restricts the linked
+    subset — the copy-on-write rewrite path links only UNTOUCHED
+    files), register the external bucketed table, insert ``df``, and
+    return the UNPUBLISHED manifest.
 
     Crash recovery (single-writer contract): a generation dir whose
     version was never published is the debris of a failed append or
@@ -766,7 +769,10 @@ def _write_generation(
     os.makedirs(gen_dir, exist_ok=False)  # generations are immutable
     if link_from is not None:
         src_dir = os.path.join(_table_dir(root, table), link_from["generation"])
-        for f in link_from["files"]:
+        to_link = (
+            link_from["files"] if link_files is None else list(link_files)
+        )
+        for f in to_link:
             try:
                 os.link(os.path.join(src_dir, f), os.path.join(gen_dir, f))
             except OSError:
@@ -1188,6 +1194,263 @@ def evolve_shred(
     finally:
         _release_claim(root, table, v)
     return v
+
+
+# ---------------------------------------------------------------------------
+# Row-level MERGE / DELETE — copy-on-write rewrites (round 10)
+#
+# The lakehouse write path the append/compact layout was building
+# toward: an upsert or delete rewrites ONLY the files that can contain
+# affected rows — selected by BUCKET pruning (the update keys' bucket
+# ids, exact because bucket placement is pmod(hash(cols), n), the same
+# expression repartition/bucketBy use) or by the manifest's sort-column
+# file stats for range deletes — and hard-links every untouched file
+# into the new generation.  At 100 TB an upsert of one customer's rows
+# rewrites a handful of bucket files, not the table; readers keep
+# snapshot isolation through the same manifest/pointer machinery, and
+# the claim CAS serializes rewrites against appends and each other.
+# ---------------------------------------------------------------------------
+
+
+def spark_bucket_id(num_buckets: int, *cols):
+    """The bucket id Spark assigns a row: ``pmod(hash(cols), n)`` —
+    the same Murmur3 expression ``repartition(n, cols)`` and the
+    bucketed writer use (the equivalence write_bucketed relies on)."""
+    return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(num_buckets))
+
+
+def _file_bucket(fname: str) -> int | None:
+    m = _BUCKET_RE.search(fname)
+    return int(m.group(1)) if m else None
+
+
+def _cow_rewrite(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    select_touched,
+    transform,
+    op: str,
+    *,
+    max_retries: int = 20,
+    retry_wait_s: float = 0.5,
+) -> int:
+    """Shared copy-on-write engine: ``select_touched(manifest) ->
+    [file, ...]`` names the files that may contain affected rows;
+    ``transform(old_rows, manifest) -> new_rows`` produces the touched
+    region's replacement content (physical schema).  Untouched files hard-link;
+    the manifest records the rewrite ratio for observability."""
+    import time
+
+    for attempt in range(max_retries + 1):
+        prev = read_manifest(root, table)
+        touched = list(select_touched(prev))
+        touched_set = set(touched)
+        untouched = [f for f in prev["files"] if f not in touched_set]
+        spec = {k: prev.get(k) for k in
+                ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl",
+                 "shred")}
+        v = prev["version"] + 1
+        try:
+            _acquire_claim(root, table, v)
+        except ConcurrentWriteError:
+            if attempt == max_retries:
+                raise
+            time.sleep(retry_wait_s)
+            continue
+        try:
+            if current_version(root, table) != prev["version"]:
+                continue
+            schema = spark.table(
+                _register(spark, root, table, prev["version"], spec,
+                          prev["generation"])
+            ).schema
+            gen_dir = os.path.join(_table_dir(root, table),
+                                   prev["generation"])
+            if touched:
+                old = spark.read.schema(schema).parquet(
+                    *[os.path.join(gen_dir, f) for f in touched]
+                )
+            else:
+                old = spark.createDataFrame([], schema)
+            new_rows = transform(old, prev)
+            manifest = _write_generation(
+                spark, new_rows, root, table, v, spec,
+                link_from=prev, link_files=untouched,
+            )
+            manifest["op"] = op
+            manifest["rewritten_files"] = len(touched)
+            manifest["linked_files"] = len(untouched)
+            _publish(root, table, manifest)
+            return v
+        finally:
+            _release_claim(root, table, v)
+    raise ConcurrentWriteError(
+        f"{op} on {table} lost the publish race {max_retries + 1} times"
+    )
+
+
+def _physical_shape(df: DataFrame, prev: dict) -> DataFrame:
+    """Bring a LOGICAL-shape frame to the table's physical schema:
+    materialize the shred spec's columns and pad retired ones with
+    typed NULLs (same rules as append_manifest_table)."""
+    shred = prev.get("shred")
+    if shred is not None and not all(
+        shred_col_name(shred["column"], f) in df.columns
+        for f in shred["fields"]
+    ):
+        df = apply_shred(df, shred)
+    for cname, ctype in _ddl_columns(prev["schema_ddl"]).items():
+        if cname.startswith("_shred_") and cname not in df.columns:
+            df = df.withColumn(cname, F.lit(None).cast(ctype))
+    return df
+
+
+def merge_manifest_table(
+    spark: SparkSession,
+    updates: DataFrame,
+    root: str,
+    table: str,
+    *,
+    key_cols: str | list[str],
+    validate_unique_keys: bool = True,
+    max_retries: int = 20,
+    retry_wait_s: float = 0.5,
+) -> int:
+    """Row-level UPSERT (MERGE): rows of ``updates`` REPLACE same-key
+    rows of the table; keys with no existing row INSERT.  ``key_cols``
+    must contain the table's bucket columns, so every affected row
+    lives in a bucket computable from the update itself — the rewrite
+    then touches ONLY those buckets' files (bucket pruning is exact,
+    not statistical) and hard-links the rest.
+
+    Scale shape: one bounded distinct over the update keys' bucket ids
+    (≤ num_buckets rows to the driver), one anti-join of the touched
+    files' rows against the (typically broadcast-sized) update set,
+    one clustered write of the touched region.  The whole-table path
+    never runs."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    prev0 = read_manifest(root, table)
+    if not set(prev0["bucket_cols"]) <= set(keys):
+        raise ValueError(
+            f"key_cols {keys} must contain the bucket columns "
+            f"{prev0['bucket_cols']} (bucket pruning needs the key to "
+            f"determine the row's bucket)"
+        )
+    if validate_unique_keys:
+        dup = (
+            updates.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
+        ).count()
+        if dup:
+            raise ValueError(
+                "updates carry duplicate keys — which row wins would be "
+                "nondeterministic; dedupe first (or pass "
+                "validate_unique_keys=False after doing so upstream)"
+            )
+    n = prev0["num_buckets"]
+    touched_buckets = {
+        r[0]
+        for r in updates.select(
+            spark_bucket_id(n, *prev0["bucket_cols"]).alias("b")
+        ).distinct().collect()
+    }
+
+    def select_touched(m: dict) -> list[str]:
+        return [f for f in m["files"] if _file_bucket(f) in touched_buckets]
+
+    def transform(old: DataFrame, prev: dict) -> DataFrame:
+        ups = _physical_shape(updates, prev)
+        survivors = old.join(updates.select(*keys), keys, "left_anti")
+        return survivors.unionByName(ups)
+
+    return _cow_rewrite(
+        spark, root, table, select_touched, transform, "merge",
+        max_retries=max_retries, retry_wait_s=retry_wait_s,
+    )
+
+
+def delete_manifest_rows(
+    spark: SparkSession,
+    keys: DataFrame,
+    root: str,
+    table: str,
+    *,
+    key_cols: str | list[str],
+    max_retries: int = 20,
+    retry_wait_s: float = 0.5,
+) -> int:
+    """Row-level DELETE by key set (the GDPR-erasure shape): every row
+    whose ``key_cols`` match a row of ``keys`` is removed.  Bucket
+    pruning exactly as in merge — only the keys' buckets rewrite."""
+    kc = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    prev0 = read_manifest(root, table)
+    if not set(prev0["bucket_cols"]) <= set(kc):
+        raise ValueError(
+            f"key_cols {kc} must contain the bucket columns "
+            f"{prev0['bucket_cols']}"
+        )
+    n = prev0["num_buckets"]
+    touched_buckets = {
+        r[0]
+        for r in keys.select(
+            spark_bucket_id(n, *prev0["bucket_cols"]).alias("b")
+        ).distinct().collect()
+    }
+
+    def select_touched(m: dict) -> list[str]:
+        return [f for f in m["files"] if _file_bucket(f) in touched_buckets]
+
+    def transform(old: DataFrame, prev: dict) -> DataFrame:
+        return old.join(keys.select(*kc), kc, "left_anti")
+
+    return _cow_rewrite(
+        spark, root, table, select_touched, transform, "delete",
+        max_retries=max_retries, retry_wait_s=retry_wait_s,
+    )
+
+
+def delete_manifest_range(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    *,
+    lower=None,
+    upper=None,
+    max_retries: int = 20,
+    retry_wait_s: float = 0.5,
+) -> int:
+    """Row-level DELETE of a [lower, upper] range on the FIRST sort
+    column (retention sweeps, bad-batch rollbacks): the manifest's
+    file stats select the touched files — a file wholly outside the
+    range hard-links untouched, a file wholly inside simply drops, and
+    only straddling files actually rewrite their surviving rows."""
+    prev0 = read_manifest(root, table)
+    if not prev0.get("sort_cols"):
+        raise ValueError(
+            "range delete needs a sort column (file stats are recorded "
+            "for the first sort column)"
+        )
+    col = prev0["sort_cols"][0]
+
+    def select_touched(m: dict) -> list[str]:
+        return pruned_files(m, lower=lower, upper=upper)
+
+    def transform(old: DataFrame, prev: dict) -> DataFrame:
+        cond = F.lit(False)
+        c = F.col(col)
+        if lower is not None and upper is not None:
+            cond = c.between(lower, upper)
+        elif lower is not None:
+            cond = c >= lower
+        elif upper is not None:
+            cond = c <= upper
+        # NULL sort values never match a range predicate → survive
+        return old.filter(~F.coalesce(cond, F.lit(False)))
+
+    return _cow_rewrite(
+        spark, root, table, select_touched, transform, "delete_range",
+        max_retries=max_retries, retry_wait_s=retry_wait_s,
+    )
 
 
 def foreach_batch_append(

@@ -1,0 +1,193 @@
+"""Row-level MERGE / DELETE on manifest tables (round 10): copy-on-
+write rewrites with exact bucket pruning, stats-pruned range deletes,
+snapshot isolation across rewrites, and shred interplay.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+N_BUCKETS = 4
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS k", "id * 2 AS v", "CAST(id AS BIGINT) AS ts_k"
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _mk(spark, 0, 400), root, "t",
+        bucket_cols="k", num_buckets=N_BUCKETS, sort_cols="ts_k",
+    )
+    yield root
+    mb.drop_catalog_entries(spark, root, "t")
+
+
+def test_merge_updates_inserts_and_prunes_buckets(spark, table):
+    """An upsert whose keys hash to ONE bucket rewrites only that
+    bucket's file; every other file hard-links by NAME into the new
+    generation — the rewrite ratio is recorded in the manifest."""
+    m0 = mb.read_manifest(table, "t")
+    # pick keys that all land in one bucket
+    all_keys = list(range(0, 400))
+    bucket_of = {
+        r["k"]: r["b"]
+        for r in spark.range(0, 500).selectExpr("id AS k").select(
+            "k", mb.spark_bucket_id(N_BUCKETS, "k").alias("b")
+        ).collect()
+    }
+    target_bucket = bucket_of[7]
+    upd_keys = [k for k in all_keys if bucket_of[k] == target_bucket][:10]
+    new_key = next(k for k in range(400, 500) if bucket_of[k] == target_bucket)
+    updates = spark.createDataFrame(
+        [(k, k * 2 + 1, k) for k in upd_keys] + [(new_key, -5, new_key)],
+        "k long, v long, ts_k long",
+    )
+    v = mb.merge_manifest_table(spark, updates, table, "t", key_cols="k")
+    m1 = mb.read_manifest(table, "t")
+    assert m1["version"] == v and m1["op"] == "merge"
+    touched0 = [f for f in m0["files"] if mb._file_bucket(f) == target_bucket]
+    assert m1["rewritten_files"] == len(touched0)
+    assert m1["linked_files"] == len(m0["files"]) - len(touched0)
+    # untouched files carried by NAME (hard links, zero copy)
+    untouched0 = set(m0["files"]) - set(touched0)
+    assert untouched0 <= set(m1["files"])
+    # values: updated rows replaced, new key inserted, others intact
+    r = mb.read_manifest_table(spark, table, "t")
+    assert r.count() == 401
+    got = {row["k"]: row["v"] for row in r.collect()}
+    for k in upd_keys:
+        assert got[k] == k * 2 + 1
+    assert got[new_key] == -5
+    assert got[11] == 22  # an untouched row
+
+
+def test_merge_snapshot_isolation(spark, table):
+    """A reader pinned to the pre-merge version keeps the OLD values
+    (immutable generations + hard links)."""
+    v0 = mb.current_version(table, "t")
+    updates = spark.createDataFrame([(3, 999, 3)], "k long, v long, ts_k long")
+    mb.merge_manifest_table(spark, updates, table, "t", key_cols="k")
+    old = mb.read_manifest_table(spark, table, "t", version=v0)
+    assert old.filter(F.col("k") == 3).first()["v"] == 6
+    new = mb.read_manifest_table(spark, table, "t")
+    assert new.filter(F.col("k") == 3).first()["v"] == 999
+
+
+def test_delete_rows_by_key(spark, table):
+    doomed = spark.createDataFrame([(5,), (17,), (399,)], "k long")
+    v = mb.delete_manifest_rows(spark, doomed, table, "t", key_cols="k")
+    m = mb.read_manifest(table, "t")
+    assert m["version"] == v and m["op"] == "delete"
+    r = mb.read_manifest_table(spark, table, "t")
+    assert r.count() == 397
+    assert r.filter(F.col("k").isin(5, 17, 399)).count() == 0
+    # only the doomed keys' buckets rewrote
+    buckets = {
+        row["b"] for row in doomed.select(
+            mb.spark_bucket_id(N_BUCKETS, "k").alias("b")
+        ).distinct().collect()
+    }
+    assert m["rewritten_files"] <= len(buckets) * 2
+
+
+def test_delete_range_uses_file_stats(spark, tmp_path):
+    """Range delete on the sort column: appends with disjoint ts
+    ranges give per-file stats; a range confined to one append's span
+    rewrites only that append's files."""
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _mk(spark, 0, 100), root, "rt",
+        bucket_cols="k", num_buckets=2, sort_cols="ts_k",
+    )
+    try:
+        mb.append_manifest_table(spark, _mk(spark, 100, 200), root, "rt")
+        mb.append_manifest_table(spark, _mk(spark, 200, 300), root, "rt")
+        m0 = mb.read_manifest(root, "rt")
+        expect_touched = mb.pruned_files(m0, lower=120, upper=180)
+        v = mb.delete_manifest_range(spark, root, "rt", lower=120, upper=180)
+        m1 = mb.read_manifest(root, "rt")
+        assert m1["version"] == v and m1["op"] == "delete_range"
+        assert m1["rewritten_files"] == len(expect_touched)
+        assert m1["linked_files"] == len(m0["files"]) - len(expect_touched)
+        r = mb.read_manifest_table(spark, root, "rt")
+        assert r.count() == 300 - 61
+        assert r.filter(F.col("ts_k").between(120, 180)).count() == 0
+        # untouched spans intact
+        assert r.filter(F.col("ts_k") < 120).count() == 120
+    finally:
+        mb.drop_catalog_entries(spark, root, "rt")
+
+
+def test_merge_guards(spark, table):
+    dup = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 1)], "k long, v long, ts_k long"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        mb.merge_manifest_table(spark, dup, table, "t", key_cols="k")
+    one = spark.createDataFrame([(1, 1, 1)], "k long, v long, ts_k long")
+    with pytest.raises(ValueError, match="must contain the bucket columns"):
+        mb.merge_manifest_table(spark, one, table, "t", key_cols="v")
+    with pytest.raises(ValueError, match="range delete needs a sort column"):
+        root2 = str(table) + "_nosort"
+        import os
+        os.makedirs(root2, exist_ok=True)
+        mb.create_manifest_table(
+            spark, one, root2, "ns", bucket_cols="k", num_buckets=2
+        )
+        mb.delete_manifest_range(spark, root2, "ns", lower=0, upper=1)
+
+
+def test_merge_on_shredded_table_lands_shredded(spark, tmp_path):
+    """Logical-shape updates to a shredded table materialize the shred
+    columns during the rewrite (same rules as append); coverage and
+    routed reads stay intact."""
+    root = str(tmp_path)
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.to_json(F.struct((F.col("id") * 3).alias("x"))).alias("payload"),
+    )
+    mb.create_manifest_table(
+        spark, df, root, "sh", bucket_cols="k", num_buckets=2,
+        shred={"column": "payload", "fields": {"x": "bigint"}},
+    )
+    try:
+        updates = spark.range(50, 60).select(
+            F.col("id").alias("k"),
+            F.to_json(F.struct(F.lit(-1).alias("x"))).alias("payload"),
+        )
+        mb.merge_manifest_table(spark, updates, root, "sh", key_cols="k")
+        m = mb.read_manifest(root, "sh")
+        assert mb.covered_fields(m) == {"x"}
+        r = mb.read_manifest_table_shredded(spark, root, "sh", {"x": "bigint"},
+                                            base_cols="k")
+        got = {row["k"]: row["x"] for row in r.collect()}
+        assert all(got[k] == -1 for k in range(50, 60))
+        assert got[10] == 30
+    finally:
+        mb.drop_catalog_entries(spark, root, "sh")
+
+
+def test_merge_then_append_then_compact_chain(spark, table):
+    """The write paths compose: merge → append → compaction keeps one
+    consistent lineage and exact content."""
+    updates = spark.createDataFrame(
+        [(0, -1, 0), (777, -2, 777)], "k long, v long, ts_k long"
+    )
+    mb.merge_manifest_table(spark, updates, table, "t", key_cols="k")
+    for i in range(2):
+        mb.append_manifest_table(
+            spark, _mk(spark, 1000 + 100 * i, 1100 + 100 * i), table, "t",
+            compact_files_per_bucket=3,
+        )
+    r = mb.read_manifest_table(spark, table, "t")
+    assert r.count() == 401 + 200
+    got = {row["k"]: row["v"] for row in r.collect()}
+    assert got[0] == -1 and got[777] == -2 and got[1050] == 2100

@@ -1079,6 +1079,45 @@ def main() -> None:
         mb.drop_catalog_entries(spark, shroot, "probe_shred")
         shutil.rmtree(shroot, ignore_errors=True)
 
+    # copy-on-write MERGE at 2M rows / 32 buckets: an upsert of ~100
+    # keys confined to a few buckets must rewrite ONLY those buckets'
+    # files — the rewrite ratio is the whole point of the row-level
+    # write path at 100 TB
+    cowroot = tempfile.mkdtemp(prefix="cm_probe_cow_")
+    try:
+        base_rows = spark.range(2_000_000).selectExpr(
+            "id AS k", "id * 2 AS v", "id AS ts_k"
+        )
+        mb.create_manifest_table(
+            spark, base_rows, cowroot, "probe_cow",
+            bucket_cols="k", num_buckets=32, sort_cols="ts_k",
+        )
+        ups = spark.range(100).selectExpr(
+            "id * 17 AS k", "CAST(-1 AS BIGINT) AS v", "id * 17 AS ts_k"
+        )
+        n_touched_buckets = ups.select(
+            mb.spark_bucket_id(32, "k").alias("b")
+        ).distinct().count()
+        t0 = time.perf_counter()
+        mb.merge_manifest_table(spark, ups, cowroot, "probe_cow",
+                                key_cols="k")
+        merge_s = round(time.perf_counter() - t0, 2)
+        m = mb.read_manifest(cowroot, "probe_cow")
+        results["cow_merge_2m_100keys"] = {
+            "wall_s": merge_s,
+            "rewritten_files": m["rewritten_files"],
+            "linked_files": m["linked_files"],
+            "touched_buckets": n_touched_buckets,
+            "rows": mb.read_manifest_table(spark, cowroot, "probe_cow").count(),
+        }
+        print(f"  cow merge 2M: {merge_s}s, rewrote "
+              f"{m['rewritten_files']}/{m['rewritten_files'] + m['linked_files']}"
+              f" files ({n_touched_buckets} buckets touched)")
+        assert m["rewritten_files"] <= n_touched_buckets
+    finally:
+        mb.drop_catalog_entries(spark, cowroot, "probe_cow")
+        shutil.rmtree(cowroot, ignore_errors=True)
+
     payload = {
         "sf": 1.0,
         "docs": docs_lin.count(),
