@@ -16756,6 +16756,178 @@ def manifest_merge_cow_read(spark, sf_dir):
     return result
 
 
+@query(
+    "manifest_bloom_point_read",
+    """
+    WITH target AS (
+        SELECT min(o_custkey) AS ck FROM orders WHERE o_custkey % 97 = 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_custkey = (SELECT ck FROM target)
+    """,
+)
+def manifest_bloom_point_read(spark, sf_dir):
+    """Per-file Bloom membership filters in the manifest (round 10):
+    orders publish bucketed by o_orderkey with a point filter recorded
+    on o_custkey — a SECONDARY key the sort-column min/max stats can't
+    help (custkey values spread across every file).  A point lookup
+    for one customer then keeps only the files whose Bloom filter may
+    contain that key (no false negatives — deterministic md5 bit
+    positions — so correctness never depends on the filter; the
+    composed equality settles rows), which is the manifest-level twin
+    of parquet/Iceberg bloom skipping, decided before any file opens.
+
+    Scale shape: at 100 TB a single-customer lookup on a non-bucket
+    column goes from full-scan to a handful of files for the cost of
+    one distinct-read per file at publish; effectiveness and the
+    no-false-negative property are pinned in
+    tests/test_manifest_cow.py."""
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("pc")
+    )
+    root = tempfile.mkdtemp(prefix="cm_bloom_")
+    try:
+        third = base.agg(
+            F.expr("percentile_approx(o_orderkey, array(0.34, 0.67), 10000)")
+        ).first()[0]
+        mb.create_manifest_table(
+            spark, base.filter(F.col("o_orderkey") < third[0]), root,
+            "orders_pf", bucket_cols="o_orderkey", num_buckets=4,
+            point_filter_cols="o_custkey",
+        )
+        mb.append_manifest_table(
+            spark,
+            base.filter(
+                (F.col("o_orderkey") >= third[0])
+                & (F.col("o_orderkey") < third[1])
+            ),
+            root, "orders_pf",
+        )
+        mb.append_manifest_table(
+            spark, base.filter(F.col("o_orderkey") >= third[1]),
+            root, "orders_pf",
+        )
+        ck = (
+            base.filter(F.col("o_custkey") % 97 == 3)
+            .agg(F.min("o_custkey"))
+            .first()[0]
+        )
+        r = mb.read_manifest_table_point(
+            spark, root, "orders_pf", "o_custkey", ck
+        ).filter(F.col("o_custkey") == ck)
+        out = r.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("pc").alias("sum_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        mb.drop_catalog_entries(spark, root, "orders_pf")
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+@query(
+    "stream_cow_upsert_replay",
+    """
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e
+    )
+    SELECT user_id,
+           CAST(event_id AS BIGINT) AS latest_event,
+           CAST(cents AS BIGINT) AS cents
+    FROM r WHERE rn = 1
+    """,
+)
+def stream_cow_upsert_replay(spark, sf_dir):
+    """Streaming COW upsert, driver-gated (round 10): a CDC-shaped
+    feed (each event = the new state of its user) replays time-ordered
+    through ``foreach_batch_merge`` — every micro-batch MERGES into
+    the keyed manifest table (latest-wins within the batch on
+    (ts, event_id), exactly-once epoch batch_ids, bucket-pruned
+    rewrites), so the table IS the per-user latest state at stream
+    end with no reconciliation pass.  The oracle recomputes the
+    argmax-by-(ts, event_id) row per user over the whole feed: a lost
+    epoch, replayed epoch, or mis-ordered merge diverges.
+
+    Scale shape: per epoch one bounded bucket-id distinct + rewrite of
+    only the touched buckets; the cross-epoch last-writer-wins
+    contract requires a time-ordered feed (upstream ordering or the
+    replay harness's order_by), the standard CDC apply requirement."""
+    import os
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", _cents("value").alias("cents")
+    )
+    base = tempfile.mkdtemp(prefix="cm_cowstream_")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    root = os.path.join(base, "tbl")
+    try:
+        # time-ordered arrival: range-split by ts, file-source pickup
+        # pinned to range order via mtimes (the replay harness's
+        # order_by device — epochs then arrive in event-time order,
+        # making cross-epoch last-writer-wins the global argmax)
+        ev.repartitionByRange(4, "ts").write.parquet(src)
+        parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+        t0 = max(os.stat(os.path.join(src, f)).st_mtime for f in parts)
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(src, f), (t0 + i, t0 + i))
+        mb.create_manifest_table(
+            spark, spark.createDataFrame([], ev.schema), root, "state",
+            bucket_cols="user_id", num_buckets=4,
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        (
+            stream.writeStream
+            .foreachBatch(
+                mb.foreach_batch_merge(
+                    root, "state", key_cols="user_id",
+                    order_cols=["ts", "event_id"],
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        out = mb.read_manifest_table(spark, root, "state").select(
+            "user_id",
+            F.col("event_id").alias("latest_event"),
+            "cents",
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        mb.drop_catalog_entries(spark, root, "state")
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

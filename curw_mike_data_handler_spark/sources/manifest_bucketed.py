@@ -825,6 +825,11 @@ def _write_generation(
         ),
         "shred_stats": shred_stats,
         "shred_field_stats": _shred_field_summary(shred_stats, shred),
+        "point_filters": spec.get("point_filters"),
+        "point_filter_stats": _point_filter_stats(
+            gen_dir, files, spec.get("point_filters"),
+            carry=link_from.get("point_filter_stats") if link_from else None,
+        ),
     }
 
 
@@ -873,14 +878,35 @@ def create_manifest_table(
     num_buckets: int,
     sort_cols: str | list[str] | None = None,
     shred: dict | None = None,
+    point_filter_cols: str | list[str] | None = None,
 ) -> int:
     """Write generation 0 and publish manifest 0.  Returns the
     version (0).  ``shred`` materializes typed JSON fields beside the
     raw column (see the shredding section above); the spec is recorded
-    in every manifest and re-applied to appended batches."""
+    in every manifest and re-applied to appended batches.
+    ``point_filter_cols`` records a per-file Bloom filter for each
+    named column at every publish (int/string columns only) — the
+    point-lookup analog of the sort-column min/max stats."""
     _check_table_name(table)
     if shred is not None:
         df = apply_shred(df, _check_shred(shred))
+    point_filters = None
+    if point_filter_cols is not None:
+        cols = ([point_filter_cols] if isinstance(point_filter_cols, str)
+                else list(point_filter_cols))
+        by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for c in cols:
+            t = by_name.get(c)
+            if t is None:
+                raise ValueError(f"point filter column {c!r} not in schema")
+            if not (t in ("string",) or t.startswith("int")
+                    or t in ("bigint", "smallint", "tinyint")):
+                raise ValueError(
+                    f"point filter column {c!r} has type {t} — only "
+                    f"int/string columns have a canonical hash form"
+                )
+        point_filters = {"cols": cols, "bits": _BLOOM_BITS,
+                         "hashes": _BLOOM_HASHES}
     bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     if sort_cols is None:
         sort_cols = []
@@ -892,6 +918,7 @@ def create_manifest_table(
         "sort_cols": list(sort_cols),
         "schema_ddl": _schema_ddl(df),
         "shred": shred,
+        "point_filters": point_filters,
     }
     _acquire_claim(root, table, 0)
     try:
@@ -902,6 +929,40 @@ def create_manifest_table(
     finally:
         _release_claim(root, table, 0)
     return 0
+
+
+def _batch_id_published(
+    root: str, table: str, batch_id: str, limit: int = 256
+) -> int | None:
+    """Walk the retained manifest chain head-first looking for a prior
+    publish of this batch_id — so the idempotence check survives OTHER
+    writers landing between a crash and the retry (head-only comparison
+    would miss it and double-apply).  The walk is bounded by retention
+    anyway (expired manifests end it); hitting the explicit cap is
+    logged because a truncated search weakens exactly-once — size
+    retention/limit to the worst-case number of publishes between a
+    crash and its replay."""
+    try:
+        v = current_version(root, table)
+    except FileNotFoundError:
+        return None
+    for _ in range(limit):
+        try:
+            m = read_manifest(root, table, v)
+        except FileNotFoundError:
+            return None
+        if m.get("batch_id") == batch_id:
+            return m["version"]
+        if m.get("parent") is None:
+            return None
+        v = m["parent"]
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s: batch_id search truncated at %d manifests — a replayed "
+        "batch older than that could double-apply", table, limit,
+    )
+    return None
 
 
 def append_manifest_table(
@@ -946,40 +1007,11 @@ def append_manifest_table(
     the swap is now a pointer replace, not a catalog rename."""
     import time
 
-    def _find_batch_id(limit: int = 256) -> int | None:
-        """Walk the retained manifest chain head-first looking for a
-        prior publish of this batch_id — so the idempotence check
-        survives OTHER writers landing between a crash and the retry
-        (head-only comparison would miss it and double-append).  The
-        walk is bounded by retention anyway (expired manifests end it);
-        hitting the explicit cap is logged because a truncated search
-        weakens exactly-once — size retention/limit to the worst-case
-        number of publishes between a crash and its replay."""
-        try:
-            v = current_version(root, table)
-        except FileNotFoundError:
-            return None
-        for _ in range(limit):
-            try:
-                m = read_manifest(root, table, v)
-            except FileNotFoundError:
-                return None
-            if m.get("batch_id") == batch_id:
-                return m["version"]
-            if m.get("parent") is None:
-                return None
-            v = m["parent"]
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "%s: batch_id search truncated at %d manifests — a replayed "
-            "batch older than that could double-append", table, limit,
-        )
-        return None
-
     for attempt in range(max_retries + 1):
         prev = read_manifest(root, table)
-        if batch_id is not None and _find_batch_id() is not None:
+        if batch_id is not None and _batch_id_published(
+            root, table, batch_id
+        ) is not None:
             return prev["version"]
         base = df
         shred = prev.get("shred")
@@ -1007,7 +1039,7 @@ def append_manifest_table(
             )
         spec = {k: prev.get(k) for k in
                 ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl",
-                 "shred")}
+                 "shred", "point_filters")}
         v = prev["version"] + 1
         try:
             _acquire_claim(root, table, v)
@@ -1197,6 +1229,134 @@ def evolve_shred(
 
 
 # ---------------------------------------------------------------------------
+# Per-file membership filters (round 10): point-lookup file skipping
+#
+# Min/max footer stats prune RANGE predicates on the sort column; a
+# point lookup on any other high-cardinality column (a secondary key)
+# gets no help from them.  A small per-file Bloom filter — computed at
+# publish from the file's distinct values, carried across hard links
+# like every other stat — lets `key = x` skip files with the usual
+# Bloom contract: no false negatives (a file containing x is ALWAYS
+# kept — deterministic md5 hashing, no RNG), bounded false positives
+# (a kept file may lack x; the composed real filter settles rows).
+# Iceberg/Parquet bloom filters are this exact idea; here the filter
+# lives in the manifest so planning never opens a file.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 2048
+_BLOOM_HASHES = 4
+
+
+def _bloom_hashes(value, bits: int, k: int) -> list[int]:
+    """Deterministic bit positions for a value: md5 over the value's
+    canonical string with a per-hash salt.  int and str values only —
+    their str() is canonical; floats are rejected at spec time."""
+    s = str(value)
+    out = []
+    for i in range(k):
+        h = hashlib.md5(f"{s}|{i}".encode()).hexdigest()
+        out.append(int(h[:12], 16) % bits)
+    return out
+
+
+def _bloom_of_values(values, bits: int, k: int) -> str:
+    bitset = 0
+    for v in values:
+        if v is None:
+            continue
+        for pos in _bloom_hashes(v, bits, k):
+            bitset |= 1 << pos
+    return format(bitset, "x")
+
+
+def bloom_may_contain(bloom_hex: str, value, bits: int, k: int) -> bool:
+    bitset = int(bloom_hex, 16) if bloom_hex else 0
+    return all((bitset >> pos) & 1 for pos in _bloom_hashes(value, bits, k))
+
+
+def _point_filter_stats(
+    gen_dir: str,
+    files: list[str],
+    spec_pf: dict | None,
+    carry: dict | None = None,
+) -> dict:
+    """Per-file Bloom filters for the spec'd columns:
+    ``{file: {col: hex_bitset}}``.  Unlike footer stats this READS the
+    column (distinct values of one column of one local file — the
+    publish-time cost the skip buys); hard-linked files inherit via
+    ``carry``.  A file whose column cannot be read gets no entry and
+    is then never pruned."""
+    if not spec_pf:
+        return {}
+    import pyarrow.parquet as pq
+
+    bits, k = spec_pf["bits"], spec_pf["hashes"]
+    out: dict[str, dict] = {}
+    for fn in files:
+        if carry and fn in carry:
+            out[fn] = carry[fn]
+            continue
+        per_col: dict[str, str] = {}
+        for col in spec_pf["cols"]:
+            try:
+                t = pq.read_table(os.path.join(gen_dir, fn), columns=[col])
+                vals = set(t.column(0).to_pylist())
+            except Exception:  # unreadable file / missing column —
+                continue       # no filter ⇒ the file is never pruned
+            per_col[col] = _bloom_of_values(vals, bits, k)
+        if per_col:
+            out[fn] = per_col
+    return out
+
+
+def point_pruned_files(manifest: dict, col: str, value) -> list[str]:
+    """Manifest file names whose Bloom filter for ``col`` may contain
+    ``value``; files without a filter are always kept (skipping is an
+    optimization, never a filter).  NULL probes keep everything (a
+    Bloom filter records non-null values only)."""
+    pf = manifest.get("point_filters")
+    if value is None or not pf or col not in pf.get("cols", []):
+        return list(manifest["files"])
+    stats = manifest.get("point_filter_stats", {})
+    bits, k = pf["bits"], pf["hashes"]
+
+    def keep(fn: str) -> bool:
+        blm = stats.get(fn, {}).get(col)
+        if blm is None:
+            return True
+        return bloom_may_contain(blm, value, bits, k)
+
+    return [fn for fn in manifest["files"] if keep(fn)]
+
+
+def read_manifest_table_point(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    col: str,
+    value,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read restricted to the files whose Bloom filter may
+    contain ``col = value``.  Same contract as the other pruned reads:
+    filters prune FILES, not rows — compose with the real equality
+    filter, which parquet then pushes into the surviving files."""
+    m = read_manifest(root, table, version)
+    spec = {k: m[k] for k in
+            ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl")}
+    schema = spark.table(
+        _register(spark, root, table, m["version"], spec, m["generation"])
+    ).schema
+    gen_dir = os.path.join(_table_dir(root, table), m["generation"])
+    files = [os.path.join(gen_dir, f)
+             for f in point_pruned_files(m, col, value)]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+# ---------------------------------------------------------------------------
 # Row-level MERGE / DELETE — copy-on-write rewrites (round 10)
 #
 # The lakehouse write path the append/compact layout was building
@@ -1234,22 +1394,29 @@ def _cow_rewrite(
     *,
     max_retries: int = 20,
     retry_wait_s: float = 0.5,
+    batch_id: str | None = None,
 ) -> int:
     """Shared copy-on-write engine: ``select_touched(manifest) ->
     [file, ...]`` names the files that may contain affected rows;
     ``transform(old_rows, manifest) -> new_rows`` produces the touched
     region's replacement content (physical schema).  Untouched files hard-link;
-    the manifest records the rewrite ratio for observability."""
+    the manifest records the rewrite ratio for observability.
+    ``batch_id`` gives rewrites the same exactly-once replay contract
+    as appends (manifest-chain dedupe)."""
     import time
 
     for attempt in range(max_retries + 1):
         prev = read_manifest(root, table)
+        if batch_id is not None and _batch_id_published(
+            root, table, batch_id
+        ) is not None:
+            return prev["version"]
         touched = list(select_touched(prev))
         touched_set = set(touched)
         untouched = [f for f in prev["files"] if f not in touched_set]
         spec = {k: prev.get(k) for k in
                 ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl",
-                 "shred")}
+                 "shred", "point_filters")}
         v = prev["version"] + 1
         try:
             _acquire_claim(root, table, v)
@@ -1281,6 +1448,8 @@ def _cow_rewrite(
             manifest["op"] = op
             manifest["rewritten_files"] = len(touched)
             manifest["linked_files"] = len(untouched)
+            if batch_id is not None:
+                manifest["batch_id"] = batch_id
             _publish(root, table, manifest)
             return v
         finally:
@@ -1316,6 +1485,7 @@ def merge_manifest_table(
     validate_unique_keys: bool = True,
     max_retries: int = 20,
     retry_wait_s: float = 0.5,
+    batch_id: str | None = None,
 ) -> int:
     """Row-level UPSERT (MERGE): rows of ``updates`` REPLACE same-key
     rows of the table; keys with no existing row INSERT.  ``key_cols``
@@ -1366,6 +1536,7 @@ def merge_manifest_table(
     return _cow_rewrite(
         spark, root, table, select_touched, transform, "merge",
         max_retries=max_retries, retry_wait_s=retry_wait_s,
+        batch_id=batch_id,
     )
 
 
@@ -1484,6 +1655,58 @@ def foreach_batch_append(
             batch_df.sparkSession, batch_df, root, table,
             batch_id=f"{batch_id_prefix}-{epoch_id}",
             compact_files_per_bucket=compact_files_per_bucket,
+        )
+
+    return sink
+
+
+def foreach_batch_merge(
+    root: str,
+    table: str,
+    *,
+    key_cols: str | list[str],
+    order_cols: str | list[str] | None = None,
+    batch_id_prefix: str = "epoch",
+):
+    """Streaming COW upsert (round 10): a ``foreachBatch`` sink that
+    MERGES each micro-batch into the manifest table — the CDC sink
+    shape, maintaining a keyed table directly from a stream with no
+    batch reconciliation pass.  Exactly-once by the same epoch
+    batch_id machinery as the append sink (manifest-chain dedupe, so a
+    replayed epoch is a no-op even if other writers landed meanwhile).
+
+    ``order_cols``: latest-wins dedupe WITHIN the batch (descending on
+    the given columns, e.g. ``["ts", "event_id"]`` with a unique
+    tiebreaker) — required when a micro-batch can carry several
+    versions of one key; the composite must be tie-free or which row
+    wins is nondeterministic.  ACROSS batches the merge is
+    last-writer-wins, so a globally-correct "latest state" table needs
+    the feed to be time-ordered across epochs (upstream ordering, or
+    the replay harness's ``order_by``) — the same contract every CDC
+    apply pipeline carries.
+
+    Scale shape: per epoch, one bounded bucket-id distinct + a rewrite
+    of only the touched buckets' files."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = ([order_cols] if isinstance(order_cols, str)
+             else list(order_cols or []))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        ups = batch_df
+        if order:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(
+                *[F.col(c).desc() for c in order]
+            )
+            ups = (
+                ups.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        merge_manifest_table(
+            batch_df.sparkSession, ups, root, table, key_cols=keys,
+            batch_id=f"{batch_id_prefix}-{epoch_id}",
         )
 
     return sink

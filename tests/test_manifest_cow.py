@@ -191,3 +191,125 @@ def test_merge_then_append_then_compact_chain(spark, table):
     assert r.count() == 401 + 200
     got = {row["k"]: row["v"] for row in r.collect()}
     assert got[0] == -1 and got[777] == -2 and got[1050] == 2100
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom point filters + streaming COW upsert (late round 10)
+# ---------------------------------------------------------------------------
+
+
+def test_point_filter_prunes_files_without_false_negatives(spark, tmp_path):
+    """Bloom skipping: a secondary-key lookup keeps every file that
+    really contains the key (no false negatives — correctness never
+    depends on the filter) and drops most others; pruned+filter equals
+    full+filter for every probed key."""
+    root = str(tmp_path)
+    df = spark.range(0, 3000).selectExpr(
+        "id AS k", "CAST(id % 500 AS BIGINT) AS sec", "id AS ts_k"
+    )
+    mb.create_manifest_table(
+        spark, df.filter("k < 1000"), root, "pf",
+        bucket_cols="k", num_buckets=4, sort_cols="ts_k",
+        point_filter_cols="sec",
+    )
+    try:
+        mb.append_manifest_table(spark, df.filter("k >= 1000 AND k < 2000"),
+                                 root, "pf")
+        mb.append_manifest_table(spark, df.filter("k >= 2000"), root, "pf")
+        m = mb.read_manifest(root, "pf")
+        assert m["point_filters"]["cols"] == ["sec"]
+        assert set(m["point_filter_stats"]) == set(m["files"])
+        for probe in (3, 123, 499):
+            kept = mb.point_pruned_files(m, "sec", probe)
+            full = (
+                mb.read_manifest_table(spark, root, "pf")
+                .filter(F.col("sec") == probe)
+            )
+            pruned = (
+                mb.read_manifest_table_point(spark, root, "pf", "sec", probe)
+                .filter(F.col("sec") == probe)
+            )
+            assert sorted(r["k"] for r in full.collect()) == sorted(
+                r["k"] for r in pruned.collect()
+            )
+            assert len(kept) <= len(m["files"])
+        # a value that exists NOWHERE prunes everything (whp) — with
+        # 2048 bits and ≤167 distinct values/file the fp rate is tiny
+        assert len(mb.point_pruned_files(m, "sec", 999_999)) <= 2
+        # NULL probe and un-filtered column keep everything
+        assert mb.point_pruned_files(m, "sec", None) == m["files"]
+        assert mb.point_pruned_files(m, "k", 1) == m["files"]
+    finally:
+        mb.drop_catalog_entries(spark, root, "pf")
+
+
+def test_point_filter_stats_carry_across_links(spark, tmp_path):
+    root = str(tmp_path)
+    df = spark.range(0, 200).selectExpr("id AS k", "id % 7 AS sec")
+    mb.create_manifest_table(
+        spark, df, root, "pf", bucket_cols="k", num_buckets=2,
+        point_filter_cols="sec",
+    )
+    try:
+        mb.append_manifest_table(
+            spark, spark.range(200, 210).selectExpr("id AS k", "id % 7 AS sec"),
+            root, "pf",
+        )
+        m0 = mb.read_manifest(root, "pf", version=0)
+        m1 = mb.read_manifest(root, "pf", version=1)
+        for f in m0["files"]:
+            assert m1["point_filter_stats"][f] == m0["point_filter_stats"][f]
+    finally:
+        mb.drop_catalog_entries(spark, root, "pf")
+
+
+def test_point_filter_rejects_unhashable_types(spark, tmp_path):
+    df = spark.range(0, 10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS d")
+    with pytest.raises(ValueError, match="canonical hash form"):
+        mb.create_manifest_table(
+            spark, df, str(tmp_path), "pf",
+            bucket_cols="k", num_buckets=2, point_filter_cols="d",
+        )
+    with pytest.raises(ValueError, match="not in schema"):
+        mb.create_manifest_table(
+            spark, df, str(tmp_path), "pf2",
+            bucket_cols="k", num_buckets=2, point_filter_cols="nope",
+        )
+
+
+def test_foreach_batch_merge_latest_wins_and_exactly_once(spark, tmp_path):
+    """The CDC sink: within-batch latest-wins on order_cols, merge per
+    epoch, and a replayed epoch is a no-op even after an interleaved
+    writer landed (manifest-chain dedupe through the COW path)."""
+    root = str(tmp_path)
+    schema = "k long, seq long, v long"
+    mb.create_manifest_table(
+        spark, spark.createDataFrame([], schema), root, "st",
+        bucket_cols="k", num_buckets=2,
+    )
+    try:
+        sink = mb.foreach_batch_merge(
+            root, "st", key_cols="k", order_cols=["seq"]
+        )
+        b0 = spark.createDataFrame(
+            [(1, 1, 10), (1, 2, 11), (2, 1, 20)], schema
+        )
+        sink(b0, 0)
+        r = {row["k"]: (row["seq"], row["v"])
+             for row in mb.read_manifest_table(spark, root, "st").collect()}
+        assert r == {1: (2, 11), 2: (1, 20)}  # within-batch latest won
+
+        b1 = spark.createDataFrame([(1, 3, 12), (3, 1, 30)], schema)
+        sink(b1, 1)
+        v_after = mb.current_version(root, "st")
+        # interleaved writer lands between crash and replay
+        mb.append_manifest_table(
+            spark, spark.createDataFrame([(9, 1, 90)], schema), root, "st"
+        )
+        sink(b1, 1)  # replayed epoch — must be a no-op
+        assert mb.current_version(root, "st") == v_after + 1
+        r = {row["k"]: (row["seq"], row["v"])
+             for row in mb.read_manifest_table(spark, root, "st").collect()}
+        assert r == {1: (3, 12), 2: (1, 20), 3: (1, 30), 9: (1, 90)}
+    finally:
+        mb.drop_catalog_entries(spark, root, "st")

@@ -1092,8 +1092,15 @@ def main() -> None:
             spark, base_rows, cowroot, "probe_cow",
             bucket_cols="k", num_buckets=32, sort_cols="ts_k",
         )
-        ups = spark.range(100).selectExpr(
-            "id * 17 AS k", "CAST(-1 AS BIGINT) AS v", "id * 17 AS ts_k"
+        # the realistic shape: one entity's keys cluster in FEW buckets
+        # (here: 100 keys drawn from 2 of the 32 buckets) — the rewrite
+        # must touch only those buckets' files
+        ups = (
+            spark.range(200_000)
+            .selectExpr("id AS k")
+            .filter(mb.spark_bucket_id(32, "k") <= 1)
+            .limit(100)
+            .selectExpr("k", "CAST(-1 AS BIGINT) AS v", "k AS ts_k")
         )
         n_touched_buckets = ups.select(
             mb.spark_bucket_id(32, "k").alias("b")
