@@ -16674,7 +16674,10 @@ def stream_shred_ingest_replay(spark, sf_dir):
                pc + CASE WHEN nib = '1' THEN 100 ELSE 0 END AS pc
         FROM b WHERE nib <> '0'
         UNION ALL
-        SELECT o_orderkey + 100000000, o_orderstatus, pc
+        -- shift far above any real orderkey (6e6·SF): collision with
+        -- an existing key would make the MERGE replace where the
+        -- oracle's UNION keeps both
+        SELECT o_orderkey + 10000000000, o_orderstatus, pc
         FROM b WHERE nib = '2'
     )
     SELECT o_orderstatus,
@@ -16728,7 +16731,7 @@ def manifest_merge_cow_read(spark, sf_dir):
             )
             .unionAll(
                 b.filter(F.col("nib") == "2").select(
-                    (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                    (F.col("o_orderkey") + 10_000_000_000).alias("o_orderkey"),
                     "o_orderstatus",
                     "pc",
                 )

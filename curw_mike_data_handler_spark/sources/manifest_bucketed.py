@@ -899,14 +899,13 @@ def create_manifest_table(
             t = by_name.get(c)
             if t is None:
                 raise ValueError(f"point filter column {c!r} not in schema")
-            if not (t in ("string",) or t.startswith("int")
-                    or t in ("bigint", "smallint", "tinyint")):
+            if t not in ("string", "int", "bigint", "smallint",
+                         "tinyint"):
                 raise ValueError(
                     f"point filter column {c!r} has type {t} — only "
                     f"int/string columns have a canonical hash form"
                 )
-        point_filters = {"cols": cols, "bits": _BLOOM_BITS,
-                         "hashes": _BLOOM_HASHES}
+        point_filters = {"cols": cols, "hashes": _BLOOM_HASHES}
     bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     if sort_cols is None:
         sort_cols = []
@@ -1211,8 +1210,9 @@ def evolve_shred(
                 f"evolve_shred — re-read and retry"
             )
         manifest = dict(prev)
-        manifest.pop("batch_id", None)
-        manifest.pop("compacted_from", None)
+        for stale in ("batch_id", "compacted_from", "op",
+                      "rewritten_files", "linked_files"):
+            manifest.pop(stale, None)
         manifest.update(
             version=v,
             parent=prev["version"],
@@ -1243,8 +1243,22 @@ def evolve_shred(
 # lives in the manifest so planning never opens a file.
 # ---------------------------------------------------------------------------
 
-_BLOOM_BITS = 2048
+# bits are sized PER FILE from the observed distinct count (~10
+# bits/value at 4 hashes ≈ 1–2% fp), clamped to [1024, 2^17]; past the
+# cap the fill fraction (and fp rate) rises gracefully instead of the
+# filter being dropped — a fixed global size saturates to all-ones at
+# exactly the cardinalities point lookups target (review finding)
+_BLOOM_MIN_BITS = 1024
+_BLOOM_MAX_BITS = 1 << 17
+_BLOOM_BITS_PER_VALUE = 10
 _BLOOM_HASHES = 4
+
+
+def _bloom_bits_for(n_distinct: int) -> int:
+    bits = _BLOOM_MIN_BITS
+    while bits < n_distinct * _BLOOM_BITS_PER_VALUE and bits < _BLOOM_MAX_BITS:
+        bits <<= 1
+    return bits
 
 
 def _bloom_hashes(value, bits: int, k: int) -> list[int]:
@@ -1290,20 +1304,21 @@ def _point_filter_stats(
         return {}
     import pyarrow.parquet as pq
 
-    bits, k = spec_pf["bits"], spec_pf["hashes"]
+    k = spec_pf["hashes"]
     out: dict[str, dict] = {}
     for fn in files:
         if carry and fn in carry:
             out[fn] = carry[fn]
             continue
-        per_col: dict[str, str] = {}
+        per_col: dict[str, list] = {}
         for col in spec_pf["cols"]:
             try:
                 t = pq.read_table(os.path.join(gen_dir, fn), columns=[col])
                 vals = set(t.column(0).to_pylist())
             except Exception:  # unreadable file / missing column —
                 continue       # no filter ⇒ the file is never pruned
-            per_col[col] = _bloom_of_values(vals, bits, k)
+            bits = _bloom_bits_for(len(vals))
+            per_col[col] = [bits, _bloom_of_values(vals, bits, k)]
         if per_col:
             out[fn] = per_col
     return out
@@ -1318,12 +1333,13 @@ def point_pruned_files(manifest: dict, col: str, value) -> list[str]:
     if value is None or not pf or col not in pf.get("cols", []):
         return list(manifest["files"])
     stats = manifest.get("point_filter_stats", {})
-    bits, k = pf["bits"], pf["hashes"]
+    k = pf["hashes"]
 
     def keep(fn: str) -> bool:
-        blm = stats.get(fn, {}).get(col)
-        if blm is None:
+        ent = stats.get(fn, {}).get(col)
+        if ent is None:
             return True
+        bits, blm = ent
         return bloom_may_contain(blm, value, bits, k)
 
     return [fn for fn in manifest["files"] if keep(fn)]
@@ -1475,6 +1491,54 @@ def _physical_shape(df: DataFrame, prev: dict) -> DataFrame:
     return df
 
 
+def _bucket_pruned_selector(
+    prev0: dict, frame: DataFrame, keys: list[str], *, validate: bool
+):
+    """Shared bucket-pruning recipe for the key-addressed rewrites:
+    check the key covers the bucket columns, optionally validate the
+    key set (unique AND non-null — a NULL key never equi-joins, so a
+    NULL-key update would duplicate instead of replace; review
+    finding), run the bounded bucket census, and return the
+    select_touched closure."""
+    if not set(prev0["bucket_cols"]) <= set(keys):
+        raise ValueError(
+            f"key_cols {keys} must contain the bucket columns "
+            f"{prev0['bucket_cols']} (bucket pruning needs the key to "
+            f"determine the row's bucket)"
+        )
+    if validate:
+        null_any = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_any = c if null_any is None else (null_any | c)
+        bad = (
+            frame.groupBy(*keys)
+            .count()
+            .filter((F.col("count") > 1) | null_any)
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                "updates carry duplicate or NULL keys — a duplicate "
+                "makes the winner nondeterministic and a NULL key never "
+                "equi-joins (it would INSERT beside the old NULL-key "
+                "row instead of replacing it); clean the key set first"
+            )
+    n = prev0["num_buckets"]
+    touched_buckets = {
+        r[0]
+        for r in frame.select(
+            spark_bucket_id(n, *prev0["bucket_cols"]).alias("b")
+        ).distinct().collect()
+    }
+
+    def select_touched(m: dict) -> list[str]:
+        return [f for f in m["files"] if _file_bucket(f) in touched_buckets]
+
+    return select_touched
+
+
 def merge_manifest_table(
     spark: SparkSession,
     updates: DataFrame,
@@ -1501,32 +1565,17 @@ def merge_manifest_table(
     never runs."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     prev0 = read_manifest(root, table)
-    if not set(prev0["bucket_cols"]) <= set(keys):
-        raise ValueError(
-            f"key_cols {keys} must contain the bucket columns "
-            f"{prev0['bucket_cols']} (bucket pruning needs the key to "
-            f"determine the row's bucket)"
-        )
-    if validate_unique_keys:
-        dup = (
-            updates.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
-        ).count()
-        if dup:
-            raise ValueError(
-                "updates carry duplicate keys — which row wins would be "
-                "nondeterministic; dedupe first (or pass "
-                "validate_unique_keys=False after doing so upstream)"
-            )
-    n = prev0["num_buckets"]
-    touched_buckets = {
-        r[0]
-        for r in updates.select(
-            spark_bucket_id(n, *prev0["bucket_cols"]).alias("b")
-        ).distinct().collect()
-    }
-
-    def select_touched(m: dict) -> list[str]:
-        return [f for f in m["files"] if _file_bucket(f) in touched_buckets]
+    # MATERIALIZE the update set before anything reads it: the bucket
+    # census, the anti-join, and the write would otherwise re-evaluate
+    # the plan — a nondeterministic source (limit/sample) could then
+    # place a row in a bucket the census never saw, whose old file
+    # hard-links untouched while the new row also inserts: duplicate
+    # keys with no error (review finding).  Delta's MERGE materializes
+    # its source for exactly this reason.
+    updates = updates.localCheckpoint()
+    select_touched = _bucket_pruned_selector(
+        prev0, updates, keys, validate=validate_unique_keys
+    )
 
     def transform(old: DataFrame, prev: dict) -> DataFrame:
         ups = _physical_shape(updates, prev)
@@ -1555,21 +1604,10 @@ def delete_manifest_rows(
     pruning exactly as in merge — only the keys' buckets rewrite."""
     kc = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     prev0 = read_manifest(root, table)
-    if not set(prev0["bucket_cols"]) <= set(kc):
-        raise ValueError(
-            f"key_cols {kc} must contain the bucket columns "
-            f"{prev0['bucket_cols']}"
-        )
-    n = prev0["num_buckets"]
-    touched_buckets = {
-        r[0]
-        for r in keys.select(
-            spark_bucket_id(n, *prev0["bucket_cols"]).alias("b")
-        ).distinct().collect()
-    }
-
-    def select_touched(m: dict) -> list[str]:
-        return [f for f in m["files"] if _file_bucket(f) in touched_buckets]
+    keys = keys.localCheckpoint()  # same determinism contract as merge
+    select_touched = _bucket_pruned_selector(
+        prev0, keys, kc, validate=False
+    )
 
     def transform(old: DataFrame, prev: dict) -> DataFrame:
         return old.join(keys.select(*kc), kc, "left_anti")
@@ -1693,6 +1731,10 @@ def foreach_batch_merge(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         ups = batch_df
+        # NULL keys never equi-join (they would insert beside the old
+        # row, not replace it) — drop them, the CDC convention
+        for kcol in keys:
+            ups = ups.filter(F.col(kcol).isNotNull())
         if order:
             from pyspark.sql import Window
 
@@ -1707,6 +1749,9 @@ def foreach_batch_merge(
         merge_manifest_table(
             batch_df.sparkSession, ups, root, table, key_cols=keys,
             batch_id=f"{batch_id_prefix}-{epoch_id}",
+            # the row_number dedupe already guarantees one non-null row
+            # per key — skip the redundant per-epoch validation shuffle
+            validate_unique_keys=not order,
         )
 
     return sink

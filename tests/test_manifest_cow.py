@@ -130,8 +130,15 @@ def test_merge_guards(spark, table):
     dup = spark.createDataFrame(
         [(1, 1, 1), (1, 2, 1)], "k long, v long, ts_k long"
     )
-    with pytest.raises(ValueError, match="duplicate keys"):
+    with pytest.raises(ValueError, match="duplicate or NULL keys"):
         mb.merge_manifest_table(spark, dup, table, "t", key_cols="k")
+    # NULL keys never equi-join — they would insert beside the old row
+    # instead of replacing it (review finding)
+    nullk = spark.createDataFrame(
+        [(None, 1, 1)], "k long, v long, ts_k long"
+    )
+    with pytest.raises(ValueError, match="duplicate or NULL keys"):
+        mb.merge_manifest_table(spark, nullk, table, "t", key_cols="k")
     one = spark.createDataFrame([(1, 1, 1)], "k long, v long, ts_k long")
     with pytest.raises(ValueError, match="must contain the bucket columns"):
         mb.merge_manifest_table(spark, one, table, "t", key_cols="v")
