@@ -16931,6 +16931,81 @@ def stream_cow_upsert_replay(spark, sf_dir):
     return result
 
 
+@query(
+    "manifest_rebucket_read",
+    """
+    WITH b AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+               substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS nib
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(pc + CASE WHEN nib = '3' THEN 7 ELSE 0 END) AS BIGINT)
+               AS sum_cents
+    FROM b GROUP BY 1
+    """,
+)
+def manifest_rebucket_read(spark, sf_dir):
+    """Layout evolution (round 10): orders publish at 4 buckets, the
+    table REBUCKETS to 8 (one generational rewrite — every manifest
+    carries its own spec, so pinned readers keep the old layout and
+    all later writes follow the new one), and a post-rebucket MERGE
+    reprices the md5-nibble-3 keys — proving the 8-bucket pruning
+    (pmod(hash, 8)) addresses the rewritten layout correctly.  The
+    final snapshot's rollup must equal the oracle's CASE algebra over
+    the original table: a row misplaced by the re-clustering, lost in
+    the rewrite, or double-applied by the merge diverges.
+
+    Scale shape: rebucketing is the once-per-layout-change amortized
+    rewrite (same cost class as compaction) that buys every future
+    same-spec join its exchange elision at the RIGHT bucket count —
+    versus shuffling the big side of every join forever
+    (tests/test_manifest_cow.py plan-guards the exchange-free join at
+    the new spec and time travel at the old)."""
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("pc")
+    )
+    nib = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    root = tempfile.mkdtemp(prefix="cm_rebucket_")
+    try:
+        mb.create_manifest_table(
+            spark, base, root, "orders_rb",
+            bucket_cols="o_orderkey", num_buckets=4,
+            sort_cols="o_orderkey",
+        )
+        mb.rebucket_manifest_table(spark, root, "orders_rb", num_buckets=8)
+        updates = base.withColumn("nib", nib).filter(
+            F.col("nib") == "3"
+        ).select(
+            "o_orderkey", "o_orderstatus",
+            (F.col("pc") + F.lit(7)).alias("pc"),
+        )
+        mb.merge_manifest_table(
+            spark, updates, root, "orders_rb", key_cols="o_orderkey"
+        )
+        out = (
+            mb.read_manifest_table(spark, root, "orders_rb")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("pc").alias("sum_cents"),
+            )
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        mb.drop_catalog_entries(spark, root, "orders_rb")
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

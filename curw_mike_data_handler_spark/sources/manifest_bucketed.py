@@ -1662,6 +1662,101 @@ def delete_manifest_range(
     )
 
 
+def rebucket_manifest_table(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    *,
+    num_buckets: int | None = None,
+    bucket_cols: str | list[str] | None = None,
+    sort_cols: str | list[str] | None = None,
+    max_retries: int = 20,
+    retry_wait_s: float = 0.5,
+) -> int:
+    """Layout evolution (round 10): re-cluster the table into a NEW
+    bucket spec — more buckets as data grows, different bucket columns
+    as the dominant join key shifts — as one generational rewrite.
+    Because every manifest carries ITS OWN spec, readers pinned to
+    older versions keep the old layout (time travel included), readers
+    of the new snapshot get the new bucketing's exchange-free joins,
+    and every subsequent append/merge/compaction follows the new spec
+    automatically; the claim CAS serializes the rewrite against
+    concurrent writers exactly like any other publish.  The shred spec
+    and point filters ride along unchanged (shredded columns are plain
+    columns by now; filters recompute for the new files).
+
+    Scale shape: ONE full clustered rewrite (the same amortized cost
+    class as a compaction) — the price of a layout change, paid once,
+    versus a shuffle on every future join at the wrong bucket count."""
+    import time
+
+    kc = ([bucket_cols] if isinstance(bucket_cols, str)
+          else list(bucket_cols) if bucket_cols is not None else None)
+    sc = ([sort_cols] if isinstance(sort_cols, str)
+          else list(sort_cols) if sort_cols is not None else None)
+    for attempt in range(max_retries + 1):
+        prev = read_manifest(root, table)
+        spec = {k: prev.get(k) for k in
+                ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl",
+                 "shred", "point_filters")}
+        if num_buckets is not None:
+            spec["num_buckets"] = int(num_buckets)
+        if kc is not None:
+            spec["bucket_cols"] = kc
+        if sc is not None:
+            spec["sort_cols"] = sc
+        if (spec["num_buckets"] == prev["num_buckets"]
+                and spec["bucket_cols"] == prev["bucket_cols"]
+                and spec["sort_cols"] == prev.get("sort_cols")):
+            raise ValueError("rebucket: the requested spec equals the "
+                             "current one — nothing to do")
+        ddl_cols = _ddl_columns(prev["schema_ddl"])
+        missing = [c for c in spec["bucket_cols"] + spec["sort_cols"]
+                   if c not in ddl_cols]
+        if missing:
+            raise ValueError(
+                f"rebucket: columns {missing} are not in the table schema"
+            )
+        v = prev["version"] + 1
+        try:
+            _acquire_claim(root, table, v)
+        except ConcurrentWriteError:
+            if attempt == max_retries:
+                raise
+            time.sleep(retry_wait_s)
+            continue
+        try:
+            if current_version(root, table) != prev["version"]:
+                continue
+            # read the RAW snapshot files (not the catalog entry: its
+            # OLD bucketing claim would let the optimizer elide the
+            # re-clustering shuffle — the autoBucketedScan trap)
+            old_spec = {k: prev.get(k) for k in
+                        ("bucket_cols", "num_buckets", "sort_cols",
+                         "schema_ddl")}
+            schema = spark.table(
+                _register(spark, root, table, prev["version"], old_spec,
+                          prev["generation"])
+            ).schema
+            gen_dir = os.path.join(_table_dir(root, table),
+                                   prev["generation"])
+            full = spark.read.schema(schema).parquet(
+                *[os.path.join(gen_dir, f) for f in prev["files"]]
+            )
+            manifest = _write_generation(
+                spark, full, root, table, v, spec, mode="errorifexists"
+            )
+            manifest["parent"] = prev["version"]
+            manifest["rebucketed_from"] = prev["version"]
+            _publish(root, table, manifest)
+            return v
+        finally:
+            _release_claim(root, table, v)
+    raise ConcurrentWriteError(
+        f"rebucket of {table} lost the publish race {max_retries + 1} times"
+    )
+
+
 def foreach_batch_append(
     root: str,
     table: str,

@@ -320,3 +320,97 @@ def test_foreach_batch_merge_latest_wins_and_exactly_once(spark, tmp_path):
         assert r == {1: (3, 12), 2: (1, 20), 3: (1, 30), 9: (1, 90)}
     finally:
         mb.drop_catalog_entries(spark, root, "st")
+
+
+# ---------------------------------------------------------------------------
+# Re-bucketing evolution (late round 10)
+# ---------------------------------------------------------------------------
+
+
+def test_rebucket_changes_layout_keeps_content_and_history(spark, tmp_path):
+    """Rebucket 2→4: one generational rewrite; content identical; the
+    pinned old version keeps the OLD layout and content; subsequent
+    appends and merges follow the NEW spec."""
+    import contextlib
+    import io
+
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _mk(spark, 0, 300), root, "rb",
+        bucket_cols="k", num_buckets=2, sort_cols="ts_k",
+    )
+    try:
+        v0 = mb.current_version(root, "rb")
+        v1 = mb.rebucket_manifest_table(spark, root, "rb", num_buckets=4)
+        m1 = mb.read_manifest(root, "rb")
+        assert m1["version"] == v1 and m1["rebucketed_from"] == v0
+        assert m1["num_buckets"] == 4
+        assert {mb._file_bucket(f) for f in m1["files"]} <= set(range(4))
+        r = mb.read_manifest_table(spark, root, "rb")
+        assert r.count() == 300
+        assert r.agg(F.sum("v")).first()[0] == sum(2 * k for k in range(300))
+        # time travel: the old version still reads with the OLD spec
+        old = mb.read_manifest_table(spark, root, "rb", version=v0)
+        assert old.count() == 300
+        assert mb.read_manifest(root, "rb", version=v0)["num_buckets"] == 2
+
+        # the new layout joins exchange-free against a same-spec table
+        mb.create_manifest_table(
+            spark, spark.range(0, 300).selectExpr("id AS k", "id AS w"),
+            root, "dim4", bucket_cols="k", num_buckets=4, sort_cols="k",
+        )
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = r.join(mb.read_manifest_table(spark, root, "dim4"), "k")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain()
+            assert "Exchange hashpartitioning" not in buf.getvalue()
+            assert j.count() == 300
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+        # appends and merges now follow the 4-bucket spec
+        mb.append_manifest_table(spark, _mk(spark, 300, 400), root, "rb")
+        m2 = mb.read_manifest(root, "rb")
+        assert m2["num_buckets"] == 4
+        assert max(mb.files_per_bucket(m2).values()) <= 2
+        one_key = spark.createDataFrame([(5, -9, 5)],
+                                        "k long, v long, ts_k long")
+        mb.merge_manifest_table(spark, one_key, root, "rb", key_cols="k")
+        m3 = mb.read_manifest(root, "rb")
+        assert m3["rewritten_files"] <= 2  # one bucket of four, ≤2 files
+        got = mb.read_manifest_table(spark, root, "rb")
+        assert got.filter(F.col("k") == 5).first()["v"] == -9
+        assert got.count() == 400
+    finally:
+        mb.drop_catalog_entries(spark, root, "rb")
+        mb.drop_catalog_entries(spark, root, "dim4")
+
+
+def test_rebucket_guards_and_shred_rides_along(spark, tmp_path):
+    root = str(tmp_path)
+    df = spark.range(0, 80).select(
+        F.col("id").alias("k"),
+        F.to_json(F.struct((F.col("id") * 3).alias("x"))).alias("payload"),
+    )
+    mb.create_manifest_table(
+        spark, df, root, "rbs", bucket_cols="k", num_buckets=2,
+        shred={"column": "payload", "fields": {"x": "bigint"}},
+    )
+    try:
+        with pytest.raises(ValueError, match="nothing to do"):
+            mb.rebucket_manifest_table(spark, root, "rbs", num_buckets=2)
+        with pytest.raises(ValueError, match="not in the table schema"):
+            mb.rebucket_manifest_table(spark, root, "rbs",
+                                       bucket_cols="nope", num_buckets=4)
+        mb.rebucket_manifest_table(spark, root, "rbs", num_buckets=4)
+        m = mb.read_manifest(root, "rbs")
+        assert m["shred"]["fields"] == {"x": "bigint"}
+        assert mb.covered_fields(m) == {"x"}  # recomputed for new files
+        r = mb.read_manifest_table_shredded(spark, root, "rbs",
+                                            {"x": "bigint"})
+        assert r.agg(F.sum("x")).first()[0] == sum(3 * k for k in range(80))
+    finally:
+        mb.drop_catalog_entries(spark, root, "rbs")
