@@ -372,6 +372,27 @@ def apply_shred(df: DataFrame, shred: dict) -> DataFrame:
     return df
 
 
+def _repair_shred_columns(full: DataFrame, spec: dict) -> DataFrame:
+    """Repair lazily-evolved shred fields during a FULL rewrite
+    (compaction, rebucket): a field added by evolve_shred is NULL in
+    pre-evolution files (parquet missing-column read) — re-derive it
+    from the raw JSON so the rewritten generation is fully covered and
+    routed reads drop the coalesce path.  Rewrites that skip this
+    repair would physically materialize all-NULL columns, flip
+    covered_fields to true, and silently corrupt routed reads (review
+    finding on the rebucket path)."""
+    shred = spec.get("shred")
+    if not shred:
+        return full
+    scol = shred["column"]
+    for fname, ftype in shred["fields"].items():
+        cname = shred_col_name(scol, fname)
+        full = full.withColumn(
+            cname, F.coalesce(F.col(cname), shred_expr(scol, fname, ftype))
+        )
+    return full
+
+
 def _shred_file_stats(
     gen_dir: str,
     files: list[str],
@@ -1083,19 +1104,7 @@ def append_manifest_table(
             spark.read.schema(spark.table(_catalog_name(root, table, v)).schema)
             .parquet(*[os.path.join(gen_dir, f) for f in manifest["files"]])
         )
-        if spec.get("shred"):
-            # materialize lazily-evolved fields during the rewrite: a
-            # field added by evolve_shred is NULL in pre-evolution
-            # files (parquet missing-column read) — repair it from the
-            # raw JSON so the compacted generation is fully covered
-            # and routed reads drop the coalesce path
-            scol = spec["shred"]["column"]
-            for fname, ftype in spec["shred"]["fields"].items():
-                cname = shred_col_name(scol, fname)
-                full = full.withColumn(
-                    cname,
-                    F.coalesce(F.col(cname), shred_expr(scol, fname, ftype)),
-                )
+        full = _repair_shred_columns(full, spec)
         v2 = v + 1
         try:
             _acquire_claim(root, table, v2)
@@ -1708,8 +1717,11 @@ def rebucket_manifest_table(
         if (spec["num_buckets"] == prev["num_buckets"]
                 and spec["bucket_cols"] == prev["bucket_cols"]
                 and spec["sort_cols"] == prev.get("sort_cols")):
-            raise ValueError("rebucket: the requested spec equals the "
-                             "current one — nothing to do")
+            # idempotent "ensure this layout": a retry after a crash
+            # that actually published must SUCCEED, not raise — the
+            # rebucket analog of append's batch_id no-op (review
+            # finding)
+            return prev["version"]
         ddl_cols = _ddl_columns(prev["schema_ddl"])
         missing = [c for c in spec["bucket_cols"] + spec["sort_cols"]
                    if c not in ddl_cols]
@@ -1743,6 +1755,7 @@ def rebucket_manifest_table(
             full = spark.read.schema(schema).parquet(
                 *[os.path.join(gen_dir, f) for f in prev["files"]]
             )
+            full = _repair_shred_columns(full, spec)
             manifest = _write_generation(
                 spark, full, root, table, v, spec, mode="errorifexists"
             )

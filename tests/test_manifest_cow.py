@@ -400,8 +400,11 @@ def test_rebucket_guards_and_shred_rides_along(spark, tmp_path):
         shred={"column": "payload", "fields": {"x": "bigint"}},
     )
     try:
-        with pytest.raises(ValueError, match="nothing to do"):
-            mb.rebucket_manifest_table(spark, root, "rbs", num_buckets=2)
+        # idempotent: re-requesting the current layout is a no-op
+        # returning the published version (the crash-retry contract)
+        assert mb.rebucket_manifest_table(
+            spark, root, "rbs", num_buckets=2
+        ) == mb.current_version(root, "rbs")
         with pytest.raises(ValueError, match="not in the table schema"):
             mb.rebucket_manifest_table(spark, root, "rbs",
                                        bucket_cols="nope", num_buckets=4)
@@ -414,3 +417,33 @@ def test_rebucket_guards_and_shred_rides_along(spark, tmp_path):
         assert r.agg(F.sum("x")).first()[0] == sum(3 * k for k in range(80))
     finally:
         mb.drop_catalog_entries(spark, root, "rbs")
+
+
+def test_rebucket_repairs_lazily_evolved_fields(spark, tmp_path):
+    """Review regression (confirmed): a rebucket after evolve_shred
+    must re-derive the lazily-added field from raw JSON — an
+    unrepaired rewrite would physically materialize all-NULL columns,
+    flip covered_fields to true, and silently corrupt routed reads."""
+    root = str(tmp_path)
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        F.to_json(F.struct((F.col("id") * 3).alias("x"),
+                           (F.col("id") * 5).alias("y"))).alias("payload"),
+    )
+    mb.create_manifest_table(
+        spark, df, root, "rr", bucket_cols="k", num_buckets=2,
+        shred={"column": "payload", "fields": {"x": "bigint"}},
+    )
+    try:
+        mb.evolve_shred(spark, root, "rr", add={"y": "bigint"})
+        mb.rebucket_manifest_table(spark, root, "rr", num_buckets=4)
+        m = mb.read_manifest(root, "rr")
+        assert mb.covered_fields(m) == {"x", "y"}
+        assert m["shred_field_stats"]["y"] == {
+            "min": 0, "max": 295, "n_nulls": 0
+        }
+        r = mb.read_manifest_table_shredded(spark, root, "rr",
+                                            {"y": "bigint"})
+        assert r.agg(F.sum("y")).first()[0] == sum(5 * k for k in range(60))
+    finally:
+        mb.drop_catalog_entries(spark, root, "rr")
