@@ -505,13 +505,24 @@ def main() -> None:
     }
     # r6 verdict #5: interleaved A/B/A isolated comparison vs the
     # prior-round tree (run out-of-band, serialized — never concurrent
-    # with this bench) so cross-round drift can't hide in one sample
+    # with this bench) so cross-round drift can't hide in one sample.
+    # The embedded file is the ROUND-7 run (r7 tree vs r6 tree) — the
+    # last tree-vs-tree A/B/A performed; it is labeled as such so a
+    # reader of a later round's BENCH artifact doesn't mistake it for
+    # a current-round comparison (r10 verdict #4).
     aba_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_ABA_r07.json"
     )
     if os.path.exists(aba_path):
         with open(aba_path) as fh:
-            payload["ab_comparison"] = json.load(fh)
+            aba = json.load(fh)
+        aba["rounds_compared"] = "r7-tree vs r6-tree (historical)"
+        aba["note"] = (
+            "last tree-vs-tree A/B/A, run in round 7; NOT a "
+            "current-round comparison — see SCALE.md for per-round "
+            "isolated A/B/A runs of individual queries"
+        )
+        payload["ab_comparison"] = aba
     # Full-precision copy on disk: the driver keeps only a bounded tail
     # of stdout, which truncated the cold numbers in round 2 — the file
     # is the durable, diffable artifact.

@@ -16390,6 +16390,20 @@ def quantile_sketch_merge_batch(spark, sf_dir):
                 list(row["par"]), row["n"], row["err2"],
             )
             merged = s if merged is None else merged.merge(s)
+        if merged.n >= CAP:
+            # the oracle hard-codes err_bound=0 and EXACT order
+            # statistics, which holds only while no compaction fires
+            # (per-key n < capacity).  A scale-factor bump past that
+            # regime must fail HERE with a clear message, not as an
+            # opaque driver hash mismatch (advisor finding) — the
+            # approximate regime is property-tested separately in
+            # tests/test_quantile_sketch.py
+            raise ValueError(
+                f"quantile_sketch_merge_batch gate ran outside the "
+                f"exact regime: key {pdf['key'].iloc[0]!r} has "
+                f"n={merged.n} >= capacity {CAP}; raise CAP (or expect "
+                f"err_bound > 0 and an exact-oracle mismatch)"
+            )
         out = {"key": pdf["key"].iloc[0], "n_rows": merged.n}
         for lbl, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
             out[f"{lbl}_cents"] = merged.quantile_at_rank(
@@ -16497,6 +16511,21 @@ def stream_quantile_drift_replay(spark, sf_dir):
         .agg(F.max_by(F.struct(*cols), F.col("_tot")).alias("s"))
         .select("s.*")
     )
+    # the oracle recomputes EXACT order statistics and err_bound=0,
+    # which holds only in the no-compaction regime; a scale-factor
+    # bump past the default capacity must fail with a clear message,
+    # not an opaque hash mismatch (advisor finding).  snaps is the
+    # replay's collected memory-sink output, so this extra scan is
+    # local, not a stream re-run.
+    drifted = last.filter(F.col("err_bound") != 0).limit(1).collect()
+    if drifted:
+        raise ValueError(
+            f"stream_quantile_drift_replay gate ran outside the exact "
+            f"regime: key {drifted[0]['key']!r} reports rank-error "
+            f"bound {drifted[0]['err_bound']} (compaction fired — "
+            f"per-key n exceeded the summary capacity); raise the "
+            f"capacity or expect an exact-oracle mismatch"
+        )
     return last
 
 

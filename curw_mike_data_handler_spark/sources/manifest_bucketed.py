@@ -138,6 +138,68 @@ def _claim_path(root: str, table: str, version: int) -> str:
                         f"claim-{version}")
 
 
+def _proc_start_time(pid: int) -> int | None:
+    """The kernel's starttime for ``pid`` (/proc/<pid>/stat field 22,
+    clock ticks since boot) — the disambiguator that makes pid-based
+    liveness checks safe against pid RECYCLING: a crashed writer's pid
+    reused by an unrelated process has a different starttime, so its
+    stale claim is correctly judged dead instead of blocking all
+    writers on that generation forever (advisor finding).  None where
+    /proc is unavailable (non-Linux) — callers then fall back to the
+    plain pid-exists check."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            data = fh.read()
+        # comm (field 2) may contain spaces/parens: split after the
+        # LAST ')' — the remainder starts at field 3, starttime is
+        # field 22, i.e. index 19 of the remainder
+        return int(data.rsplit(b")", 1)[1].split()[19])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _parse_claim(content: str) -> tuple[int, int | None]:
+    """``(pid, starttime)`` from claim-file content.  The format is
+    "pid starttime"; a bare "pid" (older claims, tests) parses with
+    starttime None — liveness then degrades to the pid-exists check."""
+    parts = content.strip().split()
+    try:
+        pid = int(parts[0])
+    except (IndexError, ValueError):
+        return -1, None
+    start = None
+    if len(parts) > 1:
+        try:
+            start = int(parts[1])
+        except ValueError:
+            start = None
+    return pid, start
+
+
+def _claim_owner_alive(content: str) -> bool:
+    """Is the writer that recorded this claim content still running?
+    Unparseable content is conservatively LIVE (never steal a claim we
+    can't attribute); our own pid is live (another thread of this
+    process); a pid that exists but whose /proc starttime differs from
+    the recorded one is a RECYCLED pid — the original writer is dead."""
+    pid, recorded_start = _parse_claim(content)
+    if pid <= 0:
+        return True
+    if pid == os.getpid():
+        return True
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        pass  # exists, owned by someone else
+    if recorded_start is not None:
+        current_start = _proc_start_time(pid)
+        if current_start is not None and current_start != recorded_start:
+            return False  # pid recycled: same number, different process
+    return True
+
+
 def _acquire_claim(root: str, table: str, version: int) -> None:
     """Serialize writers per generation: an ``os.link`` of a
     pre-written temp file onto ``claim-K`` is the commit-intent CAS —
@@ -160,8 +222,12 @@ def _acquire_claim(root: str, table: str, version: int) -> None:
     # by open(O_EXCL)+write: a reader can then never observe an empty
     # claim and misjudge a live writer as dead (review finding)
     tmp = f"{path}.tmp-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+    start = _proc_start_time(os.getpid())
     with open(tmp, "w") as fh:
-        fh.write(str(os.getpid()))
+        # pid + kernel starttime: the starttime disambiguates a
+        # RECYCLED pid from the original writer (see _claim_owner_alive)
+        fh.write(str(os.getpid()) if start is None
+                 else f"{os.getpid()} {start}")
         fh.flush()
         os.fsync(fh.fileno())
     try:
@@ -173,23 +239,15 @@ def _acquire_claim(root: str, table: str, version: int) -> None:
                 pass
             try:
                 with open(path) as fh:
-                    pid = int(fh.read().strip() or "-1")
+                    content = fh.read()
             except FileNotFoundError:
                 continue  # holder released between link and read: re-race
-            except (OSError, ValueError):
-                pid = -1
-            alive = True  # unreadable/garbled content ⇒ assume LIVE
-            if pid > 0 and pid != os.getpid():
-                try:
-                    os.kill(pid, 0)
-                except ProcessLookupError:
-                    alive = False
-                except PermissionError:
-                    pass  # exists, owned by someone else ⇒ live
-            if alive:
+            except OSError:
+                content = ""  # unreadable ⇒ _claim_owner_alive says LIVE
+            if _claim_owner_alive(content):
                 raise ConcurrentWriteError(
                     f"{table} generation {version} is being written by "
-                    f"pid {pid}"
+                    f"pid {_parse_claim(content)[0]}"
                 )
             # dead owner: RENAME the stale claim aside — rename of one
             # source admits exactly one winner among racing recoverers
@@ -229,6 +287,50 @@ def _release_claim(root: str, table: str, version: int) -> None:
                     pass
     except FileNotFoundError:
         pass
+
+
+def _claim_wait(
+    root: str, table: str, version: int, attempt: int, base_wait_s: float
+) -> None:
+    """Back off behind a LIVE competitor's claim — but wait on the
+    competitor's PROGRESS, not a fixed clock (advisor finding: a
+    legitimate Spark write routinely holds a claim far longer than the
+    old 20 × 0.5 s budget, and the loser would raise
+    ConcurrentWriteError even though no one crashed).  The wait for
+    retry ``attempt`` is exponential (base · 2^attempt, capped at 30 s
+    per attempt — ~8 min total at the default 20 retries instead of
+    10 s), polled at 50 ms, and returns EARLY the moment any of:
+
+    * the claim vanishes (the competitor released — published or
+      failed),
+    * the snapshot advances past ``version - 1`` (the competitor
+      published; the retry will re-read and target the next version),
+    * the claim's owner dies (takeover is now possible).
+
+    So the common case — a competitor that publishes quickly — still
+    retries with sub-second latency; only a genuinely long-running
+    competitor consumes the larger budget."""
+    import time
+
+    wait_s = min(base_wait_s * (2 ** attempt), 30.0)
+    deadline = time.monotonic() + wait_s
+    path = _claim_path(root, table, version)
+    while time.monotonic() < deadline:
+        try:
+            with open(path) as fh:
+                content = fh.read()
+        except FileNotFoundError:
+            return  # claim released
+        except OSError:
+            content = ""
+        try:
+            if current_version(root, table) >= version:
+                return  # competitor published this (or a later) version
+        except FileNotFoundError:
+            pass
+        if not _claim_owner_alive(content):
+            return  # owner crashed: the retry can take the claim over
+        time.sleep(0.05)
 
 
 def _publish(root: str, table: str, manifest: dict) -> None:
@@ -303,6 +405,29 @@ def _data_files(gen_dir: str) -> list[str]:
 _TYPE_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_<>(), ]*")
 
 
+def _valid_sql_type(t: str) -> bool:
+    """Character-class check PLUS a bracket-depth walk: commas and
+    spaces are legal only INSIDE balanced (...) / <...> parameter lists
+    (decimal(10,2), map<string, int>).  A top-level comma would smuggle
+    an extra column into the generated ``CREATE TABLE`` column list
+    ('bigint, extra int' passed the old regex — advisor finding); a
+    top-level space or unbalanced bracket would mangle the DDL at
+    register time.  Reject all three up front."""
+    if not _TYPE_RE.fullmatch(t):
+        return False
+    depth = 0
+    for ch in t:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+            if depth < 0:
+                return False
+        elif ch in ", " and depth == 0:
+            return False
+    return depth == 0
+
+
 def _check_shred(shred: dict) -> dict:
     """Validate a shred spec: field names are interpolated into column
     names and '$.field' paths, the COLUMN name into column names, and
@@ -325,10 +450,11 @@ def _check_shred(shred: dict) -> dict:
             raise ValueError(
                 f"shredded field {f!r} must match [A-Za-z_][A-Za-z0-9_]*"
             )
-        if not isinstance(t, str) or not _TYPE_RE.fullmatch(t):
+        if not isinstance(t, str) or not _valid_sql_type(t):
             raise ValueError(
                 f"shredded field {f!r} type {t!r} is not a plain SQL type "
-                f"(it is interpolated into generated DDL)"
+                f"(it is interpolated into generated DDL; commas/spaces "
+                f"are legal only inside balanced parens/angle brackets)"
             )
     return shred
 
@@ -1025,8 +1151,6 @@ def append_manifest_table(
     exchange); linking is O(existing files) metadata work; compaction
     is the amortized full rewrite, exactly as in append_bucketed — but
     the swap is now a pointer replace, not a catalog rename."""
-    import time
-
     for attempt in range(max_retries + 1):
         prev = read_manifest(root, table)
         if batch_id is not None and _batch_id_published(
@@ -1066,10 +1190,14 @@ def append_manifest_table(
         except ConcurrentWriteError:
             # a live competitor owns generation v: wait for its publish
             # to land, then retry ON TOP of it (both batches land; the
-            # loser is serialized behind the winner — never lost)
+            # loser is serialized behind the winner — never lost).
+            # Progress-based wait: returns as soon as the competitor
+            # publishes/releases/dies, backs off exponentially while it
+            # legitimately keeps writing (advisor finding: a Spark
+            # write routinely outlasts any fixed small budget)
             if attempt == max_retries:
                 raise
-            time.sleep(retry_wait_s)
+            _claim_wait(root, table, v, attempt, retry_wait_s)
             continue
         try:
             # the claim admits exactly one writer per version, but the
@@ -1428,8 +1556,6 @@ def _cow_rewrite(
     the manifest records the rewrite ratio for observability.
     ``batch_id`` gives rewrites the same exactly-once replay contract
     as appends (manifest-chain dedupe)."""
-    import time
-
     for attempt in range(max_retries + 1):
         prev = read_manifest(root, table)
         if batch_id is not None and _batch_id_published(
@@ -1448,7 +1574,7 @@ def _cow_rewrite(
         except ConcurrentWriteError:
             if attempt == max_retries:
                 raise
-            time.sleep(retry_wait_s)
+            _claim_wait(root, table, v, attempt, retry_wait_s)
             continue
         try:
             if current_version(root, table) != prev["version"]:
@@ -1534,15 +1660,38 @@ def _bucket_pruned_selector(
                 "equi-joins (it would INSERT beside the old NULL-key "
                 "row instead of replacing it); clean the key set first"
             )
-    n = prev0["num_buckets"]
-    touched_buckets = {
-        r[0]
-        for r in frame.select(
-            spark_bucket_id(n, *prev0["bucket_cols"]).alias("b")
-        ).distinct().collect()
-    }
+    # the census is keyed by the BUCKET SPEC it was computed against,
+    # and select_touched recomputes it when the manifest it actually
+    # filters carries a DIFFERENT spec — a concurrent
+    # rebucket_manifest_table publishing between the caller's manifest
+    # read and the claimed rewrite would otherwise have the old spec's
+    # bucket ids filter the new layout's files, hard-linking files
+    # that contain affected keys and inserting beside the surviving
+    # old row: silent duplicate keys (advisor finding).  ``frame`` is
+    # localCheckpoint()ed by every caller, so re-evaluating the census
+    # is deterministic.
+    census_cache: dict[tuple, set] = {}
+
+    def _census(n: int, cols: list[str]) -> set:
+        ck = (n, tuple(cols))
+        if ck not in census_cache:
+            census_cache[ck] = {
+                r[0]
+                for r in frame.select(
+                    spark_bucket_id(n, *cols).alias("b")
+                ).distinct().collect()
+            }
+        return census_cache[ck]
 
     def select_touched(m: dict) -> list[str]:
+        if not set(m["bucket_cols"]) <= set(keys):
+            raise ValueError(
+                f"table was re-bucketed onto {m['bucket_cols']} during "
+                f"the rewrite; key_cols {keys} no longer cover the "
+                f"bucket columns — re-issue the operation with a key "
+                f"set containing them"
+            )
+        touched_buckets = _census(m["num_buckets"], m["bucket_cols"])
         return [f for f in m["files"] if _file_bucket(f) in touched_buckets]
 
     return select_touched
@@ -1697,8 +1846,6 @@ def rebucket_manifest_table(
     Scale shape: ONE full clustered rewrite (the same amortized cost
     class as a compaction) — the price of a layout change, paid once,
     versus a shuffle on every future join at the wrong bucket count."""
-    import time
-
     kc = ([bucket_cols] if isinstance(bucket_cols, str)
           else list(bucket_cols) if bucket_cols is not None else None)
     sc = ([sort_cols] if isinstance(sort_cols, str)
@@ -1735,7 +1882,7 @@ def rebucket_manifest_table(
         except ConcurrentWriteError:
             if attempt == max_retries:
                 raise
-            time.sleep(retry_wait_s)
+            _claim_wait(root, table, v, attempt, retry_wait_s)
             continue
         try:
             if current_version(root, table) != prev["version"]:

@@ -447,3 +447,53 @@ def test_rebucket_repairs_lazily_evolved_fields(spark, tmp_path):
         assert r.agg(F.sum("y")).first()[0] == sum(5 * k for k in range(60))
     finally:
         mb.drop_catalog_entries(spark, root, "rr")
+
+
+def test_merge_census_recomputes_after_concurrent_rebucket(spark, table):
+    """Advisor regression (the round's medium finding): the bucket
+    census used to be computed ONCE from the manifest read before the
+    rewrite loop — a rebucket publishing in between made the old
+    spec's bucket ids filter the NEW layout's files, hard-linking
+    files that contain affected keys and inserting the update beside
+    the surviving old row (silent duplicate keys).  The selector now
+    recomputes the census whenever the manifest it filters carries a
+    different bucket spec.  This test replays the exact interleave:
+    selector built against the 4-bucket manifest, rebucket to 8
+    publishes, then the claimed rewrite runs against the 8-bucket
+    snapshot."""
+    prev0 = mb.read_manifest(table, "t")
+    updates = spark.createDataFrame(
+        [(k, -100 - k, k) for k in range(0, 40)], "k long, v long, ts_k long"
+    ).localCheckpoint()
+    select_touched = mb._bucket_pruned_selector(
+        prev0, updates, ["k"], validate=True
+    )
+    # the concurrent layout change lands between the census and the
+    # claimed publish
+    mb.rebucket_manifest_table(spark, table, "t", num_buckets=8)
+
+    def transform(old, prev):
+        ups = mb._physical_shape(updates, prev)
+        survivors = old.join(updates.select("k"), ["k"], "left_anti")
+        return survivors.unionByName(ups)
+
+    mb._cow_rewrite(spark, table, "t", select_touched, transform, "merge")
+
+    rows = mb.read_manifest_table(spark, table, "t").collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r["v"])
+    dupes = {k: vs for k, vs in by_key.items() if len(vs) > 1}
+    assert not dupes, f"stale census duplicated keys: {dupes}"
+    for k in range(0, 40):
+        assert by_key[k] == [-100 - k], f"update lost for k={k}"
+    assert len(rows) == 400
+
+    # and a rebucket onto DIFFERENT bucket columns mid-rewrite is
+    # refused loudly when the key set no longer covers them
+    prev1 = mb.read_manifest(table, "t")
+    sel2 = mb._bucket_pruned_selector(prev1, updates, ["k"], validate=False)
+    mb.rebucket_manifest_table(spark, table, "t", bucket_cols="ts_k",
+                               num_buckets=4)
+    with pytest.raises(ValueError, match="re-bucketed onto"):
+        mb._cow_rewrite(spark, table, "t", sel2, transform, "merge")

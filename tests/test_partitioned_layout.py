@@ -657,6 +657,100 @@ def test_manifest_live_claim_blocks_and_dead_claim_is_taken_over(spark, tmp_path
     assert mb.read_manifest_table(spark, root, "cl").count() == 40
 
 
+def test_claim_owner_liveness_detects_recycled_pid():
+    """Advisor regression: os.kill(pid, 0) alone judges a RECYCLED pid
+    live forever, permanently blocking writers on a crashed writer's
+    claim.  Claims now record the kernel starttime beside the pid; a
+    live pid whose starttime doesn't match the recorded one is a
+    different process — the original writer is dead."""
+    import subprocess
+    import sys
+    import time
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    proc = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(30)"])
+    try:
+        # starttime can lag /proc registration by a tick on a loaded box
+        start = None
+        for _ in range(20):
+            start = mb._proc_start_time(proc.pid)
+            if start is not None:
+                break
+            time.sleep(0.05)
+        assert start is not None, "/proc/<pid>/stat unreadable on this host"
+        # live process, matching starttime: LIVE
+        assert mb._claim_owner_alive(f"{proc.pid} {start}")
+        # same pid, DIFFERENT starttime = recycled pid: the recorded
+        # writer is dead even though a process with that pid exists
+        assert not mb._claim_owner_alive(f"{proc.pid} {start + 12345}")
+        # bare-pid legacy format degrades to the pid-exists check
+        assert mb._claim_owner_alive(str(proc.pid))
+    finally:
+        proc.kill()
+        proc.wait()
+    # after exit: dead in every format
+    assert not mb._claim_owner_alive(str(proc.pid))
+    assert not mb._claim_owner_alive(f"{proc.pid} 1")
+    # unattributable content is conservatively LIVE (never steal)
+    assert mb._claim_owner_alive("")
+    assert mb._claim_owner_alive("garbage")
+
+
+def test_claim_wait_returns_on_competitor_publish(spark, tmp_path):
+    """Advisor regression: the old fixed 20 × 0.5 s retry budget failed
+    writers behind a LEGITIMATELY slow competitor.  The wait is now
+    progress-based: it returns as soon as the competing claim clears or
+    the version advances — well before its (much larger) time budget —
+    so a loser's total wait tracks the competitor's actual write time."""
+    import threading
+    import time
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _mk_batch(spark, 0, 20), root, "cw",
+        bucket_cols="k", num_buckets=2,
+    )
+    # a foreign live claim on generation 1 (our own pid is special-
+    # cased as live, so borrow a real other process: pid 1 is init —
+    # always alive, never ours)
+    claim = mb._claim_path(root, "cw", 1)
+    with open(claim, "w") as fh:
+        fh.write("1")
+
+    def release_later():
+        time.sleep(0.4)
+        os.unlink(claim)
+
+    t = threading.Thread(target=release_later)
+    t.start()
+    t0 = time.monotonic()
+    # attempt 6 at base 0.5 s = a 30 s-class wait budget; the early
+    # exit must return within ~the release latency, not the budget
+    mb._claim_wait(root, "cw", 1, attempt=6, base_wait_s=0.5)
+    waited = time.monotonic() - t0
+    t.join()
+    assert waited < 5.0, f"claim_wait ignored the release ({waited:.1f}s)"
+
+    # and a published version also ends the wait: claim present and
+    # live, but LATEST already reached the contested version
+    with open(claim, "w") as fh:
+        fh.write("1")
+    try:
+        latest = mb._latest_path(root, "cw")
+        with open(latest, "w") as fh:
+            fh.write("1")
+        t0 = time.monotonic()
+        mb._claim_wait(root, "cw", 1, attempt=6, base_wait_s=0.5)
+        assert time.monotonic() - t0 < 1.0
+    finally:
+        os.unlink(claim)
+        with open(latest, "w") as fh:
+            fh.write("0")
+
+
 def test_manifest_expire_keeps_pinned_reader_window_resolvable(spark, tmp_path):
     """expire(keep=k) must never remove a generation inside the keep
     window: a reader pinned to any retained version still resolves and

@@ -332,3 +332,26 @@ def test_hostile_type_strings_rejected(spark, tmp_path):
                 shred={"column": "payload", "fields": {"x": bad_type}},
             )
 
+
+def test_comma_smuggled_type_strings_rejected():
+    """Advisor regression: the character-class regex allowed commas
+    ANYWHERE, so 'bigint, extra int' validated and interpolated an
+    unintended extra column into the CREATE TABLE column list.  Commas
+    and spaces are now legal only inside balanced parens/angle
+    brackets; unbalanced brackets are rejected too."""
+    for bad_type in (
+        "bigint, extra int",      # top-level comma: column smuggling
+        "bigint extra",           # top-level space: mangled DDL
+        "decimal(10,2",           # unbalanced open
+        "array<int>>",            # unbalanced close
+        "int), `y` string, (int",  # re-balanced smuggle attempt
+    ):
+        with pytest.raises(ValueError, match="not a plain SQL type"):
+            mb._check_shred(
+                {"column": "payload", "fields": {"x": bad_type}}
+            )
+    # legitimately parameterized types still pass
+    for ok in ("bigint", "decimal(10,2)", "decimal(10, 2)",
+               "map<string, int>", "array<int>"):
+        mb._check_shred({"column": "payload", "fields": {"x": ok}})
+
