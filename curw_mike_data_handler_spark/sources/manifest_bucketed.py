@@ -974,7 +974,7 @@ def _write_generation(
         "shred_field_stats": _shred_field_summary(shred_stats, shred),
         "point_filters": spec.get("point_filters"),
         "point_filter_stats": _point_filter_stats(
-            gen_dir, files, spec.get("point_filters"),
+            spark, gen_dir, files, spec.get("point_filters"),
             carry=link_from.get("point_filter_stats") if link_from else None,
         ),
     }
@@ -1426,38 +1426,93 @@ def bloom_may_contain(bloom_hex: str, value, bits: int, k: int) -> bool:
 
 
 def _point_filter_stats(
+    spark: SparkSession,
     gen_dir: str,
     files: list[str],
     spec_pf: dict | None,
     carry: dict | None = None,
 ) -> dict:
     """Per-file Bloom filters for the spec'd columns:
-    ``{file: {col: hex_bitset}}``.  Unlike footer stats this READS the
-    column (distinct values of one column of one local file — the
-    publish-time cost the skip buys); hard-linked files inherit via
-    ``carry``.  A file whose column cannot be read gets no entry and
-    is then never pruned."""
+    ``{file: {col: [bits, hex_bitset]}}``.  Unlike footer stats this
+    READS the columns (the publish-time cost the skip buys) — so the
+    build is DISTRIBUTED (r10 verdict #1): one Spark job scans only
+    the NEW files' spec'd columns, a JVM-side ``collect_set`` per
+    (file, column) dedupes before anything crosses into Python, an
+    Arrow-batched ``mapInPandas`` folds each distinct set into its
+    bitset executor-side, and only the O(files × cols) hex strings
+    return to the driver.  The old implementation re-read every new
+    file's full column ON THE DRIVER in a serial loop — a publish-time
+    scale-killer once an append lands hundreds of files.
+
+    Canonical hash form: values are cast to STRING in the JVM before
+    collection — bigint 5 → "5", exactly ``str(5)``, the form
+    ``_bloom_hashes`` uses at probe time (and the reason the spec
+    restricts filter columns to int/string types).  Going through
+    pandas with the native types instead would be a silent corruption:
+    Arrow→pandas turns a nullable int64 column into float64, and
+    ``str(5.0)`` is not ``str(5)``.
+
+    Hard-linked files inherit via ``carry`` (same inode, same
+    content).  If the build job fails, the new files simply get no
+    entry — skipping is an optimization, never a filter, so a missing
+    bitset degrades point reads to keep-the-file, not to a wrong
+    answer."""
     if not spec_pf:
         return {}
-    import pyarrow.parquet as pq
-
-    k = spec_pf["hashes"]
     out: dict[str, dict] = {}
+    new: list[str] = []
     for fn in files:
         if carry and fn in carry:
             out[fn] = carry[fn]
-            continue
-        per_col: dict[str, list] = {}
-        for col in spec_pf["cols"]:
-            try:
-                t = pq.read_table(os.path.join(gen_dir, fn), columns=[col])
-                vals = set(t.column(0).to_pylist())
-            except Exception:  # unreadable file / missing column —
-                continue       # no filter ⇒ the file is never pruned
-            bits = _bloom_bits_for(len(vals))
-            per_col[col] = [bits, _bloom_of_values(vals, bits, k)]
-        if per_col:
-            out[fn] = per_col
+        else:
+            new.append(fn)
+    if not new:
+        return out
+    k = spec_pf["hashes"]
+    cols = list(spec_pf["cols"])
+    try:
+        distinct = (
+            spark.read.parquet(*[os.path.join(gen_dir, f) for f in new])
+            .select(
+                F.input_file_name().alias("_file"),
+                *[F.col(c).cast("string").alias(c) for c in cols],
+            )
+            .groupBy("_file")
+            .agg(*[F.collect_set(c).alias(c) for c in cols])
+        )
+
+        def build(pdfs):
+            import pandas as pd
+
+            for pdf in pdfs:
+                rows = []
+                for _, r in pdf.iterrows():
+                    fn = os.path.basename(r["_file"])
+                    for c in cols:
+                        vals = list(r[c])
+                        bits = _bloom_bits_for(len(vals))
+                        rows.append(
+                            (fn, c, bits, _bloom_of_values(vals, bits, k))
+                        )
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["file", "col", "bits", "bloom"]
+                    )
+
+        built = distinct.mapInPandas(
+            build, schema="file string, col string, bits int, bloom string"
+        ).collect()
+    except Exception:  # pragma: no cover - degraded publish
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "point-filter build failed for %d files — they get no "
+            "filter and are never pruned (reads stay correct)",
+            len(new), exc_info=True,
+        )
+        return out
+    for r in built:
+        out.setdefault(r["file"], {})[r["col"]] = [r["bits"], r["bloom"]]
     return out
 
 

@@ -497,3 +497,56 @@ def test_merge_census_recomputes_after_concurrent_rebucket(spark, table):
                                num_buckets=4)
     with pytest.raises(ValueError, match="re-bucketed onto"):
         mb._cow_rewrite(spark, table, "t", sel2, transform, "merge")
+
+
+def test_point_filter_build_does_no_driver_column_reads(spark, tmp_path, monkeypatch):
+    """r10 verdict #1: the Bloom build used to pq.read_table every new
+    file's column ON THE DRIVER in a serial loop — a publish-time
+    scale-killer at hundreds of files.  The build is now one
+    distributed Spark job (JVM collect_set + Arrow mapInPandas); the
+    driver must read only FOOTER metadata (ParquetFile), never column
+    data.  Guard: pq.read_table raising in the driver process for the
+    whole publish; filters must still come out complete and correct,
+    including string columns."""
+    import pyarrow.parquet as pq
+
+    def forbidden(*a, **kw):
+        raise AssertionError(
+            "driver-side pq.read_table during publish — the point-"
+            "filter build must be the distributed job"
+        )
+
+    monkeypatch.setattr(pq, "read_table", forbidden)
+    root = str(tmp_path)
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k", "CAST(id % 311 AS BIGINT) AS sec",
+        "md5(CAST(id % 97 AS STRING)) AS tag",
+    )
+    mb.create_manifest_table(
+        spark, df.filter("k < 1200"), root, "pfd",
+        bucket_cols="k", num_buckets=4,
+        point_filter_cols=["sec", "tag"],
+    )
+    try:
+        mb.append_manifest_table(spark, df.filter("k >= 1200"), root, "pfd")
+        m = mb.read_manifest(root, "pfd")
+        assert set(m["point_filter_stats"]) == set(m["files"])
+        for f, per_col in m["point_filter_stats"].items():
+            assert set(per_col) == {"sec", "tag"}
+        # no false negatives through the distributed build, for BOTH
+        # the int column (canonical "5", not "5.0") and the string one
+        full = mb.read_manifest_table(spark, root, "pfd")
+        probe_tag = full.filter("k = 77").first()["tag"]
+        for col, probe in (("sec", 5), ("sec", 310), ("tag", probe_tag)):
+            want = sorted(
+                r["k"] for r in full.filter(F.col(col) == probe).collect()
+            )
+            got = sorted(
+                r["k"]
+                for r in mb.read_manifest_table_point(
+                    spark, root, "pfd", col, probe
+                ).filter(F.col(col) == probe).collect()
+            )
+            assert want == got and want, (col, probe)
+    finally:
+        mb.drop_catalog_entries(spark, root, "pfd")
