@@ -76,11 +76,18 @@ _FIELD_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 def _check_table_name(table: str) -> str:
     """Table names double as directory names AND catalog identifiers —
     a dash or space would be a fine directory but a ParseException in
-    every generated DROP/CREATE statement, so reject it up front."""
+    every generated DROP/CREATE statement, so reject it up front.
+    Leading underscores are RESERVED for root-level metadata (the
+    ``_txn`` transaction catalog lives beside the table dirs)."""
     if not _TABLE_NAME_RE.fullmatch(table):
         raise ValueError(
             f"table name {table!r} must match [A-Za-z_][A-Za-z0-9_]* "
             f"(it is interpolated into catalog identifiers)"
+        )
+    if table.startswith("_"):
+        raise ValueError(
+            f"table name {table!r} is reserved (leading underscore "
+            f"names root-level metadata such as the _txn catalog)"
         )
     return table
 
@@ -835,6 +842,80 @@ def _file_stats(
     return out
 
 
+def _size_stats(
+    gen_dir: str,
+    files: list[str],
+    carry: dict | None = None,
+) -> dict:
+    """Per-file ``[rows, disk_bytes, uncompressed_bytes]`` straight
+    from the parquet footers and os.stat — O(files) METADATA reads, no
+    column data touched (r10 verdict #2: table statistics for the
+    optimizer must come from manifest truth, and be free to record).
+    ``uncompressed_bytes`` sums the row groups' total_byte_size — the
+    in-memory size proxy the broadcast decision needs, which the
+    on-disk size systematically understates for dictionary/RLE-friendly
+    columns (a 10×-compressed 9 MB file is a 90 MB broadcast).
+    Hard-linked files inherit via ``carry`` (same inode, same footer)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, list] = {}
+    for fn in files:
+        if carry and fn in carry:
+            out[fn] = carry[fn]
+            continue
+        path = os.path.join(gen_dir, fn)
+        try:
+            md = pq.ParquetFile(path).metadata
+            disk = os.stat(path).st_size
+        except OSError:
+            continue
+        unc = sum(
+            md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+        )
+        out[fn] = [md.num_rows, disk, unc]
+    return out
+
+
+# per-type in-memory widths, the same defaults Spark's CBO assumes
+# (strings/binary/complex: 20).  Used with the manifest's EXACT row
+# count — the part of the estimate Spark's file-size guess lacks.
+_TYPE_WIDTHS = {
+    "bigint": 8, "long": 8, "double": 8, "timestamp": 8,
+    "timestamp_ntz": 8, "decimal": 16, "date": 4, "int": 4,
+    "integer": 4, "float": 4, "smallint": 2, "tinyint": 1, "boolean": 1,
+}
+
+
+def _schema_row_width(schema_ddl: str) -> int:
+    width = 8  # per-tuple overhead
+    for _, t in _ddl_columns(schema_ddl).items():
+        base = t.split("(")[0].split("<")[0].strip().lower()
+        width += _TYPE_WIDTHS.get(base, 20)
+    return width
+
+
+def _size_rollup(size_stats: dict, n_files: int, schema_ddl: str) -> dict | None:
+    """Manifest-level totals of the per-file size stats.  None when
+    any file lacks an entry — a partial row count would lie to the
+    planner, and absent stats must degrade to no-hint, never to a
+    wrong hint.
+
+    ``in_memory_est`` is what a broadcast of this table would
+    actually ship: parquet's footer "uncompressed" size is measured
+    AFTER dictionary/RLE encoding, so it too understates the decoded
+    rows — take the max of it and row_count × CBO-style row width."""
+    if len(size_stats) != n_files:
+        return None
+    rows = sum(v[0] for v in size_stats.values())
+    unc = sum(v[2] for v in size_stats.values())
+    return {
+        "row_count": rows,
+        "total_bytes": sum(v[1] for v in size_stats.values()),
+        "uncompressed_bytes": unc,
+        "in_memory_est": max(unc, rows * _schema_row_width(schema_ddl)),
+    }
+
+
 def pruned_files(
     manifest: dict, *, lower=None, upper=None
 ) -> list[str]:
@@ -955,6 +1036,10 @@ def _write_generation(
         gen_dir, files, shred,
         carry=link_from.get("shred_stats") if link_from else None,
     )
+    size_stats = _size_stats(
+        gen_dir, files,
+        carry=link_from.get("size_stats") if link_from else None,
+    )
     return {
         "table": table,
         "version": version,
@@ -972,6 +1057,9 @@ def _write_generation(
         ),
         "shred_stats": shred_stats,
         "shred_field_stats": _shred_field_summary(shred_stats, shred),
+        "size_stats": size_stats,
+        "size_rollup": _size_rollup(size_stats, len(files),
+                                    spec["schema_ddl"]),
         "point_filters": spec.get("point_filters"),
         "point_filter_stats": _point_filter_stats(
             spark, gen_dir, files, spec.get("point_filters"),
@@ -1492,15 +1580,19 @@ def _point_filter_stats(
                         vals = list(r[c])
                         bits = _bloom_bits_for(len(vals))
                         rows.append(
-                            (fn, c, bits, _bloom_of_values(vals, bits, k))
+                            (fn, c, bits, _bloom_of_values(vals, bits, k),
+                             len(vals))
                         )
                 if rows:
                     yield pd.DataFrame(
-                        rows, columns=["file", "col", "bits", "bloom"]
+                        rows,
+                        columns=["file", "col", "bits", "bloom", "ndv"],
                     )
 
         built = distinct.mapInPandas(
-            build, schema="file string, col string, bits int, bloom string"
+            build,
+            schema="file string, col string, bits int, bloom string, "
+                   "ndv bigint",
         ).collect()
     except Exception:  # pragma: no cover - degraded publish
         import logging
@@ -1512,8 +1604,39 @@ def _point_filter_stats(
         )
         return out
     for r in built:
-        out.setdefault(r["file"], {})[r["col"]] = [r["bits"], r["bloom"]]
+        # the per-file exact distinct COUNT rides along for free — the
+        # manifest's NDV evidence (see column_ndv_bounds)
+        out.setdefault(r["file"], {})[r["col"]] = [
+            r["bits"], r["bloom"], r["ndv"],
+        ]
     return out
+
+
+def column_ndv_bounds(manifest: dict, col: str) -> tuple[int, int] | None:
+    """Hard ``(lower, upper)`` bounds on a point-filter column's table-
+    wide distinct count, from the EXACT per-file distinct counts the
+    Bloom build records (r10 verdict #2's NDV estimates — manifest
+    truth at zero extra cost): the table NDV is at least the largest
+    single file's count and at most min(sum over files, row count).
+    None when the column has no filter, any file lacks a count (older
+    manifests recorded [bits, bloom] only), or the table is empty."""
+    pf = manifest.get("point_filters")
+    if not pf or col not in pf.get("cols", []):
+        return None
+    stats = manifest.get("point_filter_stats", {})
+    counts = []
+    for fn in manifest["files"]:
+        ent = stats.get(fn, {}).get(col)
+        if ent is None or len(ent) < 3:
+            return None
+        counts.append(ent[2])
+    if not counts:
+        return None
+    upper = sum(counts)
+    rollup = manifest.get("size_rollup")
+    if rollup:
+        upper = min(upper, rollup["row_count"])
+    return max(counts), upper
 
 
 def point_pruned_files(manifest: dict, col: str, value) -> list[str]:
@@ -1531,7 +1654,7 @@ def point_pruned_files(manifest: dict, col: str, value) -> list[str]:
         ent = stats.get(fn, {}).get(col)
         if ent is None:
             return True
-        bits, blm = ent
+        bits, blm = ent[0], ent[1]  # ent[2] (ndv, newer manifests) unused
         return bloom_may_contain(blm, value, bits, k)
 
     return [fn for fn in manifest["files"] if keep(fn)]
@@ -2085,6 +2208,75 @@ def read_manifest_table(
     )
 
 
+def _parse_bytes_conf(v: str) -> int:
+    """Spark size confs arrive as '10485760', '10485760b', '10m',
+    '1g', ... — normalize to bytes (negative = feature disabled)."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+                      ("kb", 1 << 10), ("t", 1 << 40), ("g", 1 << 30),
+                      ("m", 1 << 20), ("k", 1 << 10), ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(s) * mult
+
+
+def read_manifest_table_stats_hinted(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read whose JOIN STRATEGY is decided from manifest truth
+    (r10 verdict #2) instead of Spark's file-size guess.  Spark sizes a
+    parquet relation by its ON-DISK bytes, but what a broadcast ships
+    is the DECOMPRESSED table — for dictionary/RLE-friendly data the
+    two differ by 10×+, so a 9 MB file under the 10 MB threshold can be
+    a 90 MB broadcast (executor OOM at scale).  The manifest records
+    exact ``row_count`` / ``total_bytes`` / ``uncompressed_bytes`` from
+    the parquet footers at publish (zero-cost metadata), and this read
+    turns them into the hint Spark's estimator cannot derive:
+
+    * ``in_memory_est`` ≤ threshold → ``broadcast`` hint (safe and
+      profitable no matter what the disk size suggests);
+    * disk size ≤ threshold < ``in_memory_est`` → ``merge`` hint —
+      exactly the case where the file-size guess would wrongly
+      broadcast this table, the hint forces the sort-merge plan;
+    * otherwise no hint (Spark's own estimate already decides
+      correctly, and an un-hinted side leaves the optimizer free to
+      broadcast the OTHER side of a join).
+
+    ``in_memory_est`` is max(footer uncompressed bytes, exact row
+    count × CBO row width) — parquet's "uncompressed" is measured
+    after dictionary/RLE encoding and still understates what a
+    broadcast ships, while the row count is exact manifest truth.
+
+    Missing stats (older manifests, unreadable footers) degrade to the
+    plain read — never to a wrong hint.  Plan-guarded in
+    tests/test_manifest_stats.py; NDV evidence for join-key reasoning
+    is exposed separately via column_ndv_bounds."""
+    m = read_manifest(root, table, version)
+    df = read_manifest_table(spark, root, table, version)
+    rollup = m.get("size_rollup")
+    if not rollup:
+        return df
+    try:
+        thr = _parse_bytes_conf(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except (ValueError, TypeError):
+        return df
+    if thr <= 0:
+        return df  # broadcasting disabled: respect it, hint nothing
+    est = rollup.get("in_memory_est", rollup["uncompressed_bytes"])
+    if est <= thr:
+        return df.hint("broadcast")
+    if rollup["total_bytes"] <= thr:
+        return df.hint("merge")
+    return df
+
+
 def read_manifest_table_pruned(
     spark: SparkSession,
     root: str,
@@ -2143,14 +2335,18 @@ def expire_generations(
         for f in os.listdir(mdir)
         if (m := re.fullmatch(r"manifest-(\d+)\.json", f))
     )
-    expired = [v for v in versions if v <= latest - keep]
+    # a version pinned by the transaction catalog is live for atomic
+    # readers no matter its age — expiring it would turn every
+    # read_tables_atomic into FileNotFoundError until the next commit
+    txn_pinned = read_txn_catalog(root)["tables"].get(table)
+    expired = [v for v in versions if v <= latest - keep and v != txn_pinned]
     # a metadata-only generation (evolve_shred) SHARES its parent's
     # directory: a data directory may be deleted only when NO retained
     # manifest still references it
     retained_dirs = {
         read_manifest(root, table, v)["generation"]
         for v in versions
-        if v > latest - keep
+        if v > latest - keep or v == txn_pinned
     }
     for v in expired:
         gen_rel = read_manifest(root, table, v)["generation"]
@@ -2162,3 +2358,187 @@ def expire_generations(
             )
         os.unlink(_manifest_path(root, table, v))
     return expired
+
+
+# ---------------------------------------------------------------------------
+# Multi-table atomic commit (round 11, README roadmap #2)
+#
+# A fact+dim publish must be all-or-nothing: a reader must never see
+# the new fact joined against the old dim.  Per-table manifests can't
+# give that — each LATEST swap is atomic alone, but two swaps have a
+# window.  The fix is the standard catalog-level commit (what
+# Iceberg's REST/Nessie catalogs do for multi-table transactions),
+# scaled down to one more pointer file:
+#
+# * ``commit_multi_table`` appends every table's batch through the
+#   normal per-table machinery FIRST (each publish atomic and
+#   claim-serialized, each carrying a per-table batch_id for
+#   exactly-once crash replay), and only THEN swaps the root-level
+#   ``_txn/LATEST`` pointer at a catalog file pinning
+#   ``{table: version}`` — the single linearization point of the
+#   cross-table commit.
+# * ``read_tables_atomic`` resolves table versions ONLY through that
+#   catalog, so a crash anywhere between the per-table publishes
+#   leaves atomic readers on the previous txn snapshot in FULL
+#   (all-old, never a mixture), and the documented retry completes
+#   the commit with every already-published append deduped by its
+#   batch_id.
+#
+# Contract split, stated plainly: cross-table atomicity is a property
+# of the ATOMIC read path.  Plain per-table reads keep their standing
+# contract — each table individually a consistent snapshot — and may
+# observe table A's new version while the txn is still publishing
+# table B.  Tables written outside any transaction show atomic
+# readers their last txn-pinned version (a consistent, possibly
+# stale, cross-table snapshot).
+# ---------------------------------------------------------------------------
+
+_TXN = "_txn"
+
+
+def _txn_catalog_path(root: str, version: int) -> str:
+    return os.path.join(root, _TXN, "manifests", f"catalog-{version}.json")
+
+
+def _txn_latest_path(root: str) -> str:
+    return os.path.join(root, _TXN, "LATEST")
+
+
+def read_txn_catalog(root: str, version: int | None = None) -> dict:
+    """The transaction catalog: ``{"version": N, "tables":
+    {table: pinned_version}, "parent": N-1, "batch_id": ...}``.
+    ``{"version": -1, "tables": {}}`` before any commit."""
+    if version is None:
+        try:
+            with open(_txn_latest_path(root)) as fh:
+                version = int(fh.read().strip())
+        except FileNotFoundError:
+            return {"version": -1, "tables": {}}
+    with open(_txn_catalog_path(root, version)) as fh:
+        return json.load(fh)
+
+
+def _publish_txn(root: str, cat: dict) -> None:
+    """Durable catalog write + atomic LATEST swap — the same
+    temp+fsync+replace discipline as _publish, one directory up."""
+    path = _txn_catalog_path(root, cat["version"])
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+
+    def _durable(p: str, text: str) -> None:
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, p)
+        dfd = os.open(os.path.dirname(p), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+    _durable(path, json.dumps(cat, indent=1))
+    _durable(_txn_latest_path(root), str(cat["version"]))
+
+
+def commit_multi_table(
+    spark: SparkSession,
+    root: str,
+    appends: dict[str, DataFrame],
+    *,
+    batch_id: str | None = None,
+    compact_files_per_bucket: int = 8,
+    max_retries: int = 20,
+    retry_wait_s: float = 0.5,
+) -> int:
+    """Append each table's batch and pin the result as ONE atomic
+    cross-table snapshot.  Returns the published txn version.
+
+    Every table must already exist (create_manifest_table).  The
+    per-table appends run first through the normal machinery — each
+    atomic on its own, serialized against concurrent writers by the
+    claim CAS, and (when ``batch_id`` is given) exactly-once under
+    crash replay via a derived per-table id ``{batch_id}:{table}``.
+    The txn catalog pointer swaps LAST: atomic readers switch from
+    the previous snapshot to the new one in one os.replace, with no
+    mixed state at any point, no matter where a writer crashed.
+
+    A replay of a FULLY committed transaction (same ``batch_id``) is
+    a no-op returning the already-published txn version; a replay of
+    a partially published one re-drives the missing appends (the
+    completed ones dedupe) and then commits.  Crash-injection
+    coverage: tests/test_multi_table_txn.py."""
+    if not appends:
+        raise ValueError("commit_multi_table: no tables to commit")
+    cat0 = read_txn_catalog(root)
+    if batch_id is not None and cat0.get("batch_id") == batch_id:
+        return cat0["version"]
+    # deterministic publish order: a crashed commit and its replay
+    # walk the tables identically, so the dedupe prefix always aligns
+    new_versions: dict[str, int] = {}
+    for table in sorted(appends):
+        new_versions[table] = append_manifest_table(
+            spark, appends[table], root, table,
+            batch_id=None if batch_id is None else f"{batch_id}:{table}",
+            compact_files_per_bucket=compact_files_per_bucket,
+            max_retries=max_retries, retry_wait_s=retry_wait_s,
+        )
+    # catalog swap, serialized by the same claim CAS one level up
+    for attempt in range(max_retries + 1):
+        cat = read_txn_catalog(root)
+        if batch_id is not None and cat.get("batch_id") == batch_id:
+            return cat["version"]  # a concurrent replay won the swap
+        v = cat["version"] + 1
+        try:
+            _acquire_claim(root, _TXN, v)
+        except ConcurrentWriteError:
+            if attempt == max_retries:
+                raise
+            _claim_wait(root, _TXN, v, attempt, retry_wait_s)
+            continue
+        try:
+            if read_txn_catalog(root)["version"] != cat["version"]:
+                continue  # lost the race between read and claim
+            tables = dict(cat["tables"])
+            tables.update(new_versions)
+            new_cat = {
+                "version": v,
+                "parent": cat["version"] if cat["version"] >= 0 else None,
+                "tables": tables,
+            }
+            if batch_id is not None:
+                new_cat["batch_id"] = batch_id
+            _publish_txn(root, new_cat)
+            return v
+        finally:
+            _release_claim(root, _TXN, v)
+    raise ConcurrentWriteError(
+        f"txn catalog swap lost the race {max_retries + 1} times"
+    )
+
+
+def read_tables_atomic(
+    spark: SparkSession,
+    root: str,
+    tables: list[str],
+    *,
+    txn_version: int | None = None,
+) -> dict[str, DataFrame]:
+    """One consistent CROSS-TABLE snapshot: every table resolves at
+    the version pinned by a single txn catalog file, so two tables
+    committed together are always read together — all-old or all-new,
+    never a mixture, even while a commit is mid-flight.
+    ``txn_version`` time-travels the whole group."""
+    cat = read_txn_catalog(root, txn_version)
+    out: dict[str, DataFrame] = {}
+    for t in tables:
+        v = cat["tables"].get(t)
+        if v is None:
+            raise KeyError(
+                f"table {t!r} has never been committed through a "
+                f"transaction (txn catalog version {cat['version']}); "
+                f"read it with read_manifest_table, or include it in a "
+                f"commit_multi_table call"
+            )
+        out[t] = read_manifest_table(spark, root, t, version=v)
+    return out
