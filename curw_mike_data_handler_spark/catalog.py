@@ -17035,6 +17035,160 @@ def manifest_rebucket_read(spark, sf_dir):
     return result
 
 
+@query(
+    "manifest_stats_broadcast_join",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def manifest_stats_broadcast_join(spark, sf_dir):
+    """Manifest statistics driving the optimizer (round 11, README
+    roadmap #1): orders and customer publish as manifest tables, whose
+    manifests record exact row counts, disk/uncompressed bytes, and an
+    in-memory estimate from the parquet FOOTERS at publish (zero-cost
+    metadata — manifest_bucketed._size_stats).  The dim side is read
+    through ``read_manifest_table_stats_hinted``, which picks the join
+    strategy from that manifest truth instead of Spark's on-disk-size
+    guess: broadcast when the in-memory estimate fits the session
+    threshold (this query's shape), a merge hint exactly when the
+    file-size guess would wrongly broadcast a compressible-but-wide
+    table.  The rollup is the fact-dim join the reference runs per
+    station dict (SURVEY J4), restated at manifest scale.
+
+    Scale shape: at 100 TB the fact side never moves (bucketed scan),
+    the dim broadcast decision is made from exact row counts rather
+    than a compression-dependent guess — the 10×-compressed dim that
+    OOMs the executors is refused by manifest truth
+    (tests/test_manifest_stats.py plan-guards the flip both ways)."""
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("pc")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    root = tempfile.mkdtemp(prefix="cm_stats_")
+    try:
+        mb.create_manifest_table(
+            spark, o, root, "orders_sb",
+            bucket_cols="o_custkey", num_buckets=8,
+        )
+        mb.create_manifest_table(
+            spark, c, root, "cust_sb",
+            bucket_cols="c_custkey", num_buckets=8,
+        )
+        fact = mb.read_manifest_table(spark, root, "orders_sb")
+        dim = mb.read_manifest_table_stats_hinted(spark, root, "cust_sb")
+        out = (
+            fact.join(dim, fact["o_custkey"] == dim["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("pc").alias("sum_cents"),
+            )
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        mb.drop_catalog_entries(spark, root, "orders_sb")
+        mb.drop_catalog_entries(spark, root, "cust_sb")
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+@query(
+    "multi_table_atomic_commit_read",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def multi_table_atomic_commit_read(spark, sf_dir):
+    """Multi-table ATOMIC commit (round 11, README roadmap #2): fact
+    (orders) and dim (customer) each publish a first half at create,
+    then ONE ``commit_multi_table`` appends both second halves and
+    swaps the root-level txn-catalog pointer — the single cross-table
+    linearization point.  AFTER the transaction, junk rows (shifted
+    keys, repriced) land in the fact table OUTSIDE any transaction;
+    ``read_tables_atomic`` must resolve both tables at the txn-pinned
+    versions, so the join sees the complete two-table commit and NONE
+    of the junk — the oracle recomputes the join over exactly the
+    original tables, so a torn commit (half the append missing) or a
+    leaked post-txn row diverges.
+
+    Scale shape: the commit's cost is the two appends (each one
+    clustered exchange of its batch + O(files) links) plus one O(1)
+    pointer swap; atomicity comes from the pointer, not from locking
+    data files — the Iceberg/Nessie catalog-commit shape
+    (crash-injection coverage: tests/test_multi_table_txn.py)."""
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("pc")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    root = tempfile.mkdtemp(prefix="cm_txn_")
+    try:
+        mb.create_manifest_table(
+            spark, o.filter(F.col("o_orderkey") % 3 == 0), root, "fact_tx",
+            bucket_cols="o_custkey", num_buckets=8,
+        )
+        mb.create_manifest_table(
+            spark, c.filter(F.col("c_custkey") % 2 == 0), root, "dim_tx",
+            bucket_cols="c_custkey", num_buckets=8,
+        )
+        mb.commit_multi_table(
+            spark, root,
+            {
+                "fact_tx": o.filter(F.col("o_orderkey") % 3 != 0),
+                "dim_tx": c.filter(F.col("c_custkey") % 2 != 0),
+            },
+            batch_id="gate-txn",
+        )
+        # post-txn junk: same customers, shifted keys, +1 cent — it
+        # would change every group's sum if the atomic read leaked it
+        mb.append_manifest_table(
+            spark,
+            o.select(
+                (F.col("o_orderkey") + 10_000_000_000).alias("o_orderkey"),
+                "o_custkey",
+                (F.col("pc") + 1).alias("pc"),
+            ),
+            root, "fact_tx", compact_files_per_bucket=100,
+        )
+        snap = mb.read_tables_atomic(spark, root, ["fact_tx", "dim_tx"])
+        fact, dim = snap["fact_tx"], snap["dim_tx"]
+        out = (
+            fact.join(dim, fact["o_custkey"] == dim["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("pc").alias("sum_cents"),
+                F.countDistinct("o_custkey").alias("n_custs"),
+            )
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        mb.drop_catalog_entries(spark, root, "fact_tx")
+        mb.drop_catalog_entries(spark, root, "dim_tx")
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
