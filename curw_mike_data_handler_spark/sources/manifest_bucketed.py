@@ -777,7 +777,7 @@ def read_manifest_table_shred_pruned(
         empty = spark.createDataFrame([], schema)
         return _routed_projection(empty, m.get("shred"), fields, base,
                                   covered=cov)
-    raw = spark.read.schema(schema).parquet(*files)
+    raw = _dv_filter(spark, spark.read.schema(schema).parquet(*files), m)
     return _routed_projection(raw, m.get("shred"), fields, base, covered=cov)
 
 
@@ -1040,6 +1040,16 @@ def _write_generation(
         gen_dir, files,
         carry=link_from.get("size_stats") if link_from else None,
     )
+    # deletion vectors follow their files: a hard-linked file keeps its
+    # vector (same bytes, same positions); a REWRITTEN file's vector is
+    # dropped — the rewrite read applied it, the deletes are physical
+    # now.  New files never have one.
+    file_set = set(files)
+    carried_dvs = {
+        f: ps
+        for f, ps in (link_from.get("delete_vectors") or {}).items()
+        if f in file_set
+    } if link_from else {}
     return {
         "table": table,
         "version": version,
@@ -1060,6 +1070,8 @@ def _write_generation(
         "size_stats": size_stats,
         "size_rollup": _size_rollup(size_stats, len(files),
                                     spec["schema_ddl"]),
+        "delete_vectors": carried_dvs,
+        "dv_positions": sum(len(ps) for ps in carried_dvs.values()),
         "point_filters": spec.get("point_filters"),
         "point_filter_stats": _point_filter_stats(
             spark, gen_dir, files, spec.get("point_filters"),
@@ -1320,6 +1332,9 @@ def append_manifest_table(
             spark.read.schema(spark.table(_catalog_name(root, table, v)).schema)
             .parquet(*[os.path.join(gen_dir, f) for f in manifest["files"]])
         )
+        # materialize pending deletion vectors: the compaction rewrite
+        # applies them and the fresh generation starts vector-free
+        full = _dv_filter(spark, full, manifest)
         full = _repair_shred_columns(full, spec)
         v2 = v + 1
         try:
@@ -1684,7 +1699,7 @@ def read_manifest_table_point(
              for f in point_pruned_files(m, col, value)]
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    return _dv_filter(spark, spark.read.schema(schema).parquet(*files), m)
 
 
 # ---------------------------------------------------------------------------
@@ -1764,8 +1779,15 @@ def _cow_rewrite(
             gen_dir = os.path.join(_table_dir(root, table),
                                    prev["generation"])
             if touched:
-                old = spark.read.schema(schema).parquet(
-                    *[os.path.join(gen_dir, f) for f in touched]
+                # apply the touched files' deletion vectors BEFORE the
+                # transform — a vectored row must not survive into the
+                # rewritten region (it would resurrect a deleted row)
+                old = _dv_filter(
+                    spark,
+                    spark.read.schema(schema).parquet(
+                        *[os.path.join(gen_dir, f) for f in touched]
+                    ),
+                    prev,
                 )
             else:
                 old = spark.createDataFrame([], schema)
@@ -1998,6 +2020,161 @@ def delete_manifest_range(
     )
 
 
+# ---------------------------------------------------------------------------
+# Merge-on-read deletion vectors (round 11)
+#
+# The COW delete rewrites whole bucket files to erase a handful of
+# rows — correct, but at 100 TB a daily GDPR erasure of a few thousand
+# keys shouldn't rewrite gigabytes.  Deletion vectors are the
+# lakehouse answer (Delta DVs, Iceberg v2 positional deletes): record
+# WHICH POSITIONS of which files are dead in the MANIFEST, publish a
+# metadata-only generation (shares the parent's data directory, like
+# evolve_shred — zero data files written), and have every read path
+# anti-join the tiny position set back out.  Parquet's stable
+# ``_metadata.row_index`` is the position authority: a file is
+# immutable, so (file, row_index) names a row forever.
+#
+# Contract:
+# * deletes are O(touched-bucket scan) at write time and O(1) data IO
+#   at publish; the read-side tax is one broadcast anti-join, paid
+#   only by tables that HAVE vectors;
+# * every rewrite (compaction, COW merge/delete, rebucket) first
+#   applies the vectors of the files it rewrites, then drops them —
+#   vectors never survive past the rewrite that materializes them, so
+#   they stay small (bounded by deletes since the last rewrite);
+# * a vectored row is dead to EVERY reader — plain, pruned, point,
+#   shredded and stats-hinted reads all route through _dv_filter.
+# ---------------------------------------------------------------------------
+
+
+def _dv_filter(spark: SparkSession, df: DataFrame, manifest: dict) -> DataFrame:
+    """Drop the manifest's deletion-vector positions from a FILE-SCAN
+    DataFrame over this manifest's generation (the df must originate
+    from parquet scans so ``_metadata`` resolves).  No vectors → the
+    df passes through untouched (zero plan change for DV-free
+    tables)."""
+    dvs = manifest.get("delete_vectors") or {}
+    if not dvs:
+        return df
+    pairs = [(f, int(p)) for f, ps in dvs.items() for p in ps]
+    dv_df = spark.createDataFrame(pairs, "dv_file string, dv_pos long")
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    return (
+        df.withColumn("_dv_file", fname)
+        .withColumn("_dv_pos", F.col("_metadata.row_index"))
+        .join(
+            F.broadcast(dv_df),
+            (F.col("_dv_file") == F.col("dv_file"))
+            & (F.col("_dv_pos") == F.col("dv_pos")),
+            "left_anti",
+        )
+        .drop("_dv_file", "_dv_pos")
+    )
+
+
+def delete_manifest_rows_mor(
+    spark: SparkSession,
+    keys: DataFrame,
+    root: str,
+    table: str,
+    *,
+    key_cols: str | list[str],
+    max_positions: int = 1_000_000,
+    max_retries: int = 20,
+    retry_wait_s: float = 0.5,
+) -> int:
+    """Row-level DELETE by key set as a MERGE-ON-READ deletion vector:
+    no data file is written — the touched buckets' files are scanned
+    once for the matching (file, row_index) positions, the positions
+    union into the parent's vectors, and a metadata-only generation
+    publishes.  The read-side anti-join makes the rows dead to every
+    reader; the next rewrite of those files (compaction, COW, rebucket)
+    materializes the deletes and clears the vectors.
+
+    ``max_positions`` bounds the vector a single call may add
+    (positions live in the manifest JSON and broadcast at read time):
+    a delete bigger than that is a bulk erase — use the COW
+    ``delete_manifest_rows``, which rewrites the files instead.
+
+    Scale shape: write cost is one bucket-pruned scan + an O(deleted)
+    manifest append — versus the COW path's full rewrite of every
+    touched file.  The GDPR-erasure daily sweep at 100 TB becomes
+    metadata work."""
+    kc = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    prev0 = read_manifest(root, table)
+    keys = keys.localCheckpoint()  # same determinism contract as merge
+    select_touched = _bucket_pruned_selector(prev0, keys, kc, validate=False)
+    for attempt in range(max_retries + 1):
+        prev = read_manifest(root, table)
+        touched = select_touched(prev)
+        v = prev["version"] + 1
+        try:
+            _acquire_claim(root, table, v)
+        except ConcurrentWriteError:
+            if attempt == max_retries:
+                raise
+            _claim_wait(root, table, v, attempt, retry_wait_s)
+            continue
+        try:
+            if current_version(root, table) != prev["version"]:
+                continue
+            new_pairs: list = []
+            if touched:
+                spec = {k: prev.get(k) for k in
+                        ("bucket_cols", "num_buckets", "sort_cols",
+                         "schema_ddl")}
+                schema = spark.table(
+                    _register(spark, root, table, prev["version"], spec,
+                              prev["generation"])
+                ).schema
+                gen_dir = os.path.join(_table_dir(root, table),
+                                       prev["generation"])
+                scan = (
+                    spark.read.schema(schema)
+                    .parquet(*[os.path.join(gen_dir, f) for f in touched])
+                    .select(
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/"), -1
+                        ).alias("_f"),
+                        F.col("_metadata.row_index").alias("_p"),
+                        *kc,
+                    )
+                )
+                hits = (
+                    scan.join(keys.select(*kc), kc, "left_semi")
+                    .select("_f", "_p")
+                )
+                new_pairs = hits.limit(max_positions + 1).collect()
+                if len(new_pairs) > max_positions:
+                    raise ValueError(
+                        f"delete matches more than {max_positions} rows — "
+                        f"that is a bulk erase, not a vector: use the "
+                        f"copy-on-write delete_manifest_rows instead"
+                    )
+            dvs = {f: set(ps)
+                   for f, ps in (prev.get("delete_vectors") or {}).items()}
+            for r in new_pairs:
+                dvs.setdefault(r["_f"], set()).add(int(r["_p"]))
+            manifest = dict(prev)
+            for stale in ("batch_id", "compacted_from", "rebucketed_from",
+                          "op", "rewritten_files", "linked_files"):
+                manifest.pop(stale, None)
+            manifest.update(
+                version=v,
+                parent=prev["version"],
+                op="delete_mor",
+                delete_vectors={f: sorted(ps) for f, ps in dvs.items()},
+                dv_positions=sum(len(ps) for ps in dvs.values()),
+            )
+            _publish(root, table, manifest)
+            return v
+        finally:
+            _release_claim(root, table, v)
+    raise ConcurrentWriteError(
+        f"delete_mor on {table} lost the publish race {max_retries + 1} times"
+    )
+
+
 def rebucket_manifest_table(
     spark: SparkSession,
     root: str,
@@ -2080,6 +2257,9 @@ def rebucket_manifest_table(
             full = spark.read.schema(schema).parquet(
                 *[os.path.join(gen_dir, f) for f in prev["files"]]
             )
+            # rebucket rewrites every file: apply and clear any
+            # pending deletion vectors
+            full = _dv_filter(spark, full, prev)
             full = _repair_shred_columns(full, spec)
             manifest = _write_generation(
                 spark, full, root, table, v, spec, mode="errorifexists"
@@ -2203,8 +2383,13 @@ def read_manifest_table(
     m = read_manifest(root, table, version)
     spec = {k: m[k] for k in
             ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl")}
-    return spark.table(
-        _register(spark, root, table, m["version"], spec, m["generation"])
+    return _dv_filter(
+        spark,
+        spark.table(
+            _register(spark, root, table, m["version"], spec,
+                      m["generation"])
+        ),
+        m,
     )
 
 
@@ -2310,7 +2495,7 @@ def read_manifest_table_pruned(
              for f in pruned_files(m, lower=lower, upper=upper)]
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    return _dv_filter(spark, spark.read.schema(schema).parquet(*files), m)
 
 
 def expire_generations(
