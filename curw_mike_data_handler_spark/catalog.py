@@ -17189,6 +17189,202 @@ def multi_table_atomic_commit_read(spark, sf_dir):
     return result
 
 
+@query(
+    "manifest_delete_vector_read",
+    """
+    WITH b AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+               substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS nib
+        FROM orders
+    ),
+    final AS (
+        SELECT o_orderstatus, pc FROM b WHERE nib <> '0'
+        UNION ALL
+        SELECT o_orderstatus, pc + 55 FROM b WHERE nib = '1'
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(pc) AS BIGINT) AS sum_cents
+    FROM final GROUP BY 1
+    """,
+)
+def manifest_delete_vector_read(spark, sf_dir):
+    """Merge-on-read deletion vectors (round 11): the md5-nibble-0
+    keys are erased as a METADATA-ONLY commit — no data file is
+    written; the matching (file, row_index) positions land in the
+    manifest and a broadcast anti-join hides them from every reader —
+    then an append (shifted-key repriced copies of the nibble-1 rows)
+    hard-links the vectored files into the next generation, proving
+    the vectors follow their files.  The rollup must equal the
+    oracle's UNION algebra: a resurrected deleted row, a lost vector,
+    or a vector mis-carried across the link diverges.
+
+    Scale shape: the GDPR-erasure sweep at 100 TB becomes one
+    bucket-pruned scan plus O(deleted) manifest metadata, versus the
+    COW path's rewrite of every touched file; the read tax is one
+    broadcast anti-join paid only while vectors exist — the next
+    compaction/rebucket materializes and clears them
+    (tests/test_delete_vectors.py covers the full write-surface
+    interplay and plan-guards the DV-free fast path)."""
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("pc")
+    )
+    nib = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    root = tempfile.mkdtemp(prefix="cm_dv_")
+    try:
+        mb.create_manifest_table(
+            spark, base, root, "orders_dv",
+            bucket_cols="o_orderkey", num_buckets=8,
+            sort_cols="o_orderkey",
+        )
+        doomed = base.withColumn("nib", nib).filter(
+            F.col("nib") == "0"
+        ).select("o_orderkey")
+        mb.delete_manifest_rows_mor(
+            spark, doomed, root, "orders_dv", key_cols="o_orderkey"
+        )
+        mb.append_manifest_table(
+            spark,
+            base.withColumn("nib", nib)
+            .filter(F.col("nib") == "1")
+            .select(
+                (F.col("o_orderkey") + 10_000_000_000).alias("o_orderkey"),
+                "o_orderstatus",
+                (F.col("pc") + 55).alias("pc"),
+            ),
+            root, "orders_dv", compact_files_per_bucket=100,
+        )
+        out = (
+            mb.read_manifest_table(spark, root, "orders_dv")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("pc").alias("sum_cents"),
+            )
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        mb.drop_catalog_entries(spark, root, "orders_dv")
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+@query(
+    "manifest_changes_incremental_read",
+    """
+    WITH b AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+               substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS nib
+        FROM orders
+    ),
+    ch AS (
+        SELECT 1 AS commit_v, 'insert' AS change_type, o_orderstatus, pc
+        FROM b WHERE nib = '0'
+        UNION ALL
+        SELECT 2, 'delete', o_orderstatus, pc FROM b WHERE nib = '1'
+        UNION ALL
+        SELECT 2, 'insert', o_orderstatus, pc + 100 FROM b WHERE nib = '1'
+        UNION ALL
+        SELECT 3, 'delete', o_orderstatus, pc FROM b WHERE nib = '2'
+        UNION ALL
+        SELECT 4, 'delete', o_orderstatus, pc FROM b WHERE nib = '3'
+    )
+    SELECT CAST(commit_v AS BIGINT) AS commit_v, change_type, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(pc) AS BIGINT) AS sum_cents
+    FROM ch GROUP BY 1, 2, 3
+    """,
+)
+def manifest_changes_incremental_read(spark, sf_dir):
+    """Incremental CHANGE FEED (round 11): the table takes one commit
+    of every write class — append (nibble-0 rows), MERGE (nibble-1
+    repriced +100), copy-on-write DELETE (nibble-2), merge-on-read
+    vector DELETE (nibble-3) — and ``read_manifest_changes`` re-derives
+    each commit's row-level inserts/deletes purely from the manifests'
+    rewritten-region file sets (no change log written anywhere).  The
+    oracle states each commit's expected algebra directly; the gate
+    hashes per-(commit, change_type, status) rollups, so a change
+    attributed to the wrong commit, an identical-row false change from
+    the rewritten-but-unchanged remainder of a touched bucket, or a
+    missed vector delete all diverge.
+
+    Scale shape: each commit's diff is bounded by its REWRITTEN region
+    (an append diffs nothing — its new files ARE the inserts; a merge
+    diffs only the touched buckets), so an incremental consumer at
+    100 TB reads the day's touched files, never the lake — the Delta
+    CDF / Iceberg incremental-scan shape derived retroactively from
+    manifest truth (replay equivalence property-tested in
+    tests/test_manifest_changes.py)."""
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("pc")
+    )
+    nibbed = base.withColumn(
+        "nib", F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    )
+    root = tempfile.mkdtemp(prefix="cm_cdf_")
+    try:
+        mb.create_manifest_table(
+            spark, nibbed.filter(F.col("nib") != "0").drop("nib"),
+            root, "orders_cdf",
+            bucket_cols="o_orderkey", num_buckets=8,
+            sort_cols="o_orderkey",
+        )
+        mb.append_manifest_table(
+            spark, nibbed.filter(F.col("nib") == "0").drop("nib"),
+            root, "orders_cdf", compact_files_per_bucket=100,
+        )
+        mb.merge_manifest_table(
+            spark,
+            nibbed.filter(F.col("nib") == "1").select(
+                "o_orderkey", "o_orderstatus",
+                (F.col("pc") + 100).alias("pc"),
+            ),
+            root, "orders_cdf", key_cols="o_orderkey",
+        )
+        mb.delete_manifest_rows(
+            spark,
+            nibbed.filter(F.col("nib") == "2").select("o_orderkey"),
+            root, "orders_cdf", key_cols="o_orderkey",
+        )
+        mb.delete_manifest_rows_mor(
+            spark,
+            nibbed.filter(F.col("nib") == "3").select("o_orderkey"),
+            root, "orders_cdf", key_cols="o_orderkey",
+        )
+        out = (
+            mb.read_manifest_changes(spark, root, "orders_cdf",
+                                     from_version=0)
+            .groupBy(
+                F.col("_commit_version").alias("commit_v"),
+                F.col("_change_type").alias("change_type"),
+                "o_orderstatus",
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("pc").alias("sum_cents"),
+            )
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        mb.drop_catalog_entries(spark, root, "orders_cdf")
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
