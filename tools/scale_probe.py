@@ -1222,6 +1222,61 @@ def main() -> None:
         mb.drop_catalog_entries(spark, pfroot, "probe_pf")
         shutil.rmtree(pfroot, ignore_errors=True)
 
+    # merge-on-read deletion vector + change feed at 2M rows (round
+    # 11): the MoR delete must be METADATA-class work (one
+    # bucket-pruned scan, no file rewrite — compare wall against the
+    # COW merge probe above), and the change feed for a small merge
+    # must be bounded by the touched region, not the table.
+    dvroot = tempfile.mkdtemp(prefix="cm_probe_dv_")
+    try:
+        dv_rows = spark.range(2_000_000).selectExpr(
+            "id AS k", "id * 2 AS v", "id AS ts_k"
+        )
+        mb.create_manifest_table(
+            spark, dv_rows, dvroot, "probe_dv",
+            bucket_cols="k", num_buckets=32, sort_cols="ts_k",
+        )
+        doomed = spark.range(1000).selectExpr("id * 1999 AS k")
+        t0 = time.perf_counter()
+        mb.delete_manifest_rows_mor(spark, doomed, dvroot, "probe_dv",
+                                    key_cols="k")
+        dv_s = round(time.perf_counter() - t0, 2)
+        m = mb.read_manifest(dvroot, "probe_dv")
+        t0 = time.perf_counter()
+        n_live = mb.read_manifest_table(spark, dvroot, "probe_dv").count()
+        dv_read_s = round(time.perf_counter() - t0, 2)
+        # a bucket-confined merge, then the incremental feed across
+        # the whole history (create → dv-delete → merge)
+        ups = (
+            spark.range(200_000).selectExpr("id AS k")
+            .filter(mb.spark_bucket_id(32, "k") <= 1).limit(100)
+            .selectExpr("k", "CAST(-1 AS BIGINT) AS v", "k AS ts_k")
+        )
+        mb.merge_manifest_table(spark, ups, dvroot, "probe_dv", key_cols="k")
+        t0 = time.perf_counter()
+        ch = mb.read_manifest_changes(spark, dvroot, "probe_dv",
+                                      from_version=0)
+        n_changes = ch.count()
+        feed_s = round(time.perf_counter() - t0, 2)
+        results["dv_delete_and_feed_2m"] = {
+            "dv_delete_wall_s": dv_s,
+            "dv_positions": m["dv_positions"],
+            "rows_live": n_live,
+            "read_with_dv_s": dv_read_s,
+            "feed_wall_s": feed_s,
+            "feed_changes": n_changes,
+        }
+        print(f"  dv 2M: delete {dv_s}s ({m['dv_positions']} positions, "
+              f"0 files rewritten), read {dv_read_s}s, feed {feed_s}s "
+              f"({n_changes} changes)")
+        assert n_live == 2_000_000 - 1000
+        # MoR delete writes NO data file: generation dir unchanged
+        assert m["generation"] == mb.read_manifest(
+            dvroot, "probe_dv", version=0)["generation"]
+    finally:
+        mb.drop_catalog_entries(spark, dvroot, "probe_dv")
+        shutil.rmtree(dvroot, ignore_errors=True)
+
     # streaming COW-upsert sink under sustained load (r10 verdict #7):
     # 50 epochs of per-epoch MERGE into one keyed table — per-epoch
     # publish wall must stay flat as generations accumulate (the chain
