@@ -244,3 +244,38 @@ def test_changes_window_guards(spark, tmp_path):
             mb.read_manifest_changes(spark, root, "g", from_version=0)
     finally:
         mb.drop_catalog_entries(spark, root, "g")
+
+
+def test_append_only_feed_plans_no_join(spark, tmp_path):
+    """Plan guard: an append commit's changes ARE its new files — the
+    feed must read them directly, with no diff join anywhere in the
+    plan (at 100 TB the append path is the hot one: a nightly
+    incremental consumer reads the day's files, joins nothing).  The
+    null-safe diff join may appear only for commits that rewrote
+    files."""
+    import contextlib
+    import io
+
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _df(spark, [(k, k, k) for k in range(50)]), root, "ap",
+        bucket_cols="k", num_buckets=2,
+    )
+    try:
+        for i in range(2):
+            mb.append_manifest_table(
+                spark, _df(spark, [(100 + i, 1, 1)]), root, "ap",
+                compact_files_per_bucket=100,
+            )
+        ch = mb.read_manifest_changes(spark, root, "ap", from_version=0)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            ch.explain()
+        plan = buf.getvalue()
+        for node in ("SortMergeJoin", "BroadcastHashJoin",
+                     "ShuffledHashJoin", "CartesianProduct",
+                     "BroadcastNestedLoopJoin"):
+            assert node not in plan, f"append-only feed planned a {node}"
+        assert ch.count() == 2
+    finally:
+        mb.drop_catalog_entries(spark, root, "ap")
