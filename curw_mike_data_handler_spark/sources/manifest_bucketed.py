@@ -340,29 +340,33 @@ def _claim_wait(
         time.sleep(0.05)
 
 
+def _durable_write(path: str, text: str) -> None:
+    """temp + fsync + replace + DIRECTORY fsync — the one crash-durable
+    pointer-write discipline, shared by table publishes and the txn
+    catalog (review finding: a duplicated copy would silently keep the
+    weaker behavior when this one is fixed).  Without the directory
+    fsync POSIX gives no ordering between two renames' metadata, and a
+    power loss could durably keep LATEST=v while manifest-v's rename
+    is lost."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(text)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+    dfd = os.open(os.path.dirname(path), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 def _publish(root: str, table: str, manifest: dict) -> None:
     """Write the manifest, then swap LATEST atomically (os.replace) —
     the single linearization point of every commit.  BOTH files go
     through temp + fsync + replace: a durable LATEST pointing at a
     manifest whose blocks never reached disk would be a torn publish,
     exactly what the pointer design exists to rule out."""
-
-    def _durable_write(path: str, text: str) -> None:
-        tmp = path + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(text)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, path)
-        # fsync the DIRECTORY too: without it POSIX gives no ordering
-        # between the two renames' metadata, and a power loss could
-        # durably keep LATEST=v while manifest-v's rename is lost
-        dfd = os.open(os.path.dirname(path), os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
-
     mpath = _manifest_path(root, table, manifest["version"])
     os.makedirs(os.path.dirname(mpath), exist_ok=True)
     _durable_write(mpath, json.dumps(manifest, indent=1))
@@ -552,7 +556,7 @@ def _shred_file_stats(
             continue
         try:
             md = pq.ParquetFile(os.path.join(gen_dir, fn)).metadata
-        except OSError:
+        except (OSError, ValueError):  # ArrowInvalid is a ValueError
             continue
         idx = {
             md.schema.column(i).name: i
@@ -867,7 +871,10 @@ def _size_stats(
         try:
             md = pq.ParquetFile(path).metadata
             disk = os.stat(path).st_size
-        except OSError:
+        except (OSError, ValueError):
+            # pyarrow raises ArrowInvalid (a ValueError) for corrupt/
+            # truncated footers — the degrade contract is "no entry,
+            # no hint", never a failed publish (review finding)
             continue
         unc = sum(
             md.row_group(i).total_byte_size for i in range(md.num_row_groups)
@@ -1198,6 +1205,11 @@ def _batch_id_published(
         except FileNotFoundError:
             return None
         if m.get("batch_id") == batch_id:
+            # the LANDED version, not the current head: a replayed
+            # caller that pins versions (commit_multi_table) must see
+            # where its batch actually lives — returning the head here
+            # would let a replay pin another in-flight transaction's
+            # half-published data (review finding)
             return m["version"]
         if m.get("parent") is None:
             return None
@@ -1253,10 +1265,14 @@ def append_manifest_table(
     the swap is now a pointer replace, not a catalog rename."""
     for attempt in range(max_retries + 1):
         prev = read_manifest(root, table)
-        if batch_id is not None and _batch_id_published(
-            root, table, batch_id
-        ) is not None:
-            return prev["version"]
+        if batch_id is not None:
+            landed = _batch_id_published(root, table, batch_id)
+            if landed is not None:
+                # no-op replay: return the version the batch actually
+                # LANDED at, not the current head — a pinning caller
+                # (commit_multi_table) must not adopt versions carrying
+                # other writers' later, possibly half-transactional data
+                return landed
         base = df
         shred = prev.get("shred")
         if shred is not None and not all(
@@ -1634,9 +1650,15 @@ def column_ndv_bounds(manifest: dict, col: str) -> tuple[int, int] | None:
     truth at zero extra cost): the table NDV is at least the largest
     single file's count and at most min(sum over files, row count).
     None when the column has no filter, any file lacks a count (older
-    manifests recorded [bits, bloom] only), or the table is empty."""
+    manifests recorded [bits, bloom] only), the table is empty, or
+    deletion vectors are pending — a vectored row may hold a value's
+    last occurrence, so the recorded per-file counts are no longer a
+    LOWER bound on the live table (review finding; the next rewrite
+    clears the vectors and restores the bounds)."""
     pf = manifest.get("point_filters")
     if not pf or col not in pf.get("cols", []):
+        return None
+    if manifest.get("delete_vectors"):
         return None
     stats = manifest.get("point_filter_stats", {})
     counts = []
@@ -1751,10 +1773,10 @@ def _cow_rewrite(
     as appends (manifest-chain dedupe)."""
     for attempt in range(max_retries + 1):
         prev = read_manifest(root, table)
-        if batch_id is not None and _batch_id_published(
-            root, table, batch_id
-        ) is not None:
-            return prev["version"]
+        if batch_id is not None:
+            landed = _batch_id_published(root, table, batch_id)
+            if landed is not None:
+                return landed  # same landed-version contract as append
         touched = list(select_touched(prev))
         touched_set = set(touched)
         untouched = [f for f in prev["files"] if f not in touched_set]
@@ -2380,7 +2402,18 @@ def read_manifest_table(
     Goes through the generation's external bucketed catalog entry so
     the scan keeps the bucketed output partitioning (zero-exchange
     same-spec joins)."""
-    m = read_manifest(root, table, version)
+    return _read_table_of(spark, root, table,
+                          read_manifest(root, table, version))
+
+
+def _read_table_of(
+    spark: SparkSession, root: str, table: str, m: dict
+) -> DataFrame:
+    """The snapshot read for an ALREADY-PARSED manifest — shared so
+    callers that need the manifest for their own decisions (the
+    stats-hinted read) parse it exactly once; with merge-on-read
+    vectors a manifest can be multi-MB of positions (review
+    finding)."""
     spec = {k: m[k] for k in
             ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl")}
     return _dv_filter(
@@ -2442,7 +2475,7 @@ def read_manifest_table_stats_hinted(
     tests/test_manifest_stats.py; NDV evidence for join-key reasoning
     is exposed separately via column_ndv_bounds."""
     m = read_manifest(root, table, version)
-    df = read_manifest_table(spark, root, table, version)
+    df = _read_table_of(spark, root, table, m)  # one manifest parse
     rollup = m.get("size_rollup")
     if not rollup:
         return df
@@ -2520,18 +2553,22 @@ def expire_generations(
         for f in os.listdir(mdir)
         if (m := re.fullmatch(r"manifest-(\d+)\.json", f))
     )
-    # a version pinned by the transaction catalog is live for atomic
-    # readers no matter its age — expiring it would turn every
-    # read_tables_atomic into FileNotFoundError until the next commit
-    txn_pinned = read_txn_catalog(root)["tables"].get(table)
-    expired = [v for v in versions if v <= latest - keep and v != txn_pinned]
+    # a version pinned by ANY retained transaction catalog is live for
+    # atomic readers no matter its age — expiring it would break not
+    # just the head snapshot but the documented txn_version time
+    # travel (review finding: the head-only check orphaned older
+    # catalogs' pins).  Catalog files are themselves retired with
+    # expire_txn_catalogs, which is what bounds this set.
+    txn_pinned = _all_txn_pins(root, table)
+    expired = [v for v in versions
+               if v <= latest - keep and v not in txn_pinned]
     # a metadata-only generation (evolve_shred) SHARES its parent's
     # directory: a data directory may be deleted only when NO retained
     # manifest still references it
     retained_dirs = {
         read_manifest(root, table, v)["generation"]
         for v in versions
-        if v > latest - keep or v == txn_pinned
+        if v > latest - keep or v in txn_pinned
     }
     for v in expired:
         gen_rel = read_manifest(root, table, v)["generation"]
@@ -2603,27 +2640,34 @@ def read_txn_catalog(root: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
+def _txn_batch_published(root: str, batch_id: str, limit: int = 256) -> int | None:
+    """Walk the txn-catalog chain head-first for a prior commit of
+    this batch_id — the catalog twin of _batch_id_published.  A
+    head-only comparison would let a replay of a COMPLETED transaction
+    that other transactions have since built on re-run the catalog
+    swap and re-pin stale versions (review finding)."""
+    cat = read_txn_catalog(root)
+    for _ in range(limit):
+        if cat.get("batch_id") == batch_id:
+            return cat["version"]
+        parent = cat.get("parent")
+        if parent is None:
+            return None
+        try:
+            cat = read_txn_catalog(root, parent)
+        except FileNotFoundError:
+            return None
+    return None
+
+
 def _publish_txn(root: str, cat: dict) -> None:
     """Durable catalog write + atomic LATEST swap — the same
-    temp+fsync+replace discipline as _publish, one directory up."""
+    temp+fsync+replace+dir-fsync discipline as _publish (shared
+    helper), one directory up."""
     path = _txn_catalog_path(root, cat["version"])
     os.makedirs(os.path.dirname(path), exist_ok=True)
-
-    def _durable(p: str, text: str) -> None:
-        tmp = p + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(text)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, p)
-        dfd = os.open(os.path.dirname(p), os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
-
-    _durable(path, json.dumps(cat, indent=1))
-    _durable(_txn_latest_path(root), str(cat["version"]))
+    _durable_write(path, json.dumps(cat, indent=1))
+    _durable_write(_txn_latest_path(root), str(cat["version"]))
 
 
 def commit_multi_table(
@@ -2655,11 +2699,18 @@ def commit_multi_table(
     coverage: tests/test_multi_table_txn.py."""
     if not appends:
         raise ValueError("commit_multi_table: no tables to commit")
-    cat0 = read_txn_catalog(root)
-    if batch_id is not None and cat0.get("batch_id") == batch_id:
-        return cat0["version"]
+    if batch_id is not None:
+        done = _txn_batch_published(root, batch_id)
+        if done is not None:
+            # a replay of a COMPLETED transaction is a pure no-op —
+            # checked against the catalog CHAIN, not just the head, so
+            # replays arriving after later transactions never re-run
+            # the swap with stale pins (review finding)
+            return done
     # deterministic publish order: a crashed commit and its replay
-    # walk the tables identically, so the dedupe prefix always aligns
+    # walk the tables identically, so the dedupe prefix always aligns.
+    # Each append returns the version its batch LANDED at (replays
+    # included), never the current head.
     new_versions: dict[str, int] = {}
     for table in sorted(appends):
         new_versions[table] = append_manifest_table(
@@ -2671,8 +2722,10 @@ def commit_multi_table(
     # catalog swap, serialized by the same claim CAS one level up
     for attempt in range(max_retries + 1):
         cat = read_txn_catalog(root)
-        if batch_id is not None and cat.get("batch_id") == batch_id:
-            return cat["version"]  # a concurrent replay won the swap
+        if batch_id is not None and _txn_batch_published(
+            root, batch_id
+        ) is not None:
+            return _txn_batch_published(root, batch_id)  # replay race
         v = cat["version"] + 1
         try:
             _acquire_claim(root, _TXN, v)
@@ -2685,7 +2738,14 @@ def commit_multi_table(
             if read_txn_catalog(root)["version"] != cat["version"]:
                 continue  # lost the race between read and claim
             tables = dict(cat["tables"])
-            tables.update(new_versions)
+            for t, nv in new_versions.items():
+                # MONOTONE pin update: a concurrent transaction that
+                # landed on this table AFTER our append and swapped the
+                # catalog FIRST has already pinned a later version that
+                # contains our batch (appends serialize into one linear
+                # chain) — moving the pin backward would tear THAT
+                # transaction's atomicity (review finding)
+                tables[t] = max(tables.get(t, -1), nv)
             new_cat = {
                 "version": v,
                 "parent": cat["version"] if cat["version"] >= 0 else None,
@@ -2838,8 +2898,54 @@ def _step_changes(
         # pure append: the new files are the inserts, no diff needed
         return new.withColumn("_change_type", F.lit("insert"))
 
-    oldg = old.groupBy(*cols).agg(F.count("*").alias("_n_old"))
-    newg = new.groupBy(*cols).agg(F.count("*").alias("_n_new"))
+    # the diff groups/joins on every column, but Spark cannot group by
+    # MapType — and the shred spec legitimately materializes map
+    # columns (review finding).  Canonicalize top-level maps to their
+    # key-sorted entry arrays for the diff (map keys are unique, so
+    # the sorted-entries form is a bijection) and rebuild the map on
+    # the way out; maps NESTED deeper than one level have no orderable
+    # canonical form — refuse loudly rather than miscount.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _nested_map(dt) -> bool:
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        if isinstance(dt, MapType):
+            return _has_map(dt.keyType) or _has_map(dt.valueType)
+        return False
+
+    def _has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        return _nested_map(dt)
+
+    canon, out_exprs = [], []
+    for f in schema.fields:
+        if isinstance(f.dataType, MapType):
+            if _nested_map(f.dataType):
+                raise NotImplementedError(
+                    f"change feed: column {f.name!r} nests a map inside "
+                    f"{f.dataType.simpleString()} — no orderable "
+                    f"canonical form to diff on"
+                )
+            canon.append(
+                F.sort_array(F.map_entries(F.col(f.name))).alias(f.name)
+            )
+            out_exprs.append(F.map_from_entries(F.col(f.name)).alias(f.name))
+        else:
+            if _has_map(f.dataType):
+                raise NotImplementedError(
+                    f"change feed: column {f.name!r} nests a map inside "
+                    f"{f.dataType.simpleString()} — no orderable "
+                    f"canonical form to diff on"
+                )
+            canon.append(F.col(f.name))
+            out_exprs.append(F.col(f.name))
+
+    oldg = old.select(*canon).groupBy(*cols).agg(F.count("*").alias("_n_old"))
+    newg = new.select(*canon).groupBy(*cols).agg(F.count("*").alias("_n_new"))
     cond = None
     for c in cols:
         e = oldg[c].eqNullSafe(newg[c])
@@ -2859,6 +2965,7 @@ def _step_changes(
         .withColumn("_mult", F.abs(delta))
         .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("_mult"))))
         .drop("_n_old", "_n_new", "_mult", "_i")
+        .select(*out_exprs, "_change_type")
     )
 
 
@@ -2910,7 +3017,6 @@ def read_manifest_changes(
             )
         v = parent_v
     if not steps:
-        spec = {k: None for k in ()}  # schema from the to_version table
         m = read_manifest(root, table, to_version)
         spec = {k: m[k] for k in
                 ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl")}
@@ -2927,3 +3033,51 @@ def read_manifest_changes(
     for d in steps[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def _all_txn_pins(root: str, table: str) -> set[int]:
+    """Every version of ``table`` pinned by ANY retained txn catalog
+    file — the set expire_generations must never remove.  Bounded by
+    catalog retention (expire_txn_catalogs)."""
+    mdir = os.path.join(root, _TXN, "manifests")
+    try:
+        names = os.listdir(mdir)
+    except FileNotFoundError:
+        return set()
+    pins: set[int] = set()
+    for f in names:
+        m = re.fullmatch(r"catalog-(\d+)\.json", f)
+        if not m:
+            continue
+        try:
+            cat = read_txn_catalog(root, int(m.group(1)))
+        except (FileNotFoundError, json.JSONDecodeError):
+            continue
+        v = cat["tables"].get(table)
+        if v is not None:
+            pins.add(v)
+    return pins
+
+
+def expire_txn_catalogs(root: str, *, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` transaction catalogs.  The
+    retention boundary of txn TIME TRAVEL: table versions pinned only
+    by an expired catalog become expirable by the next
+    expire_generations sweep (the same contract as per-table
+    retention — readers of an expired txn version fail their next
+    resolve with the retention hint, never a torn read)."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1 (the LATEST catalog stays)")
+    latest = read_txn_catalog(root)["version"]
+    if latest < 0:
+        return []
+    mdir = os.path.join(root, _TXN, "manifests")
+    versions = sorted(
+        int(m.group(1))
+        for f in os.listdir(mdir)
+        if (m := re.fullmatch(r"catalog-(\d+)\.json", f))
+    )
+    expired = [v for v in versions if v <= latest - keep]
+    for v in expired:
+        os.unlink(_txn_catalog_path(root, v))
+    return expired

@@ -279,3 +279,44 @@ def test_append_only_feed_plans_no_join(spark, tmp_path):
         assert ch.count() == 2
     finally:
         mb.drop_catalog_entries(spark, root, "ap")
+
+
+def test_feed_handles_map_typed_shred_columns(spark, tmp_path):
+    """Review regression: the diff groups on every physical column,
+    and Spark cannot group by MapType — which the shred spec
+    legitimately produces.  Top-level maps diff via their key-sorted
+    entry arrays (a bijection) and come back out as maps."""
+    root = str(tmp_path)
+    rows = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        F.to_json(
+            F.struct(F.create_map(F.lit("a"), F.col("id")).alias("m"))
+        ).alias("payload"),
+    )
+    mb.create_manifest_table(
+        spark, rows, root, "mp", bucket_cols="k", num_buckets=2,
+        shred={"column": "payload", "fields": {"m": "map<string, bigint>"}},
+    )
+    try:
+        upd = spark.range(0, 3).select(
+            F.col("id").alias("k"),
+            F.to_json(
+                F.struct(
+                    F.create_map(F.lit("b"), F.col("id") + 100).alias("m")
+                )
+            ).alias("payload"),
+        )
+        mb.merge_manifest_table(spark, upd, root, "mp", key_cols="k")
+        ch = mb.read_manifest_changes(spark, root, "mp", from_version=0)
+        got = sorted(
+            (r["_change_type"], r["k"],
+             dict(r["_shred_payload_m"] or {}))
+            for r in ch.collect()
+        )
+        want = sorted(
+            [("delete", k, {"a": k}) for k in range(3)]
+            + [("insert", k, {"b": k + 100}) for k in range(3)]
+        )
+        assert got == want
+    finally:
+        mb.drop_catalog_entries(spark, root, "mp")

@@ -205,3 +205,49 @@ def test_column_ndv_bounds_bracket_truth(spark, tmp_path):
         assert mb.column_ndv_bounds(m, "k") is None
     finally:
         mb.drop_catalog_entries(spark, root, "nd")
+
+
+def test_ndv_bounds_unavailable_while_vectors_pending(spark, tmp_path):
+    """Review regression: a MoR delete can erase a value's last
+    occurrence without touching the recorded per-file distinct counts,
+    so the 'hard lower bound' would be a lie — bounds must report
+    unavailable while vectors are pending and return after the rewrite
+    that clears them."""
+    root = str(tmp_path)
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k", "CAST(id % 100 AS BIGINT) AS sec"
+    )
+    mb.create_manifest_table(
+        spark, df, root, "nv", bucket_cols="k", num_buckets=2,
+        point_filter_cols="sec",
+    )
+    try:
+        assert mb.column_ndv_bounds(mb.read_manifest(root, "nv"), "sec")
+        mb.delete_manifest_rows_mor(
+            spark, spark.createDataFrame([(5,)], "k long"), root, "nv",
+            key_cols="k",
+        )
+        assert mb.column_ndv_bounds(
+            mb.read_manifest(root, "nv"), "sec"
+        ) is None
+        # the rewrite clears the vectors and restores the bounds
+        mb.rebucket_manifest_table(spark, root, "nv", num_buckets=4)
+        bounds = mb.column_ndv_bounds(mb.read_manifest(root, "nv"), "sec")
+        assert bounds is not None and bounds[0] <= 100 <= bounds[1]
+    finally:
+        mb.drop_catalog_entries(spark, root, "nv")
+
+
+def test_size_stats_degrade_on_corrupt_footer(tmp_path):
+    """Review regression: pyarrow raises ArrowInvalid (a ValueError,
+    not OSError) for a corrupt footer — the publish-time stats must
+    degrade to no-entry, never abort the publish."""
+    bad = tmp_path / "part-00000-bad_00000.c000.snappy.parquet"
+    bad.write_bytes(b"this is not parquet")
+    out = mb._size_stats(str(tmp_path), [bad.name])
+    assert out == {}
+    out2 = mb._shred_file_stats(
+        str(tmp_path), [bad.name],
+        {"column": "p", "fields": {"x": "bigint"}},
+    )
+    assert out2 == {}

@@ -237,3 +237,91 @@ def test_reserved_table_names_rejected(spark, tmp_path):
             spark, _dim(spark, 0, 5), str(tmp_path), "_txn",
             bucket_cols="k", num_buckets=2,
         )
+
+
+def test_interleaved_commits_never_pin_backward(spark, two_tables):
+    """Review regression (the round's top finding): T1 and T2 both
+    append to fact; T2's catalog swap lands FIRST pinning fact at the
+    later version.  T1's later swap must keep that pin (monotone max),
+    not roll it back to T1's own earlier fact version — a backward pin
+    would tear T2's atomicity (its dim visible, its fact rows not).
+    Simulated deterministically: T1's per-table append lands, T2 runs
+    whole, then T1's commit resumes (its append dedupes by batch_id to
+    the LANDED version, not the head)."""
+    root = two_tables
+    # T1's append lands first (as if T1 crashed before its swap)
+    v_t1_fact = mb.append_manifest_table(
+        spark, _fact(spark, 100, 110), root, "fact",
+        batch_id="t1:fact", compact_files_per_bucket=100,
+    )
+    # T2 commits whole on top
+    mb.commit_multi_table(
+        spark, root,
+        {"fact": _fact(spark, 200, 210), "dim": _dim(spark, 10, 12)},
+        batch_id="t2",
+    )
+    cat_after_t2 = mb.read_txn_catalog(root)
+    assert cat_after_t2["tables"]["fact"] > v_t1_fact
+    # T1 resumes: its fact append dedupes to v_t1_fact; the swap must
+    # NOT move fact's pin backward past T2's
+    mb.commit_multi_table(
+        spark, root, {"fact": _fact(spark, 100, 110)}, batch_id="t1",
+    )
+    cat = mb.read_txn_catalog(root)
+    assert cat["tables"]["fact"] >= cat_after_t2["tables"]["fact"], (
+        "T1's replayed swap rolled fact's pin backward, tearing T2"
+    )
+    snap = mb.read_tables_atomic(spark, root, ["fact", "dim"])
+    ks = {r["k"] for r in snap["fact"].collect()}
+    # both T1's and T2's fact batches visible atomically
+    assert set(range(100, 110)) <= ks and set(range(200, 210)) <= ks
+    assert snap["dim"].count() == 12
+
+
+def test_completed_txn_replay_after_later_txns_is_pure_noop(spark, two_tables):
+    """Review regression: the batch-id dedupe must walk the catalog
+    CHAIN — a head-only check would let a replay of txn A arriving
+    after txn B re-run the swap and re-pin A's stale versions."""
+    root = two_tables
+    va = mb.commit_multi_table(
+        spark, root, {"fact": _fact(spark, 100, 110)}, batch_id="a",
+    )
+    vb = mb.commit_multi_table(
+        spark, root, {"fact": _fact(spark, 110, 120)}, batch_id="b",
+    )
+    head = mb.read_txn_catalog(root)
+    # replay of A: returns A's catalog version, changes NOTHING
+    assert mb.commit_multi_table(
+        spark, root, {"fact": _fact(spark, 100, 110)}, batch_id="a",
+    ) == va
+    assert mb.read_txn_catalog(root) == head
+    assert mb.read_tables_atomic(spark, root, ["fact"])["fact"].count() == 120
+    assert vb == head["version"]
+
+
+def test_txn_time_travel_survives_expire_until_catalog_expiry(
+    spark, two_tables
+):
+    """Review regression: versions pinned by OLDER retained catalogs
+    (txn time travel) must survive expire_generations; expiring the
+    catalogs themselves (expire_txn_catalogs) is what releases them."""
+    root = two_tables
+    mb.commit_multi_table(spark, root, {"fact": _fact(spark, 100, 120)},
+                          batch_id="old")
+    pinned_old = mb.read_txn_catalog(root)["tables"]["fact"]
+    for i in range(3):
+        mb.commit_multi_table(
+            spark, root, {"fact": _fact(spark, 200 + 10 * i, 210 + 10 * i)},
+            batch_id=f"new{i}",
+        )
+    expired = mb.expire_generations(spark, root, "fact", keep=1)
+    assert pinned_old not in expired
+    old_snap = mb.read_tables_atomic(spark, root, ["fact"], txn_version=0)
+    assert old_snap["fact"].count() == 120
+    # retire the old catalogs: their pins become expirable
+    dropped = mb.expire_txn_catalogs(root, keep=1)
+    assert 0 in dropped
+    expired2 = mb.expire_generations(spark, root, "fact", keep=1)
+    assert pinned_old in expired2
+    with pytest.raises(FileNotFoundError):
+        mb.read_tables_atomic(spark, root, ["fact"], txn_version=0)
