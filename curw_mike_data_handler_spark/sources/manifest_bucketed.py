@@ -426,17 +426,19 @@ def _valid_sql_type(t: str) -> bool:
     register time.  Reject all three up front."""
     if not _TYPE_RE.fullmatch(t):
         return False
-    depth = 0
+    stack: list[str] = []
+    pairs = {">": "<", ")": "("}
     for ch in t:
         if ch in "<(":
-            depth += 1
+            stack.append(ch)
         elif ch in ">)":
-            depth -= 1
-            if depth < 0:
+            # a STACK, not a depth counter: 'array<int)' must not
+            # validate by closing '<' with ')' (review finding)
+            if not stack or stack.pop() != pairs[ch]:
                 return False
-        elif ch in ", " and depth == 0:
+        elif ch in ", " and not stack:
             return False
-    return depth == 0
+    return not stack
 
 
 def _check_shred(shred: dict) -> dict:
@@ -1466,8 +1468,8 @@ def evolve_shred(
                 f"evolve_shred — re-read and retry"
             )
         manifest = dict(prev)
-        for stale in ("batch_id", "compacted_from", "op",
-                      "rewritten_files", "linked_files"):
+        for stale in ("batch_id", "compacted_from", "rebucketed_from",
+                      "op", "rewritten_files", "linked_files"):
             manifest.pop(stale, None)
         manifest.update(
             version=v,
@@ -1589,9 +1591,10 @@ def _point_filter_stats(
         return out
     k = spec_pf["hashes"]
     cols = list(spec_pf["cols"])
-    try:
+
+    def _run_build(paths: list[str]) -> list:
         distinct = (
-            spark.read.parquet(*[os.path.join(gen_dir, f) for f in new])
+            spark.read.parquet(*paths)
             .select(
                 F.input_file_name().alias("_file"),
                 *[F.col(c).cast("string").alias(c) for c in cols],
@@ -1620,20 +1623,33 @@ def _point_filter_stats(
                         columns=["file", "col", "bits", "bloom", "ndv"],
                     )
 
-        built = distinct.mapInPandas(
+        return distinct.mapInPandas(
             build,
             schema="file string, col string, bits int, bloom string, "
                    "ndv bigint",
         ).collect()
-    except Exception:  # pragma: no cover - degraded publish
+
+    try:
+        built = _run_build([os.path.join(gen_dir, f) for f in new])
+    except Exception:
+        # ONE bad file must not drop every new file's filter (review
+        # finding: the single job is all-or-nothing) — retry per file,
+        # still executor-side, losing only the genuinely unreadable
+        # ones (which then simply never prune)
         import logging
 
+        built = []
+        bad = 0
+        for f in new:
+            try:
+                built.extend(_run_build([os.path.join(gen_dir, f)]))
+            except Exception:
+                bad += 1
         logging.getLogger(__name__).warning(
-            "point-filter build failed for %d files — they get no "
-            "filter and are never pruned (reads stay correct)",
-            len(new), exc_info=True,
+            "point-filter build degraded to per-file retries: %d/%d "
+            "files unreadable — they get no filter and are never "
+            "pruned (reads stay correct)", bad, len(new),
         )
-        return out
     for r in built:
         # the per-file exact distinct COUNT rides along for free — the
         # manifest's NDV evidence (see column_ndv_bounds)
@@ -1814,6 +1830,14 @@ def _cow_rewrite(
             else:
                 old = spark.createDataFrame([], schema)
             new_rows = transform(old, prev)
+            # repair lazily-evolved shred fields in the REWRITTEN
+            # region: surviving rows from pre-evolution files carry
+            # NULL in an added field's physical column — writing them
+            # back unrepaired would materialize the NULLs, flip
+            # covered_fields to true, and silently corrupt routed
+            # reads (review finding, reproduced live; same rule as
+            # compaction and rebucket)
+            new_rows = _repair_shred_columns(new_rows, spec)
             manifest = _write_generation(
                 spark, new_rows, root, table, v, spec,
                 link_from=prev, link_files=untouched,
@@ -2722,10 +2746,10 @@ def commit_multi_table(
     # catalog swap, serialized by the same claim CAS one level up
     for attempt in range(max_retries + 1):
         cat = read_txn_catalog(root)
-        if batch_id is not None and _txn_batch_published(
-            root, batch_id
-        ) is not None:
-            return _txn_batch_published(root, batch_id)  # replay race
+        if batch_id is not None:
+            done = _txn_batch_published(root, batch_id)
+            if done is not None:
+                return done  # a concurrent replay won the swap
         v = cat["version"] + 1
         try:
             _acquire_claim(root, _TXN, v)
@@ -2956,6 +2980,12 @@ def _step_changes(
         F.coalesce(F.col("_n_new"), F.lit(0)).alias("_n_new"),
     )
     delta = F.col("_n_new") - F.col("_n_old")
+    # multiplicity expansion in TWO bounded explode levels: a single
+    # sequence(1, mult) builds the whole array in one executor row —
+    # a dropped file of millions of fully-identical rows would OOM on
+    # it (review finding).  Chunking caps every materialized array at
+    # 65536 entries (the outer chunk array is mult/65536 long).
+    chunk = 65536
     return (
         joined.filter(delta != 0)
         .withColumn(
@@ -2963,8 +2993,28 @@ def _step_changes(
             F.when(delta > 0, F.lit("insert")).otherwise(F.lit("delete")),
         )
         .withColumn("_mult", F.abs(delta))
-        .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("_mult"))))
-        .drop("_n_old", "_n_new", "_mult", "_i")
+        .withColumn(
+            "_c",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.floor((F.col("_mult") - 1) / F.lit(chunk))
+                    .cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "_i",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(chunk),
+                        F.col("_mult") - F.col("_c") * F.lit(chunk),
+                    ),
+                )
+            ),
+        )
         .select(*out_exprs, "_change_type")
     )
 
@@ -2998,11 +3048,14 @@ def read_manifest_changes(
             f"from_version {from_version} is newer than to_version "
             f"{to_version}"
         )
-    # walk the parent chain child-first, collecting per-commit diffs
+    # walk the parent chain child-first, collecting per-commit diffs;
+    # each parsed parent becomes the next iteration's child — one
+    # manifest parse per commit, not two (review finding: a vectored
+    # manifest can be multi-MB)
     steps: list[DataFrame] = []
     v = to_version
+    child = read_manifest(root, table, v)
     while v > from_version:
-        child = read_manifest(root, table, v)
         parent_v = child.get("parent")
         if parent_v is None:
             raise ValueError(
@@ -3015,7 +3068,7 @@ def read_manifest_changes(
             steps.append(
                 d.withColumn("_commit_version", F.lit(v).cast("long"))
             )
-        v = parent_v
+        v, child = parent_v, parent
     if not steps:
         m = read_manifest(root, table, to_version)
         spec = {k: m[k] for k in

@@ -355,3 +355,52 @@ def test_comma_smuggled_type_strings_rejected():
                "map<string, int>", "array<int>"):
         mb._check_shred({"column": "payload", "fields": {"x": ok}})
 
+
+
+def test_cow_rewrite_repairs_lazily_evolved_fields(spark, tmp_path):
+    """Review regression (reproduced live): a COW merge after
+    evolve_shred(add=...) rewrote surviving pre-evolution rows WITHOUT
+    the coalesce repair — physically materializing all-NULL columns,
+    flipping covered_fields to true, and silently corrupting routed
+    reads.  The rewrite region now repairs like compaction/rebucket."""
+    root = str(tmp_path)
+    rows = spark.range(0, 24).select(
+        F.col("id").alias("uid"),
+        F.to_json(
+            F.struct((F.col("id") * 3).alias("x"),
+                     (F.col("id") * 7).alias("y"))
+        ).alias("payload"),
+    )
+    mb.create_manifest_table(
+        spark, rows, root, "cr", bucket_cols="uid", num_buckets=2,
+        shred={"column": "payload", "fields": {"x": "bigint"}},
+    )
+    try:
+        mb.evolve_shred(spark, root, "cr", add={"y": "bigint"})
+        # merge touching EVERY bucket: keys 0..23 cover both buckets
+        upd = spark.range(0, 24).select(
+            F.col("id").alias("uid"),
+            F.to_json(
+                F.struct((F.col("id") * 3).alias("x"),
+                         (F.col("id") * 7).alias("y"))
+            ).alias("payload"),
+        ).filter(F.col("uid") < 2)
+        mb.merge_manifest_table(spark, upd, root, "cr", key_cols="uid")
+        r = mb.read_manifest_table_shredded(
+            spark, root, "cr", {"x": "bigint", "y": "bigint"},
+            base_cols="uid",
+        )
+        got = {row["uid"]: (row["x"], row["y"]) for row in r.collect()}
+        assert got == {k: (k * 3, k * 7) for k in range(24)}, (
+            "rewritten survivors lost their lazily-evolved field"
+        )
+    finally:
+        mb.drop_catalog_entries(spark, root, "cr")
+
+
+def test_mismatched_bracket_types_rejected():
+    """Review regression: the depth counter let ')' close '<'."""
+    for bad in ("array<int)", "decimal(10,2>", "map<string,(int>)"):
+        with pytest.raises(ValueError, match="not a plain SQL type"):
+            mb._check_shred({"column": "p", "fields": {"x": bad}})
+    mb._check_shred({"column": "p", "fields": {"x": "map<string, decimal(10,2)>"}})
