@@ -361,16 +361,47 @@ def _durable_write(path: str, text: str) -> None:
         os.close(dfd)
 
 
+def _write_manifest_file(root: str, table: str, manifest: dict) -> None:
+    """Durably write manifest-K.json WITHOUT touching LATEST — the
+    staging half of a publish.  A manifest file alone is invisible to
+    every LATEST-following reader; multi-table transactions stage all
+    tables this way and publish through the txn catalog first."""
+    mpath = _manifest_path(root, table, manifest["version"])
+    os.makedirs(os.path.dirname(mpath), exist_ok=True)
+    _durable_write(mpath, json.dumps(manifest, indent=1))
+
+
+def _swap_latest(root: str, table: str, version: int) -> None:
+    """Atomically point LATEST at ``version`` (callers must hold the
+    ordering guarantees — a claim, or the manifest already committed
+    via the txn catalog)."""
+    _durable_write(_latest_path(root, table), str(version))
+
+
 def _publish(root: str, table: str, manifest: dict) -> None:
     """Write the manifest, then swap LATEST atomically (os.replace) —
     the single linearization point of every commit.  BOTH files go
     through temp + fsync + replace: a durable LATEST pointing at a
     manifest whose blocks never reached disk would be a torn publish,
     exactly what the pointer design exists to rule out."""
-    mpath = _manifest_path(root, table, manifest["version"])
-    os.makedirs(os.path.dirname(mpath), exist_ok=True)
-    _durable_write(mpath, json.dumps(manifest, indent=1))
-    _durable_write(_latest_path(root, table), str(manifest["version"]))
+    _write_manifest_file(root, table, manifest)
+    _swap_latest(root, table, manifest["version"])
+
+
+def _complete_lagging_txn_publish(root: str, table: str, v: int) -> bool:
+    """Must be called UNDER the claim for ``v``: if ``v`` was already
+    committed by a transaction (txn-catalog-pinned, manifest durable)
+    but its per-table LATEST swap was lost to a crash, complete the
+    swap and return True — the caller re-reads the (now advanced)
+    snapshot and retries on top.  Without this, a writer would either
+    wedge on the immutable-generation guard or, worse, treat committed
+    data as rebuildable debris."""
+    if v in _all_txn_pins(root, table) and os.path.exists(
+        _manifest_path(root, table, v)
+    ):
+        _swap_latest(root, table, v)
+        return True
+    return False
 
 
 def _data_files(gen_dir: str) -> list[str]:
@@ -997,6 +1028,13 @@ def _write_generation(
             published = current_version(root, table) >= version
         except FileNotFoundError:
             published = False
+        if not published and version in _all_txn_pins(root, table):
+            # committed via the transaction CATALOG (the commit point)
+            # with the per-table LATEST swap lost to a crash: the data
+            # is live for atomic readers — deleting it would destroy a
+            # committed transaction.  Writers roll LATEST forward and
+            # retry (see the pinned-version check in their loops).
+            published = True
         if published:
             raise FileExistsError(
                 f"{table} generation {version} is already published — "
@@ -1275,30 +1313,7 @@ def append_manifest_table(
                 # (commit_multi_table) must not adopt versions carrying
                 # other writers' later, possibly half-transactional data
                 return landed
-        base = df
-        shred = prev.get("shred")
-        if shred is not None and not all(
-            shred_col_name(shred["column"], f) in base.columns
-            for f in shred["fields"]
-        ):
-            # the appended batch arrives in LOGICAL shape — re-apply the
-            # recorded shred so every generation's files carry the
-            # materialized columns (a batch that already carries them,
-            # e.g. the compaction rewrite, passes through untouched)
-            base = apply_shred(base, shred)
-        # RETIRED shred columns: evolve_shred(remove=...) keeps the
-        # physical column in the table schema but apply_shred no longer
-        # materializes it — pad with typed NULLs or the by-name insert
-        # fails on column-count mismatch (review finding, reproduced)
-        for cname, ctype in _ddl_columns(prev["schema_ddl"]).items():
-            if cname.startswith("_shred_") and cname not in base.columns:
-                base = base.withColumn(cname, F.lit(None).cast(ctype))
-        missing = [c for c in prev["bucket_cols"] + prev["sort_cols"]
-                   if c not in base.columns]
-        if missing:
-            raise ValueError(
-                f"append to {table} is missing bucket/sort columns {missing}"
-            )
+        base = _shaped_batch(df, prev, table)
         spec = {k: prev.get(k) for k in
                 ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl",
                  "shred", "point_filters")}
@@ -1324,6 +1339,9 @@ def append_manifest_table(
             # is LATEST, else retry with a fresh parent
             if current_version(root, table) != prev["version"]:
                 continue
+            if _complete_lagging_txn_publish(root, table, v):
+                continue  # committed txn's lost LATEST swap: roll
+                          # forward, re-read, build on top of it
             manifest = _write_generation(
                 spark, base, root, table, v, spec, link_from=prev
             )
@@ -1462,7 +1480,8 @@ def evolve_shred(
     v = prev["version"] + 1
     _acquire_claim(root, table, v)
     try:
-        if current_version(root, table) != prev["version"]:
+        if (current_version(root, table) != prev["version"]
+                or _complete_lagging_txn_publish(root, table, v)):
             raise ConcurrentWriteError(
                 f"{table}: snapshot advanced past {prev['version']} during "
                 f"evolve_shred — re-read and retry"
@@ -1810,6 +1829,8 @@ def _cow_rewrite(
         try:
             if current_version(root, table) != prev["version"]:
                 continue
+            if _complete_lagging_txn_publish(root, table, v):
+                continue
             schema = spark.table(
                 _register(spark, root, table, prev["version"], spec,
                           prev["generation"])
@@ -1854,6 +1875,22 @@ def _cow_rewrite(
     raise ConcurrentWriteError(
         f"{op} on {table} lost the publish race {max_retries + 1} times"
     )
+
+
+def _shaped_batch(df: DataFrame, prev: dict, table: str) -> DataFrame:
+    """An incoming LOGICAL-shape batch brought to the table's physical
+    schema (shred materialization + retired-column padding via
+    _physical_shape), with the bucket/sort columns verified present —
+    the shared shaping step of append_manifest_table and the staged
+    multi-table commit."""
+    base = _physical_shape(df, prev)
+    missing = [c for c in prev["bucket_cols"] + prev["sort_cols"]
+               if c not in base.columns]
+    if missing:
+        raise ValueError(
+            f"append to {table} is missing bucket/sort columns {missing}"
+        )
+    return base
 
 
 def _physical_shape(df: DataFrame, prev: dict) -> DataFrame:
@@ -2164,6 +2201,8 @@ def delete_manifest_rows_mor(
         try:
             if current_version(root, table) != prev["version"]:
                 continue
+            if _complete_lagging_txn_publish(root, table, v):
+                continue
             new_pairs: list = []
             if touched:
                 spec = {k: prev.get(k) for k in
@@ -2287,6 +2326,8 @@ def rebucket_manifest_table(
             continue
         try:
             if current_version(root, table) != prev["version"]:
+                continue
+            if _complete_lagging_txn_publish(root, table, v):
                 continue
             # read the RAW snapshot files (not the catalog entry: its
             # OLD bucketing claim would let the optimizer elide the
@@ -2708,19 +2749,34 @@ def commit_multi_table(
     cross-table snapshot.  Returns the published txn version.
 
     Every table must already exist (create_manifest_table).  The
-    per-table appends run first through the normal machinery — each
-    atomic on its own, serialized against concurrent writers by the
-    claim CAS, and (when ``batch_id`` is given) exactly-once under
-    crash replay via a derived per-table id ``{batch_id}:{table}``.
-    The txn catalog pointer swaps LAST: atomic readers switch from
-    the previous snapshot to the new one in one os.replace, with no
-    mixed state at any point, no matter where a writer crashed.
+    commit is STAGED (round-11 review hardening): each table's
+    generation and manifest file are written durably while HOLDING the
+    per-table claim, but NO per-table LATEST moves and nothing enters
+    any table's published chain — a staged batch is invisible to every
+    reader.  The txn-catalog pointer swap is then the SINGLE commit
+    point for all tables at once; only after it do the per-table
+    LATEST pointers roll forward (and any writer completes a lost
+    roll-forward before building on the table).  Consequences, which
+    the previous publish-then-swap design could not give:
 
-    A replay of a FULLY committed transaction (same ``batch_id``) is
-    a no-op returning the already-published txn version; a replay of
-    a partially published one re-drives the missing appends (the
-    completed ones dedupe) and then commits.  Crash-injection
-    coverage: tests/test_multi_table_txn.py."""
+    * a writer crash ANYWHERE before the catalog swap leaves only
+      invisible debris (reclaimed by the next writer's dead-claim
+      takeover) — a later transaction can never pin another
+      transaction's half-published batches, because uncommitted
+      batches are never in the chain at all;
+    * retention cannot expire a mid-commit version: staged versions
+      sit ABOVE each table's LATEST until the catalog (whose pins
+      expire_generations honors) makes them visible.
+
+    Claims are held across the whole commit; two transactions (and
+    any single-table writers) serialize per table, with table claims
+    taken in sorted order so overlapping transactions cannot
+    deadlock.  A replay of a COMPLETED transaction (same ``batch_id``)
+    is a pure no-op against the catalog CHAIN; a replay of a crashed
+    one re-stages from scratch (nothing of the crashed attempt was
+    ever visible).  Compaction is deferred to later appends — the
+    staged write is one clustered exchange per table plus hard links.
+    Crash-injection coverage: tests/test_multi_table_txn.py."""
     if not appends:
         raise ValueError("commit_multi_table: no tables to commit")
     if batch_id is not None:
@@ -2731,59 +2787,115 @@ def commit_multi_table(
             # replays arriving after later transactions never re-run
             # the swap with stale pins (review finding)
             return done
-    # deterministic publish order: a crashed commit and its replay
-    # walk the tables identically, so the dedupe prefix always aligns.
-    # Each append returns the version its batch LANDED at (replays
-    # included), never the current head.
-    new_versions: dict[str, int] = {}
-    for table in sorted(appends):
-        new_versions[table] = append_manifest_table(
-            spark, appends[table], root, table,
-            batch_id=None if batch_id is None else f"{batch_id}:{table}",
-            compact_files_per_bucket=compact_files_per_bucket,
-            max_retries=max_retries, retry_wait_s=retry_wait_s,
-        )
-    # catalog swap, serialized by the same claim CAS one level up
-    for attempt in range(max_retries + 1):
-        cat = read_txn_catalog(root)
-        if batch_id is not None:
-            done = _txn_batch_published(root, batch_id)
-            if done is not None:
-                return done  # a concurrent replay won the swap
-        v = cat["version"] + 1
-        try:
-            _acquire_claim(root, _TXN, v)
-        except ConcurrentWriteError:
-            if attempt == max_retries:
-                raise
-            _claim_wait(root, _TXN, v, attempt, retry_wait_s)
-            continue
-        try:
-            if read_txn_catalog(root)["version"] != cat["version"]:
-                continue  # lost the race between read and claim
-            tables = dict(cat["tables"])
-            for t, nv in new_versions.items():
-                # MONOTONE pin update: a concurrent transaction that
-                # landed on this table AFTER our append and swapped the
-                # catalog FIRST has already pinned a later version that
-                # contains our batch (appends serialize into one linear
-                # chain) — moving the pin backward would tear THAT
-                # transaction's atomicity (review finding)
-                tables[t] = max(tables.get(t, -1), nv)
-            new_cat = {
-                "version": v,
-                "parent": cat["version"] if cat["version"] >= 0 else None,
-                "tables": tables,
-            }
+    staged: dict[str, dict] = {}
+    landed: dict[str, int] = {}
+    claimed: list[tuple[str, int]] = []
+    try:
+        # table claims in SORTED order: overlapping transactions
+        # acquire in the same order, so they cannot deadlock
+        for table in sorted(appends):
+            for attempt in range(max_retries + 1):
+                if batch_id is not None:
+                    # old-style / partially-published crash compat: a
+                    # batch already in the table's PUBLISHED chain is
+                    # adopted at the version it landed
+                    lv = _batch_id_published(root, table,
+                                             f"{batch_id}:{table}")
+                    if lv is not None:
+                        landed[table] = lv
+                        break
+                prev = read_manifest(root, table)
+                v = prev["version"] + 1
+                try:
+                    _acquire_claim(root, table, v)
+                except ConcurrentWriteError:
+                    if attempt == max_retries:
+                        raise
+                    _claim_wait(root, table, v, attempt, retry_wait_s)
+                    continue
+                claimed.append((table, v))
+                if current_version(root, table) != prev["version"]:
+                    _release_claim(root, table, v)
+                    claimed.pop()
+                    continue
+                if _complete_lagging_txn_publish(root, table, v):
+                    _release_claim(root, table, v)
+                    claimed.pop()
+                    continue
+                base = _shaped_batch(appends[table], prev, table)
+                spec = {k: prev.get(k) for k in
+                        ("bucket_cols", "num_buckets", "sort_cols",
+                         "schema_ddl", "shred", "point_filters")}
+                manifest = _write_generation(
+                    spark, base, root, table, v, spec, link_from=prev
+                )
+                if batch_id is not None:
+                    manifest["batch_id"] = f"{batch_id}:{table}"
+                _write_manifest_file(root, table, manifest)  # staged,
+                # durable, NOT published — invisible until the catalog
+                staged[table] = manifest
+                landed[table] = v
+                break
+            else:
+                raise ConcurrentWriteError(
+                    f"staging {table} lost the claim race "
+                    f"{max_retries + 1} times"
+                )
+        # the catalog swap — THE cross-table commit point, serialized
+        # by the same claim CAS one level up
+        committed = None
+        for attempt in range(max_retries + 1):
+            cat = read_txn_catalog(root)
             if batch_id is not None:
-                new_cat["batch_id"] = batch_id
-            _publish_txn(root, new_cat)
-            return v
-        finally:
-            _release_claim(root, _TXN, v)
-    raise ConcurrentWriteError(
-        f"txn catalog swap lost the race {max_retries + 1} times"
-    )
+                done = _txn_batch_published(root, batch_id)
+                if done is not None:
+                    return done  # a concurrent replay won the swap;
+                    # our staged duplicates stay unpublished debris
+            v = cat["version"] + 1
+            try:
+                _acquire_claim(root, _TXN, v)
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
+                _claim_wait(root, _TXN, v, attempt, retry_wait_s)
+                continue
+            try:
+                if read_txn_catalog(root)["version"] != cat["version"]:
+                    continue  # lost the race between read and claim
+                tables = dict(cat["tables"])
+                for t, nv in landed.items():
+                    # MONOTONE pin update: only the batch-id-adopted
+                    # (already-published) versions can be behind a
+                    # concurrent pin — staged versions are above every
+                    # published one by construction
+                    tables[t] = max(tables.get(t, -1), nv)
+                new_cat = {
+                    "version": v,
+                    "parent": cat["version"] if cat["version"] >= 0
+                    else None,
+                    "tables": tables,
+                }
+                if batch_id is not None:
+                    new_cat["batch_id"] = batch_id
+                _publish_txn(root, new_cat)
+                committed = v
+                break
+            finally:
+                _release_claim(root, _TXN, v)
+        if committed is None:
+            raise ConcurrentWriteError(
+                f"txn catalog swap lost the race {max_retries + 1} times"
+            )
+        # post-commit roll-forward: move each staged table's LATEST to
+        # its committed version (still under our per-table claims); a
+        # crash in this window is repaired by any later writer via
+        # _complete_lagging_txn_publish
+        for table, manifest in staged.items():
+            _swap_latest(root, table, manifest["version"])
+        return committed
+    finally:
+        for table, v in claimed:
+            _release_claim(root, table, v)
 
 
 def read_tables_atomic(

@@ -73,51 +73,54 @@ def test_commit_and_atomic_read(spark, two_tables):
         mb.drop_catalog_entries(spark, root, "loose")
 
 
-def test_crash_between_table_publishes_never_shows_mixture(
+def test_crash_mid_staging_leaves_nothing_visible_anywhere(
     spark, two_tables, monkeypatch
 ):
-    """THE verdict-#3 crash injection: kill the writer between the two
-    per-table publishes.  An atomic reader must see the PREVIOUS txn
-    snapshot whole (all-old); the documented retry then completes the
-    commit exactly once."""
+    """THE verdict-#3 crash injection, strengthened by the staged
+    design: kill the writer after the FIRST table's batch is staged.
+    Nothing was published to ANY read path — not the atomic view, not
+    even the single-table reads (the review's torn-mixture scenario,
+    where a later transaction pinned a crashed one's half-published
+    batch, is impossible because uncommitted batches never enter the
+    chain).  The retry re-stages from scratch, exactly once."""
     root = two_tables
     mb.commit_multi_table(
         spark, root,
         {"fact": _fact(spark, 100, 150), "dim": _dim(spark, 10, 15)},
         batch_id="base",
     )
-    orig = mb.append_manifest_table
-    published: list[str] = []
+    orig = mb._write_manifest_file
+    staged: list[str] = []
 
-    def crash_after_first(spark_, df, root_, table, **kw):
-        v = orig(spark_, df, root_, table, **kw)
-        published.append(table)
-        if len(published) == 1:
-            raise RuntimeError("injected crash between table publishes")
-        return v
+    def crash_after_first(root_, table, manifest):
+        orig(root_, table, manifest)
+        staged.append(table)
+        if len(staged) == 1:
+            raise RuntimeError("injected crash mid-staging")
 
-    monkeypatch.setattr(mb, "append_manifest_table", crash_after_first)
+    monkeypatch.setattr(mb, "_write_manifest_file", crash_after_first)
     with pytest.raises(RuntimeError, match="injected crash"):
         mb.commit_multi_table(
             spark, root,
             {"fact": _fact(spark, 150, 200), "dim": _dim(spark, 15, 20)},
             batch_id="tx-crash",
         )
-    # dim published per-table (sorted order: dim first), fact did not —
-    # but the ATOMIC view is still the old snapshot, whole
-    assert published == ["dim"]
+    # dim staged first (sorted order) — but NOTHING is visible, on any
+    # read path: all-old everywhere
+    assert staged == ["dim"]
     assert _counts(spark, root) == (150, 15)
-    assert mb.read_manifest_table(spark, root, "dim").count() == 20
-    # no claim debris anywhere
+    assert mb.read_manifest_table(spark, root, "dim").count() == 15
+    assert mb.read_manifest_table(spark, root, "fact").count() == 150
+    # no claim debris anywhere (the exception path released them)
     for t in ("fact", "dim", mb._TXN):
         mdir = os.path.join(root, t, "manifests")
         if os.path.isdir(mdir):
             assert not [f for f in os.listdir(mdir)
                         if f.startswith("claim-")]
 
-    # the crash-retry: same batch_id — dim's append dedupes (no
-    # double-apply), fact publishes, the catalog swaps once
-    monkeypatch.setattr(mb, "append_manifest_table", orig)
+    # the crash-retry: nothing of the crashed attempt was visible, so
+    # the commit simply re-stages both tables and lands exactly once
+    monkeypatch.setattr(mb, "_write_manifest_file", orig)
     v = mb.commit_multi_table(
         spark, root,
         {"fact": _fact(spark, 150, 200), "dim": _dim(spark, 15, 20)},
@@ -135,6 +138,91 @@ def test_crash_between_table_publishes_never_shows_mixture(
         batch_id="tx-crash",
     ) == v
     assert _counts(spark, root) == (200, 20)
+
+
+def test_crashed_txn_is_never_pinned_by_later_transactions(
+    spark, two_tables, monkeypatch
+):
+    """Review regression (the second pass's top txn finding): under
+    the old publish-then-swap flow, a crashed T1's half-published fact
+    batch entered the chain, and a later T2 pinning fact past it
+    exposed T1's fact rows without T1's dim rows.  Staging makes that
+    impossible: T1's crashed batch was never in the chain, so T2's
+    commit contains exactly T2."""
+    root = two_tables
+    t1_rows = set(range(500, 520))
+    orig = mb._write_manifest_file
+
+    def crash_fact(root_, table, manifest):
+        orig(root_, table, manifest)
+        if table == "fact":
+            raise RuntimeError("T1 dies after staging fact")
+
+    monkeypatch.setattr(mb, "_write_manifest_file", crash_fact)
+    with pytest.raises(RuntimeError, match="T1 dies"):
+        mb.commit_multi_table(
+            spark, root,
+            {"fact": _fact(spark, 500, 520)},  # fact-only: stages fact
+            batch_id="t1",
+        )
+    monkeypatch.setattr(mb, "_write_manifest_file", orig)
+    # T2 commits on the same tables — and must NOT carry T1's rows
+    mb.commit_multi_table(
+        spark, root,
+        {"fact": _fact(spark, 900, 910), "dim": _dim(spark, 10, 12)},
+        batch_id="t2",
+    )
+    snap = mb.read_tables_atomic(spark, root, ["fact", "dim"])
+    fact_ks = {r["k"] for r in snap["fact"].collect()}
+    assert not (fact_ks & t1_rows), (
+        "a later transaction exposed the crashed T1's half-staged batch"
+    )
+    assert set(range(900, 910)) <= fact_ks
+    assert mb.read_manifest_table(spark, root, "fact").count() == 110
+    # T1's replay still lands its batch exactly once afterwards
+    mb.commit_multi_table(spark, root,
+                          {"fact": _fact(spark, 500, 520)}, batch_id="t1")
+    snap2 = mb.read_tables_atomic(spark, root, ["fact"])
+    ks2 = {r["k"] for r in snap2["fact"].collect()}
+    assert t1_rows <= ks2
+    assert snap2["fact"].count() == snap2["fact"].select("k").distinct().count()
+
+
+def test_crash_between_catalog_swap_and_roll_forward_repairs(
+    spark, two_tables, monkeypatch
+):
+    """Crash AFTER the catalog swap (the commit point) but BEFORE the
+    per-table LATEST roll-forward: atomic readers already see the full
+    new snapshot (the commit happened); single-table LATEST lags until
+    the next writer completes the roll-forward."""
+    root = two_tables
+    orig = mb._swap_latest
+
+    def crash(root_, table, version):
+        raise RuntimeError("dies before roll-forward")
+
+    monkeypatch.setattr(mb, "_swap_latest", crash)
+    with pytest.raises(RuntimeError, match="before roll-forward"):
+        mb.commit_multi_table(
+            spark, root,
+            {"fact": _fact(spark, 100, 130), "dim": _dim(spark, 10, 13)},
+            batch_id="tx",
+        )
+    monkeypatch.setattr(mb, "_swap_latest", orig)
+    # the commit POINT passed: atomic view is all-new
+    assert _counts(spark, root) == (130, 13)
+    # single-table LATEST lags (crash window), version pinned anyway
+    assert mb.read_manifest_table(spark, root, "fact").count() == 100
+    # any later writer completes the roll-forward and builds on top
+    mb.append_manifest_table(spark, _fact(spark, 130, 140), root, "fact",
+                             compact_files_per_bucket=100)
+    assert mb.read_manifest_table(spark, root, "fact").count() == 140
+    fact = mb.read_manifest_table(spark, root, "fact")
+    assert fact.count() == fact.select("k").distinct().count()
+    # dim repairs on its next write too
+    mb.append_manifest_table(spark, _dim(spark, 13, 14), root, "dim",
+                             compact_files_per_bucket=100)
+    assert mb.read_manifest_table(spark, root, "dim").count() == 14
 
 
 def test_crash_before_catalog_swap_then_retry(spark, two_tables, monkeypatch):
