@@ -291,6 +291,7 @@ HEADLINE = [
     "multi_table_atomic_commit_read",
     "manifest_delete_vector_read",
     "manifest_changes_incremental_read",
+    "manifest_mirror_incremental_sync",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

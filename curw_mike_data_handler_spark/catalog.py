@@ -17385,6 +17385,97 @@ def manifest_changes_incremental_read(spark, sf_dir):
     return result
 
 
+@query(
+    "manifest_mirror_incremental_sync",
+    """
+    WITH b AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+               substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS nib
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(pc + CASE WHEN nib = '1' THEN 100 ELSE 0 END)
+                AS BIGINT) AS sum_cents
+    FROM b WHERE nib <> '2' GROUP BY 1
+    """,
+)
+def manifest_mirror_incremental_sync(spark, sf_dir):
+    """Incremental MIRROR over the change feed (round 11 — the
+    roadmap's change-feed consumer): a downstream keyed table is
+    initialized from the source snapshot, the source then takes an
+    append (nibble-0 rows), a MERGE (nibble-1 repriced +100), and a
+    DELETE (nibble-2), and ONE ``sync_manifest_mirror`` call advances
+    the mirror through the three-commit feed window — net last change
+    per key, one bucket-pruned MERGE of winning rows plus one DELETE
+    of dead keys, exactly-once via window-derived batch_ids.  The gate
+    rolls up the MIRROR, and the oracle recomputes the source's final
+    algebra — a change lost in the window reduction, a double-applied
+    upsert, or a resurrected deleted key diverges.
+
+    Scale shape: the sync moves only the window's changed rows (the
+    feed is bounded by rewritten regions; the apply by the changed
+    keys' buckets) — a downstream table at 100 TB refreshes with the
+    day's changes, never a full copy (crash replay and
+    superset-window convergence tested in
+    tests/test_manifest_mirror.py)."""
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("pc")
+    )
+    nibbed = base.withColumn(
+        "nib", F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    )
+    root = tempfile.mkdtemp(prefix="cm_mirror_")
+    try:
+        mb.create_manifest_table(
+            spark, nibbed.filter(F.col("nib") != "0").drop("nib"),
+            root, "orders_m",
+            bucket_cols="o_orderkey", num_buckets=8,
+            sort_cols="o_orderkey",
+        )
+        mb.create_manifest_mirror(spark, root, "orders_m", "orders_mm")
+        mb.append_manifest_table(
+            spark, nibbed.filter(F.col("nib") == "0").drop("nib"),
+            root, "orders_m", compact_files_per_bucket=100,
+        )
+        mb.merge_manifest_table(
+            spark,
+            nibbed.filter(F.col("nib") == "1").select(
+                "o_orderkey", "o_orderstatus",
+                (F.col("pc") + 100).alias("pc"),
+            ),
+            root, "orders_m", key_cols="o_orderkey",
+        )
+        mb.delete_manifest_rows(
+            spark,
+            nibbed.filter(F.col("nib") == "2").select("o_orderkey"),
+            root, "orders_m", key_cols="o_orderkey",
+        )
+        mb.sync_manifest_mirror(spark, root, "orders_mm",
+                                key_cols="o_orderkey")
+        out = (
+            mb.read_manifest_table(spark, root, "orders_mm")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("pc").alias("sum_cents"),
+            )
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        mb.drop_catalog_entries(spark, root, "orders_m")
+        mb.drop_catalog_entries(spark, root, "orders_mm")
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

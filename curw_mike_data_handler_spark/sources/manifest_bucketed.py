@@ -2039,10 +2039,13 @@ def delete_manifest_rows(
     key_cols: str | list[str],
     max_retries: int = 20,
     retry_wait_s: float = 0.5,
+    batch_id: str | None = None,
 ) -> int:
     """Row-level DELETE by key set (the GDPR-erasure shape): every row
     whose ``key_cols`` match a row of ``keys`` is removed.  Bucket
-    pruning exactly as in merge — only the keys' buckets rewrite."""
+    pruning exactly as in merge — only the keys' buckets rewrite.
+    ``batch_id`` gives the delete the same exactly-once replay
+    contract as merge (manifest-chain dedupe)."""
     kc = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     prev0 = read_manifest(root, table)
     keys = keys.localCheckpoint()  # same determinism contract as merge
@@ -2056,6 +2059,7 @@ def delete_manifest_rows(
     return _cow_rewrite(
         spark, root, table, select_touched, transform, "delete",
         max_retries=max_retries, retry_wait_s=retry_wait_s,
+        batch_id=batch_id,
     )
 
 
@@ -3246,3 +3250,122 @@ def expire_txn_catalogs(root: str, *, keep: int = 2) -> list[int]:
     for v in expired:
         os.unlink(_txn_catalog_path(root, v))
     return expired
+
+
+# ---------------------------------------------------------------------------
+# Incremental mirror — the change feed's first consumer (round 11,
+# roadmap "change-feed streaming source" brought forward)
+#
+# A downstream keyed table maintained from the feed alone: each sync
+# reads ONLY the commits since the last synced version, reduces them
+# to the net last change per key, and applies one MERGE (winning
+# rows) + one key DELETE (dead keys) to the mirror.  Cost per sync is
+# bounded by the window's changed rows — at 100 TB the nightly mirror
+# refresh moves the day's changes, never the table.
+#
+# Exactly-once AND self-healing: the dst writes carry
+# window-identified batch_ids (manifest-chain dedupe), and the apply
+# is DECLARATIVE — upsert the key's final row / delete the key — so
+# replaying a superset window (a crash before the state file advanced)
+# converges to the same mirror.  The synced-version state lives in a
+# durable MIRROR pointer beside the dst table's manifests.
+# ---------------------------------------------------------------------------
+
+
+def _mirror_state_path(root: str, dst: str) -> str:
+    return os.path.join(_table_dir(root, dst), "MIRROR")
+
+
+def read_mirror_state(root: str, dst: str) -> dict:
+    """``{"src": <table>, "synced_version": v}`` for a mirror table."""
+    with open(_mirror_state_path(root, dst)) as fh:
+        return json.load(fh)
+
+
+def create_manifest_mirror(
+    spark: SparkSession,
+    root: str,
+    src: str,
+    dst: str,
+) -> int:
+    """Initialize ``dst`` as a mirror of ``src``'s CURRENT snapshot
+    (same bucket spec, same shred spec) and record the synced version.
+    Subsequent ``sync_manifest_mirror`` calls advance it through the
+    change feed only."""
+    m = read_manifest(root, src)
+    snap = read_manifest_table(spark, root, src)
+    create_manifest_table(
+        spark, snap, root, dst,
+        bucket_cols=m["bucket_cols"], num_buckets=m["num_buckets"],
+        sort_cols=m["sort_cols"], shred=m.get("shred"),
+    )
+    _durable_write(
+        _mirror_state_path(root, dst),
+        json.dumps({"src": src, "synced_version": m["version"]}),
+    )
+    return m["version"]
+
+
+def sync_manifest_mirror(
+    spark: SparkSession,
+    root: str,
+    dst: str,
+    *,
+    key_cols: str | list[str],
+) -> int | None:
+    """Advance the mirror to its source's current snapshot by applying
+    the change feed since the last synced version.  Returns the newly
+    synced source version, or None when already current.
+
+    ``key_cols`` is the source's logical key (must contain the bucket
+    columns, and the source must keep it unique — the mirror of a
+    keyed table is itself keyed).  The window's changes reduce to the
+    LAST change per key (commit order; within one commit an update's
+    insert beats its delete), then apply as one bucket-pruned MERGE of
+    the winning rows plus one bucket-pruned DELETE of the dead keys —
+    both with window-derived batch_ids, so a crashed sync replays
+    exactly-once, and a replay over a GROWN window (state file lagging
+    a crash) still converges: the net-last-change apply is
+    declarative."""
+    from pyspark.sql import Window
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    state = read_mirror_state(root, dst)
+    src = state["src"]
+    from_v = state["synced_version"]
+    to_v = current_version(root, src)
+    if to_v == from_v:
+        return None
+    feed = read_manifest_changes(
+        spark, root, src, from_version=from_v, to_version=to_v
+    )
+    # net effect per key: the newest commit wins; within a commit an
+    # update emits delete(old)+insert(new) for the same key and the
+    # insert is the survivor ('insert' > 'delete' lexicographically)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_commit_version").desc(), F.col("_change_type").desc()
+    )
+    last = (
+        feed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_commit_version")
+    )
+    last = last.localCheckpoint()  # one bounded materialization: the
+    # merge and the delete must see the same winner set
+    ups = last.filter(F.col("_change_type") == "insert").drop(
+        "_change_type"
+    )
+    doomed = last.filter(F.col("_change_type") == "delete").select(*keys)
+    if ups.take(1):
+        merge_manifest_table(
+            spark, ups, root, dst, key_cols=keys,
+            batch_id=f"mirror:{src}:{to_v}:ins",
+        )
+    if doomed.take(1):
+        delete_manifest_rows(
+            spark, doomed, root, dst, key_cols=keys,
+            batch_id=f"mirror:{src}:{to_v}:del",
+        )
+    state["synced_version"] = to_v
+    _durable_write(_mirror_state_path(root, dst), json.dumps(state))
+    return to_v

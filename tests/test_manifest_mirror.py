@@ -1,0 +1,179 @@
+"""Incremental mirror over the change feed (round 11): a downstream
+keyed table maintained from per-commit diffs alone — net last change
+per key, one MERGE + one DELETE per sync, exactly-once and
+self-healing under crash replay.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+SCHEMA = "k long, v long, ts_k long"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _content(spark, root, table):
+    rows = mb.read_manifest_table(spark, root, table).collect()
+    return Counter((r["k"], r["v"], r["ts_k"]) for r in rows)
+
+
+def test_mirror_tracks_source_through_every_write_op(spark, tmp_path):
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _df(spark, [(k, k, k) for k in range(200)]), root, "src",
+        bucket_cols="k", num_buckets=4, sort_cols="ts_k",
+    )
+    try:
+        v0 = mb.create_manifest_mirror(spark, root, "src", "dst")
+        assert v0 == 0
+        assert _content(spark, root, "dst") == _content(spark, root, "src")
+        # already current: no-op
+        assert mb.sync_manifest_mirror(spark, root, "dst",
+                                       key_cols="k") is None
+
+        # one window spanning every write class
+        mb.append_manifest_table(
+            spark, _df(spark, [(k, k, k) for k in range(200, 240)]),
+            root, "src", compact_files_per_bucket=100,
+        )
+        mb.merge_manifest_table(
+            spark, _df(spark, [(k, -k - 1, k) for k in range(10)]),
+            root, "src", key_cols="k",
+        )
+        mb.delete_manifest_rows(
+            spark, spark.createDataFrame([(50,), (51,)], "k long"),
+            root, "src", key_cols="k",
+        )
+        mb.delete_manifest_rows_mor(
+            spark, spark.createDataFrame([(60,)], "k long"),
+            root, "src", key_cols="k",
+        )
+        synced = mb.sync_manifest_mirror(spark, root, "dst", key_cols="k")
+        assert synced == mb.current_version(root, "src")
+        assert _content(spark, root, "dst") == _content(spark, root, "src")
+        # a key updated then deleted inside ONE window ends deleted;
+        # deleted then re-inserted ends present
+        mb.merge_manifest_table(
+            spark, _df(spark, [(70, 1, 70)]), root, "src", key_cols="k",
+        )
+        mb.delete_manifest_rows(
+            spark, spark.createDataFrame([(70,)], "k long"), root, "src",
+            key_cols="k",
+        )
+        mb.delete_manifest_rows(
+            spark, spark.createDataFrame([(80,)], "k long"), root, "src",
+            key_cols="k",
+        )
+        mb.merge_manifest_table(
+            spark, _df(spark, [(80, 808, 80)]), root, "src", key_cols="k",
+        )
+        mb.sync_manifest_mirror(spark, root, "dst", key_cols="k")
+        got = _content(spark, root, "dst")
+        assert got == _content(spark, root, "src")
+        assert not any(k == 70 for k, _, _ in got)
+        assert (80, 808, 80) in got
+        # the mirror's own chain is MERGE/DELETE commits (incremental),
+        # never a full rewrite of the create generation
+        ops = []
+        v = mb.current_version(root, "dst")
+        while v > 0:
+            m = mb.read_manifest(root, "dst", version=v)
+            ops.append(m.get("op"))
+            v = m["parent"]
+        assert set(ops) <= {"merge", "delete"}
+        # and each sync rewrote only the touched buckets
+        m = mb.read_manifest(root, "dst")
+        assert m["linked_files"] > 0
+    finally:
+        mb.drop_catalog_entries(spark, root, "src")
+        mb.drop_catalog_entries(spark, root, "dst")
+
+
+def test_mirror_crash_replay_is_exactly_once_and_self_healing(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between the dst writes and the state-file advance: the
+    replay re-reads a GROWN window (src moved on meanwhile) and must
+    still converge — batch_ids dedupe the already-applied commits and
+    the declarative net-apply makes the superset window idempotent."""
+    import json
+    import os
+
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _df(spark, [(k, k, k) for k in range(100)]), root, "src",
+        bucket_cols="k", num_buckets=2, sort_cols="ts_k",
+    )
+    try:
+        mb.create_manifest_mirror(spark, root, "src", "dst")
+        mb.merge_manifest_table(
+            spark, _df(spark, [(5, 500, 5)]), root, "src", key_cols="k",
+        )
+        orig = mb._durable_write
+
+        def crash_on_state(path, text):
+            if path.endswith("MIRROR"):
+                raise RuntimeError("dies before state advance")
+            orig(path, text)
+
+        monkeypatch.setattr(mb, "_durable_write", crash_on_state)
+        with pytest.raises(RuntimeError, match="state advance"):
+            mb.sync_manifest_mirror(spark, root, "dst", key_cols="k")
+        monkeypatch.setattr(mb, "_durable_write", orig)
+        # dst already carries the merge; state still points at v0
+        assert mb.read_mirror_state(root, "dst")["synced_version"] == 0
+        # src moves on before the replay
+        mb.delete_manifest_rows(
+            spark, spark.createDataFrame([(7,)], "k long"), root, "src",
+            key_cols="k",
+        )
+        synced = mb.sync_manifest_mirror(spark, root, "dst", key_cols="k")
+        assert synced == mb.current_version(root, "src")
+        got = _content(spark, root, "dst")
+        assert got == _content(spark, root, "src")
+        assert got[(5, 500, 5)] == 1  # applied exactly once
+        assert not any(k == 7 for k, _, _ in got)
+        # replay again: clean no-op
+        assert mb.sync_manifest_mirror(spark, root, "dst",
+                                       key_cols="k") is None
+    finally:
+        mb.drop_catalog_entries(spark, root, "src")
+        mb.drop_catalog_entries(spark, root, "dst")
+
+
+def test_mirror_of_shredded_source(spark, tmp_path):
+    root = str(tmp_path)
+    rows = spark.range(0, 60).select(
+        F.col("k").alias("k") if False else F.col("id").alias("k"),
+        F.to_json(F.struct((F.col("id") * 3).alias("x"))).alias("payload"),
+    )
+    mb.create_manifest_table(
+        spark, rows, root, "src", bucket_cols="k", num_buckets=2,
+        shred={"column": "payload", "fields": {"x": "bigint"}},
+    )
+    try:
+        mb.create_manifest_mirror(spark, root, "src", "dst")
+        upd = spark.range(0, 5).select(
+            F.col("id").alias("k"),
+            F.to_json(F.struct((F.col("id") + 1000).alias("x")))
+            .alias("payload"),
+        )
+        mb.merge_manifest_table(spark, upd, root, "src", key_cols="k")
+        mb.sync_manifest_mirror(spark, root, "dst", key_cols="k")
+        r = mb.read_manifest_table_shredded(
+            spark, root, "dst", {"x": "bigint"}, base_cols="k"
+        )
+        got = {row["k"]: row["x"] for row in r.collect()}
+        want = {k: k * 3 for k in range(60)} | {k: k + 1000 for k in range(5)}
+        assert got == want
+    finally:
+        mb.drop_catalog_entries(spark, root, "src")
+        mb.drop_catalog_entries(spark, root, "dst")
