@@ -3288,20 +3288,42 @@ def create_manifest_mirror(
     src: str,
     dst: str,
 ) -> int:
-    """Initialize ``dst`` as a mirror of ``src``'s CURRENT snapshot
+    """Initialize ``dst`` as a mirror of ``src``'s current snapshot
     (same bucket spec, same shred spec) and record the synced version.
     Subsequent ``sync_manifest_mirror`` calls advance it through the
-    change feed only."""
-    m = read_manifest(root, src)
-    snap = read_manifest_table(spark, root, src)
+    change feed only.
+
+    Crash-safe ordering: the MIRROR state file (pinning the source
+    version) is written FIRST, then the snapshot copies AT THAT PINNED
+    VERSION — so a crash mid-copy retries against the same snapshot
+    (never a torn baseline from a moved LATEST), and a completed
+    initialization is a no-op on replay."""
+    _check_table_name(dst)
+    os.makedirs(_table_dir(root, dst), exist_ok=True)
+    state_path = _mirror_state_path(root, dst)
+    if os.path.exists(state_path):
+        state = read_mirror_state(root, dst)
+        if state["src"] != src:
+            raise ValueError(
+                f"{dst} already mirrors {state['src']!r}, not {src!r}"
+            )
+        try:
+            current_version(root, dst)
+            return state["synced_version"]  # fully initialized: no-op
+        except FileNotFoundError:
+            pass  # crashed mid-copy: resume at the PINNED version
+        m = read_manifest(root, src, state["synced_version"])
+    else:
+        m = read_manifest(root, src)
+        _durable_write(
+            state_path,
+            json.dumps({"src": src, "synced_version": m["version"]}),
+        )
+    snap = read_manifest_table(spark, root, src, m["version"])
     create_manifest_table(
         spark, snap, root, dst,
         bucket_cols=m["bucket_cols"], num_buckets=m["num_buckets"],
         sort_cols=m["sort_cols"], shred=m.get("shred"),
-    )
-    _durable_write(
-        _mirror_state_path(root, dst),
-        json.dumps({"src": src, "synced_version": m["version"]}),
     )
     return m["version"]
 

@@ -177,3 +177,44 @@ def test_mirror_of_shredded_source(spark, tmp_path):
     finally:
         mb.drop_catalog_entries(spark, root, "src")
         mb.drop_catalog_entries(spark, root, "dst")
+
+
+def test_mirror_create_is_crash_safe_and_pinned(spark, tmp_path, monkeypatch):
+    """Crash mid-initialization: the MIRROR state pins the source
+    version FIRST, so the retry copies the same snapshot even after
+    the source moved on — and a completed create is a replay no-op."""
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _df(spark, [(k, k, k) for k in range(50)]), root, "src",
+        bucket_cols="k", num_buckets=2, sort_cols="ts_k",
+    )
+    try:
+        orig = mb.create_manifest_table
+
+        def crash(*a, **kw):
+            raise RuntimeError("dies mid-copy")
+
+        monkeypatch.setattr(mb, "create_manifest_table", crash)
+        with pytest.raises(RuntimeError, match="mid-copy"):
+            mb.create_manifest_mirror(spark, root, "src", "dst")
+        monkeypatch.setattr(mb, "create_manifest_table", orig)
+        # the source moves on before the retry
+        mb.append_manifest_table(
+            spark, _df(spark, [(100, 100, 100)]), root, "src",
+            compact_files_per_bucket=100,
+        )
+        v = mb.create_manifest_mirror(spark, root, "src", "dst")
+        assert v == 0  # pinned at the PRE-crash snapshot
+        assert mb.read_manifest_table(spark, root, "dst").count() == 50
+        # the sync then brings the appended row in through the feed
+        mb.sync_manifest_mirror(spark, root, "dst", key_cols="k")
+        assert _content(spark, root, "dst") == _content(spark, root, "src")
+        # completed create: replay is a no-op returning the CURRENT
+        # synced version (the sync above advanced it to 1)
+        assert mb.create_manifest_mirror(spark, root, "src", "dst") == 1
+        assert mb.read_mirror_state(root, "dst")["synced_version"] == 1
+        with pytest.raises(ValueError, match="already mirrors"):
+            mb.create_manifest_mirror(spark, root, "other", "dst")
+    finally:
+        mb.drop_catalog_entries(spark, root, "src")
+        mb.drop_catalog_entries(spark, root, "dst")
