@@ -193,6 +193,15 @@ def _claim_owner_alive(content: str) -> bool:
     if pid <= 0:
         return True
     if pid == os.getpid():
+        # own-pid claims are only OURS if the recorded starttime matches
+        # THIS process: a dead writer's pid recycled as our own pid
+        # would otherwise read as "another thread of this process"
+        # forever, wedging every writer on the generation (advisor
+        # finding) — the starttime proves the original owner dead
+        if recorded_start is not None:
+            own_start = _proc_start_time(os.getpid())
+            if own_start is not None and own_start != recorded_start:
+                return False
         return True
     try:
         os.kill(pid, 0)
@@ -208,22 +217,28 @@ def _claim_owner_alive(content: str) -> bool:
 
 
 def _acquire_claim(root: str, table: str, version: int) -> None:
-    """Serialize writers per generation: an ``os.link`` of a
-    pre-written temp file onto ``claim-K`` is the commit-intent CAS —
-    exactly one writer owns generation K, and the claim's pid content
-    is atomic with its existence (no empty-content window for a reader
-    to misjudge).  A claim whose recorded pid is DEAD is the debris of
-    a crashed writer (kill -9 between claim and publish): it is
-    RENAMED aside — rename of one source admits exactly one recoverer —
-    and the link create re-raced.  A LIVE claim (including another
-    thread of this process, or unreadable content) raises
-    ConcurrentWriteError for the caller to retry after the competing
-    publish lands.  Same single-host/POSIX scope as the rest of the
-    module — on an object store this is the table format's
+    _acquire_claim_path(
+        _claim_path(root, table, version), f"{table} generation {version}"
+    )
+
+
+def _acquire_claim_path(path: str, what: str) -> None:
+    """Serialize writers per claim file: an ``os.link`` of a
+    pre-written temp file onto the claim path is the commit-intent
+    CAS — exactly one writer owns the claimed slot (a table
+    generation, the txn catalog slot, a mirror's sync), and the
+    claim's pid content is atomic with its existence (no empty-content
+    window for a reader to misjudge).  A claim whose recorded pid is
+    DEAD is the debris of a crashed writer (kill -9 between claim and
+    publish): it is RENAMED aside — rename of one source admits
+    exactly one recoverer — and the link create re-raced.  A LIVE
+    claim (including another thread of this process, or unreadable
+    content) raises ConcurrentWriteError for the caller to retry after
+    the competing publish lands.  Same single-host/POSIX scope as the
+    rest of the module — on an object store this is the table format's
     conditional-put commit."""
     import uuid as _uuid
 
-    path = _claim_path(root, table, version)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     # the claim is created by os.link of a PRE-WRITTEN temp file, never
     # by open(O_EXCL)+write: a reader can then never observe an empty
@@ -253,7 +268,7 @@ def _acquire_claim(root: str, table: str, version: int) -> None:
                 content = ""  # unreadable ⇒ _claim_owner_alive says LIVE
             if _claim_owner_alive(content):
                 raise ConcurrentWriteError(
-                    f"{table} generation {version} is being written by "
+                    f"{what} is being written by "
                     f"pid {_parse_claim(content)[0]}"
                 )
             # dead owner: RENAME the stale claim aside — rename of one
@@ -267,7 +282,7 @@ def _acquire_claim(root: str, table: str, version: int) -> None:
             except FileNotFoundError:
                 pass
         raise ConcurrentWriteError(
-            f"{table} generation {version}: claim could not be acquired "
+            f"{what}: claim could not be acquired "
             f"after stale-owner recovery"
         )
     finally:
@@ -278,7 +293,10 @@ def _acquire_claim(root: str, table: str, version: int) -> None:
 
 
 def _release_claim(root: str, table: str, version: int) -> None:
-    path = _claim_path(root, table, version)
+    _release_claim_path(_claim_path(root, table, version))
+
+
+def _release_claim_path(path: str) -> None:
     try:
         os.unlink(path)
     except FileNotFoundError:
@@ -2134,28 +2152,45 @@ def delete_manifest_range(
 # ---------------------------------------------------------------------------
 
 
+def _dv_positions_of(manifest: dict) -> dict:
+    """The manifest's deletion-vector position map (file -> [pos]) —
+    the single accessor every reader goes through, so the storage
+    representation (inline JSON today, a sidecar file if vectors
+    outgrow the manifest) changes in one place."""
+    return manifest.get("delete_vectors") or {}
+
+
 def _dv_filter(spark: SparkSession, df: DataFrame, manifest: dict) -> DataFrame:
     """Drop the manifest's deletion-vector positions from a FILE-SCAN
     DataFrame over this manifest's generation (the df must originate
     from parquet scans so ``_metadata`` resolves).  No vectors → the
     df passes through untouched (zero plan change for DV-free
     tables)."""
-    dvs = manifest.get("delete_vectors") or {}
+    dvs = _dv_positions_of(manifest)
     if not dvs:
         return df
     pairs = [(f, int(p)) for f, ps in dvs.items() for p in ps]
+    # temp column names derived COLLISION-FREE from the actual schema:
+    # the DDL rules legitimately admit user columns named _dv_file /
+    # _dv_pos, and withColumn silently REPLACES an existing column —
+    # a fixed name would corrupt such a table's reads whenever vectors
+    # exist (advisor finding)
+    taken = set(df.columns)
+    fcol, pcol = "_dv_file", "_dv_pos"
+    while fcol in taken or pcol in taken:
+        fcol, pcol = fcol + "_", pcol + "_"
     dv_df = spark.createDataFrame(pairs, "dv_file string, dv_pos long")
     fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
     return (
-        df.withColumn("_dv_file", fname)
-        .withColumn("_dv_pos", F.col("_metadata.row_index"))
+        df.withColumn(fcol, fname)
+        .withColumn(pcol, F.col("_metadata.row_index"))
         .join(
             F.broadcast(dv_df),
-            (F.col("_dv_file") == F.col("dv_file"))
-            & (F.col("_dv_pos") == F.col("dv_pos")),
+            (F.col(fcol) == dv_df["dv_file"])
+            & (F.col(pcol) == dv_df["dv_pos"]),
             "left_anti",
         )
-        .drop("_dv_file", "_dv_pos")
+        .drop(fcol, pcol)
     )
 
 
@@ -2529,7 +2564,18 @@ def read_manifest_table_stats_hinted(
       profitable no matter what the disk size suggests);
     * disk size ≤ threshold < ``in_memory_est`` → ``merge`` hint —
       exactly the case where the file-size guess would wrongly
-      broadcast this table, the hint forces the sort-merge plan;
+      broadcast this table, the hint forces the sort-merge plan.
+      TRADEOFF, stated plainly (advisor finding): Spark resolves any
+      merge hint ahead of size-based broadcast selection for the
+      WHOLE join, so this hint also suppresses a legitimate broadcast
+      of the other side — a join of this deceptive-compression table
+      with a genuinely tiny one runs sort-merge instead of
+      broadcasting the tiny side.  That is the safe direction (a
+      sort-merge is slower; a 10× oversized broadcast is an executor
+      OOM), and a caller who knows the other side is tiny can read it
+      with ``read_manifest_table(...).hint("broadcast")`` — an
+      explicit broadcast hint on the other side takes precedence over
+      this side's merge hint;
     * otherwise no hint (Spark's own estimate already decides
       correctly, and an un-hinted side leaves the optimizer free to
       broadcast the OTHER side of a join).
@@ -3320,10 +3366,16 @@ def create_manifest_mirror(
             json.dumps({"src": src, "synced_version": m["version"]}),
         )
     snap = read_manifest_table(spark, root, src, m["version"])
+    pf = m.get("point_filters") or {}
     create_manifest_table(
         spark, snap, root, dst,
         bucket_cols=m["bucket_cols"], num_buckets=m["num_buckets"],
         sort_cols=m["sort_cols"], shred=m.get("shred"),
+        # forward the source's point-filter spec: a mirror of a
+        # point-filtered table must keep Bloom point-read pruning —
+        # silently dropping it would be a capability regression
+        # relative to the mirrored source (advisor finding)
+        point_filter_cols=pf.get("cols"),
     )
     return m["version"]
 
@@ -3334,6 +3386,8 @@ def sync_manifest_mirror(
     dst: str,
     *,
     key_cols: str | list[str],
+    max_retries: int = 20,
+    retry_wait_s: float = 0.5,
 ) -> int | None:
     """Advance the mirror to its source's current snapshot by applying
     the change feed since the last synced version.  Returns the newly
@@ -3348,10 +3402,69 @@ def sync_manifest_mirror(
     both with window-derived batch_ids, so a crashed sync replays
     exactly-once, and a replay over a GROWN window (state file lagging
     a crash) still converges: the net-last-change apply is
-    declarative."""
+    declarative.
+
+    CONCURRENT syncs of the same mirror serialize on a claim over the
+    MIRROR pointer (advisor finding): without it, two racing syncs
+    with different windows could interleave so a stale narrower-window
+    winner set lands AFTER the newer one while the state file still
+    ends at the newer version — the overwritten commits would then
+    never be replayed, permanently diverging the mirror.  The claim is
+    held across the whole read-feed → reduce → apply → advance-state
+    sequence; a loser waits for the holder's release (or death — a
+    crashed sync's claim is taken over, and its half-applied window
+    replays idempotently via the batch_id chain) and then re-reads the
+    state, so it syncs the REMAINDER, typically a no-op."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    claim = _mirror_state_path(root, dst) + ".claim"
+    for attempt in range(max_retries + 1):
+        try:
+            _acquire_claim_path(claim, f"mirror {dst} sync")
+        except ConcurrentWriteError:
+            if attempt == max_retries:
+                raise
+            _claim_path_wait(claim, attempt, retry_wait_s)
+            continue
+        try:
+            return _sync_mirror_locked(spark, root, dst, keys)
+        finally:
+            _release_claim_path(claim)
+    raise ConcurrentWriteError(
+        f"mirror {dst} sync lost the claim race {max_retries + 1} times"
+    )
+
+
+def _claim_path_wait(path: str, attempt: int, base_wait_s: float) -> None:
+    """Back off behind a live claim at an arbitrary path — the
+    versionless twin of _claim_wait (no snapshot to watch for
+    progress): exponential budget, 50 ms polls, early return the
+    moment the claim vanishes or its owner dies."""
+    import time
+
+    wait_s = min(base_wait_s * (2 ** attempt), 30.0)
+    deadline = time.monotonic() + wait_s
+    while time.monotonic() < deadline:
+        try:
+            with open(path) as fh:
+                content = fh.read()
+        except FileNotFoundError:
+            return
+        except OSError:
+            content = ""
+        if not _claim_owner_alive(content):
+            return
+        time.sleep(0.05)
+
+
+def _sync_mirror_locked(
+    spark: SparkSession, root: str, dst: str, keys: list[str]
+) -> int | None:
+    """One mirror sync, caller holding the MIRROR claim.  The state
+    is (re-)read INSIDE the claim: a loser that waited out a
+    concurrent sync sees the advanced version and applies only the
+    remainder."""
     from pyspark.sql import Window
 
-    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     state = read_mirror_state(root, dst)
     src = state["src"]
     from_v = state["synced_version"]

@@ -176,3 +176,35 @@ def test_dv_cap_directs_bulk_deletes_to_cow(spark, table):
     # nothing half-published
     assert mb.read_manifest(table, "t").get("op") != "delete_mor"
     assert mb.read_manifest_table(spark, table, "t").count() == 400
+
+
+def test_dv_filter_survives_reserved_looking_user_columns(spark, tmp_path):
+    """Advisor regression (r11 low): the DDL rules admit user columns
+    named _dv_file / _dv_pos / dv_file / dv_pos, and withColumn
+    silently REPLACES an existing column — the anti-join's temp names
+    are now derived collision-free from the actual schema, so such a
+    table reads correctly while vectors exist."""
+    root = str(tmp_path)
+    df = spark.range(0, 100).selectExpr(
+        "id AS k",
+        "CAST(id AS STRING) AS _dv_file",
+        "id * 3 AS _dv_pos",
+        "CAST(id AS STRING) AS dv_file",
+        "id * 5 AS dv_pos",
+    )
+    mb.create_manifest_table(
+        spark, df, root, "clash", bucket_cols="k", num_buckets=2,
+    )
+    try:
+        mb.delete_manifest_rows_mor(
+            spark, _keys(spark, [3, 7]), root, "clash", key_cols="k"
+        )
+        got = mb.read_manifest_table(spark, root, "clash")
+        assert set(got.columns) == {"k", "_dv_file", "_dv_pos",
+                                    "dv_file", "dv_pos"}
+        rows = {r["k"]: (r["_dv_file"], r["_dv_pos"], r["dv_file"],
+                         r["dv_pos"]) for r in got.collect()}
+        assert len(rows) == 98 and 3 not in rows and 7 not in rows
+        assert rows[10] == ("10", 30, "10", 50)
+    finally:
+        mb.drop_catalog_entries(spark, root, "clash")

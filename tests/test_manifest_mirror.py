@@ -218,3 +218,81 @@ def test_mirror_create_is_crash_safe_and_pinned(spark, tmp_path, monkeypatch):
     finally:
         mb.drop_catalog_entries(spark, root, "src")
         mb.drop_catalog_entries(spark, root, "dst")
+
+
+def test_sync_serializes_on_mirror_claim(spark, tmp_path):
+    """Advisor regression (r11 medium): concurrent syncs of the same
+    mirror must serialize — a live competitor's claim blocks (and
+    raises once retries exhaust); a crashed sync's claim is taken
+    over and the replayed window converges via the batch_id chain."""
+    import os
+
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _df(spark, [(k, k, k) for k in range(40)]), root, "src",
+        bucket_cols="k", num_buckets=2, sort_cols="ts_k",
+    )
+    try:
+        mb.create_manifest_mirror(spark, root, "src", "dst")
+        mb.append_manifest_table(
+            spark, _df(spark, [(100, 100, 100)]), root, "src",
+            compact_files_per_bucket=100,
+        )
+        claim = mb._mirror_state_path(root, "dst") + ".claim"
+        # a LIVE competitor (our own pid + starttime stands in)
+        start = mb._proc_start_time(os.getpid())
+        with open(claim, "w") as fh:
+            fh.write(f"{os.getpid()} {start}")
+        with pytest.raises(mb.ConcurrentWriteError, match="mirror"):
+            mb.sync_manifest_mirror(spark, root, "dst", key_cols="k",
+                                    max_retries=1, retry_wait_s=0.01)
+        # a DEAD competitor (real pid, long exited): taken over, the
+        # sync completes and converges
+        with open(claim, "w") as fh:
+            fh.write("999999999 1")
+        assert mb.sync_manifest_mirror(
+            spark, root, "dst", key_cols="k"
+        ) == mb.current_version(root, "src")
+        assert _content(spark, root, "dst") == _content(spark, root, "src")
+        # claim released after the sync
+        assert not os.path.exists(claim)
+    finally:
+        mb.drop_catalog_entries(spark, root, "src")
+        mb.drop_catalog_entries(spark, root, "dst")
+
+
+def test_mirror_forwards_point_filters(spark, tmp_path):
+    """Advisor regression (r11 low): a mirror of a point-filtered
+    source must keep the Bloom point-read capability — the spec is
+    forwarded at create and synced generations keep recording
+    filters."""
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _df(spark, [(k, k, k) for k in range(60)]), root, "src",
+        bucket_cols="k", num_buckets=2, sort_cols="ts_k",
+        point_filter_cols="v",
+    )
+    try:
+        mb.create_manifest_mirror(spark, root, "src", "dst")
+        m0 = mb.read_manifest(root, "dst")
+        assert (m0.get("point_filters") or {}).get("cols") == ["v"]
+        assert m0.get("point_filter_stats"), "no Bloom stats recorded"
+        mb.append_manifest_table(
+            spark, _df(spark, [(200, 200, 200)]), root, "src",
+            compact_files_per_bucket=100,
+        )
+        mb.sync_manifest_mirror(spark, root, "dst", key_cols="k")
+        m1 = mb.read_manifest(root, "dst")
+        assert (m1.get("point_filters") or {}).get("cols") == ["v"]
+        # the point read prunes AND answers correctly on the mirror
+        got = (
+            mb.read_manifest_table_point(spark, root, "dst", "v", 200)
+            .filter(F.col("v") == 200)
+            .collect()
+        )
+        assert [(r["k"], r["v"]) for r in got] == [(200, 200)]
+        # and the Bloom stats actually prune files on the mirror
+        assert len(mb.point_pruned_files(m1, "v", 200)) < len(m1["files"])
+    finally:
+        mb.drop_catalog_entries(spark, root, "src")
+        mb.drop_catalog_entries(spark, root, "dst")

@@ -251,3 +251,54 @@ def test_size_stats_degrade_on_corrupt_footer(tmp_path):
         {"column": "p", "fields": {"x": "bigint"}},
     )
     assert out2 == {}
+
+
+def test_merge_hint_tradeoff_escape_hatch_broadcasts_other_side(
+    spark, tmp_path
+):
+    """Advisor note (r11 low), documented tradeoff verified: the merge
+    hint on a deceptive-compression table also suppresses size-based
+    broadcast of the OTHER join side — and the documented escape hatch
+    (an explicit broadcast hint on the genuinely tiny side) takes
+    precedence over the merge hint, restoring the broadcast plan."""
+    root = str(tmp_path)
+    fluffy = spark.range(0, 120_000).selectExpr(
+        "id AS k", "repeat('x', 200) AS pad"
+    )
+    tiny = spark.range(0, 40).selectExpr("id AS k", "id AS w")
+    mb.create_manifest_table(
+        spark, fluffy, root, "fluffy", bucket_cols="k", num_buckets=2,
+    )
+    mb.create_manifest_table(
+        spark, tiny, root, "tiny", bucket_cols="k", num_buckets=2,
+    )
+    try:
+        rollup = mb.read_manifest(root, "fluffy")["size_rollup"]
+        thr_old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        thr = (rollup["total_bytes"] + rollup["in_memory_est"]) // 2
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
+        try:
+            hinted = mb.read_manifest_table_stats_hinted(
+                spark, root, "fluffy"
+            )
+            # the tradeoff: the merge hint rules the whole join, so the
+            # tiny side's legitimate size-based broadcast is suppressed
+            suppressed = hinted.join(
+                mb.read_manifest_table(spark, root, "tiny"), "k"
+            )
+            assert "SortMergeJoin" in _plan_of(suppressed)
+            # the escape hatch: an explicit broadcast hint on the tiny
+            # side beats this side's merge hint
+            restored = hinted.join(
+                mb.read_manifest_table(spark, root, "tiny")
+                .hint("broadcast"),
+                "k",
+            )
+            plan = _plan_of(restored)
+            assert "BroadcastHashJoin" in plan
+            assert restored.count() == 40
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr_old)
+    finally:
+        mb.drop_catalog_entries(spark, root, "fluffy")
+        mb.drop_catalog_entries(spark, root, "tiny")

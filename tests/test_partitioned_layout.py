@@ -780,3 +780,24 @@ def test_manifest_expire_keeps_pinned_reader_window_resolvable(spark, tmp_path):
     # claims directory hygiene: expire left no claim debris behind
     mdir = os.path.join(root, "ex", "manifests")
     assert not [f for f in os.listdir(mdir) if f.startswith("claim-")]
+
+
+def test_claim_own_pid_recycled_is_dead():
+    """Advisor regression (r12): a crashed writer's claim whose pid was
+    recycled as THIS process's own pid must not read as another live
+    thread of this process forever — the recorded starttime
+    disambiguates before the own-pid shortcut."""
+    import os
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    pid = os.getpid()
+    start = mb._proc_start_time(pid)
+    assert start is not None, "/proc/<pid>/stat unreadable on this host"
+    # really us (another thread of this process): LIVE
+    assert mb._claim_owner_alive(f"{pid} {start}")
+    # legacy bare-pid content: degrades to pid-exists = LIVE
+    assert mb._claim_owner_alive(str(pid))
+    # our pid number, a DIFFERENT starttime: the recorded writer is a
+    # dead process whose pid we inherited — dead, claim recoverable
+    assert not mb._claim_owner_alive(f"{pid} {start - 7}")
