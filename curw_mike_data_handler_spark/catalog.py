@@ -17476,6 +17476,99 @@ def manifest_mirror_incremental_sync(spark, sf_dir):
     return result
 
 
+@query(
+    "manifest_mor_upsert_read",
+    """
+    WITH b AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+               substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS nib
+        FROM orders
+    ),
+    final AS (
+        SELECT o_orderstatus,
+               pc + CASE WHEN nib = '1' THEN 100 ELSE 0 END AS pc
+        FROM b
+        UNION ALL
+        SELECT o_orderstatus, pc + 55 FROM b WHERE nib = '2'
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(pc) AS BIGINT) AS sum_cents
+    FROM final GROUP BY 1
+    """,
+)
+def manifest_mor_upsert_read(spark, sf_dir):
+    """Merge-on-read UPSERT (round 12, r11 verdict #1 — the full
+    Iceberg-v2 positional-delete / Delta-DV write path): ONE commit
+    marks the replaced rows (md5-nibble-1 keys, repriced +100) dead
+    via deletion vectors AND writes the update batch — repriced rows
+    plus brand-new shifted-key inserts (nibble-2 copies at +55) — as
+    bucketed delta files beside the hard-linked base.  No base file
+    rewrites; every reader unions base + delta files and anti-joins
+    the vectors.  The rollup must equal the oracle's UNION algebra: a
+    resurrected replaced row, a lost delta file, or an insert applied
+    as a replace diverges.
+
+    Scale shape: write cost is one bucket-pruned position scan plus
+    O(|updates|) data written — versus the COW merge's rewrite of
+    every touched file; the hourly CDC upsert of a few thousand keys
+    at 100 TB stops rewriting gigabytes, and the shared compaction
+    folds the delta debt once per compact_files_per_bucket commits
+    (fold + vector interplay covered in tests/test_merge_mor.py)."""
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("pc")
+    )
+    nibbed = base.withColumn(
+        "nib", F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    )
+    root = tempfile.mkdtemp(prefix="cm_mor_")
+    try:
+        mb.create_manifest_table(
+            spark, base, root, "orders_mor",
+            bucket_cols="o_orderkey", num_buckets=8,
+            sort_cols="o_orderkey",
+        )
+        updates = (
+            nibbed.filter(F.col("nib") == "1")
+            .select(
+                "o_orderkey", "o_orderstatus",
+                (F.col("pc") + 100).alias("pc"),
+            )
+            .unionByName(
+                nibbed.filter(F.col("nib") == "2").select(
+                    (F.col("o_orderkey") + 10_000_000_000)
+                    .alias("o_orderkey"),
+                    "o_orderstatus",
+                    (F.col("pc") + 55).alias("pc"),
+                )
+            )
+        )
+        mb.merge_manifest_table_mor(
+            spark, updates, root, "orders_mor", key_cols="o_orderkey",
+            compact_files_per_bucket=100,
+        )
+        out = (
+            mb.read_manifest_table(spark, root, "orders_mor")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("pc").alias("sum_cents"),
+            )
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        mb.drop_catalog_entries(spark, root, "orders_mor")
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -384,6 +384,19 @@ def _write_manifest_file(root: str, table: str, manifest: dict) -> None:
     staging half of a publish.  A manifest file alone is invisible to
     every LATEST-following reader; multi-table transactions stage all
     tables this way and publish through the txn catalog first."""
+    bid = manifest.get("batch_id")
+    recent = manifest.get("recent_batch_ids")
+    if bid is not None and recent is not None and not any(
+        b == bid and v == manifest["version"] for b, v in recent
+    ):
+        # programming-error guard: a batch_id the index misses would
+        # let the O(1) lookup report the batch unpublished and
+        # double-apply it — every stamp must go through
+        # _with_recent_batch_ids
+        raise ValueError(
+            f"{table} v{manifest['version']}: batch_id {bid!r} not in "
+            f"recent_batch_ids — stamp via _with_recent_batch_ids"
+        )
     mpath = _manifest_path(root, table, manifest["version"])
     os.makedirs(os.path.dirname(mpath), exist_ok=True)
     _durable_write(mpath, json.dumps(manifest, indent=1))
@@ -1236,19 +1249,61 @@ def create_manifest_table(
         manifest = _write_generation(
             spark, df, root, table, 0, spec, mode="errorifexists"
         )
+        # birth the batch-id index: every later publish maintains it,
+        # making _batch_id_published O(1) on this chain
+        _with_recent_batch_ids(manifest, None, None)
         _publish(root, table, manifest)
     finally:
         _release_claim(root, table, 0)
     return 0
 
 
+_RECENT_BATCH_IDS_CAP = 256
+
+
+def _with_recent_batch_ids(
+    manifest: dict, prev: dict | None, batch_id: str | None
+) -> None:
+    """Stamp ``batch_id`` on the manifest AND maintain the bounded
+    ``recent_batch_ids`` index — [[batch_id, version], ...], newest
+    last, capped at _RECENT_BATCH_IDS_CAP — that makes the common
+    ``_batch_id_published`` lookup O(1) instead of a manifest-chain
+    walk (r11 verdict #6).  Every publish path must stamp through
+    here (enforced at write time by _write_manifest_file): a manifest
+    carrying a batch_id the index misses would let the fast path
+    wrongly report the batch unpublished and double-apply it.
+
+    The index is only maintained on chains that have it from birth
+    (prev carries the key, or this is generation 0): on a pre-feature
+    chain the key stays absent and lookups keep the full walk — a
+    fresh index there would misreport older batches as unpublished."""
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
+    if prev is None:
+        recent: list = []
+    elif "recent_batch_ids" in prev:
+        recent = [list(e) for e in prev["recent_batch_ids"]]
+    else:
+        return  # pre-feature chain: stay walk-only
+    if batch_id is not None:
+        recent.append([batch_id, manifest["version"]])
+    manifest["recent_batch_ids"] = recent[-_RECENT_BATCH_IDS_CAP:]
+
+
 def _batch_id_published(
     root: str, table: str, batch_id: str, limit: int = 256
 ) -> int | None:
-    """Walk the retained manifest chain head-first looking for a prior
-    publish of this batch_id — so the idempotence check survives OTHER
-    writers landing between a crash and the retry (head-only comparison
-    would miss it and double-apply).  The walk is bounded by retention
+    """Was ``batch_id`` already published, and at which version?  The
+    head manifest's ``recent_batch_ids`` index answers O(1) on the
+    common path (newest entry wins — a compaction re-stamps its
+    commit's id at the compacted version, matching what the walk's
+    head-first order returned): a HIT returns the landed version, and
+    a MISS on an index shorter than its cap is authoritative — the
+    index then lists EVERY batch-id publish since generation 0.  Only
+    a cap-saturated index (or a pre-feature chain without one) falls
+    back to the head-first chain walk, which survives OTHER writers
+    landing between a crash and the retry (head-only comparison would
+    miss it and double-apply).  The walk is bounded by retention
     anyway (expired manifests end it); hitting the explicit cap is
     logged because a truncated search weakens exactly-once — size
     retention/limit to the worst-case number of publishes between a
@@ -1257,6 +1312,18 @@ def _batch_id_published(
         v = current_version(root, table)
     except FileNotFoundError:
         return None
+    try:
+        head = read_manifest(root, table, v)
+    except FileNotFoundError:
+        return None
+    recent = head.get("recent_batch_ids")
+    if recent is not None:
+        for bid, ver in reversed(recent):
+            if bid == batch_id:
+                return int(ver)
+        if len(recent) < _RECENT_BATCH_IDS_CAP:
+            return None  # complete index: authoritative miss
+        # saturated index: the batch could predate the window — walk
     for _ in range(limit):
         try:
             m = read_manifest(root, table, v)
@@ -1363,8 +1430,7 @@ def append_manifest_table(
             manifest = _write_generation(
                 spark, base, root, table, v, spec, link_from=prev
             )
-            if batch_id is not None:
-                manifest["batch_id"] = batch_id
+            _with_recent_batch_ids(manifest, prev, batch_id)
             _publish(root, table, manifest)
             break
         finally:
@@ -1375,48 +1441,69 @@ def append_manifest_table(
             f"times (competing writer holding the claim throughout?)"
         )
 
+    return _maybe_compact(spark, root, table, manifest, spec, batch_id,
+                          compact_files_per_bucket)
+
+
+def _maybe_compact(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    manifest: dict,
+    spec: dict,
+    batch_id: str | None,
+    compact_files_per_bucket: int,
+) -> int:
+    """Compact the just-published ``manifest`` into a further
+    generation when any bucket exceeds ``compact_files_per_bucket``
+    files — the amortized full rewrite shared by the append and
+    merge-on-read upsert paths (the MoR write keeps adding one file
+    per touched bucket per commit; the compaction is what folds the
+    delta files AND materializes pending deletion vectors, bounding
+    the read-side tax).  Returns the final published version."""
+    v = manifest["version"]
     per_bucket = files_per_bucket(manifest)
-    if per_bucket and max(per_bucket.values()) > compact_files_per_bucket:
-        # compaction = next generation: read the RAW snapshot files (a
-        # catalog read would claim the bucket partitioning and let the
-        # optimizer elide the re-clustering shuffle — the
-        # autoBucketedScan trap documented in bucketed.append_bucketed)
-        gen_dir = os.path.join(_table_dir(root, table), manifest["generation"])
-        full = (
-            spark.read.schema(spark.table(_catalog_name(root, table, v)).schema)
-            .parquet(*[os.path.join(gen_dir, f) for f in manifest["files"]])
-        )
-        # materialize pending deletion vectors: the compaction rewrite
-        # applies them and the fresh generation starts vector-free
-        full = _dv_filter(spark, full, manifest)
-        full = _repair_shred_columns(full, spec)
-        v2 = v + 1
-        try:
-            _acquire_claim(root, table, v2)
-        except ConcurrentWriteError:
-            # a competitor is already appending on top of our snapshot:
-            # skip the compaction — the file bound re-fires on a later
-            # append and compacts then (amortization only deferred)
+    if not per_bucket or max(per_bucket.values()) <= compact_files_per_bucket:
+        return v
+    # compaction = next generation: read the RAW snapshot files (a
+    # catalog read would claim the bucket partitioning and let the
+    # optimizer elide the re-clustering shuffle — the
+    # autoBucketedScan trap documented in bucketed.append_bucketed)
+    gen_dir = os.path.join(_table_dir(root, table), manifest["generation"])
+    full = (
+        spark.read.schema(spark.table(_catalog_name(root, table, v)).schema)
+        .parquet(*[os.path.join(gen_dir, f) for f in manifest["files"]])
+    )
+    # materialize pending deletion vectors: the compaction rewrite
+    # applies them and the fresh generation starts vector-free
+    full = _dv_filter(spark, full, manifest)
+    full = _repair_shred_columns(full, spec)
+    v2 = v + 1
+    try:
+        _acquire_claim(root, table, v2)
+    except ConcurrentWriteError:
+        # a competitor is already appending on top of our snapshot:
+        # skip the compaction — the file bound re-fires on a later
+        # append and compacts then (amortization only deferred)
+        return v
+    try:
+        if current_version(root, table) != v:
             return v
-        try:
-            if current_version(root, table) != v:
-                return v
-            compacted = _write_generation(
-                spark, full, root, table, v2, spec, mode="errorifexists"
-            )
-            compacted["parent"] = v
-            compacted["compacted_from"] = v
-            if batch_id is not None:
-                # the compaction is part of the same logical commit:
-                # keep the batch id visible so a retry still
-                # short-circuits
-                compacted["batch_id"] = batch_id
-            # re-publish with the corrected parent chain
-            _publish(root, table, compacted)
-        finally:
-            _release_claim(root, table, v2)
-        return v2
-    return v
+        compacted = _write_generation(
+            spark, full, root, table, v2, spec, mode="errorifexists"
+        )
+        compacted["parent"] = v
+        compacted["compacted_from"] = v
+        # the compaction is part of the same logical commit: keep
+        # the batch id visible (and indexed at the COMPACTED
+        # version — newest entry wins) so a retry still
+        # short-circuits
+        _with_recent_batch_ids(compacted, manifest, batch_id)
+        # re-publish with the corrected parent chain
+        _publish(root, table, compacted)
+    finally:
+        _release_claim(root, table, v2)
+    return v2
 
 
 def evolve_shred(
@@ -1884,8 +1971,7 @@ def _cow_rewrite(
             manifest["op"] = op
             manifest["rewritten_files"] = len(touched)
             manifest["linked_files"] = len(untouched)
-            if batch_id is not None:
-                manifest["batch_id"] = batch_id
+            _with_recent_batch_ids(manifest, prev, batch_id)
             _publish(root, table, manifest)
             return v
         finally:
@@ -2194,6 +2280,63 @@ def _dv_filter(spark: SparkSession, df: DataFrame, manifest: dict) -> DataFrame:
     )
 
 
+def _matching_positions(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    prev: dict,
+    touched: list[str],
+    keys: DataFrame,
+    kc: list[str],
+    max_positions: int,
+    bulk_hint: str,
+) -> list:
+    """The (file, row_index) positions, within ``touched`` files of
+    ``prev``'s generation, whose rows key-match ``keys`` — the shared
+    position scan of the merge-on-read delete and upsert.  One
+    bucket-pruned scan, one semi join; only O(matched) tiny rows
+    return to the driver, capped at ``max_positions`` (positions live
+    in the manifest and broadcast at read time — anything bigger is a
+    bulk rewrite, not a vector)."""
+    if not touched:
+        return []
+    spec = {k: prev.get(k) for k in
+            ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl")}
+    schema = spark.table(
+        _register(spark, root, table, prev["version"], spec,
+                  prev["generation"])
+    ).schema
+    gen_dir = os.path.join(_table_dir(root, table), prev["generation"])
+    scan = (
+        spark.read.schema(schema)
+        .parquet(*[os.path.join(gen_dir, f) for f in touched])
+        .select(
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("_f"),
+            F.col("_metadata.row_index").alias("_p"),
+            *kc,
+        )
+    )
+    hits = scan.join(keys.select(*kc), kc, "left_semi").select("_f", "_p")
+    pairs = hits.limit(max_positions + 1).collect()
+    if len(pairs) > max_positions:
+        raise ValueError(
+            f"{table}: more than {max_positions} rows match — that is "
+            f"a bulk rewrite, not a vector: use {bulk_hint} instead"
+        )
+    return pairs
+
+
+def _union_vectors(prev: dict, pairs: list) -> dict:
+    """prev's deletion vectors unioned with new (file, pos) pairs, in
+    the manifest's sorted-list form."""
+    dvs = {f: set(ps) for f, ps in _dv_positions_of(prev).items()}
+    for r in pairs:
+        dvs.setdefault(r["_f"], set()).add(int(r["_p"]))
+    return {f: sorted(ps) for f, ps in dvs.items()}
+
+
 def delete_manifest_rows_mor(
     spark: SparkSession,
     keys: DataFrame,
@@ -2242,43 +2385,12 @@ def delete_manifest_rows_mor(
                 continue
             if _complete_lagging_txn_publish(root, table, v):
                 continue
-            new_pairs: list = []
-            if touched:
-                spec = {k: prev.get(k) for k in
-                        ("bucket_cols", "num_buckets", "sort_cols",
-                         "schema_ddl")}
-                schema = spark.table(
-                    _register(spark, root, table, prev["version"], spec,
-                              prev["generation"])
-                ).schema
-                gen_dir = os.path.join(_table_dir(root, table),
-                                       prev["generation"])
-                scan = (
-                    spark.read.schema(schema)
-                    .parquet(*[os.path.join(gen_dir, f) for f in touched])
-                    .select(
-                        F.element_at(
-                            F.split(F.col("_metadata.file_path"), "/"), -1
-                        ).alias("_f"),
-                        F.col("_metadata.row_index").alias("_p"),
-                        *kc,
-                    )
-                )
-                hits = (
-                    scan.join(keys.select(*kc), kc, "left_semi")
-                    .select("_f", "_p")
-                )
-                new_pairs = hits.limit(max_positions + 1).collect()
-                if len(new_pairs) > max_positions:
-                    raise ValueError(
-                        f"delete matches more than {max_positions} rows — "
-                        f"that is a bulk erase, not a vector: use the "
-                        f"copy-on-write delete_manifest_rows instead"
-                    )
-            dvs = {f: set(ps)
-                   for f, ps in (prev.get("delete_vectors") or {}).items()}
-            for r in new_pairs:
-                dvs.setdefault(r["_f"], set()).add(int(r["_p"]))
+            new_pairs = _matching_positions(
+                spark, root, table, prev, touched, keys, kc,
+                max_positions,
+                "the copy-on-write delete_manifest_rows",
+            )
+            dvs = _union_vectors(prev, new_pairs)
             manifest = dict(prev)
             for stale in ("batch_id", "compacted_from", "rebucketed_from",
                           "op", "rewritten_files", "linked_files"):
@@ -2287,7 +2399,7 @@ def delete_manifest_rows_mor(
                 version=v,
                 parent=prev["version"],
                 op="delete_mor",
-                delete_vectors={f: sorted(ps) for f, ps in dvs.items()},
+                delete_vectors=dvs,
                 dv_positions=sum(len(ps) for ps in dvs.values()),
             )
             _publish(root, table, manifest)
@@ -2296,6 +2408,115 @@ def delete_manifest_rows_mor(
             _release_claim(root, table, v)
     raise ConcurrentWriteError(
         f"delete_mor on {table} lost the publish race {max_retries + 1} times"
+    )
+
+
+def merge_manifest_table_mor(
+    spark: SparkSession,
+    updates: DataFrame,
+    root: str,
+    table: str,
+    *,
+    key_cols: str | list[str],
+    validate_unique_keys: bool = True,
+    max_positions: int = 1_000_000,
+    compact_files_per_bucket: int = 8,
+    max_retries: int = 20,
+    retry_wait_s: float = 0.5,
+    batch_id: str | None = None,
+) -> int:
+    """Row-level UPSERT (MERGE) as MERGE-ON-READ delta files — the
+    r11 verdict's completion of the deletion-vector work into the
+    full Iceberg-v2 positional-delete / Delta-DV write path: instead
+    of rewriting every touched bucket file (the COW
+    ``merge_manifest_table``), one commit
+
+    * marks the REPLACED rows dead via deletion vectors (one
+      bucket-pruned scan finds their (file, row_index) positions —
+      exactly the delete_mor machinery), and
+    * writes ONLY the update batch as new bucketed delta files beside
+      the hard-linked base (one clustered exchange over the updates,
+      never over the base).
+
+    Every reader already merges on read: the snapshot scan unions
+    base + delta files (they share the generation's bucketed layout,
+    so bucket pruning and same-spec joins keep working) and the DV
+    anti-join hides the replaced rows.  The read-side tax — extra
+    files per bucket plus the growing vector set — is bounded by
+    ``compact_files_per_bucket``: when any bucket exceeds it, the
+    shared compaction folds the deltas and materializes the vectors,
+    and the fresh generation is MoR-debt-free.
+
+    Same contracts as the COW merge: ``key_cols`` must contain the
+    bucket columns (pruning is exact), updates are validated unique
+    and non-null per key, ``batch_id`` gives exactly-once crash
+    replay, concurrent writers serialize on the generation claim.
+    ``max_positions`` routes bulk updates to the COW merge — a
+    rewrite of most of a bucket is cheaper than carrying its vector.
+
+    Scale shape: write cost is O(touched-bucket scan) + O(|updates|)
+    data written, versus COW's full rewrite of every touched file —
+    the hourly CDC upsert of a few thousand keys at 100 TB stops
+    rewriting gigabytes; the amortized compaction pays the rewrite
+    once per ``compact_files_per_bucket`` commits instead of every
+    commit."""
+    kc = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    prev0 = read_manifest(root, table)
+    # materialize before anything reads it — same determinism contract
+    # (and reason) as the COW merge: census, position scan, and write
+    # must all see one winner set
+    updates = updates.localCheckpoint()
+    select_touched = _bucket_pruned_selector(
+        prev0, updates, kc, validate=validate_unique_keys
+    )
+    for attempt in range(max_retries + 1):
+        prev = read_manifest(root, table)
+        if batch_id is not None:
+            landed = _batch_id_published(root, table, batch_id)
+            if landed is not None:
+                return landed  # same landed-version contract as append
+        touched = select_touched(prev)
+        v = prev["version"] + 1
+        try:
+            _acquire_claim(root, table, v)
+        except ConcurrentWriteError:
+            if attempt == max_retries:
+                raise
+            _claim_wait(root, table, v, attempt, retry_wait_s)
+            continue
+        try:
+            if current_version(root, table) != prev["version"]:
+                continue
+            if _complete_lagging_txn_publish(root, table, v):
+                continue
+            # positions of the rows the updates REPLACE (fail fast on
+            # the cap before any data is written)
+            pairs = _matching_positions(
+                spark, root, table, prev, touched, updates, kc,
+                max_positions, "the copy-on-write merge_manifest_table",
+            )
+            spec = {k: prev.get(k) for k in
+                    ("bucket_cols", "num_buckets", "sort_cols",
+                     "schema_ddl", "shred", "point_filters")}
+            base = _shaped_batch(updates, prev, table)
+            # delta files: the base hard-links in full; only the
+            # update batch writes (carried vectors follow the links)
+            manifest = _write_generation(
+                spark, base, root, table, v, spec, link_from=prev
+            )
+            dvs = _union_vectors(prev, pairs)
+            manifest["delete_vectors"] = dvs
+            manifest["dv_positions"] = sum(len(ps) for ps in dvs.values())
+            manifest["op"] = "merge_mor"
+            manifest["replaced_positions"] = len(pairs)
+            _with_recent_batch_ids(manifest, prev, batch_id)
+            _publish(root, table, manifest)
+            return _maybe_compact(spark, root, table, manifest, spec,
+                                  batch_id, compact_files_per_bucket)
+        finally:
+            _release_claim(root, table, v)
+    raise ConcurrentWriteError(
+        f"merge_mor on {table} lost the publish race {max_retries + 1} times"
     )
 
 
@@ -2392,6 +2613,7 @@ def rebucket_manifest_table(
             )
             manifest["parent"] = prev["version"]
             manifest["rebucketed_from"] = prev["version"]
+            _with_recent_batch_ids(manifest, prev, None)
             _publish(root, table, manifest)
             return v
         finally:
@@ -2879,8 +3101,10 @@ def commit_multi_table(
                 manifest = _write_generation(
                     spark, base, root, table, v, spec, link_from=prev
                 )
-                if batch_id is not None:
-                    manifest["batch_id"] = f"{batch_id}:{table}"
+                _with_recent_batch_ids(
+                    manifest, prev,
+                    None if batch_id is None else f"{batch_id}:{table}",
+                )
                 _write_manifest_file(root, table, manifest)  # staged,
                 # durable, NOT published — invisible until the catalog
                 staged[table] = manifest
@@ -3020,20 +3244,27 @@ def _step_changes(
     gen_dir_c = os.path.join(_table_dir(root, table), child["generation"])
     gen_dir_p = os.path.join(_table_dir(root, table), parent["generation"])
 
-    if child.get("op") == "delete_mor":
-        # metadata-only delete: the changes are exactly the positions
-        # this commit ADDED to the vectors — read them back from the
-        # (shared, untouched) files
-        old_dv = {f: set(ps)
-                  for f, ps in (parent.get("delete_vectors") or {}).items()}
-        pairs = [
-            (f, int(p))
-            for f, ps in (child.get("delete_vectors") or {}).items()
-            for p in ps
-            if p not in old_dv.get(f, ())
-        ]
-        if not pairs:
-            return None
+    child_files = set(child["files"])
+    parent_files = set(parent["files"])
+    new_files = sorted(child_files - parent_files)
+    old_files = sorted(parent_files - child_files)
+
+    # DELETES FROM VECTOR GROWTH, handled generically: positions this
+    # commit ADDED to the vectors of files it kept (delete_mor adds
+    # vectors and no files; merge_mor adds vectors AND delta files in
+    # the same commit) are row deletes of THIS commit — read them back
+    # from the shared, untouched files.  Vectors of files the commit
+    # REWROTE never appear here: a rewrite applies and clears them.
+    old_dv = {f: set(ps) for f, ps in _dv_positions_of(parent).items()}
+    pairs = [
+        (f, int(p))
+        for f, ps in _dv_positions_of(child).items()
+        for p in ps
+        if f in parent_files and f in child_files
+        and p not in old_dv.get(f, ())
+    ]
+    dv_deletes = None
+    if pairs:
         files = sorted({f for f, _ in pairs})
         dv_df = spark.createDataFrame(pairs, "dv_file string, dv_pos long")
         scan = (
@@ -3045,23 +3276,21 @@ def _step_changes(
             )
             .withColumn("_dv_pos", F.col("_metadata.row_index"))
         )
-        return (
+        dv_deletes = (
             scan.join(
                 F.broadcast(dv_df),
-                (F.col("_dv_file") == F.col("dv_file"))
-                & (F.col("_dv_pos") == F.col("dv_pos")),
+                (F.col("_dv_file") == dv_df["dv_file"])
+                & (F.col("_dv_pos") == dv_df["dv_pos"]),
                 "left_semi",
             )
             .drop("_dv_file", "_dv_pos")
             .withColumn("_change_type", F.lit("delete"))
         )
 
-    child_files = set(child["files"])
-    parent_files = set(parent["files"])
-    new_files = sorted(child_files - parent_files)
-    old_files = sorted(parent_files - child_files)
     if not new_files and not old_files:
-        return None  # metadata-only (e.g. evolve_shred): no row changes
+        # metadata-only commit: vector growth (delete_mor) or spec
+        # evolution (no row changes at all)
+        return dv_deletes
 
     cols = [f.name for f in schema.fields]
     if new_files:
@@ -3081,8 +3310,13 @@ def _step_changes(
             parent,
         )
     else:
-        # pure append: the new files are the inserts, no diff needed
-        return new.withColumn("_change_type", F.lit("insert"))
+        # file growth without file loss (append, merge_mor deltas):
+        # the new files are the inserts, no diff needed
+        inserts = new.withColumn("_change_type", F.lit("insert"))
+        return (
+            inserts if dv_deletes is None
+            else dv_deletes.unionByName(inserts)
+        )
 
     # the diff groups/joins on every column, but Spark cannot group by
     # MapType — and the shred spec legitimately materializes map
@@ -3148,7 +3382,7 @@ def _step_changes(
     # it (review finding).  Chunking caps every materialized array at
     # 65536 entries (the outer chunk array is mult/65536 long).
     chunk = 65536
-    return (
+    diff = (
         joined.filter(delta != 0)
         .withColumn(
             "_change_type",
@@ -3179,6 +3413,10 @@ def _step_changes(
         )
         .select(*out_exprs, "_change_type")
     )
+    # no write path today both rewrites files AND grows vectors on
+    # kept files in one commit, but the union keeps this function
+    # correct if one ever does
+    return diff if dv_deletes is None else dv_deletes.unionByName(diff)
 
 
 def read_manifest_changes(

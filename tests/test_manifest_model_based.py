@@ -1,5 +1,6 @@
 """Model-based random walk over the manifest-table write surface:
 append / merge / delete / range-delete / rebucket / CONCURRENT appends
+/ merge-on-read upserts / merge-on-read deletes (r12)
 interleave in a seeded random order, and after EVERY published
 generation the table must equal an in-memory dict model — the
 interaction-bug net the per-operation tests can't cast (e.g. a merge
@@ -52,9 +53,12 @@ def _check(spark, root, model, n_buckets, rng):
     assert {mb._file_bucket(f) for f in m["files"]} <= set(range(n_buckets))
     mdir = os.path.join(root, "mw", "manifests")
     assert not [f for f in os.listdir(mdir) if f.startswith("claim-")]
-    # size stats never go stale through links/rewrites
+    # size stats never go stale through links/rewrites; the rollup is
+    # PHYSICAL rows — merge-on-read vectors keep dead rows in the
+    # files, so logical cardinality is row_count minus dv_positions
     if m.get("size_rollup") is not None:
-        assert m["size_rollup"]["row_count"] == len(model)
+        physical = m["size_rollup"]["row_count"]
+        assert physical - m.get("dv_positions", 0) == len(model)
     # point-filter lookups: NO false negative for any probed value,
     # through every append/merge/delete/rebucket interleaving
     if model:
@@ -98,7 +102,7 @@ def test_manifest_random_walk_matches_model(spark, tmp_path):
         for step in range(16):
             op = rng.choice(
                 ["append", "merge", "delete", "delete_range", "rebucket",
-                 "concurrent_append"]
+                 "concurrent_append", "merge_mor", "delete_mor"]
             )
             if op == "append":
                 rows = fresh_rows(rng.randrange(10, 60))
@@ -141,9 +145,30 @@ def test_manifest_random_walk_matches_model(spark, tmp_path):
                     spark, _df(spark, rows), root, "mw", key_cols="k"
                 )
                 model.update({k: (v, t) for k, v, t in rows})
+            elif op == "merge_mor" and model:
+                # merge-on-read upsert (r12): vectors + delta files
+                upd_keys = rng.sample(sorted(model), min(8, len(model)))
+                ins = fresh_rows(rng.randrange(0, 4))
+                rows = [
+                    (k, rng.randrange(1000), model[k][1]) for k in upd_keys
+                ] + ins
+                mb.merge_manifest_table_mor(
+                    spark, _df(spark, rows), root, "mw", key_cols="k",
+                    compact_files_per_bucket=4,
+                )
+                model.update({k: (v, t) for k, v, t in rows})
             elif op == "delete" and model:
                 doomed = rng.sample(sorted(model), min(5, len(model)))
                 mb.delete_manifest_rows(
+                    spark, spark.createDataFrame([(k,) for k in doomed],
+                                                 "k long"),
+                    root, "mw", key_cols="k",
+                )
+                for k in doomed:
+                    model.pop(k)
+            elif op == "delete_mor" and model:
+                doomed = rng.sample(sorted(model), min(4, len(model)))
+                mb.delete_manifest_rows_mor(
                     spark, spark.createDataFrame([(k,) for k in doomed],
                                                  "k long"),
                     root, "mw", key_cols="k",
