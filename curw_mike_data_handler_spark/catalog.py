@@ -17569,6 +17569,153 @@ def manifest_mor_upsert_read(spark, sf_dir):
     return result
 
 
+@query(
+    "stream_manifest_cdf_replay",
+    """
+    WITH b AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+               substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS nib
+        FROM orders
+    ),
+    ch AS (
+        SELECT 1 AS commit_v, 'insert' AS change_type, o_orderstatus, pc
+        FROM b WHERE nib = '0'
+        UNION ALL
+        SELECT 2, 'delete', o_orderstatus, pc FROM b WHERE nib = '1'
+        UNION ALL
+        SELECT 2, 'insert', o_orderstatus, pc + 100 FROM b WHERE nib = '1'
+        UNION ALL
+        SELECT 3, 'delete', o_orderstatus, pc FROM b WHERE nib = '2'
+        UNION ALL
+        SELECT 4, 'delete', o_orderstatus, pc FROM b WHERE nib = '3'
+        UNION ALL
+        SELECT 5, 'delete', o_orderstatus, pc FROM b WHERE nib = '4'
+        UNION ALL
+        SELECT 5, 'insert', o_orderstatus, pc + 200 FROM b WHERE nib = '4'
+    )
+    SELECT CAST(commit_v AS BIGINT) AS commit_v, change_type, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(pc) AS BIGINT) AS sum_cents
+    FROM ch GROUP BY 1, 2, 3
+    """,
+)
+def stream_manifest_cdf_replay(spark, sf_dir):
+    """Change-feed STREAMING source (round 12, r11 verdict #2): the
+    table takes one commit of every write class — append (nibble-0),
+    COW merge (nibble-1 repriced +100), COW delete (nibble-2),
+    merge-on-read vector delete (nibble-3), merge-on-read UPSERT
+    (nibble-4 repriced +200) — and Structured Streaming consumes the
+    feed through the ``manifest_cdf`` Python data source: per-VERSION
+    offsets in the checkpoint, one availableNow run per half of the
+    history with a real checkpoint RESTART between them (run 1 ends
+    mid-history; commits 4-5 land after it; run 2 resumes from the
+    persisted offset — a skipped or double-read version diverges).
+    Partitions are planned per commit bounded by its rewritten region
+    (per new file for appends/deltas, per touched file for vector
+    growth, per touched bucket for COW diffs) and execute as
+    executor-side pyarrow scans.
+
+    Scale shape: the stream moves each commit's changed rows only —
+    the Delta CDF / Iceberg incremental-scan consumption loop with
+    the offset log reduced to snapshot versions; equivalence with the
+    batch feed and the partition-plan bounds are pinned in
+    tests/test_cdf_source.py."""
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+    from curw_mike_data_handler_spark.streaming.cdf_source import (
+        ManifestCDFDataSource,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("pc")
+    )
+    nibbed = base.withColumn(
+        "nib", F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    )
+    tmp = tempfile.mkdtemp(prefix="cm_cdfstream_")
+    root = f"{tmp}/tbl"
+    out = f"{tmp}/out"
+    ck = f"{tmp}/ck"
+    try:
+        mb.create_manifest_table(
+            spark, nibbed.filter(F.col("nib") != "0").drop("nib"),
+            root, "orders_sc",
+            bucket_cols="o_orderkey", num_buckets=8,
+            sort_cols="o_orderkey",
+        )
+        mb.append_manifest_table(
+            spark, nibbed.filter(F.col("nib") == "0").drop("nib"),
+            root, "orders_sc", compact_files_per_bucket=100,
+        )
+        mb.merge_manifest_table(
+            spark,
+            nibbed.filter(F.col("nib") == "1").select(
+                "o_orderkey", "o_orderstatus",
+                (F.col("pc") + 100).alias("pc"),
+            ),
+            root, "orders_sc", key_cols="o_orderkey",
+        )
+        mb.delete_manifest_rows(
+            spark,
+            nibbed.filter(F.col("nib") == "2").select("o_orderkey"),
+            root, "orders_sc", key_cols="o_orderkey",
+        )
+
+        spark.dataSource.register(ManifestCDFDataSource)
+        stream = (
+            spark.readStream.format("manifest_cdf")
+            .option("root", root).option("table", "orders_sc")
+            .option("startingVersion", 0)
+            .load()
+        )
+
+        def run():
+            (
+                stream.writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start().awaitTermination()
+            )
+
+        run()  # consumes commits 1-3, checkpoint ends mid-history
+        mb.delete_manifest_rows_mor(
+            spark,
+            nibbed.filter(F.col("nib") == "3").select("o_orderkey"),
+            root, "orders_sc", key_cols="o_orderkey",
+        )
+        mb.merge_manifest_table_mor(
+            spark,
+            nibbed.filter(F.col("nib") == "4").select(
+                "o_orderkey", "o_orderstatus",
+                (F.col("pc") + 200).alias("pc"),
+            ),
+            root, "orders_sc", key_cols="o_orderkey",
+            compact_files_per_bucket=100,
+        )
+        run()  # checkpoint RESTART: exactly commits 4-5 arrive
+        out_df = (
+            spark.read.parquet(out)
+            .groupBy(
+                F.col("_commit_version").alias("commit_v"),
+                F.col("_change_type").alias("change_type"),
+                "o_orderstatus",
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("pc").alias("sum_cents"),
+            )
+        )
+        result = spark.createDataFrame(out_df.collect(), out_df.schema)
+    finally:
+        mb.drop_catalog_entries(spark, root, "orders_sc")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

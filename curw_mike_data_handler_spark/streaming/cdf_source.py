@@ -1,0 +1,319 @@
+"""Structured Streaming source over the manifest change feed
+(round 12, r11 verdict #2): drive a stream from
+``read_manifest_changes``'s commit-level diffs with per-VERSION
+offsets, so a downstream pipeline consumes a manifest table's
+row-level inserts/deletes incrementally with checkpoint-restart
+exactly-once — no version skipped, none double-read, across kills.
+
+    spark.dataSource.register(ManifestCDFDataSource)
+    feed = (spark.readStream.format("manifest_cdf")
+            .option("root", root).option("table", "events")
+            .option("startingVersion", 0)
+            .load())
+    # → the table's physical schema + _change_type string
+    #   ('insert' | 'delete') + _commit_version long
+
+Spark-first design notes:
+
+* **Offsets are snapshot versions.**  ``{"version": N}`` = "changes
+  of all commits ≤ N consumed".  The manifests are immutable and
+  retained, so a replayed ``(start, end]`` range re-derives exactly
+  the same rows — determinism comes from the table format, not from
+  a recorded batch list (contrast ``mike_datasource``, whose
+  directory listing needed pinning).  Retention expiring a
+  still-unconsumed version fails the plan loudly (the standing
+  retention contract), never silently shrinks a batch.
+* **Partitions mirror the feed's cost shape.**  Each commit plans
+  partitions bounded by its REWRITTEN region, executor-side via
+  pyarrow (no Spark-in-Spark):
+  - append / MoR-delta commits → one partition per NEW file (rows
+    are inserts, read straight out of the file);
+  - vector growth (MoR delete/upsert) → one partition per touched
+    file (positions filter the file scan, rows are deletes);
+  - COW rewrites → one DIFF partition per touched BUCKET: bucket
+    files only ever rewrite within their bucket, so the old/new
+    multiset diff is bucket-local — each partition Counter-diffs its
+    bucket's old rows (parent vectors applied) against its new ones.
+  Content-preserving compaction/rebucket commits plan nothing.
+* **Arrow out.**  Every partition yields one ``pyarrow.RecordBatch``
+  (column-built; no per-row Python objects cross the boundary).
+
+Declared limits (loud errors, not silent wrongness): the covered
+window must be schema-stable (an ``evolve_shred`` mid-window raises —
+restart the stream at the new schema), and map-typed columns are
+unsupported (no hashable canonical form for the bucket-local diff;
+the batch feed's sort-entries canonicalization covers them).
+
+Reference parity: the reference's change detection is the
+``fgt_last_hour`` freshness poll re-run per cron tick
+(``extract/extract_fgt.py``); this source subsumes it with exact
+row-level deltas derived from manifest truth.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+
+
+@dataclass
+class CDFPartition(InputPartition):
+    kind: str  # 'insert' | 'dv' | 'diff'
+    commit_version: int
+    columns: tuple[str, ...]
+    # insert: files to read whole; diff: the commit's NEW bucket files
+    new_files: tuple[str, ...] = ()
+    # dv: [(file, (pos, ...)), ...] — positions newly dead this commit
+    # diff: the OLD bucket files with the PARENT's already-dead
+    # positions to exclude before diffing
+    old_files: tuple = ()
+
+
+def _read_file_table(path: str, columns: tuple[str, ...]):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path, columns=list(columns))
+
+
+def _rows_counter(table, columns, drop_positions=()) -> Counter:
+    """Multiset of a file's rows as python tuples, minus the given
+    0-based positions (the parent's deletion vectors)."""
+    drop = set(drop_positions)
+    cols = [table.column(c).to_pylist() for c in columns]
+    n = table.num_rows
+    return Counter(
+        tuple(col[i] for col in cols)
+        for i in range(n)
+        if i not in drop
+    )
+
+
+def _batch_of(rows: list, columns, change_type: str | None,
+              commit_version: int, schema):
+    """One RecordBatch from row tuples (change_type of None means the
+    per-row type is appended in the tuple itself)."""
+    import pyarrow as pa
+
+    arrays = []
+    for j, _c in enumerate(columns):
+        arrays.append(pa.array([r[j] for r in rows],
+                               type=schema.field(j).type))
+    k = len(columns)
+    if change_type is None:
+        arrays.append(pa.array([r[k] for r in rows], type=pa.string()))
+    else:
+        arrays.append(pa.array([change_type] * len(rows), type=pa.string()))
+    arrays.append(pa.array([commit_version] * len(rows), type=pa.int64()))
+    return pa.record_batch(arrays, schema=schema)
+
+
+class ManifestCDFStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        # Spark hands Python sources a case-insensitive option dict —
+        # normalize so callers may write startingVersion naturally
+        opts = {str(k).lower(): v for k, v in options.items()}
+        self.root = opts["root"]
+        self.table = opts["table"]
+        head = mb.read_manifest(self.root, self.table)
+        if "startingversion" in opts:
+            self.start_version = int(opts["startingversion"])
+        else:
+            self.start_version = head["version"]
+        # the stream's fixed physical schema, pinned at construction
+        self.schema_ddl = head["schema_ddl"]
+        cols = list(mb._ddl_columns(self.schema_ddl))
+        self.columns = tuple(cols)
+        lowered = self.schema_ddl.lower()
+        if "map<" in lowered:
+            raise NotImplementedError(
+                "manifest_cdf: map-typed columns have no hashable "
+                "canonical form for the bucket-local diff — use the "
+                "batch read_manifest_changes feed"
+            )
+
+    # -- offsets ----------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        return {"version": mb.current_version(self.root, self.table)}
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    # -- planning ---------------------------------------------------
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[CDFPartition] = []
+        v = hi
+        child = mb.read_manifest(self.root, self.table, v)
+        while v > lo:
+            parent_v = child.get("parent")
+            if parent_v is None:
+                raise ValueError(
+                    f"{self.table} version {v} has no parent — offset "
+                    f"{lo} predates the table's first manifest"
+                )
+            parent = mb.read_manifest(self.root, self.table, parent_v)
+            parts.extend(self._commit_partitions(child, parent))
+            v, child = parent_v, parent
+        # the API requires ≥1 partition even for an empty range
+        return parts or [CDFPartition("insert", hi, self.columns)]
+
+    def _commit_partitions(self, child: dict, parent: dict):
+        if child.get("compacted_from") is not None or (
+            child.get("rebucketed_from") is not None
+        ):
+            return []  # content-preserving rewrite: no row changes
+        for m in (child, parent):
+            if m["schema_ddl"] != self.schema_ddl:
+                raise ValueError(
+                    f"manifest_cdf: {self.table} v{m['version']} has a "
+                    f"different schema than the stream planned with — "
+                    f"restart the stream at the new schema"
+                )
+        tdir = mb._table_dir(self.root, self.table)
+        gen_c = os.path.join(tdir, child["generation"])
+        gen_p = os.path.join(tdir, parent["generation"])
+        cv = child["version"]
+        child_files = set(child["files"])
+        parent_files = set(parent["files"])
+        new_files = sorted(child_files - parent_files)
+        old_files = sorted(parent_files - child_files)
+        parts: list[CDFPartition] = []
+
+        # vector growth on kept files → per-file delete partitions
+        old_dv = {f: set(ps)
+                  for f, ps in mb._dv_positions_of(parent).items()}
+        for f, ps in sorted(mb._dv_positions_of(child).items()):
+            if f not in parent_files or f not in child_files:
+                continue
+            added = tuple(sorted(set(ps) - old_dv.get(f, set())))
+            if added:
+                parts.append(CDFPartition(
+                    "dv", cv, self.columns,
+                    old_files=((os.path.join(gen_p, f), added),),
+                ))
+
+        if old_files:
+            # COW rewrite: bucket-local multiset diff — group BOTH
+            # sides by bucket id (files only ever rewrite within
+            # their bucket)
+            by_bucket: dict[int, tuple[list, list]] = {}
+            for f in old_files:
+                b = mb._file_bucket(f)
+                by_bucket.setdefault(b, ([], []))[0].append(
+                    (os.path.join(gen_p, f),
+                     tuple(sorted(old_dv.get(f, ()))))
+                )
+            for f in new_files:
+                b = mb._file_bucket(f)
+                by_bucket.setdefault(b, ([], []))[1].append(
+                    os.path.join(gen_c, f)
+                )
+            for b in sorted(k for k in by_bucket if k is not None):
+                olds, news = by_bucket[b]
+                parts.append(CDFPartition(
+                    "diff", cv, self.columns,
+                    new_files=tuple(news), old_files=tuple(olds),
+                ))
+        elif new_files:
+            # pure file growth (append, MoR delta): inserts
+            for f in new_files:
+                parts.append(CDFPartition(
+                    "insert", cv, self.columns,
+                    new_files=(os.path.join(gen_c, f),),
+                ))
+        return parts
+
+    # -- execution (runs on executors) -------------------------------
+    def read(self, partition: CDFPartition):
+        import pyarrow as pa
+
+        cols = partition.columns
+        out_schema = None  # derived from the first file read
+
+        def schema_for(table):
+            fields = [table.schema.field(c) for c in cols]
+            fields.append(pa.field("_change_type", pa.string()))
+            fields.append(pa.field("_commit_version", pa.int64()))
+            return pa.schema(fields)
+
+        if partition.kind == "insert":
+            for path in partition.new_files:
+                t = _read_file_table(path, cols)
+                sch = schema_for(t)
+                arrays = [t.column(c).combine_chunks() for c in cols]
+                n = t.num_rows
+                arrays.append(pa.array(["insert"] * n, type=pa.string()))
+                arrays.append(pa.array(
+                    [partition.commit_version] * n, type=pa.int64()
+                ))
+                if n:
+                    yield pa.record_batch(arrays, schema=sch)
+            return
+
+        if partition.kind == "dv":
+            for path, positions in partition.old_files:
+                t = _read_file_table(path, cols)
+                sch = schema_for(t)
+                keep = [p for p in positions if p < t.num_rows]
+                sub = t.take(keep)
+                arrays = [sub.column(c).combine_chunks() for c in cols]
+                n = sub.num_rows
+                arrays.append(pa.array(["delete"] * n, type=pa.string()))
+                arrays.append(pa.array(
+                    [partition.commit_version] * n, type=pa.int64()
+                ))
+                if n:
+                    yield pa.record_batch(arrays, schema=sch)
+            return
+
+        # diff: bucket-local multiset diff, |count_new - count_old|
+        old_counts: Counter = Counter()
+        new_counts: Counter = Counter()
+        for path, dead in partition.old_files:
+            t = _read_file_table(path, cols)
+            out_schema = out_schema or schema_for(t)
+            old_counts.update(_rows_counter(t, cols, dead))
+        for path in partition.new_files:
+            t = _read_file_table(path, cols)
+            out_schema = out_schema or schema_for(t)
+            new_counts.update(_rows_counter(t, cols))
+        rows: list = []
+        for key in set(old_counts) | set(new_counts):
+            delta = new_counts.get(key, 0) - old_counts.get(key, 0)
+            if delta:
+                tag = "insert" if delta > 0 else "delete"
+                rows.extend(key + (tag,) for _ in range(abs(delta)))
+        if rows and out_schema is not None:
+            yield _batch_of(rows, cols, None, partition.commit_version,
+                            out_schema)
+
+
+class ManifestCDFDataSource(DataSource):
+    """``spark.readStream.format("manifest_cdf")`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_cdf"
+
+    def schema(self) -> str:
+        opts = {str(k).lower(): v for k, v in self.options.items()}
+        head = mb.read_manifest(opts["root"], opts["table"])
+        return (
+            head["schema_ddl"]
+            + ", `_change_type` string, `_commit_version` bigint"
+        )
+
+    def streamReader(self, schema) -> ManifestCDFStreamReader:
+        return ManifestCDFStreamReader(dict(self.options))

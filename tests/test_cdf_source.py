@@ -1,0 +1,202 @@
+"""Structured Streaming over the manifest change feed (round 12):
+per-version offsets, executor-side pyarrow partitions bounded by each
+commit's rewritten region, checkpoint-restart exactly-once, and
+multiset equivalence with the batch ``read_manifest_changes`` feed.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import pytest
+
+from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+from curw_mike_data_handler_spark.streaming.cdf_source import (
+    CDFPartition,
+    ManifestCDFDataSource,
+    ManifestCDFStreamReader,
+)
+
+
+def _mk(spark, lo, hi, v_mult=2):
+    return spark.range(lo, hi).selectExpr(f"id AS k", f"id * {v_mult} AS v")
+
+
+def _stream_all(spark, root, table, out, ck, starting=0):
+    spark.dataSource.register(ManifestCDFDataSource)
+    stream = (
+        spark.readStream.format("manifest_cdf")
+        .option("root", root).option("table", table)
+        .option("startingVersion", starting)
+        .load()
+    )
+    (
+        stream.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start().awaitTermination()
+    )
+    return spark.read.parquet(out)
+
+
+def _multiset(df):
+    return Counter(
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in df.collect()
+    )
+
+
+def test_stream_equals_batch_feed_and_restart_is_exactly_once(
+    spark, tmp_path
+):
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    mb.create_manifest_table(spark, _mk(spark, 0, 100), root, "t",
+                             bucket_cols="k", num_buckets=2)
+    try:
+        mb.append_manifest_table(spark, _mk(spark, 100, 120), root, "t",
+                                 compact_files_per_bucket=100)
+        mb.merge_manifest_table(
+            spark, spark.range(0, 5).selectExpr("id AS k", "-id AS v"),
+            root, "t", key_cols="k",
+        )
+        mb.delete_manifest_rows_mor(
+            spark, spark.createDataFrame([(7,), (8,)], "k long"),
+            root, "t", key_cols="k",
+        )
+        mb.merge_manifest_table_mor(
+            spark, spark.range(10, 12).selectExpr("id AS k", "-99 AS v"),
+            root, "t", key_cols="k", compact_files_per_bucket=100,
+        )
+        got = _stream_all(spark, root, "t", out, ck)
+        want = mb.read_manifest_changes(spark, root, "t", from_version=0)
+        assert _multiset(got) == _multiset(want)
+        # checkpoint restart: new commits, SAME checkpoint — exactly
+        # the new rows arrive, nothing skipped, nothing re-read
+        mb.append_manifest_table(spark, _mk(spark, 200, 210), root, "t",
+                                 compact_files_per_bucket=100)
+        mb.delete_manifest_rows(
+            spark, spark.createDataFrame([(200,)], "k long"),
+            root, "t", key_cols="k",
+        )
+        got2 = _stream_all(spark, root, "t", out, ck)
+        want2 = mb.read_manifest_changes(spark, root, "t", from_version=0)
+        assert _multiset(got2) == _multiset(want2)
+    finally:
+        mb.drop_catalog_entries(spark, root, "t")
+
+
+def test_partition_plan_is_bounded_by_rewritten_region(spark, tmp_path):
+    """The plan-shape guard: each commit's partitions mirror the
+    feed's cost contract — appends plan per new FILE, vector growth
+    per touched FILE, COW rewrites per touched BUCKET, and
+    content-preserving compaction plans NOTHING."""
+    root = str(tmp_path)
+    mb.create_manifest_table(spark, _mk(spark, 0, 200), root, "t",
+                             bucket_cols="k", num_buckets=4)
+    try:
+        mb.append_manifest_table(spark, _mk(spark, 200, 220), root, "t",
+                                 compact_files_per_bucket=100)      # v1
+        mb.merge_manifest_table(
+            spark, spark.range(0, 3).selectExpr("id AS k", "-1 AS v"),
+            root, "t", key_cols="k",
+        )                                                            # v2
+        mb.delete_manifest_rows_mor(
+            spark, spark.createDataFrame([(5,), (6,)], "k long"),
+            root, "t", key_cols="k",
+        )                                                            # v3
+        mb.merge_manifest_table_mor(
+            spark, spark.range(7, 9).selectExpr("id AS k", "-2 AS v"),
+            root, "t", key_cols="k", compact_files_per_bucket=100,
+        )                                                            # v4
+        mb.rebucket_manifest_table(spark, root, "t", num_buckets=8)  # v5
+        reader = ManifestCDFStreamReader(
+            {"root": root, "table": "t", "startingVersion": 0}
+        )
+        by_commit: dict[int, list[CDFPartition]] = {}
+        for p in reader.partitions({"version": 0}, {"version": 5}):
+            by_commit.setdefault(p.commit_version, []).append(p)
+        m1 = mb.read_manifest(root, "t", 1)
+        m0 = mb.read_manifest(root, "t", 0)
+        new_v1 = set(m1["files"]) - set(m0["files"])
+        assert [p.kind for p in by_commit[1]] == ["insert"] * len(new_v1)
+        # v2: COW merge of 3 keys → diff partitions, one per touched
+        # bucket, never more than the key count
+        assert {p.kind for p in by_commit[2]} == {"diff"}
+        assert len(by_commit[2]) <= 3
+        # v3: vector growth only → dv partitions (per touched file)
+        assert {p.kind for p in by_commit[3]} == {"dv"}
+        # v4: MoR upsert = dv deletes + delta-file inserts
+        assert {p.kind for p in by_commit[4]} == {"dv", "insert"}
+        # v5: rebucket is content-preserving → plans nothing
+        assert 5 not in by_commit
+    finally:
+        mb.drop_catalog_entries(spark, root, "t")
+
+
+def test_starting_version_defaults_to_head(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    mb.create_manifest_table(spark, _mk(spark, 0, 50), root, "t",
+                             bucket_cols="k", num_buckets=2)
+    try:
+        spark.dataSource.register(ManifestCDFDataSource)
+        stream = (
+            spark.readStream.format("manifest_cdf")
+            .option("root", root).option("table", "t")
+            .load()  # no startingVersion: only NEW commits flow
+        )
+
+        def run():
+            (
+                stream.writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start().awaitTermination()
+            )
+
+        # first start pins the checkpoint at the CURRENT head — the
+        # pre-existing snapshot does not replay
+        run()
+        mb.append_manifest_table(spark, _mk(spark, 50, 60), root, "t",
+                                 compact_files_per_bucket=100)
+        run()
+        got = spark.read.parquet(out)
+        assert _multiset(got) == Counter(
+            (k, k * 2, "insert", 1) for k in range(50, 60)
+        )
+    finally:
+        mb.drop_catalog_entries(spark, root, "t")
+
+
+def test_schema_instability_and_map_columns_raise(spark, tmp_path):
+    root = str(tmp_path)
+    df = spark.range(0, 40).selectExpr(
+        "id AS k",
+        "to_json(named_struct('a', id)) AS payload",
+    )
+    mb.create_manifest_table(spark, df, root, "sh", bucket_cols="k",
+                             num_buckets=2)
+    try:
+        reader = ManifestCDFStreamReader(
+            {"root": root, "table": "sh", "startingVersion": 0}
+        )
+        # schema evolution inside the window: loud error, not drift
+        mb.evolve_shred(spark, root, "sh", add={"a": "bigint"},
+                        column="payload")
+        with pytest.raises(ValueError, match="different schema"):
+            reader.partitions({"version": 0}, {"version": 1})
+        # a map-typed column is refused at construction
+        mp = spark.range(0, 10).selectExpr(
+            "id AS k", "map('a', id) AS m"
+        )
+        mb.create_manifest_table(spark, mp, root, "mp", bucket_cols="k",
+                                 num_buckets=2)
+        with pytest.raises(NotImplementedError, match="map"):
+            ManifestCDFStreamReader({"root": root, "table": "mp"})
+    finally:
+        mb.drop_catalog_entries(spark, root, "sh")
+        mb.drop_catalog_entries(spark, root, "mp")
