@@ -17716,6 +17716,112 @@ def stream_manifest_cdf_replay(spark, sf_dir):
     return result
 
 
+@query(
+    "manifest_index_point_lookup",
+    """
+    WITH b AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        FROM orders
+    ),
+    probe AS (
+        SELECT DISTINCT o_custkey FROM b ORDER BY o_custkey LIMIT 5
+    )
+    SELECT b.o_custkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(pc) AS BIGINT) AS sum_cents
+    FROM b JOIN probe USING (o_custkey)
+    GROUP BY 1
+    """,
+)
+def manifest_index_point_lookup(spark, sf_dir):
+    """Transactional SECONDARY INDEX (round 12, r11 verdict #3): a
+    posting-list table mapping o_custkey values to the base's
+    o_orderkey-buckets, committed in the SAME commit_multi_table
+    transaction as every base append (one catalog swap commits both;
+    crash between the staged writes leaves nothing visible —
+    crash-injected in tests/test_manifest_index.py).  The gate builds
+    the index over half the orders, appends the other half THROUGH
+    the index transaction, then appends junk rows for the probed
+    custkeys OUTSIDE any transaction — the lookup resolves base and
+    index at txn-pinned versions, so the junk is invisible to it
+    (wrong-version resolution would shift every sum).  Five point
+    lookups through the index must reproduce the oracle's plain
+    filter algebra.
+
+    Scale shape: the lookup probes the index with Bloom point pruning
+    (typically one file), collects the value's posted buckets
+    (bounded by num_buckets), and scans ONLY those buckets' files
+    with the equality filter pushed into parquet — the selective
+    point read at 100 TB touches a handful of files instead of the
+    lake, and bucket postings survive compaction/COW rewrites without
+    reindexing (efficiency pinned by indexed_lookup_files in the
+    tests and the sf1 probe)."""
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+    from curw_mike_data_handler_spark.sources import manifest_index as mi
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("pc")
+    )
+    nib = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    probe_keys = [
+        r["o_custkey"]
+        for r in base.select("o_custkey").distinct()
+        .orderBy("o_custkey").limit(5).collect()
+    ]
+    root = tempfile.mkdtemp(prefix="cm_idx_")
+    try:
+        mb.create_manifest_table(
+            spark, base.withColumn("n", nib).filter(F.col("n") != "0")
+            .drop("n"),
+            root, "orders_ix",
+            bucket_cols="o_orderkey", num_buckets=8,
+            sort_cols="o_orderkey",
+        )
+        mi.create_manifest_index(
+            spark, root, "orders_ix", "orders_by_cust", column="o_custkey",
+        )
+        mi.append_with_index(
+            spark,
+            base.withColumn("n", nib).filter(F.col("n") == "0").drop("n"),
+            root, "orders_ix", "orders_by_cust",
+            batch_id="gate-append", compact_files_per_bucket=100,
+        )
+        # junk OUTSIDE the transaction: same custkeys, absurd sums —
+        # invisible to the txn-atomic indexed lookup by contract
+        junk = spark.createDataFrame(
+            [(10_000_000_000 + i, int(ck), 10_000_000_000)
+             for i, ck in enumerate(probe_keys)],
+            "o_orderkey long, o_custkey long, pc long",
+        )
+        mb.append_manifest_table(spark, junk, root, "orders_ix",
+                                 compact_files_per_bucket=100)
+        rows = []
+        for ck in probe_keys:
+            got = mi.read_manifest_point_indexed(
+                spark, root, "orders_ix", "orders_by_cust", int(ck)
+            )
+            rows.extend(got.select("o_custkey", "pc").collect())
+        out = (
+            spark.createDataFrame(rows, "o_custkey long, pc long")
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("pc").alias("sum_cents"),
+            )
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        mb.drop_catalog_entries(spark, root, "orders_ix")
+        mb.drop_catalog_entries(spark, root, "orders_by_cust")
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -3172,6 +3172,59 @@ def commit_multi_table(
             _release_claim(root, table, v)
 
 
+def pin_tables_txn(
+    root: str,
+    tables: list[str],
+    *,
+    batch_id: str | None = None,
+    max_retries: int = 20,
+    retry_wait_s: float = 0.5,
+) -> int:
+    """Pin each table's CURRENT published version into a new txn
+    catalog — registering already-published snapshots as one atomic
+    group without writing any data (the bootstrap step of a derived
+    table that must be read consistently with its base, e.g. a fresh
+    secondary index).  Monotone like the commit path: a concurrent
+    transaction's newer pin is never regressed."""
+    if not tables:
+        raise ValueError("pin_tables_txn: no tables to pin")
+    if batch_id is not None:
+        done = _txn_batch_published(root, batch_id)
+        if done is not None:
+            return done
+    current = {t: current_version(root, t) for t in sorted(set(tables))}
+    for attempt in range(max_retries + 1):
+        cat = read_txn_catalog(root)
+        v = cat["version"] + 1
+        try:
+            _acquire_claim(root, _TXN, v)
+        except ConcurrentWriteError:
+            if attempt == max_retries:
+                raise
+            _claim_wait(root, _TXN, v, attempt, retry_wait_s)
+            continue
+        try:
+            if read_txn_catalog(root)["version"] != cat["version"]:
+                continue
+            pinned = dict(cat["tables"])
+            for t, nv in current.items():
+                pinned[t] = max(pinned.get(t, -1), nv)
+            new_cat = {
+                "version": v,
+                "parent": cat["version"] if cat["version"] >= 0 else None,
+                "tables": pinned,
+            }
+            if batch_id is not None:
+                new_cat["batch_id"] = batch_id
+            _publish_txn(root, new_cat)
+            return v
+        finally:
+            _release_claim(root, _TXN, v)
+    raise ConcurrentWriteError(
+        f"txn pin lost the catalog race {max_retries + 1} times"
+    )
+
+
 def read_tables_atomic(
     spark: SparkSession,
     root: str,
