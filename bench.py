@@ -292,6 +292,9 @@ HEADLINE = [
     "manifest_delete_vector_read",
     "manifest_changes_incremental_read",
     "manifest_mirror_incremental_sync",
+    "manifest_mor_upsert_read",
+    "stream_manifest_cdf_replay",
+    "manifest_index_point_lookup",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

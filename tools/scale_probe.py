@@ -1331,6 +1331,216 @@ def main() -> None:
         mb.drop_catalog_entries(spark, epoch_root, "probe_state")
         shutil.rmtree(epoch_root, ignore_errors=True)
 
+    # deletion vectors AT THE 1M-POSITION CAP (r11 verdict #4): the
+    # positions live inline in the manifest JSON — measure the
+    # manifest file size, its parse cost, and the vectored read tax at
+    # the cap to decide whether a binary sidecar is warranted.
+    caproot = tempfile.mkdtemp(prefix="cm_probe_dvcap_")
+    try:
+        cap_rows = spark.range(2_000_000).selectExpr(
+            "id AS k", "id * 2 AS v", "id AS ts_k"
+        )
+        mb.create_manifest_table(
+            spark, cap_rows, caproot, "probe_cap",
+            bucket_cols="k", num_buckets=32, sort_cols="ts_k",
+        )
+        t0 = time.perf_counter()
+        n0 = mb.read_manifest_table(spark, caproot, "probe_cap").count()
+        read_plain_s = round(time.perf_counter() - t0, 2)
+        doomed = spark.range(1_000_000).selectExpr("id * 2 AS k")
+        t0 = time.perf_counter()
+        mb.delete_manifest_rows_mor(
+            spark, doomed, caproot, "probe_cap", key_cols="k",
+            max_positions=1_000_000,
+        )
+        dv_write_s = round(time.perf_counter() - t0, 2)
+        mpath = mb._manifest_path(caproot, "probe_cap", 1)
+        manifest_mb = round(os.path.getsize(mpath) / 1e6, 2)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            m = mb.read_manifest(caproot, "probe_cap")
+        parse_s = round((time.perf_counter() - t0) / 3, 3)
+        t0 = time.perf_counter()
+        n_live = mb.read_manifest_table(spark, caproot, "probe_cap").count()
+        read_dv_s = round(time.perf_counter() - t0, 2)
+        results["dv_manifest_1m_positions"] = {
+            "dv_positions": m["dv_positions"],
+            "manifest_mb": manifest_mb,
+            "manifest_parse_s": parse_s,
+            "dv_write_wall_s": dv_write_s,
+            "read_plain_s": read_plain_s,
+            "read_with_1m_dv_s": read_dv_s,
+            "rows_live": n_live,
+        }
+        print(f"  dv at cap: manifest {manifest_mb} MB, parse {parse_s}s, "
+              f"read {read_plain_s}s -> {read_dv_s}s with 1M positions")
+        assert n0 == 2_000_000 and n_live == 1_000_000
+    finally:
+        mb.drop_catalog_entries(spark, caproot, "probe_cap")
+        shutil.rmtree(caproot, ignore_errors=True)
+
+    # merge-on-read UPSERT vs the COW merge at 2M rows (round 12): the
+    # MoR write must be metadata-class (positions scan + tiny delta
+    # write, zero touched-file rewrites — compare cow_merge_2m_100keys
+    # above), and the read tax must stay one broadcast anti-join.
+    morroot = tempfile.mkdtemp(prefix="cm_probe_mor_")
+    try:
+        mor_rows = spark.range(2_000_000).selectExpr(
+            "id AS k", "id * 2 AS v", "id AS ts_k"
+        )
+        mb.create_manifest_table(
+            spark, mor_rows, morroot, "probe_mor",
+            bucket_cols="k", num_buckets=32, sort_cols="ts_k",
+        )
+        ups = spark.range(100).selectExpr(
+            "id * 19997 AS k", "CAST(-1 AS BIGINT) AS v", "id AS ts_k"
+        )
+        t0 = time.perf_counter()
+        mb.merge_manifest_table_mor(
+            spark, ups, morroot, "probe_mor", key_cols="k",
+            compact_files_per_bucket=100,
+        )
+        mor_s = round(time.perf_counter() - t0, 2)
+        m = mb.read_manifest(morroot, "probe_mor")
+        t0 = time.perf_counter()
+        n_live = mb.read_manifest_table(spark, morroot, "probe_mor").count()
+        mor_read_s = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        feed_n = mb.read_manifest_changes(
+            spark, morroot, "probe_mor", from_version=0
+        ).count()
+        feed_s = round(time.perf_counter() - t0, 2)
+        results["mor_merge_2m_100keys"] = {
+            "wall_s": mor_s,
+            "rewritten_files": m.get("rewritten_files", 0),
+            "delta_files": len(m["files"])
+            - len(mb.read_manifest(morroot, "probe_mor", 0)["files"]),
+            "dv_positions": m["dv_positions"],
+            "read_s": mor_read_s,
+            "rows_live": n_live,
+            "feed_wall_s": feed_s,
+            "feed_changes": feed_n,
+        }
+        print(f"  mor merge 2M/100keys: {mor_s}s write (0 rewrites, "
+              f"{m['dv_positions']} positions), read {mor_read_s}s, "
+              f"feed {feed_s}s ({feed_n} changes)")
+        assert n_live == 2_000_000  # pure upserts of existing keys
+        assert m.get("rewritten_files", 0) == 0 or "rewritten_files" not in m
+        assert feed_n == 200  # 100 deletes + 100 inserts
+    finally:
+        mb.drop_catalog_entries(spark, morroot, "probe_mor")
+        shutil.rmtree(morroot, ignore_errors=True)
+
+    # mirror sync chain (r11 verdict #5): 25 sync cycles on a GROWING
+    # source — per-sync wall must track the changed-region size, never
+    # source size or accumulated version count.
+    mirroot = tempfile.mkdtemp(prefix="cm_probe_mir_")
+    try:
+        src_rows = spark.range(400_000).selectExpr(
+            "id AS k", "id * 2 AS v", "id AS ts_k"
+        )
+        mb.create_manifest_table(
+            spark, src_rows, mirroot, "probe_src",
+            bucket_cols="k", num_buckets=32, sort_cols="ts_k",
+        )
+        mb.create_manifest_mirror(spark, mirroot, "probe_src", "probe_dst")
+        sync_walls = []
+        next_k = 400_000
+        for cycle in range(25):
+            batch = spark.range(next_k, next_k + 2000).selectExpr(
+                "id AS k", "id * 2 AS v", "id AS ts_k"
+            )
+            next_k += 2000
+            mb.append_manifest_table(
+                spark, batch, mirroot, "probe_src",
+                compact_files_per_bucket=100,
+            )
+            ups = spark.range(500).selectExpr(
+                f"(id * 797 + {cycle} * 13) % 400000 AS k",
+                "CAST(-1 AS BIGINT) AS v",
+                f"CAST({cycle} AS BIGINT) AS ts_k",
+            )
+            mb.merge_manifest_table(spark, ups, mirroot, "probe_src",
+                                    key_cols="k")
+            t0 = time.perf_counter()
+            mb.sync_manifest_mirror(spark, mirroot, "probe_dst",
+                                    key_cols="k")
+            sync_walls.append(time.perf_counter() - t0)
+        first10 = sum(sync_walls[:10]) / 10
+        last10 = sum(sync_walls[-10:]) / 10
+        n_src = mb.read_manifest_table(spark, mirroot, "probe_src").count()
+        n_dst = mb.read_manifest_table(spark, mirroot, "probe_dst").count()
+        results["mirror_sync_25x"] = {
+            "cycles": 25,
+            "changed_rows_per_cycle": 2500,
+            "first10_avg_s": round(first10, 2),
+            "last10_avg_s": round(last10, 2),
+            "total_s": round(sum(sync_walls), 2),
+            "src_rows_final": n_src,
+            "dst_rows_final": n_dst,
+        }
+        print(f"  mirror sync 25x: first10 {first10:.2f}s, last10 "
+              f"{last10:.2f}s, dst rows {n_dst}")
+        assert n_dst == n_src, "mirror diverged from source"
+        # flat within noise: cost tracks the changed region, not the
+        # growing source or version count
+        assert last10 < 2.5 * first10 + 1, sync_walls
+    finally:
+        mb.drop_catalog_entries(spark, mirroot, "probe_src")
+        mb.drop_catalog_entries(spark, mirroot, "probe_dst")
+        shutil.rmtree(mirroot, ignore_errors=True)
+
+    # transactional secondary index at 2M rows (round 12): the indexed
+    # point lookup must beat the full-scan filter in files opened AND
+    # wall time.
+    ixroot = tempfile.mkdtemp(prefix="cm_probe_ix_")
+    try:
+        from curw_mike_data_handler_spark.sources import (
+            manifest_index as mi,
+        )
+
+        ix_rows = spark.range(2_000_000).selectExpr(
+            "id AS k", "id % 200000 AS c", "id * 2 AS v"
+        )
+        mb.create_manifest_table(
+            spark, ix_rows, ixroot, "probe_base",
+            bucket_cols="k", num_buckets=32, sort_cols="k",
+        )
+        t0 = time.perf_counter()
+        mi.create_manifest_index(spark, ixroot, "probe_base", "probe_ix",
+                                 column="c", num_buckets=16)
+        build_s = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        n_hit = mi.read_manifest_point_indexed(
+            spark, ixroot, "probe_base", "probe_ix", 12345
+        ).count()
+        lookup_s = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        n_full = (
+            mb.read_manifest_table(spark, ixroot, "probe_base")
+            .filter(F.col("c") == 12345).count()
+        )
+        full_s = round(time.perf_counter() - t0, 2)
+        scanned, total = mi.indexed_lookup_files(
+            ixroot, "probe_base", "probe_ix", 12345
+        )
+        results["index_lookup_2m"] = {
+            "build_s": build_s,
+            "lookup_wall_s": lookup_s,
+            "full_filter_wall_s": full_s,
+            "files_scanned": scanned,
+            "files_total": total,
+            "rows_hit": n_hit,
+        }
+        print(f"  index lookup 2M: build {build_s}s, lookup {lookup_s}s "
+              f"({scanned}/{total} files) vs full filter {full_s}s")
+        assert n_hit == n_full == 10  # 2M / 200k distinct c values
+        assert scanned < total
+    finally:
+        mb.drop_catalog_entries(spark, ixroot, "probe_base")
+        mb.drop_catalog_entries(spark, ixroot, "probe_ix")
+        shutil.rmtree(ixroot, ignore_errors=True)
+
     payload = {
         "sf": 1.0,
         "docs": docs_lin.count(),
