@@ -335,11 +335,30 @@ def _claim_wait(
     So the common case — a competitor that publishes quickly — still
     retries with sub-second latency; only a genuinely long-running
     competitor consumes the larger budget."""
+
+    def progressed() -> bool:
+        try:
+            return current_version(root, table) >= version
+        except FileNotFoundError:
+            return False
+
+    _claim_path_wait(_claim_path(root, table, version), attempt,
+                     base_wait_s, progressed)
+
+
+def _claim_path_wait(
+    path: str, attempt: int, base_wait_s: float, progressed=None
+) -> None:
+    """The shared wait loop behind a live claim at any path:
+    exponential budget, 50 ms polls, early return the moment the claim
+    vanishes, its owner dies, or the optional ``progressed`` predicate
+    reports the competitor's work landed (one loop for the versioned
+    and versionless waiters — review finding: two near-copies would
+    drift)."""
     import time
 
     wait_s = min(base_wait_s * (2 ** attempt), 30.0)
     deadline = time.monotonic() + wait_s
-    path = _claim_path(root, table, version)
     while time.monotonic() < deadline:
         try:
             with open(path) as fh:
@@ -348,11 +367,8 @@ def _claim_wait(
             return  # claim released
         except OSError:
             content = ""
-        try:
-            if current_version(root, table) >= version:
-                return  # competitor published this (or a later) version
-        except FileNotFoundError:
-            pass
+        if progressed is not None and progressed():
+            return  # competitor's publish landed
         if not _claim_owner_alive(content):
             return  # owner crashed: the retry can take the claim over
         time.sleep(0.05)
@@ -3174,25 +3190,36 @@ def commit_multi_table(
 
 def pin_tables_txn(
     root: str,
-    tables: list[str],
+    tables: list[str] | dict[str, int],
     *,
     batch_id: str | None = None,
     max_retries: int = 20,
     retry_wait_s: float = 0.5,
 ) -> int:
-    """Pin each table's CURRENT published version into a new txn
-    catalog — registering already-published snapshots as one atomic
-    group without writing any data (the bootstrap step of a derived
-    table that must be read consistently with its base, e.g. a fresh
-    secondary index).  Monotone like the commit path: a concurrent
-    transaction's newer pin is never regressed."""
+    """Pin published snapshots into a new txn catalog — registering
+    them as one atomic group without writing any data (the bootstrap
+    step of a derived table that must be read consistently with its
+    base, e.g. a fresh secondary index).  A list pins each table's
+    CURRENT version; a dict pins the EXACT versions given — the right
+    form when the caller derived something from a specific snapshot
+    (review finding: pinning current would adopt a concurrent append
+    the derivation never saw).  Monotone like the commit path: a
+    concurrent transaction's newer pin is never regressed — when that
+    suppresses a requested EXACT pin, the caller's derivation is
+    stale and this raises instead of publishing a silently
+    inconsistent group."""
     if not tables:
         raise ValueError("pin_tables_txn: no tables to pin")
     if batch_id is not None:
         done = _txn_batch_published(root, batch_id)
         if done is not None:
             return done
-    current = {t: current_version(root, t) for t in sorted(set(tables))}
+    if isinstance(tables, dict):
+        current = dict(tables)
+        exact = True
+    else:
+        current = {t: current_version(root, t) for t in sorted(set(tables))}
+        exact = False
     for attempt in range(max_retries + 1):
         cat = read_txn_catalog(root)
         v = cat["version"] + 1
@@ -3208,6 +3235,13 @@ def pin_tables_txn(
                 continue
             pinned = dict(cat["tables"])
             for t, nv in current.items():
+                if exact and pinned.get(t, -1) > nv:
+                    raise ConcurrentWriteError(
+                        f"pin_tables_txn: {t} is already pinned at "
+                        f"version {pinned[t]} > requested {nv} — the "
+                        f"snapshot this group was derived from is "
+                        f"stale; re-derive and retry"
+                    )
                 pinned[t] = max(pinned.get(t, -1), nv)
             new_cat = {
                 "version": v,
@@ -3320,23 +3354,30 @@ def _step_changes(
     if pairs:
         files = sorted({f for f, _ in pairs})
         dv_df = spark.createDataFrame(pairs, "dv_file string, dv_pos long")
+        # collision-free temp names, same rule as _dv_filter: the DDL
+        # admits user columns named _dv_file/_dv_pos, and withColumn
+        # silently REPLACES an existing column (review finding)
+        taken = {f.name for f in schema.fields}
+        fcol, pcol = "_dv_file", "_dv_pos"
+        while fcol in taken or pcol in taken:
+            fcol, pcol = fcol + "_", pcol + "_"
         scan = (
             spark.read.schema(schema)
             .parquet(*[os.path.join(gen_dir_p, f) for f in files])
             .withColumn(
-                "_dv_file",
+                fcol,
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
             )
-            .withColumn("_dv_pos", F.col("_metadata.row_index"))
+            .withColumn(pcol, F.col("_metadata.row_index"))
         )
         dv_deletes = (
             scan.join(
                 F.broadcast(dv_df),
-                (F.col("_dv_file") == dv_df["dv_file"])
-                & (F.col("_dv_pos") == dv_df["dv_pos"]),
+                (F.col(fcol) == dv_df["dv_file"])
+                & (F.col(pcol) == dv_df["dv_pos"]),
                 "left_semi",
             )
-            .drop("_dv_file", "_dv_pos")
+            .drop(fcol, pcol)
             .withColumn("_change_type", F.lit("delete"))
         )
 
@@ -3723,28 +3764,6 @@ def sync_manifest_mirror(
     raise ConcurrentWriteError(
         f"mirror {dst} sync lost the claim race {max_retries + 1} times"
     )
-
-
-def _claim_path_wait(path: str, attempt: int, base_wait_s: float) -> None:
-    """Back off behind a live claim at an arbitrary path — the
-    versionless twin of _claim_wait (no snapshot to watch for
-    progress): exponential budget, 50 ms polls, early return the
-    moment the claim vanishes or its owner dies."""
-    import time
-
-    wait_s = min(base_wait_s * (2 ** attempt), 30.0)
-    deadline = time.monotonic() + wait_s
-    while time.monotonic() < deadline:
-        try:
-            with open(path) as fh:
-                content = fh.read()
-        except FileNotFoundError:
-            return
-        except OSError:
-            content = ""
-        if not _claim_owner_alive(content):
-            return
-        time.sleep(0.05)
 
 
 def _sync_mirror_locked(

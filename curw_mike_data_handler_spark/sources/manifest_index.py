@@ -126,7 +126,14 @@ def create_manifest_index(
             "base_bucket_cols": base_m["bucket_cols"],
         }),
     )
-    return mb.pin_tables_txn(root, [table, index])
+    # pin the EXACT snapshot the postings were computed over — pinning
+    # "current" would adopt a concurrent append the postings never saw
+    # and silently omit its rows from every lookup (review finding);
+    # a base already pinned past that snapshot raises instead.
+    return mb.pin_tables_txn(
+        root, {table: base_m["version"],
+               index: mb.current_version(root, index)},
+    )
 
 
 def append_with_index(
@@ -199,6 +206,13 @@ def read_manifest_point_indexed(
     idx_m = mb.read_manifest(root, index, pins[index])
     base_m = mb.read_manifest(root, table, pins[table])
     meta = read_index_meta(root, index)
+    if meta["table"] != table:
+        # same guard as the append path: a coincidentally same-spec
+        # OTHER base would pass the bucket check and return an
+        # arbitrary subset (review finding)
+        raise ValueError(
+            f"{index} indexes {meta['table']!r}, not {table!r}"
+        )
     column = meta["column"]
     if (meta["base_buckets"] != base_m["num_buckets"]
             or meta["base_bucket_cols"] != base_m["bucket_cols"]):

@@ -84,17 +84,41 @@ def _read_file_table(path: str, columns: tuple[str, ...]):
     return pq.read_table(path, columns=list(columns))
 
 
-def _rows_counter(table, columns, drop_positions=()) -> Counter:
-    """Multiset of a file's rows as python tuples, minus the given
-    0-based positions (the parent's deletion vectors)."""
+_NAN = "\x00__nan__"  # canonical stand-in: NaN != NaN and (since
+# py3.10) hash(nan) is identity-based, so raw-NaN tuples would never
+# match across two reads and an UNCHANGED NaN row in a rewritten
+# bucket would emit a spurious delete+insert pair (review finding —
+# the batch feed's eqNullSafe treats NaN = NaN, and the stream must
+# match it)
+
+
+def _canon(v):
+    if isinstance(v, float) and v != v:
+        return _NAN
+    return v
+
+
+def _rows_counter(
+    table, columns, drop_positions=(), originals: dict | None = None
+) -> Counter:
+    """Multiset of a file's rows keyed on NaN-canonicalized python
+    tuples, minus the given 0-based positions (the parent's deletion
+    vectors).  ``originals`` (if given) records a representative
+    ORIGINAL tuple per canonical key, so emitted rows carry real NaN
+    values, not the sentinel."""
     drop = set(drop_positions)
     cols = [table.column(c).to_pylist() for c in columns]
     n = table.num_rows
-    return Counter(
-        tuple(col[i] for col in cols)
-        for i in range(n)
-        if i not in drop
-    )
+    out: Counter = Counter()
+    for i in range(n):
+        if i in drop:
+            continue
+        row = tuple(col[i] for col in cols)
+        key = tuple(_canon(v) for v in row)
+        out[key] += 1
+        if originals is not None and key not in originals:
+            originals[key] = row
+    return out
 
 
 def _batch_of(rows: list, columns, change_type: str | None,
@@ -133,12 +157,19 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         cols = list(mb._ddl_columns(self.schema_ddl))
         self.columns = tuple(cols)
         lowered = self.schema_ddl.lower()
-        if "map<" in lowered:
-            raise NotImplementedError(
-                "manifest_cdf: map-typed columns have no hashable "
-                "canonical form for the bucket-local diff — use the "
-                "batch read_manifest_changes feed"
-            )
+        for nested in ("map<", "array<", "struct<"):
+            # the bucket-local diff keys a Counter on python row
+            # tuples: map/array/struct values arrive as unhashable
+            # dicts/lists from to_pylist — refuse LOUDLY at
+            # construction instead of a bare TypeError deep in an
+            # executor mid-stream (review finding; the batch
+            # read_manifest_changes feed supports array/struct)
+            if nested in lowered:
+                raise NotImplementedError(
+                    f"manifest_cdf: {nested.rstrip('<')}-typed columns "
+                    f"have no hashable form for the bucket-local diff "
+                    f"— use the batch read_manifest_changes feed"
+                )
 
     # -- offsets ----------------------------------------------------
     def initialOffset(self) -> dict:
@@ -207,20 +238,36 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         if old_files:
             # COW rewrite: bucket-local multiset diff — group BOTH
             # sides by bucket id (files only ever rewrite within
-            # their bucket)
+            # their bucket).  A file whose name carries no parseable
+            # bucket id cannot be diffed bucket-locally: raise loudly
+            # rather than silently dropping its changes (review
+            # finding — the batch feed diffs the whole region and
+            # would disagree)
             by_bucket: dict[int, tuple[list, list]] = {}
             for f in old_files:
                 b = mb._file_bucket(f)
+                if b is None:
+                    raise ValueError(
+                        f"manifest_cdf: {self.table} v{cv} file {f!r} "
+                        f"has no bucket id — cannot plan a "
+                        f"bucket-local diff; use the batch feed"
+                    )
                 by_bucket.setdefault(b, ([], []))[0].append(
                     (os.path.join(gen_p, f),
                      tuple(sorted(old_dv.get(f, ()))))
                 )
             for f in new_files:
                 b = mb._file_bucket(f)
+                if b is None:
+                    raise ValueError(
+                        f"manifest_cdf: {self.table} v{cv} file {f!r} "
+                        f"has no bucket id — cannot plan a "
+                        f"bucket-local diff; use the batch feed"
+                    )
                 by_bucket.setdefault(b, ([], []))[1].append(
                     os.path.join(gen_c, f)
                 )
-            for b in sorted(k for k in by_bucket if k is not None):
+            for b in sorted(by_bucket):
                 olds, news = by_bucket[b]
                 parts.append(CDFPartition(
                     "diff", cv, self.columns,
@@ -281,20 +328,22 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         # diff: bucket-local multiset diff, |count_new - count_old|
         old_counts: Counter = Counter()
         new_counts: Counter = Counter()
+        originals: dict = {}
         for path, dead in partition.old_files:
             t = _read_file_table(path, cols)
             out_schema = out_schema or schema_for(t)
-            old_counts.update(_rows_counter(t, cols, dead))
+            old_counts.update(_rows_counter(t, cols, dead, originals))
         for path in partition.new_files:
             t = _read_file_table(path, cols)
             out_schema = out_schema or schema_for(t)
-            new_counts.update(_rows_counter(t, cols))
+            new_counts.update(_rows_counter(t, cols, (), originals))
         rows: list = []
         for key in set(old_counts) | set(new_counts):
             delta = new_counts.get(key, 0) - old_counts.get(key, 0)
             if delta:
                 tag = "insert" if delta > 0 else "delete"
-                rows.extend(key + (tag,) for _ in range(abs(delta)))
+                row = originals[key]
+                rows.extend(row + (tag,) for _ in range(abs(delta)))
         if rows and out_schema is not None:
             yield _batch_of(rows, cols, None, partition.commit_version,
                             out_schema)

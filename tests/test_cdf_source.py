@@ -200,3 +200,59 @@ def test_schema_instability_and_map_columns_raise(spark, tmp_path):
     finally:
         mb.drop_catalog_entries(spark, root, "sh")
         mb.drop_catalog_entries(spark, root, "mp")
+
+
+def test_nan_rows_do_not_emit_spurious_changes(spark, tmp_path):
+    """Review regression (r12): NaN != NaN and hash(nan) is
+    identity-based since py3.10, so the bucket-local diff must
+    canonicalize NaN keys — an UNCHANGED NaN row inside a rewritten
+    bucket previously emitted a spurious delete+insert pair, diverging
+    from the batch feed's eqNullSafe semantics."""
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = spark.range(0, 40).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 3 = 0 THEN CAST('NaN' AS DOUBLE) "
+        "ELSE CAST(id AS DOUBLE) END AS v",
+    )
+    mb.create_manifest_table(spark, df, root, "t", bucket_cols="k",
+                             num_buckets=2)
+    try:
+        # COW merge of ONE key: its bucket rewrites, carrying many
+        # unchanged NaN rows through the diff
+        mb.merge_manifest_table(
+            spark,
+            spark.createDataFrame([(1, 7.0)], "k long, v double"),
+            root, "t", key_cols="k",
+        )
+        got = _stream_all(spark, root, "t", out, ck)
+        want = mb.read_manifest_changes(spark, root, "t", from_version=0)
+
+        def reprset(df_):
+            return Counter(
+                (r["k"], repr(r["v"]), r["_change_type"],
+                 r["_commit_version"])
+                for r in df_.collect()
+            )
+
+        assert reprset(got) == reprset(want)
+        # and the change set is exactly the merged key, nothing else
+        assert {r[0] for r in reprset(got)} == {1}
+    finally:
+        mb.drop_catalog_entries(spark, root, "t")
+
+
+def test_array_and_struct_columns_refused_loudly(spark, tmp_path):
+    """Review regression (r12): array/struct values are unhashable in
+    the bucket-local diff — the constructor must refuse them like
+    maps, not crash with a bare TypeError in an executor."""
+    root = str(tmp_path)
+    df = spark.range(0, 10).selectExpr("id AS k", "array(id, id) AS a")
+    mb.create_manifest_table(spark, df, root, "arr", bucket_cols="k",
+                             num_buckets=2)
+    try:
+        with pytest.raises(NotImplementedError, match="array"):
+            ManifestCDFStreamReader({"root": root, "table": "arr"})
+    finally:
+        mb.drop_catalog_entries(spark, root, "arr")

@@ -154,3 +154,68 @@ def test_not_an_index_and_unpinned_errors(spark, tmp_path):
             )
     finally:
         mb.drop_catalog_entries(spark, root, "plain")
+
+
+def test_index_pins_the_built_snapshot_not_current(spark, tmp_path,
+                                                   monkeypatch):
+    """Review regression (r12): create_manifest_index must pin the
+    EXACT base version its postings were computed over — pinning
+    'current' would adopt a concurrent append the postings never saw
+    and silently omit its rows from every lookup."""
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _mk(spark, 0, 500), root, "base",
+        bucket_cols="k", num_buckets=4, sort_cols="k",
+    )
+    try:
+        # a competitor appends BETWEEN the posting build and the pin
+        orig = mb.pin_tables_txn
+
+        def racing_pin(root_, tables, **kw):
+            mb.append_manifest_table(
+                spark, _mk(spark, 500, 600), root_, "base",
+                compact_files_per_bucket=100,
+            )
+            return orig(root_, tables, **kw)
+
+        monkeypatch.setattr(mb, "pin_tables_txn", racing_pin)
+        mi.create_manifest_index(spark, root, "base", "ix", column="c")
+        monkeypatch.setattr(mb, "pin_tables_txn", orig)
+        cat = mb.read_txn_catalog(root)
+        # pinned at the INDEXED snapshot (v0), not the racer's v1
+        assert cat["tables"]["base"] == 0
+        # lookups over the pinned pair are complete for that snapshot
+        got = mi.read_manifest_point_indexed(spark, root, "base", "ix", 5)
+        assert sorted(r["k"] for r in got.collect()) == [5]
+    finally:
+        mb.drop_catalog_entries(spark, root, "base")
+        mb.drop_catalog_entries(spark, root, "ix")
+
+
+def test_exact_pin_refuses_regression_and_mismatched_table(spark, tmp_path):
+    root = str(tmp_path)
+    mb.create_manifest_table(
+        spark, _mk(spark, 0, 100), root, "base",
+        bucket_cols="k", num_buckets=4, sort_cols="k",
+    )
+    mi.create_manifest_index(spark, root, "base", "ix", column="c")
+    try:
+        # a newer pin exists (normal txn append) …
+        mi.append_with_index(spark, _mk(spark, 100, 150), root,
+                             "base", "ix", compact_files_per_bucket=100)
+        # … so an EXACT pin at the stale version must refuse, not
+        # silently publish an inconsistent group
+        with pytest.raises(mb.ConcurrentWriteError, match="stale"):
+            mb.pin_tables_txn(root, {"base": 0})
+        # and the lookup guards against a same-spec WRONG base
+        mb.create_manifest_table(
+            spark, _mk(spark, 0, 100), root, "decoy",
+            bucket_cols="k", num_buckets=4, sort_cols="k",
+        )
+        mb.pin_tables_txn(root, ["decoy"])
+        with pytest.raises(ValueError, match="indexes 'base'"):
+            mi.read_manifest_point_indexed(spark, root, "decoy", "ix", 5)
+    finally:
+        mb.drop_catalog_entries(spark, root, "base")
+        mb.drop_catalog_entries(spark, root, "ix")
+        mb.drop_catalog_entries(spark, root, "decoy")
