@@ -38,11 +38,33 @@ Spark-first design notes:
 * **Arrow out.**  Every partition yields one ``pyarrow.RecordBatch``
   (column-built; no per-row Python objects cross the boundary).
 
-Declared limits (loud errors, not silent wrongness): the covered
-window must be schema-stable (an ``evolve_shred`` mid-window raises —
-restart the stream at the new schema), and map-typed columns are
-unsupported (no hashable canonical form for the bucket-local diff;
-the batch feed's sort-entries canonicalization covers them).
+Schema evolution (round 12, roadmap #1): the stream's OUTPUT schema
+is pinned at construction (Spark streams cannot grow columns
+mid-query), but the covered window need NOT be schema-stable — each
+commit plans against its OWN manifest schema:
+
+* an ``evolve_shred`` commit is metadata-only (no row changes) and
+  plans nothing;
+* commits OLDER than the stream's schema lack later-added columns —
+  those surface as typed NULLs, exactly like the batch feed's
+  ``allowMissingColumns`` union (and like ``spark.read.schema`` over
+  a file missing the column);
+* commits NEWER than the stream's schema diff on their FULL column
+  set (so a row changing only in a later-added column still emits its
+  delete+insert pair) and the extra columns are projected away —
+  restart the stream to surface them (the inherent fixed-schema
+  constraint, now the ONLY reason to restart);
+* files predating an evolve physically lack the added ``_shred_*``
+  columns even inside schema-stable windows (lazy materialization
+  repairs them only at the next rewrite) — every file read
+  NULL-pads what the file doesn't store, matching
+  ``spark.read.schema`` semantics.
+
+Declared limits (loud errors, not silent wrongness): map/array/
+struct-typed columns are unsupported (no hashable canonical form for
+the bucket-local diff; the batch feed's sort-entries canonicalization
+covers top-level maps) — refused at construction for the stream's
+schema and at PLANNING time for columns a later evolve added.
 
 Reference parity: the reference's change detection is the
 ``fgt_last_hour`` freshness poll re-run per cron tick
@@ -53,6 +75,7 @@ row-level deltas derived from manifest truth.
 from __future__ import annotations
 
 import os
+import re
 from collections import Counter
 from dataclasses import dataclass
 
@@ -70,6 +93,11 @@ class CDFPartition(InputPartition):
     kind: str  # 'insert' | 'dv' | 'diff'
     commit_version: int
     columns: tuple[str, ...]
+    # SQL types parallel to ``columns`` — the executor derives arrow
+    # types from these (NOT from the files: a pre-evolve file lacks
+    # later columns entirely, and batch schemas must agree across
+    # partitions regardless of which file each one happened to read)
+    column_types: tuple[str, ...] = ()
     # insert: files to read whole; diff: the commit's NEW bucket files
     new_files: tuple[str, ...] = ()
     # dv: [(file, (pos, ...)), ...] — positions newly dead this commit
@@ -78,10 +106,60 @@ class CDFPartition(InputPartition):
     old_files: tuple = ()
 
 
-def _read_file_table(path: str, columns: tuple[str, ...]):
+def _arrow_type(sql_type: str):
+    """The canonical arrow type of a manifest SQL type — used to
+    NULL-pad columns a file predates and to pin one batch schema
+    across every partition.  Matches the types Spark's own parquet
+    writes read back as (so casts on present columns are no-ops)."""
+    import pyarrow as pa
+
+    s = sql_type.strip().lower()
+    simple = {
+        "tinyint": pa.int8(), "smallint": pa.int16(),
+        "int": pa.int32(), "integer": pa.int32(),
+        "bigint": pa.int64(), "long": pa.int64(),
+        "float": pa.float32(), "real": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(), "boolean": pa.bool_(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if s in simple:
+        return simple[s]
+    m = re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", s)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    raise NotImplementedError(
+        f"manifest_cdf: no arrow mapping for SQL type {sql_type!r}"
+    )
+
+
+def _read_file_table(
+    path: str, columns: tuple[str, ...], types: tuple[str, ...]
+):
+    """One file's rows as EXACTLY ``columns`` in canonical arrow
+    types: present columns cast (a no-op for Spark-written parquet),
+    absent ones NULL-padded — a file predating an ``evolve_shred``
+    physically lacks the added ``_shred_*`` columns until the next
+    rewrite repairs it, and ``spark.read.schema`` (the batch feed's
+    read) treats those as NULL."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    return pq.read_table(path, columns=list(columns))
+    have = set(pq.read_schema(path).names)
+    present = [c for c in columns if c in have]
+    t = pq.read_table(path, columns=present)
+    n = t.num_rows
+    arrays = []
+    for c, st in zip(columns, types):
+        at = _arrow_type(st)
+        if c in have:
+            arrays.append(t.column(c).cast(at).combine_chunks())
+        else:
+            arrays.append(pa.nulls(n, type=at))
+    return pa.table(arrays, names=list(columns))
 
 
 _NAN = "\x00__nan__"  # canonical stand-in: NaN != NaN and (since
@@ -121,23 +199,15 @@ def _rows_counter(
     return out
 
 
-def _batch_of(rows: list, columns, change_type: str | None,
-              commit_version: int, schema):
-    """One RecordBatch from row tuples (change_type of None means the
-    per-row type is appended in the tuple itself)."""
+def _out_schema(columns: tuple[str, ...], types: tuple[str, ...]):
+    """The stream's fixed arrow batch schema: the pinned columns in
+    canonical types + the two change-feed columns."""
     import pyarrow as pa
 
-    arrays = []
-    for j, _c in enumerate(columns):
-        arrays.append(pa.array([r[j] for r in rows],
-                               type=schema.field(j).type))
-    k = len(columns)
-    if change_type is None:
-        arrays.append(pa.array([r[k] for r in rows], type=pa.string()))
-    else:
-        arrays.append(pa.array([change_type] * len(rows), type=pa.string()))
-    arrays.append(pa.array([commit_version] * len(rows), type=pa.int64()))
-    return pa.record_batch(arrays, schema=schema)
+    fields = [pa.field(c, _arrow_type(t)) for c, t in zip(columns, types)]
+    fields.append(pa.field("_change_type", pa.string()))
+    fields.append(pa.field("_commit_version", pa.int64()))
+    return pa.schema(fields)
 
 
 class ManifestCDFStreamReader(DataSourceStreamReader):
@@ -152,10 +222,13 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             self.start_version = int(opts["startingversion"])
         else:
             self.start_version = head["version"]
-        # the stream's fixed physical schema, pinned at construction
+        # the stream's fixed OUTPUT schema, pinned at construction;
+        # per-commit planning handles windows whose manifests carry a
+        # different (older or newer) schema
         self.schema_ddl = head["schema_ddl"]
-        cols = list(mb._ddl_columns(self.schema_ddl))
-        self.columns = tuple(cols)
+        ddl_cols = mb._ddl_columns(self.schema_ddl)
+        self.columns = tuple(ddl_cols)
+        self.column_types = tuple(ddl_cols.values())
         lowered = self.schema_ddl.lower()
         for nested in ("map<", "array<", "struct<"):
             # the bucket-local diff keys a Counter on python row
@@ -170,6 +243,8 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                     f"have no hashable form for the bucket-local diff "
                     f"— use the batch read_manifest_changes feed"
                 )
+        for t in self.column_types:
+            _arrow_type(t)  # unmappable types fail HERE, not mid-task
 
     # -- offsets ----------------------------------------------------
     def initialOffset(self) -> dict:
@@ -198,20 +273,40 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             parts.extend(self._commit_partitions(child, parent))
             v, child = parent_v, parent
         # the API requires ≥1 partition even for an empty range
-        return parts or [CDFPartition("insert", hi, self.columns)]
+        return parts or [
+            CDFPartition("insert", hi, self.columns, self.column_types)
+        ]
+
+    def _commit_diff_columns(self, child: dict):
+        """The columns a commit's DIFF partitions compare on: the
+        commit's OWN schema, so a row changing only in a later-added
+        column still emits its delete+insert pair.  Columns beyond the
+        stream's pinned schema (an evolve after the stream started)
+        are validated here — nested types have no hashable diff form
+        and must fail at PLANNING, with the restart hint, not as a
+        bare executor TypeError."""
+        ddl_cols = mb._ddl_columns(child["schema_ddl"])
+        pinned = set(self.columns)
+        for c, t in ddl_cols.items():
+            if c in pinned:
+                continue  # construction already validated these
+            low = t.lower()
+            for nested in ("map<", "array<", "struct<"):
+                if nested in low:
+                    raise NotImplementedError(
+                        f"manifest_cdf: evolve added "
+                        f"{nested.rstrip('<')}-typed column {c!r} — no "
+                        f"hashable form for the bucket-local diff; use "
+                        f"the batch read_manifest_changes feed"
+                    )
+            _arrow_type(t)
+        return tuple(ddl_cols), tuple(ddl_cols.values())
 
     def _commit_partitions(self, child: dict, parent: dict):
         if child.get("compacted_from") is not None or (
             child.get("rebucketed_from") is not None
         ):
             return []  # content-preserving rewrite: no row changes
-        for m in (child, parent):
-            if m["schema_ddl"] != self.schema_ddl:
-                raise ValueError(
-                    f"manifest_cdf: {self.table} v{m['version']} has a "
-                    f"different schema than the stream planned with — "
-                    f"restart the stream at the new schema"
-                )
         tdir = mb._table_dir(self.root, self.table)
         gen_c = os.path.join(tdir, child["generation"])
         gen_p = os.path.join(tdir, parent["generation"])
@@ -231,7 +326,7 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             added = tuple(sorted(set(ps) - old_dv.get(f, set())))
             if added:
                 parts.append(CDFPartition(
-                    "dv", cv, self.columns,
+                    "dv", cv, self.columns, self.column_types,
                     old_files=((os.path.join(gen_p, f), added),),
                 ))
 
@@ -243,6 +338,7 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             # rather than silently dropping its changes (review
             # finding — the batch feed diffs the whole region and
             # would disagree)
+            diff_cols, diff_types = self._commit_diff_columns(child)
             by_bucket: dict[int, tuple[list, list]] = {}
             for f in old_files:
                 b = mb._file_bucket(f)
@@ -270,14 +366,14 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             for b in sorted(by_bucket):
                 olds, news = by_bucket[b]
                 parts.append(CDFPartition(
-                    "diff", cv, self.columns,
+                    "diff", cv, diff_cols, diff_types,
                     new_files=tuple(news), old_files=tuple(olds),
                 ))
         elif new_files:
             # pure file growth (append, MoR delta): inserts
             for f in new_files:
                 parts.append(CDFPartition(
-                    "insert", cv, self.columns,
+                    "insert", cv, self.columns, self.column_types,
                     new_files=(os.path.join(gen_c, f),),
                 ))
         return parts
@@ -287,18 +383,13 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         import pyarrow as pa
 
         cols = partition.columns
-        out_schema = None  # derived from the first file read
-
-        def schema_for(table):
-            fields = [table.schema.field(c) for c in cols]
-            fields.append(pa.field("_change_type", pa.string()))
-            fields.append(pa.field("_commit_version", pa.int64()))
-            return pa.schema(fields)
+        types = partition.column_types
+        sch = _out_schema(self.columns, self.column_types)
 
         if partition.kind == "insert":
+            # cols == the stream's pinned schema by construction
             for path in partition.new_files:
-                t = _read_file_table(path, cols)
-                sch = schema_for(t)
+                t = _read_file_table(path, cols, types)
                 arrays = [t.column(c).combine_chunks() for c in cols]
                 n = t.num_rows
                 arrays.append(pa.array(["insert"] * n, type=pa.string()))
@@ -311,8 +402,7 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
 
         if partition.kind == "dv":
             for path, positions in partition.old_files:
-                t = _read_file_table(path, cols)
-                sch = schema_for(t)
+                t = _read_file_table(path, cols, types)
                 keep = [p for p in positions if p < t.num_rows]
                 sub = t.take(keep)
                 arrays = [sub.column(c).combine_chunks() for c in cols]
@@ -325,28 +415,48 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                     yield pa.record_batch(arrays, schema=sch)
             return
 
-        # diff: bucket-local multiset diff, |count_new - count_old|
+        # diff: bucket-local multiset diff, |count_new - count_old|,
+        # keyed on the COMMIT's own columns (cols may be wider than
+        # the stream schema after a mid-stream evolve); emitted rows
+        # project onto the stream's pinned columns — missing ones
+        # (commits older than the stream schema) surface as NULLs,
+        # extras are dropped
         old_counts: Counter = Counter()
         new_counts: Counter = Counter()
         originals: dict = {}
         for path, dead in partition.old_files:
-            t = _read_file_table(path, cols)
-            out_schema = out_schema or schema_for(t)
+            t = _read_file_table(path, cols, types)
             old_counts.update(_rows_counter(t, cols, dead, originals))
         for path in partition.new_files:
-            t = _read_file_table(path, cols)
-            out_schema = out_schema or schema_for(t)
+            t = _read_file_table(path, cols, types)
             new_counts.update(_rows_counter(t, cols, (), originals))
         rows: list = []
+        tags: list = []
         for key in set(old_counts) | set(new_counts):
             delta = new_counts.get(key, 0) - old_counts.get(key, 0)
             if delta:
                 tag = "insert" if delta > 0 else "delete"
                 row = originals[key]
-                rows.extend(row + (tag,) for _ in range(abs(delta)))
-        if rows and out_schema is not None:
-            yield _batch_of(rows, cols, None, partition.commit_version,
-                            out_schema)
+                for _ in range(abs(delta)):
+                    rows.append(row)
+                    tags.append(tag)
+        if rows:
+            pos = {c: i for i, c in enumerate(cols)}
+            arrays = []
+            for c, st in zip(self.columns, self.column_types):
+                at = _arrow_type(st)
+                i = pos.get(c)
+                if i is None:
+                    arrays.append(pa.nulls(len(rows), type=at))
+                else:
+                    arrays.append(
+                        pa.array([r[i] for r in rows], type=at)
+                    )
+            arrays.append(pa.array(tags, type=pa.string()))
+            arrays.append(pa.array(
+                [partition.commit_version] * len(rows), type=pa.int64()
+            ))
+            yield pa.record_batch(arrays, schema=sch)
 
 
 class ManifestCDFDataSource(DataSource):

@@ -172,7 +172,9 @@ def test_starting_version_defaults_to_head(spark, tmp_path):
         mb.drop_catalog_entries(spark, root, "t")
 
 
-def test_schema_instability_and_map_columns_raise(spark, tmp_path):
+def test_map_columns_refused_and_evolve_commit_plans_nothing(
+    spark, tmp_path
+):
     root = str(tmp_path)
     df = spark.range(0, 40).selectExpr(
         "id AS k",
@@ -184,11 +186,14 @@ def test_schema_instability_and_map_columns_raise(spark, tmp_path):
         reader = ManifestCDFStreamReader(
             {"root": root, "table": "sh", "startingVersion": 0}
         )
-        # schema evolution inside the window: loud error, not drift
+        # an evolve_shred commit is metadata-only: the window spanning
+        # it plans ONLY the v0 snapshot's insert partitions, nothing
+        # for v1 (round 12: evolution no longer forces a restart)
         mb.evolve_shred(spark, root, "sh", add={"a": "bigint"},
                         column="payload")
-        with pytest.raises(ValueError, match="different schema"):
-            reader.partitions({"version": 0}, {"version": 1})
+        parts = reader.partitions({"version": 0}, {"version": 1})
+        assert {p.commit_version for p in parts} == {1}
+        assert all(not p.new_files and not p.old_files for p in parts)
         # a map-typed column is refused at construction
         mp = spark.range(0, 10).selectExpr(
             "id AS k", "map('a', id) AS m"
@@ -200,6 +205,137 @@ def test_schema_instability_and_map_columns_raise(spark, tmp_path):
     finally:
         mb.drop_catalog_entries(spark, root, "sh")
         mb.drop_catalog_entries(spark, root, "mp")
+
+
+def _shred_tbl(spark, root, n=40):
+    df = spark.range(0, n).selectExpr(
+        "id AS k",
+        "to_json(named_struct('a', id)) AS payload",
+    )
+    mb.create_manifest_table(spark, df, root, "t", bucket_cols="k",
+                             num_buckets=2)
+
+
+def test_pre_evolution_files_null_pad_instead_of_crash(spark, tmp_path):
+    """Round-12 regression: files predating an evolve_shred physically
+    lack the added ``_shred_*`` column even inside schema-STABLE
+    windows (lazy materialization).  A DV delete or COW diff touching
+    such a file previously crashed the executor with ArrowInvalid
+    (pq.read_table on a missing column); it must NULL-pad, matching
+    the batch feed's spark.read.schema semantics."""
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _shred_tbl(spark, root)                                          # v0
+    try:
+        mb.evolve_shred(spark, root, "t", add={"a": "bigint"},
+                        column="payload")                            # v1
+        mb.delete_manifest_rows_mor(
+            spark, spark.createDataFrame([(3,), (4,)], "k long"),
+            root, "t", key_cols="k",
+        )                                                            # v2
+        mb.merge_manifest_table(
+            spark,
+            spark.range(5, 6).selectExpr(
+                "id AS k", "to_json(named_struct('a', id * 10)) AS payload"
+            ),
+            root, "t", key_cols="k",
+        )                                                            # v3
+        spark.dataSource.register(ManifestCDFDataSource)
+        stream = (
+            spark.readStream.format("manifest_cdf")
+            .option("root", root).option("table", "t")
+            .option("startingVersion", 1)
+            .load()
+        )
+        (
+            stream.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start().awaitTermination()
+        )
+        got = spark.read.parquet(out)
+        want = mb.read_manifest_changes(spark, root, "t", from_version=1)
+
+        def ms(df_):
+            return Counter(
+                (r["k"], r["payload"], r["_shred_payload_a"],
+                 r["_change_type"], r["_commit_version"])
+                for r in df_.collect()
+            )
+
+        assert ms(got) == ms(want)
+        # the v2 deletes came off pre-evolve files: shred value NULL
+        dels = [r for r in got.collect() if r["_commit_version"] == 2]
+        assert dels and all(r["_shred_payload_a"] is None for r in dels)
+    finally:
+        mb.drop_catalog_entries(spark, root, "t")
+
+
+def test_stream_spans_evolution_without_restart(spark, tmp_path):
+    """A reader constructed at the PRE-evolve schema keeps planning
+    and reading across an evolve + post-evolve commits: newer commits
+    diff on their own (wider) schema and project the extra column
+    away; the multiset equals the batch feed projected onto the
+    stream's pinned columns."""
+    root = str(tmp_path)
+    _shred_tbl(spark, root)                                          # v0
+    try:
+        reader = ManifestCDFStreamReader(
+            {"root": root, "table": "t", "startingVersion": 0}
+        )
+        assert reader.columns == ("k", "payload")
+        mb.evolve_shred(spark, root, "t", add={"a": "bigint"},
+                        column="payload")                            # v1
+        mb.append_manifest_table(
+            spark,
+            spark.range(100, 110).selectExpr(
+                "id AS k", "to_json(named_struct('a', id)) AS payload"
+            ),
+            root, "t", compact_files_per_bucket=100,
+        )                                                            # v2
+        mb.merge_manifest_table(
+            spark,
+            spark.range(7, 8).selectExpr(
+                "id AS k", "to_json(named_struct('a', -7)) AS payload"
+            ),
+            root, "t", key_cols="k",
+        )                                                            # v3
+        head = mb.current_version(root, "t")
+        rows = []
+        for p in reader.partitions({"version": 0}, {"version": head}):
+            for batch in reader.read(p):
+                rows.extend(batch.to_pylist())
+        got = Counter(
+            (r["k"], r["payload"], r["_change_type"],
+             r["_commit_version"])
+            for r in rows
+        )
+        want = Counter(
+            (r["k"], r["payload"], r["_change_type"],
+             r["_commit_version"])
+            for r in mb.read_manifest_changes(
+                spark, root, "t", from_version=0
+            ).collect()
+        )
+        assert got == want
+        assert {cv for (_, _, _, cv) in got} >= {2, 3}
+        # a nested-typed column added mid-stream fails at PLANNING
+        # (with the batch-feed hint), not as an executor TypeError
+        mb.evolve_shred(spark, root, "t",
+                        add={"m": "map<string, bigint>"})            # v4
+        mb.merge_manifest_table(
+            spark,
+            spark.range(9, 10).selectExpr(
+                "id AS k", "to_json(named_struct('a', -9)) AS payload"
+            ),
+            root, "t", key_cols="k",
+        )                                                            # v5
+        with pytest.raises(NotImplementedError, match="map"):
+            reader.partitions({"version": head},
+                              {"version": mb.current_version(root, "t")})
+    finally:
+        mb.drop_catalog_entries(spark, root, "t")
 
 
 def test_nan_rows_do_not_emit_spurious_changes(spark, tmp_path):
