@@ -295,6 +295,7 @@ HEADLINE = [
     "manifest_mor_upsert_read",
     "stream_manifest_cdf_replay",
     "manifest_index_point_lookup",
+    "manifest_index_merge_lookup",
     # mike_source_roundtrip excluded: it exercises the single-file
     # model-exchange contract (driver-side CSV write by design), not a
     # distributed hot path; it runs in the sf0.01 correctness gate

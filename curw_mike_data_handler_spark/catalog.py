@@ -17822,6 +17822,135 @@ def manifest_index_point_lookup(spark, sf_dir):
     return result
 
 
+@query(
+    "manifest_index_merge_lookup",
+    """
+    WITH b AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        FROM orders
+    ),
+    keys AS (
+        SELECT o_custkey, row_number() OVER (ORDER BY o_custkey) AS rn
+        FROM (SELECT DISTINCT o_custkey FROM b ORDER BY o_custkey LIMIT 2)
+    ),
+    final_rows AS (
+        SELECT CAST(999000001 AS BIGINT) AS ck, pc + 7 AS pc
+        FROM b
+        WHERE o_custkey = (SELECT o_custkey FROM keys WHERE rn = 1)
+        UNION ALL
+        SELECT CAST(999000002 AS BIGINT), CAST(v AS BIGINT)
+        FROM (VALUES (101), (202), (303)) t(v)
+        UNION ALL
+        SELECT o_custkey, pc
+        FROM b
+        WHERE o_custkey = (SELECT o_custkey FROM keys WHERE rn = 2)
+    )
+    SELECT ck AS lookup_custkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(pc) AS BIGINT) AS sum_cents
+    FROM final_rows
+    GROUP BY 1
+    """,
+)
+def manifest_index_merge_lookup(spark, sf_dir):
+    """INDEX-MAINTAINED MERGE (round 12, README roadmap #2):
+    ``merge_with_index`` upserts the base with a bucket-pruned COW
+    rewrite AND posts the update batch's (value, bucket) pairs in the
+    SAME commit_multi_table transaction — closing the index's
+    append-only maintenance contract for value-CHANGING updates.  The
+    gate moves every order of the smallest custkey to a brand-new
+    custkey (999000001, pc shifted +7), inserts three fresh orders
+    under another new custkey (999000002), then appends junk rows for
+    both new custkeys OUTSIDE any transaction.  Lookups through the
+    index on [the two post-merge-only values, an untouched custkey,
+    and the MOVED-AWAY custkey (which must return nothing)] reproduce
+    the oracle's plain filter algebra — a lookup missing the merge's
+    postings would drop the first two groups entirely; junk leaking
+    through the txn pins would shift every sum.
+
+    Scale shape: the merge rewrite touches only the updated keys'
+    base buckets (exact pmod pruning, untouched files hard-link), the
+    posting append is one clustered write into the index's value
+    buckets, and the commit is one catalog-pointer swap — cost scales
+    with the update batch, never table size.  Lookups stay
+    Bloom-pruned index probe + posted-bucket scan
+    (tests/test_manifest_index.py pins the crash-injection and
+    superset contracts)."""
+    import shutil
+    import tempfile
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+    from curw_mike_data_handler_spark.sources import manifest_index as mi
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("pc")
+    )
+    k1, k2 = [
+        int(r["o_custkey"])
+        for r in base.select("o_custkey").distinct()
+        .orderBy("o_custkey").limit(2).collect()
+    ]
+    root = tempfile.mkdtemp(prefix="cm_idxmg_")
+    try:
+        mb.create_manifest_table(
+            spark, base, root, "orders_mg",
+            bucket_cols="o_orderkey", num_buckets=8,
+            sort_cols="o_orderkey",
+        )
+        mi.create_manifest_index(
+            spark, root, "orders_mg", "orders_mg_by_cust",
+            column="o_custkey",
+        )
+        moved = base.filter(F.col("o_custkey") == k1).select(
+            "o_orderkey",
+            F.lit(999000001).cast("long").alias("o_custkey"),
+            (F.col("pc") + F.lit(7)).alias("pc"),
+        )
+        inserted = spark.createDataFrame(
+            [(910000001, 999000002, 101),
+             (910000002, 999000002, 202),
+             (910000003, 999000002, 303)],
+            "o_orderkey long, o_custkey long, pc long",
+        )
+        mi.merge_with_index(
+            spark, moved.unionByName(inserted),
+            root, "orders_mg", "orders_mg_by_cust",
+            key_cols="o_orderkey",
+            batch_id="gate-merge", compact_files_per_bucket=100,
+        )
+        # junk OUTSIDE the transaction under the post-merge custkeys:
+        # invisible to the txn-atomic indexed lookup by contract
+        junk = spark.createDataFrame(
+            [(920000001, 999000001, 10_000_000_000),
+             (920000002, 999000002, 10_000_000_000)],
+            "o_orderkey long, o_custkey long, pc long",
+        )
+        mb.append_manifest_table(spark, junk, root, "orders_mg",
+                                 compact_files_per_bucket=100)
+        rows = []
+        for ck in (999000001, 999000002, k2, k1):
+            got = mi.read_manifest_point_indexed(
+                spark, root, "orders_mg", "orders_mg_by_cust", int(ck)
+            )
+            rows.extend(got.select("o_custkey", "pc").collect())
+        out = (
+            spark.createDataFrame(rows, "o_custkey long, pc long")
+            .groupBy(F.col("o_custkey").alias("lookup_custkey"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("pc").alias("sum_cents"),
+            )
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        mb.drop_catalog_entries(spark, root, "orders_mg")
+        mb.drop_catalog_entries(spark, root, "orders_mg_by_cust")
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

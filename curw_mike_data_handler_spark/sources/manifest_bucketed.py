@@ -3023,11 +3023,69 @@ def _publish_txn(root: str, cat: dict) -> None:
     _durable_write(_txn_latest_path(root), str(cat["version"]))
 
 
+def _stage_merge(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    v: int,
+    prev: dict,
+    spec: dict,
+    mspec: dict,
+) -> dict:
+    """Stage a bucket-pruned COW MERGE as generation ``v`` WITHOUT
+    publishing it — the multi-table transaction's merge twin of the
+    append staging (same body as _cow_rewrite's claimed section, but
+    the manifest only lands in the chain at the catalog swap).
+    ``mspec`` = {"updates": DataFrame (already localCheckpoint()ed),
+    "key_cols": [...], "validate_unique_keys": bool}."""
+    updates = mspec["updates"]
+    keys = mspec["key_cols"]
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    select_touched = _bucket_pruned_selector(
+        prev, updates, keys,
+        validate=mspec.get("validate_unique_keys", True),
+    )
+    touched = list(select_touched(prev))
+    untouched = [f for f in prev["files"] if f not in set(touched)]
+    schema = spark.table(
+        _register(spark, root, table, prev["version"], spec,
+                  prev["generation"])
+    ).schema
+    gen_dir = os.path.join(_table_dir(root, table), prev["generation"])
+    if touched:
+        # apply the touched files' deletion vectors BEFORE the
+        # transform — a vectored row must not survive into the
+        # rewritten region (same rule as _cow_rewrite)
+        old = _dv_filter(
+            spark,
+            spark.read.schema(schema).parquet(
+                *[os.path.join(gen_dir, f) for f in touched]
+            ),
+            prev,
+        )
+    else:
+        old = spark.createDataFrame([], schema)
+    ups = _physical_shape(updates, prev)
+    new_rows = old.join(updates.select(*keys), keys, "left_anti").unionByName(
+        ups
+    )
+    new_rows = _repair_shred_columns(new_rows, spec)
+    manifest = _write_generation(
+        spark, new_rows, root, table, v, spec,
+        link_from=prev, link_files=untouched,
+    )
+    manifest["op"] = "merge"
+    manifest["rewritten_files"] = len(touched)
+    manifest["linked_files"] = len(untouched)
+    return manifest
+
+
 def commit_multi_table(
     spark: SparkSession,
     root: str,
     appends: dict[str, DataFrame],
     *,
+    merges: dict[str, dict] | None = None,
     batch_id: str | None = None,
     compact_files_per_bucket: int = 8,
     max_retries: int = 20,
@@ -3035,6 +3093,15 @@ def commit_multi_table(
 ) -> int:
     """Append each table's batch and pin the result as ONE atomic
     cross-table snapshot.  Returns the published txn version.
+
+    ``merges`` (round 12) names tables whose batch is a row-level
+    UPSERT instead of an append: ``{table: {"updates": df, "key_cols":
+    [...], "validate_unique_keys": bool}}`` — the same bucket-pruned
+    copy-on-write rewrite as merge_manifest_table, but STAGED under
+    the transaction so a merge and its companion appends commit at
+    one catalog swap (the index-maintenance path needs exactly this:
+    base MERGE + posting append, atomically).  A table may appear in
+    ``appends`` or ``merges``, not both.
 
     Every table must already exist (create_manifest_table).  The
     commit is STAGED (round-11 review hardening): each table's
@@ -3065,8 +3132,23 @@ def commit_multi_table(
     ever visible).  Compaction is deferred to later appends — the
     staged write is one clustered exchange per table plus hard links.
     Crash-injection coverage: tests/test_multi_table_txn.py."""
-    if not appends:
+    merges = dict(merges or {})
+    if not appends and not merges:
         raise ValueError("commit_multi_table: no tables to commit")
+    both = set(appends) & set(merges)
+    if both:
+        raise ValueError(
+            f"commit_multi_table: {sorted(both)} appear in both appends "
+            f"and merges — one operation per table per transaction"
+        )
+    # MATERIALIZE each merge's update set before anything reads it:
+    # the bucket census, the anti-join, and the write must see ONE
+    # evaluation of a possibly nondeterministic source (same rule and
+    # review finding as merge_manifest_table)
+    merges = {
+        t: {**m, "updates": m["updates"].localCheckpoint()}
+        for t, m in merges.items()
+    }
     if batch_id is not None:
         done = _txn_batch_published(root, batch_id)
         if done is not None:
@@ -3081,7 +3163,7 @@ def commit_multi_table(
     try:
         # table claims in SORTED order: overlapping transactions
         # acquire in the same order, so they cannot deadlock
-        for table in sorted(appends):
+        for table in sorted(set(appends) | set(merges)):
             for attempt in range(max_retries + 1):
                 if batch_id is not None:
                     # old-style / partially-published crash compat: a
@@ -3110,13 +3192,18 @@ def commit_multi_table(
                     _release_claim(root, table, v)
                     claimed.pop()
                     continue
-                base = _shaped_batch(appends[table], prev, table)
                 spec = {k: prev.get(k) for k in
                         ("bucket_cols", "num_buckets", "sort_cols",
                          "schema_ddl", "shred", "point_filters")}
-                manifest = _write_generation(
-                    spark, base, root, table, v, spec, link_from=prev
-                )
+                if table in merges:
+                    manifest = _stage_merge(
+                        spark, root, table, v, prev, spec, merges[table]
+                    )
+                else:
+                    base = _shaped_batch(appends[table], prev, table)
+                    manifest = _write_generation(
+                        spark, base, root, table, v, spec, link_from=prev
+                    )
                 _with_recent_batch_ids(
                     manifest, prev,
                     None if batch_id is None else f"{batch_id}:{table}",

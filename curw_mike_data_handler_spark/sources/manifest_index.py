@@ -13,13 +13,16 @@ explicit layout migration) invalidates it, which the lookup detects
 from the recorded base spec and refuses loudly.
 
 Coverage contract, stated plainly: the index lists every
-(value, bucket) pair ever APPENDED through ``append_with_index`` —
-a superset of the live pairs is fine (a stale posting costs one extra
-pruned-file scan, the equality filter still runs), a missing pair is
-a wrong answer.  Appends and key-deletes preserve the superset
-property; a COW merge that CHANGES the indexed column's value writes
-a pair the index never saw — route such updates through
-``append_with_index``-maintained tables or rebuild.  The lookup is a
+(value, bucket) pair ever written through ``create_manifest_index``,
+``append_with_index``, or ``merge_with_index`` — a superset of the
+live pairs is fine (a stale posting costs one extra pruned-file
+scan, the equality filter still runs), a missing pair is a wrong
+answer.  Appends, key-deletes, and maintained merges all preserve
+the superset property (``merge_with_index`` posts the update batch's
+new values in the same transaction as the base's COW rewrite); only
+an UNMAINTAINED ``merge_manifest_table`` that changes indexed values
+writes pairs the index never saw — route such updates through
+``merge_with_index`` or rebuild.  The lookup is a
 TXN-ATOMIC read: base and index resolve at versions pinned by one
 txn catalog, so rows appended outside any transaction are invisible
 to it (the standing read_tables_atomic contract).
@@ -156,6 +159,23 @@ def append_with_index(
     version."""
     base_m = mb.read_manifest(root, table)
     meta = read_index_meta(root, index)
+    _check_index_covers(index, meta, table, base_m)
+    df = df.localCheckpoint()  # postings and base append must see ONE
+    # evaluation of a possibly nondeterministic source
+    postings = _postings_of(df, meta["column"], base_m)
+    return mb.commit_multi_table(
+        spark, root, {table: df, index: postings},
+        batch_id=batch_id,
+        compact_files_per_bucket=compact_files_per_bucket,
+        max_retries=max_retries, retry_wait_s=retry_wait_s,
+    )
+
+
+def _check_index_covers(index: str, meta: dict, table: str,
+                        base_m: dict) -> None:
+    """The shared coverage guard of every maintenance write: the index
+    must target THIS base, under the bucket spec its postings were
+    addressed with."""
     if meta["table"] != table:
         raise ValueError(f"{index} indexes {meta['table']!r}, not {table!r}")
     if (meta["base_buckets"] != base_m["num_buckets"]
@@ -166,11 +186,54 @@ def append_with_index(
             f"{base_m['bucket_cols']}×{base_m['num_buckets']}) — "
             f"rebuild the index"
         )
-    df = df.localCheckpoint()  # postings and base append must see ONE
-    # evaluation of a possibly nondeterministic source
-    postings = _postings_of(df, meta["column"], base_m)
+
+
+def merge_with_index(
+    spark: SparkSession,
+    updates: DataFrame,
+    root: str,
+    table: str,
+    index: str,
+    *,
+    key_cols: str | list[str],
+    batch_id: str | None = None,
+    validate_unique_keys: bool = True,
+    compact_files_per_bucket: int = 8,
+    max_retries: int = 20,
+    retry_wait_s: float = 0.5,
+) -> int:
+    """Row-level UPSERT of the base AND the update batch's postings
+    in ONE atomic transaction (round 12, README roadmap #2) — the
+    COW-merge twin of ``append_with_index``, closing the documented
+    append-only maintenance contract: a merge that CHANGES the
+    indexed column's value writes its new (value, bucket) pairs into
+    the index at the same catalog swap, so the coverage superset
+    property survives value-changing updates.
+
+    Why the superset still holds: replaced rows' OLD values keep
+    their postings (stale pairs cost one extra pruned scan, never a
+    wrong answer); every NEW value in ``updates`` — changed or
+    inserted — is posted from the batch itself; rows the merge does
+    not touch were posted by create/append/merge_with_index already.
+    Key-preserving updates can't move a row's bucket (``key_cols``
+    must contain the bucket columns), so existing postings stay
+    correctly addressed.
+
+    The base merge is the same bucket-pruned copy-on-write rewrite as
+    ``merge_manifest_table`` — staged under the transaction, visible
+    only at the catalog swap (crash between the staged writes leaves
+    invisible debris; ``batch_id`` replay completes it — crash-
+    injected in tests/test_manifest_index.py)."""
+    base_m = mb.read_manifest(root, table)
+    meta = read_index_meta(root, index)
+    _check_index_covers(index, meta, table, base_m)
+    updates = updates.localCheckpoint()  # postings and base merge must
+    # see ONE evaluation of a possibly nondeterministic source
+    postings = _postings_of(updates, meta["column"], base_m)
     return mb.commit_multi_table(
-        spark, root, {table: df, index: postings},
+        spark, root, {index: postings},
+        merges={table: {"updates": updates, "key_cols": key_cols,
+                        "validate_unique_keys": validate_unique_keys}},
         batch_id=batch_id,
         compact_files_per_bucket=compact_files_per_bucket,
         max_retries=max_retries, retry_wait_s=retry_wait_s,

@@ -119,6 +119,102 @@ def test_crash_between_staged_writes_is_invisible_then_replayable(
     assert _lookup_rows(spark, root, 7) == want
 
 
+def test_merge_with_index_posts_changed_values_atomically(spark, indexed):
+    """Round-12 roadmap #2: a value-CHANGING upsert through
+    merge_with_index keeps the posting superset property — the new
+    values are posted in the same transaction as the base's COW
+    rewrite, so a lookup on a value that exists only post-merge is
+    complete, and the base merge itself is exact."""
+    root = indexed
+    # k=10..14 move to brand-new c values; k=9000 is a pure insert
+    ups = spark.createDataFrame(
+        [(k, 5000 + k, -k) for k in range(10, 15)] + [(9000, 5001, -1)],
+        "k long, c long, v long",
+    )
+    mi.merge_with_index(
+        spark, ups, root, "base", "base_by_c", key_cols="k",
+        batch_id="mg1", compact_files_per_bucket=100,
+    )
+    # new values are found through the index…
+    assert _lookup_rows(spark, root, 5010) == [(10, 5010, -10)]
+    # …including the inserted key's (which shares c=5001 with nothing)
+    assert _lookup_rows(spark, root, 5001) == [(9000, 5001, -1)]
+    # the moved rows no longer answer their OLD value (stale postings
+    # keep the bucket scanned; the equality filter settles the rows) —
+    # k=1007/1008 share c=10/11 (k % 997) and stay
+    assert _lookup_rows(spark, root, 10) == [(1007, 10, 2014)]
+    assert _lookup_rows(spark, root, 11) == [(1008, 11, 2016)]
+    # untouched values stay complete
+    assert _lookup_rows(spark, root, 5) == sorted(
+        (k, k % 997, k * 2) for k in range(2000) if k % 997 == 5
+    )
+    # the base merge is an exact upsert (plain snapshot agrees)
+    plain = mb.read_manifest_table(spark, root, "base")
+    assert plain.filter(F.col("k") == 10).collect()[0]["c"] == 5010
+    assert plain.count() == 2001
+    # replay of the SAME batch_id: no-op at the committed txn version
+    v1 = mi.merge_with_index(
+        spark, ups, root, "base", "base_by_c", key_cols="k",
+        batch_id="mg1", compact_files_per_bucket=100,
+    )
+    assert mb._txn_batch_published(root, "mg1") == v1
+
+
+def test_merge_with_index_crash_between_staged_writes(
+    spark, indexed, monkeypatch
+):
+    """Kill the writer AFTER staging one side of the (merge, posting)
+    pair but BEFORE the catalog swap: nothing is visible anywhere,
+    and the batch_id replay completes the commit exactly-once."""
+    root = indexed
+    before_new = _lookup_rows(spark, root, 7777)
+    before_base = mb.read_manifest_table(spark, root, "base").count()
+    orig = mb._write_manifest_file
+    staged = []
+
+    def crash_second(root_, table, manifest):
+        if staged and table in ("base", "base_by_c"):
+            raise RuntimeError("injected crash between staged writes")
+        if table in ("base", "base_by_c"):
+            staged.append(table)
+        return orig(root_, table, manifest)
+
+    ups = spark.createDataFrame([(20, 7777, -20)], "k long, c long, v long")
+    monkeypatch.setattr(mb, "_write_manifest_file", crash_second)
+    with pytest.raises(RuntimeError, match="between staged writes"):
+        mi.merge_with_index(
+            spark, ups, root, "base", "base_by_c", key_cols="k",
+            batch_id="mcr", compact_files_per_bucket=100,
+        )
+    monkeypatch.setattr(mb, "_write_manifest_file", orig)
+    assert mb.read_manifest_table(spark, root, "base").count() == before_base
+    assert _lookup_rows(spark, root, 7777) == before_new
+    mi.merge_with_index(
+        spark, ups, root, "base", "base_by_c", key_cols="k",
+        batch_id="mcr", compact_files_per_bucket=100,
+    )
+    assert _lookup_rows(spark, root, 7777) == [(20, 7777, -20)]
+    assert mb.read_manifest_table(spark, root, "base").count() == before_base
+
+
+def test_commit_multi_table_merge_validation(spark, indexed):
+    root = indexed
+    ups = spark.createDataFrame([(1, 1, 1)], "k long, c long, v long")
+    with pytest.raises(ValueError, match="both appends and merges"):
+        mb.commit_multi_table(
+            spark, root, {"base": ups},
+            merges={"base": {"updates": ups, "key_cols": "k"}},
+        )
+    with pytest.raises(ValueError, match="no tables to commit"):
+        mb.commit_multi_table(spark, root, {})
+    # merge keys must cover the bucket columns (same rule as the
+    # single-table merge — bucket pruning needs the row's bucket)
+    with pytest.raises(ValueError, match="bucket columns"):
+        mi.merge_with_index(
+            spark, ups, root, "base", "base_by_c", key_cols="c",
+        )
+
+
 def test_rebucketed_base_is_refused(spark, indexed):
     root = indexed
     mb.rebucket_manifest_table(spark, root, "base", num_buckets=4)
@@ -135,6 +231,112 @@ def test_rebucketed_base_is_refused(spark, indexed):
     mb.pin_tables_txn(root, ["base"])
     with pytest.raises(ValueError, match="rebuild the index"):
         mi.read_manifest_point_indexed(spark, root, "base", "base_by_c", 5)
+
+
+def test_index_random_walk_lookups_match_model(spark, tmp_path):
+    """Model-based walk over the MAINTAINED write surface (round 12):
+    interleave append_with_index / merge_with_index (value-changing
+    and inserting) / key deletes, and after every step check indexed
+    point lookups against a plain dict model for a probe set that
+    includes moved-away values, post-merge-only values, and absent
+    values — the superset property must hold at every intermediate
+    version, not just the end state."""
+    import random
+
+    rng = random.Random(20260817)
+    root = str(tmp_path)
+    model: dict[int, tuple[int, int]] = {}  # k -> (c, v)
+    next_k = 0
+
+    def fresh(n):
+        nonlocal next_k
+        rows = [(k, rng.randrange(50), k) for k in range(next_k, next_k + n)]
+        next_k += n
+        return rows
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, c long, v long")
+
+    init = fresh(150)
+    mb.create_manifest_table(
+        spark, df_of(init), root, "base",
+        bucket_cols="k", num_buckets=4, sort_cols="k",
+    )
+    model.update({k: (c, v) for k, c, v in init})
+    mi.create_manifest_index(spark, root, "base", "ix", column="c")
+
+    def check():
+        # probe live values, recently vacated ones, and a never-seen
+        # value; the lookup must equal the model's filter exactly
+        live = sorted({c for c, _ in model.values()})
+        probes = set(rng.sample(live, min(4, len(live)))) | {98765, 49}
+        for c in probes:
+            got = sorted(
+                (r["k"], r["v"])
+                for r in mi.read_manifest_point_indexed(
+                    spark, root, "base", "ix", c
+                ).collect()
+            )
+            want = sorted(
+                (k, v) for k, (cc, v) in model.items() if cc == c
+            )
+            assert got == want, f"value {c}: {got} != {want}"
+
+    check()
+    try:
+        for step in range(10):
+            op = rng.choice(["append", "merge_change", "merge_insert",
+                             "delete"])
+            if op == "append":
+                rows = fresh(rng.randrange(5, 25))
+                mi.append_with_index(
+                    spark, df_of(rows), root, "base", "ix",
+                    compact_files_per_bucket=100,
+                )
+                model.update({k: (c, v) for k, c, v in rows})
+            elif op == "merge_change" and model:
+                # move existing keys to values 100.. (never in fresh's
+                # 0..49 range): post-merge-only values must resolve
+                keys = rng.sample(sorted(model), min(6, len(model)))
+                rows = [(k, 100 + rng.randrange(20), -k) for k in keys]
+                mi.merge_with_index(
+                    spark, df_of(rows), root, "base", "ix", key_cols="k",
+                    compact_files_per_bucket=100,
+                )
+                model.update({k: (c, v) for k, c, v in rows})
+            elif op == "merge_insert":
+                rows = fresh(rng.randrange(1, 6)) + (
+                    [(k, 100 + rng.randrange(20), -k)
+                     for k in rng.sample(sorted(model),
+                                         min(3, len(model)))]
+                    if model else []
+                )
+                mi.merge_with_index(
+                    spark, df_of(rows), root, "base", "ix", key_cols="k",
+                    compact_files_per_bucket=100,
+                )
+                model.update({k: (c, v) for k, c, v in rows})
+            elif op == "delete" and model:
+                doomed = rng.sample(sorted(model), min(4, len(model)))
+                mb.delete_manifest_rows(
+                    spark,
+                    spark.createDataFrame([(k,) for k in doomed],
+                                          "k long"),
+                    root, "base", key_cols="k",
+                )
+                # key deletes happen OUTSIDE the txn: pin the new base
+                # so the atomic lookup sees it (the index needs no
+                # maintenance — vacated postings are the harmless
+                # superset)
+                mb.pin_tables_txn(root, ["base"])
+                for k in doomed:
+                    model.pop(k)
+            else:
+                continue
+            check()
+    finally:
+        mb.drop_catalog_entries(spark, root, "base")
+        mb.drop_catalog_entries(spark, root, "ix")
 
 
 def test_not_an_index_and_unpinned_errors(spark, tmp_path):

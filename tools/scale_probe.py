@@ -1524,6 +1524,25 @@ def main() -> None:
         scanned, total = mi.indexed_lookup_files(
             ixroot, "probe_base", "probe_ix", 12345
         )
+        # index-maintained COW merge (round 12): move 100 keys to a
+        # brand-new c value — cost must scale with the update batch
+        # (touched buckets only), and the post-merge-only value must
+        # resolve through the postings the SAME transaction wrote
+        ups = spark.range(100).selectExpr(
+            "id * 19997 AS k", "CAST(900000001 AS BIGINT) AS c",
+            "CAST(-1 AS BIGINT) AS v",
+        )
+        t0 = time.perf_counter()
+        mi.merge_with_index(
+            spark, ups, ixroot, "probe_base", "probe_ix", key_cols="k",
+            compact_files_per_bucket=100,
+        )
+        merge_s = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        n_moved = mi.read_manifest_point_indexed(
+            spark, ixroot, "probe_base", "probe_ix", 900000001
+        ).count()
+        merged_lookup_s = round(time.perf_counter() - t0, 2)
         results["index_lookup_2m"] = {
             "build_s": build_s,
             "lookup_wall_s": lookup_s,
@@ -1531,11 +1550,16 @@ def main() -> None:
             "files_scanned": scanned,
             "files_total": total,
             "rows_hit": n_hit,
+            "merge_with_index_100keys_s": merge_s,
+            "post_merge_lookup_s": merged_lookup_s,
         }
         print(f"  index lookup 2M: build {build_s}s, lookup {lookup_s}s "
-              f"({scanned}/{total} files) vs full filter {full_s}s")
+              f"({scanned}/{total} files) vs full filter {full_s}s; "
+              f"maintained merge {merge_s}s, post-merge lookup "
+              f"{merged_lookup_s}s")
         assert n_hit == n_full == 10  # 2M / 200k distinct c values
         assert scanned < total
+        assert n_moved == 100
     finally:
         mb.drop_catalog_entries(spark, ixroot, "probe_base")
         mb.drop_catalog_entries(spark, ixroot, "probe_ix")
