@@ -1934,8 +1934,6 @@ def _cow_rewrite(
             if landed is not None:
                 return landed  # same landed-version contract as append
         touched = list(select_touched(prev))
-        touched_set = set(touched)
-        untouched = [f for f in prev["files"] if f not in touched_set]
         spec = {k: prev.get(k) for k in
                 ("bucket_cols", "num_buckets", "sort_cols", "schema_ddl",
                  "shred", "point_filters")}
@@ -1952,41 +1950,9 @@ def _cow_rewrite(
                 continue
             if _complete_lagging_txn_publish(root, table, v):
                 continue
-            schema = spark.table(
-                _register(spark, root, table, prev["version"], spec,
-                          prev["generation"])
-            ).schema
-            gen_dir = os.path.join(_table_dir(root, table),
-                                   prev["generation"])
-            if touched:
-                # apply the touched files' deletion vectors BEFORE the
-                # transform — a vectored row must not survive into the
-                # rewritten region (it would resurrect a deleted row)
-                old = _dv_filter(
-                    spark,
-                    spark.read.schema(schema).parquet(
-                        *[os.path.join(gen_dir, f) for f in touched]
-                    ),
-                    prev,
-                )
-            else:
-                old = spark.createDataFrame([], schema)
-            new_rows = transform(old, prev)
-            # repair lazily-evolved shred fields in the REWRITTEN
-            # region: surviving rows from pre-evolution files carry
-            # NULL in an added field's physical column — writing them
-            # back unrepaired would materialize the NULLs, flip
-            # covered_fields to true, and silently corrupt routed
-            # reads (review finding, reproduced live; same rule as
-            # compaction and rebucket)
-            new_rows = _repair_shred_columns(new_rows, spec)
-            manifest = _write_generation(
-                spark, new_rows, root, table, v, spec,
-                link_from=prev, link_files=untouched,
+            manifest = _rewrite_generation(
+                spark, root, table, v, prev, spec, touched, transform, op
             )
-            manifest["op"] = op
-            manifest["rewritten_files"] = len(touched)
-            manifest["linked_files"] = len(untouched)
             _with_recent_batch_ids(manifest, prev, batch_id)
             _publish(root, table, manifest)
             return v
@@ -1995,6 +1961,60 @@ def _cow_rewrite(
     raise ConcurrentWriteError(
         f"{op} on {table} lost the publish race {max_retries + 1} times"
     )
+
+
+def _rewrite_generation(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    v: int,
+    prev: dict,
+    spec: dict,
+    touched: list[str],
+    transform,
+    op: str,
+) -> dict:
+    """The copy-on-write rewrite body shared by _cow_rewrite (single
+    table, caller publishes) and _stage_merge (transactional, caller
+    stages): read the touched region, transform, and write generation
+    ``v`` with the untouched files hard-linked.  Returns the
+    UNPUBLISHED manifest carrying the rewrite-ratio stamps."""
+    touched_set = set(touched)
+    untouched = [f for f in prev["files"] if f not in touched_set]
+    schema = spark.table(
+        _register(spark, root, table, prev["version"], spec,
+                  prev["generation"])
+    ).schema
+    gen_dir = os.path.join(_table_dir(root, table), prev["generation"])
+    if touched:
+        # apply the touched files' deletion vectors BEFORE the
+        # transform — a vectored row must not survive into the
+        # rewritten region (it would resurrect a deleted row)
+        old = _dv_filter(
+            spark,
+            spark.read.schema(schema).parquet(
+                *[os.path.join(gen_dir, f) for f in touched]
+            ),
+            prev,
+        )
+    else:
+        old = spark.createDataFrame([], schema)
+    new_rows = transform(old, prev)
+    # repair lazily-evolved shred fields in the REWRITTEN region:
+    # surviving rows from pre-evolution files carry NULL in an added
+    # field's physical column — writing them back unrepaired would
+    # materialize the NULLs, flip covered_fields to true, and
+    # silently corrupt routed reads (review finding, reproduced live;
+    # same rule as compaction and rebucket)
+    new_rows = _repair_shred_columns(new_rows, spec)
+    manifest = _write_generation(
+        spark, new_rows, root, table, v, spec,
+        link_from=prev, link_files=untouched,
+    )
+    manifest["op"] = op
+    manifest["rewritten_files"] = len(touched)
+    manifest["linked_files"] = len(untouched)
+    return manifest
 
 
 def _shaped_batch(df: DataFrame, prev: dict, table: str) -> DataFrame:
@@ -3034,50 +3054,22 @@ def _stage_merge(
 ) -> dict:
     """Stage a bucket-pruned COW MERGE as generation ``v`` WITHOUT
     publishing it — the multi-table transaction's merge twin of the
-    append staging (same body as _cow_rewrite's claimed section, but
-    the manifest only lands in the chain at the catalog swap).
-    ``mspec`` = {"updates": DataFrame (already localCheckpoint()ed),
-    "key_cols": [...], "validate_unique_keys": bool}."""
+    append staging (the shared _rewrite_generation body; the manifest
+    only lands in the chain at the catalog swap).  ``mspec`` is the
+    PREPARED form commit_multi_table builds: {"updates": materialized
+    DataFrame, "key_cols": [...], "selector": select_touched}."""
     updates = mspec["updates"]
     keys = mspec["key_cols"]
-    keys = [keys] if isinstance(keys, str) else list(keys)
-    select_touched = _bucket_pruned_selector(
-        prev, updates, keys,
-        validate=mspec.get("validate_unique_keys", True),
+    touched = list(mspec["selector"](prev))
+
+    def transform(old: DataFrame, prev_m: dict) -> DataFrame:
+        ups = _physical_shape(updates, prev_m)
+        survivors = old.join(updates.select(*keys), keys, "left_anti")
+        return survivors.unionByName(ups)
+
+    return _rewrite_generation(
+        spark, root, table, v, prev, spec, touched, transform, "merge"
     )
-    touched = list(select_touched(prev))
-    untouched = [f for f in prev["files"] if f not in set(touched)]
-    schema = spark.table(
-        _register(spark, root, table, prev["version"], spec,
-                  prev["generation"])
-    ).schema
-    gen_dir = os.path.join(_table_dir(root, table), prev["generation"])
-    if touched:
-        # apply the touched files' deletion vectors BEFORE the
-        # transform — a vectored row must not survive into the
-        # rewritten region (same rule as _cow_rewrite)
-        old = _dv_filter(
-            spark,
-            spark.read.schema(schema).parquet(
-                *[os.path.join(gen_dir, f) for f in touched]
-            ),
-            prev,
-        )
-    else:
-        old = spark.createDataFrame([], schema)
-    ups = _physical_shape(updates, prev)
-    new_rows = old.join(updates.select(*keys), keys, "left_anti").unionByName(
-        ups
-    )
-    new_rows = _repair_shred_columns(new_rows, spec)
-    manifest = _write_generation(
-        spark, new_rows, root, table, v, spec,
-        link_from=prev, link_files=untouched,
-    )
-    manifest["op"] = "merge"
-    manifest["rewritten_files"] = len(touched)
-    manifest["linked_files"] = len(untouched)
-    return manifest
 
 
 def commit_multi_table(
@@ -3129,8 +3121,11 @@ def commit_multi_table(
     deadlock.  A replay of a COMPLETED transaction (same ``batch_id``)
     is a pure no-op against the catalog CHAIN; a replay of a crashed
     one re-stages from scratch (nothing of the crashed attempt was
-    ever visible).  Compaction is deferred to later appends — the
-    staged write is one clustered exchange per table plus hard links.
+    ever visible).  The staged write is one clustered exchange per
+    table plus hard links; the amortized compaction runs AFTER the
+    catalog swap (content-preserving, next txn adopts it) so tables
+    maintained exclusively through transactions — the secondary-index
+    contract — keep their file counts bounded (r12 review finding).
     Crash-injection coverage: tests/test_multi_table_txn.py."""
     merges = dict(merges or {})
     if not appends and not merges:
@@ -3141,14 +3136,6 @@ def commit_multi_table(
             f"commit_multi_table: {sorted(both)} appear in both appends "
             f"and merges — one operation per table per transaction"
         )
-    # MATERIALIZE each merge's update set before anything reads it:
-    # the bucket census, the anti-join, and the write must see ONE
-    # evaluation of a possibly nondeterministic source (same rule and
-    # review finding as merge_manifest_table)
-    merges = {
-        t: {**m, "updates": m["updates"].localCheckpoint()}
-        for t, m in merges.items()
-    }
     if batch_id is not None:
         done = _txn_batch_published(root, batch_id)
         if done is not None:
@@ -3157,6 +3144,33 @@ def commit_multi_table(
             # replays arriving after later transactions never re-run
             # the swap with stale pins (review finding)
             return done
+    # Prepare each merge ONCE, after the replay short-circuit (a
+    # replayed no-op must not pay a materialization job) and OUTSIDE
+    # the claimed staging attempts (the duplicate/NULL-key validation
+    # is a Spark job; re-running it per attempt would lengthen the
+    # serialized critical section — review finding): materialize the
+    # update set unless the caller already did ("materialized": True —
+    # the census, anti-join, and write must see ONE evaluation of a
+    # possibly nondeterministic source, same rule as
+    # merge_manifest_table), then build the bucket-pruned selector
+    # (select_touched re-checks the spec against the manifest it
+    # actually filters, so a pre-claim snapshot is a safe base).
+    prepared: dict[str, dict] = {}
+    for t, m in merges.items():
+        upd = m["updates"]
+        if not m.get("materialized"):
+            upd = upd.localCheckpoint()
+        keys = m["key_cols"]
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        prepared[t] = {
+            "updates": upd,
+            "key_cols": keys,
+            "selector": _bucket_pruned_selector(
+                read_manifest(root, t), upd, keys,
+                validate=m.get("validate_unique_keys", True),
+            ),
+        }
+    merges = prepared
     staged: dict[str, dict] = {}
     landed: dict[str, int] = {}
     claimed: list[tuple[str, int]] = []
@@ -3269,6 +3283,24 @@ def commit_multi_table(
         # _complete_lagging_txn_publish
         for table, manifest in staged.items():
             _swap_latest(root, table, manifest["version"])
+        # amortized compaction AFTER the commit point (review finding:
+        # indexed tables are maintained EXCLUSIVELY through this path,
+        # so without it the file count grew one per bucket per commit
+        # and compact_files_per_bucket was a dead knob).  Content-
+        # preserving, so atomicity is unaffected; the txn catalog pins
+        # the pre-compaction version (retention honors it) and the
+        # next transaction's pins adopt the compacted head.  A crash
+        # here leaves only normal compaction debris — the bound
+        # re-fires on a later commit.
+        for table, manifest in staged.items():
+            spec = {k: manifest.get(k) for k in
+                    ("bucket_cols", "num_buckets", "sort_cols",
+                     "schema_ddl", "shred", "point_filters")}
+            _maybe_compact(
+                spark, root, table, manifest, spec,
+                None if batch_id is None else f"{batch_id}:{table}",
+                compact_files_per_bucket,
+            )
         return committed
     finally:
         for table, v in claimed:

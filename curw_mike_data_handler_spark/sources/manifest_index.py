@@ -233,7 +233,8 @@ def merge_with_index(
     return mb.commit_multi_table(
         spark, root, {index: postings},
         merges={table: {"updates": updates, "key_cols": key_cols,
-                        "validate_unique_keys": validate_unique_keys}},
+                        "validate_unique_keys": validate_unique_keys,
+                        "materialized": True}},
         batch_id=batch_id,
         compact_files_per_bucket=compact_files_per_bucket,
         max_retries=max_retries, retry_wait_s=retry_wait_s,

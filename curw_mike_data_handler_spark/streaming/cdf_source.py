@@ -106,6 +106,24 @@ class CDFPartition(InputPartition):
     old_files: tuple = ()
 
 
+def _refuse_nested(column: str, sql_type: str, hint: str) -> None:
+    """The bucket-local diff keys a Counter on python row tuples:
+    map/array/struct values arrive as unhashable dicts/lists from
+    to_pylist — refuse LOUDLY (at construction for the stream's
+    schema, at planning for evolve-added columns) instead of a bare
+    TypeError deep in an executor mid-stream (review findings; the
+    batch read_manifest_changes feed supports array/struct and
+    top-level maps)."""
+    low = sql_type.lower()
+    for nested in ("map<", "array<", "struct<"):
+        if nested in low:
+            raise NotImplementedError(
+                f"manifest_cdf: {hint}{nested.rstrip('<')}-typed column "
+                f"{column!r} has no hashable form for the bucket-local "
+                f"diff — use the batch read_manifest_changes feed"
+            )
+
+
 def _arrow_type(sql_type: str):
     """The canonical arrow type of a manifest SQL type — used to
     NULL-pad columns a file predates and to pin one batch schema
@@ -148,9 +166,13 @@ def _read_file_table(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    have = set(pq.read_schema(path).names)
+    # ONE footer open serves both the present-column set and the read
+    # (pq.read_schema + pq.read_table would parse it twice per file —
+    # a full extra GET on object storage; review finding)
+    pf = pq.ParquetFile(path)
+    have = set(pf.schema_arrow.names)
     present = [c for c in columns if c in have]
-    t = pq.read_table(path, columns=present)
+    t = pf.read(columns=present)
     n = t.num_rows
     arrays = []
     for c, st in zip(columns, types):
@@ -229,21 +251,8 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         ddl_cols = mb._ddl_columns(self.schema_ddl)
         self.columns = tuple(ddl_cols)
         self.column_types = tuple(ddl_cols.values())
-        lowered = self.schema_ddl.lower()
-        for nested in ("map<", "array<", "struct<"):
-            # the bucket-local diff keys a Counter on python row
-            # tuples: map/array/struct values arrive as unhashable
-            # dicts/lists from to_pylist — refuse LOUDLY at
-            # construction instead of a bare TypeError deep in an
-            # executor mid-stream (review finding; the batch
-            # read_manifest_changes feed supports array/struct)
-            if nested in lowered:
-                raise NotImplementedError(
-                    f"manifest_cdf: {nested.rstrip('<')}-typed columns "
-                    f"have no hashable form for the bucket-local diff "
-                    f"— use the batch read_manifest_changes feed"
-                )
-        for t in self.column_types:
+        for c, t in ddl_cols.items():
+            _refuse_nested(c, t, "")
             _arrow_type(t)  # unmappable types fail HERE, not mid-task
 
     # -- offsets ----------------------------------------------------
@@ -290,15 +299,7 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         for c, t in ddl_cols.items():
             if c in pinned:
                 continue  # construction already validated these
-            low = t.lower()
-            for nested in ("map<", "array<", "struct<"):
-                if nested in low:
-                    raise NotImplementedError(
-                        f"manifest_cdf: evolve added "
-                        f"{nested.rstrip('<')}-typed column {c!r} — no "
-                        f"hashable form for the bucket-local diff; use "
-                        f"the batch read_manifest_changes feed"
-                    )
+            _refuse_nested(c, t, "evolve added ")
             _arrow_type(t)
         return tuple(ddl_cols), tuple(ddl_cols.values())
 

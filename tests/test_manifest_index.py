@@ -233,6 +233,31 @@ def test_rebucketed_base_is_refused(spark, indexed):
         mi.read_manifest_point_indexed(spark, root, "base", "base_by_c", 5)
 
 
+def test_txn_path_compacts_past_the_bucket_bound(spark, indexed):
+    """Review regression (r12): indexed tables are maintained
+    EXCLUSIVELY through commit_multi_table, which used to defer
+    compaction to 'later appends' that can never come — the file
+    count grew one per bucket per commit and compact_files_per_bucket
+    was a dead knob.  The amortized compaction now runs after the
+    catalog swap, so both base and index file counts stay bounded
+    across a chain of transactional commits."""
+    root = indexed
+    for i in range(4):
+        mi.append_with_index(
+            spark, _mk(spark, 2000 + i * 50, 2050 + i * 50),
+            root, "base", "base_by_c", compact_files_per_bucket=2,
+        )
+    for t in ("base", "base_by_c"):
+        m = mb.read_manifest(root, t)
+        assert max(mb.files_per_bucket(m).values()) <= 2, (
+            t, mb.files_per_bucket(m),
+        )
+    # compaction is content-preserving and the txn pins pre-compaction
+    # versions: the atomic lookup still answers exactly
+    want = sorted((k, k % 997, k * 2) for k in range(2200) if k % 997 == 5)
+    assert _lookup_rows(spark, root, 5) == want
+
+
 def test_index_random_walk_lookups_match_model(spark, tmp_path):
     """Model-based walk over the MAINTAINED write surface (round 12):
     interleave append_with_index / merge_with_index (value-changing
