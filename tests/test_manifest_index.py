@@ -233,6 +233,43 @@ def test_rebucketed_base_is_refused(spark, indexed):
         mi.read_manifest_point_indexed(spark, root, "base", "base_by_c", 5)
 
 
+def test_merge_with_index_rewrites_only_touched_buckets(spark, indexed):
+    """Plan-shape guard for the STAGED merge (r12): the transactional
+    merge must keep the single-table merge's exact bucket pruning —
+    one updated key rewrites exactly its bucket's files, everything
+    else hard-links (at 100 TB this is the difference between a
+    bounded rewrite and a table-wide one)."""
+    root = indexed
+    m0 = mb.read_manifest(root, "base")
+    ups = spark.createDataFrame([(42, 4242, -42)], "k long, c long, v long")
+    b42 = spark.createDataFrame([(42,)], "k long").select(
+        mb.spark_bucket_id(m0["num_buckets"], "k").alias("b")
+    ).collect()[0]["b"]
+    touched = [f for f in m0["files"] if mb._file_bucket(f) == b42]
+    mi.merge_with_index(
+        spark, ups, root, "base", "base_by_c", key_cols="k",
+        compact_files_per_bucket=100,
+    )
+    m1 = mb.read_manifest(root, "base")
+    assert m1["op"] == "merge"
+    assert m1["rewritten_files"] == len(touched)
+    assert m1["linked_files"] == len(m0["files"]) - len(touched)
+    # hard links, not copies: untouched files share inodes with the
+    # parent generation
+    import os as _os
+
+    tdir = mb._table_dir(root, "base")
+    shared = 0
+    for f in m0["files"]:
+        if mb._file_bucket(f) == b42:
+            continue
+        p0 = _os.path.join(tdir, m0["generation"], f)
+        p1 = _os.path.join(tdir, m1["generation"], f)
+        if _os.path.exists(p1) and _os.stat(p0).st_ino == _os.stat(p1).st_ino:
+            shared += 1
+    assert shared == len(m0["files"]) - len(touched)
+
+
 def test_txn_path_compacts_past_the_bucket_bound(spark, indexed):
     """Review regression (r12): indexed tables are maintained
     EXCLUSIVELY through commit_multi_table, which used to defer

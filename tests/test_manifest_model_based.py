@@ -198,6 +198,36 @@ def test_manifest_random_walk_matches_model(spark, tmp_path):
         for ver in range(last_version + 1):
             n = mb.read_manifest_table(spark, root, "mw", version=ver).count()
             assert n >= 0
+        # the STREAM reader over the whole walk equals the batch feed
+        # (multiset, r12): the dv/mor/cow/rebucket interleavings flow
+        # through the executor-side pyarrow partitions here, not just
+        # the scripted cases in tests/test_cdf_source.py
+        from collections import Counter
+
+        from curw_mike_data_handler_spark.streaming.cdf_source import (
+            ManifestCDFStreamReader,
+        )
+
+        reader = ManifestCDFStreamReader(
+            {"root": root, "table": "mw", "startingVersion": 0}
+        )
+        srows = []
+        for p in reader.partitions({"version": 0},
+                                   {"version": last_version}):
+            for batch in reader.read(p):
+                srows.extend(batch.to_pylist())
+
+        def _ms(rows):
+            return Counter(
+                (r["k"], r["v"], r["ts_k"], r["_change_type"],
+                 r["_commit_version"]) for r in rows
+            )
+
+        assert _ms(srows) == _ms(
+            mb.read_manifest_changes(
+                spark, root, "mw", from_version=0
+            ).collect()
+        ), "stream feed diverged from the batch feed over the walk"
         # and expire keeps the newest window readable
         mb.expire_generations(spark, root, "mw", keep=3)
         assert (
