@@ -3296,11 +3296,25 @@ def commit_multi_table(
             spec = {k: manifest.get(k) for k in
                     ("bucket_cols", "num_buckets", "sort_cols",
                      "schema_ddl", "shred", "point_filters")}
-            _maybe_compact(
-                spark, root, table, manifest, spec,
-                None if batch_id is None else f"{batch_id}:{table}",
-                compact_files_per_bucket,
-            )
+            try:
+                _maybe_compact(
+                    spark, root, table, manifest, spec,
+                    None if batch_id is None else f"{batch_id}:{table}",
+                    compact_files_per_bucket,
+                )
+            except Exception:  # noqa: BLE001 — the txn is DURABLY
+                # committed at this point: a compaction failure must
+                # not surface as a transaction failure, or a
+                # batch_id-less caller's natural retry would re-apply
+                # the committed batch (duplicate rows, no error —
+                # review finding).  The bound re-fires on the next
+                # commit; debris is reclaimed by dead-claim takeover.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "post-commit compaction of %s failed; deferred to "
+                    "the next commit", table, exc_info=True,
+                )
         return committed
     finally:
         for table, v in claimed:

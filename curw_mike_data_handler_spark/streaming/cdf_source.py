@@ -168,11 +168,12 @@ def _read_file_table(
 
     # ONE footer open serves both the present-column set and the read
     # (pq.read_schema + pq.read_table would parse it twice per file —
-    # a full extra GET on object storage; review finding)
-    pf = pq.ParquetFile(path)
-    have = set(pf.schema_arrow.names)
-    present = [c for c in columns if c in have]
-    t = pf.read(columns=present)
+    # a full extra GET on object storage; review finding); the context
+    # manager keeps the close deterministic on error paths
+    with pq.ParquetFile(path) as pf:
+        have = set(pf.schema_arrow.names)
+        present = [c for c in columns if c in have]
+        t = pf.read(columns=present)
     n = t.num_rows
     arrays = []
     for c, st in zip(columns, types):

@@ -319,6 +319,39 @@ def test_concurrent_commits_serialize(spark, two_tables):
         assert snap[t].count() == snap[t].select("k").distinct().count()
 
 
+def test_post_commit_compaction_failure_does_not_fail_the_txn(
+    spark, two_tables, monkeypatch
+):
+    """Review regression (r12): the amortized compaction runs AFTER
+    the durable catalog swap — a failure there must not surface as a
+    transaction failure, or a batch_id-less caller's natural retry
+    would re-apply the committed batch (duplicate rows, no error)."""
+    root = two_tables
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected compaction failure")
+
+    monkeypatch.setattr(mb, "_maybe_compact", boom)
+    v = mb.commit_multi_table(
+        spark, root,
+        {"fact": _fact(spark, 100, 120), "dim": _dim(spark, 10, 12)},
+        compact_files_per_bucket=1,  # would certainly fire
+    )
+    assert isinstance(v, int)
+    assert _counts(spark, root) == (120, 12)
+    # the bound re-fires on the next commit once compaction works
+    monkeypatch.undo()
+    mb.commit_multi_table(
+        spark, root,
+        {"fact": _fact(spark, 120, 140), "dim": _dim(spark, 12, 14)},
+        compact_files_per_bucket=1,
+    )
+    for t in ("fact", "dim"):
+        m = mb.read_manifest(root, t)
+        assert max(mb.files_per_bucket(m).values()) <= 1
+    assert _counts(spark, root) == (140, 14)
+
+
 def test_reserved_table_names_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="reserved"):
         mb.create_manifest_table(
