@@ -379,6 +379,64 @@ def test_nan_rows_do_not_emit_spurious_changes(spark, tmp_path):
         mb.drop_catalog_entries(spark, root, "t")
 
 
+def test_restart_after_evolve_surfaces_new_columns_exactly_once(
+    spark, tmp_path
+):
+    """The documented restart path (r12): a stream runs at the
+    pre-evolve schema, the table evolves, and a RESTART from the same
+    checkpoint reconstructs the source at the NEW head schema — the
+    later commits arrive with the added column populated, nothing is
+    skipped or double-read across the schema change."""
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _shred_tbl(spark, root)                                          # v0
+    try:
+        spark.dataSource.register(ManifestCDFDataSource)
+
+        def run():
+            stream = (
+                spark.readStream.format("manifest_cdf")
+                .option("root", root).option("table", "t")
+                .option("startingVersion", 0)
+                .load()
+            )
+            (
+                stream.writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start().awaitTermination()
+            )
+
+        run()  # pins the checkpoint at v0 (offsets are EXCLUSIVE of
+        # startingVersion: the pre-existing snapshot does not replay)
+        mb.evolve_shred(spark, root, "t", add={"a": "bigint"},
+                        column="payload")                            # v1
+        mb.append_manifest_table(
+            spark,
+            spark.range(100, 105).selectExpr(
+                "id AS k", "to_json(named_struct('a', id)) AS payload"
+            ),
+            root, "t", compact_files_per_bucket=100,
+        )                                                            # v2
+        run()  # restart: new source schema includes _shred_payload_a
+        got = spark.read.option("mergeSchema", "true").parquet(out)
+        ms = Counter(
+            (r["k"], r["_change_type"], r["_commit_version"])
+            for r in got.collect()
+        )
+        want = Counter((k, "insert", 2) for k in range(100, 105))
+        assert ms == want
+        # rows from the post-evolve run carry the shredded value; the
+        # pre-evolve run's files simply lack the column (NULL via
+        # mergeSchema)
+        post = {r["k"]: r["_shred_payload_a"] for r in got.collect()
+                if r["_commit_version"] == 2}
+        assert post == {k: k for k in range(100, 105)}
+    finally:
+        mb.drop_catalog_entries(spark, root, "t")
+
+
 def test_array_and_struct_columns_refused_loudly(spark, tmp_path):
     """Review regression (r12): array/struct values are unhashable in
     the bucket-local diff — the constructor must refuse them like

@@ -1565,6 +1565,86 @@ def main() -> None:
         mb.drop_catalog_entries(spark, ixroot, "probe_ix")
         shutil.rmtree(ixroot, ignore_errors=True)
 
+    # CDF STREAM reader at 2M rows (round 12): the partition plan must
+    # mirror the feed's cost contract at scale — appends plan per new
+    # FILE, MoR vector growth per touched FILE, COW merges per touched
+    # BUCKET — and the executor-side pyarrow read of a bounded window
+    # must cost rewritten-region time, not table-scan time.
+    cdfroot = tempfile.mkdtemp(prefix="cm_probe_cdf_")
+    try:
+        from curw_mike_data_handler_spark.streaming.cdf_source import (
+            ManifestCDFStreamReader,
+        )
+
+        cdf_rows = spark.range(2_000_000).selectExpr(
+            "id AS k", "id * 2 AS v", "id AS ts_k"
+        )
+        mb.create_manifest_table(
+            spark, cdf_rows, cdfroot, "probe_cdf",
+            bucket_cols="k", num_buckets=32, sort_cols="ts_k",
+        )
+        mb.append_manifest_table(
+            spark,
+            spark.range(2_000_000, 2_020_000).selectExpr(
+                "id AS k", "id * 2 AS v", "id AS ts_k"
+            ),
+            cdfroot, "probe_cdf", compact_files_per_bucket=100,
+        )                                                            # v1
+        mb.merge_manifest_table(
+            spark,
+            spark.range(100).selectExpr(
+                "id * 19997 AS k", "CAST(-1 AS BIGINT) AS v",
+                "id AS ts_k",
+            ),
+            cdfroot, "probe_cdf", key_cols="k",
+        )                                                            # v2
+        mb.delete_manifest_rows_mor(
+            spark,
+            spark.range(100).selectExpr("id * 17389 + 7 AS k"),
+            cdfroot, "probe_cdf", key_cols="k",
+        )                                                            # v3
+        reader = ManifestCDFStreamReader(
+            {"root": cdfroot, "table": "probe_cdf", "startingVersion": 0}
+        )
+        t0 = time.perf_counter()
+        parts = reader.partitions({"version": 0}, {"version": 3})
+        plan_s = round(time.perf_counter() - t0, 3)
+        kinds: dict = {}
+        for p in parts:
+            kinds[p.kind] = kinds.get(p.kind, 0) + 1
+        t0 = time.perf_counter()
+        n_rows = sum(
+            b.num_rows for p in parts for b in reader.read(p)
+        )
+        read_s = round(time.perf_counter() - t0, 2)
+        m1 = mb.read_manifest(cdfroot, "probe_cdf", 1)
+        m0 = mb.read_manifest(cdfroot, "probe_cdf", 0)
+        new_v1 = len(set(m1["files"]) - set(m0["files"]))
+        results["cdf_stream_2m_window"] = {
+            "plan_s": plan_s,
+            "partitions": kinds,
+            "read_all_partitions_s": read_s,
+            "change_rows": n_rows,
+        }
+        print(f"  cdf stream 2M window: plan {plan_s}s, partitions "
+              f"{kinds}, serial in-process read {read_s}s, "
+              f"{n_rows} change rows")
+        # appends plan per new file, never per table file
+        assert kinds["insert"] == new_v1
+        # the COW merge plans at most one diff per touched bucket (100
+        # distinct keys over 32 buckets => <= 32), the MoR delete at
+        # most one dv partition per touched FILE (<= one per doomed
+        # key, typically far fewer)
+        assert kinds["diff"] <= 32
+        assert kinds["dv"] <= 100
+        # window = appended inserts + merge delete/insert pairs + dv
+        # deletes; the serial read is rewritten-region bounded, so it
+        # must not read 2M rows
+        assert n_rows == 20_000 + 200 + 100
+    finally:
+        mb.drop_catalog_entries(spark, cdfroot, "probe_cdf")
+        shutil.rmtree(cdfroot, ignore_errors=True)
+
     payload = {
         "sf": 1.0,
         "docs": docs_lin.count(),
