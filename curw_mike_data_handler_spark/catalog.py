@@ -16662,14 +16662,18 @@ def stream_shred_ingest_replay(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        (
-            stream.writeStream
-            .foreachBatch(mb.foreach_batch_append(root, "ev_ing"))
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
+        from curw_mike_data_handler_spark.streaming.replay import (
+            ephemeral_checkpoint_conf,
         )
+        with ephemeral_checkpoint_conf(spark):
+            (
+                stream.writeStream
+                .foreachBatch(mb.foreach_batch_append(root, "ev_ing"))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
         r = mb.read_manifest_table_shredded(
             spark, root, "ev_ing", {"k": "bigint", "c": "bigint"},
             base_cols="user_id",
@@ -16935,19 +16939,23 @@ def stream_cow_upsert_replay(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        (
-            stream.writeStream
-            .foreachBatch(
-                mb.foreach_batch_merge(
-                    root, "state", key_cols="user_id",
-                    order_cols=["ts", "event_id"],
-                )
-            )
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
+        from curw_mike_data_handler_spark.streaming.replay import (
+            ephemeral_checkpoint_conf,
         )
+        with ephemeral_checkpoint_conf(spark):
+            (
+                stream.writeStream
+                .foreachBatch(
+                    mb.foreach_batch_merge(
+                        root, "state", key_cols="user_id",
+                        order_cols=["ts", "event_id"],
+                    )
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
         out = mb.read_manifest_table(spark, root, "state").select(
             "user_id",
             F.col("event_id").alias("latest_event"),
@@ -17673,13 +17681,18 @@ def stream_manifest_cdf_replay(spark, sf_dir):
             .load()
         )
 
+        from curw_mike_data_handler_spark.streaming.replay import (
+            ephemeral_checkpoint_conf,
+        )
+
         def run():
-            (
-                stream.writeStream.format("parquet").option("path", out)
-                .option("checkpointLocation", ck)
-                .trigger(availableNow=True)
-                .start().awaitTermination()
-            )
+            with ephemeral_checkpoint_conf(spark):
+                (
+                    stream.writeStream.format("parquet").option("path", out)
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start().awaitTermination()
+                )
 
         run()  # consumes commits 1-3, checkpoint ends mid-history
         mb.delete_manifest_rows_mor(

@@ -29,6 +29,7 @@ tight-watermark regime where the gate cannot.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
@@ -36,6 +37,80 @@ import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Checkpoint I/O profile for EPHEMERAL (tempdir, deleted-after-run)
+# replay checkpoints — optimization round 12, guide §1.1/§2.1:
+#
+# * ``checkpointFileManagerClass``: Spark's default for a local path is
+#   FileContextBasedCheckpointFileManager, whose rename path goes
+#   through Hadoop's AbstractFileSystem three-arg rename; on
+#   RawLocalFileSystem that calls getFileLinkStatus, which (without the
+#   native Hadoop library, as in this container) SHELLS OUT — one
+#   fork+exec of readlink/stat per checkpoint-file rename.  A stateful
+#   trigger renames O(state partitions × stores) delta files, so task
+#   threads were measured spending 0.4–0.6 s per state-store commit
+#   blocked in ``Shell.runCommand`` (jstack evidence, OPTIMIZATION_r12
+#   §streaming).  FileSystemBasedCheckpointFileManager renames via
+#   ``File.renameTo`` — no fork, and rename-atomic on a local FS (the
+#   FileContext manager's extra guarantees matter for HDFS, not for a
+#   throwaway local tempdir).
+# * ``fileChecksum.enabled`` (new default-on in Spark 4.1): corruption-
+#   detection sidecar files for checkpoint data, written through a
+#   shared executor pool tasks must await.  Durability hardening buys
+#   nothing for a checkpoint that is deleted seconds later.
+#
+# Production streams (file_watch, user pipelines, the checkpoint-
+# restart e2e tests) keep Spark's defaults — this profile applies ONLY
+# around gate/bench replays whose checkpoint is an ephemeral tempdir,
+# and can be disabled with SPARK_GRAFT_EPHEMERAL_CKPT_TUNING=0.
+_EPHEMERAL_CKPT_CONF = {
+    "spark.sql.streaming.checkpointFileManagerClass":
+        "org.apache.spark.sql.execution.streaming.checkpointing."
+        "FileSystemBasedCheckpointFileManager",
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
+}
+
+
+@contextlib.contextmanager
+def ephemeral_checkpoint_conf(spark: SparkSession):
+    """Apply the ephemeral-checkpoint I/O profile for the duration of a
+    bounded replay whose checkpoint dir is a throwaway tempdir; restore
+    the session's previous values on exit.  The conf is read when the
+    streaming query STARTS, so wrap the ``.start()`` call."""
+    if os.environ.get("SPARK_GRAFT_EPHEMERAL_CKPT_TUNING") == "0":
+        yield
+        return
+    prev: dict[str, str | None] = {}
+    for k, v in _EPHEMERAL_CKPT_CONF.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
+def _rematerialize_local(spark: SparkSession, sink: DataFrame) -> DataFrame:
+    """Copy the (bounded, driver-resident) memory-sink table into a
+    standalone local DataFrame so the sink can be dropped.
+
+    Arrow both ways (guide §4.1): ``toArrow()`` + ``createDataFrame``
+    over the Arrow table move the rows as columnar batches.  The
+    previous ``createDataFrame(sink.collect(), schema)`` pickled every
+    row one at a time through Py4J — measured 2–4 s per replay gate on
+    a 100–250k-row sink, i.e. a third of some gates' wall.  Falls back
+    to the row path for any type Arrow interchange cannot carry."""
+    try:
+        return spark.createDataFrame(sink.toArrow())
+    except Exception:
+        return spark.createDataFrame(sink.collect(), sink.schema)
 
 
 def replay_file_stream(
@@ -152,15 +227,16 @@ def replay_file_stream(
             prog_cap_prev = None
         spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "4096")
     try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with ephemeral_checkpoint_conf(spark):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         if progress_out is not None:
             if prog_cap_prev is not None:
@@ -193,7 +269,7 @@ def replay_file_stream(
             default=0,
         )
     sink = spark.table(name)
-    result = spark.createDataFrame(sink.collect(), sink.schema)
+    result = _rematerialize_local(spark, sink)
     spark.catalog.dropTempView(name)
     shutil.rmtree(base, ignore_errors=True)
     return result

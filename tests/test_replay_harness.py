@@ -1,0 +1,97 @@
+"""Focused tests for the round-12 replay-harness internals.
+
+The optimization round changed two things inside the bounded-replay
+machinery (``streaming/replay.py``):
+
+* ``ephemeral_checkpoint_conf`` — a context manager that applies the
+  ephemeral-checkpoint I/O profile (FileSystemBased checkpoint file
+  manager + checksum sidecars off) around gate/bench replays whose
+  checkpoint is a throwaway tempdir, restoring prior session values.
+* ``_rematerialize_local`` — Arrow-based copy of the bounded memory
+  sink into a standalone local DataFrame (replacing the row-pickle
+  ``createDataFrame(sink.collect(), schema)`` path).
+
+These tests pin the conf save/restore semantics, the env kill-switch,
+and value/schema identity of the Arrow re-materialization including
+NULLs, timestamps, and the row-path fallback.
+"""
+
+import datetime
+
+from pyspark.sql import types as T
+
+from curw_mike_data_handler_spark.streaming import replay as rp
+
+
+_CKPT_MGR_KEY = "spark.sql.streaming.checkpointFileManagerClass"
+_CKSUM_KEY = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+
+
+def test_ephemeral_conf_sets_and_restores_unset(spark):
+    # Precondition: neither key set in the session (unset → restore to unset).
+    for k in (_CKPT_MGR_KEY, _CKSUM_KEY):
+        spark.conf.unset(k)
+    with rp.ephemeral_checkpoint_conf(spark):
+        assert "FileSystemBasedCheckpointFileManager" in spark.conf.get(_CKPT_MGR_KEY)
+        assert spark.conf.get(_CKSUM_KEY) == "false"
+    # Restored: manager key unset again, checksum back to its default.
+    assert spark.conf.get(_CKPT_MGR_KEY, None) is None
+
+
+def test_ephemeral_conf_restores_previous_values(spark):
+    spark.conf.set(_CKSUM_KEY, "true")
+    try:
+        with rp.ephemeral_checkpoint_conf(spark):
+            assert spark.conf.get(_CKSUM_KEY) == "false"
+        assert spark.conf.get(_CKSUM_KEY) == "true"
+    finally:
+        spark.conf.unset(_CKSUM_KEY)
+
+
+def test_ephemeral_conf_restores_on_exception(spark):
+    try:
+        with rp.ephemeral_checkpoint_conf(spark):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(_CKPT_MGR_KEY, None) is None
+
+
+def test_ephemeral_conf_env_kill_switch(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_EPHEMERAL_CKPT_TUNING", "0")
+    with rp.ephemeral_checkpoint_conf(spark):
+        assert spark.conf.get(_CKPT_MGR_KEY, None) is None
+
+
+def _sink_df(spark):
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("d", T.DoubleType()),
+    ])
+    rows = [
+        (1, "a", datetime.datetime(2024, 1, 1, 0, 0, 0), 1.5),
+        (2, None, datetime.datetime(2024, 1, 2, 3, 4, 5), None),
+        (None, "c", None, -0.0),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_rematerialize_matches_row_path(spark):
+    sink = _sink_df(spark)
+    out = rp._rematerialize_local(spark, sink)
+    assert out.schema == sink.schema
+    assert sorted(map(repr, out.collect())) == sorted(map(repr, sink.collect()))
+
+
+def test_rematerialize_falls_back_to_row_path(spark, monkeypatch):
+    sink = _sink_df(spark)
+
+    def boom(*a, **k):
+        raise RuntimeError("no arrow")
+
+    monkeypatch.setattr(type(sink), "toArrow", boom, raising=True)
+    out = rp._rematerialize_local(spark, sink)
+    assert out.schema == sink.schema
+    assert sorted(map(repr, out.collect())) == sorted(map(repr, sink.collect()))
