@@ -66,31 +66,58 @@ def token_bucket_throttle(
     """
     cap, rate = int(capacity_cents), int(rate_cents_per_ks)
 
-    def fold(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fold_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One Python call PER ARROW BATCH, not per group: the rows
+        # arrive key-clustered (hash-partitioned) and (key, t, ord)-
+        # sorted (JVM sort), so each key's history is a contiguous
+        # run; the fold carries O(1) state across batch boundaries
+        # and emits a key's summary row when its run ends.  Finished
+        # keys are flushed every ~10k to bound the output buffer on
+        # high-cardinality partitions.
+        first = True
+        cur_key = None
+        level = admitted = n = 0
+        prev_us = None
+        out: list[tuple] = []
+
+        def frame() -> pd.DataFrame:
+            return pd.DataFrame(
+                out,
+                columns=[
+                    key_col, "n_events", "n_admitted", "n_throttled",
+                    "final_level_cents",
+                ],
+            )
+
         for pdf in pdfs:
-            pdf = pdf.sort_values(["_t_us", "_ord"], kind="mergesort")
-            level = cap
-            prev_us = None
-            admitted = 0
-            n = 0
-            for t_us, cost in zip(pdf["_t_us"].values, pdf["_cost"].values):
+            for k, t_us, cost in zip(
+                pdf["_key"].values, pdf["_t_us"].values, pdf["_cost"].values
+            ):
+                if first or k != cur_key:
+                    if not first:
+                        out.append(
+                            (cur_key, n, admitted, n - admitted, level)
+                        )
+                    cur_key = k
+                    level, prev_us, admitted, n = cap, None, 0, 0
+                    first = False
                 t_us, cost = int(t_us), int(cost)
                 if prev_us is not None:
-                    level = min(cap, level + (t_us - prev_us) * rate // 1_000_000_000)
+                    level = min(
+                        cap, level + (t_us - prev_us) * rate // 1_000_000_000
+                    )
                 prev_us = t_us
                 if level >= cost:
                     level -= cost
                     admitted += 1
                 n += 1
-            yield pd.DataFrame(
-                {
-                    key_col: [pdf["_key"].iloc[0]],
-                    "n_events": [n],
-                    "n_admitted": [admitted],
-                    "n_throttled": [n - admitted],
-                    "final_level_cents": [level],
-                }
-            )
+            if len(out) >= 10_000:
+                yield frame()
+                out = []
+        if not first:
+            out.append((cur_key, n, admitted, n - admitted, level))
+        if out:
+            yield frame()
 
     key_type = events.schema[key_col].dataType.simpleString()
     prepared = events.select(
@@ -99,10 +126,14 @@ def token_bucket_throttle(
         F.col(order_col).alias("_ord"),
         F.col(cost_col).cast("long").alias("_cost"),
     )
-    # grouped applyInPandas delivers each group WHOLE (one pdf per
-    # group); the in-group sort makes the fold order-deterministic
-    # regardless of shuffle order.
-    return prepared.groupBy("_key").applyInPandas(
-        lambda pdf: next(fold(iter([pdf]))),
-        schema=_out_schema(key_col, key_type),
+    # hash(key) exchange clusters each key's whole history into one
+    # partition; the JVM (key, t, ord) sort makes runs contiguous and
+    # the fold order-deterministic regardless of shuffle order.  A
+    # grouped applyInPandas here would cost one Python call + pandas
+    # frame per KEY (measured 2-4 s/1500 keys at sf0.1); mapInPandas
+    # costs one per Arrow batch with the identical recurrence.
+    return (
+        prepared.repartition("_key")
+        .sortWithinPartitions("_key", "_t_us", "_ord")
+        .mapInPandas(fold_partition, schema=_out_schema(key_col, key_type))
     )

@@ -95,3 +95,56 @@ def test_rematerialize_falls_back_to_row_path(spark, monkeypatch):
     out = rp._rematerialize_local(spark, sink)
     assert out.schema == sink.schema
     assert sorted(map(repr, out.collect())) == sorted(map(repr, sink.collect()))
+
+
+def test_token_bucket_fold_carries_state_across_arrow_batches(spark):
+    """r12: token_bucket_throttle moved from per-group applyInPandas
+    to one mapInPandas over (key, t, ord)-sorted partitions.  Force
+    tiny Arrow batches so key runs SPAN batch boundaries and assert
+    the fold's cross-batch state carry reproduces the per-key
+    simulation exactly."""
+    import datetime
+
+    from curw_mike_data_handler_spark.operators.ratelimit import (
+        token_bucket_throttle,
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (uid, base + datetime.timedelta(seconds=30 * i), i, 40)
+            for uid in (1, 2, 3)
+            for i in range(11)  # 11 events per key: runs cross batches of 3
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, cost long"
+        )
+        got = {
+            r.user_id: r
+            for r in token_bucket_throttle(
+                ev, capacity_cents=100, rate_cents_per_ks=1000
+            ).collect()
+        }
+        # independent per-key simulation
+        for uid in (1, 2, 3):
+            lvl, prev_us, adm = 100, None, 0
+            for i in range(11):
+                t_us = int(
+                    (base + datetime.timedelta(seconds=30 * i)).timestamp()
+                    * 1_000_000
+                )
+                if prev_us is not None:
+                    lvl = min(100, lvl + (t_us - prev_us) * 1000 // 1_000_000_000)
+                prev_us = t_us
+                if lvl >= 40:
+                    lvl -= 40
+                    adm += 1
+            r = got[uid]
+            assert (r.n_events, r.n_admitted, r.final_level_cents) == (11, adm, lvl)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
