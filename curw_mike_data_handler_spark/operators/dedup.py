@@ -516,14 +516,22 @@ def _two_phase_components(edges: DataFrame, max_iter: int) -> DataFrame:
         )
         mn2 = E1.groupBy("hi").agg(F.min("lo").alias("m"))
         joined = E1.join(mn2, "hi")
+        # no inner distinct on the (hi, m) branch: the round-final
+        # distinct below already dedupes (the planner elided the inner
+        # distinct's exchange but still paid its two aggregate passes
+        # per round — r12, guide §2.2)
         small = joined.select(F.col("lo").alias("a"), F.col("m").alias("b")).union(
-            joined.select(F.col("hi").alias("a"), F.col("m").alias("b")).distinct()
+            joined.select(F.col("hi").alias("a"), F.col("m").alias("b"))
         )
+        # lazy localCheckpoint: the signature aggregate right below is
+        # the materializing action (it computes every partition), so
+        # checkpoint + convergence check cost ONE job per round
+        # instead of two (r12)
         E = (
             small.select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
             .filter(F.col("lo") != F.col("hi"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # bit_xor, not sum: order-independent AND overflow-free (a
         # summed 64-bit hash overflows long under ANSI mode — the
@@ -607,7 +615,9 @@ def connected_components(
                     "__improved"
                 ),
             )
-            .localCheckpoint()
+            # lazy: the convergence aggregate below materializes the
+            # checkpoint in the same job (one job/round, not two — r12)
+            .localCheckpoint(eager=False)
         )
         changed = stepped.agg(F.max("__improved")).collect()[0][0]
         labels = stepped.drop("__improved")
