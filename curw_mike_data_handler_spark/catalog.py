@@ -16667,14 +16667,14 @@ def stream_shred_ingest_replay(spark, sf_dir):
             ephemeral_checkpoint_conf,
         )
         with ephemeral_checkpoint_conf(spark):
-            (
+            q = (
                 stream.writeStream
                 .foreachBatch(mb.foreach_batch_append(root, "ev_ing"))
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
-                .awaitTermination()
             )
+        q.awaitTermination()
         r = mb.read_manifest_table_shredded(
             spark, root, "ev_ing", {"k": "bigint", "c": "bigint"},
             base_cols="user_id",
@@ -16944,7 +16944,7 @@ def stream_cow_upsert_replay(spark, sf_dir):
             ephemeral_checkpoint_conf,
         )
         with ephemeral_checkpoint_conf(spark):
-            (
+            q = (
                 stream.writeStream
                 .foreachBatch(
                     mb.foreach_batch_merge(
@@ -16955,8 +16955,8 @@ def stream_cow_upsert_replay(spark, sf_dir):
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
-                .awaitTermination()
             )
+        q.awaitTermination()
         out = mb.read_manifest_table(spark, root, "state").select(
             "user_id",
             F.col("event_id").alias("latest_event"),
@@ -17688,12 +17688,13 @@ def stream_manifest_cdf_replay(spark, sf_dir):
 
         def run():
             with ephemeral_checkpoint_conf(spark):
-                (
+                q = (
                     stream.writeStream.format("parquet").option("path", out)
                     .option("checkpointLocation", ck)
                     .trigger(availableNow=True)
-                    .start().awaitTermination()
+                    .start()
                 )
+            q.awaitTermination()
 
         run()  # consumes commits 1-3, checkpoint ends mid-history
         mb.delete_manifest_rows_mor(

@@ -9,17 +9,18 @@ cap+floor+conditional-spend recurrence has no window-algebra closed
 form: level_t depends on min(capacity, level_{t-1} + refill_t) AND on
 whether event t-1 was admitted.  This is the documented tier-(b) case
 from the engine's ground rules — when DataFrame algebra genuinely
-cannot express the semantics, drop to an Arrow-batched
-``applyInPandas`` keyed on the entity, never to a row-at-a-time UDF
-and never to the driver.
+cannot express the semantics, drop to an Arrow-batched fold keyed on
+the entity (one ``mapInArrow`` pass over key-clustered, key-sorted
+partitions since r12), never to a row-at-a-time UDF and never to the
+driver.
 
-Scale shape: one hash(key) exchange + per-group Arrow transfer; state
-is O(1) per key inside the loop and groups are single-entity event
-histories (bounded, day-partitionable if an entity's history outgrows
-a task).  All arithmetic is integer (cents, microseconds, integer
-refill floor) so the Python loop is bit-reproducible and — the reason
-the catalog can carry it — EXACTLY matched by a DuckDB recursive-CTE
-oracle folding the same recurrence.
+Scale shape: one hash(key) exchange + one Arrow transfer per batch;
+state is O(1) per key inside the loop and each key's event history is
+a contiguous run within its partition (bounded, day-partitionable if
+an entity's history outgrows a task).  All arithmetic is integer
+(cents, microseconds, integer refill floor) so the Python loop is
+bit-reproducible and — the reason the catalog can carry it — EXACTLY
+matched by a DuckDB recursive-CTE oracle folding the same recurrence.
 
 Reference anchor: the reference's ingestion scripts throttle
 re-extraction by timestamp freshness checks (extract-script guard
@@ -29,12 +30,9 @@ rate contract.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
 
 def _out_schema(key_col: str, key_type: str) -> str:
     """Output schema is derived from the caller's key column — the
@@ -66,42 +64,69 @@ def token_bucket_throttle(
     """
     cap, rate = int(capacity_cents), int(rate_cents_per_ks)
 
-    def fold_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fold_partition(batches):
         # One Python call PER ARROW BATCH, not per group: the rows
         # arrive key-clustered (hash-partitioned) and (key, t, ord)-
-        # sorted (JVM sort), so each key's history is a contiguous
-        # run; the fold carries O(1) state across batch boundaries
-        # and emits a key's summary row when its run ends.  Finished
-        # keys are flushed every ~10k to bound the output buffer on
-        # high-cardinality partitions.
+        # sorted (JVM sort, nulls first), so each key's history is a
+        # contiguous run; the fold carries O(1) state across batch
+        # boundaries and emits a key's summary row when its run ends.
+        # Finished keys are flushed every ~10k to bound the output
+        # buffer on high-cardinality partitions.
+        #
+        # mapInArrow, NOT mapInPandas (review finding, r12): pandas
+        # conversion turns an int64 key column containing any null
+        # into float64 — NaN != NaN would split the null-key group
+        # into one run per row, and int64 keys >= 2^53 sharing a
+        # batch with a null would be silently rounded.  pyarrow's
+        # ``as_py`` keeps every key exact (None for null), and null
+        # runs compare via an explicit null flag, matching the old
+        # groupBy semantics where all null keys form ONE group.
+        import pyarrow as pa
+
         first = True
         cur_key = None
+        cur_null = False
         level = admitted = n = 0
         prev_us = None
-        out: list[tuple] = []
+        keys: list = []
+        rows: list[tuple] = []
+        key_arrow_type = None
 
-        def frame() -> pd.DataFrame:
-            return pd.DataFrame(
-                out,
-                columns=[
+        def batch_of() -> "pa.RecordBatch":
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(keys, type=key_arrow_type),
+                    pa.array([r[0] for r in rows], type=pa.int64()),
+                    pa.array([r[1] for r in rows], type=pa.int64()),
+                    pa.array([r[0] - r[1] for r in rows], type=pa.int64()),
+                    pa.array([r[2] for r in rows], type=pa.int64()),
+                ],
+                names=[
                     key_col, "n_events", "n_admitted", "n_throttled",
                     "final_level_cents",
                 ],
             )
 
-        for pdf in pdfs:
-            for k, t_us, cost in zip(
-                pdf["_key"].values, pdf["_t_us"].values, pdf["_cost"].values
-            ):
-                if first or k != cur_key:
+        for batch in batches:
+            if key_arrow_type is None:
+                key_arrow_type = batch.schema.field("_key").type
+            kcol = batch.column(batch.schema.get_field_index("_key"))
+            tcol = batch.column(batch.schema.get_field_index("_t_us"))
+            ccol = batch.column(batch.schema.get_field_index("_cost"))
+            for i in range(batch.num_rows):
+                k = kcol[i].as_py()
+                k_null = k is None
+                if first or k_null != cur_null or (
+                    not k_null and k != cur_key
+                ):
                     if not first:
-                        out.append(
-                            (cur_key, n, admitted, n - admitted, level)
-                        )
-                    cur_key = k
+                        keys.append(cur_key)
+                        rows.append((n, admitted, level))
+                    cur_key, cur_null = k, k_null
                     level, prev_us, admitted, n = cap, None, 0, 0
                     first = False
-                t_us, cost = int(t_us), int(cost)
+                t_us = tcol[i].as_py()
+                cost = ccol[i].as_py()
                 if prev_us is not None:
                     level = min(
                         cap, level + (t_us - prev_us) * rate // 1_000_000_000
@@ -111,13 +136,14 @@ def token_bucket_throttle(
                     level -= cost
                     admitted += 1
                 n += 1
-            if len(out) >= 10_000:
-                yield frame()
-                out = []
+            if len(rows) >= 10_000:
+                yield batch_of()
+                keys, rows = [], []
         if not first:
-            out.append((cur_key, n, admitted, n - admitted, level))
-        if out:
-            yield frame()
+            keys.append(cur_key)
+            rows.append((n, admitted, level))
+        if rows:
+            yield batch_of()
 
     key_type = events.schema[key_col].dataType.simpleString()
     prepared = events.select(
@@ -130,10 +156,10 @@ def token_bucket_throttle(
     # partition; the JVM (key, t, ord) sort makes runs contiguous and
     # the fold order-deterministic regardless of shuffle order.  A
     # grouped applyInPandas here would cost one Python call + pandas
-    # frame per KEY (measured 2-4 s/1500 keys at sf0.1); mapInPandas
-    # costs one per Arrow batch with the identical recurrence.
+    # frame per KEY (measured 2-4 s/1500 keys at sf0.1); the Arrow
+    # fold costs one call per batch with the identical recurrence.
     return (
         prepared.repartition("_key")
         .sortWithinPartitions("_key", "_t_us", "_ord")
-        .mapInPandas(fold_partition, schema=_out_schema(key_col, key_type))
+        .mapInArrow(fold_partition, schema=_out_schema(key_col, key_type))
     )

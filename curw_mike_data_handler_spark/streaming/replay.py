@@ -71,21 +71,42 @@ _EPHEMERAL_CKPT_CONF = {
 }
 
 
+def _explicitly_set(spark: SparkSession, key: str) -> str | None:
+    """The session's EXPLICIT value for ``key``, or None if unset.
+    ``spark.conf.get`` would return the built-in DEFAULT for keys that
+    have one (e.g. fileChecksum.enabled → "true"), so restoring from it
+    would pin the default as an explicit session value, shadowing any
+    later change to the underlying default (review finding, r12)."""
+    try:
+        if spark._jsparkSession.sessionState().conf().contains(key):
+            return spark.conf.get(key)
+        return None
+    except Exception:
+        # fallback: get() raises for unset keys WITHOUT a default
+        try:
+            return spark.conf.get(key)
+        except Exception:
+            return None
+
+
 @contextlib.contextmanager
 def ephemeral_checkpoint_conf(spark: SparkSession):
-    """Apply the ephemeral-checkpoint I/O profile for the duration of a
-    bounded replay whose checkpoint dir is a throwaway tempdir; restore
-    the session's previous values on exit.  The conf is read when the
-    streaming query STARTS, so wrap the ``.start()`` call."""
+    """Apply the ephemeral-checkpoint I/O profile around a streaming
+    query START whose checkpoint dir is a throwaway tempdir; restore
+    the session's previous values on exit.  The conf is read once when
+    the streaming query STARTS, so wrap ONLY the ``.start()`` call and
+    let ``awaitTermination`` run outside the block — the session-conf
+    mutation is visible to concurrently-started queries, and keeping
+    the window to the microseconds around start() (this repo starts
+    replay queries single-threaded) is what keeps production streams
+    on Spark's durable defaults."""
     if os.environ.get("SPARK_GRAFT_EPHEMERAL_CKPT_TUNING") == "0":
         yield
         return
-    prev: dict[str, str | None] = {}
+    prev: dict[str, str | None] = {
+        k: _explicitly_set(spark, k) for k in _EPHEMERAL_CKPT_CONF
+    }
     for k, v in _EPHEMERAL_CKPT_CONF.items():
-        try:
-            prev[k] = spark.conf.get(k)
-        except Exception:
-            prev[k] = None
         spark.conf.set(k, v)
     try:
         yield
@@ -227,6 +248,9 @@ def replay_file_stream(
             prog_cap_prev = None
         spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "4096")
     try:
+        # the ephemeral profile wraps ONLY start() (the conf is read
+        # once at query start); awaitTermination runs with the session
+        # conf already restored
         with ephemeral_checkpoint_conf(spark):
             q = (
                 out.writeStream.format("memory")
@@ -236,7 +260,7 @@ def replay_file_stream(
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination()
+        q.awaitTermination()
     finally:
         if progress_out is not None:
             if prog_cap_prev is not None:

@@ -99,9 +99,9 @@ def test_rematerialize_falls_back_to_row_path(spark, monkeypatch):
 
 def test_token_bucket_fold_carries_state_across_arrow_batches(spark):
     """r12: token_bucket_throttle moved from per-group applyInPandas
-    to one mapInPandas over (key, t, ord)-sorted partitions.  Force
-    tiny Arrow batches so key runs SPAN batch boundaries and assert
-    the fold's cross-batch state carry reproduces the per-key
+    to one mapInArrow fold over (key, t, ord)-sorted partitions.
+    Force tiny Arrow batches so key runs SPAN batch boundaries and
+    assert the fold's cross-batch state carry reproduces the per-key
     simulation exactly."""
     import datetime
 
@@ -148,3 +148,78 @@ def test_token_bucket_fold_carries_state_across_arrow_batches(spark):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_token_bucket_null_and_wide_keys_exact(spark):
+    """Review finding (r12): a pandas-based fold would turn an int64
+    key column containing any null into float64 — splitting the null
+    group into one run per row (NaN != NaN) and rounding keys >= 2^53.
+    The mapInArrow fold must keep (a) ALL null keys as ONE group
+    (grouped-aggregation semantics of the old groupBy path) and
+    (b) huge int64 keys exact even when they share a batch with
+    nulls."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from curw_mike_data_handler_spark.operators.ratelimit import (
+        token_bucket_throttle,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    big_a = (1 << 53) + 1  # adjacent doubles collapse these two
+    big_b = (1 << 53) + 2
+    rows = []
+    eid = 0
+    for key in (None, big_a, None, big_b, None):
+        for i in range(3):
+            rows.append((key, base + datetime.timedelta(seconds=60 * eid), eid, 40))
+            eid += 1
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("cost", T.LongType(), False),
+    ])
+    ev = spark.createDataFrame(rows, schema)
+    got = {
+        r.user_id: r
+        for r in token_bucket_throttle(
+            ev, capacity_cents=100, rate_cents_per_ks=0
+        ).collect()
+    }
+    # exactly three groups: the null group and the two exact big keys
+    assert set(got) == {None, big_a, big_b}
+    # 9 null-key events fold as ONE bucket: 100 capacity, cost 40,
+    # rate 0 -> admit 2, throttle 7
+    assert got[None].n_events == 9
+    assert got[None].n_admitted == 2
+    assert got[None].n_throttled == 7
+    assert got[None].final_level_cents == 20
+    for k in (big_a, big_b):
+        assert got[k].n_events == 3
+        assert got[k].n_admitted == 2
+
+
+def test_token_bucket_plan_one_exchange_map_in_arrow(spark, sf_dir):
+    """Plan guard: the sequential fold stays ONE hash(key) exchange
+    feeding a JVM sort and a MapInArrow node (no per-group
+    FlatMapGroups node, no second exchange)."""
+    import io
+    import contextlib
+
+    from curw_mike_data_handler_spark import catalog
+
+    df = catalog.QUERIES["token_bucket_throttle"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    tree_exchanges = [
+        line for line in plan.splitlines()
+        if "- Exchange" in line  # tree nodes only, not the detail block
+    ]
+    assert len(tree_exchanges) == 1, plan
+    assert "hashpartitioning(_key" in plan, plan
+    assert "MapInArrow" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan

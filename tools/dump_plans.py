@@ -137,7 +137,7 @@ SHOWCASE = [
     ("sessionize_incremental", "state + delta phases, each one hash(user) exchange; full outer merge of dimension-sized relations"),
     ("chi2_independence", "fact → census exchange; margins broadcast back; exact integer cell contributions"),
     ("activity_streaks", "islands via day−rank key: distinct-collapse + window + two rollups on one user exchange"),
-    ("token_bucket_throttle", "the sanctioned sequential tier: ONE exchange into Arrow FlatMapGroupsInPandas, O(1) fold state"),
+    ("token_bucket_throttle", "the sanctioned sequential tier: ONE exchange + JVM sort into one Arrow MapInArrow fold, O(1) state per key run (r12)"),
     ("wavelet_energy_levels", "three chained signed-sum aggregates over geometrically shrinking bucket relations"),
     ("ann_topk_opq", "OPQ (r9): HD rotation + gain-shape PQ fused into the scan; broadcast bucket join, one top-k exchange"),
     ("multimodal_tiff_packbits", "PackBits TIFF (r9): per-strip RLE inflate in the same Arrow pass as the IFD walk — map-only"),
