@@ -14117,8 +14117,8 @@ def token_bucket_throttle_q(spark, sf_dir):
     prefix-min identity, which only a one-sided clamp admits).  The
     engine therefore drops to the sanctioned tier-(b) path: ONE
     hash(user) exchange + JVM sort feeding an Arrow-batched
-    mapInPandas (one Python call per batch, not per key — r12) whose
-    per-key integer fold is O(1)-state and bit-reproducible; the
+    mapInArrow fold (one Python call per batch, not per key — r12)
+    whose per-key integer fold is O(1)-state and bit-reproducible; the
     oracle folds the identical recurrence as a DuckDB RECURSIVE CTE
     (one iteration per event rank), so even the Python escape hatch
     carries a hard cross-engine value proof.  See

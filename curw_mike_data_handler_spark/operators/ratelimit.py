@@ -86,6 +86,7 @@ def token_bucket_throttle(
         first = True
         cur_key = None
         cur_null = False
+        cur_nan = False
         level = admitted = n = 0
         prev_us = None
         keys: list = []
@@ -110,23 +111,28 @@ def token_bucket_throttle(
         for batch in batches:
             if key_arrow_type is None:
                 key_arrow_type = batch.schema.field("_key").type
-            kcol = batch.column(batch.schema.get_field_index("_key"))
-            tcol = batch.column(batch.schema.get_field_index("_t_us"))
-            ccol = batch.column(batch.schema.get_field_index("_cost"))
-            for i in range(batch.num_rows):
-                k = kcol[i].as_py()
+            # bulk to_pylist, not per-element pa.Scalar indexing
+            # (review finding): one C-level conversion per column per
+            # batch, identical exactness (int stays int, null → None)
+            kvals = batch.column(batch.schema.get_field_index("_key")).to_pylist()
+            tvals = batch.column(batch.schema.get_field_index("_t_us")).to_pylist()
+            cvals = batch.column(batch.schema.get_field_index("_cost")).to_pylist()
+            for k, t_us, cost in zip(kvals, tvals, cvals):
                 k_null = k is None
-                if first or k_null != cur_null or (
-                    not k_null and k != cur_key
+                # NaN keys: groupBy normalizes NaN = NaN into ONE
+                # group (and the JVM sort clusters them), so the run
+                # check must too — plain k != cur_key would split
+                # every NaN row into its own bucket (review finding)
+                k_nan = (not k_null) and isinstance(k, float) and k != k
+                if first or k_null != cur_null or k_nan != cur_nan or (
+                    not k_null and not k_nan and k != cur_key
                 ):
                     if not first:
                         keys.append(cur_key)
                         rows.append((n, admitted, level))
-                    cur_key, cur_null = k, k_null
+                    cur_key, cur_null, cur_nan = k, k_null, k_nan
                     level, prev_us, admitted, n = cap, None, 0, 0
                     first = False
-                t_us = tcol[i].as_py()
-                cost = ccol[i].as_py()
                 if prev_us is not None:
                     level = min(
                         cap, level + (t_us - prev_us) * rate // 1_000_000_000

@@ -71,24 +71,6 @@ _EPHEMERAL_CKPT_CONF = {
 }
 
 
-def _explicitly_set(spark: SparkSession, key: str) -> str | None:
-    """The session's EXPLICIT value for ``key``, or None if unset.
-    ``spark.conf.get`` would return the built-in DEFAULT for keys that
-    have one (e.g. fileChecksum.enabled → "true"), so restoring from it
-    would pin the default as an explicit session value, shadowing any
-    later change to the underlying default (review finding, r12)."""
-    try:
-        if spark._jsparkSession.sessionState().conf().contains(key):
-            return spark.conf.get(key)
-        return None
-    except Exception:
-        # fallback: get() raises for unset keys WITHOUT a default
-        try:
-            return spark.conf.get(key)
-        except Exception:
-            return None
-
-
 @contextlib.contextmanager
 def ephemeral_checkpoint_conf(spark: SparkSession):
     """Apply the ephemeral-checkpoint I/O profile around a streaming
@@ -103,8 +85,12 @@ def ephemeral_checkpoint_conf(spark: SparkSession):
     if os.environ.get("SPARK_GRAFT_EPHEMERAL_CKPT_TUNING") == "0":
         yield
         return
+    # conf.get(key, None) returns the EXPLICIT session value or None —
+    # it does not consult built-in defaults (verified on pyspark
+    # 4.1.2), so an unset key restores to unset instead of being
+    # pinned to its default (e.g. fileChecksum.enabled → "true")
     prev: dict[str, str | None] = {
-        k: _explicitly_set(spark, k) for k in _EPHEMERAL_CKPT_CONF
+        k: spark.conf.get(k, None) for k in _EPHEMERAL_CKPT_CONF
     }
     for k, v in _EPHEMERAL_CKPT_CONF.items():
         spark.conf.set(k, v)

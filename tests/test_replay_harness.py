@@ -223,3 +223,51 @@ def test_token_bucket_plan_one_exchange_map_in_arrow(spark, sf_dir):
     assert "hashpartitioning(_key" in plan, plan
     assert "MapInArrow" in plan, plan
     assert "FlatMapGroupsInPandas" not in plan, plan
+
+
+def test_token_bucket_nan_keys_fold_as_one_group(spark):
+    """Review finding (r12, second pass): for a float-typed key
+    column, groupBy normalizes NaN = NaN into ONE group and the JVM
+    sort clusters NaNs — the Arrow fold's run detection must not
+    split them (plain k != cur_key is always True for NaN)."""
+    import datetime
+    import math
+
+    from pyspark.sql import types as T
+
+    from curw_mike_data_handler_spark.operators.ratelimit import (
+        token_bucket_throttle,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for key in (float("nan"), 1.5, float("nan"), None):
+        for _ in range(3):
+            rows.append((key, base + datetime.timedelta(seconds=60 * eid), eid, 40))
+            eid += 1
+    schema = T.StructType([
+        T.StructField("user_id", T.DoubleType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("cost", T.LongType(), False),
+    ])
+    ev = spark.createDataFrame(rows, schema)
+    out = token_bucket_throttle(
+        ev, capacity_cents=100, rate_cents_per_ks=0
+    ).collect()
+    by_kind = {"nan": None, "null": None, "plain": None}
+    for r in out:
+        if r.user_id is None:
+            kind = "null"
+        elif math.isnan(r.user_id):
+            kind = "nan"
+        else:
+            kind = "plain"
+        assert by_kind[kind] is None, f"duplicate {kind} group: {out}"
+        by_kind[kind] = r
+    # 6 NaN events fold as ONE bucket (cap 100, cost 40, rate 0)
+    assert by_kind["nan"].n_events == 6
+    assert by_kind["nan"].n_admitted == 2
+    assert by_kind["null"].n_events == 3
+    assert by_kind["plain"].n_events == 3
