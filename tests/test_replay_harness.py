@@ -271,3 +271,28 @@ def test_token_bucket_nan_keys_fold_as_one_group(spark):
     assert by_kind["nan"].n_admitted == 2
     assert by_kind["null"].n_events == 3
     assert by_kind["plain"].n_events == 3
+
+
+def test_feed_scaled_partitions_floor_and_ceiling(spark, tmp_path):
+    """r12: the replay harness derives its state-partition count from
+    the FEED SIZE — floor 2 for KB-scale gate feeds, one partition per
+    ~4 MiB, capped at the session's configured shuffle partitions so
+    corpus-scale feeds keep full parallelism."""
+    src = tmp_path / "src"
+    src.mkdir()
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def with_file(n_bytes):
+        # sparse file: st_size is what the formula reads, no real I/O
+        import os
+
+        p = src / "part-00000"
+        p.touch()
+        os.truncate(p, n_bytes)
+        return rp._feed_scaled_partitions(spark, str(src))
+
+    assert with_file(10_000) == 2                      # KB feed -> floor
+    assert with_file(9 * (4 << 20)) == min(session_parts, 10)
+    assert with_file(10_000 * (4 << 20)) == session_parts  # saturates
+    # unreadable dir -> session setting (never fail the replay)
+    assert rp._feed_scaled_partitions(spark, str(tmp_path / "nope")) == session_parts
