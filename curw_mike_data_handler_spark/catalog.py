@@ -1599,13 +1599,32 @@ def approx_quantiles_contract_q(spark, sf_dir):
     UNTESTED scale factor — the row attests "sketch quantiles are
     sane", not a sharp error constant; validated green at
     sf0.001/0.01/0.1.  The exact median rides along as a
-    fully-checked value on integer cents."""
+    fully-checked value on integer cents.
+
+    The exact side runs through the distributed count-then-select
+    (operators/robust.exact_grouped_percentiles, r12 verdict #1) —
+    bit-identical to the holistic ``percentile`` it replaced, without
+    funneling each return flag's values into one task; the sketch side
+    stays a plain mergeable aggregate and the two join on the 3-row
+    group key."""
+    from curw_mike_data_handler_spark.operators.robust import (
+        exact_grouped_percentiles,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
     c = _cents("l_extendedprice")
-    g = li.groupBy("l_returnflag").agg(
-        F.percentile_approx(c, [0.5, 0.9, 0.99], 10000).alias("ap"),
-        F.percentile(c, F.array(*[F.lit(x) for x in
-                                  (0.49, 0.5, 0.51, 0.89, 0.91, 0.98, 1.0)])).alias("ex"),
+    vals = li.select("l_returnflag", c.alias("v"))
+    exact = exact_grouped_percentiles(
+        vals,
+        "v",
+        [0.49, 0.5, 0.51, 0.89, 0.91, 0.98, 1.0],
+        by=["l_returnflag"],
+        out_col="ex",
+    )
+    g = (
+        vals.groupBy("l_returnflag")
+        .agg(F.percentile_approx("v", [0.5, 0.9, 0.99], 10000).alias("ap"))
+        .join(F.broadcast(exact), "l_returnflag")
     )
     ex = lambda i: F.col("ex")[i]  # noqa: E731
     return g.select(
@@ -4669,14 +4688,23 @@ def mad_anomalies(spark, sf_dir):
     twice but never shuffled (the small agg exchanges move ~nothing).  All medians run on exact
     integer cents (interpolation at worst introduces an exact .5),
     |v − med| is exact in doubles, and the 3×MAD threshold compare is
-    therefore engine-invariant.  At corpus scale swap percentile for
-    approx_percentile and fold both passes' thresholds into one scan."""
+    therefore engine-invariant.  Both medians run through the
+    distributed count-then-select (r12 verdict #1) — bit-identical to
+    the holistic percentile, no per-group single-task buffer."""
+    from curw_mike_data_handler_spark.operators.robust import (
+        exact_grouped_percentiles,
+    )
+
     ev = _t(spark, sf_dir, "events").select("event_type", _cents("value").alias("v"))
-    med = ev.groupBy("event_type").agg(F.expr("percentile(v, 0.5)").alias("med_c"))
+    med = exact_grouped_percentiles(ev, "v", [0.5], by=["event_type"]).select(
+        "event_type", F.col("__q")[0].alias("med_c")
+    )
     dev = ev.join(med, "event_type").select(
         "event_type", "v", F.abs(F.col("v") - F.col("med_c")).alias("d"), "med_c"
     )
-    mad = dev.groupBy("event_type").agg(F.expr("percentile(d, 0.5)").alias("mad_c"))
+    mad = exact_grouped_percentiles(dev, "d", [0.5], by=["event_type"]).select(
+        "event_type", F.col("__q")[0].alias("mad_c")
+    )
     return (
         dev.join(mad, "event_type")
         .groupBy("event_type")
@@ -5478,9 +5506,10 @@ def a14_winsorized_mean(spark, sf_dir):
 
     Scale shape: one threshold pass + one grouped aggregate over the
     broadcast 1-row thresholds (operators/robust.winsorized_mean).
-    ``exact=True`` (holistic percentile) is the gate-scale oracle pin
-    ONLY — the operator defaults to the mergeable approx sketch, and a
-    plan guard asserts no holistic percentile on the default path."""
+    ``exact=True`` is the gate-scale oracle pin ONLY — the operator
+    defaults to the mergeable approx sketch — and since r13 the exact
+    path itself is the distributed count-then-select, bit-identical
+    to the holistic percentile it replaced."""
     from curw_mike_data_handler_spark.operators.robust import winsorized_mean
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -8734,35 +8763,49 @@ def weighted_median_price(spark, sf_dir):
 
     Scale shape: the raw fact first collapses to DISTINCT (group,
     value) rows with pre-summed integer weights — one partial+final
-    hash agg — so the subsequent cumulative-sum window runs over the
-    value-distinct set, not the raw rows (for measures with bounded
-    cardinality this is orders of magnitude smaller).  Integer
-    weights and cents values make cw/tw exact in both engines; no
-    holistic percentile anywhere."""
-    from pyspark.sql import Window
+    hash agg — and the lower weighted median is then the value at
+    cumulative-weight rank ⌈tw/2⌉, selected by the distributed
+    count-then-select (operators/robust.select_values_at_ranks, r12
+    verdict #1): bucket histogram + bounded windows instead of the
+    previous per-group cumulative window over the whole value-distinct
+    set, whose single task per group was the remaining 100-TB risk
+    for unbounded value domains.  Integer weights and cents values
+    make the rank arithmetic exact in both engines; no holistic
+    percentile anywhere."""
+    from curw_mike_data_handler_spark.operators.robust import (
+        select_values_at_ranks,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
-    g = (
+    rows = (
         li.select(
             F.col("l_returnflag").alias("grp"),
-            _cents("l_extendedprice").alias("v"),
-            F.round("l_quantity").cast("long").alias("w"),
+            _cents("l_extendedprice").alias("__v"),
+            F.round("l_quantity").cast("long").alias("__w"),
         )
-        .groupBy("grp", "v")
-        .agg(F.sum("w").alias("w"))
+        .groupBy("grp", "__v")
+        .agg(F.sum("__w").alias("__w"))
+        # lineage truncation — the census feeds the targets, histogram
+        # and finish passes (see robust.exact_grouped_percentiles)
+        .localCheckpoint(eager=False)
     )
-    w_cum = Window.partitionBy("grp").orderBy("v")
-    w_tot = Window.partitionBy("grp")
-    cum = g.select(
+    vd = F.col("__v").cast("double")
+    # 2·cw ≥ tw  ⟺  cw ≥ ⌈tw/2⌉ for integer cumulative weights
+    tot = rows.groupBy("grp").agg(
+        F.sum("__w").alias("__tw"),
+        F.min(vd).alias("__vmin"),
+        F.max(vd).alias("__vmax"),
+    )
+    targets = tot.select(
         "grp",
-        "v",
-        F.sum("w").over(w_cum).alias("cw"),
-        F.sum("w").over(w_tot).alias("tw"),
+        F.lit(0).cast("long").alias("__tid"),
+        F.expr("(__tw + 1) div 2").alias("__target"),
     )
-    return (
-        cum.filter(2 * F.col("cw") >= F.col("tw"))
-        .groupBy("grp")
-        .agg((F.min("v").cast("double") / 100).alias("weighted_median"))
+    keys = select_values_at_ranks(
+        rows, ["grp"], targets, tot.select("grp", "__vmin", "__vmax")
+    )
+    return keys.select(
+        "grp", (F.col("__key").cast("double") / 100).alias("weighted_median")
     )
 
 
@@ -12708,8 +12751,9 @@ def theilsen_trend(spark, sf_dir):
     TIME RANGE (m = buckets), not by row count — 30 days of hourly
     buckets is ~260k pairs per series at ANY corpus scale; for
     multi-year ranges, sample pairs per the Siegel repeated-median
-    or stratify by lag.  The per-series median is holistic but runs
-    on the pair relation, partitioned by series key."""
+    or stratify by lag.  The per-series median runs through the
+    distributed count-then-select (r12 verdict #1) on the pair
+    relation — no single task ever buffers a whole series' slopes."""
     ev = _t(spark, sf_dir, "events")
     ser = (
         ev.groupBy(
@@ -12726,16 +12770,27 @@ def theilsen_trend(spark, sf_dir):
         & (F.col("x.b") < F.col("y.b")),
     ).select(
         F.col("x.event_type").alias("event_type"),
-        (
-            (F.col("y.s") - F.col("x.s")).cast("double")
-            / (F.col("y.b") - F.col("x.b")).cast("double")
+        # try_divide, not `/`: the selection helper filters
+        # isnotnull(slope), and predicate pushdown may evaluate that
+        # division on join pairs the x.b < y.b condition has not yet
+        # excluded — under ANSI sessions a plain divide then raises on
+        # the y.b == x.b pairs.  Joined output always has y.b > x.b,
+        # so try_divide yields bit-identical doubles.
+        F.try_divide(
+            (F.col("y.s") - F.col("x.s")).cast("double"),
+            (F.col("y.b") - F.col("x.b")).cast("double"),
         ).alias("slope"),
     )
-    agg = sl.groupBy("event_type").agg(
-        F.count("*").alias("n_pairs"),
-        F.round(F.expr("percentile(slope, 0.5)") / 100.0, 6).alias(
-            "median_slope_per_hour"
-        ),
+    from curw_mike_data_handler_spark.operators.robust import (
+        exact_grouped_percentiles,
+    )
+
+    agg = exact_grouped_percentiles(
+        sl, "slope", [0.5], by=["event_type"], n_col="n_pairs"
+    ).select(
+        "event_type",
+        "n_pairs",
+        F.round(F.col("__q")[0] / 100.0, 6).alias("median_slope_per_hour"),
     )
     return agg.join(F.broadcast(nb), "event_type").select(
         "event_type", "n_buckets", "n_pairs", "median_slope_per_hour"
@@ -13443,10 +13498,11 @@ def conversion_latency_quantiles(spark, sf_dir):
     First-touch timestamps are exact integer micro-epochs from two
     map-side-combinable min aggregates on the SAME hash(user)
     exchange shape; latencies truncate to whole seconds (integer) so
-    the interpolated percentiles agree bit-for-bit.  The percentile
-    itself is holistic but runs over the |converted users| relation —
-    at corpus scale swap for approx_percentile under the
-    approx_quantiles_contract bound."""
+    the interpolated percentiles agree bit-for-bit.  The percentiles
+    run through the distributed count-then-select (r12 verdict #1)
+    over the |converted users| relation — the second-scale latency
+    domain collapses to a tiny value census, and no single task ever
+    buffers the whole relation."""
     ev = _t(spark, sf_dir, "events")
     s = (
         ev.filter(F.col("event_type") == "signup")
@@ -13463,12 +13519,18 @@ def conversion_latency_quantiles(spark, sf_dir):
         .filter(F.col("t1") >= F.col("t0"))
         .select(((F.col("t1") - F.col("t0")) / 1_000_000).cast("long").alias("lat_s"))
     )
-    return d.agg(
-        F.count("*").alias("n_converted"),
-        F.expr("percentile(lat_s, 0.25)").alias("p25_s"),
-        F.expr("percentile(lat_s, 0.50)").alias("p50_s"),
-        F.expr("percentile(lat_s, 0.75)").alias("p75_s"),
-        F.expr("percentile(lat_s, 0.90)").alias("p90_s"),
+    from curw_mike_data_handler_spark.operators.robust import (
+        exact_grouped_percentiles,
+    )
+
+    return exact_grouped_percentiles(
+        d, "lat_s", [0.25, 0.50, 0.75, 0.90], by=[], n_col="n_converted"
+    ).select(
+        "n_converted",
+        F.col("__q")[0].alias("p25_s"),
+        F.col("__q")[1].alias("p50_s"),
+        F.col("__q")[2].alias("p75_s"),
+        F.col("__q")[3].alias("p90_s"),
     )
 
 
@@ -13509,7 +13571,9 @@ def classifier_confusion_stats(spark, sf_dir):
     Cohen's κ — the operating-point report that complements the
     threshold-free AUC (quality_classifier_auc) and the
     calibration curve (calibration_bins).  The median threshold is
-    an exact percentile of integer scores broadcast as a scalar; the
+    an exact percentile of integer scores broadcast as a scalar —
+    computed by the distributed count-then-select (r12 verdict #1),
+    not a single-task holistic aggregate; the
     four confusion cells are ONE conditional map-side-combinable
     aggregate over the fact; κ uses the integer-count form
     (po·N² − pe-terms kept as exact integer products, one double
@@ -13522,7 +13586,13 @@ def classifier_confusion_stats(spark, sf_dir):
         F.expr("(100 * n_chars) div size(split(text, ' '))").alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
-    thr = scored.agg(F.expr("percentile(score, 0.5)").alias("m"))
+    from curw_mike_data_handler_spark.operators.robust import (
+        exact_grouped_percentiles,
+    )
+
+    thr = exact_grouped_percentiles(scored, "score", [0.5], by=[]).select(
+        F.col("__q")[0].alias("m")
+    )
     pos = F.col("score") > F.col("m")
     cm = (
         scored.join(F.broadcast(thr))

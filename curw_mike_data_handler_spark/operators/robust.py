@@ -7,10 +7,13 @@ the merging task.  Every entry point here therefore defaults to
 ``exact=False`` → ``approx_percentile`` (the mergeable KLL/GK-style
 sketch, bounded memory, error ≤ 1/accuracy quantile ranks — the bound
 ``approx_quantiles_contract`` attests empirically).  ``exact=True``
-exists for gate-scale oracle attestation ONLY: the catalog queries pin
-it so DuckDB's ``quantile_cont`` hash-compares exactly, but nothing on
-the 100-TB path may pass it (a plan guard asserts the default plan
-contains no holistic percentile).
+exists for gate-scale oracle attestation: the catalog queries pin it
+so DuckDB's ``quantile_cont`` hash-compares exactly — and since r13
+(r12 verdict #1) the exact path is itself DISTRIBUTED: a two-pass
+count-then-select (``exact_grouped_percentiles`` /
+``select_values_at_ranks`` below) that is bit-identical to
+``percentile`` but never buffers a group into one task, so even the
+exact contract survives an arbitrarily large group.
 
 Reference parity: the reference clamps known-bad sentinel codes
 (`replace_negative_numbers_with_nan`, rf_linux:118); winsorizing is the
@@ -24,6 +27,345 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_ACCURACY = 10_000
+
+# Bucket count for the distributed exact order-statistic selection
+# (exact_grouped_percentiles / select_values_at_ranks).  Cost model:
+# the histogram relation is O(groups × buckets) rows (tiny at any data
+# scale) and the within-bucket finish sorts ~|distinct values| /
+# num_buckets rows per task, so 4096 turns a 10¹²-row group into
+# ~10⁸-distinct-per-bucket worst case — and real value domains (cents,
+# integer slopes) are far smaller.  Raise it (or recurse) before
+# touching the exact contract.
+DEFAULT_SELECT_BUCKETS = 4096
+
+
+def _nullsafe_bjoin(
+    left: DataFrame, small: DataFrame, by: list[str]
+) -> DataFrame:
+    """Broadcast-join ``small`` onto ``left`` null-safely on the group
+    keys ``by`` (plain join conditions drop NULL group keys, which ARE
+    groups to groupBy).  ``small``'s ``by`` columns are renamed to
+    temporaries for the join and dropped after, so the output keeps
+    exactly ``left``'s columns plus ``small``'s non-key columns.  With
+    ``by == []`` this is a broadcast cross join (``small`` must then be
+    a 1-row relation)."""
+    if not by:
+        return left.crossJoin(F.broadcast(small))
+    gcols = [f"__g{i}" for i in range(len(by))]
+    renamed = small.select(
+        *[F.col(b).alias(g) for b, g in zip(by, gcols)],
+        *[c for c in small.columns if c not in by],
+    )
+    cond = None
+    for b, g in zip(by, gcols):
+        c = F.col(b).eqNullSafe(F.col(g))
+        cond = c if cond is None else (cond & c)
+    return left.join(F.broadcast(renamed), cond).drop(*gcols)
+
+
+def _bucket_expr(vd: Column, vmin: Column, vmax: Column, nb: int) -> Column:
+    """Order-preserving bucket id (1 .. nb+2) for a double-cast value
+    within per-group [vmin, vmax] bounds.  ``width_bucket`` is monotone
+    non-decreasing in ``vd`` (all that correctness needs — bucket
+    boundaries only affect load balance); a degenerate group
+    (vmin == vmax) collapses to bucket 1, and NaN (which Spark orders
+    greater than any value) pins to the top bucket."""
+    wb = F.width_bucket(vd, vmin, vmax, F.lit(nb))
+    return F.when(F.isnan(vd), F.lit(nb + 2).cast("long")).otherwise(
+        F.when(vmax > vmin, wb).otherwise(F.lit(1).cast("long"))
+    )
+
+
+def select_values_at_ranks(
+    rows: DataFrame,
+    by: list[str],
+    targets: DataFrame,
+    bounds: DataFrame,
+    *,
+    num_buckets: int = DEFAULT_SELECT_BUCKETS,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """Distributed exact order-statistic selection (count-then-select,
+    guide §2/§5) over weighted rows ``rows`` = ``(by…, __v, __w)``
+    (``__v`` non-null, ``__w`` a non-negative long weight — 1 for plain
+    multiplicity): for each row of ``targets`` — ``(by…, __tid,
+    __target, passthrough…)`` with ``__target`` a 1-based
+    cumulative-weight rank — return the ``targets`` row with ``__key``
+    appended: the smallest ``__v`` whose running weight sum in value
+    order reaches ``__target``.  ``bounds`` = ``(by…, __vmin,
+    __vmax)`` gives each group's double-cast value range (both tiny
+    relations are broadcast; ``passthrough`` lists the target columns
+    to carry through — defaults to none).
+
+    Plan shape — the part that matters at 100 TB: there is NO
+    full-data exchange anywhere.  1) histogram — bucket weight per
+    (group, bucket), a mergeable rollup whose map side emits ≤
+    num_buckets+2 rows per task per group, collapsed to ONE bounded
+    array row per group;  2) each target's bucket and the cumulative
+    weight before it come from an ``aggregate`` HOF over that array —
+    expression work, no shuffle;  3) finish — rows filtered to the few
+    target buckets (a map-side drop of everything else), collapsed to
+    distinct values within them, one sorted array per (group, bucket),
+    walked by a second HOF.  ``rows`` is scanned three times (stats
+    live in the caller, histogram, finish), each a thin partial
+    aggregate; identical exchanges inside those scans are deduped at
+    runtime by ReuseExchange, and none of them carries the data —
+    unlike the holistic ``percentile``/window forms this replaces,
+    which funnel every row of a group into one task."""
+    by = list(by or [])
+    passthrough = list(passthrough or [])
+    vd = F.col("__v").cast("double")
+    rows_b = _nullsafe_bjoin(rows, bounds, by).select(
+        *by,
+        "__v",
+        "__w",
+        _bucket_expr(vd, F.col("__vmin"), F.col("__vmax"), num_buckets).alias(
+            "__b"
+        ),
+    )
+    # 1) histogram: weight per (group, bucket) — mergeable, tiny
+    # fan-in — then ONE bounded array row per group
+    hist = (
+        rows_b.groupBy(*by, "__b")
+        .agg(F.sum("__w").alias("__bc"))
+        .groupBy(*by)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("__b", "__bc"))).alias(
+                "__hist"
+            )
+        )
+    )
+    # 2) walk the histogram once per target: the bucket where the
+    # running weight first reaches __target, and the weight before it
+    zero = F.lit(0).cast("long")
+    nul = F.lit(None).cast("long")
+    rb = _nullsafe_bjoin(targets, hist, by).select(
+        *by,
+        "__tid",
+        "__target",
+        *passthrough,
+        F.aggregate(
+            F.col("__hist"),
+            F.struct(zero.alias("acc"), nul.alias("b"), nul.alias("off")),
+            lambda st, x: F.when(
+                st.b.isNull() & (st.acc + x["__bc"] >= F.col("__target")),
+                F.struct(
+                    (st.acc + x["__bc"]).alias("acc"),
+                    x["__b"].alias("b"),
+                    st.acc.alias("off"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (st.acc + x["__bc"]).alias("acc"),
+                    st.b.alias("b"),
+                    st.off.alias("off"),
+                )
+            ),
+        ).alias("__loc"),
+    ).select(
+        *by,
+        "__tid",
+        "__target",
+        *passthrough,
+        F.col("__loc.b").alias("__rb"),
+        F.col("__loc.off").alias("__off"),
+    )
+    # 3) finish: inside the target buckets only — map-side filter,
+    # collapse to distinct values, one sorted bounded array per bucket
+    need = rb.select(*by, F.col("__rb").alias("__nb")).distinct()
+    cand = (
+        _nullsafe_bjoin(rows_b, need, by)
+        .where(F.col("__b") == F.col("__nb"))
+        .groupBy(*by, "__b", "__v")
+        .agg(F.sum("__w").alias("__c"))
+        .groupBy(*by, "__b")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("__v", "__c"))).alias(
+                "__vals"
+            )
+        )
+    )
+    # walk the bucket array once per target: the first value whose
+    # running weight (seeded with the bucket's offset) reaches the
+    # target.  The found-flag scheme avoids needing __v's type for a
+    # NULL literal; every target's answer exists by construction.
+    walk = F.aggregate(
+        F.col("__vals"),
+        F.struct(
+            F.col("__off").alias("acc"),
+            F.element_at(F.col("__vals"), 1)["__v"].alias("key"),
+            F.lit(False).alias("found"),
+        ),
+        lambda st, x: F.when(
+            (~st.found) & (st.acc + x["__c"] >= F.col("__target")),
+            F.struct(
+                (st.acc + x["__c"]).alias("acc"),
+                x["__v"].alias("key"),
+                F.lit(True).alias("found"),
+            ),
+        ).otherwise(
+            F.struct(
+                (st.acc + x["__c"]).alias("acc"),
+                st.key.alias("key"),
+                st.found.alias("found"),
+            )
+        ),
+        lambda st: st.key,
+    )
+    # broadcast the tiny per-target locator onto the bucket arrays
+    # (not the other way round: a bucket's value array is data-sized)
+    sel = _nullsafe_bjoin(
+        cand.withColumnRenamed("__b", "__cb"), rb, by
+    ).where(F.col("__rb") == F.col("__cb"))
+    return sel.select(
+        *by, "__tid", "__target", *passthrough, walk.alias("__key")
+    )
+
+
+def exact_grouped_percentiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    *,
+    by: list[str] | None = None,
+    out_col: str = "__q",
+    n_col: str | None = None,
+    num_buckets: int = DEFAULT_SELECT_BUCKETS,
+) -> DataFrame:
+    """Exact interpolated percentiles per group, BIT-IDENTICAL to
+    ``F.percentile(value_col, array(probs))`` (same position formula
+    ``p·(n−1)``, same floor/ceil neighbor ranks, same
+    ``(hi−pos)·lo_key + (pos−lo)·hi_key`` double interpolation and the
+    same two short-circuits), but computed with the distributed
+    count-then-select above instead of Spark's HOLISTIC ``Percentile``
+    aggregate, which buffers every value of a group into the single
+    merging task — the one plan shape that cannot survive a 100-TB
+    group (r12 verdict #1).
+
+    Output: one row per group with ``out_col`` = array<double> in
+    ``probs`` order (plus ``n_col`` = the group's non-null value count
+    when requested).  Groups whose values are all NULL are absent from
+    the output (``F.percentile`` would emit a NULL array; no catalog
+    gate feeds one).  Group cardinality must be broadcast-sized — the
+    same contract as the approx path's broadcast bin edges.
+
+    Cost shape: the input is first collapsed to the (group, value,
+    multiplicity) census — ONE map-side-combinable exchange of the
+    data, the same bytes the holistic percentile's partial maps
+    shipped, but hash-spread over all reducers instead of funneled to
+    one task per group — and lineage-truncated with a lazy
+    localCheckpoint (density.py precedent, guide §3.3): the census is
+    referenced by the stats, histogram and finish passes, and without
+    truncation the logical plan duplicates the input subtree per
+    reference (measured: mad_anomalies' nested plan grew to 200 scan
+    nodes / 11k explain lines and +2-3 s of pure per-op analysis)."""
+    by = list(by or [])
+    rows = df.select(
+        *by,
+        F.col(value_col).alias("__v"),
+        F.lit(1).cast("long").alias("__w"),
+    ).where(F.col("__v").isNotNull())
+    census = (
+        rows.groupBy(*by, "__v")
+        .agg(F.sum("__w").alias("__w"))
+        .localCheckpoint(eager=False)
+    )
+    vd = F.col("__v").cast("double")
+    stats = census.groupBy(*by).agg(
+        F.sum("__w").alias("__n"),
+        F.min(vd).alias("__vmin"),
+        F.max(vd).alias("__vmax"),
+    )
+    # two selection targets per (group, prob): position p·(n−1), its
+    # 0-based neighbor ranks lo/hi → 1-based cumulative-count targets
+    # lo+1 / hi+1, tagged __tid = 2·pi (+1); pos/lo/hi/n ride along as
+    # passthrough columns so the interpolation needs no join back
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    tq = stats.select(
+        *by, "__n", F.posexplode(parr).alias("__pi", "__p")
+    ).select(
+        *by,
+        "__n",
+        "__pi",
+        (F.col("__p") * (F.col("__n") - 1).cast("double")).alias("__pos"),
+    ).select(
+        *by,
+        "__n",
+        "__pi",
+        "__pos",
+        F.floor("__pos").alias("__lo"),
+        F.ceil("__pos").alias("__hi"),
+    )
+    targets = tq.select(
+        *by,
+        "__n",
+        "__pi",
+        "__pos",
+        "__lo",
+        "__hi",
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("__pi").cast("long") * 2).alias("__tid"),
+                    (F.col("__lo") + 1).alias("__target"),
+                ),
+                F.struct(
+                    (F.col("__pi").cast("long") * 2 + 1).alias("__tid"),
+                    (F.col("__hi") + 1).alias("__target"),
+                ),
+            )
+        ).alias("__t"),
+    ).select(
+        *by, "__n", "__pi", "__pos", "__lo", "__hi",
+        "__t.__tid", "__t.__target",
+    )
+    keys = select_values_at_ranks(
+        census,
+        by,
+        targets,
+        stats.select(*by, "__vmin", "__vmax"),
+        num_buckets=num_buckets,
+        passthrough=["__n", "__pi", "__pos", "__lo", "__hi"],
+    )
+    # ONE pivot aggregation assembles lo/hi keys per prob and applies
+    # Percentile's interpolation verbatim — no further joins
+    key_d = F.col("__key").cast("double")
+    agg_cols = []
+    for i in range(len(probs)):
+        is_pi = F.col("__pi") == i
+        agg_cols += [
+            F.max(
+                F.when(is_pi & (F.col("__tid") % 2 == 0), key_d)
+            ).alias(f"__klo{i}"),
+            F.max(
+                F.when(is_pi & (F.col("__tid") % 2 == 1), key_d)
+            ).alias(f"__khi{i}"),
+            F.max(F.when(is_pi, F.col("__pos"))).alias(f"__pos{i}"),
+            F.max(F.when(is_pi, F.col("__lo"))).alias(f"__lo{i}"),
+            F.max(F.when(is_pi, F.col("__hi"))).alias(f"__hi{i}"),
+        ]
+    if n_col is not None:
+        agg_cols.append(F.max("__n").alias(n_col))
+    piv = keys.groupBy(*by).agg(*agg_cols)
+
+    def _val(i: int) -> Column:
+        klo, khi = F.col(f"__klo{i}"), F.col(f"__khi{i}")
+        pos = F.col(f"__pos{i}")
+        lo, hi = F.col(f"__lo{i}"), F.col(f"__hi{i}")
+        return (
+            F.when(lo == hi, klo)
+            .when(klo == khi, klo)
+            .otherwise(
+                (hi.cast("double") - pos) * klo
+                + (pos - lo.cast("double")) * khi
+            )
+        )
+
+    return piv.select(
+        *by,
+        F.array(*[_val(i) for i in range(len(probs))]).alias(out_col),
+        *([n_col] if n_col is not None else []),
+    )
 
 
 def quantile_agg(
@@ -64,8 +406,16 @@ def grouped_quantiles(
     divided by ``scale`` and rounded to 6 dp (the catalog's cents
     convention)."""
     names = names or [f"p{int(p * 100)}" for p in probs]
-    q = quantile_agg(value_col, probs, exact=exact, accuracy=accuracy).alias("__q")
-    g = df.groupBy(*(by or [])).agg(q) if by else df.agg(q)
+    if exact:
+        # distributed two-pass count-then-select (r12 verdict #1):
+        # bit-identical to the holistic ``percentile`` but with no
+        # single-task buffer of the whole group
+        g = exact_grouped_percentiles(df, value_col, probs, by=by)
+    else:
+        q = quantile_agg(
+            value_col, probs, exact=exact, accuracy=accuracy
+        ).alias("__q")
+        g = df.groupBy(*(by or [])).agg(q) if by else df.agg(q)
     return g.select(
         *(by or []),
         *[
@@ -95,9 +445,17 @@ def winsorized_mean(
     values re-integerize (round to cents) so the group mean is an
     exact integer sum in both engines under ``exact=True``."""
     vals = df.select(*by, F.col(value_col).alias("v"))
-    q = vals.agg(
-        quantile_agg("v", [lo, hi], exact=exact, accuracy=accuracy).alias("q")
-    ).select(F.col("q")[0].alias("lo"), F.col("q")[1].alias("hi"))
+    if exact:
+        # distributed exact selection (r12 verdict #1) instead of the
+        # holistic single-task percentile; same bits, see
+        # exact_grouped_percentiles
+        q = exact_grouped_percentiles(vals, "v", [lo, hi], by=[]).select(
+            F.col("__q")[0].alias("lo"), F.col("__q")[1].alias("hi")
+        )
+    else:
+        q = vals.agg(
+            quantile_agg("v", [lo, hi], exact=exact, accuracy=accuracy).alias("q")
+        ).select(F.col("q")[0].alias("lo"), F.col("q")[1].alias("hi"))
     j = vals.crossJoin(F.broadcast(q))
     vd = F.col("v").cast("double")
     clipped = F.round(F.least(F.greatest(vd, F.col("lo")), F.col("hi"))).cast("long")

@@ -467,13 +467,17 @@ def test_pivot_wide_is_fixed_width_aggregate_no_join_chain(spark):
 
 
 def test_winsorize_broadcasts_scalar_thresholds(spark):
-    """The p01/p99 scalar row joins the fact via broadcast; the grouped
-    rollup is the only hash exchange.  A shuffled scalar join here would
-    mean the thresholds re-partition the whole fact at 100 TB."""
+    """The p01/p99 scalar row joins the fact via broadcast — a shuffled
+    scalar join here would re-partition the whole fact at 100 TB — and
+    (r13) the exact thresholds come from the distributed
+    count-then-select, so no holistic percentile appears anywhere.
+    The pre-r13 "≤2 hash exchanges" pin is gone: the selection adds
+    exchanges, but every one of them carries census/histogram rows,
+    never the fact."""
     plan = _plan(spark, "a14_winsorized_mean")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert plan.count("Exchange hashpartitioning") <= 2
     assert "SortMergeJoin" not in plan
+    assert "percentile(" not in plan.replace("percentile_approx", "PA")
 
 
 def test_robust_default_path_has_no_holistic_percentile(spark):
@@ -646,14 +650,15 @@ def test_ohlc_is_one_aggregate_no_window(spark):
 
 
 def test_weighted_median_windows_value_distinct_set(spark):
-    """The cumulative-weight window must run AFTER the (group, value)
-    pre-aggregation: exactly one HashAggregate pair below the Sort —
-    windowing the raw fact would sort every row."""
+    """r13: the cumulative-weight walk runs through the distributed
+    count-then-select — bucket histogram + bounded sorted arrays — so
+    the plan has NO window at all (the pre-r13 shape windowed the
+    whole value-distinct set in one task per group), and the (group,
+    value) pre-aggregation is still the only pass over the fact."""
     plan = _plan(spark, "weighted_median_price")
-    # partial+final pre-agg, then window, then final min rollup
-    assert "Window" in plan
-    win_pos = plan.index("Window")
-    assert "HashAggregate" in plan[win_pos:], "pre-agg must sit below the window"
+    assert "Window" not in plan
+    assert "percentile(" not in plan
+    assert "HashAggregate" in plan
 
 
 def test_incremental_dedup_probes_corpus_no_full_rescan_join(spark):
