@@ -319,6 +319,49 @@ REPLAY_QUERIES = frozenset(n for n in HEADLINE if n.startswith("stream_"))
 # regressions are separable from catalog growth.  tests/test_bench_
 # contract.py pins the list's hash; change it only with a new baseline.
 COMMON_100 = tuple(HEADLINE[:100])
+
+# r12 verdict #2 (PERF comparability): the driver diffs per-query cold
+# times between consecutive rounds' one-line JSONs, so the purely
+# slowest-first fill made every membership change look like a dropped
+# or new query — five queries were flagged "dropped_from_bench" in r12
+# *because they sped up* off the line.  Fix is additive: every name the
+# r12 line carried is PINNED into the line first (guaranteeing those
+# comparisons never break again), and the remaining budget fills
+# slowest-first as before.  Append-only — never remove a name; the
+# stale historical ab_comparison blob moved out of the line (it lives
+# on in BENCH_local.json) to pay for the pinned entries.
+PINNED_COMPACT = (
+    "stream_manifest_cdf_replay",
+    "stream_full_outer_interval_join_replay",
+    "stream_outer_interval_join_replay",
+    "manifest_mirror_incremental_sync",
+    "dbscan_station_clusters",
+    "manifest_changes_incremental_read",
+    "dedup_components_twophase",
+    "manifest_index_point_lookup",
+    "manifest_index_merge_lookup",
+    "graph_pagerank",
+    "graph_weighted_paths",
+    "semdedup_clusters",
+    "ivf_kmeans_assign",
+    "dedup_keep_list",
+    "stream_interval_join_replay",
+    "basket_apriori_triples",
+    "variant_shred_pruned_read",
+    "manifest_bloom_point_read",
+    "manifest_mor_upsert_read",
+    "j11_bloom_semi_join",
+    "stream_cow_upsert_replay",
+    "stream_shred_ingest_replay",
+    "variant_shred_evolution_read",
+    # r12's PERF-comparable non-line set that the r11/r12 lines shared
+    # — kept stable so the driver's n_common can only grow
+    "a16_regression_residual_topk",
+    "graph_reachability",
+    "stream_asof_spine_replay",
+    "stream_dedup_watermark_replay",
+    "stream_quantile_drift_replay",
+)
 # recomputed from the r4 BENCH_local.json over the same 100 names
 COMMON_100_R4_WARM_TOTAL = 61.777
 # r5-tree isolated-mode baseline, measured in round 6 (git worktree at
@@ -547,10 +590,15 @@ def compact_line(payload: dict, budget: int = 1800) -> str:
     last ~2000 chars of stdout and parses the JSON line out of that
     tail — round 3's line carried all ~92 cold+warm entries (~5 KB), so
     the head was cut off and the driver recorded "parsed": null.
-    Budget the line: headline fields + as many per-query cold times as
-    fit (slowest first — those are the informative ones), and point at
-    BENCH_local.json for the complete cold+warm set.  Unit-tested to
-    stay under the tail budget at any catalog size."""
+    Budget the line: headline fields + per-query cold times — the
+    PINNED_COMPACT names first (r12 verdict #2: stable membership so
+    the driver's round-over-round per-query diff never mislabels a
+    sped-up query as dropped), then slowest-first for the rest — and
+    point at BENCH_local.json for the complete cold+warm set.
+    Unit-tested to stay under the tail budget at any catalog size.
+    The historical r7-vs-r6 ab_comparison blob is no longer inlined
+    (it cost ~700 chars of the budget and predates round 8; it still
+    ships in BENCH_local.json and BENCH_ABA_r07.json)."""
     timings = payload["queries"]
     head = {
         "metric": payload["metric"],
@@ -564,15 +612,21 @@ def compact_line(payload: dict, budget: int = 1800) -> str:
         "note": "engine-only totals; replay gate wall separate; "
         "all cold+warm in BENCH_local.json",
     }
-    if "ab_comparison" in payload:
-        head["ab_comparison"] = payload["ab_comparison"]
     compact_q: dict[str, float] = {}
     base_len = len(json.dumps({**head, "queries": {}, "omitted": len(timings)},
                               separators=(",", ":")))
     used = base_len
-    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+    pinned_first = [n for n in PINNED_COMPACT if n in timings]
+    rest = sorted(
+        (kv for kv in timings.items() if kv[0] not in set(pinned_first)),
+        key=lambda kv: -kv[1],
+    )
+    for name in pinned_first + [n for n, _ in rest]:
+        sec = timings[name]
         entry = len(name) + len(f'"":{round(sec, 2)},')
         if used + entry > budget:
+            if name in set(pinned_first):
+                continue  # never let one long pinned name evict later ones
             break
         compact_q[name] = round(sec, 2)
         used += entry

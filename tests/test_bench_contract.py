@@ -61,3 +61,31 @@ def test_compact_line_fits_driver_tail_at_any_scale():
     real = {**payload, "queries": {n: 1.0 for n in bench.HEADLINE}}
     line2 = bench.compact_line(real)
     assert len(line2) <= 1800 and json.loads(line2)["omitted"] >= 0
+
+
+def test_compact_line_pins_r12_membership():
+    """r12 verdict #2: every name the r12 compact line carried must
+    stay in the line whenever it is in the timings dict, so the
+    driver's per-query round-over-round diff can't mislabel sped-up
+    queries as dropped."""
+    import json
+
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": 1.0,
+        "warm_total": 1.0,
+        "common_warm_total": 1.0,
+        "sf": 0.1,
+        # pathological: every pinned query is FAST (0.01s) and 400
+        # other queries are slower — slowest-first alone would evict
+        # all of them
+        "queries": {
+            **{n: 0.01 for n in bench.PINNED_COMPACT},
+            **{f"other_query_{i:04d}": 5.0 + i * 0.01 for i in range(400)},
+        },
+    }
+    line = bench.compact_line(payload)
+    assert len(line) <= 1800
+    parsed = json.loads(line)
+    for name in bench.PINNED_COMPACT:
+        assert name in parsed["queries"], name
