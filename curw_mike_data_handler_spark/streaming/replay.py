@@ -105,13 +105,22 @@ def ephemeral_checkpoint_conf(spark: SparkSession, extra: dict | None = None):
     on Spark's durable defaults.
 
     ``extra``: additional per-start overrides (the replay harness
-    passes its feed-size-derived shuffle-partition count)."""
-    if os.environ.get("SPARK_GRAFT_EPHEMERAL_CKPT_TUNING") == "0":
-        yield
-        return
-    conf = dict(_EPHEMERAL_CKPT_CONF)
+    passes its feed-size-derived shuffle-partition count).  The
+    SPARK_GRAFT_EPHEMERAL_CKPT_TUNING=0 kill switch disables ONLY the
+    checkpoint-I/O profile; ``extra`` still applies — it is a
+    logically separate change (feed-scaled state partitioning) and
+    tying it to the I/O escape hatch silently reverted it (ADVICE
+    r12)."""
+    conf = (
+        {}
+        if os.environ.get("SPARK_GRAFT_EPHEMERAL_CKPT_TUNING") == "0"
+        else dict(_EPHEMERAL_CKPT_CONF)
+    )
     if extra:
         conf.update(extra)
+    if not conf:
+        yield
+        return
     with _conf_override(spark, conf):
         yield
 
@@ -145,6 +154,12 @@ def _feed_scaled_partitions(spark: SparkSession, src: str) -> int:
     except OSError:
         return int(spark.conf.get("spark.sql.shuffle.partitions"))
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if bytes_total == 0:
+        # no top-level part-* files (nested/partitioned feed layout, or
+        # a non-local source this sizing heuristic cannot see): fall
+        # back to the session setting instead of silently pinning the
+        # floor of 2 (ADVICE r12)
+        return session_parts
     return max(2, min(session_parts, (bytes_total // (4 << 20)) + 1))
 
 
@@ -160,7 +175,18 @@ def _rematerialize_local(spark: SparkSession, sink: DataFrame) -> DataFrame:
     to the row path for any type Arrow interchange cannot carry."""
     try:
         return spark.createDataFrame(sink.toArrow())
-    except Exception:
+    except Exception as exc:
+        # visible fallback (ADVICE r12): a silent drop to the row-
+        # pickle path would quietly re-introduce the 2-4 s/gate cost
+        # the Arrow path removed
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "replay sink Arrow rematerialization failed (%s: %s); "
+            "falling back to the row-pickle path",
+            type(exc).__name__,
+            exc,
+        )
         return spark.createDataFrame(sink.collect(), sink.schema)
 
 
