@@ -412,6 +412,65 @@ def run_common_isolated() -> None:
     spark.stop()
 
 
+def _warm_python_datasource_workers(spark) -> None:
+    """Extend the session warmup to the PYTHON DATA SOURCE machinery
+    (r12 verdict #6): the first streaming read through a Python data
+    source spawns and imports separate driver-side worker processes
+    (create_data_source, the streaming source runner) and loads the
+    file-sink committer classes — one-time process/JVM costs that
+    otherwise land entirely on the first timed query that uses them
+    (stream_manifest_cdf_replay, 14 s cold vs 10 s warm in r12).  Same
+    spirit as the existing a5_distinct/mapInPandas warmup: synthetic
+    2-row data, no touch of the timed inputs, nothing cached that a
+    timed query could reuse."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from curw_mike_data_handler_spark.sources import manifest_bucketed as mb
+    from curw_mike_data_handler_spark.streaming.cdf_source import (
+        ManifestCDFDataSource,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_warm_pyds_")
+    try:
+        mb.create_manifest_table(
+            spark,
+            spark.range(2).select(
+                F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+            ),
+            f"{tmp}/t",
+            "warm",
+            bucket_cols="k",
+            num_buckets=2,
+            sort_cols="k",
+        )
+        spark.dataSource.register(ManifestCDFDataSource)
+        stream = (
+            spark.readStream.format("manifest_cdf")
+            .option("root", f"{tmp}/t")
+            .option("table", "warm")
+            .option("startingVersion", 0)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        mb.drop_catalog_entries(spark, f"{tmp}/t", "warm")
+    except Exception:
+        # warmup must never break the bench — a failure here only
+        # means the first python-DS query pays its own spawn costs
+        pass
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     # Isolated common-100 (r5 verdict #6) runs FIRST, on a fresh box
     # (r7 ordering fix): running it after the main bench measured the
@@ -473,6 +532,7 @@ def main() -> None:
     spark.range(64).repartition(16).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+    _warm_python_datasource_workers(spark)
 
     # ContextCleaner hygiene: iterative queries (components, pagerank,
     # bpe, dbscan) localCheckpoint per round, and those RDD blocks +

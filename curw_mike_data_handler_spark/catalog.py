@@ -15990,9 +15990,19 @@ def stream_outer_interval_join_replay(spark, sf_dir):
     ).filter(F.col("event_type").isin("view", "purchase"))
 
     def sentinel(month: int):
+        # JVM literal rows, not createDataFrame(python rows): a
+        # pickled-row relation parallelizes over 32 partitions and its
+        # trailing-file write then pays a Python worker handshake per
+        # partition (~6 s for 2 rows, measured r13); two literal rows
+        # plan as a pure-JVM project with zero Python boundary
         ts = datetime.datetime(2024, month, 1)  # 2024-04-01 / 2024-05-01
-        return spark.createDataFrame(
-            [(-1, -1, ts, "view"), (-1, -1, ts, "purchase")], ev.schema
+        return spark.range(1).select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(ts).alias("ts"),
+            F.explode(F.array(F.lit("view"), F.lit("purchase"))).alias(
+                "event_type"
+            ),
         )
 
     def plan(stream):
@@ -16078,9 +16088,19 @@ def stream_full_outer_interval_join_replay(spark, sf_dir):
     ).filter(F.col("event_type").isin("view", "purchase"))
 
     def sentinel(month: int):
-        ts = datetime.datetime(2024, month, 1)
-        return spark.createDataFrame(
-            [(-1, -1, ts, "view"), (-1, -1, ts, "purchase")], ev.schema
+        # JVM literal rows, not createDataFrame(python rows): a
+        # pickled-row relation parallelizes over 32 partitions and its
+        # trailing-file write then pays a Python worker handshake per
+        # partition (~6 s for 2 rows, measured r13); two literal rows
+        # plan as a pure-JVM project with zero Python boundary
+        ts = datetime.datetime(2024, month, 1)  # 2024-04-01 / 2024-05-01
+        return spark.range(1).select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(ts).alias("ts"),
+            F.explode(F.array(F.lit("view"), F.lit("purchase"))).alias(
+                "event_type"
+            ),
         )
 
     def plan(stream):

@@ -33,6 +33,7 @@ import contextlib
 import json
 import os
 import tempfile
+import time
 import uuid
 from collections.abc import Callable
 
@@ -236,6 +237,15 @@ def replay_file_stream(
     post-eviction)."""
     import shutil
 
+    phases: dict[str, float] = {}
+    t_mark = time.perf_counter()
+
+    def _phase(label: str) -> None:
+        nonlocal t_mark
+        now = time.perf_counter()
+        phases[label] = round(phases.get(label, 0.0) + (now - t_mark), 3)
+        t_mark = now
+
     base = tempfile.mkdtemp(prefix="cm_replay_")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
@@ -278,11 +288,20 @@ def replay_file_stream(
                 os.utime(p, (t0, t0))
         for i, extra in enumerate(trailing_files):
             before = set(os.listdir(src))
-            extra.coalesce(1).write.mode("append").parquet(src)
+            # repartition(1), NOT coalesce(1): trailing files are tiny
+            # literal/sentinel frames, and coalesce(1) over a
+            # createDataFrame(python-rows) relation folds its 32
+            # parallelize partitions into ONE task that pays a Python
+            # worker handshake PER PARTITION sequentially — measured
+            # ~6 s per 2-row trailing write (guide §4 boundary cost in
+            # the harness).  A 1-partition shuffle runs the upstream
+            # partitions in parallel and writes the same single file.
+            extra.repartition(1).write.mode("append").parquet(src)
             t_i = t0 + 10.0 * (i + 1)
             for f in set(os.listdir(src)) - before:
                 if f.startswith("part-"):
                     os.utime(os.path.join(src, f), (t_i, t_i))
+    _phase("feed_write")
     stream = (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -320,7 +339,9 @@ def replay_file_stream(
                 .trigger(availableNow=True)
                 .start()
             )
+        _phase("plan_and_start")
         q.awaitTermination()
+        _phase("run_triggers")
     finally:
         if progress_out is not None:
             if prog_cap_prev is not None:
@@ -352,8 +373,22 @@ def replay_file_stream(
              for trig in ops for op in trig),
             default=0,
         )
+        # durationMs rollup across triggers (guide §1: measure where
+        # the micro-batch wall actually goes — planning vs WAL commits
+        # vs addBatch — before touching any of it)
+        dur: dict[str, int] = {}
+        for p in progs:
+            for k, v in (p.get("durationMs") or {}).items():
+                dur[k] = dur.get(k, 0) + int(v)
+        progress_out["duration_ms_sum"] = dur
     sink = spark.table(name)
     result = _rematerialize_local(spark, sink)
     spark.catalog.dropTempView(name)
     shutil.rmtree(base, ignore_errors=True)
+    _phase("rematerialize_teardown")
+    if progress_out is not None:
+        # harness wall budget (guide §1): where the replay wall goes
+        # OUTSIDE the streaming engine — feed write, query
+        # planning+start, trigger loop, sink rematerialization
+        progress_out["harness_phases"] = phases
     return result
