@@ -103,6 +103,23 @@ def query(name: str, sql: str | None = None):
 def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
+def _local_result(spark, df):
+    """Materialize a SMALL gate result as a driver-local DataFrame.
+
+    Arrow path (r13): ``createDataFrame(df.toArrow())`` plans as a
+    pure-JVM LocalRelation, so every later scan of the result costs
+    ~nothing; the previous ``createDataFrame(df.collect(), schema)``
+    built a pickled-row RDD parallelized over the default parallelism,
+    and each scan of it paid one Python-worker handshake per partition
+    (measured 0.4-1.9 s per noop scan of a 21-row result).  The row
+    path stays as a fallback for any type Arrow interchange cannot
+    carry, mirroring streaming/replay._rematerialize_local."""
+    try:
+        return spark.createDataFrame(df.toArrow())
+    except Exception:
+        return spark.createDataFrame(df.collect(), df.schema)
+
+
 
 def _dec(col, scale: int = 2):
     c = F.col(col) if isinstance(col, str) else col
@@ -16333,7 +16350,7 @@ def variant_shred_pruned_read(spark, sf_dir):
         )
         # re-materialize before the temp table is torn down (bounded:
         # ≤7 rows) — same contract as the streaming replay queries
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = _local_result(spark, out)
     finally:
         mb.drop_catalog_entries(spark, root, "ev_shred")
         shutil.rmtree(root, ignore_errors=True)
@@ -16388,7 +16405,7 @@ def variant_shred_raw_fallback(spark, sf_dir):
             F.count("*").alias("n_rows"),
             F.sum("k").alias("sum_k"),
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = _local_result(spark, out)
     finally:
         mb.drop_catalog_entries(spark, root, "ev_fb")
         shutil.rmtree(root, ignore_errors=True)
@@ -16689,7 +16706,7 @@ def variant_shred_evolution_read(spark, sf_dir):
                 F.count(F.when(F.col("c").isNull(), 1)).alias("n_null_c"),
             )
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = _local_result(spark, out)
     finally:
         mb.drop_catalog_entries(spark, root, "ev_evo")
         shutil.rmtree(root, ignore_errors=True)
@@ -16777,7 +16794,7 @@ def stream_shred_ingest_replay(spark, sf_dir):
                 F.sum("c").alias("sum_cents"),
             )
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = _local_result(spark, out)
     finally:
         mb.drop_catalog_entries(spark, root, "ev_ing")
         shutil.rmtree(base, ignore_errors=True)
@@ -16876,7 +16893,7 @@ def manifest_merge_cow_read(spark, sf_dir):
                 F.sum("pc").alias("sum_cents"),
             )
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = _local_result(spark, out)
     finally:
         mb.drop_catalog_entries(spark, root, "orders_cow")
         shutil.rmtree(root, ignore_errors=True)
@@ -16958,7 +16975,7 @@ def manifest_bloom_point_read(spark, sf_dir):
             F.min("o_orderkey").alias("min_key"),
             F.max("o_orderkey").alias("max_key"),
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = _local_result(spark, out)
     finally:
         mb.drop_catalog_entries(spark, root, "orders_pf")
         shutil.rmtree(root, ignore_errors=True)
@@ -17052,7 +17069,7 @@ def stream_cow_upsert_replay(spark, sf_dir):
             F.col("event_id").alias("latest_event"),
             "cents",
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = _local_result(spark, out)
     finally:
         mb.drop_catalog_entries(spark, root, "state")
         shutil.rmtree(base, ignore_errors=True)
@@ -17127,7 +17144,7 @@ def manifest_rebucket_read(spark, sf_dir):
                 F.sum("pc").alias("sum_cents"),
             )
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = _local_result(spark, out)
     finally:
         mb.drop_catalog_entries(spark, root, "orders_rb")
         shutil.rmtree(root, ignore_errors=True)
@@ -17193,7 +17210,7 @@ def manifest_stats_broadcast_join(spark, sf_dir):
                 F.sum("pc").alias("sum_cents"),
             )
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = _local_result(spark, out)
     finally:
         mb.drop_catalog_entries(spark, root, "orders_sb")
         mb.drop_catalog_entries(spark, root, "cust_sb")
@@ -17280,7 +17297,7 @@ def multi_table_atomic_commit_read(spark, sf_dir):
                 F.countDistinct("o_custkey").alias("n_custs"),
             )
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = _local_result(spark, out)
     finally:
         mb.drop_catalog_entries(spark, root, "fact_tx")
         mb.drop_catalog_entries(spark, root, "dim_tx")
@@ -17368,7 +17385,7 @@ def manifest_delete_vector_read(spark, sf_dir):
                 F.sum("pc").alias("sum_cents"),
             )
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = _local_result(spark, out)
     finally:
         mb.drop_catalog_entries(spark, root, "orders_dv")
         shutil.rmtree(root, ignore_errors=True)
@@ -17477,7 +17494,7 @@ def manifest_changes_incremental_read(spark, sf_dir):
                 F.sum("pc").alias("sum_cents"),
             )
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = _local_result(spark, out)
     finally:
         mb.drop_catalog_entries(spark, root, "orders_cdf")
         shutil.rmtree(root, ignore_errors=True)
@@ -17567,7 +17584,7 @@ def manifest_mirror_incremental_sync(spark, sf_dir):
                 F.sum("pc").alias("sum_cents"),
             )
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = _local_result(spark, out)
     finally:
         mb.drop_catalog_entries(spark, root, "orders_m")
         mb.drop_catalog_entries(spark, root, "orders_mm")
@@ -17661,7 +17678,7 @@ def manifest_mor_upsert_read(spark, sf_dir):
                 F.sum("pc").alias("sum_cents"),
             )
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = _local_result(spark, out)
     finally:
         mb.drop_catalog_entries(spark, root, "orders_mor")
         shutil.rmtree(root, ignore_errors=True)
@@ -17814,7 +17831,7 @@ def stream_manifest_cdf_replay(spark, sf_dir):
                 F.sum("pc").alias("sum_cents"),
             )
         )
-        result = spark.createDataFrame(out_df.collect(), out_df.schema)
+        result = _local_result(spark, out_df)
     finally:
         mb.drop_catalog_entries(spark, root, "orders_sc")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -17919,7 +17936,7 @@ def manifest_index_point_lookup(spark, sf_dir):
                 F.sum("pc").alias("sum_cents"),
             )
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = _local_result(spark, out)
     finally:
         mb.drop_catalog_entries(spark, root, "orders_ix")
         mb.drop_catalog_entries(spark, root, "orders_by_cust")
@@ -18048,7 +18065,7 @@ def manifest_index_merge_lookup(spark, sf_dir):
                 F.sum("pc").alias("sum_cents"),
             )
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = _local_result(spark, out)
     finally:
         mb.drop_catalog_entries(spark, root, "orders_mg")
         mb.drop_catalog_entries(spark, root, "orders_mg_by_cust")
