@@ -111,13 +111,15 @@ def _local_result(spark, df):
     ~nothing; the previous ``createDataFrame(df.collect(), schema)``
     built a pickled-row RDD parallelized over the default parallelism,
     and each scan of it paid one Python-worker handshake per partition
-    (measured 0.4-1.9 s per noop scan of a 21-row result).  The row
-    path stays as a fallback for any type Arrow interchange cannot
-    carry, mirroring streaming/replay._rematerialize_local."""
-    try:
-        return spark.createDataFrame(df.toArrow())
-    except Exception:
-        return spark.createDataFrame(df.collect(), df.schema)
+    (measured 0.4-1.9 s per noop scan of a 21-row result).  Delegates
+    to streaming/replay's ``_rematerialize_local`` — one copy of the
+    Arrow path AND of its logged row-pickle fallback (review finding
+    r13: a silent second copy would drift)."""
+    from curw_mike_data_handler_spark.streaming.replay import (
+        _rematerialize_local,
+    )
+
+    return _rematerialize_local(spark, df)
 
 
 
@@ -15956,6 +15958,29 @@ def stream_interval_join_replay(spark, sf_dir):
     return replay_file_stream(spark, ev, plan, n_files=2)
 
 
+
+def _events_sentinel(spark, month: int):
+    """Far-future watermark-flush sentinel for the interval-join
+    replays: one 'view' + one 'purchase' row at 2024-<month>-01 with
+    user_id −1 (filtered from gate output).  JVM literal rows, not
+    createDataFrame(python rows): a pickled-row relation parallelizes
+    over 32 partitions and its trailing-file write then pays a Python
+    worker handshake per partition (~6 s for 2 rows, measured r13);
+    two literal rows plan as a pure-JVM project with zero Python
+    boundary.  Shared by both outer-join replay gates (review finding
+    r13: the helper was duplicated per gate)."""
+    import datetime
+
+    ts = datetime.datetime(2024, month, 1)
+    return spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(ts).alias("ts"),
+        F.explode(F.array(F.lit("view"), F.lit("purchase"))).alias(
+            "event_type"
+        ),
+    )
+
 @query(
     "stream_outer_interval_join_replay",
     """
@@ -16006,21 +16031,7 @@ def stream_outer_interval_join_replay(spark, sf_dir):
         "user_id", "event_id", "ts", "event_type"
     ).filter(F.col("event_type").isin("view", "purchase"))
 
-    def sentinel(month: int):
-        # JVM literal rows, not createDataFrame(python rows): a
-        # pickled-row relation parallelizes over 32 partitions and its
-        # trailing-file write then pays a Python worker handshake per
-        # partition (~6 s for 2 rows, measured r13); two literal rows
-        # plan as a pure-JVM project with zero Python boundary
-        ts = datetime.datetime(2024, month, 1)  # 2024-04-01 / 2024-05-01
-        return spark.range(1).select(
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit(-1).cast("long").alias("event_id"),
-            F.lit(ts).alias("ts"),
-            F.explode(F.array(F.lit("view"), F.lit("purchase"))).alias(
-                "event_type"
-            ),
-        )
+    sentinel = lambda month: _events_sentinel(spark, month)  # noqa: E731
 
     def plan(stream):
         v = stream.filter(F.col("event_type") == "view").select(
@@ -16104,21 +16115,7 @@ def stream_full_outer_interval_join_replay(spark, sf_dir):
         "user_id", "event_id", "ts", "event_type"
     ).filter(F.col("event_type").isin("view", "purchase"))
 
-    def sentinel(month: int):
-        # JVM literal rows, not createDataFrame(python rows): a
-        # pickled-row relation parallelizes over 32 partitions and its
-        # trailing-file write then pays a Python worker handshake per
-        # partition (~6 s for 2 rows, measured r13); two literal rows
-        # plan as a pure-JVM project with zero Python boundary
-        ts = datetime.datetime(2024, month, 1)  # 2024-04-01 / 2024-05-01
-        return spark.range(1).select(
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit(-1).cast("long").alias("event_id"),
-            F.lit(ts).alias("ts"),
-            F.explode(F.array(F.lit("view"), F.lit("purchase"))).alias(
-                "event_type"
-            ),
-        )
+    sentinel = lambda month: _events_sentinel(spark, month)  # noqa: E731
 
     def plan(stream):
         v = stream.filter(F.col("event_type") == "view").select(

@@ -63,16 +63,34 @@ def _nullsafe_bjoin(
     return left.join(F.broadcast(renamed), cond).drop(*gcols)
 
 
+_INF = float("inf")
+
+
+def _finite(vd: Column) -> Column:
+    return ~F.isnan(vd) & (vd > F.lit(-_INF)) & (vd < F.lit(_INF))
+
+
 def _bucket_expr(vd: Column, vmin: Column, vmax: Column, nb: int) -> Column:
-    """Order-preserving bucket id (1 .. nb+2) for a double-cast value
-    within per-group [vmin, vmax] bounds.  ``width_bucket`` is monotone
-    non-decreasing in ``vd`` (all that correctness needs — bucket
-    boundaries only affect load balance); a degenerate group
-    (vmin == vmax) collapses to bucket 1, and NaN (which Spark orders
-    greater than any value) pins to the top bucket."""
+    """Order-preserving bucket id (0 .. nb+3) for a double-cast value
+    within per-group FINITE [vmin, vmax] bounds.  ``width_bucket`` is
+    monotone non-decreasing in ``vd`` (all that correctness needs —
+    bucket boundaries only affect load balance); a degenerate group
+    (vmin == vmax, or no finite values at all) collapses its finite
+    values to bucket 1.  Non-finite values get explicit buckets in
+    Spark's double order (−Inf < finite < +Inf < NaN): −Inf → 0,
+    +Inf → nb+2, NaN → nb+3 — ``width_bucket`` itself returns NULL
+    for non-finite inputs, which would silently DROP those rows from
+    the histogram/finish joins (review finding r13: a NaN/Inf mixed
+    into a group also used to poison min/max and thereby drop the
+    group's FINITE rows)."""
     wb = F.width_bucket(vd, vmin, vmax, F.lit(nb))
-    return F.when(F.isnan(vd), F.lit(nb + 2).cast("long")).otherwise(
-        F.when(vmax > vmin, wb).otherwise(F.lit(1).cast("long"))
+    return (
+        F.when(F.isnan(vd), F.lit(nb + 3).cast("long"))
+        .when(vd == F.lit(_INF), F.lit(nb + 2).cast("long"))
+        .when(vd == F.lit(-_INF), F.lit(0).cast("long"))
+        .otherwise(
+            F.when(vmax > vmin, wb).otherwise(F.lit(1).cast("long"))
+        )
     )
 
 
@@ -93,9 +111,11 @@ def select_values_at_ranks(
     cumulative-weight rank — return the ``targets`` row with ``__key``
     appended: the smallest ``__v`` whose running weight sum in value
     order reaches ``__target``.  ``bounds`` = ``(by…, __vmin,
-    __vmax)`` gives each group's double-cast value range (both tiny
-    relations are broadcast; ``passthrough`` lists the target columns
-    to carry through — defaults to none).
+    __vmax)`` gives each group's FINITE double-cast value range (NaN
+    and ±Inf must be excluded by the caller — non-finite values get
+    their own order-correct buckets; both tiny relations are
+    broadcast; ``passthrough`` lists the target columns to carry
+    through — defaults to none).
 
     Plan shape — the part that matters at 100 TB: there is NO
     full-data exchange anywhere.  1) histogram — bucket weight per
@@ -271,10 +291,14 @@ def exact_grouped_percentiles(
         .localCheckpoint(eager=False)
     )
     vd = F.col("__v").cast("double")
+    # bounds over FINITE values only: a NaN/Inf in the group would
+    # otherwise poison min/max and make width_bucket NULL out every
+    # finite row (review finding r13); __n still counts every non-null
+    # value, matching percentile (NaN/Inf are values that sort last)
     stats = census.groupBy(*by).agg(
         F.sum("__w").alias("__n"),
-        F.min(vd).alias("__vmin"),
-        F.max(vd).alias("__vmax"),
+        F.min(F.when(_finite(vd), vd)).alias("__vmin"),
+        F.max(F.when(_finite(vd), vd)).alias("__vmax"),
     )
     # two selection targets per (group, prob): position p·(n−1), its
     # 0-based neighbor ranks lo/hi → 1-based cumulative-count targets
@@ -345,7 +369,12 @@ def exact_grouped_percentiles(
             F.max(F.when(is_pi, F.col("__hi"))).alias(f"__hi{i}"),
         ]
     if n_col is not None:
-        agg_cols.append(F.max("__n").alias(n_col))
+        # coalesce to 0: a global (by=[]) selection over an EMPTY
+        # input yields no keys rows, and the grand aggregate would
+        # report NULL where count(*) reports 0 (review finding r13)
+        agg_cols.append(
+            F.coalesce(F.max("__n"), F.lit(0).cast("long")).alias(n_col)
+        )
     piv = keys.groupBy(*by).agg(*agg_cols)
 
     def _val(i: int) -> Column:

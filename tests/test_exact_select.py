@@ -176,3 +176,37 @@ def test_plan_guard_no_holistic_percentile(spark, sf_dir):
     assert "percentile_approx" in (
         df._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_nan_inf_mixed_groups_match_percentile(spark):
+    """Review finding r13: NaN/±Inf in a group must neither poison the
+    finite values' bucketing nor drop the group — results must stay
+    bit-identical to F.percentile (NaN counts as a value that sorts
+    last; −Inf first)."""
+    nan, inf = float("nan"), float("inf")
+    rows = (
+        [("a", 1.0), ("a", 2.0), ("a", nan)]
+        + [("b", 1.0), ("b", 2.0), ("b", inf)]
+        + [("c", -inf), ("c", 5.0), ("c", 7.0)]
+        + [("d", nan), ("d", nan)]
+        + [("e", inf), ("e", -inf)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v double")
+    probs = [0.0, 0.5, 1.0]
+    ref = _ref(df, probs, ["grp"])
+    got = _got(df, probs, ["grp"], 4)
+    assert set(ref) == set(got)
+    for g in ref:
+        assert _bit_equal(ref[g], got[g]), (g, ref[g], got[g])
+
+
+def test_empty_input_global_n_col_is_zero(spark):
+    """Review finding r13: a by=[] selection over an EMPTY relation
+    must report n_col = 0 (count semantics), not NULL."""
+    df = spark.createDataFrame([], "v long")
+    rows = exact_grouped_percentiles(
+        df, "v", [0.5], by=[], n_col="n"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 0
+    assert rows[0]["__q"] == [None]
